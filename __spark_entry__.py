@@ -1,38 +1,801 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises an operator from SURVEY.md §2 (or a
+training-data-pipeline operator) on the driver's synthetic tables, and
+``oracle_sql()`` provides the equivalent DuckDB SQL. Column names and
+types are aligned on both sides; doubles are rounded (6 digits for
+per-row math, 2-3 for large sums) so engine-level fp accumulation
+differences can't flip the value hash.
+
+The met-shaped inputs are derived deterministically from ``events``:
+``temp = 250 + value*0.2`` [K], ``hum = 20 + mod(value, 60)`` [%],
+``precip = max(value - 300, 0)`` [mm] — this gives both branches of the
+physics formulas and wet/dry day variety.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LON, LAT, TZ = 8.86, 51.0, 1.0
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # events.parquet stores TIMESTAMP(NANOS) which Spark rejects by
+    # default; read nanos as long and truncate to microseconds (what
+    # DuckDB's TIMESTAMP does too)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(e.dtypes)["ts"] == "bigint":
+        e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return e
+
+
+def _met_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → met-shaped hourly-ish observations."""
+    e = _events(spark, sf_dir)
+    return e.select(
+        F.col("user_id"),
+        F.col("ts"),
+        (250.0 + F.col("value") * 0.2).alias("temp"),
+        (20.0 + F.col("value") - F.floor(F.col("value") / 60.0) * 60.0).alias("hum"),
+        F.greatest(F.col("value") - 300.0, F.lit(0.0)).alias("precip"),
+    )
+
+
+def _met_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from melodist_spark.operators.aggregations import daily_from_hourly
+
+    return daily_from_hourly(_met_hourly(spark, sf_dir), keys=["user_id"])
+
+
+_MET_HOURLY_SQL = """
+    SELECT user_id, ts,
+           250.0 + value * 0.2 AS temp,
+           20.0 + value - floor(value / 60.0) * 60.0 AS hum,
+           greatest(value - 300.0, 0.0) AS precip
+    FROM events
+"""
+
+_MET_DAILY_SQL = f"""
+    SELECT user_id, CAST(ts AS DATE) AS date,
+           avg(temp) AS temp, min(temp) AS tmin, max(temp) AS tmax,
+           sum(precip) AS precip,
+           avg(hum) AS hum, min(hum) AS hum_min, max(hum) AS hum_max
+    FROM ({_MET_HOURLY_SQL}) GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_temp_sine_disagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: daily→hourly temperature, sine_min_max / fixed 7h-14h
+    (SURVEY.md §2, `temperature.py:61-171`)."""
+    from melodist_spark.operators.temperature import disaggregate_temperature
+
+    daily = _met_daily(spark, sf_dir)
+    out = disaggregate_temperature(
+        daily, method="sine_min_max", min_max_time="fix", keys=["user_id"]
+    )
+    return out.select(
+        "user_id", "ts", F.round("temp", 6).alias("temp_h")
+    )
+
+
+def q_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly→daily downsample with per-variable semantics
+    (`util/util.py:374-414`)."""
+    d = _met_daily(spark, sf_dir)
+    return d.select(
+        "user_id",
+        "date",
+        F.round("temp", 6).alias("temp"),
+        F.round("tmin", 6).alias("tmin"),
+        F.round("tmax", 6).alias("tmax"),
+        F.round("precip", 3).alias("precip"),
+        F.round("hum", 6).alias("hum"),
+    )
+
+
+def q_distribute_equally(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily precip equally distributed over 24 h, sums preserved
+    (`util/util.py:46-67`)."""
+    from melodist_spark.util.calendar import distribute_equally
+
+    daily = _met_daily(spark, sf_dir).select("user_id", "date", "precip")
+    out = distribute_equally(daily, "precip", divide=True)
+    return out.select("user_id", "ts", F.round("precip", 6).alias("precip_h"))
+
+
+def q_seasonal_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-predicate filter (`precipitation.py:607-628`)."""
+    from melodist_spark.util.calendar import seasonal_subset
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = seasonal_subset(orders, [3, 4, 5], ts_col="o_orderdate")
+    return out.select("o_orderkey", "o_orderdate", F.round("o_totalprice", 2).alias("price"))
+
+
+def q_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbour-day values with edge fill — the temperature locdf
+    pattern (`temperature.py:115-122`)."""
+    from pyspark.sql import Window
+
+    daily = _met_daily(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("date")
+    nxt_ok = F.datediff(F.lead("date", 1).over(w), F.col("date")) == 1
+    prv_ok = F.datediff(F.col("date"), F.lag("date", 1).over(w)) == 1
+    tmin_next = F.when(F.lead("date", 1).over(w).isNull(), F.col("tmin")).otherwise(
+        F.when(nxt_ok, F.lead("tmin", 1).over(w))
+    )
+    tmin_prev = F.when(F.lag("date", 1).over(w).isNull(), F.col("tmin")).otherwise(
+        F.when(prv_ok, F.lag("tmin", 1).over(w))
+    )
+    return daily.select(
+        "user_id",
+        "date",
+        F.round("tmin", 6).alias("tmin"),
+        F.round(tmin_next, 6).alias("tmin_next"),
+        F.round(tmin_prev, 6).alias("tmin_prev"),
+    )
+
+
+def q_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum per user (cascade regridding primitive,
+    `precipitation.py:292-303`)."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 3).alias("run_sum")
+    )
+
+
+def q_day_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day fraction — the master-station pattern
+    (`precipitation.py:399-400`)."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    wd = Window.partitionBy("user_id", F.to_date("ts"))
+    return e.select(
+        "event_id",
+        F.round(F.col("value") / F.sum("value").over(wd), 6).alias("day_frac"),
+    )
+
+
+def q_gap_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap detection per key (`util/util.py:249-297`)."""
+    from melodist_spark.util.gaps import detect_gaps
+
+    e = _events(spark, sf_dir).select("user_id", "ts")
+    return detect_gaps(e, 3600, keys=["user_id"]).select(
+        "user_id", F.col("n_gaps").cast("long").alias("n_gaps")
+    )
+
+
+def q_complete_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-completeness filter (the drop_incomplete_days idea,
+    `util/util.py:300-352`): keep (user, day) with events in ≥ 3
+    distinct hours."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy("user_id", F.to_date("ts").alias("date"))
+        .agg(F.countDistinct(F.hour("ts")).alias("nh"))
+        .filter(F.col("nh") >= 3)
+        .select("user_id", "date", F.col("nh").cast("long").alias("nh"))
+    )
+
+
+def q_vapor_pressure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sonntag vapor pressure, both branches (`util/util.py:70-102`)."""
+    from melodist_spark.functions.meteo import vapor_pressure
+
+    m = _met_hourly(spark, sf_dir)
+    return m.select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.round(vapor_pressure(F.col("temp"), F.col("hum")), 6).alias("vp"),
+    )
+
+
+def q_dewpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dewpoint temperature (`util/util.py:105-134`)."""
+    from melodist_spark.functions.meteo import dewpoint_temperature
+
+    m = _met_hourly(spark, sf_dir)
+    return m.select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.round(dewpoint_temperature(F.col("temp"), F.col("hum")), 6).alias("td"),
+    )
+
+
+def q_sun_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sunrise/noon/sunset/daylength (`util/util.py:160-246`)."""
+    from melodist_spark.functions.solar import sun_times_exprs
+
+    d = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(F.col("o_orderdate").alias("date"))
+        .distinct()
+    )
+    e = sun_times_exprs("date", LON, LAT, TZ)
+    return d.select(
+        "date",
+        F.round(e["sunrise"], 6).alias("sunrise"),
+        F.round(e["sunnoon"], 6).alias("sunnoon"),
+        F.round(e["sunset"], 6).alias("sunset"),
+        F.round(e["daylength"], 6).alias("daylength"),
+    )
+
+
+def q_pot_radiation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Liston & Elder potential radiation (`radiation.py:104-204`)."""
+    from melodist_spark.functions.solar import potential_radiation
+
+    e = _events(spark, sf_dir)
+    return e.select(
+        "event_id",
+        F.round(potential_radiation(F.col("ts"), LON, LAT, TZ), 6).alias("pot_rad"),
+    )
+
+
+def q_linregress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS per user — dewpoint-regression pattern
+    (`util/util.py:137-157`, `humidity.py:123-130`)."""
+    e = _events(spark, sf_dir).withColumn("hour", F.hour("ts").cast("double"))
+    slope = F.covar_samp("hour", "value") / F.var_samp("hour")
+    return e.groupBy("user_id").agg(
+        F.round(slope, 6).alias("a1"),
+        F.round(F.avg("value") - slope * F.avg("hour"), 6).alias("a0"),
+    )
+
+
+def q_mean_course(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean diurnal course by month (`util/util.py:417-430`)."""
+    from melodist_spark.operators.aggregations import mean_daily_course_by_month
+
+    m = _met_hourly(spark, sf_dir).select("user_id", "ts", F.col("temp").alias("v"))
+    out = mean_daily_course_by_month(m, "v", keys=["user_id"])
+    return out.select(
+        "user_id",
+        F.col("month").cast("long").alias("month"),
+        F.col("hour").cast("long").alias("hour"),
+        F.round("value", 6).alias("course"),
+    )
+
+
+def q_month_hour_wet_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical (month, hour, wet-day) humidity means
+    (`humidity.py:133-141`)."""
+    from melodist_spark.operators.aggregations import month_hour_precip_mean
+
+    m = _met_hourly(spark, sf_dir)
+    out = month_hour_precip_mean(m, keys=["user_id"])
+    return out.select(
+        "user_id",
+        F.col("month").cast("long").alias("month"),
+        F.col("hour").cast("long").alias("hour"),
+        "wet",
+        F.round("hum_mean", 6).alias("hum_mean"),
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped scan+agg (engine exercise: pushdown, partial
+    aggregation, codegen)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join rollup (broadcast joins over dims)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups via content digest."""
+    from melodist_spark.pipeline.dedup import exact_duplicates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_duplicates(docs).select("digest", "n_docs", "keep_id")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint (token-set md5)."""
+    from melodist_spark.pipeline.text import fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring features."""
+    from melodist_spark.pipeline.text import quality_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = quality_features(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-based language-ID scores (en/de/es)."""
+    from melodist_spark.pipeline.text import language_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scores = language_scores(F.col("text"))
+    return docs.select(
+        "doc_id",
+        scores["score_en"].cast("long").alias("score_en"),
+        scores["score_de"].cast("long").alias("score_de"),
+        scores["score_es"].cast("long").alias("score_es"),
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash document fingerprints (near-dup primitive)."""
+    from melodist_spark.pipeline.text import simhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = simhash(docs)
+    return out.select("doc_id", F.col("simhash").cast("long").alias("simhash"))
+
+
+def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature LSH bands (shingle→minhash→band)."""
+    from melodist_spark.pipeline.dedup import lsh_bands, minhash_signature
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = minhash_signature(docs, num_hashes=8)
+    bands = lsh_bands(sigs, num_hashes=8, band_size=2)
+    return bands.select(
+        "doc_id", F.col("band_idx").cast("long").alias("band_idx"), "band_hash"
+    )
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 8 query vectors."""
+    from melodist_spark.pipeline.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = brute_force_topk(emb, queries, k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_temp_sine_disagg(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "temp_sine_disagg": q_temp_sine_disagg,
+        "daily_from_hourly": q_daily_from_hourly,
+        "distribute_equally": q_distribute_equally,
+        "seasonal_subset": q_seasonal_subset,
+        "lead_lag": q_lead_lag,
+        "cumsum": q_cumsum,
+        "day_normalize": q_day_normalize,
+        "gap_count": q_gap_count,
+        "complete_days": q_complete_days,
+        "vapor_pressure": q_vapor_pressure,
+        "dewpoint": q_dewpoint,
+        "sun_times": q_sun_times,
+        "pot_radiation": q_pot_radiation,
+        "linregress": q_linregress,
+        "mean_course": q_mean_course,
+        "month_hour_wet_mean": q_month_hour_wet_mean,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "dedup_exact": q_dedup_exact,
+        "fingerprint": q_fingerprint,
+        "token_stats": q_token_stats,
+        "lang_id": q_lang_id,
+        "simhash": q_simhash,
+        "minhash_bands": q_minhash_bands,
+        "embedding_topk": q_embedding_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    pi = "pi()"
+    sun_common = f"""
+        WITH d AS (SELECT DISTINCT o_orderdate AS date FROM orders),
+        t AS (
+          SELECT date,
+                 CAST(dayofyear(date) AS DOUBLE) AS doy
+          FROM d
+        ),
+        g AS (
+          SELECT date,
+                 radians((360.0/365.25) * (doy - 79.346)) AS b,
+                 2 * {pi} * (doy - 1) / 365.0 AS s
+          FROM t
+        ),
+        geo AS (
+          SELECT date,
+                 radians(0.3723 + 23.2567*sin(b) - 0.7580*cos(b)
+                         + 0.1149*sin(2*b) + 0.3656*cos(2*b)
+                         - 0.1712*sin(3*b) + 0.0201*cos(3*b)) AS decl,
+                 (12.0/{pi}) * (0.000075 + 0.001868*cos(s) - 0.032077*sin(s)
+                         - 0.014615*cos(2*s) - 0.040849*sin(2*s)) AS eq_time
+          FROM g
+        ),
+        fin AS (
+          SELECT date, decl, eq_time,
+                 ({LON} - {TZ}*15.0) * 24.0/360.0 AS dlt,
+                 -tan(radians({LAT})) * tan(decl) AS oarg
+          FROM geo
+        ),
+        res AS (
+          SELECT date,
+                 12.0 - dlt - eq_time AS sunnoon,
+                 CASE WHEN oarg < -1 THEN (12.0 - dlt - eq_time) - 12
+                      WHEN oarg > 1 THEN 12.0 - dlt - eq_time
+                      ELSE 12.0*(1.0 - acos(oarg)/{pi}) - dlt - eq_time END AS sunrise0,
+                 CASE WHEN oarg < -1 THEN (12.0 - dlt - eq_time) + 12
+                      WHEN oarg > 1 THEN 12.0 - dlt - eq_time
+                      ELSE 12.0*(1.0 + acos(oarg)/{pi}) - dlt - eq_time END AS sunset0
+          FROM fin
+        )
+        SELECT date,
+               round(CASE WHEN sunrise0 < 0 THEN sunrise0 + 24 ELSE sunrise0 END, 6) AS sunrise,
+               round(sunnoon, 6) AS sunnoon,
+               round(CASE WHEN sunset0 > 24 THEN sunset0 - 24 ELSE sunset0 END, 6) AS sunset,
+               round(sunset0 - sunrise0, 6) AS daylength
+        FROM res
     """
-    return {}
+
+    pot_rad_sql = f"""
+        WITH e AS (
+          SELECT event_id,
+                 CAST(dayofyear(ts) AS DOUBLE) AS doy,
+                 CAST(hour(ts) AS DOUBLE) AS h,
+                 CAST(minute(ts) AS DOUBLE) AS mi
+          FROM events
+        ),
+        a AS (
+          SELECT event_id,
+                 radians(23.43697) * cos(2.0*{pi}*(doy - 173.0)/365.25) AS decl,
+                 {pi} * (((h + mi/60.0 + ({LON} - {TZ}*15.0)*24.0/360.0) / 12.0) - 1.0) AS ha,
+                 2.0*{pi}*(doy/365.25) AS beta
+          FROM e
+        ),
+        b AS (
+          SELECT event_id, beta,
+                 greatest(sin(decl)*sin(radians({LAT}))
+                          + cos(decl)*cos(radians({LAT}))*cos(ha), 0.0) AS cz
+          FROM a
+        )
+        SELECT event_id,
+               round(1367.0 * (1.00011 + 0.034221*cos(beta) + 0.00128*sin(beta)
+                             + 0.000719*cos(2.0*beta) + 0.000077*sin(2.0*beta))
+                     * ((0.6 + 0.2*cz) * cz + 0.0), 6) AS pot_rad
+        FROM b
+    """
+
+    temp_sine_sql = f"""
+        WITH daily AS ({_MET_DAILY_SQL}),
+        loc AS (
+          SELECT user_id, date, tmin, tmax,
+                 CASE WHEN lead(date) OVER w IS NULL THEN tmin
+                      WHEN date_diff('day', date, lead(date) OVER w) = 1 THEN lead(tmin) OVER w
+                      END AS min_val_next,
+                 CASE WHEN lead(date) OVER w IS NULL THEN tmax
+                      WHEN date_diff('day', date, lead(date) OVER w) = 1 THEN lead(tmax) OVER w
+                      END AS max_val_next,
+                 CASE WHEN lag(date) OVER w IS NULL THEN tmin
+                      WHEN date_diff('day', lag(date) OVER w, date) = 1 THEN lag(tmin) OVER w
+                      END AS min_val_before,
+                 CASE WHEN lag(date) OVER w IS NULL THEN tmax
+                      WHEN date_diff('day', lag(date) OVER w, date) = 1 THEN lag(tmax) OVER w
+                      END AS max_val_before
+          FROM daily
+          WINDOW w AS (PARTITION BY user_id ORDER BY date)
+        ),
+        hourly AS (
+          SELECT l.*, h.h,
+                 CAST(l.date AS TIMESTAMP) + to_hours(h.h) AS ts
+          FROM loc l CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h) h
+        ),
+        vals AS (
+          SELECT user_id, ts, h,
+                 CASE WHEN h < 14 THEN tmin ELSE min_val_next END AS minv,
+                 CASE WHEN h < 7 THEN max_val_before ELSE tmax END AS maxv
+          FROM hourly
+        )
+        SELECT user_id, ts,
+               round((minv + (maxv - minv)/2.0)
+                     + (maxv - minv)/2.0 * cos(2*{pi}/24.0 * (h - 14)), 6) AS temp_h
+        FROM vals
+    """
+
+    simhash_sql = """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+          FROM documents
+        ),
+        contrib AS (
+          SELECT t.doc_id, b.b,
+                 sum(CASE WHEN substr(md5(t.w), b.b + 1, 1) IN
+                          ('1','3','5','7','9','b','d','f')
+                     THEN 1 ELSE -1 END) AS s
+          FROM toks t
+          CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) b
+          GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        FROM contrib GROUP BY doc_id
+    """
+
+    minhash_sql = """
+        WITH toks AS (
+          SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+          FROM documents
+        ),
+        sigs AS (
+          SELECT t.doc_id, i.i,
+                 min(md5(CAST(i.i AS VARCHAR) || ':' || t.w)) AS sig
+          FROM toks t CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) i
+          GROUP BY 1, 2
+        )
+        SELECT a.doc_id,
+               CAST(a.i // 2 AS BIGINT) AS band_idx,
+               md5(a.sig || '|' || b.sig) AS band_hash
+        FROM sigs a JOIN sigs b
+          ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        WHERE a.i % 2 = 0
+    """
+
+    topk_sql = """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        sims AS (
+          SELECT q.query_id, c.neighbor_id,
+                 list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(c.cv AS DOUBLE[]), CAST(c.cv AS DOUBLE[])))) AS sim
+          FROM q CROSS JOIN c
+          WHERE q.query_id <> c.neighbor_id
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id, sim,
+                 row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+          FROM sims
+        )
+        SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 5
+    """
+
+    stop_en = "['the','and','of','to','in','is','that','with']"
+    stop_de = "['der','die','das','und','nicht','mit','ist','ein']"
+    stop_es = "['el','la','los','que','de','y','en','un']"
+
+    return {
+        "temp_sine_disagg": temp_sine_sql,
+        "daily_from_hourly": f"""
+            SELECT user_id, date,
+                   round(temp, 6) AS temp, round(tmin, 6) AS tmin,
+                   round(tmax, 6) AS tmax, round(precip, 3) AS precip,
+                   round(hum, 6) AS hum
+            FROM ({_MET_DAILY_SQL})
+        """,
+        "distribute_equally": f"""
+            WITH daily AS ({_MET_DAILY_SQL})
+            SELECT user_id,
+                   CAST(date AS TIMESTAMP) + to_hours(h.h) AS ts,
+                   round(precip / 24.0, 6) AS precip_h
+            FROM daily CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h) h
+        """,
+        "seasonal_subset": """
+            SELECT o_orderkey, o_orderdate, round(o_totalprice, 2) AS price
+            FROM orders WHERE month(o_orderdate) IN (3, 4, 5)
+        """,
+        "lead_lag": f"""
+            WITH daily AS ({_MET_DAILY_SQL})
+            SELECT user_id, date, round(tmin, 6) AS tmin,
+                   round(CASE WHEN lead(date) OVER w IS NULL THEN tmin
+                         WHEN date_diff('day', date, lead(date) OVER w) = 1 THEN lead(tmin) OVER w
+                         END, 6) AS tmin_next,
+                   round(CASE WHEN lag(date) OVER w IS NULL THEN tmin
+                         WHEN date_diff('day', lag(date) OVER w, date) = 1 THEN lag(tmin) OVER w
+                         END, 6) AS tmin_prev
+            FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY date)
+        """,
+        "cumsum": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 3) AS run_sum
+            FROM events
+        """,
+        "day_normalize": """
+            SELECT event_id,
+                   round(value / sum(value) OVER (PARTITION BY user_id, CAST(ts AS DATE)), 6) AS day_frac
+            FROM events
+        """,
+        "gap_count": """
+            SELECT user_id,
+                   CAST(sum(CASE WHEN prev_ts IS NOT NULL
+                            AND date_diff('microsecond', prev_ts, ts) <> 3600000000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps
+            FROM (
+              SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+              FROM events
+            ) GROUP BY user_id
+        """,
+        "complete_days": """
+            SELECT user_id, CAST(ts AS DATE) AS date,
+                   CAST(count(DISTINCT hour(ts)) AS BIGINT) AS nh
+            FROM events GROUP BY 1, 2 HAVING count(DISTINCT hour(ts)) >= 3
+        """,
+        "vapor_pressure": f"""
+            SELECT user_id, ts,
+                   round(CASE WHEN temp >= 273.15
+                         THEN 6.112 * exp(17.62*(temp-273.15)/(243.12+temp-273.15))
+                         ELSE 6.112 * exp(22.46*(temp-273.15)/(272.62+temp-273.15))
+                         END * hum / 100.0, 6) AS vp
+            FROM ({_MET_HOURLY_SQL})
+        """,
+        "dewpoint": f"""
+            WITH m AS ({_MET_HOURLY_SQL}),
+            v AS (
+              SELECT user_id, ts, temp,
+                     ln((CASE WHEN temp >= 273.15
+                         THEN 6.112 * exp(17.62*(temp-273.15)/(243.12+temp-273.15))
+                         ELSE 6.112 * exp(22.46*(temp-273.15)/(272.62+temp-273.15))
+                         END * hum / 100.0) / 6.112) AS lr
+              FROM m
+            )
+            SELECT user_id, ts,
+                   round(CASE WHEN temp >= 273.15
+                         THEN 243.12 * lr / (17.62 - lr)
+                         ELSE 272.62 * lr / (22.46 - lr) END + 273.15, 6) AS td
+            FROM v
+        """,
+        "sun_times": sun_common,
+        "pot_radiation": pot_rad_sql,
+        "linregress": """
+            SELECT user_id,
+                   round(covar_samp(CAST(hour(ts) AS DOUBLE), value)
+                         / var_samp(CAST(hour(ts) AS DOUBLE)), 6) AS a1,
+                   round(avg(value) - covar_samp(CAST(hour(ts) AS DOUBLE), value)
+                         / var_samp(CAST(hour(ts) AS DOUBLE)) * avg(CAST(hour(ts) AS DOUBLE)), 6) AS a0
+            FROM events GROUP BY user_id
+        """,
+        "mean_course": f"""
+            SELECT user_id, CAST(month(ts) AS BIGINT) AS month,
+                   CAST(hour(ts) AS BIGINT) AS hour,
+                   round(avg(temp), 6) AS course
+            FROM ({_MET_HOURLY_SQL}) GROUP BY 1, 2, 3
+        """,
+        "month_hour_wet_mean": f"""
+            WITH m AS ({_MET_HOURLY_SQL}),
+            w AS (
+              SELECT *, sum(precip) OVER (PARTITION BY user_id, CAST(ts AS DATE)) > 0 AS wet
+              FROM m
+            )
+            SELECT user_id, CAST(month(ts) AS BIGINT) AS month,
+                   CAST(hour(ts) AS BIGINT) AS hour, wet,
+                   round(avg(hum), 6) AS hum_mean
+            FROM w GROUP BY 1, 2, 3, 4
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS keep_id
+            FROM documents GROUP BY md5(text) HAVING count(*) > 1
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(
+                       string_split_regex(trim(text), '\\s+'))), ' ')) AS fp
+            FROM documents
+        """,
+        "token_stats": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+              FROM documents
+            ),
+            s AS (
+              SELECT d.doc_id,
+                     sum(CASE WHEN w IN ('the','and','of','to','in','is','that','with')
+                         THEN 1 ELSE 0 END) AS n_stop
+              FROM (SELECT doc_id,
+                           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+                    FROM documents) d
+              GROUP BY d.doc_id
+            )
+            SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+                   round(CASE WHEN t.n_tokens > 0 THEN
+                         length(regexp_replace(t.text, '\\s+', '', 'g')) * 1.0 / t.n_tokens END, 6) AS mean_word_len,
+                   round(CASE WHEN t.n_tokens > 0 THEN s.n_stop * 1.0 / t.n_tokens END, 6) AS stopword_ratio,
+                   round((length(t.text) - length(regexp_replace(t.text, '[.,;:!?]', '', 'g'))) * 1.0
+                         / length(t.text), 6) AS punct_ratio
+            FROM t JOIN s ON t.doc_id = s.doc_id
+        """,
+        "lang_id": f"""
+            WITH w AS (
+              SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN w = ANY({stop_en}) THEN 1 ELSE 0 END) AS BIGINT) AS score_en,
+                   CAST(sum(CASE WHEN w = ANY({stop_de}) THEN 1 ELSE 0 END) AS BIGINT) AS score_de,
+                   CAST(sum(CASE WHEN w = ANY({stop_es}) THEN 1 ELSE 0 END) AS BIGINT) AS score_es
+            FROM w GROUP BY doc_id
+        """,
+        "simhash": simhash_sql,
+        "minhash_bands": minhash_sql,
+        "embedding_topk": topk_sql,
+    }

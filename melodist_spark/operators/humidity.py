@@ -1,0 +1,181 @@
+"""Humidity disaggregation (daily → hourly).
+
+Reference: `humidity.py:28-141`. All six methods are pure column
+expressions over the hourly explode plus (for the dewpoint family) a
+co-partitioned join with the hourly temperature series and broadcast
+joins with tiny parameter tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from melodist_spark.functions.meteo import (
+    dewpoint_temperature,
+    linregress_agg,
+    vapor_pressure,
+)
+from melodist_spark.util.calendar import hourly_calendar
+
+METHODS = (
+    "equal",
+    "minimal",
+    "dewpoint_regression",
+    "min_max",
+    "linear_dewpoint_variation",
+    "month_hour_precip_mean",
+)
+
+PI = 3.141592653589793
+
+
+def disaggregate_humidity(
+    daily: DataFrame,
+    method: str = "equal",
+    hourly_temp: DataFrame | None = None,
+    hum_params: DataFrame | None = None,
+    month_hour_precip_mean: DataFrame | None = None,
+    preserve_daily_mean: bool = False,
+    keys: list[str] = ("station_id",),
+    date_col: str = "date",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Disaggregate daily humidity to hourly relative humidity [%].
+
+    Args mirror `humidity.py:28-59`:
+
+    - ``hourly_temp``: (keys..., ts, temp) hourly temperature — required
+      by the dewpoint-family and min_max methods
+    - ``hum_params``: (keys..., a0, a1, kr) dewpoint regression
+      parameters per station
+    - ``month_hour_precip_mean``: (keys..., month, hour, wet, hum_mean)
+    - ``preserve_daily_mean``: subtract the daily bias of the
+      disaggregated series (`humidity.py:112-118`)
+
+    Result is clipped to [0, 100] (`humidity.py:120`).
+    """
+    assert method in METHODS, "Invalid option"
+    keys = list(keys)
+
+    daily_cols = [c for c in ("hum", "tmin", "tmax", "hum_min", "hum_max", "precip") if c in daily.columns]
+    base = hourly_calendar(
+        daily.select(*keys, date_col, *daily_cols), date_col=date_col, ts_col=ts_col
+    )
+
+    if method == "equal":
+        out = base.withColumn("hum_disagg", F.col("hum"))
+
+    elif method in ("minimal", "dewpoint_regression", "linear_dewpoint_variation"):
+        assert hourly_temp is not None, "hourly temperature required"
+        if method == "minimal":
+            # a0=0, a1=1 (`humidity.py:64-66`)
+            base = base.withColumn("a0", F.lit(0.0)).withColumn("a1", F.lit(1.0))
+            kr_col = F.lit(12)
+        else:
+            assert hum_params is not None, "hum_params (a0, a1, kr) required"
+            base = base.join(F.broadcast(hum_params), keys, "left")
+            kr_col = F.col("kr")
+
+        base = base.withColumn("tdew", F.col("a0") + F.col("a1") * F.col("tmin"))
+
+        if method == "linear_dewpoint_variation":
+            # eq. (20)/(21) of Debele et al. (2007) (`humidity.py:73-86`);
+            # next-day daily tdew computed at the daily grain, last day
+            # copies itself (`humidity.py:80-81`)
+            daily_tdew = (
+                base.groupBy(*keys, date_col)
+                .agg(F.first("tdew").alias("tdew_d"))
+                .withColumn(
+                    "tdew_next",
+                    F.coalesce(
+                        F.lead("tdew_d", 1).over(Window.partitionBy(*keys).orderBy(date_col)),
+                        F.col("tdew_d"),
+                    ),
+                )
+                .select(*keys, date_col, "tdew_next")
+            )
+            base = base.join(daily_tdew, [*keys, date_col])
+            hour = F.hour(ts_col).cast("double")
+            tdew_delta = 0.5 * F.sin((hour + 1) * F.lit(PI) / kr_col - F.lit(3.0 * PI / 4.0))
+            base = base.withColumn(
+                "tdew",
+                F.col("tdew")
+                + hour / 24.0 * (F.col("tdew_next") - F.col("tdew"))
+                + tdew_delta,
+            )
+
+        joined = base.join(hourly_temp.select(*keys, ts_col, "temp"), [*keys, ts_col])
+        out = joined.withColumn(
+            "hum_disagg",
+            100.0
+            * vapor_pressure(F.col("tdew"), 100.0)
+            / vapor_pressure(F.col("temp"), 100.0),
+        )
+
+    elif method == "min_max":
+        assert "hum_min" in daily.columns and "hum_max" in daily.columns, (
+            "Minimum and maximum humidity must be present in data frame"
+        )
+        assert hourly_temp is not None, "hourly temperature required"
+        joined = base.join(hourly_temp.select(*keys, ts_col, "temp"), [*keys, ts_col])
+        out = joined.withColumn(
+            "hum_disagg",
+            F.col("hum_max")
+            + (F.col("temp") - F.col("tmin"))
+            / (F.col("tmax") - F.col("tmin"))
+            * (F.col("hum_min") - F.col("hum_max")),
+        )
+
+    elif method == "month_hour_precip_mean":
+        assert month_hour_precip_mean is not None
+        # the day's wet flag is just daily precip > 0 (`humidity.py:105-110`)
+        out = (
+            base.withColumn("wet", F.col("precip") > 0)
+            .withColumn("month", F.month(ts_col))
+            .withColumn("hour", F.hour(ts_col))
+            .join(
+                F.broadcast(month_hour_precip_mean),
+                [*keys, "month", "hour", "wet"],
+                "left",
+            )
+            .withColumn("hum_disagg", F.col("hum_mean"))
+        )
+
+    if preserve_daily_mean:
+        wd = Window.partitionBy(*keys, F.to_date(ts_col))
+        bias = F.avg("hum_disagg").over(wd) - F.col("hum")
+        out = out.withColumn(
+            "hum_disagg", F.col("hum_disagg") - F.coalesce(bias, F.lit(0.0))
+        )
+
+    return out.select(
+        *keys,
+        ts_col,
+        F.least(F.greatest(F.col("hum_disagg"), F.lit(0.0)), F.lit(100.0)).alias("hum"),
+    )
+
+
+def dewpoint_regression(
+    hourly: DataFrame,
+    keys: list[str] = ("station_id",),
+    ts_col: str = "ts",
+    return_stats: bool = False,
+) -> DataFrame:
+    """Per-station OLS of daily-mean dewpoint on daily-min temperature.
+
+    Reference `humidity.py:123-130`; the scipy fit collapses to the
+    closed-form covariance/variance aggregation (one shuffle).
+    Returns (keys..., a1, a0).
+    """
+    keys = list(keys)
+    daily = (
+        hourly.withColumn("tdew", dewpoint_temperature(F.col("temp"), F.col("hum")))
+        .groupBy(*keys, F.to_date(ts_col).alias("date"))
+        .agg(F.avg("tdew").alias("tdew"), F.min("temp").alias("tmin"))
+        .na.drop(subset=["tdew", "tmin"])
+    )
+    aggs = linregress_agg("tmin", "tdew")
+    if return_stats:
+        aggs = aggs + [F.corr("tmin", "tdew").alias("r_value")]
+    return daily.groupBy(*keys).agg(*aggs)

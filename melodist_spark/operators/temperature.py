@@ -1,0 +1,319 @@
+"""Temperature disaggregation (daily → hourly).
+
+Re-expresses `temperature.py:28-287` of the reference as one
+declarative DataFrame plan per method: broadcast-join station metadata,
+daily-grain lead/lag windows, a narrow hourly explode, and cosine
+column expressions evaluated in whole-stage codegen. Scales to any
+number of stations; the only shuffle is the per-station window sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from melodist_spark.functions.solar import sun_times_exprs
+from melodist_spark.util.calendar import hourly_calendar
+from melodist_spark.util.interpolate import interpolate_linear
+
+HOURS_PER_DAY = 24
+DEFAULT_SHIFT_HOURS = 2
+DAYLENGTH_THRES = 3
+MIN_LOC_POLAR = 6
+MAX_LOC_POLAR = 18
+
+SINE_METHODS = ("sine_min_max", "sine_mean", "sine")
+MEAN_COURSE_METHODS = ("mean_course_min_max", "mean_course_mean")
+
+
+def _locdf(
+    daily: DataFrame,
+    method: str,
+    min_max_time: str,
+    max_delta: DataFrame | None,
+    keys: list[str],
+    date_col: str,
+) -> DataFrame:
+    """Daily-grain frame with min/max hour locations and neighbour-day
+    extreme values (the reference's ``locdf``, `temperature.py:72-122`).
+    """
+    w = Window.partitionBy(*keys).orderBy(date_col)
+
+    d = daily
+    if min_max_time == "fix":
+        d = d.withColumn("min_loc", F.lit(7)).withColumn("max_loc", F.lit(14))
+    elif min_max_time == "sun_loc":
+        d = d.withColumn("min_loc", F.round("sunrise").cast("int")).withColumn(
+            "max_loc", (F.round("sunnoon") + DEFAULT_SHIFT_HOURS).cast("int")
+        )
+    elif min_max_time == "sun_loc_shift":
+        assert max_delta is not None, "max_delta table required for sun_loc_shift"
+        d = (
+            d.withColumn("month", F.month(date_col))
+            .join(F.broadcast(max_delta), [*keys, "month"], "left")
+            .drop("month")
+        )
+        d = d.withColumn("min_loc", F.round("sunrise").cast("int")).withColumn(
+            "max_loc", F.round(F.col("sunnoon") + F.col("max_delta")).cast("int")
+        )
+        # fallback where shift puts the max before the min
+        # (`temperature.py:104-107`)
+        d = d.withColumn(
+            "max_loc",
+            F.when(
+                F.col("min_loc") > F.col("max_loc"),
+                (F.round("sunnoon") + DEFAULT_SHIFT_HOURS).cast("int"),
+            ).otherwise(F.col("max_loc")),
+        )
+    else:
+        raise ValueError(f"invalid min_max_time {min_max_time!r}")
+
+    # neighbour-day extremes; pandas `shift(±1,'D')` aligns by exact
+    # date, so guard the lead/lag with a 1-day diff; first/last rows
+    # fall back to the current day's values (`temperature.py:115-122`)
+    nxt_ok = F.datediff(F.lead(date_col, 1).over(w), F.col(date_col)) == 1
+    prv_ok = F.datediff(F.col(date_col), F.lag(date_col, 1).over(w)) == 1
+    is_last = F.lead(date_col, 1).over(w).isNull()
+    is_first = F.lag(date_col, 1).over(w).isNull()
+
+    def shifted(col: str, lead: bool):
+        if lead:
+            v = F.when(nxt_ok, F.lead(col, 1).over(w))
+            edge = is_last
+        else:
+            v = F.when(prv_ok, F.lag(col, 1).over(w))
+            edge = is_first
+        return F.when(edge, F.col(col)).otherwise(v)
+
+    return (
+        d.withColumn("min_val_cur", F.col("tmin"))
+        .withColumn("max_val_cur", F.col("tmax"))
+        .withColumn("mean_val_cur", F.col("temp"))
+        .withColumn("min_val_next", shifted("tmin", lead=True))
+        .withColumn("max_val_next", shifted("tmax", lead=True))
+        .withColumn("min_val_before", shifted("tmin", lead=False))
+        .withColumn("max_val_before", shifted("tmax", lead=False))
+    )
+
+
+def disaggregate_temperature(
+    daily: DataFrame,
+    method: str = "sine_min_max",
+    min_max_time: str = "fix",
+    mod_nighttime: bool = False,
+    stations: DataFrame | None = None,
+    max_delta: DataFrame | None = None,
+    mean_course: DataFrame | None = None,
+    keys: list[str] = ("station_id",),
+    date_col: str = "date",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Disaggregate daily temperature to hourly values.
+
+    Parameters mirror `temperature.py:28-57`:
+
+    - ``method``: sine_min_max | sine_mean | sine | mean_course_min_max
+      | mean_course_mean
+    - ``min_max_time``: fix | sun_loc | sun_loc_shift (sine methods)
+    - ``stations``: (station_id, lon, lat, timezone) — required for
+      sun-based timing and polar-night handling
+    - ``max_delta``: (station_id, month, max_delta) monthly shift from
+      :func:`get_shift_by_data` (sun_loc_shift)
+    - ``mean_course``: (station_id, month, hour, value) from
+      ``mean_daily_course_by_month`` (mean_course methods; normalized
+      for min_max, raw for mean)
+
+    Returns (keys..., ts, temp).
+    """
+    if method not in SINE_METHODS + MEAN_COURSE_METHODS:
+        raise ValueError("Invalid option")
+    keys = list(keys)
+
+    if method in MEAN_COURSE_METHODS:
+        assert mean_course is not None
+        hourly = hourly_calendar(
+            daily.select(*keys, date_col, "temp", "tmin", "tmax"),
+            date_col=date_col,
+            ts_col=ts_col,
+        ).withColumns({"month": F.month(ts_col), "hour": F.hour(ts_col)})
+        if method == "mean_course_min_max":
+            mc = mean_course.withColumnRenamed("value", "normval")
+            out = hourly.join(F.broadcast(mc), [*keys, "month", "hour"], "left")
+            temp = F.col("normval") * (F.col("tmax") - F.col("tmin")) + F.col("tmin")
+        else:  # mean_course_mean: zero-mean course scaled by diurnal range
+            w = Window.partitionBy(*keys, "month")
+            mc = mean_course.withColumn(
+                "mc0", F.col("value") - F.avg("value").over(w)
+            ).drop("value")
+            out = hourly.join(F.broadcast(mc), [*keys, "month", "hour"], "left")
+            temp = F.col("temp") + (F.col("tmax") - F.col("tmin")) * F.col("mc0")
+        return out.select(*keys, ts_col, temp.alias("temp"))
+
+    # --- sine methods ---
+    need_sun = min_max_time in ("sun_loc", "sun_loc_shift") or stations is not None
+    d = daily
+    if stations is not None:
+        d = d.join(F.broadcast(stations.select(*keys, "lon", "lat", "timezone")), keys)
+        d = d.withColumns(sun_times_exprs(date_col, F.col("lon"), F.col("lat"), F.col("timezone")))
+    elif need_sun:
+        raise ValueError("stations metadata required for sun-based timing")
+
+    loc = _locdf(d, method, min_max_time, max_delta, keys, date_col)
+
+    hourly = hourly_calendar(loc, date_col=date_col, ts_col=ts_col).withColumn(
+        "hour", F.hour(ts_col)
+    )
+
+    # smooth transitions: before the daily max use today's min, after it
+    # next day's; before the daily min use yesterday's max
+    # (`temperature.py:127-137`)
+    min_val = F.when(F.col("hour") < F.col("max_loc"), F.col("min_val_cur")).otherwise(
+        F.col("min_val_next")
+    )
+    max_val = F.when(F.col("hour") < F.col("min_loc"), F.col("max_val_before")).otherwise(
+        F.col("max_val_cur")
+    )
+    hourly = hourly.withColumn("__minv", min_val).withColumn("__maxv", max_val)
+
+    h = F.col("hour").cast("double")
+    if method in ("sine_min_max", "sine"):
+        delta = F.col("__maxv") - F.col("__minv")
+        v_trans = F.col("__minv") + delta / 2.0
+        if mod_nighttime:
+            # three-piece cosine (`temperature.py:145-167`)
+            span = F.col("max_loc") - F.col("min_loc")
+            before_min = h <= F.col("min_loc")
+            between = (h > F.col("min_loc")) & (h < F.col("max_loc"))
+            pi = F.lit(3.141592653589793)
+            t_before = v_trans + delta / 2.0 * F.cos(
+                pi / (HOURS_PER_DAY - span) * (HOURS_PER_DAY - F.col("max_loc") + h)
+            )
+            t_between = v_trans + delta / 2.0 * F.cos(
+                1.25 * pi + 0.75 * pi / span * (h - F.col("min_loc"))
+            )
+            t_after = v_trans + delta / 2.0 * F.cos(
+                pi / (HOURS_PER_DAY - span) * (h - F.col("max_loc"))
+            )
+            temp = F.when(before_min, t_before).when(between, t_between).otherwise(t_after)
+        else:
+            temp = v_trans + delta / 2.0 * F.cos(
+                F.lit(2 * 3.141592653589793 / HOURS_PER_DAY) * (h - F.col("max_loc"))
+            )
+    else:  # sine_mean (`temperature.py:172-176`)
+        dtr = F.col("max_val_cur") - F.col("min_val_cur")
+        temp = F.col("mean_val_cur") + dtr / 2.0 * F.cos(
+            F.lit(2 * 3.141592653589793 / HOURS_PER_DAY) * (h - F.col("max_loc"))
+        )
+
+    hourly = hourly.withColumn("temp", temp)
+
+    if stations is not None:
+        hourly = _apply_polar_override(hourly, keys, ts_col)
+
+    return hourly.select(*keys, ts_col, "temp")
+
+
+def _apply_polar_override(hourly: DataFrame, keys: list[str], ts_col: str) -> DataFrame:
+    """Polar-night flattening (`temperature.py:178-240`).
+
+    Days with daylength < 3 h get no diurnal cycle: only tmin/tmax are
+    placed at hours 6/18 (order depending on day-to-day warming trend)
+    and the gaps are linearly interpolated; transition days are
+    partially masked so the stitch into normal days is smooth.
+    """
+    polar = F.col("daylength") < DAYLENGTH_THRES
+    avg_before = (F.col("min_val_before") + F.col("max_val_before")) / 2.0
+    avg_cur = (F.col("min_val_cur") + F.col("max_val_cur")) / 2.0
+    warming = avg_before <= avg_cur
+
+    hourly = hourly.withColumn("__polar", polar)
+
+    # transition flags computed at the daily grain (cheaper windows)
+    daily_flags = (
+        hourly.groupBy(*keys, F.to_date(ts_col).alias("__d"))
+        .agg(F.first("__polar").alias("__polar"))
+        .withColumn("__prev_polar", F.lag("__polar", 1).over(Window.partitionBy(*keys).orderBy("__d")))
+        .withColumn("__next_polar", F.lead("__polar", 1).over(Window.partitionBy(*keys).orderBy("__d")))
+        .withColumn(
+            "__polar_to_normal", (~F.col("__polar")) & F.coalesce(F.col("__prev_polar"), F.lit(False))
+        )
+        .withColumn(
+            "__normal_to_polar", (~F.col("__polar")) & F.coalesce(F.col("__next_polar"), F.lit(False))
+        )
+        .select(*keys, "__d", "__polar_to_normal", "__normal_to_polar")
+    )
+
+    hourly = hourly.withColumn("__d", F.to_date(ts_col)).join(
+        daily_flags, [*keys, "__d"], "left"
+    )
+
+    in_sub = F.col("__polar") | F.col("__polar_to_normal") | F.col("__normal_to_polar")
+
+    # values on the interpolation scaffold
+    hr = F.hour(ts_col)
+    polar_val = (
+        F.when(hr == MIN_LOC_POLAR, F.when(warming, F.col("min_val_cur")).otherwise(F.col("max_val_cur")))
+        .when(hr == MAX_LOC_POLAR, F.when(warming, F.col("max_val_cur")).otherwise(F.col("min_val_cur")))
+        .otherwise(F.lit(None).cast("double"))
+    )
+    # polar→normal day: mask hours before min_loc, pin min at min_loc
+    p2n_val = (
+        F.when(hr < F.col("min_loc"), F.lit(None).cast("double"))
+        .when(hr == F.col("min_loc"), F.col("min_val_cur"))
+        .otherwise(F.col("temp"))
+    )
+    # normal→polar day: mask hours after max_loc
+    n2p_val = F.when(hr > F.col("max_loc"), F.lit(None).cast("double")).otherwise(
+        F.col("temp")
+    )
+
+    sub_val = (
+        F.when(F.col("__polar"), polar_val)
+        .when(F.col("__polar_to_normal"), p2n_val)
+        .when(F.col("__normal_to_polar"), n2p_val)
+    )
+
+    sub = hourly.filter(in_sub).withColumn("__sv", sub_val)
+    sub = interpolate_linear(
+        sub, "__sv", keys=keys, ts_col=ts_col, limit=23, limit_direction="forward"
+    ).select(*keys, ts_col, F.col("__sv").alias("__interp"), F.lit(True).alias("__in_sub"))
+
+    out = hourly.join(sub, [*keys, ts_col], "left")
+    # the reference writes the whole interpolated subseries back
+    # (`temperature.py:240`), so transition days too take the stitched
+    # values (masked hours become interpolated, anchors stay)
+    new_temp = F.when(F.col("__in_sub"), F.col("__interp")).otherwise(F.col("temp"))
+    return out.withColumn("temp", new_temp).drop(
+        "__interp", "__in_sub", "__polar", "__d", "__polar_to_normal", "__normal_to_polar"
+    )
+
+
+def get_shift_by_data(
+    hourly: DataFrame,
+    stations: DataFrame,
+    keys: list[str] = ("station_id",),
+    ts_col: str = "ts",
+    temp_col: str = "temp",
+) -> DataFrame:
+    """Monthly mean shift between observed warmest hour and solar noon.
+
+    Reference `temperature.py:267-287`: per day, the hour of maximum
+    temperature (``max_by`` — no self-join, no idxmax collect), minus
+    sunnoon, averaged by month. Returns (keys..., month, max_delta).
+    """
+    keys = list(keys)
+    daily_max_hour = (
+        hourly.filter(F.col(temp_col).isNotNull())
+        .groupBy(*keys, F.to_date(ts_col).alias("date"))
+        .agg(F.max_by(F.hour(ts_col), F.col(temp_col)).alias("max_hour"))
+    )
+    with_sun = daily_max_hour.join(
+        F.broadcast(stations.select(*keys, "lon", "lat", "timezone")), keys
+    ).withColumns(
+        sun_times_exprs("date", F.col("lon"), F.col("lat"), F.col("timezone"))
+    )
+    return (
+        with_sun.withColumn("delta", F.col("max_hour") - F.col("sunnoon"))
+        .groupBy(*keys, F.month("date").alias("month"))
+        .agg(F.avg("delta").alias("max_delta"))
+    )

@@ -1,0 +1,164 @@
+"""Deduplication operators: exact, MinHash+LSH, n-gram Jaccard.
+
+Scale design: exact dedup is a single hash aggregation on a digest
+(map-side combine, no wide rows shuffled). MinHash signatures are
+computed per row from the token array (narrow), LSH banding turns the
+quadratic candidate search into an equi-join on (band, hash) — the
+classic shingle→minhash→band→bucket-join pipeline, all expressible as
+DataFrame ops that AQE can re-plan under skew.
+
+The per-seed min-over-md5 construction is a valid MinHash family
+(lexicographic min of a salted cryptographic hash ≈ random permutation
+min) and is engine-portable — no reliance on Spark's murmur3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical texts by md5 digest.
+
+    Returns (digest, n_docs, keep_id) for groups with >1 member; the
+    kept representative is the minimum id (deterministic).
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("digest"))
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per distinct text."""
+    keep = (
+        df.groupBy(F.md5(F.col(text_col)).alias("digest"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def _shingles(text: Column, n: int | None) -> Column:
+    """Distinct word-level shingles; n=None → unigrams (token set)."""
+    toks = F.split(F.trim(text), r"\s+")
+    if n is None or n == 1:
+        return F.array_distinct(toks)
+    # word n-grams via transform over positions
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle: int | None = None,
+) -> DataFrame:
+    """Attach ``sig_0..sig_{k-1}`` MinHash columns.
+
+    Each signature is ``min(md5(seed || shingle))`` over the distinct
+    shingle set — one narrow pass, no shuffle.
+    """
+    sh = _shingles(F.col(text_col), shingle)
+
+    def salted(prefix: str):
+        # closure factory: a bare 1-arg lambda, so pyspark doesn't
+        # misread a default-arg capture as the (element, index) form
+        return F.transform(sh, lambda w: F.md5(F.concat(F.lit(prefix), w)))
+
+    cols = {}
+    for i in range(num_hashes):
+        cols[f"sig_{i}"] = F.array_min(salted(f"{i}:"))
+    return df.withColumns(cols)
+
+
+def lsh_bands(
+    df_with_sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Band the signature: (id, band_idx, band_hash) rows.
+
+    Docs sharing any (band_idx, band_hash) are near-dup candidates.
+    """
+    n_bands = num_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        sig_cols = [F.col(f"sig_{b * band_size + j}") for j in range(band_size)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws("|", *sig_cols)).alias("band_hash"),
+            )
+        )
+    return (
+        df_with_sigs.select(id_col, F.explode(F.array(*bands)).alias("band"))
+        .select(id_col, F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash"))
+    )
+
+
+def lsh_candidate_pairs(
+    bands: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Self-join the band table → distinct candidate (id_a, id_b) pairs
+    with id_a < id_b. The join key (band_idx, band_hash) keeps the
+    blow-up bounded by bucket sizes (salt/band-size tune skew).
+    """
+    a = bands.select(
+        F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id_a")
+    )
+    b = bands.select(
+        F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id_b")
+    )
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle: int | None = None,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs.
+
+    Intersection via exploded shingle equi-join restricted to the
+    candidate pairs (semi-bounded work), union by inclusion-exclusion
+    on per-doc set sizes.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(_shingles(F.col(text_col), shingle)).alias("w")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), "w")
+    b = sh.select(F.col(id_col).alias("id_b"), "w")
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "w"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )

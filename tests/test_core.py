@@ -1,0 +1,222 @@
+"""Core utils: calendar expansion, daily aggregation, physics functions.
+
+pandas-oracle differential tests (SURVEY.md §5.2): the same math
+computed with pandas/numpy on one station must match the Spark result.
+"""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from melodist_spark.functions.meteo import dewpoint_temperature, vapor_pressure
+from melodist_spark.functions.solar import potential_radiation, sun_times_exprs
+from melodist_spark.operators.aggregations import (
+    daily_from_hourly,
+    mean_daily_course_by_month,
+    month_hour_precip_mean,
+)
+from melodist_spark.util.calendar import (
+    distribute_equally,
+    hourly_calendar,
+    seasonal_subset,
+)
+from melodist_spark.util.gaps import detect_gaps, drop_incomplete_days
+
+
+def _pd_vapor_pressure(temp, hum):
+    pos = temp >= 273.15
+    vp = np.where(
+        pos,
+        6.112 * np.exp((17.62 * (temp - 273.15)) / (243.12 + temp - 273.15)),
+        6.112 * np.exp((22.46 * (temp - 273.15)) / (272.62 + temp - 273.15)),
+    )
+    return vp * hum / 100.0
+
+
+def test_daily_from_hourly_matches_pandas(met_hourly, met_hourly_pd, met_daily):
+    got = met_daily.filter(F.col("station_id") == "s1").toPandas()
+    got = got.sort_values("date").set_index("date")
+
+    pdf = met_hourly_pd[met_hourly_pd.station_id == "s1"].set_index("ts")
+    exp = pd.DataFrame(
+        dict(
+            temp=pdf.temp.resample("D").mean(),
+            tmin=pdf.temp.resample("D").min(),
+            tmax=pdf.temp.resample("D").max(),
+            precip=pdf.precip.resample("D").sum(),
+            glob=pdf.glob.resample("D").mean(),
+            hum=pdf.hum.resample("D").mean(),
+            hum_min=pdf.hum.resample("D").min(),
+            hum_max=pdf.hum.resample("D").max(),
+            wind=pdf.wind.resample("D").mean(),
+            ssd=pdf.ssd.resample("D").sum() / 60.0,
+        )
+    )
+    exp.index = exp.index.date
+
+    assert len(got) == len(exp)
+    for c in exp.columns:
+        np.testing.assert_allclose(got[c].values, exp[c].values, rtol=1e-9)
+
+
+def test_hourly_calendar_counts(spark, met_daily):
+    hc = hourly_calendar(met_daily)
+    n_daily = met_daily.count()
+    assert hc.count() == 24 * n_daily
+    # hours 0..23 per day
+    per_day = hc.groupBy("station_id", "date").agg(
+        F.countDistinct(F.hour("ts")).alias("nh")
+    )
+    assert per_day.filter(F.col("nh") != 24).count() == 0
+
+
+def test_distribute_equally_conserves(met_daily):
+    eq = distribute_equally(met_daily.select("station_id", "date", "precip"), "precip", divide=True)
+    back = eq.groupBy("station_id", "date").agg(F.sum("precip").alias("s"))
+    joined = back.join(met_daily.select("station_id", "date", "precip"), ["station_id", "date"])
+    bad = joined.filter(F.abs(F.col("s") - F.col("precip")) > 1e-9).count()
+    assert bad == 0
+
+
+def test_seasonal_subset(met_hourly):
+    sub = seasonal_subset(met_hourly, [6, 7, 8])
+    months = [r[0] for r in sub.select(F.month("ts")).distinct().collect()]
+    assert sorted(months) == [6, 7, 8]
+
+
+def test_vapor_pressure_and_dewpoint(spark):
+    temps = np.linspace(250, 310, 121)
+    hums = np.linspace(5, 100, 121)
+    pdf = pd.DataFrame(dict(temp=temps, hum=hums))
+    df = spark.createDataFrame(pdf)
+    got = (
+        df.select(
+            vapor_pressure(F.col("temp"), F.col("hum")).alias("vp"),
+            dewpoint_temperature(F.col("temp"), F.col("hum")).alias("td"),
+        )
+        .toPandas()
+    )
+    exp_vp = _pd_vapor_pressure(temps, hums)
+    np.testing.assert_allclose(got["vp"].values, exp_vp, rtol=1e-12)
+
+    # reference dewpoint (`util/util.py:105-134`): branch chosen by temp
+    pos = temps >= 273.15
+    ln = np.log(exp_vp / 6.112)
+    exp_td = (
+        np.where(pos, 243.12 * ln / (17.62 - ln), 272.62 * ln / (22.46 - ln)) + 273.15
+    )
+    np.testing.assert_allclose(got["td"].values, exp_td, rtol=1e-12)
+
+
+def test_sun_times_against_reference_math(spark):
+    dates = pd.date_range("2016-01-01", "2016-12-31", freq="D")
+    lon, lat, tz = 8.86, 51.0, 1.0
+    pdf = pd.DataFrame(dict(date=dates.date))
+    df = spark.createDataFrame(pdf)
+    got = (
+        df.withColumns(sun_times_exprs("date", lon, lat, tz))
+        .orderBy("date")
+        .toPandas()
+    )
+
+    # reference formulas in numpy (`util/util.py:160-246`)
+    doy = dates.dayofyear.to_numpy().astype(float)
+    b = np.deg2rad((360.0 / 365.25) * (doy - 79.346))
+    decl = np.deg2rad(
+        0.3723
+        + 23.2567 * np.sin(b)
+        - 0.7580 * np.cos(b)
+        + 0.1149 * np.sin(2 * b)
+        + 0.3656 * np.cos(2 * b)
+        - 0.1712 * np.sin(3 * b)
+        + 0.0201 * np.cos(3 * b)
+    )
+    s = 2 * np.pi * (doy - 1) / 365.0
+    eq_time = (12.0 / np.pi) * (
+        0.000075
+        + 0.001868 * np.cos(s)
+        - 0.032077 * np.sin(s)
+        - 0.014615 * np.cos(2 * s)
+        - 0.040849 * np.sin(2 * s)
+    )
+    dlt = (lon - tz * 15.0) * 24.0 / 360.0
+    omega = np.arccos(-np.tan(np.deg2rad(lat)) * np.tan(decl))
+    sunrise = 12.0 * (1.0 - omega / np.pi) - dlt - eq_time
+    sunset = 12.0 * (1.0 + omega / np.pi) - dlt - eq_time
+    sunnoon = 12.0 - dlt - eq_time
+    daylength = sunset - sunrise
+
+    np.testing.assert_allclose(got["sunrise"].values, sunrise, atol=1e-9)
+    np.testing.assert_allclose(got["sunnoon"].values, sunnoon, atol=1e-9)
+    np.testing.assert_allclose(got["sunset"].values, sunset, atol=1e-9)
+    np.testing.assert_allclose(got["daylength"].values, daylength, atol=1e-9)
+
+
+def test_sun_times_polar(spark, stations):
+    # station s3 at 68.5°N: polar night in december, midnight sun in june
+    dates = pd.DataFrame(
+        dict(date=pd.date_range("2016-01-01", "2016-12-31", freq="D").date)
+    )
+    df = spark.createDataFrame(dates)
+    got = df.withColumns(sun_times_exprs("date", 20.0, 68.5, 1.0)).toPandas()
+    got["m"] = pd.to_datetime(got["date"]).dt.month
+    dec = got[got.m == 12]
+    jun = got[got.m == 6]
+    assert (dec.daylength < 1e-9).any()
+    assert (jun.daylength > 23.9).any()
+
+
+def test_potential_radiation_night_zero(spark):
+    ts = pd.date_range("2016-06-01", periods=240, freq="h")
+    df = spark.createDataFrame(pd.DataFrame(dict(ts=ts)))
+    got = df.select(
+        F.col("ts"),
+        potential_radiation(F.col("ts"), 8.86, 51.0, 1.0).alias("pr"),
+    ).toPandas()
+    got["h"] = got.ts.dt.hour
+    night = got[(got.h <= 2) | (got.h >= 23)]
+    assert (night.pr.abs() < 1e-6).all()
+    noon = got[got.h == 12]
+    assert (noon.pr > 600).all()
+
+
+def test_detect_gaps_and_drop_incomplete_days(spark):
+    ts = pd.date_range("2016-01-01 05:00", periods=200, freq="h")
+    ts = ts[(ts < "2016-01-04 07:00") | (ts >= "2016-01-04 10:00")]  # 3h gap
+    pdf = pd.DataFrame(dict(station_id="x", ts=ts, v=1.0))
+    df = spark.createDataFrame(pdf)
+
+    gaps = detect_gaps(df, 3600).collect()
+    assert gaps[0]["n_gaps"] == 1
+
+    full = drop_incomplete_days(df)
+    got = full.toPandas().sort_values("ts")
+    assert got.ts.iloc[0].hour == 0
+    assert got.ts.iloc[-1].hour == 23
+
+
+def test_mean_course_normalized(met_hourly):
+    mc = mean_daily_course_by_month(met_hourly, "temp", normalize=True)
+    assert mc.count() == 3 * 12 * 24
+    stats = mc.groupBy("station_id", "month").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    bad = stats.filter((F.abs(F.col("lo")) > 1e-9) | (F.abs(F.col("hi") - 1) > 1e-9))
+    assert bad.count() == 0
+
+
+def test_month_hour_precip_mean_matches_pandas(met_hourly, met_hourly_pd):
+    got = (
+        month_hour_precip_mean(met_hourly)
+        .filter(F.col("station_id") == "s1")
+        .toPandas()
+        .set_index(["month", "hour", "wet"])
+        .sort_index()
+    )
+    pdf = met_hourly_pd[met_hourly_pd.station_id == "s1"].set_index("ts")
+    wetday = pdf.precip.resample("D").sum() > 0
+    wet = wetday.loc[pd.to_datetime(pdf.index.date)].values
+    exp = (
+        pdf.hum.groupby([pdf.index.month, pdf.index.hour, wet]).mean().sort_index()
+    )
+    np.testing.assert_allclose(got["hum_mean"].values, exp.values, rtol=1e-9)
