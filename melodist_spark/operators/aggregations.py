@@ -84,8 +84,10 @@ def mean_daily_course_by_month(
         w = Window.partitionBy(*keys, "month")
         out = out.withColumn(
             "value",
-            (F.col("value") - F.min("value").over(w))
-            / (F.max("value").over(w) - F.min("value").over(w)),
+            F.try_divide(
+                F.col("value") - F.min("value").over(w),
+                F.max("value").over(w) - F.min("value").over(w),
+            ),
         )
     return out
 

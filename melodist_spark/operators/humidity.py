@@ -119,11 +119,14 @@ def disaggregate_humidity(
         )
         assert hourly_temp is not None, "hourly temperature required"
         joined = base.join(hourly_temp.select(*keys, ts_col, "temp"), [*keys, ts_col])
+        # tmax == tmin (flat day) → reference numpy gives inf/nan;
+        # try_divide's null matches after the clip
         out = joined.withColumn(
             "hum_disagg",
             F.col("hum_max")
-            + (F.col("temp") - F.col("tmin"))
-            / (F.col("tmax") - F.col("tmin"))
+            + F.try_divide(
+                F.col("temp") - F.col("tmin"), F.col("tmax") - F.col("tmin")
+            )
             * (F.col("hum_min") - F.col("hum_max")),
         )
 

@@ -89,7 +89,7 @@ def precip_master_station(
         [*keys, date_col],
         "inner",
     )
-    frac = F.col("__mp") / F.col("__msum") * F.col("__daily")
+    frac = F.try_divide(F.col("__mp"), F.col("__msum")) * F.col("__daily")
     if zerodiv == "uniform":
         fallback = F.col("__daily") / 24.0
     else:

@@ -143,7 +143,8 @@ def disaggregate_radiation(
         # polar nights (daylength <= 0) keep 0 (`radiation.py:79-87`)
         glob_daily = F.when(
             F.col("daylength") > 0,
-            angstroem_expr(F.col("ssd"), F.col("daylength"), F.col("pot_rad_daily"), a_col, b_col),
+            (a_col + b_col * F.try_divide(F.col("ssd"), F.col("daylength")))
+            * F.col("pot_rad_daily"),
         ).otherwise(F.lit(0.0))
     else:  # pot_rad_via_bc
         # B-C needs the daily grain (lead of tmin, monthly mean dT)
@@ -166,7 +167,9 @@ def disaggregate_radiation(
         )
         glob_daily = F.col("bc_rad")
 
-    glob = F.col("pot_rad") / F.col("pot_rad_daily") * glob_daily
+    # polar-night days have pot_rad_daily == 0; the reference's numpy
+    # 0/0 yields NaN (`radiation.py:98`) — try_divide's null matches
+    glob = F.try_divide(F.col("pot_rad"), F.col("pot_rad_daily")) * glob_daily
     glob = F.when(glob < 1e-2, 0.0).otherwise(glob)
 
     return hourly.select(*keys, ts_col, glob.alias("glob"))
@@ -187,11 +190,13 @@ def fit_angstroem_params(
     Returns (keys..., a, b).
     """
     keys = list(keys)
-    d = daily_with_sun.na.drop(subset=["ssd", "daylength", "pot_rad_daily", "obs_rad_daily"])
+    d = daily_with_sun.na.drop(
+        subset=["ssd", "daylength", "pot_rad_daily", "obs_rad_daily"]
+    ).filter(F.col("daylength") > 0)  # polar nights carry no information
     if months is not None:
         d = d.filter(F.month(date_col).isin(months))
     x1 = F.col("pot_rad_daily")
-    x2 = F.col("ssd") / F.col("daylength") * F.col("pot_rad_daily")
+    x2 = F.try_divide(F.col("ssd"), F.col("daylength")) * F.col("pot_rad_daily")
     y = F.col("obs_rad_daily")
     agg = d.groupBy(*keys).agg(
         F.sum(x1 * x1).alias("s11"),
@@ -213,12 +218,13 @@ def fit_bristow_campbell_params(
 ) -> DataFrame:
     """Fit Bristow-Campbell (A, C) by minimizing |mean bias|.
 
-    Non-convex scalar optimization (`radiation.py:251-280`) → scipy
-    ``minimize`` per station over its ~365-row daily frame in a
-    grouped-map pandas UDF. Input needs tmin, tmax, pot_rad_daily,
-    obs_rad_daily. Returns (keys..., a, c).
+    Non-convex scalar optimization (`radiation.py:251-280`) run per
+    station over its ~365-row daily frame in a grouped-map pandas UDF
+    (scipy.optimize.minimize when available, else our Nelder-Mead —
+    same |mean bias| objective). Input needs tmin, tmax,
+    pot_rad_daily, obs_rad_daily. Returns (keys..., a, c).
     """
-    import scipy.optimize
+    from melodist_spark.util.optimize import minimize2
 
     keys = list(keys)
     schema = ", ".join(f"{k} string" for k in keys) + ", a double, c double"
@@ -242,12 +248,14 @@ def fit_bristow_campbell_params(
         B = 0.036 * np.exp(-0.154 * dT_m.loc[months].to_numpy())
 
         def absbias(ac):
-            trans = ac[0] * (1 - np.exp(-B * dT ** ac[1]))
-            return np.abs(np.mean(trans * pot - obs))
+            with np.errstate(invalid="ignore", over="ignore"):
+                trans = ac[0] * (1 - np.exp(-B * dT ** ac[1]))
+                v = np.abs(np.mean(trans * pot - obs))
+            return v if np.isfinite(v) else 1e12
 
-        res = scipy.optimize.minimize(absbias, [0.75, 2.4])
+        x = minimize2(absbias, [0.75, 2.4])
         out = {k: [pdf[k].iloc[0]] for k in keys}
-        out.update(a=[res.x[0]], c=[res.x[1]])
+        out.update(a=[float(x[0])], c=[float(x[1])])
         return pd.DataFrame(out)
 
     return prepared.groupBy(*keys).applyInPandas(fit, schema=schema)

@@ -186,13 +186,14 @@ def disaggregate_temperature(
             between = (h > F.col("min_loc")) & (h < F.col("max_loc"))
             pi = F.lit(3.141592653589793)
             t_before = v_trans + delta / 2.0 * F.cos(
-                pi / (HOURS_PER_DAY - span) * (HOURS_PER_DAY - F.col("max_loc") + h)
+                F.try_divide(pi, HOURS_PER_DAY - span)
+                * (HOURS_PER_DAY - F.col("max_loc") + h)
             )
             t_between = v_trans + delta / 2.0 * F.cos(
-                1.25 * pi + 0.75 * pi / span * (h - F.col("min_loc"))
+                1.25 * pi + F.try_divide(0.75 * pi, span) * (h - F.col("min_loc"))
             )
             t_after = v_trans + delta / 2.0 * F.cos(
-                pi / (HOURS_PER_DAY - span) * (h - F.col("max_loc"))
+                F.try_divide(pi, HOURS_PER_DAY - span) * (h - F.col("max_loc"))
             )
             temp = F.when(before_min, t_before).when(between, t_between).otherwise(t_after)
         else:

@@ -70,15 +70,14 @@ def fit_cosine_function(
 ) -> DataFrame:
     """Fit (a, b, t_shift) of the diurnal cosine per station.
 
-    Reference `wind.py:75-93`: nonlinear least squares of
-    ``a·w̄·cos(π(t-t_shift)/12) + b·w̄`` against observed hourly wind,
-    with the daily mean replicated over the day. The fit itself is a
-    scipy ``curve_fit`` on a ~10^4-row station frame → grouped-map
-    pandas UDF; everything upstream is distributed.
+    Reference `wind.py:75-93` uses scipy ``curve_fit``; the model
+    ``a·w̄·cos(π(t-t_shift)/12) + b·w̄`` is linear after the harmonic
+    reparametrization ``α=a·cos(πt_s/12), β=a·sin(πt_s/12)``:
+    ``w̄·(α·cos(πt/12) + β·sin(πt/12) + b)`` — so the *exact* least
+    squares solution is a 3-regressor OLS (numpy lstsq per station in
+    a grouped-map UDF; a = hypot(α,β), t_shift = 12/π·atan2(β,α)).
     Returns (keys..., a, b, t_shift).
     """
-    import scipy.optimize
-
     keys = list(keys)
 
     prepared = (
@@ -94,14 +93,16 @@ def fit_cosine_function(
     schema = ", ".join(f"{k} string" for k in keys) + ", a double, b double, t_shift double"
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        def model(x, a, b, t_shift):
-            mean_wind, t = x
-            return a * mean_wind * np.cos(np.pi * (t - t_shift) / 12) + b * mean_wind
-
-        x = np.array([pdf["daily_mean"].values, pdf["hour"].values.astype(float)])
-        popt, _ = scipy.optimize.curve_fit(model, x, pdf[wind_col].values)
+        m = pdf["daily_mean"].to_numpy()
+        t = pdf["hour"].to_numpy(dtype=float)
+        y = pdf[wind_col].to_numpy()
+        ang = np.pi * t / 12.0
+        X = np.column_stack([m * np.cos(ang), m * np.sin(ang), m])
+        (alpha, beta, b), *_ = np.linalg.lstsq(X, y, rcond=None)
+        a = float(np.hypot(alpha, beta))
+        t_shift = float(12.0 / np.pi * np.arctan2(beta, alpha))
         res = {k: [pdf[k].iloc[0]] for k in keys}
-        res.update(a=[popt[0]], b=[popt[1]], t_shift=[popt[2]])
+        res.update(a=[a], b=[float(b)], t_shift=[t_shift])
         return pd.DataFrame(res)
 
     return prepared.groupBy(*keys).applyInPandas(fit, schema=schema)
