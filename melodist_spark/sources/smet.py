@@ -1,0 +1,144 @@
+"""SMET v1.1 (MeteoIO) reader/writer.
+
+Reference: `data_io.py:27-104` (read), `data_io.py:228-307` (write).
+SMET = a small ``[HEADER]`` key=value block + a whitespace table. The
+header is tiny → parsed on the driver; the data body is read with
+``spark.read.csv`` (distributed, handles multi-GB files and glob
+paths). Column naming follows the reference's daily/hourly dicts.
+"""
+
+from __future__ import annotations
+
+import collections
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SMET_TO_DAILY = {
+    "TA": "tmean",
+    "TMAX": "tmax",
+    "TMIN": "tmin",
+    "PSUM": "precip",
+    "ISWR": "glob",
+    "RH": "hum",
+    "VW": "wind",
+}
+SMET_TO_HOURLY = {"TA": "temp", "PSUM": "precip", "ISWR": "glob", "RH": "hum", "VW": "wind"}
+
+
+def read_smet_header(filename: str) -> tuple[dict, int]:
+    """Parse the [HEADER] block (driver-side; it is a few lines)."""
+    header: dict = collections.OrderedDict()
+    in_header = False
+    data_start = 0
+    with open(filename) as f:
+        for line_num, line in enumerate(f):
+            s = line.strip()
+            if s == "[HEADER]":
+                in_header = True
+                continue
+            if s == "[DATA]":
+                data_start = line_num + 1
+                break
+            if in_header and "=" in line:
+                k, v = line.split("=", 1)
+                header[k.strip()] = v.strip()
+    return header, data_start
+
+
+def read_smet(
+    spark: SparkSession,
+    filename: str,
+    mode: str = "h",
+    station_id: str | None = None,
+) -> tuple[dict, DataFrame]:
+    """Read one SMET file into a long DataFrame.
+
+    Returns (header dict, DataFrame(station_id, ts, <met columns>)).
+    ``units_multiplier`` is applied and ``-999`` mapped to null, as in
+    the reference (`data_io.py:82-94`).
+    """
+    header, data_start = read_smet_header(filename)
+    columns = header["fields"].split()
+    multipliers = [float(x) for x in header["units_multiplier"].split()]
+
+    sid = station_id or header.get("station_id", filename)
+
+    raw = (
+        spark.read.text(filename)
+        .withColumn("__i", F.monotonically_increasing_id())
+        .filter(F.col("__i") >= data_start)
+        .drop("__i")
+    )
+    parts = F.split(F.trim(F.regexp_replace("value", r"\s+", " ")), " ")
+    df = raw.select(
+        *[parts.getItem(i).alias(c) for i, c in enumerate(columns)]
+    ).filter(F.length(F.trim(F.col(columns[0]))) > 0)
+
+    rename = SMET_TO_DAILY if mode == "d" else SMET_TO_HOURLY
+    out_cols = [F.lit(sid).alias("station_id"), F.to_timestamp("timestamp").alias("ts")]
+    for i, c in enumerate(columns):
+        if c == "timestamp":
+            continue
+        v = F.col(c).cast("double")
+        v = F.when(v == -999, None).otherwise(v * F.lit(multipliers[i]))
+        out_cols.append(v.alias(rename.get(c, c)))
+    return header, df.select(*out_cols)
+
+
+def write_smet(
+    df: DataFrame,
+    filename: str,
+    metadata: dict,
+    nodata_value: float = -999,
+    mode: str = "h",
+    check_nan: bool = True,
+    ts_col: str = "ts",
+) -> None:
+    """Write one station's frame as a SMET file.
+
+    The fixed-format body (`data_io.py:301-305`: %.2f floats,
+    nodata=-999, all-NaN columns dropped) is built with
+    ``format_string`` column expressions; rows are collected in ts
+    order for the single-file ASCII sink (SMET is a per-station
+    format — for fleet-scale output call once per station or use
+    partitioned parquet instead).
+    """
+    to_smet = (
+        {v: k for k, v in SMET_TO_DAILY.items()}
+        if mode == "d"
+        else {v: k for k, v in SMET_TO_HOURLY.items()}
+    )
+    data_cols = [c for c in df.columns if c not in (ts_col, "station_id")]
+
+    if check_nan:
+        counts = df.select(
+            *[F.count(F.col(c)).alias(c) for c in data_cols]
+        ).collect()[0]
+        data_cols = [c for c in data_cols if counts[c] > 0]
+
+    # literal 'T' must be quoted in Spark datetime patterns
+    pattern = "yyyy-MM-dd'T'00:00" if mode == "d" else "yyyy-MM-dd'T'HH:mm"
+
+    line = F.concat_ws(
+        " ",
+        F.date_format(ts_col, pattern),
+        *[
+            F.format_string("%.2f", F.coalesce(F.col(c), F.lit(float(nodata_value))))
+            for c in data_cols
+        ],
+    )
+    rows = df.orderBy(ts_col).select(line.alias("l")).collect()
+
+    fields = ["timestamp"] + [to_smet.get(c, c) for c in data_cols]
+    metadata = dict(metadata)
+    metadata["fields"] = " ".join(fields)
+    metadata["units_multiplier"] = len(fields) * "1 "
+
+    with open(filename, "w") as f:
+        f.write("SMET 1.1 ASCII\n[HEADER]\n")
+        for k, v in metadata.items():
+            f.write(f"{k} = {v}\n")
+        f.write("[DATA]\n")
+        for r in rows:
+            f.write(r["l"] + "\n")

@@ -1,0 +1,105 @@
+"""I/O sources: SMET round-trip, DWD, KNMI parsing."""
+
+import textwrap
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from melodist_spark.sources.dwd import read_dwd
+from melodist_spark.sources.knmi import read_knmi
+from melodist_spark.sources.smet import read_smet, write_smet
+
+SMET_SAMPLE = """\
+SMET 1.1 ASCII
+[HEADER]
+station_id = test1
+station_name = Test
+latitude = 51.0
+longitude = 8.86
+altitude = 100
+nodata = -999
+fields = timestamp TA RH VW PSUM
+units_multiplier = 1 1 1 1 1
+[DATA]
+2016-01-01T00:00 273.15 80 2.5 0.00
+2016-01-01T01:00 272.95 82 2.1 0.40
+2016-01-01T02:00 -999 85 1.9 -999
+"""
+
+
+def test_read_smet(spark, tmp_path):
+    p = tmp_path / "test.smet"
+    p.write_text(SMET_SAMPLE)
+    header, df = read_smet(spark, str(p), mode="h")
+    assert header["station_id"] == "test1"
+    got = df.orderBy("ts").toPandas()
+    assert list(got.columns) == ["station_id", "ts", "temp", "hum", "wind", "precip"]
+    assert len(got) == 3
+    assert got["temp"].iloc[0] == pytest.approx(273.15)
+    assert np.isnan(got["temp"].iloc[2])  # -999 → null
+    assert np.isnan(got["precip"].iloc[2])
+
+
+def test_smet_roundtrip(spark, tmp_path):
+    p = tmp_path / "in.smet"
+    p.write_text(SMET_SAMPLE)
+    header, df = read_smet(spark, str(p), mode="h")
+    out = tmp_path / "out.smet"
+    write_smet(df, str(out), dict(header), mode="h")
+    header2, df2 = read_smet(spark, str(out), mode="h")
+    a = df.orderBy("ts").toPandas()
+    b = df2.orderBy("ts").toPandas()
+    for c in ("temp", "hum", "wind", "precip"):
+        np.testing.assert_allclose(a[c].values, b[c].values, atol=0.01, equal_nan=True)
+
+
+DWD_META = textwrap.dedent("""\
+    Stations_id;Stationsname;Geogr.Breite;Geogr.Laenge;Hoehe
+    1234;Teststadt;51.00;8.86;100
+""")
+
+DWD_DAILY = textwrap.dedent("""\
+    STATIONS_ID; MESS_DATUM;LUFTTEMPERATUR;LUFTTEMPERATUR_MINIMUM;LUFTTEMPERATUR_MAXIMUM;NIEDERSCHLAGSHOEHE;REL_FEUCHTE
+    1234;2016-01-01;1.5;-2.0;4.0;0.3;85
+    1234;2016-01-02;2.0;-1.0;5.5;-999;80
+    junkline
+""")
+
+
+def test_read_dwd_daily(spark, tmp_path):
+    (tmp_path / "meta.csv").write_text(DWD_META)
+    (tmp_path / "data.csv").write_text(DWD_DAILY)
+    header, df = read_dwd(
+        spark, str(tmp_path / "data.csv"), str(tmp_path / "meta.csv"), mode="d"
+    )
+    assert str(header["Stations_id"]) == "1234"
+    assert header["Breite"] == pytest.approx(51.0)
+    got = df.orderBy("ts").toPandas()
+    assert len(got) == 2  # junk line dropped
+    assert got["tmean"].iloc[0] == pytest.approx(1.5 + 273.15)
+    assert got["tmin"].iloc[0] == pytest.approx(-2.0 + 273.15)
+    assert np.isnan(got["precip"].iloc[1])  # -999 → null
+
+
+KNMI_SAMPLE = (
+    "\n" * 31
+    + "STN,YYYYMMDD,HH,T,RH,Q,U,FH,SQ\n"
+    + "260,20160101,1,52,-1,0,90,30,0\n"
+    + "260,20160101,2,48,5,10,92,28,3\n"
+    + "260,20160101,24,60,0,0,88,35,0\n"
+)
+
+
+def test_read_knmi(spark, tmp_path):
+    p = tmp_path / "knmi.txt"
+    p.write_text(KNMI_SAMPLE)
+    got = read_knmi(spark, str(p)).orderBy("ts").toPandas()
+    assert len(got) == 3
+    assert got["temp"].iloc[0] == pytest.approx(5.2 + 273.15)
+    assert got["precip"].iloc[0] == 0.0  # negative clamped
+    assert got["precip"].iloc[1] == pytest.approx(0.5)
+    assert got["glob"].iloc[1] == pytest.approx(10 * 10000 / 3600.0)
+    # HH=1 → 01:00, HH=24 → next day 00:00
+    assert got["ts"].iloc[0].hour == 1
+    assert got["ts"].iloc[2].day == 2 and got["ts"].iloc[2].hour == 0
