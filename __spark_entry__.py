@@ -446,6 +446,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "minhash_bands": q_minhash_bands,
         "embedding_topk": q_embedding_topk,
+        "humidity_equal": q_humidity_equal,
+        "wind_cosine": q_wind_cosine,
+        "calendar_fill": q_calendar_fill,
+        "ffill": q_ffill,
+        "interpolate": q_interpolate,
+        "bristow_campbell": q_bristow_campbell,
+        "angstroem": q_angstroem,
+        "validation_metrics": q_validation_metrics,
+        "minhash_pairs": q_minhash_pairs,
+        "jaccard_pairs": q_jaccard_pairs,
+        "embedding_bucket": q_embedding_bucket,
+        "cascade_disagg": q_cascade_disagg,
     }
 
 
@@ -624,7 +636,209 @@ def oracle_sql() -> dict[str, str]:
     stop_de = "['der','die','das','und','nicht','mit','ist','ein']"
     stop_es = "['el','la','los','que','de','y','en','un']"
 
+    minhash_cte = """
+        toks AS (
+          SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+          FROM documents
+        ),
+        sigs AS (
+          SELECT t.doc_id, i.i,
+                 min(md5(CAST(i.i AS VARCHAR) || ':' || t.w)) AS sig
+          FROM toks t CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) i
+          GROUP BY 1, 2
+        ),
+        bands AS (
+          SELECT a.doc_id,
+                 CAST(a.i // 2 AS BIGINT) AS band_idx,
+                 md5(a.sig || '|' || b.sig) AS band_hash
+          FROM sigs a JOIN sigs b
+            ON a.doc_id = b.doc_id AND b.i = a.i + 1
+          WHERE a.i % 2 = 0
+        ),
+        pairs AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM bands x JOIN bands y
+            ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+          WHERE x.doc_id < y.doc_id
+        )
+    """
+
+    bc_sql = f"""
+        WITH daily AS ({_MET_DAILY_SQL}),
+        l AS (
+          SELECT user_id, date, tmin, tmax,
+                 CASE WHEN lead(date) OVER w IS NULL THEN tmin
+                      WHEN date_diff('day', date, lead(date) OVER w) = 1 THEN lead(tmin) OVER w
+                      END AS tmin_next
+          FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY date)
+        ),
+        d AS (
+          SELECT user_id, date,
+                 tmax - (tmin + coalesce(tmin_next, tmin)) / 2.0 AS dT
+          FROM l
+        ),
+        b AS (
+          SELECT user_id, date, dT,
+                 0.036 * exp(-0.154 * avg(dT) OVER (PARTITION BY user_id, month(date))) AS B
+          FROM d
+        )
+        SELECT user_id, date,
+               round(CASE WHEN isnan(0.75 * (1 - exp(-B * power(dT, 2.4))) * 250.0)
+                     THEN NULL
+                     ELSE 0.75 * (1 - exp(-B * power(dT, 2.4))) * 250.0 END, 6) AS bc_rad
+        FROM b
+    """
+
+    sun_daylength = f"""
+          SELECT date,
+                 12.0*(1.0 + acos(-tan(radians({LAT})) * tan(
+                     radians(0.3723 + 23.2567*sin(radians((360.0/365.25)*(CAST(dayofyear(date) AS DOUBLE) - 79.346)))
+                             - 0.7580*cos(radians((360.0/365.25)*(CAST(dayofyear(date) AS DOUBLE) - 79.346)))
+                             + 0.1149*sin(2*radians((360.0/365.25)*(CAST(dayofyear(date) AS DOUBLE) - 79.346)))
+                             + 0.3656*cos(2*radians((360.0/365.25)*(CAST(dayofyear(date) AS DOUBLE) - 79.346)))
+                             - 0.1712*sin(3*radians((360.0/365.25)*(CAST(dayofyear(date) AS DOUBLE) - 79.346)))
+                             + 0.0201*cos(3*radians((360.0/365.25)*(CAST(dayofyear(date) AS DOUBLE) - 79.346)))))) / pi())
+                 - (12.0*(1.0 - acos(-tan(radians({LAT})) * tan(
+                     radians(0.3723 + 23.2567*sin(radians((360.0/365.25)*(CAST(dayofyear(date) AS DOUBLE) - 79.346)))
+                             - 0.7580*cos(radians((360.0/365.25)*(CAST(dayofyear(date) AS DOUBLE) - 79.346)))
+                             + 0.1149*sin(2*radians((360.0/365.25)*(CAST(dayofyear(date) AS DOUBLE) - 79.346)))
+                             + 0.3656*cos(2*radians((360.0/365.25)*(CAST(dayofyear(date) AS DOUBLE) - 79.346)))
+                             - 0.1712*sin(3*radians((360.0/365.25)*(CAST(dayofyear(date) AS DOUBLE) - 79.346)))
+                             + 0.0201*cos(3*radians((360.0/365.25)*(CAST(dayofyear(date) AS DOUBLE) - 79.346)))))) / pi())) AS daylength
+    """
+
+    from melodist_spark.pipeline.similarity import _hyperplane
+
+    bucket_terms = []
+    for p in range(12):
+        plane = _hyperplane(64, p)
+        arr = "[" + ",".join(repr(v) for v in plane) + "]"
+        bucket_terms.append(
+            f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {arr}) > 0 "
+            f"THEN {1 << p} ELSE 0 END"
+        )
+    bucket_sql = f"""
+        SELECT vec_id, CAST({' + '.join(bucket_terms)} AS BIGINT) AS bucket
+        FROM embeddings
+    """
+
+    extended = {
+        "humidity_equal": f"""
+            WITH daily AS ({_MET_DAILY_SQL})
+            SELECT user_id,
+                   CAST(date AS TIMESTAMP) + to_hours(h.h) AS ts,
+                   round(least(greatest(hum, 0.0), 100.0), 6) AS hum_h
+            FROM daily CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h) h
+        """,
+        "wind_cosine": f"""
+            WITH daily AS (
+              SELECT user_id, date, hum / 10.0 AS wind
+              FROM ({_MET_DAILY_SQL})
+            )
+            SELECT user_id,
+                   CAST(date AS TIMESTAMP) + to_hours(h.h) AS ts,
+                   round(0.4 * wind * cos(pi() * (h.h - 2.0) / 12.0) + 1.0 * wind, 6) AS wind_h
+            FROM daily CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h) h
+        """,
+        "calendar_fill": f"""
+            WITH daily AS ({_MET_DAILY_SQL}),
+            rng AS (SELECT user_id, min(date) AS d0, max(date) AS d1 FROM daily GROUP BY 1),
+            cal AS (
+              SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                  CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS date
+              FROM rng
+            )
+            SELECT c.user_id, c.date,
+                   round(coalesce(d.precip, 0.0), 3) AS precip_f
+            FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.date = d.date
+        """,
+        "ffill": """
+            SELECT event_id,
+                   round(last_value(CASE WHEN value > 50 THEN value END IGNORE NULLS)
+                         OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_ff
+            FROM events
+        """,
+        "interpolate": f"""
+            WITH daily AS ({_MET_DAILY_SQL}),
+            v AS (
+              SELECT user_id, date,
+                     CASE WHEN precip >= 1.0 THEN precip END AS v,
+                     row_number() OVER (PARTITION BY user_id ORDER BY date) AS rn
+              FROM daily
+            ),
+            f AS (
+              SELECT *,
+                     max(CASE WHEN v IS NOT NULL THEN rn END)
+                         OVER (PARTITION BY user_id ORDER BY rn
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp,
+                     last_value(v IGNORE NULLS)
+                         OVER (PARTITION BY user_id ORDER BY rn
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                     min(CASE WHEN v IS NOT NULL THEN rn END)
+                         OVER (PARTITION BY user_id ORDER BY rn
+                               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS np,
+                     first_value(v IGNORE NULLS)
+                         OVER (PARTITION BY user_id ORDER BY rn
+                               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+              FROM v
+            )
+            SELECT user_id, date,
+                   round(CASE WHEN v IS NOT NULL THEN v
+                         WHEN pp IS NOT NULL AND np IS NOT NULL
+                           THEN pv + (rn - pp) * (nv - pv) / (np - pp)
+                         WHEN pp IS NOT NULL THEN pv
+                         END, 6) AS v_i
+            FROM f
+        """,
+        "bristow_campbell": bc_sql,
+        "angstroem": f"""
+            WITH daily AS ({_MET_DAILY_SQL}),
+            s AS ({sun_daylength} FROM (SELECT DISTINCT date FROM daily) d)
+            SELECT daily.user_id, daily.date,
+                   round((0.25 + 0.5 * (hum - floor(hum / 10.0) * 10.0) / s.daylength) * 300.0, 6) AS glob_day
+            FROM daily JOIN s ON daily.date = s.date
+        """,
+        "validation_metrics": """
+            WITH d AS (
+              SELECT user_id, value AS o,
+                     lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS s
+              FROM events
+            ),
+            d2 AS (
+              SELECT user_id, o, s,
+                     avg(o) OVER (PARTITION BY user_id) AS obar
+              FROM d WHERE s IS NOT NULL
+            )
+            SELECT user_id,
+                   round(corr(o, s), 6) AS r,
+                   round(sqrt(avg(power(o - s, 2))), 6) AS rmse,
+                   round(1 - sum(power(o - s, 2)) / sum(power(o - obar, 2)), 6) AS nse
+            FROM d2 GROUP BY user_id
+        """,
+        "minhash_pairs": f"WITH {minhash_cte} SELECT id_a, id_b FROM pairs",
+        "jaccard_pairs": f"""
+            WITH {minhash_cte},
+            sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+            inter AS (
+              SELECT p.id_a, p.id_b, count(*) AS n_inter
+              FROM pairs p
+              JOIN toks a ON a.doc_id = p.id_a
+              JOIN toks b ON b.doc_id = p.id_b AND b.w = a.w
+              GROUP BY 1, 2
+            )
+            SELECT i.id_a, i.id_b,
+                   round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b
+        """,
+        "embedding_bucket": bucket_sql,
+        # cascade_disagg: stochastic, no oracle (rows-only check)
+    }
+
     return {
+        **extended,
         "temp_sine_disagg": temp_sine_sql,
         "daily_from_hourly": f"""
             SELECT user_id, date,
@@ -799,3 +1013,200 @@ def oracle_sql() -> dict[str, str]:
         "minhash_bands": minhash_sql,
         "embedding_topk": topk_sql,
     }
+
+
+# ---------------------------------------------------------------------------
+# extended query set (round 1b): interpolation, calendar fill, radiation
+# models, validation metrics, LSH pairs, cascade
+# ---------------------------------------------------------------------------
+
+
+def q_humidity_equal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-distribution humidity with [0,100] clip
+    (`humidity.py:61-62,120`)."""
+    from melodist_spark.operators.humidity import disaggregate_humidity
+
+    daily = _met_daily(spark, sf_dir)
+    out = disaggregate_humidity(daily, method="equal", keys=["user_id"])
+    return out.select("user_id", "ts", F.round("hum", 6).alias("hum_h"))
+
+
+def q_wind_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine wind disaggregation with fixed params (`wind.py:28-42`)."""
+    from melodist_spark.operators.wind import disaggregate_wind
+
+    daily = _met_daily(spark, sf_dir).select(
+        "user_id", "date", (F.col("hum") / 10.0).alias("wind")
+    )
+    params = daily.select("user_id").distinct().select(
+        "user_id",
+        F.lit(0.4).alias("a"),
+        F.lit(1.0).alias("b"),
+        F.lit(2.0).alias("t_shift"),
+    )
+    out = disaggregate_wind(daily, method="cosine", wind_params=params, keys=["user_id"])
+    return out.select("user_id", "ts", F.round("wind", 6).alias("wind_h"))
+
+
+def q_calendar_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous daily calendar with zero-filled gaps — the Station
+    ingest reindex (`station.py:89-90`)."""
+    daily = _met_daily(spark, sf_dir).select("user_id", "date", "precip")
+    rng = daily.groupBy("user_id").agg(
+        F.min("date").alias("d0"), F.max("date").alias("d1")
+    )
+    cal = rng.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1")).alias("date"),
+    )
+    out = cal.join(daily, ["user_id", "date"], "left")
+    return out.select(
+        "user_id", "date", F.round(F.coalesce("precip", F.lit(0.0)), 3).alias("precip_f")
+    )
+
+
+def q_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill over event order (ffill primitive,
+    `util/util.py:60-62`)."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    v = F.when(F.col("value") > 50, F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        F.round(F.last(v, ignorenulls=True).over(w), 6).alias("v_ff"),
+    )
+
+
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional linear interpolation with forward padding
+    (`station.py:403-437`, `temperature.py:239`)."""
+    from melodist_spark.util.interpolate import interpolate_linear
+
+    daily = _met_daily(spark, sf_dir).select(
+        "user_id",
+        "date",
+        F.when(F.col("precip") >= 1.0, F.col("precip")).alias("v"),
+    )
+    out = interpolate_linear(
+        daily, "v", keys=["user_id"], ts_col="date", limit=None,
+        limit_direction="forward",
+    )
+    return out.select("user_id", "date", F.round("v", 6).alias("v_i"))
+
+
+def q_bristow_campbell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bristow-Campbell daily radiation (`radiation.py:207-248`) with
+    fixed A/C and constant potential radiation."""
+    from melodist_spark.operators.radiation import bristow_campbell_exprs
+
+    daily = _met_daily(spark, sf_dir).withColumn("pot_rad_daily", F.lit(250.0))
+    bc = bristow_campbell_exprs(daily, "pot_rad_daily", 0.75, 2.4, ["user_id"])
+    v = F.when(F.isnan(F.col("bc_rad")), None).otherwise(F.col("bc_rad"))
+    return bc.select("user_id", "date", F.round(v, 6).alias("bc_rad"))
+
+
+def q_angstroem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Angstroem daily radiation from sunshine duration
+    (`radiation.py:283-311`) with computed day length."""
+    from melodist_spark.functions.solar import sun_times_exprs
+    from melodist_spark.operators.radiation import angstroem_expr
+
+    daily = _met_daily(spark, sf_dir).withColumn(
+        "ssd", F.col("hum") - F.floor(F.col("hum") / 10.0) * 10.0
+    )
+    st = sun_times_exprs("date", LON, LAT, TZ)
+    daily = daily.withColumn("daylength", st["daylength"])
+    glob_day = angstroem_expr(
+        F.col("ssd"), F.col("daylength"), F.lit(300.0), 0.25, 0.5
+    )
+    return daily.select("user_id", "date", F.round(glob_day, 6).alias("glob_day"))
+
+
+def q_validation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skill scores sim-vs-obs (examples.ipynb calc_stats: r, rmse,
+    nse) — sim is the previous event's value."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    d = e.select(
+        "user_id",
+        F.col("value").alias("o"),
+        F.lag("value", 1).over(w).alias("s"),
+    ).na.drop()
+    d = d.withColumn("obar", F.avg("o").over(Window.partitionBy("user_id")))
+    return d.groupBy("user_id").agg(
+        F.round(F.corr("o", "s"), 6).alias("r"),
+        F.round(F.sqrt(F.avg(F.pow(F.col("o") - F.col("s"), 2))), 6).alias("rmse"),
+        F.round(
+            1
+            - F.sum(F.pow(F.col("o") - F.col("s"), 2))
+            / F.sum(F.pow(F.col("o") - F.col("obar"), 2)),
+            6,
+        ).alias("nse"),
+    )
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs from MinHash bands (near-dup join)."""
+    from melodist_spark.pipeline.dedup import (
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bands = lsh_bands(minhash_signature(docs, num_hashes=8), num_hashes=8, band_size=2)
+    return lsh_candidate_pairs(bands)
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard for the LSH candidate pairs."""
+    from melodist_spark.pipeline.dedup import (
+        jaccard_pairs,
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bands = lsh_bands(minhash_signature(docs, num_hashes=8), num_hashes=8, band_size=2)
+    pairs = lsh_candidate_pairs(bands)
+    out = jaccard_pairs(docs, pairs)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_embedding_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket signatures (ANN scale path)."""
+    from melodist_spark.pipeline.similarity import lsh_bucket_signature
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb.select(
+        "vec_id",
+        lsh_bucket_signature(F.col("embedding"), 64, num_planes=12)
+        .cast("long")
+        .alias("bucket"),
+    )
+
+
+def q_cascade_disagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascade precipitation disaggregation with the published sample
+    statistics, seeded (`precipitation.py:74-372`). Stochastic → no SQL
+    oracle; the driver's rows-only check applies (row count is
+    deterministic: n_days × 24)."""
+    from melodist_spark.operators.cascade import (
+        CascadeStatistics,
+        disagg_prec_cascade,
+    )
+
+    stats = CascadeStatistics()
+    stats.fill_with_sample_data()
+    daily = _met_daily(spark, sf_dir).select("user_id", "date", "precip")
+    out = disagg_prec_cascade(daily, stats, seed=42, keys=["user_id"])
+    return out.select("user_id", "ts", F.round("precip", 6).alias("precip_c"))

@@ -36,6 +36,13 @@ HEADLINE = [
     "simhash",
     "minhash_bands",
     "embedding_topk",
+    "humidity_equal",
+    "wind_cosine",
+    "interpolate",
+    "bristow_campbell",
+    "validation_metrics",
+    "embedding_bucket",
+    "cascade_disagg",
 ]
 
 

@@ -276,11 +276,19 @@ def build_casc_values(
 # Spark-facing calibration
 # ---------------------------------------------------------------------------
 
-_STATS_SCHEMA = (
-    "station_id string, season int, level int, p01 array<double>, "
-    "p10 array<double>, pxx array<double>, wxx array<double>, "
-    "threshold array<double>, percentile double"
-)
+def _key_schema(df: DataFrame, keys: list[str]) -> str:
+    """Schema fragment matching the key columns' actual types."""
+    types = dict(df.dtypes)
+    return ", ".join(f"{k} {types[k]}" for k in keys)
+
+
+def _stats_schema(df: DataFrame, keys: list[str]) -> str:
+    return (
+        _key_schema(df, keys)
+        + ", season int, level int, p01 array<double>, p10 array<double>, "
+        "pxx array<double>, wxx array<double>, threshold array<double>, "
+        "percentile double"
+    )
 
 
 def build_casc(
@@ -306,6 +314,7 @@ def build_casc(
     keys = list(keys)
     if months is None:
         months = [list(range(1, 13))]
+    schema = _stats_schema(hourly_df, keys)
 
     parts = []
     for season_idx, season_months in enumerate(months):
@@ -321,7 +330,7 @@ def build_casc(
                     x, hourly=hourly, level=level, percentile=percentile
                 )
                 rows = []
-                sid = pdf[keys[0]].iloc[0]
+                keyvals = {k: pdf[k].iloc[0] for k in keys}
                 if avg_stats:
                     entries = [(-1, avg)]
                 else:
@@ -329,7 +338,7 @@ def build_casc(
                 for lvl, s in entries:
                     rows.append(
                         dict(
-                            station_id=sid,
+                            **keyvals,
                             season=season_idx,
                             level=lvl,
                             p01=s.p01.ravel().tolist(),
@@ -344,7 +353,7 @@ def build_casc(
 
             return fit
 
-        parts.append(sub.groupBy(*keys).applyInPandas(make_fit(), schema=_STATS_SCHEMA))
+        parts.append(sub.groupBy(*keys).applyInPandas(make_fit(), schema=schema))
 
     out = parts[0]
     for p in parts[1:]:
@@ -352,7 +361,7 @@ def build_casc(
     return out
 
 
-def collect_cascade_stats(stats_df: DataFrame) -> dict:
+def collect_cascade_stats(stats_df: DataFrame, key_col: str = "station_id") -> dict:
     """Collect a ``build_casc`` result into
     ``{(station_id, season): CascadeStatistics | [CascadeStatistics]}``
     for broadcasting into the disaggregation kernel."""
@@ -367,7 +376,7 @@ def collect_cascade_stats(stats_df: DataFrame) -> dict:
         s.wxx = np.array(r["wxx"]).reshape(7, 2, 4)
         s.threshold = np.array(r["threshold"])
         s.percentile = r["percentile"]
-        key = (r["station_id"], r["season"])
+        key = (r[key_col], r["season"])
         if r["level"] == -1:
             out[key] = s
         else:
@@ -508,7 +517,7 @@ def disagg_prec_cascade(
     box_step_us = LEVEL11_STEP_US * (2 ** (11 - level))
     boxes_per_day = 2**level
 
-    schema = ", ".join(f"{k} string" for k in keys) + f", {ts_col} timestamp, precip double"
+    schema = _key_schema(daily, keys) + f", {ts_col} timestamp, precip double"
 
     def disagg(pdf: pd.DataFrame) -> pd.DataFrame:
         opts = bc.value

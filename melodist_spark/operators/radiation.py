@@ -227,7 +227,8 @@ def fit_bristow_campbell_params(
     from melodist_spark.util.optimize import minimize2
 
     keys = list(keys)
-    schema = ", ".join(f"{k} string" for k in keys) + ", a double, c double"
+    types = dict(daily.dtypes)
+    schema = ", ".join(f"{k} {types[k]}" for k in keys) + ", a double, c double"
 
     prepared = (
         daily.select(*keys, date_col, "tmin", "tmax", "pot_rad_daily", "obs_rad_daily")

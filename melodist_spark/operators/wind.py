@@ -90,7 +90,11 @@ def fit_cosine_function(
         .na.drop(subset=[wind_col, "daily_mean"])
     )
 
-    schema = ", ".join(f"{k} string" for k in keys) + ", a double, b double, t_shift double"
+    types = dict(hourly.dtypes)
+    schema = (
+        ", ".join(f"{k} {types[k]}" for k in keys)
+        + ", a double, b double, t_shift double"
+    )
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         m = pdf["daily_mean"].to_numpy()
