@@ -458,6 +458,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "embedding_bucket": q_embedding_bucket,
         "cascade_disagg": q_cascade_disagg,
+        "drop_incomplete_days": q_drop_incomplete_days,
+        "five_min_calendar": q_five_min_calendar,
+        "sub_level_calendar": q_sub_level_calendar,
+        "humidity_minmax": q_humidity_minmax,
+        "mean_course_temp": q_mean_course_temp,
+        "temp_shift": q_temp_shift,
+        "top_customers": q_top_customers,
+        "embedding_centroids": q_embedding_centroids,
     }
 
 
@@ -835,6 +843,124 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_bucket": bucket_sql,
         # cascade_disagg: stochastic, no oracle (rows-only check)
+        "drop_incomplete_days": f"""
+            WITH daily AS ({_MET_DAILY_SQL}),
+            grid AS (
+              SELECT user_id,
+                     CAST(date AS TIMESTAMP) + to_hours(h.h) AS ts,
+                     precip / 24.0 AS p
+              FROM daily CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h) h
+            ),
+            b AS (SELECT user_id, min(ts) AS lo0, max(ts) AS hi0 FROM grid GROUP BY 1),
+            ragged AS (
+              SELECT g.user_id, g.ts, g.p
+              FROM grid g JOIN b ON g.user_id = b.user_id
+              WHERE g.ts >= b.lo0 + INTERVAL 5 HOUR AND g.ts <= b.hi0 - INTERVAL 3 HOUR
+            ),
+            bounds AS (
+              SELECT user_id,
+                     min(CASE WHEN hour(ts) = 0 AND minute(ts) = 0 THEN ts END) AS lo,
+                     max(CASE WHEN hour(ts) = 23 AND minute(ts) = 0 THEN ts END) AS hi
+              FROM ragged GROUP BY 1
+            )
+            SELECT r.user_id, r.ts, round(r.p, 6) AS precip_h
+            FROM ragged r JOIN bounds o ON r.user_id = o.user_id
+            WHERE r.ts BETWEEN o.lo AND o.hi
+        """,
+        "five_min_calendar": f"""
+            WITH daily AS ({_MET_DAILY_SQL})
+            SELECT user_id, CAST(date AS TIMESTAMP) + to_minutes(5 * h.h) AS ts
+            FROM daily CROSS JOIN (SELECT unnest(generate_series(0, 287)) AS h) h
+        """,
+        "sub_level_calendar": f"""
+            WITH daily AS ({_MET_DAILY_SQL})
+            SELECT user_id,
+                   CAST(date AS TIMESTAMP) + to_microseconds(168750000 * h.h) AS ts
+            FROM daily CROSS JOIN (SELECT unnest(generate_series(0, 511)) AS h) h
+        """,
+        "humidity_minmax": f"""
+            {_TEMP_SINE_CORE_SQL}
+            SELECT t.user_id, t.ts,
+                   round(least(greatest(
+                       d.hum_max + CASE WHEN d.tmax = d.tmin THEN NULL
+                                   ELSE (t.temp_raw - d.tmin) / (d.tmax - d.tmin) END
+                                 * (d.hum_min - d.hum_max),
+                       0.0), 100.0), 6) AS hum_h
+            FROM temp_core t JOIN daily_t d
+              ON t.user_id = d.user_id AND t.date = d.date
+        """,
+        "mean_course_temp": f"""
+            WITH met AS ({_MET_HOURLY_SQL}),
+            daily AS ({_MET_DAILY_SQL}),
+            course AS (
+              SELECT user_id, month(ts) AS m, hour(ts) AS h2, avg(temp) AS v
+              FROM met GROUP BY 1, 2, 3
+            ),
+            norm AS (
+              SELECT user_id, m, h2,
+                     CASE WHEN max(v) OVER w = min(v) OVER w THEN NULL
+                          ELSE (v - min(v) OVER w) / (max(v) OVER w - min(v) OVER w)
+                     END AS nv
+              FROM course WINDOW w AS (PARTITION BY user_id, m)
+            ),
+            grid AS (
+              SELECT d.user_id, d.date, d.tmin, d.tmax,
+                     CAST(d.date AS TIMESTAMP) + to_hours(h.h) AS ts, h.h
+              FROM daily d CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h) h
+            )
+            SELECT g.user_id, g.ts,
+                   round(n.nv * (g.tmax - g.tmin) + g.tmin, 6) AS temp_mc
+            FROM grid g LEFT JOIN norm n
+              ON n.user_id = g.user_id AND n.m = month(g.ts) AND n.h2 = g.h
+        """,
+        "temp_shift": f"""
+            WITH met AS ({_MET_HOURLY_SQL}),
+            dm AS (
+              SELECT user_id, CAST(ts AS DATE) AS date, max(temp) AS mt
+              FROM met GROUP BY 1, 2
+            ),
+            am AS (
+              SELECT t.user_id, t.date, max(hour(m.ts)) AS max_hour
+              FROM dm t JOIN met m
+                ON m.user_id = t.user_id AND CAST(m.ts AS DATE) = t.date
+               AND m.temp = t.mt
+              GROUP BY 1, 2
+            ),
+            sn AS (
+              SELECT date,
+                     12.0 - ({LON} - {TZ}*15.0)*24.0/360.0
+                     - (12.0/pi()) * (0.000075
+                        + 0.001868*cos(2*pi()*(CAST(dayofyear(date) AS DOUBLE)-1)/365.0)
+                        - 0.032077*sin(2*pi()*(CAST(dayofyear(date) AS DOUBLE)-1)/365.0)
+                        - 0.014615*cos(4*pi()*(CAST(dayofyear(date) AS DOUBLE)-1)/365.0)
+                        - 0.040849*sin(4*pi()*(CAST(dayofyear(date) AS DOUBLE)-1)/365.0)) AS sunnoon
+              FROM (SELECT DISTINCT date FROM am)
+            )
+            SELECT a.user_id, CAST(month(a.date) AS BIGINT) AS month,
+                   round(avg(a.max_hour - s.sunnoon), 6) AS max_delta
+            FROM am a JOIN sn s ON a.date = s.date
+            GROUP BY 1, 2
+        """,
+        "top_customers": """
+            WITH rev AS (
+              SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS revenue
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY 1, 2
+            )
+            SELECT c_custkey, c_name, revenue,
+                   CAST(row_number() OVER (ORDER BY revenue DESC, c_custkey ASC) AS BIGINT) AS rank
+            FROM rev QUALIFY rank <= 10
+        """,
+        "embedding_centroids": """
+            WITH flat AS (
+              SELECT label,
+                     CAST(unnest(generate_series(1, len(embedding))) - 1 AS BIGINT) AS pos,
+                     unnest(embedding) AS v
+              FROM embeddings
+            )
+            SELECT label, pos, round(avg(CAST(v AS DOUBLE)), 6) AS centroid
+            FROM flat GROUP BY 1, 2
+        """,
     }
 
     return {
@@ -1210,3 +1336,167 @@ def q_cascade_disagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = _met_daily(spark, sf_dir).select("user_id", "date", "precip")
     out = disagg_prec_cascade(daily, stats, seed=42, keys=["user_id"])
     return out.select("user_id", "ts", F.round("precip", 6).alias("precip_c"))
+
+
+# ---------------------------------------------------------------------------
+# round 1c: trimming, dyadic calendars, dependent disaggregation,
+# shift calibration, top-k, centroids
+# ---------------------------------------------------------------------------
+
+_TEMP_SINE_CORE_SQL = f"""
+        WITH daily_t AS ({_MET_DAILY_SQL}),
+        loc_t AS (
+          SELECT user_id, date, tmin, tmax,
+                 CASE WHEN lead(date) OVER w IS NULL THEN tmin
+                      WHEN date_diff('day', date, lead(date) OVER w) = 1 THEN lead(tmin) OVER w
+                      END AS min_val_next,
+                 CASE WHEN lag(date) OVER w IS NULL THEN tmax
+                      WHEN date_diff('day', lag(date) OVER w, date) = 1 THEN lag(tmax) OVER w
+                      END AS max_val_before
+          FROM daily_t
+          WINDOW w AS (PARTITION BY user_id ORDER BY date)
+        ),
+        hourly_t AS (
+          SELECT l.*, h.h,
+                 CAST(l.date AS TIMESTAMP) + to_hours(h.h) AS ts
+          FROM loc_t l CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h) h
+        ),
+        temp_core AS (
+          SELECT user_id, ts, h, date,
+                 (CASE WHEN h < 14 THEN tmin ELSE min_val_next END
+                  + (CASE WHEN h < 7 THEN max_val_before ELSE tmax END
+                     - CASE WHEN h < 14 THEN tmin ELSE min_val_next END)/2.0)
+                 + (CASE WHEN h < 7 THEN max_val_before ELSE tmax END
+                    - CASE WHEN h < 14 THEN tmin ELSE min_val_next END)/2.0
+                   * cos(2*pi()/24.0 * (h - 14)) AS temp_raw
+          FROM hourly_t
+        )
+"""
+
+
+def q_drop_incomplete_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head/tail trim to full days (`util/util.py:300-352`): an hourly
+    grid with ragged edges (first 5 h and last 3 h removed) trims back
+    to midnight-aligned days."""
+    from melodist_spark.util.calendar import distribute_equally
+    from melodist_spark.util.gaps import drop_incomplete_days
+    from pyspark.sql import Window
+
+    daily = _met_daily(spark, sf_dir).select("user_id", "date", "precip")
+    grid = distribute_equally(daily, "precip", divide=True)
+    w = Window.partitionBy("user_id")
+    ragged = grid.withColumn("__lo", F.min("ts").over(w)).withColumn(
+        "__hi", F.max("ts").over(w)
+    ).filter(
+        (F.col("ts") >= F.col("__lo") + F.expr("INTERVAL 5 HOURS"))
+        & (F.col("ts") <= F.col("__hi") - F.expr("INTERVAL 3 HOURS"))
+    ).drop("__lo", "__hi")
+    out = drop_incomplete_days(ragged, keys=["user_id"])
+    return out.select("user_id", "ts", F.round("precip", 6).alias("precip_h"))
+
+
+def q_five_min_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """288-step 5-minute grid per day (`precipitation.py:740-767`)."""
+    from melodist_spark.util.calendar import five_min_calendar
+
+    daily = _met_daily(spark, sf_dir).select("user_id", "date")
+    out = five_min_calendar(daily)
+    return out.select("user_id", "ts")
+
+
+def q_sub_level_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dyadic cascade grid at level 9: 512 boxes of 168.75 s
+    (`precipitation.py:705-737`)."""
+    from melodist_spark.util.calendar import sub_level_calendar
+
+    daily = _met_daily(spark, sf_dir).select("user_id", "date")
+    out = sub_level_calendar(daily, level=9)
+    return out.select("user_id", "ts")
+
+
+def q_humidity_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_max humidity from hourly temperature position within the
+    daily range (`humidity.py:91-101`) — consumes the temperature
+    disaggregation output (operator chaining)."""
+    from melodist_spark.operators.humidity import disaggregate_humidity
+    from melodist_spark.operators.temperature import disaggregate_temperature
+
+    daily = _met_daily(spark, sf_dir)
+    temp_h = disaggregate_temperature(
+        daily, method="sine_min_max", min_max_time="fix", keys=["user_id"]
+    )
+    out = disaggregate_humidity(
+        daily, method="min_max", hourly_temp=temp_h, keys=["user_id"]
+    )
+    return out.select("user_id", "ts", F.round("hum", 6).alias("hum_h"))
+
+
+def q_mean_course_temp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mean_course_min_max temperature: normalized diurnal course
+    rescaled into each day's range (`temperature.py:241-249`)."""
+    from melodist_spark.operators.aggregations import mean_daily_course_by_month
+    from melodist_spark.operators.temperature import disaggregate_temperature
+
+    m = _met_hourly(spark, sf_dir)
+    mc = mean_daily_course_by_month(m, "temp", keys=["user_id"], normalize=True)
+    daily = _met_daily(spark, sf_dir)
+    out = disaggregate_temperature(
+        daily, method="mean_course_min_max", mean_course=mc, keys=["user_id"]
+    )
+    return out.select("user_id", "ts", F.round("temp", 6).alias("temp_mc"))
+
+
+def q_temp_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly warmest-hour shift vs solar noon
+    (`temperature.py:267-287`); the day's max-temp hour is resolved
+    with a deterministic max-hour tie-break."""
+    from melodist_spark.functions.solar import sun_times_exprs
+    from pyspark.sql import Window
+
+    m = _met_hourly(spark, sf_dir)
+    daily_max = m.groupBy("user_id", F.to_date("ts").alias("date")).agg(
+        F.max("temp").alias("tmax_h")
+    )
+    at_max = (
+        m.withColumn("date", F.to_date("ts"))
+        .join(daily_max, ["user_id", "date"])
+        .filter(F.col("temp") == F.col("tmax_h"))
+        .groupBy("user_id", "date")
+        .agg(F.max(F.hour("ts")).alias("max_hour"))
+    )
+    st = sun_times_exprs("date", LON, LAT, TZ)
+    out = at_max.withColumn("sunnoon", st["sunnoon"]).withColumn(
+        "delta", F.col("max_hour") - F.col("sunnoon")
+    )
+    return out.groupBy("user_id", F.month("date").cast("long").alias("month")).agg(
+        F.round(F.avg("delta"), 6).alias("max_delta")
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic top-10 by revenue (sort + limit surface)."""
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return (
+        rev.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of embedding vectors (IVF coarse-quantizer
+    training step) — long-form (label, pos, mean)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
+    )
