@@ -55,6 +55,8 @@ def main():
 
     spark = get_spark("melodist_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # JVM/codegen warmup so timings measure queries, not session startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     qs = entry.queries()
     timings: dict[str, float] = {}

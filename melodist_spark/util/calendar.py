@@ -121,6 +121,46 @@ def distribute_equally(
     return out
 
 
+def fill_daily_calendar(
+    daily: DataFrame,
+    keys: list[str] = ("station_id",),
+    date_col: str = "date",
+) -> DataFrame:
+    """Reindex each station's daily frame to a continuous calendar,
+    null-filling absent days (`station.py:89-90`). One tiny
+    per-station min/max aggregate exploded into the full range, then a
+    left join back."""
+    keys = list(keys)
+    rng = daily.groupBy(*keys).agg(
+        F.min(date_col).alias("__d0"), F.max(date_col).alias("__d1")
+    )
+    cal = rng.select(*keys, F.explode(F.sequence("__d0", "__d1")).alias(date_col))
+    return cal.join(daily, [*keys, date_col], "left")
+
+
+def prepare_interpolation_data(
+    daily: DataFrame,
+    column_hours: dict[str, int],
+    keys: list[str] = ("station_id",),
+    date_col: str = "date",
+    ts_col: str = "ts",
+    out_col: str = "value",
+) -> DataFrame:
+    """Place daily columns at fixed hours on the hourly grid, nulls
+    elsewhere — the scaffold for ``Station.interpolate``
+    (`util/util.py:355-371`): e.g. {'tmin': 7, 'tmax': 14} anchors the
+    day's extremes for linear interpolation between them.
+    """
+    hourly = hourly_calendar(
+        daily.select(*keys, date_col, *column_hours), date_col=date_col, ts_col=ts_col
+    )
+    v = None
+    for col, hour in column_hours.items():
+        branch = F.when(F.hour(ts_col) == hour, F.col(col))
+        v = branch if v is None else F.coalesce(v, branch)
+    return hourly.select(*keys, ts_col, v.alias(out_col))
+
+
 def seasonal_subset(
     df: DataFrame,
     months: list[int] | str = "all",
