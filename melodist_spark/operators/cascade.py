@@ -301,12 +301,15 @@ def build_casc(
     keys: list[str] = ("station_id",),
     ts_col: str = "ts",
     precip_col: str = "precip",
+    station_buckets: int = 64,
 ) -> DataFrame:
     """Distributed cascade calibration.
 
-    One grouped-map task per (station, season); seasons are month
-    subsets as in `precipitation.py:631-702`. Output rows carry the
-    flattened statistics arrays; ``level = -1`` marks the averaged
+    Stations are hash-bucketed into ``station_buckets`` grouped-map
+    tasks (kernel loops stations inside — amortizes Arrow/pandas fixed
+    costs; results are per-station and bucket-invariant); seasons are
+    month subsets as in `precipitation.py:631-702`. Output rows carry
+    the flattened statistics arrays; ``level = -1`` marks the averaged
     statistics (``avg_stats=True``), otherwise one row per level.
     Use :func:`collect_cascade_stats` to turn the result into the
     broadcastable dict consumed by :func:`disagg_prec_cascade`.
@@ -323,7 +326,7 @@ def build_casc(
         )
 
         def make_fit(season_idx=season_idx):
-            def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+            def fit_one(pdf: pd.DataFrame) -> pd.DataFrame:
                 pdf = pdf.sort_values(ts_col)
                 x = pdf[precip_col].to_numpy()
                 avg, per_level = build_casc_values(
@@ -351,9 +354,33 @@ def build_casc(
                     )
                 return pd.DataFrame(rows)
 
-            return fit
+            def fit_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+                return pd.concat(
+                    [fit_one(g) for _, g in pdf.groupby(keys[0], sort=True)],
+                    ignore_index=True,
+                )
 
-        parts.append(sub.groupBy(*keys).applyInPandas(make_fit(), schema=schema))
+            return fit_one, fit_bucket
+
+        fit_one, fit_bucket = make_fit()
+        if station_buckets and station_buckets > 0:
+
+            def debucketed(f):
+                # NB: must stay a 1-arg callable — a default-arg capture
+                # would make pyspark pass (key, pdf) instead
+                def run(pdf: pd.DataFrame) -> pd.DataFrame:
+                    return f(pdf.drop(columns="__bucket"))
+
+                return run
+
+            bucket = F.pmod(F.xxhash64(*keys), F.lit(station_buckets))
+            parts.append(
+                sub.withColumn("__bucket", bucket)
+                .groupBy("__bucket")
+                .applyInPandas(debucketed(fit_bucket), schema=schema)
+            )
+        else:
+            parts.append(sub.groupBy(*keys).applyInPandas(fit_one, schema=schema))
 
     out = parts[0]
     for p in parts[1:]:

@@ -160,6 +160,25 @@ def disaggregate_temperature(
 
     loc = _locdf(d, method, min_max_time, max_delta, keys, date_col)
 
+    # polar handling only matters above ~64° (daylength < 3 h); a
+    # driver-side peek at the tiny stations table skips the whole
+    # machinery for mid-latitude fleets
+    apply_polar = stations is not None and _polar_possible(stations)
+    if apply_polar:
+        wd = Window.partitionBy(*keys).orderBy(date_col)
+        polar = F.col("daylength") < DAYLENGTH_THRES
+        loc = (
+            loc.withColumn("__polar", polar)
+            .withColumn(
+                "__p2n",
+                (~polar) & F.coalesce(F.lag(polar, 1).over(wd), F.lit(False)),
+            )
+            .withColumn(
+                "__n2p",
+                (~polar) & F.coalesce(F.lead(polar, 1).over(wd), F.lit(False)),
+            )
+        )
+
     hourly = hourly_calendar(loc, date_col=date_col, ts_col=ts_col).withColumn(
         "hour", F.hour(ts_col)
     )
@@ -208,10 +227,16 @@ def disaggregate_temperature(
 
     hourly = hourly.withColumn("temp", temp)
 
-    if stations is not None:
-        hourly = _apply_polar_override(hourly, keys, ts_col)
+    if apply_polar:
+        return _apply_polar_override(hourly, keys, ts_col)
 
     return hourly.select(*keys, ts_col, "temp")
+
+
+def _polar_possible(stations: DataFrame) -> bool:
+    """daylength < 3 h needs |lat| ≳ 64°; 60° adds safety margin."""
+    row = stations.agg(F.max(F.abs(F.col("lat"))).alias("m")).collect()[0]
+    return row["m"] is not None and row["m"] > 60.0
 
 
 def _apply_polar_override(hourly: DataFrame, keys: list[str], ts_col: str) -> DataFrame:
@@ -222,33 +247,14 @@ def _apply_polar_override(hourly: DataFrame, keys: list[str], ts_col: str) -> Da
     and the gaps are linearly interpolated; transition days are
     partially masked so the stitch into normal days is smooth.
     """
-    polar = F.col("daylength") < DAYLENGTH_THRES
     avg_before = (F.col("min_val_before") + F.col("max_val_before")) / 2.0
     avg_cur = (F.col("min_val_cur") + F.col("max_val_cur")) / 2.0
     warming = avg_before <= avg_cur
 
-    hourly = hourly.withColumn("__polar", polar)
-
-    # transition flags computed at the daily grain (cheaper windows)
-    daily_flags = (
-        hourly.groupBy(*keys, F.to_date(ts_col).alias("__d"))
-        .agg(F.first("__polar").alias("__polar"))
-        .withColumn("__prev_polar", F.lag("__polar", 1).over(Window.partitionBy(*keys).orderBy("__d")))
-        .withColumn("__next_polar", F.lead("__polar", 1).over(Window.partitionBy(*keys).orderBy("__d")))
-        .withColumn(
-            "__polar_to_normal", (~F.col("__polar")) & F.coalesce(F.col("__prev_polar"), F.lit(False))
-        )
-        .withColumn(
-            "__normal_to_polar", (~F.col("__polar")) & F.coalesce(F.col("__next_polar"), F.lit(False))
-        )
-        .select(*keys, "__d", "__polar_to_normal", "__normal_to_polar")
-    )
-
-    hourly = hourly.withColumn("__d", F.to_date(ts_col)).join(
-        daily_flags, [*keys, "__d"], "left"
-    )
-
-    in_sub = F.col("__polar") | F.col("__polar_to_normal") | F.col("__normal_to_polar")
+    # __polar/__p2n/__n2p were computed at the daily grain before the
+    # explode and arrive carried on every hourly row — no re-aggregation
+    # or join against the hourly frame is needed
+    in_sub = F.col("__polar") | F.col("__p2n") | F.col("__n2p")
 
     # values on the interpolation scaffold
     hr = F.hour(ts_col)
@@ -270,23 +276,20 @@ def _apply_polar_override(hourly: DataFrame, keys: list[str], ts_col: str) -> Da
 
     sub_val = (
         F.when(F.col("__polar"), polar_val)
-        .when(F.col("__polar_to_normal"), p2n_val)
-        .when(F.col("__normal_to_polar"), n2p_val)
+        .when(F.col("__p2n"), p2n_val)
+        .when(F.col("__n2p"), n2p_val)
     )
 
+    # the reference writes the whole interpolated subseries back
+    # (`temperature.py:240`): subseries rows are replaced wholesale, so
+    # the stitch is a UNION of untouched rows with the interpolated
+    # subseries — no join against the full hourly frame
+    keep = hourly.filter(~in_sub).select(*keys, ts_col, "temp")
     sub = hourly.filter(in_sub).withColumn("__sv", sub_val)
     sub = interpolate_linear(
         sub, "__sv", keys=keys, ts_col=ts_col, limit=23, limit_direction="forward"
-    ).select(*keys, ts_col, F.col("__sv").alias("__interp"), F.lit(True).alias("__in_sub"))
-
-    out = hourly.join(sub, [*keys, ts_col], "left")
-    # the reference writes the whole interpolated subseries back
-    # (`temperature.py:240`), so transition days too take the stitched
-    # values (masked hours become interpolated, anchors stay)
-    new_temp = F.when(F.col("__in_sub"), F.col("__interp")).otherwise(F.col("temp"))
-    return out.withColumn("temp", new_temp).drop(
-        "__interp", "__in_sub", "__polar", "__d", "__polar_to_normal", "__normal_to_polar"
-    )
+    ).select(*keys, ts_col, F.col("__sv").alias("temp"))
+    return keep.unionByName(sub)
 
 
 def get_shift_by_data(
