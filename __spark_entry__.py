@@ -30,7 +30,10 @@ LON, LAT, TZ = 8.86, 51.0, 1.0
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # events.parquet stores TIMESTAMP(NANOS) which Spark rejects by
     # default; read nanos as long and truncate to microseconds (what
-    # DuckDB's TIMESTAMP does too)
+    # DuckDB's TIMESTAMP does too). Session tz pinned to UTC so
+    # hour()/to_date() agree with DuckDB's tz-naive semantics even if
+    # the driver's session defaults elsewhere.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(e.dtypes)["ts"] == "bigint":

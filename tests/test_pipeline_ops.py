@@ -1,0 +1,155 @@
+"""Training-data pipeline operators: dedup, similarity, text analysis
+unit tests (the oracle queries check engine parity; these check the
+*algorithmic* properties — MinHash estimates Jaccard, SimHash respects
+similarity, LSH recall)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from melodist_spark.pipeline.dedup import (
+    dedup_exact,
+    exact_duplicates,
+    jaccard_pairs,
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_signature,
+)
+from melodist_spark.pipeline.similarity import brute_force_topk, lsh_topk
+from melodist_spark.pipeline.text import (
+    bpe_ish_token_count,
+    detect_language,
+    quality_features,
+    simhash,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(200)]
+    rows = []
+    for i in range(60):
+        words = list(rng.choice(vocab, size=40))
+        rows.append((i, " ".join(words)))
+    # exact duplicates of doc 0 and 1
+    rows.append((100, rows[0][1]))
+    rows.append((101, rows[1][1]))
+    # near-duplicate of doc 2: 90% same words
+    base = rows[2][1].split()
+    near = base[:36] + list(rng.choice(vocab, size=4))
+    rows.append((102, " ".join(near)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 2
+    assert {g["keep_id"] for g in groups} == {0, 1}
+    kept = dedup_exact(docs)
+    assert kept.count() == docs.count() - 2
+    assert kept.filter(F.col("doc_id").isin(100, 101)).count() == 0
+
+
+def test_minhash_estimates_jaccard(docs):
+    """More shared signature components ↔ higher true Jaccard: the
+    near-dup pair must agree on most of a 16-hash signature."""
+    k = 16
+    sigs = minhash_signature(docs, num_hashes=k).toPandas().set_index("doc_id")
+
+    def agreement(a, b):
+        return sum(sigs.loc[a, f"sig_{i}"] == sigs.loc[b, f"sig_{i}"] for i in range(k)) / k
+
+    near = agreement(2, 102)
+    rand = np.mean([agreement(3, j) for j in range(4, 20)])
+    assert near > 0.5
+    assert near > rand + 0.3
+
+
+def test_lsh_finds_near_dup_pair(docs):
+    sigs = minhash_signature(docs, num_hashes=16)
+    bands = lsh_bands(sigs, num_hashes=16, band_size=2)
+    pairs = lsh_candidate_pairs(bands).toPandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    assert (2, 102) in found
+    assert (0, 100) in found  # exact dups collide on every band
+
+    jac = jaccard_pairs(docs, lsh_candidate_pairs(bands)).toPandas()
+    jrow = jac[(jac.id_a == 2) & (jac.id_b == 102)]
+    assert len(jrow) == 1 and jrow.jaccard.iloc[0] > 0.6
+    jexact = jac[(jac.id_a == 0) & (jac.id_b == 100)]
+    assert jexact.jaccard.iloc[0] == pytest.approx(1.0)
+
+
+def test_simhash_similarity(docs):
+    out = simhash(docs).toPandas().set_index("doc_id")["simhash"]
+
+    def hamming(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+
+    assert hamming(out[0], out[100]) == 0  # identical docs
+    near = hamming(out[2], out[102])
+    rand = np.mean([hamming(out[3], out[j]) for j in range(4, 20)])
+    assert near < rand
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "a b  c"), (1, ""), (2, "   "), (3, "supercalifragilistic word")],
+        "doc_id long, text string",
+    )
+    got = df.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n"),
+        bpe_ish_token_count(F.col("text")).alias("nb"),
+    ).toPandas().set_index("doc_id")
+    assert got.loc[0, "n"] == 3
+    assert got.loc[1, "n"] == 0 and got.loc[2, "n"] == 0
+    assert got.loc[3, "nb"] > got.loc[3, "n"]  # long word → extra pieces
+
+
+def test_quality_features_ranges(docs):
+    out = quality_features(docs).toPandas()
+    assert (out["punct_ratio"].between(0, 1)).all()
+    assert (out["stopword_ratio"].fillna(0).between(0, 1)).all()
+    assert (out["n_tokens"] > 0).all()
+
+
+def test_detect_language(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog of the house"),
+            (1, "der hund und die katze ist ein tier"),
+            (2, "el perro y la casa de los gatos"),
+            (3, "zzz qqq xxx"),
+        ],
+        "doc_id long, text string",
+    )
+    got = detect_language(df).toPandas().set_index("doc_id")["lang_pred"]
+    assert got[0] == "en"
+    assert got[1] == "de"
+    assert got[2] == "es"
+    assert got[3] == "und"
+
+
+def test_lsh_topk_recall(spark):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((30, 16)).astype(np.float32)
+    # clusters: vectors 30..59 are noisy copies of 0..29
+    noisy = base + 0.05 * rng.standard_normal((30, 16)).astype(np.float32)
+    vecs = np.vstack([base, noisy])
+    pdf = pd.DataFrame(
+        {"vec_id": range(60), "embedding": [v.tolist() for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    queries = df.filter(F.col("vec_id") < 5)
+
+    exact = brute_force_topk(df, queries, k=1).toPandas()
+    approx = lsh_topk(df, queries, dim=16, k=1, num_planes=6).toPandas()
+    # the noisy twin is each query's true nearest neighbour
+    assert (exact.set_index("query_id")["neighbor_id"] == exact["query_id"] + 30).all()
+    # LSH with few planes should recover most twins
+    hits = (approx.set_index("query_id")["neighbor_id"] == approx["query_id"] + 30).mean()
+    assert hits >= 0.6
