@@ -469,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temp_shift": q_temp_shift,
         "top_customers": q_top_customers,
         "embedding_centroids": q_embedding_centroids,
+        "streaming_daily_agg": q_streaming_daily_agg,
     }
 
 
@@ -953,6 +954,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name, revenue,
                    CAST(row_number() OVER (ORDER BY revenue DESC, c_custkey ASC) AS BIGINT) AS rank
             FROM rev QUALIFY rank <= 10
+        """,
+        "streaming_daily_agg": f"""
+            WITH daily AS ({_MET_DAILY_SQL}),
+            cutoff AS (SELECT max(ts) - INTERVAL 2 DAY AS wm FROM events)
+            SELECT user_id, date,
+                   round(temp, 6) AS temp, round(precip, 3) AS precip,
+                   round(hum, 6) AS hum
+            FROM daily, cutoff
+            WHERE CAST(date AS TIMESTAMP) + INTERVAL 1 DAY <= cutoff.wm
         """,
         "embedding_centroids": """
             WITH flat AS (
@@ -1502,4 +1512,39 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("label", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("label", F.col("pos").cast("long").alias("pos"))
         .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
+    )
+
+
+def q_streaming_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming daily aggregation (availableNow +
+    2-day watermark, append mode): deterministic — only windows whose
+    end precedes ``max(ts) - watermark`` are emitted. The oracle
+    replicates the watermark cutoff in SQL."""
+    import tempfile
+    import uuid
+
+    from melodist_spark.streaming.daily_agg import streaming_daily_from_hourly
+
+    m = _met_hourly(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="stream_src_")
+    m.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    agg = streaming_daily_from_hourly(stream, watermark="2 days", keys=["user_id"])
+    name = f"sda_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.table(name)
+    return out.select(
+        "user_id",
+        "date",
+        F.round("temp", 6).alias("temp"),
+        F.round("precip", 3).alias("precip"),
+        F.round("hum", 6).alias("hum"),
     )

@@ -154,3 +154,39 @@ def test_disagg_cascade_5min_conserves(spark, met_hourly, met_daily):
     re = out.groupBy(F.to_date("ts").alias("date")).agg(F.sum("precip").alias("s"))
     j = re.join(daily, "date")
     assert j.filter(F.abs(F.col("s") - F.col("precip")) > 1e-3).count() == 0
+
+
+def test_per_level_stats_disagg(spark, met_hourly, met_daily):
+    """avg_stats=False: one CascadeStatistics per level, the disagg
+    consumes the 5-element list (`precipitation.py:108-123`)."""
+    stats_df = build_casc(met_hourly, avg_stats=False)
+    d = collect_cascade_stats(stats_df)
+    lv = d[("s1", 0)]
+    assert isinstance(lv, list) and len(lv) == 5
+    daily = met_daily.filter(F.col("station_id") == "s1").select(
+        "station_id", "date", "precip"
+    )
+    out = disagg_prec_cascade(daily, lv, seed=2)
+    re = out.groupBy(F.to_date("ts").alias("date")).agg(F.sum("precip").alias("s"))
+    j = re.join(daily, "date")
+    assert j.filter(F.abs(F.col("s") - F.col("precip")) > 1e-3).count() == 0
+
+
+def test_multi_season_calibration_and_disagg(spark, met_hourly, met_daily, stations):
+    """Seasonal routing through the Stations API with 4 seasons
+    (`station.py:338-348`)."""
+    from melodist_spark.api import Stations
+
+    st = Stations(stations, met_daily)
+    from melodist_spark.statistics import StationStatistics, MONTH_RANGES
+
+    s = StationStatistics(met_hourly, stations)
+    s.calc_precipitation_stats(months=MONTH_RANGES["seasonal"])
+    st.statistics = s
+    out = st.disaggregate_precipitation("cascade", seed=4)
+    assert out.count() == met_daily.count() * 24
+    re = out.groupBy("station_id", F.to_date("ts").alias("date")).agg(
+        F.sum("precip").alias("s")
+    )
+    j = re.join(met_daily.select("station_id", "date", "precip"), ["station_id", "date"])
+    assert j.filter(F.abs(F.col("s") - F.col("precip")) > 1e-3).count() == 0

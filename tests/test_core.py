@@ -220,3 +220,15 @@ def test_month_hour_precip_mean_matches_pandas(met_hourly, met_hourly_pd):
         pdf.hum.groupby([pdf.index.month, pdf.index.hour, wet]).mean().sort_index()
     )
     np.testing.assert_allclose(got["hum_mean"].values, exp.values, rtol=1e-9)
+
+
+def test_drop_incomplete_days_with_shift(spark):
+    """shift=7: recording days run 07:00-06:00 (`util/util.py:307-313`)."""
+    import pandas as pd
+
+    ts = pd.date_range("2016-01-01 03:00", periods=30 * 24, freq="h")
+    df = spark.createDataFrame(pd.DataFrame(dict(station_id="x", ts=ts, v=1.0)))
+    got = drop_incomplete_days(df, shift=7).toPandas().sort_values("ts")
+    assert got.ts.iloc[0].hour == 7
+    assert got.ts.iloc[-1].hour == 6
+    assert len(got) % 24 == 0
