@@ -470,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "embedding_centroids": q_embedding_centroids,
         "streaming_daily_agg": q_streaming_daily_agg,
+        "dedup_prefix": q_dedup_prefix,
     }
 
 
@@ -846,6 +847,12 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = i.id_b
         """,
         "embedding_bucket": bucket_sql,
+        "dedup_prefix": """
+            SELECT md5(array_to_string((string_split(text, ' '))[1:2], ' ')) AS digest,
+                   count(*) AS n_docs, min(doc_id) AS keep_id
+            FROM documents
+            GROUP BY 1 HAVING count(*) > 1
+        """,
         # cascade_disagg: stochastic, no oracle (rows-only check)
         "drop_incomplete_days": f"""
             WITH daily AS ({_MET_DAILY_SQL}),
@@ -1547,4 +1554,17 @@ def q_streaming_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("temp", 6).alias("temp"),
         F.round("precip", 3).alias("precip"),
         F.round("hum", 6).alias("hum"),
+    )
+
+
+def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup machinery on a 2-word-prefix digest — unlike the
+    full-text digest this produces real duplicate groups on the
+    synthetic corpus, exercising group/keep-min/count semantics."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    digest = F.md5(F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 2)))
+    return (
+        docs.groupBy(digest.alias("digest"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
     )

@@ -156,3 +156,46 @@ def test_precip_master_station(spark, met_daily, met_hourly):
         .count()
     )
     assert fallback_days > 0
+
+
+def test_radiation_with_fitted_monthly_params(spark, met_daily, stations, met_hourly):
+    """pot_rad_via_bc / pot_rad_via_ssd driven by the calibrated
+    monthly parameter tables (`stationstatistics.py:124-192`)."""
+    from melodist_spark.statistics import StationStatistics
+
+    s = StationStatistics(met_hourly, stations)
+    s.calc_radiation_stats(data_daily=met_daily, how="seasonal")
+    bc = disaggregate_radiation(
+        met_daily, stations, method="pot_rad_via_bc",
+        bristcamp_params=s.glob_bristcamp,
+    )
+    assert bc.count() == met_daily.count() * 24
+    assert bc.filter(F.col("glob") < 0).count() == 0
+    ssd = disaggregate_radiation(
+        met_daily, stations, method="pot_rad_via_ssd",
+        angstr_params=s.glob_angstroem,
+    )
+    assert ssd.filter(F.col("glob") < 0).count() == 0
+
+
+def test_skill_scores(spark, met_hourly, met_daily, stations):
+    """calc_stats metrics: perfect sim → r=1, rmse=0, nse=1."""
+    from melodist_spark.functions.stats import skill_scores
+
+    j = met_hourly.select(
+        "station_id", F.col("temp").alias("obs"), F.col("temp").alias("sim")
+    )
+    out = skill_scores(j).toPandas().set_index("station_id")
+    assert np.allclose(out["r"], 1.0)
+    assert np.allclose(out["rmse"], 0.0, atol=1e-9)
+    assert np.allclose(out["nse"], 1.0)
+
+    # degraded sim: metrics worsen but stay in range
+    j2 = met_hourly.select(
+        "station_id",
+        F.col("temp").alias("obs"),
+        (F.col("temp") + 3 * F.rand(1)).alias("sim"),
+    )
+    out2 = skill_scores(j2).toPandas()
+    assert (out2["rmse"] > 0.5).all()
+    assert (out2["nse"] < 1.0).all() and (out2["nse"] > 0.9).all()

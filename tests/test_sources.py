@@ -103,3 +103,25 @@ def test_read_knmi(spark, tmp_path):
     # HH=1 → 01:00, HH=24 → next day 00:00
     assert got["ts"].iloc[0].hour == 1
     assert got["ts"].iloc[2].day == 2 and got["ts"].iloc[2].hour == 0
+
+
+def test_smet_daily_mode_roundtrip(spark, tmp_path):
+    """Daily-mode SMET: TA→tmean rename and T00:00 timestamps
+    (`data_io.py:48-56`, `data_io.py:275-277`)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        dict(
+            ts=pd.date_range("2016-01-01", periods=5, freq="D"),
+            tmean=[274.0, 275.5, 273.2, 272.8, 276.0],
+            precip=[0.0, 4.2, 1.1, 0.0, 2.5],
+        )
+    )
+    df = spark.createDataFrame(pdf)
+    out = tmp_path / "daily.smet"
+    write_smet(df, str(out), {"station_id": "d1"}, mode="d")
+    header, back = read_smet(spark, str(out), mode="d")
+    got = back.orderBy("ts").toPandas()
+    assert list(got.columns) == ["station_id", "ts", "tmean", "precip"]
+    np.testing.assert_allclose(got["tmean"].values, pdf["tmean"].values, atol=0.01)
+    assert (pd.to_datetime(got["ts"]).dt.hour == 0).all()
