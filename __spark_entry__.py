@@ -50,6 +50,7 @@ def _met_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         (250.0 + F.col("value") * 0.2).alias("temp"),
         (20.0 + F.col("value") - F.floor(F.col("value") / 60.0) * 60.0).alias("hum"),
         F.greatest(F.col("value") - 300.0, F.lit(0.0)).alias("precip"),
+        F.least(F.lit(900.0), F.col("value") * 3.0).alias("glob"),
     )
 
 
@@ -63,7 +64,8 @@ _MET_HOURLY_SQL = """
     SELECT user_id, ts,
            250.0 + value * 0.2 AS temp,
            20.0 + value - floor(value / 60.0) * 60.0 AS hum,
-           greatest(value - 300.0, 0.0) AS precip
+           greatest(value - 300.0, 0.0) AS precip,
+           least(900.0, value * 3.0) AS "glob"
     FROM events
 """
 
@@ -71,7 +73,8 @@ _MET_DAILY_SQL = f"""
     SELECT user_id, CAST(ts AS DATE) AS date,
            avg(temp) AS temp, min(temp) AS tmin, max(temp) AS tmax,
            sum(precip) AS precip,
-           avg(hum) AS hum, min(hum) AS hum_min, max(hum) AS hum_max
+           avg(hum) AS hum, min(hum) AS hum_min, max(hum) AS hum_max,
+           avg("glob") AS "glob"
     FROM ({_MET_HOURLY_SQL}) GROUP BY 1, 2
 """
 
@@ -471,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "streaming_daily_agg": q_streaming_daily_agg,
         "dedup_prefix": q_dedup_prefix,
+        "radiation_potrad": q_radiation_potrad,
     }
 
 
@@ -847,6 +851,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = i.id_b
         """,
         "embedding_bucket": bucket_sql,
+        "radiation_potrad": f"""
+            WITH daily AS ({_MET_DAILY_SQL}),
+            grid AS (
+              SELECT d.user_id, d.date, d."glob" AS glob_d,
+                     CAST(d.date AS TIMESTAMP) + to_hours(h.h) AS ts,
+                     CAST(h.h AS DOUBLE) AS hh
+              FROM daily d CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h) h
+            ),
+            pr AS (
+              SELECT user_id, date, ts, glob_d,
+                     greatest(sin(radians(23.43697) * cos(2.0*pi()*(CAST(dayofyear(ts) AS DOUBLE) - 173.0)/365.25))*sin(radians({LAT}))
+                              + cos(radians(23.43697) * cos(2.0*pi()*(CAST(dayofyear(ts) AS DOUBLE) - 173.0)/365.25))*cos(radians({LAT}))
+                                * cos(pi() * (((hh + ({LON} - {TZ}*15.0)*24.0/360.0) / 12.0) - 1.0)), 0.0) AS cz,
+                     2.0*pi()*(CAST(dayofyear(ts) AS DOUBLE)/365.25) AS beta
+              FROM grid
+            ),
+            p2 AS (
+              SELECT user_id, date, ts, glob_d,
+                     1367.0 * (1.00011 + 0.034221*cos(beta) + 0.00128*sin(beta)
+                               + 0.000719*cos(2.0*beta) + 0.000077*sin(2.0*beta))
+                     * (0.6 + 0.2*cz) * cz AS pot
+              FROM pr
+            ),
+            p3 AS (
+              SELECT *, avg(pot) OVER (PARTITION BY user_id, date) AS potd
+              FROM p2
+            )
+            SELECT user_id, ts,
+                   round(CASE WHEN (pot / potd * glob_d) < 0.01 THEN 0.0
+                         ELSE pot / potd * glob_d END, 6) AS glob_h
+            FROM p3
+        """,
         "dedup_prefix": """
             SELECT md5(array_to_string((string_split(text, ' '))[1:2], ' ')) AS digest,
                    count(*) AS n_docs, min(doc_id) AS keep_id
@@ -1568,3 +1604,24 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+def q_radiation_potrad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pot_rad radiation disaggregation (`radiation.py:32-101`):
+    clear-sky curve scaled so daily means match observed glob, with the
+    <0.01 floor. Chains sun geometry, the hourly explode, a per-day
+    window mean and the scaling — one oracle for the whole operator."""
+    from melodist_spark.operators.radiation import disaggregate_radiation
+
+    daily = _met_daily(spark, sf_dir)
+    st = (
+        daily.select("user_id").distinct()
+        .select(
+            "user_id",
+            F.lit(LON).alias("lon"),
+            F.lit(LAT).alias("lat"),
+            F.lit(TZ).alias("timezone"),
+        )
+    )
+    out = disaggregate_radiation(daily, st, method="pot_rad", keys=["user_id"])
+    return out.select("user_id", "ts", F.round("glob", 6).alias("glob_h"))

@@ -1,0 +1,83 @@
+"""Physical-plan audit: assert the plans we promised in README.
+
+For key queries, checks that parquet scans prune columns, filters push
+down, dimension joins broadcast, and no query regresses to a
+cartesian/shuffle join where a broadcast is expected. Prints a
+PASS/FAIL line each — run after plan-affecting changes.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import __spark_entry__ as entry
+    from melodist_spark.session import get_spark
+
+    spark = get_spark("explain_audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+
+    checks = [
+        # (query, must-contain regexes, must-NOT-contain regexes)
+        (
+            "temp_sine_disagg",
+            [r"ReadSchema: struct<ts:bigint,user_id:bigint,value:double>"],
+            [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        ),
+        (
+            "revenue_by_nation",
+            [r"BroadcastHashJoin", r"PushedFilters: \[IsNotNull\(o_custkey\)\]"],
+            [r"SortMergeJoin"],
+        ),
+        (
+            "pricing_summary",
+            [r"PushedFilters: \[IsNotNull\(l_shipdate\), LessThanOrEqual\(l_shipdate"],
+            [],
+        ),
+        (
+            "embedding_topk",
+            [r"BroadcastNestedLoopJoin|BroadcastHashJoin"],
+            [r"CartesianProduct"],
+        ),
+        (
+            "mean_course_temp",
+            [r"BroadcastHashJoin"],
+            [r"CartesianProduct"],
+        ),
+    ]
+
+    failed = []
+    for name, must, must_not in checks:
+        plan = plan_of(qs[name](spark, sf_dir))
+        problems = []
+        for pat in must:
+            if not re.search(pat, plan):
+                problems.append(f"missing /{pat}/")
+        for pat in must_not:
+            if re.search(pat, plan):
+                problems.append(f"unexpected /{pat}/")
+        if problems:
+            failed.append(name)
+            print(f"[FAIL] {name}: " + "; ".join(problems))
+        else:
+            print(f"[ OK ] {name}")
+
+    print("plan audit:", "FAILED" if failed else "all green")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
