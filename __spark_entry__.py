@@ -475,6 +475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_daily_agg": q_streaming_daily_agg,
         "dedup_prefix": q_dedup_prefix,
         "radiation_potrad": q_radiation_potrad,
+        "humidity_dewpoint": q_humidity_dewpoint,
+        "humidity_mhpm": q_humidity_mhpm,
     }
 
 
@@ -851,6 +853,64 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = i.id_b
         """,
         "embedding_bucket": bucket_sql,
+        "humidity_dewpoint": (f"""
+            {_TEMP_SINE_CORE_SQL},
+            met AS ({_MET_HOURLY_SQL}),
+            tdew_h AS (
+              SELECT user_id, ts, temp,
+                     ln(((CASE WHEN temp >= 273.15 THEN 6.112 * exp(17.62*(temp-273.15)/(243.12+temp-273.15)) ELSE 6.112 * exp(22.46*(temp-273.15)/(272.62+temp-273.15)) END) * hum / 100.0) / 6.112) AS lr
+              FROM met
+            ),
+            tdew_v AS (
+              SELECT user_id, CAST(ts AS DATE) AS date,
+                     avg(CASE WHEN temp >= 273.15
+                         THEN 243.12 * lr / (17.62 - lr)
+                         ELSE 272.62 * lr / (22.46 - lr) END + 273.15) AS tdew_d,
+                     min(temp) AS tmin_d
+              FROM tdew_h GROUP BY 1, 2
+            ),
+            reg AS (
+              SELECT user_id,
+                     covar_samp(tmin_d, tdew_d) / var_samp(tmin_d) AS a1,
+                     avg(tdew_d) - covar_samp(tmin_d, tdew_d) / var_samp(tmin_d) * avg(tmin_d) AS a0
+              FROM tdew_v GROUP BY 1
+            ),
+            scaffold AS (
+              SELECT t.user_id, t.ts, t.temp_raw,
+                     r.a0 + r.a1 * d.tmin AS tdew
+              FROM temp_core t
+              JOIN daily_t d ON t.user_id = d.user_id AND t.date = d.date
+              JOIN reg r ON r.user_id = t.user_id
+            )
+            SELECT user_id, ts,
+                   round(least(greatest(
+                       100.0 * (CASE WHEN tdew >= 273.15 THEN 6.112 * exp(17.62*(tdew-273.15)/(243.12+tdew-273.15)) ELSE 6.112 * exp(22.46*(tdew-273.15)/(272.62+tdew-273.15)) END) / (CASE WHEN temp_raw >= 273.15 THEN 6.112 * exp(17.62*(temp_raw-273.15)/(243.12+temp_raw-273.15)) ELSE 6.112 * exp(22.46*(temp_raw-273.15)/(272.62+temp_raw-273.15)) END), 0.0), 100.0), 6) AS hum_h
+            FROM scaffold
+
+        """),
+        "humidity_mhpm": f"""
+            WITH met AS ({_MET_HOURLY_SQL}),
+            w AS (
+              SELECT *, sum(precip) OVER (PARTITION BY user_id, CAST(ts AS DATE)) > 0 AS wet
+              FROM met
+            ),
+            mhpm AS (
+              SELECT user_id, month(ts) AS m, hour(ts) AS h2, wet,
+                     avg(hum) AS hum_mean
+              FROM w GROUP BY 1, 2, 3, 4
+            ),
+            daily AS ({_MET_DAILY_SQL}),
+            grid AS (
+              SELECT d.user_id, d.date, d.precip > 0 AS wet,
+                     CAST(d.date AS TIMESTAMP) + to_hours(h.h) AS ts, h.h
+              FROM daily d CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h) h
+            )
+            SELECT g.user_id, g.ts,
+                   round(least(greatest(p.hum_mean, 0.0), 100.0), 6) AS hum_h
+            FROM grid g LEFT JOIN mhpm p
+              ON p.user_id = g.user_id AND p.m = month(g.ts)
+             AND p.h2 = g.h AND p.wet = g.wet
+        """,
         "radiation_potrad": f"""
             WITH daily AS ({_MET_DAILY_SQL}),
             grid AS (
@@ -940,7 +1000,8 @@ def oracle_sql() -> dict[str, str]:
             WITH met AS ({_MET_HOURLY_SQL}),
             daily AS ({_MET_DAILY_SQL}),
             course AS (
-              SELECT user_id, month(ts) AS m, hour(ts) AS h2, avg(temp) AS v
+              SELECT user_id, month(ts) AS m, hour(ts) AS h2,
+                     CAST(sum(CAST(temp AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS v
               FROM met GROUP BY 1, 2, 3
             ),
             norm AS (
@@ -1489,12 +1550,38 @@ def q_humidity_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_mean_course_temp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mean_course_min_max temperature: normalized diurnal course
-    rescaled into each day's range (`temperature.py:241-249`)."""
-    from melodist_spark.operators.aggregations import mean_daily_course_by_month
+    rescaled into each day's range (`temperature.py:241-249`).
+
+    The course means use exact decimal summation (sum(decimal)/count)
+    so both engines feed identical doubles into the rescale. Known
+    residual: Spark's exact-BigDecimal round() and DuckDB's fp round()
+    can still disagree when a value sits exactly on a 0.5e-6 decimal
+    boundary (~5 rows per million on this decimally-structured data;
+    none at the sf0.01 gate)."""
+    from pyspark.sql import Window
+
     from melodist_spark.operators.temperature import disaggregate_temperature
 
     m = _met_hourly(spark, sf_dir)
-    mc = mean_daily_course_by_month(m, "temp", keys=["user_id"], normalize=True)
+    mc = (
+        m.withColumn("__td", F.col("temp").cast("decimal(20,10)"))
+        .groupBy(
+            "user_id",
+            F.month("ts").alias("month"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(
+            (F.sum("__td").cast("double") / F.count("*")).alias("value")
+        )
+    )
+    w = Window.partitionBy("user_id", "month")
+    mc = mc.withColumn(
+        "value",
+        F.try_divide(
+            F.col("value") - F.min("value").over(w),
+            F.max("value").over(w) - F.min("value").over(w),
+        ),
+    )
     daily = _met_daily(spark, sf_dir)
     out = disaggregate_temperature(
         daily, method="mean_course_min_max", mean_course=mc, keys=["user_id"]
@@ -1625,3 +1712,50 @@ def q_radiation_potrad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = disaggregate_radiation(daily, st, method="pot_rad", keys=["user_id"])
     return out.select("user_id", "ts", F.round("glob", 6).alias("glob_h"))
+
+
+def q_humidity_dewpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dewpoint-regression humidity end-to-end (`humidity.py:63-120` +
+    `humidity.py:123-130`): per-user OLS calibration of tdew~tmin,
+    daily tdew distributed to hours, saturation-pressure ratio against
+    the sine-disaggregated temperature, [0,100] clip. The deepest
+    SQL-expressible operator chain."""
+    from melodist_spark.operators.humidity import (
+        dewpoint_regression,
+        disaggregate_humidity,
+    )
+    from melodist_spark.operators.temperature import disaggregate_temperature
+
+    m = _met_hourly(spark, sf_dir)
+    daily = _met_daily(spark, sf_dir)
+    params = dewpoint_regression(m, keys=["user_id"]).withColumn("kr", F.lit(12))
+    temp_h = disaggregate_temperature(
+        daily, method="sine_min_max", min_max_time="fix", keys=["user_id"]
+    )
+    out = disaggregate_humidity(
+        daily,
+        method="dewpoint_regression",
+        hourly_temp=temp_h,
+        hum_params=params,
+        keys=["user_id"],
+    )
+    return out.select("user_id", "ts", F.round("hum", 6).alias("hum_h"))
+
+
+def q_humidity_mhpm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """month_hour_precip_mean humidity (`humidity.py:102-110`):
+    categorical means calibrated from the hourly series, looked up by
+    (month, hour, daily-wet)."""
+    from melodist_spark.operators.aggregations import month_hour_precip_mean
+    from melodist_spark.operators.humidity import disaggregate_humidity
+
+    m = _met_hourly(spark, sf_dir)
+    daily = _met_daily(spark, sf_dir)
+    mhpm = month_hour_precip_mean(m, keys=["user_id"])
+    out = disaggregate_humidity(
+        daily,
+        method="month_hour_precip_mean",
+        month_hour_precip_mean=mhpm,
+        keys=["user_id"],
+    )
+    return out.select("user_id", "ts", F.round("hum", 6).alias("hum_h"))
