@@ -477,6 +477,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radiation_potrad": q_radiation_potrad,
         "humidity_dewpoint": q_humidity_dewpoint,
         "humidity_mhpm": q_humidity_mhpm,
+        "temp_sine_sunloc": q_temp_sine_sunloc,
+        "humidity_lindew": q_humidity_lindew,
     }
 
 
@@ -910,6 +912,118 @@ def oracle_sql() -> dict[str, str]:
             FROM grid g LEFT JOIN mhpm p
               ON p.user_id = g.user_id AND p.m = month(g.ts)
              AND p.h2 = g.h AND p.wet = g.wet
+        """,
+        "temp_sine_sunloc": f"""
+            WITH daily_t AS ({_MET_DAILY_SQL}),
+            dts AS (SELECT DISTINCT date FROM daily_t),
+            geo AS (
+              SELECT date,
+                     radians((360.0/365.25) * (CAST(dayofyear(date) AS DOUBLE) - 79.346)) AS b,
+                     2 * pi() * (CAST(dayofyear(date) AS DOUBLE) - 1) / 365.0 AS s
+              FROM dts
+            ),
+            ang AS (
+              SELECT date,
+                     radians(0.3723 + 23.2567*sin(b) - 0.7580*cos(b)
+                             + 0.1149*sin(2*b) + 0.3656*cos(2*b)
+                             - 0.1712*sin(3*b) + 0.0201*cos(3*b)) AS decl,
+                     (12.0/pi()) * (0.000075 + 0.001868*cos(s) - 0.032077*sin(s)
+                             - 0.014615*cos(2*s) - 0.040849*sin(2*s)) AS eq_time
+              FROM geo
+            ),
+            sun0 AS (
+              SELECT date,
+                     12.0 - ({LON} - {TZ}*15.0)*24.0/360.0 - eq_time AS sunnoon,
+                     -tan(radians({LAT})) * tan(decl) AS oarg,
+                     eq_time, decl
+              FROM ang
+            ),
+            sun AS (
+              SELECT date,
+                     CASE WHEN oarg < -1 THEN sunnoon - 12
+                          WHEN oarg > 1 THEN sunnoon
+                          ELSE 12.0*(1.0 - acos(oarg)/pi())
+                               - ({LON} - {TZ}*15.0)*24.0/360.0 - eq_time END AS sunrise0,
+                     sunnoon
+              FROM sun0
+            ),
+            locs AS (
+              SELECT date,
+                     CAST(round(CASE WHEN sunrise0 < 0 THEN sunrise0 + 24
+                                     ELSE sunrise0 END) AS INT) AS min_loc,
+                     CAST(round(sunnoon) AS INT) + 2 AS max_loc
+              FROM sun
+            ),
+            loc_t AS (
+              SELECT d.user_id, d.date, d.tmin, d.tmax, s.min_loc, s.max_loc,
+                     CASE WHEN lead(d.date) OVER w IS NULL THEN d.tmin
+                          WHEN date_diff('day', d.date, lead(d.date) OVER w) = 1 THEN lead(d.tmin) OVER w
+                          END AS min_val_next,
+                     CASE WHEN lag(d.date) OVER w IS NULL THEN d.tmax
+                          WHEN date_diff('day', lag(d.date) OVER w, d.date) = 1 THEN lag(d.tmax) OVER w
+                          END AS max_val_before
+              FROM daily_t d JOIN locs s ON d.date = s.date
+              WINDOW w AS (PARTITION BY d.user_id ORDER BY d.date)
+            ),
+            hourly_t AS (
+              SELECT l.*, h.h,
+                     CAST(l.date AS TIMESTAMP) + to_hours(h.h) AS ts
+              FROM loc_t l CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h) h
+            ),
+            vals AS (
+              SELECT user_id, ts, h, max_loc,
+                     CASE WHEN h < max_loc THEN tmin ELSE min_val_next END AS minv,
+                     CASE WHEN h < min_loc THEN max_val_before ELSE tmax END AS maxv
+              FROM hourly_t
+            )
+            SELECT user_id, ts,
+                   round((minv + (maxv - minv)/2.0)
+                         + (maxv - minv)/2.0 * cos(2*pi()/24.0 * (h - max_loc)), 6) AS temp_h
+            FROM vals
+        """,
+        "humidity_lindew": f"""
+            {_TEMP_SINE_CORE_SQL},
+            met AS ({_MET_HOURLY_SQL}),
+            tdew_hr AS (
+              SELECT user_id, ts, temp,
+                     ln(((CASE WHEN temp >= 273.15 THEN 6.112 * exp(17.62*(temp-273.15)/(243.12+temp-273.15)) ELSE 6.112 * exp(22.46*(temp-273.15)/(272.62+temp-273.15)) END) * hum / 100.0) / 6.112) AS lr
+              FROM met
+            ),
+            tdew_v AS (
+              SELECT user_id, CAST(ts AS DATE) AS date,
+                     avg(CASE WHEN temp >= 273.15
+                         THEN 243.12 * lr / (17.62 - lr)
+                         ELSE 272.62 * lr / (22.46 - lr) END + 273.15) AS tdew_d,
+                     min(temp) AS tmin_d
+              FROM tdew_hr GROUP BY 1, 2
+            ),
+            reg AS (
+              SELECT user_id,
+                     covar_samp(tmin_d, tdew_d) / var_samp(tmin_d) AS a1,
+                     avg(tdew_d) - covar_samp(tmin_d, tdew_d) / var_samp(tmin_d) * avg(tmin_d) AS a0
+              FROM tdew_v GROUP BY 1
+            ),
+            dly AS (
+              SELECT d.user_id, d.date, r.a0 + r.a1 * d.tmin AS tdew_d
+              FROM daily_t d JOIN reg r ON r.user_id = d.user_id
+            ),
+            nxt AS (
+              SELECT user_id, date, tdew_d,
+                     coalesce(lead(tdew_d) OVER (PARTITION BY user_id ORDER BY date),
+                              tdew_d) AS tdew_next
+              FROM dly
+            ),
+            scaffold AS (
+              SELECT t.user_id, t.ts, t.temp_raw,
+                     n.tdew_d + t.h/24.0 * (n.tdew_next - n.tdew_d)
+                       + 0.5*sin((t.h + 1)*pi()/12.0 - 3.0*pi()/4.0) AS tdew
+              FROM temp_core t
+              JOIN nxt n ON t.user_id = n.user_id AND t.date = n.date
+            )
+            SELECT user_id, ts,
+                   round(least(greatest(
+                       100.0 * (CASE WHEN tdew >= 273.15 THEN 6.112 * exp(17.62*(tdew-273.15)/(243.12+tdew-273.15)) ELSE 6.112 * exp(22.46*(tdew-273.15)/(272.62+tdew-273.15)) END) / (CASE WHEN temp_raw >= 273.15 THEN 6.112 * exp(17.62*(temp_raw-273.15)/(243.12+temp_raw-273.15)) ELSE 6.112 * exp(22.46*(temp_raw-273.15)/(272.62+temp_raw-273.15)) END), 0.0), 100.0), 6) AS hum_h
+            FROM scaffold
         """,
         "radiation_potrad": f"""
             WITH daily AS ({_MET_DAILY_SQL}),
@@ -1756,6 +1870,61 @@ def q_humidity_mhpm(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily,
         method="month_hour_precip_mean",
         month_hour_precip_mean=mhpm,
+        keys=["user_id"],
+    )
+    return out.select("user_id", "ts", F.round("hum", 6).alias("hum_h"))
+
+
+def q_temp_sine_sunloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sine_min_max temperature with sun-geometry timing
+    (`temperature.py:92-99` + `util/util.py:160-246`): the daily min
+    lands at rounded sunrise and the max two hours after solar noon,
+    both derived from declination/equation-of-time per day."""
+    from melodist_spark.operators.temperature import disaggregate_temperature
+
+    daily = _met_daily(spark, sf_dir)
+    stations = (
+        daily.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.lit(LON).alias("lon"),
+            F.lit(LAT).alias("lat"),
+            F.lit(TZ).alias("timezone"),
+        )
+    )
+    out = disaggregate_temperature(
+        daily,
+        method="sine_min_max",
+        min_max_time="sun_loc",
+        stations=stations,
+        keys=["user_id"],
+    )
+    return out.select("user_id", "ts", F.round("temp", 6).alias("temp_h"))
+
+
+def q_humidity_lindew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """linear_dewpoint_variation humidity (`humidity.py:73-86`, Debele
+    et al. 2007 eq. 20/21): daily dewpoint from the tmin regression,
+    linearly blended toward the next day's value across the 24 hours
+    plus a kr-period sine perturbation."""
+    from melodist_spark.operators.humidity import (
+        dewpoint_regression,
+        disaggregate_humidity,
+    )
+    from melodist_spark.operators.temperature import disaggregate_temperature
+
+    m = _met_hourly(spark, sf_dir)
+    daily = _met_daily(spark, sf_dir)
+    params = dewpoint_regression(m, keys=["user_id"]).withColumn("kr", F.lit(12))
+    temp_h = disaggregate_temperature(
+        daily, method="sine_min_max", min_max_time="fix", keys=["user_id"]
+    )
+    out = disaggregate_humidity(
+        daily,
+        method="linear_dewpoint_variation",
+        hourly_temp=temp_h,
+        hum_params=params,
         keys=["user_id"],
     )
     return out.select("user_id", "ts", F.round("hum", 6).alias("hum_h"))
