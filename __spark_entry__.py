@@ -479,6 +479,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "humidity_mhpm": q_humidity_mhpm,
         "temp_sine_sunloc": q_temp_sine_sunloc,
         "humidity_lindew": q_humidity_lindew,
+        "temp_sine_mean": q_temp_sine_mean,
+        "temp_sine_night": q_temp_sine_night,
+        "humidity_minimal": q_humidity_minimal,
+        "precip_masterstation": q_precip_masterstation,
+        "temp_course_mean": q_temp_course_mean,
     }
 
 
@@ -1025,6 +1030,96 @@ def oracle_sql() -> dict[str, str]:
                        100.0 * (CASE WHEN tdew >= 273.15 THEN 6.112 * exp(17.62*(tdew-273.15)/(243.12+tdew-273.15)) ELSE 6.112 * exp(22.46*(tdew-273.15)/(272.62+tdew-273.15)) END) / (CASE WHEN temp_raw >= 273.15 THEN 6.112 * exp(17.62*(temp_raw-273.15)/(243.12+temp_raw-273.15)) ELSE 6.112 * exp(22.46*(temp_raw-273.15)/(272.62+temp_raw-273.15)) END), 0.0), 100.0), 6) AS hum_h
             FROM scaffold
         """,
+        "temp_sine_mean": f"""
+            WITH daily AS ({_MET_DAILY_SQL})
+            SELECT user_id,
+                   CAST(date AS TIMESTAMP) + to_hours(h.h) AS ts,
+                   round(temp + (tmax - tmin)/2.0 * cos(2*pi()/24.0 * (h.h - 14)), 6) AS temp_h
+            FROM daily CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h) h
+        """,
+        "temp_sine_night": f"""
+            WITH daily_t AS ({_MET_DAILY_SQL}),
+            loc_t AS (
+              SELECT user_id, date, tmin, tmax,
+                     CASE WHEN lead(date) OVER w IS NULL THEN tmin
+                          WHEN date_diff('day', date, lead(date) OVER w) = 1 THEN lead(tmin) OVER w
+                          END AS min_val_next,
+                     CASE WHEN lag(date) OVER w IS NULL THEN tmax
+                          WHEN date_diff('day', lag(date) OVER w, date) = 1 THEN lag(tmax) OVER w
+                          END AS max_val_before
+              FROM daily_t
+              WINDOW w AS (PARTITION BY user_id ORDER BY date)
+            ),
+            hourly_t AS (
+              SELECT l.*, h.h,
+                     CAST(l.date AS TIMESTAMP) + to_hours(h.h) AS ts
+              FROM loc_t l CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h) h
+            ),
+            vals AS (
+              SELECT user_id, ts, h,
+                     CASE WHEN h < 14 THEN tmin ELSE min_val_next END AS minv,
+                     CASE WHEN h < 7 THEN max_val_before ELSE tmax END AS maxv
+              FROM hourly_t
+            ),
+            pieces AS (
+              SELECT user_id, ts, h,
+                     minv + (maxv - minv)/2.0 AS vt,
+                     (maxv - minv)/2.0 AS hd
+              FROM vals
+            )
+            SELECT user_id, ts,
+                   round(CASE
+                     WHEN h <= 7 THEN vt + hd * cos(pi()/17.0 * (10 + h))
+                     WHEN h < 14 THEN vt + hd * cos(1.25*pi() + 0.75*pi()/7.0 * (h - 7))
+                     ELSE vt + hd * cos(pi()/17.0 * (h - 14))
+                   END, 6) AS temp_h
+            FROM pieces
+        """,
+        "humidity_minimal": f"""
+            {_TEMP_SINE_CORE_SQL}
+            SELECT t.user_id, t.ts,
+                   round(least(greatest(
+                       100.0 * (CASE WHEN d.tmin >= 273.15 THEN 6.112 * exp(17.62*(d.tmin-273.15)/(243.12+d.tmin-273.15)) ELSE 6.112 * exp(22.46*(d.tmin-273.15)/(272.62+d.tmin-273.15)) END) / (CASE WHEN t.temp_raw >= 273.15 THEN 6.112 * exp(17.62*(t.temp_raw-273.15)/(243.12+t.temp_raw-273.15)) ELSE 6.112 * exp(22.46*(t.temp_raw-273.15)/(272.62+t.temp_raw-273.15)) END), 0.0), 100.0), 6) AS hum_h
+            FROM temp_core t
+            JOIN daily_t d ON t.user_id = d.user_id AND t.date = d.date
+        """,
+        "precip_masterstation": f"""
+            WITH daily AS ({_MET_DAILY_SQL}),
+            m AS (
+              SELECT user_id, ts, value AS mp, CAST(ts AS DATE) AS date,
+                     sum(value) OVER (PARTITION BY user_id, CAST(ts AS DATE)) AS msum
+              FROM events
+            )
+            SELECT m.user_id, m.ts,
+                   round(CASE WHEN m.msum IS NULL OR m.msum = 0 OR isnan(m.msum)
+                              THEN d.precip / 24.0
+                              ELSE m.mp / m.msum * d.precip END, 6) AS precip_h
+            FROM m JOIN daily d ON m.user_id = d.user_id AND m.date = d.date
+        """,
+        "temp_course_mean": f"""
+            WITH met AS ({_MET_HOURLY_SQL}),
+            daily AS ({_MET_DAILY_SQL}),
+            course AS (
+              SELECT user_id, month(ts) AS m, hour(ts) AS h2,
+                     floor((CAST(sum(CAST(temp AS DECIMAL(20,10))) AS DOUBLE) / count(*))
+                           * 1048576.0) / 1048576.0 AS v
+              FROM met GROUP BY 1, 2, 3
+            ),
+            centered AS (
+              SELECT user_id, m, h2,
+                     v - avg(v) OVER (PARTITION BY user_id, m) AS mc0
+              FROM course
+            ),
+            grid AS (
+              SELECT d.user_id, d.date, d.temp, d.tmin, d.tmax,
+                     CAST(d.date AS TIMESTAMP) + to_hours(h.h) AS ts, h.h
+              FROM daily d CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h) h
+            )
+            SELECT g.user_id, g.ts,
+                   round(g.temp + (g.tmax - g.tmin) * c.mc0, 6) AS temp_mc
+            FROM grid g LEFT JOIN centered c
+              ON c.user_id = g.user_id AND c.m = month(g.ts) AND c.h2 = g.h
+        """,
         "radiation_potrad": f"""
             WITH daily AS ({_MET_DAILY_SQL}),
             grid AS (
@@ -1540,15 +1635,15 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH bucket signatures (ANN scale path)."""
-    from melodist_spark.pipeline.similarity import lsh_bucket_signature
+    """Random-hyperplane LSH bucket signatures (ANN scale path);
+    Arrow-batched matmul UDF rather than a 12×64-literal expression
+    tree (codegen cost dominated the data work)."""
+    from melodist_spark.pipeline.similarity import lsh_bucket_udf
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return emb.select(
         "vec_id",
-        lsh_bucket_signature(F.col("embedding"), 64, num_planes=12)
-        .cast("long")
-        .alias("bucket"),
+        lsh_bucket_udf(64, num_planes=12)(F.col("embedding")).alias("bucket"),
     )
 
 
@@ -1928,3 +2023,98 @@ def q_humidity_lindew(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["user_id"],
     )
     return out.select("user_id", "ts", F.round("hum", 6).alias("hum_h"))
+
+
+def q_temp_sine_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sine_mean temperature (`temperature.py:172-176`): daily mean
+    plus half the diurnal range on a 24 h cosine peaking at 14:00."""
+    from melodist_spark.operators.temperature import disaggregate_temperature
+
+    daily = _met_daily(spark, sf_dir)
+    out = disaggregate_temperature(
+        daily, method="sine_mean", min_max_time="fix", keys=["user_id"]
+    )
+    return out.select("user_id", "ts", F.round("temp", 6).alias("temp_h"))
+
+
+def q_temp_sine_night(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sine_min_max with mod_nighttime (`temperature.py:145-167`):
+    three cosine pieces — night cooling before the 7:00 minimum,
+    a 3/4-period rise to the 14:00 maximum, night cooling after."""
+    from melodist_spark.operators.temperature import disaggregate_temperature
+
+    daily = _met_daily(spark, sf_dir)
+    out = disaggregate_temperature(
+        daily,
+        method="sine_min_max",
+        min_max_time="fix",
+        mod_nighttime=True,
+        keys=["user_id"],
+    )
+    return out.select("user_id", "ts", F.round("temp", 6).alias("temp_h"))
+
+
+def q_humidity_minimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minimal humidity (`humidity.py:63-66`): dewpoint assumed equal
+    to daily tmin (a0=0, a1=1), relative humidity from the saturation
+    vapor-pressure ratio against the hourly temperature sine."""
+    from melodist_spark.operators.humidity import disaggregate_humidity
+    from melodist_spark.operators.temperature import disaggregate_temperature
+
+    daily = _met_daily(spark, sf_dir)
+    temp_h = disaggregate_temperature(
+        daily, method="sine_min_max", min_max_time="fix", keys=["user_id"]
+    )
+    out = disaggregate_humidity(
+        daily, method="minimal", hourly_temp=temp_h, keys=["user_id"]
+    )
+    return out.select("user_id", "ts", F.round("hum", 6).alias("hum_h"))
+
+
+def q_precip_masterstation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Master-station precipitation transfer (`precipitation.py:375-413`):
+    the master's sub-daily pattern (events.value here) normalized per
+    day and rescaled to the target's daily totals; uniform 1/24
+    fallback on zero-sum days — the reference's day loop becomes one
+    window sum plus a date join."""
+    from melodist_spark.operators.precipitation import precip_master_station
+
+    e = _events(spark, sf_dir)
+    master = e.select("user_id", "ts", F.col("value").alias("precip"))
+    daily = _met_daily(spark, sf_dir).select("user_id", "date", "precip")
+    out = precip_master_station(daily, master, keys=["user_id"])
+    return out.select("user_id", "ts", F.round("precip", 6).alias("precip_h"))
+
+
+def q_temp_course_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mean_course_mean temperature (`temperature.py:251-262`): the
+    month-hour mean course centered per month, scaled by the day's
+    range, added to the daily mean.
+
+    Course means are quantized to the dyadic 2^-20 grid so the
+    operator's internal window average (a 24-term double sum whose
+    rounding is summation-order-dependent) becomes exact and
+    engine-portable — power-of-two scaling and floor are lossless in
+    IEEE double on both engines."""
+    from melodist_spark.operators.temperature import disaggregate_temperature
+
+    q = 1048576.0  # 2^20
+    m = _met_hourly(spark, sf_dir)
+    mc = (
+        m.withColumn("__td", F.col("temp").cast("decimal(20,10)"))
+        .groupBy(
+            "user_id",
+            F.month("ts").alias("month"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(
+            (
+                F.floor((F.sum("__td").cast("double") / F.count("*")) * q) / q
+            ).alias("value")
+        )
+    )
+    daily = _met_daily(spark, sf_dir)
+    out = disaggregate_temperature(
+        daily, method="mean_course_mean", mean_course=mc, keys=["user_id"]
+    )
+    return out.select("user_id", "ts", F.round("temp", 6).alias("temp_mc"))

@@ -12,8 +12,11 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -85,7 +88,13 @@ def lsh_bucket_signature(
 ) -> Column:
     """Random-hyperplane LSH: the sign pattern of ``num_planes``
     projections as an integer bucket id. Cosine-similar vectors
-    collide with high probability."""
+    collide with high probability.
+
+    Column-expression form — exact but builds a ``num_planes × dim``
+    literal expression tree whose codegen cost dwarfs the data work.
+    Prefer :func:`lsh_bucket_udf` (one Arrow-batched matmul) in real
+    plans; this stays as the expression-only reference.
+    """
     sig = F.lit(0)
     for p in range(num_planes):
         plane = _hyperplane(dim, p)
@@ -102,6 +111,29 @@ def lsh_bucket_signature(
     return sig
 
 
+def lsh_bucket_udf(dim: int, num_planes: int = 16):
+    """Vectorized LSH signature: for each Arrow batch, one
+    ``(batch × dim) @ (dim × planes)`` float64 matmul, then pack the
+    sign bits into a long. Same planes and same per-element
+    ``double(x) * plane[j]`` math as :func:`lsh_bucket_signature`, so
+    the bucket ids agree; the per-row cost is a BLAS row instead of an
+    interpreted fold, which is what survives a 100 TB corpus."""
+    planes = np.array(
+        [_hyperplane(dim, p) for p in range(num_planes)], dtype=np.float64
+    ).T  # (dim, planes)
+    powers = (np.int64(1) << np.arange(num_planes, dtype=np.int64))
+
+    @pandas_udf("long")
+    def _bucket(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        x = np.vstack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        proj = x @ planes  # (n, planes)
+        return pd.Series(((proj > 0) * powers).sum(axis=1))
+
+    return _bucket
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -115,8 +147,9 @@ def lsh_topk(
     exact cosine re-rank within buckets. At 100 TB the bucket join
     replaces the full cross product; recall is tuned via num_planes
     (fewer planes → bigger buckets → higher recall, more work)."""
-    c = corpus.withColumn("__bucket", lsh_bucket_signature(F.col(vec_col), dim, num_planes))
-    q = queries.withColumn("__bucket", lsh_bucket_signature(F.col(vec_col), dim, num_planes))
+    bucket = lsh_bucket_udf(dim, num_planes)
+    c = corpus.withColumn("__bucket", bucket(F.col(vec_col)))
+    q = queries.withColumn("__bucket", bucket(F.col(vec_col)))
     qs = q.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "__bucket"
     )
