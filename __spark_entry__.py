@@ -484,6 +484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "humidity_minimal": q_humidity_minimal,
         "precip_masterstation": q_precip_masterstation,
         "temp_course_mean": q_temp_course_mean,
+        "angstroem_fit": q_angstroem_fit,
+        "wind_cosine_fit": q_wind_cosine_fit,
     }
 
 
@@ -1119,6 +1121,99 @@ def oracle_sql() -> dict[str, str]:
                    round(g.temp + (g.tmax - g.tmin) * c.mc0, 6) AS temp_mc
             FROM grid g LEFT JOIN centered c
               ON c.user_id = g.user_id AND c.m = month(g.ts) AND c.h2 = g.h
+        """,
+        "angstroem_fit": f"""
+            WITH daily AS ({_MET_DAILY_SQL}),
+            sg AS (
+              SELECT user_id, date, "glob", hum,
+                     radians((360.0/365.25) * (CAST(dayofyear(date) AS DOUBLE) - 79.346)) AS b0,
+                     2 * pi() * (CAST(dayofyear(date) AS DOUBLE) - 1) / 365.0 AS s0
+              FROM daily
+            ),
+            sa AS (
+              SELECT user_id, date, "glob", hum,
+                     radians(0.3723 + 23.2567*sin(b0) - 0.7580*cos(b0)
+                             + 0.1149*sin(2*b0) + 0.3656*cos(2*b0)
+                             - 0.1712*sin(3*b0) + 0.0201*cos(3*b0)) AS decl,
+                     (12.0/pi()) * (0.000075 + 0.001868*cos(s0) - 0.032077*sin(s0)
+                             - 0.014615*cos(2*s0) - 0.040849*sin(2*s0)) AS eq_time
+              FROM sg
+            ),
+            sb AS (
+              SELECT user_id, date, "glob", hum,
+                     12.0 - ({LON} - {TZ}*15.0)*24.0/360.0 - eq_time AS sunnoon,
+                     -tan(radians({LAT})) * tan(decl) AS oarg,
+                     eq_time
+              FROM sa
+            ),
+            dl AS (
+              SELECT user_id, date, "glob", hum,
+                     (CASE WHEN oarg < -1 THEN sunnoon + 12
+                           WHEN oarg > 1 THEN sunnoon
+                           ELSE 12.0*(1.0 + acos(oarg)/pi())
+                                - ({LON} - {TZ}*15.0)*24.0/360.0 - eq_time END)
+                     - (CASE WHEN oarg < -1 THEN sunnoon - 12
+                             WHEN oarg > 1 THEN sunnoon
+                             ELSE 12.0*(1.0 - acos(oarg)/pi())
+                                  - ({LON} - {TZ}*15.0)*24.0/360.0 - eq_time END)
+                     AS daylength
+              FROM sb
+            ),
+            reg AS (
+              SELECT user_id,
+                     100.0 + 2.0*"glob" AS x1,
+                     ((hum - floor(hum/10.0)*10.0) / daylength) * (100.0 + 2.0*"glob") AS x2,
+                     "glob" AS y
+              FROM dl WHERE daylength > 0
+            ),
+            s AS (
+              SELECT user_id,
+                     sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22,
+                     sum(x1*y) AS s1y, sum(x2*y) AS s2y
+              FROM reg GROUP BY 1
+            )
+            SELECT user_id,
+                   round((s1y*s22 - s2y*s12) / (s11*s22 - s12*s12), 6) AS a_fit,
+                   round((s2y*s11 - s1y*s12) / (s11*s22 - s12*s12), 6) AS b_fit
+            FROM s
+        """,
+        "wind_cosine_fit": f"""
+            WITH met AS ({_MET_HOURLY_SQL}),
+            w AS (
+              SELECT user_id, ts, hum/10.0 AS wind,
+                     avg(hum/10.0) OVER (PARTITION BY user_id, CAST(ts AS DATE)) AS m
+              FROM met
+            ),
+            r AS (
+              SELECT user_id,
+                     m * cos(pi() * hour(ts) / 12.0) AS x1,
+                     m * sin(pi() * hour(ts) / 12.0) AS x2,
+                     m AS x3,
+                     wind AS y
+              FROM w
+            ),
+            s AS (
+              SELECT user_id,
+                     sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x1*x3) AS s13,
+                     sum(x2*x2) AS s22, sum(x2*x3) AS s23, sum(x3*x3) AS s33,
+                     sum(x1*y) AS b1, sum(x2*y) AS b2, sum(x3*y) AS b3
+              FROM r GROUP BY 1
+            ),
+            solved AS (
+              SELECT user_id,
+                     (b1*(s22*s33 - s23*s23) - s12*(b2*s33 - s23*b3) + s13*(b2*s23 - s22*b3))
+                     / (s11*(s22*s33 - s23*s23) - s12*(s12*s33 - s23*s13) + s13*(s12*s23 - s22*s13)) AS alpha,
+                     (s11*(b2*s33 - s23*b3) - b1*(s12*s33 - s23*s13) + s13*(s12*b3 - b2*s13))
+                     / (s11*(s22*s33 - s23*s23) - s12*(s12*s33 - s23*s13) + s13*(s12*s23 - s22*s13)) AS beta,
+                     (s11*(s22*b3 - b2*s23) - s12*(s12*b3 - b2*s13) + b1*(s12*s23 - s22*s13))
+                     / (s11*(s22*s33 - s23*s23) - s12*(s12*s33 - s23*s13) + s13*(s12*s23 - s22*s13)) AS bcoef
+              FROM s
+            )
+            SELECT user_id,
+                   round(sqrt(alpha*alpha + beta*beta), 4) AS a_fit,
+                   round(bcoef, 4) AS b_fit,
+                   round(12.0/pi() * atan2(beta, alpha), 4) AS t_shift_fit
+            FROM solved
         """,
         "radiation_potrad": f"""
             WITH daily AS ({_MET_DAILY_SQL}),
@@ -2118,3 +2213,45 @@ def q_temp_course_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily, method="mean_course_mean", mean_course=mc, keys=["user_id"]
     )
     return out.select("user_id", "ts", F.round("temp", 6).alias("temp_mc"))
+
+
+def q_angstroem_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form Angstroem (a, b) calibration (`radiation.py:314-344`):
+    the curve_fit of ``obs = (a + b·ssd/daylength)·pot`` is linear in
+    (a, b), so the scipy call collapses to 2×2 normal equations — one
+    distributed aggregation, no UDF. Inputs: synthetic ssd from hum,
+    computed day length, a pot_rad proxy."""
+    from melodist_spark.functions.solar import sun_times_exprs
+    from melodist_spark.operators.radiation import fit_angstroem_params
+
+    st = sun_times_exprs("date", LON, LAT, TZ)
+    daily = (
+        _met_daily(spark, sf_dir)
+        .withColumn("ssd", F.col("hum") - F.floor(F.col("hum") / 10.0) * 10.0)
+        .withColumn("daylength", st["daylength"])
+        .withColumn("pot_rad_daily", 100.0 + 2.0 * F.col("glob"))
+        .withColumn("obs_rad_daily", F.col("glob"))
+    )
+    out = fit_angstroem_params(daily, keys=["user_id"])
+    return out.select(
+        "user_id", F.round("a", 6).alias("a_fit"), F.round("b", 6).alias("b_fit")
+    )
+
+
+def q_wind_cosine_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact wind-cosine calibration (`wind.py:75-93`): after the
+    harmonic reparametrization the 3-parameter curve_fit is plain OLS;
+    the grouped-map lstsq must agree with the closed-form normal
+    equations the oracle solves (rounded to 4 decimals — the two
+    solvers agree to ~1e-10 on well-conditioned data)."""
+    from melodist_spark.operators.wind import fit_cosine_function
+
+    m = _met_hourly(spark, sf_dir)
+    hourly_wind = m.select("user_id", "ts", (F.col("hum") / 10.0).alias("wind"))
+    out = fit_cosine_function(hourly_wind, keys=["user_id"])
+    return out.select(
+        "user_id",
+        F.round("a", 4).alias("a_fit"),
+        F.round("b", 4).alias("b_fit"),
+        F.round("t_shift", 4).alias("t_shift_fit"),
+    )
