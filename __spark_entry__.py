@@ -486,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temp_course_mean": q_temp_course_mean,
         "angstroem_fit": q_angstroem_fit,
         "wind_cosine_fit": q_wind_cosine_fit,
+        "embedding_neardup": q_embedding_neardup,
     }
 
 
@@ -750,7 +751,33 @@ def oracle_sql() -> dict[str, str]:
         FROM embeddings
     """
 
+    bucket_terms8 = []
+    for p in range(8):
+        plane = _hyperplane(64, p)
+        arr = "[" + ",".join(repr(v) for v in plane) + "]"
+        bucket_terms8.append(
+            f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {arr}) > 0 "
+            f"THEN {1 << p} ELSE 0 END"
+        )
+    neardup_sql = f"""
+        WITH b AS (
+          SELECT vec_id, embedding,
+                 CAST({' + '.join(bucket_terms8)} AS BIGINT) AS bucket
+          FROM embeddings
+        ),
+        pairs AS (
+          SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+                 list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(x.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(y.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])))) AS cos
+          FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        )
+        SELECT id_a, id_b, round(cos, 6) AS cos_sim
+        FROM pairs WHERE cos >= 0.3
+    """
+
     extended = {
+        "embedding_neardup": neardup_sql,
         "humidity_equal": f"""
             WITH daily AS ({_MET_DAILY_SQL})
             SELECT user_id,
@@ -2255,3 +2282,16 @@ def q_wind_cosine_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("b", 4).alias("b_fit"),
         F.round("t_shift", 4).alias("t_shift_fit"),
     )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH bucket self-join
+    (8 hyperplanes) prunes the O(n²) comparison to bucket collisions,
+    exact cosine re-check keeps pairs ≥ 0.3 — the embedding-dedup
+    scale path (this synthetic corpus has no true near-dups, so the
+    threshold sits inside the observed similarity range)."""
+    from melodist_spark.pipeline.similarity import neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = neardup_pairs(emb, dim=64, threshold=0.3, num_planes=8)
+    return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))

@@ -134,6 +134,44 @@ def lsh_bucket_udf(dim: int, num_planes: int = 16):
     return _bucket
 
 
+def neardup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH candidate join.
+
+    The all-pairs O(n²) cosine comparison becomes an equi self-join on
+    the hyperplane bucket (collision probability rises with cosine
+    similarity), then an exact cosine re-check ≥ ``threshold`` on the
+    candidates only. ``id_a < id_b`` canonicalizes each pair. At corpus
+    scale the bucket join is the only shuffle; fewer planes trade more
+    candidate work for higher recall.
+    """
+    bucket = lsh_bucket_udf(dim, num_planes)
+    b = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        bucket(F.col(vec_col)).alias("__bucket"),
+    )
+    x = b.select(
+        F.col("__id").alias("id_a"), F.col("__v").alias("__va"), "__bucket"
+    )
+    y = b.select(
+        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), "__bucket"
+    )
+    pairs = x.join(y, "__bucket").filter(F.col("id_a") < F.col("id_b"))
+    sims = pairs.select(
+        "id_a",
+        "id_b",
+        cosine_similarity(F.col("__va"), F.col("__vb")).alias("cos_sim"),
+    )
+    return sims.filter(F.col("cos_sim") >= threshold)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -16,7 +16,7 @@ from melodist_spark.pipeline.dedup import (
     lsh_candidate_pairs,
     minhash_signature,
 )
-from melodist_spark.pipeline.similarity import brute_force_topk, lsh_topk
+from melodist_spark.pipeline.similarity import brute_force_topk, lsh_topk, neardup_pairs
 from melodist_spark.pipeline.text import (
     bpe_ish_token_count,
     detect_language,
@@ -153,3 +153,20 @@ def test_lsh_topk_recall(spark):
     # LSH with few planes should recover most twins
     hits = (approx.set_index("query_id")["neighbor_id"] == approx["query_id"] + 30).mean()
     assert hits >= 0.6
+
+
+def test_neardup_pairs_finds_noisy_twins(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    noisy = base + 0.01 * rng.standard_normal((20, 16)).astype(np.float32)
+    vecs = np.vstack([base, noisy])
+    pdf = pd.DataFrame(
+        {"vec_id": range(40), "embedding": [v.tolist() for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    got = neardup_pairs(df, dim=16, threshold=0.99, num_planes=4).toPandas()
+    # pairs are canonical (id_a < id_b) and twins dominate
+    assert (got["id_a"] < got["id_b"]).all()
+    twins = got[(got["id_b"] - got["id_a"]) == 20]
+    assert len(twins) >= 12  # 4 planes: most twins collide in-bucket
+    assert (got["cos_sim"] >= 0.99).all()
