@@ -487,6 +487,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "angstroem_fit": q_angstroem_fit,
         "wind_cosine_fit": q_wind_cosine_fit,
         "embedding_neardup": q_embedding_neardup,
+        "cascade_calibration": q_cascade_calibration,
+        "cascade_5min": q_cascade_5min,
     }
 
 
@@ -2295,3 +2297,42 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = neardup_pairs(emb, dim=64, threshold=0.3, num_planes=8)
     return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+def q_cascade_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascade calibration (`precipitation.py:416-702`): dyadic
+    pair-sums, branch-type/intensity counting, weight histograms and
+    sparse fallback per station-season, level-weight averaged.
+    Deterministic but the multi-level numpy kernel is not
+    SQL-expressible — driver records the rows-only check; the
+    per-value parity is covered by test_cascade against the kernel."""
+    from melodist_spark.operators.cascade import build_casc
+
+    m = _met_hourly(spark, sf_dir).select("user_id", "ts", "precip")
+    out = build_casc(m, avg_stats=True, keys=["user_id"])
+    return out.select(
+        "user_id",
+        "season",
+        "level",
+        F.round("percentile", 6).alias("percentile"),
+        F.round(F.aggregate("p01", F.lit(0.0), lambda a, v: a + v), 6).alias("p01_sum"),
+        F.round(F.aggregate("pxx", F.lit(0.0), lambda a, v: a + v), 6).alias("pxx_sum"),
+    )
+
+
+def q_cascade_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute cascade path (`precipitation.py:132-140`, `307-311`):
+    levels-9 dyadic splitting on the 2^-11-day grid, resampled to the
+    288-step day. Stochastic → rows-only (n_days × 288 rows)."""
+    from melodist_spark.operators.cascade import (
+        CascadeStatistics,
+        disagg_prec_cascade,
+    )
+
+    stats = CascadeStatistics()
+    stats.fill_with_sample_data()
+    daily = _met_daily(spark, sf_dir).select("user_id", "date", "precip")
+    out = disagg_prec_cascade(
+        daily, [stats] * 9, hourly=False, level=9, seed=7, keys=["user_id"]
+    )
+    return out.select("user_id", "ts", F.round("precip", 6).alias("precip_5m"))

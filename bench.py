@@ -43,6 +43,11 @@ HEADLINE = [
     "validation_metrics",
     "embedding_bucket",
     "cascade_disagg",
+    "radiation_potrad",
+    "humidity_lindew",
+    "temp_sine_sunloc",
+    "precip_masterstation",
+    "embedding_neardup",
 ]
 
 
