@@ -489,6 +489,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "cascade_calibration": q_cascade_calibration,
         "cascade_5min": q_cascade_5min,
+        "radiation_ssd": q_radiation_ssd,
+        "radiation_course": q_radiation_course,
+        "radiation_bc": q_radiation_bc,
     }
 
 
@@ -1243,6 +1246,171 @@ def oracle_sql() -> dict[str, str]:
                    round(bcoef, 4) AS b_fit,
                    round(12.0/pi() * atan2(beta, alpha), 4) AS t_shift_fit
             FROM solved
+        """,
+        "radiation_ssd": f"""
+            WITH daily AS ({_MET_DAILY_SQL}),
+            dts AS (SELECT DISTINCT date FROM daily),
+            sg AS (
+              SELECT date,
+                     radians((360.0/365.25) * (CAST(dayofyear(date) AS DOUBLE) - 79.346)) AS b0,
+                     2 * pi() * (CAST(dayofyear(date) AS DOUBLE) - 1) / 365.0 AS s0
+              FROM dts
+            ),
+            sa AS (
+              SELECT date,
+                     radians(0.3723 + 23.2567*sin(b0) - 0.7580*cos(b0)
+                             + 0.1149*sin(2*b0) + 0.3656*cos(2*b0)
+                             - 0.1712*sin(3*b0) + 0.0201*cos(3*b0)) AS decl,
+                     (12.0/pi()) * (0.000075 + 0.001868*cos(s0) - 0.032077*sin(s0)
+                             - 0.014615*cos(2*s0) - 0.040849*sin(2*s0)) AS eq_time
+              FROM sg
+            ),
+            sb AS (
+              SELECT date,
+                     12.0 - ({LON} - {TZ}*15.0)*24.0/360.0 - eq_time AS sunnoon,
+                     -tan(radians({LAT})) * tan(decl) AS oarg,
+                     eq_time
+              FROM sa
+            ),
+            dl AS (
+              SELECT date,
+                     (CASE WHEN oarg < -1 THEN sunnoon + 12
+                           WHEN oarg > 1 THEN sunnoon
+                           ELSE 12.0*(1.0 + acos(oarg)/pi())
+                                - ({LON} - {TZ}*15.0)*24.0/360.0 - eq_time END)
+                     - (CASE WHEN oarg < -1 THEN sunnoon - 12
+                             WHEN oarg > 1 THEN sunnoon
+                             ELSE 12.0*(1.0 - acos(oarg)/pi())
+                                  - ({LON} - {TZ}*15.0)*24.0/360.0 - eq_time END)
+                     AS daylength
+              FROM sb
+            ),
+            grid AS (
+              SELECT d.user_id, d.date,
+                     d.hum - floor(d.hum/10.0)*10.0 AS ssd,
+                     CAST(d.date AS TIMESTAMP) + to_hours(h.h) AS ts,
+                     CAST(h.h AS DOUBLE) AS hh
+              FROM daily d CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h) h
+            ),
+            pr AS (
+              SELECT user_id, date, ts, ssd,
+                     greatest(sin(radians(23.43697) * cos(2.0*pi()*(CAST(dayofyear(ts) AS DOUBLE) - 173.0)/365.25))*sin(radians({LAT}))
+                              + cos(radians(23.43697) * cos(2.0*pi()*(CAST(dayofyear(ts) AS DOUBLE) - 173.0)/365.25))*cos(radians({LAT}))
+                                * cos(pi() * (((hh + ({LON} - {TZ}*15.0)*24.0/360.0) / 12.0) - 1.0)), 0.0) AS cz,
+                     2.0*pi()*(CAST(dayofyear(ts) AS DOUBLE)/365.25) AS beta
+              FROM grid
+            ),
+            p2 AS (
+              SELECT user_id, date, ts, ssd,
+                     1367.0 * (1.00011 + 0.034221*cos(beta) + 0.00128*sin(beta)
+                               + 0.000719*cos(2.0*beta) + 0.000077*sin(2.0*beta))
+                     * (0.6 + 0.2*cz) * cz AS pot
+              FROM pr
+            ),
+            p3 AS (
+              SELECT *, avg(pot) OVER (PARTITION BY user_id, date) AS potd
+              FROM p2
+            ),
+            gd AS (
+              SELECT p3.user_id, p3.ts, p3.pot, p3.potd,
+                     CASE WHEN dl.daylength > 0
+                          THEN (0.25 + 0.5 * p3.ssd / dl.daylength) * p3.potd
+                          ELSE 0.0 END AS glob_day
+              FROM p3 JOIN dl ON p3.date = dl.date
+            )
+            SELECT user_id, ts,
+                   round(CASE WHEN (pot / potd * glob_day) < 0.01 THEN 0.0
+                         ELSE pot / potd * glob_day END, 6) AS glob_h
+            FROM gd
+        """,
+        "radiation_course": f"""
+            WITH met AS ({_MET_HOURLY_SQL}),
+            daily AS ({_MET_DAILY_SQL}),
+            course AS (
+              SELECT user_id, month(ts) AS m, hour(ts) AS h2,
+                     floor((CAST(sum(CAST("glob" AS DECIMAL(20,10))) AS DOUBLE) / count(*))
+                           * 1048576.0) / 1048576.0 AS v
+              FROM met GROUP BY 1, 2, 3
+            ),
+            grid AS (
+              SELECT d.user_id, d.date, d."glob" AS glob_d,
+                     CAST(d.date AS TIMESTAMP) + to_hours(h.h) AS ts, h.h
+              FROM daily d CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h) h
+            ),
+            j AS (
+              SELECT g.user_id, g.date, g.ts, g.glob_d, c.v AS pot
+              FROM grid g LEFT JOIN course c
+                ON c.user_id = g.user_id AND c.m = month(g.ts) AND c.h2 = g.h
+            ),
+            p3 AS (
+              SELECT *, avg(pot) OVER (PARTITION BY user_id, date) AS potd
+              FROM j
+            )
+            SELECT user_id, ts,
+                   round(CASE WHEN (pot / potd * glob_d) < 0.01 THEN 0.0
+                         ELSE pot / potd * glob_d END, 6) AS glob_h
+            FROM p3
+        """,
+        "radiation_bc": f"""
+            WITH daily AS ({_MET_DAILY_SQL}),
+            grid AS (
+              SELECT d.user_id, d.date, d.tmin, d.tmax,
+                     CAST(d.date AS TIMESTAMP) + to_hours(h.h) AS ts,
+                     CAST(h.h AS DOUBLE) AS hh
+              FROM daily d CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h) h
+            ),
+            pr AS (
+              SELECT user_id, date, ts,
+                     greatest(sin(radians(23.43697) * cos(2.0*pi()*(CAST(dayofyear(ts) AS DOUBLE) - 173.0)/365.25))*sin(radians({LAT}))
+                              + cos(radians(23.43697) * cos(2.0*pi()*(CAST(dayofyear(ts) AS DOUBLE) - 173.0)/365.25))*cos(radians({LAT}))
+                                * cos(pi() * (((hh + ({LON} - {TZ}*15.0)*24.0/360.0) / 12.0) - 1.0)), 0.0) AS cz,
+                     2.0*pi()*(CAST(dayofyear(ts) AS DOUBLE)/365.25) AS beta
+              FROM grid
+            ),
+            p2 AS (
+              SELECT user_id, date, ts,
+                     1367.0 * (1.00011 + 0.034221*cos(beta) + 0.00128*sin(beta)
+                               + 0.000719*cos(2.0*beta) + 0.000077*sin(2.0*beta))
+                     * (0.6 + 0.2*cz) * cz AS pot
+              FROM pr
+            ),
+            p3 AS (
+              SELECT *, avg(pot) OVER (PARTITION BY user_id, date) AS potd
+              FROM p2
+            ),
+            l AS (
+              SELECT user_id, date, tmin, tmax,
+                     CASE WHEN lead(date) OVER w IS NULL THEN tmin
+                          WHEN date_diff('day', date, lead(date) OVER w) = 1 THEN lead(tmin) OVER w
+                          ELSE tmin END AS tmin_next
+              FROM daily
+              WINDOW w AS (PARTITION BY user_id ORDER BY date)
+            ),
+            dt AS (
+              SELECT user_id, date,
+                     tmax - (tmin + tmin_next) / 2.0 AS dT
+              FROM l
+            ),
+            bb AS (
+              SELECT user_id, date, dT,
+                     0.036 * exp(-0.154 * avg(dT) OVER (PARTITION BY user_id, month(date))) AS B
+              FROM dt
+            ),
+            bc AS (
+              SELECT b.user_id, b.date,
+                     CASE WHEN dT < 0 THEN NULL
+                          ELSE 0.75 * (1 - exp(-B * power(dT, 2.4))) END AS trans
+              FROM bb b
+            ),
+            j AS (
+              SELECT p3.user_id, p3.ts, p3.pot, p3.potd,
+                     bc.trans * p3.potd AS bc_rad
+              FROM p3 JOIN bc ON p3.user_id = bc.user_id AND p3.date = bc.date
+            )
+            SELECT user_id, ts,
+                   round(CASE WHEN (pot / potd * bc_rad) < 0.01 THEN 0.0
+                         ELSE pot / potd * bc_rad END, 6) AS glob_h
+            FROM j
         """,
         "radiation_potrad": f"""
             WITH daily AS ({_MET_DAILY_SQL}),
@@ -2336,3 +2504,73 @@ def q_cascade_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily, [stats] * 9, hourly=False, level=9, seed=7, keys=["user_id"]
     )
     return out.select("user_id", "ts", F.round("precip", 6).alias("precip_5m"))
+
+
+def _met_stations(daily: DataFrame) -> DataFrame:
+    return daily.select("user_id").distinct().select(
+        "user_id",
+        F.lit(LON).alias("lon"),
+        F.lit(LAT).alias("lat"),
+        F.lit(TZ).alias("timezone"),
+    )
+
+
+def q_radiation_ssd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pot_rad_via_ssd radiation (`radiation.py:74-87` + `283-311`):
+    daily totals from Angstroem sunshine-duration scaling (scalar
+    defaults a=0.25 b=0.5), distributed over the clear-sky curve with
+    the 0.01 floor; polar-night days stay 0."""
+    from melodist_spark.operators.radiation import disaggregate_radiation
+
+    daily = _met_daily(spark, sf_dir).withColumn(
+        "ssd", F.col("hum") - F.floor(F.col("hum") / 10.0) * 10.0
+    )
+    out = disaggregate_radiation(
+        daily, _met_stations(daily), method="pot_rad_via_ssd", keys=["user_id"]
+    )
+    return out.select("user_id", "ts", F.round("glob", 6).alias("glob_h"))
+
+
+def q_radiation_course(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mean_course radiation (`radiation.py:66-73`): the calibrated
+    month-hour mean course as the diurnal shape, rescaled to observed
+    daily means. Course values are quantized to the dyadic 2^-20 grid
+    so the per-day window average is an exact double sum in any
+    summation order (see q_temp_course_mean)."""
+    from melodist_spark.operators.radiation import disaggregate_radiation
+
+    q = 1048576.0  # 2^20
+    m = _met_hourly(spark, sf_dir)
+    mc = (
+        m.withColumn("__gd", F.col("glob").cast("decimal(20,10)"))
+        .groupBy(
+            "user_id",
+            F.month("ts").alias("month"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(
+            (
+                F.floor((F.sum("__gd").cast("double") / F.count("*")) * q) / q
+            ).alias("value")
+        )
+    )
+    daily = _met_daily(spark, sf_dir)
+    out = disaggregate_radiation(
+        daily, _met_stations(daily), method="mean_course", mean_course=mc, keys=["user_id"]
+    )
+    return out.select("user_id", "ts", F.round("glob", 6).alias("glob_h"))
+
+
+def q_radiation_bc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pot_rad_via_bc radiation (`radiation.py:89-92` + `207-248`):
+    daily totals from the Bristow-Campbell temperature-range
+    transmissivity (scalar defaults a=0.75, c=2.4), distributed over
+    the clear-sky curve; negative dT days yield NaN exactly as the
+    reference's numpy power does."""
+    from melodist_spark.operators.radiation import disaggregate_radiation
+
+    daily = _met_daily(spark, sf_dir)
+    out = disaggregate_radiation(
+        daily, _met_stations(daily), method="pot_rad_via_bc", keys=["user_id"]
+    )
+    return out.select("user_id", "ts", F.round("glob", 6).alias("glob_h"))
