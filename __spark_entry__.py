@@ -492,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radiation_ssd": q_radiation_ssd,
         "radiation_course": q_radiation_course,
         "radiation_bc": q_radiation_bc,
+        "temp_sine_sunshift": q_temp_sine_sunshift,
     }
 
 
@@ -1350,6 +1351,100 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN (pot / potd * glob_d) < 0.01 THEN 0.0
                          ELSE pot / potd * glob_d END, 6) AS glob_h
             FROM p3
+        """,
+        "temp_sine_sunshift": f"""
+            WITH daily_t AS ({_MET_DAILY_SQL}),
+            met AS ({_MET_HOURLY_SQL}),
+            dts AS (SELECT DISTINCT date FROM daily_t),
+            geo AS (
+              SELECT date,
+                     radians((360.0/365.25) * (CAST(dayofyear(date) AS DOUBLE) - 79.346)) AS b,
+                     2 * pi() * (CAST(dayofyear(date) AS DOUBLE) - 1) / 365.0 AS s
+              FROM dts
+            ),
+            ang AS (
+              SELECT date,
+                     radians(0.3723 + 23.2567*sin(b) - 0.7580*cos(b)
+                             + 0.1149*sin(2*b) + 0.3656*cos(2*b)
+                             - 0.1712*sin(3*b) + 0.0201*cos(3*b)) AS decl,
+                     (12.0/pi()) * (0.000075 + 0.001868*cos(s) - 0.032077*sin(s)
+                             - 0.014615*cos(2*s) - 0.040849*sin(2*s)) AS eq_time
+              FROM geo
+            ),
+            sun0 AS (
+              SELECT date,
+                     12.0 - ({LON} - {TZ}*15.0)*24.0/360.0 - eq_time AS sunnoon,
+                     -tan(radians({LAT})) * tan(decl) AS oarg,
+                     eq_time
+              FROM ang
+            ),
+            sun AS (
+              SELECT date, sunnoon,
+                     CASE WHEN oarg < -1 THEN sunnoon - 12
+                          WHEN oarg > 1 THEN sunnoon
+                          ELSE 12.0*(1.0 - acos(oarg)/pi())
+                               - ({LON} - {TZ}*15.0)*24.0/360.0 - eq_time END AS sunrise0
+              FROM sun0
+            ),
+            dm AS (
+              SELECT user_id, CAST(ts AS DATE) AS date, max(temp) AS mt
+              FROM met GROUP BY 1, 2
+            ),
+            am AS (
+              SELECT t.user_id, t.date, max(hour(m.ts)) AS max_hour
+              FROM dm t JOIN met m
+                ON m.user_id = t.user_id AND CAST(m.ts AS DATE) = t.date
+               AND m.temp = t.mt
+              GROUP BY 1, 2
+            ),
+            md AS (
+              SELECT a.user_id, month(a.date) AS mth,
+                     avg(a.max_hour - s.sunnoon) AS max_delta
+              FROM am a JOIN sun s ON a.date = s.date
+              GROUP BY 1, 2
+            ),
+            locs AS (
+              SELECT d.user_id, d.date, d.tmin, d.tmax,
+                     CAST(round(CASE WHEN s.sunrise0 < 0 THEN s.sunrise0 + 24
+                                     ELSE s.sunrise0 END) AS INT) AS min_loc,
+                     CAST(round(s.sunnoon + m.max_delta) AS INT) AS max_loc0,
+                     CAST(round(s.sunnoon) AS INT) + 2 AS max_loc_fb
+              FROM daily_t d
+              JOIN sun s ON d.date = s.date
+              JOIN md m ON m.user_id = d.user_id AND m.mth = month(d.date)
+            ),
+            locs2 AS (
+              SELECT user_id, date, tmin, tmax, min_loc,
+                     CASE WHEN min_loc > max_loc0 THEN max_loc_fb
+                          ELSE max_loc0 END AS max_loc
+              FROM locs
+            ),
+            loc_t AS (
+              SELECT user_id, date, tmin, tmax, min_loc, max_loc,
+                     CASE WHEN lead(date) OVER w IS NULL THEN tmin
+                          WHEN date_diff('day', date, lead(date) OVER w) = 1 THEN lead(tmin) OVER w
+                          END AS min_val_next,
+                     CASE WHEN lag(date) OVER w IS NULL THEN tmax
+                          WHEN date_diff('day', lag(date) OVER w, date) = 1 THEN lag(tmax) OVER w
+                          END AS max_val_before
+              FROM locs2
+              WINDOW w AS (PARTITION BY user_id ORDER BY date)
+            ),
+            hourly_t AS (
+              SELECT l.*, h.h,
+                     CAST(l.date AS TIMESTAMP) + to_hours(h.h) AS ts
+              FROM loc_t l CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h) h
+            ),
+            vals AS (
+              SELECT user_id, ts, h, max_loc,
+                     CASE WHEN h < max_loc THEN tmin ELSE min_val_next END AS minv,
+                     CASE WHEN h < min_loc THEN max_val_before ELSE tmax END AS maxv
+              FROM hourly_t
+            )
+            SELECT user_id, ts,
+                   round((minv + (maxv - minv)/2.0)
+                         + (maxv - minv)/2.0 * cos(2*pi()/24.0 * (h - max_loc)), 6) AS temp_h
+            FROM vals
         """,
         "radiation_bc": f"""
             WITH daily AS ({_MET_DAILY_SQL}),
@@ -2574,3 +2669,42 @@ def q_radiation_bc(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily, _met_stations(daily), method="pot_rad_via_bc", keys=["user_id"]
     )
     return out.select("user_id", "ts", F.round("glob", 6).alias("glob_h"))
+
+
+def q_temp_sine_sunshift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sine_min_max with sun_loc_shift timing (`temperature.py:97-107`):
+    the daily max lands at solar noon plus the observed monthly
+    warmest-hour shift; where that would precede the sunrise minimum,
+    fall back to noon + 2 h. The shift is calibrated from the hourly
+    data with a deterministic max-hour tie-break (as temp_shift)."""
+    from melodist_spark.functions.solar import sun_times_exprs
+    from melodist_spark.operators.temperature import disaggregate_temperature
+
+    m = _met_hourly(spark, sf_dir)
+    daily_max = m.groupBy("user_id", F.to_date("ts").alias("date")).agg(
+        F.max("temp").alias("tmax_h")
+    )
+    at_max = (
+        m.withColumn("date", F.to_date("ts"))
+        .join(daily_max, ["user_id", "date"])
+        .filter(F.col("temp") == F.col("tmax_h"))
+        .groupBy("user_id", "date")
+        .agg(F.max(F.hour("ts")).alias("max_hour"))
+    )
+    st = sun_times_exprs("date", LON, LAT, TZ)
+    md = (
+        at_max.withColumn("sunnoon", st["sunnoon"])
+        .withColumn("delta", F.col("max_hour") - F.col("sunnoon"))
+        .groupBy("user_id", F.month("date").alias("month"))
+        .agg(F.avg("delta").alias("max_delta"))
+    )
+    daily = _met_daily(spark, sf_dir)
+    out = disaggregate_temperature(
+        daily,
+        method="sine_min_max",
+        min_max_time="sun_loc_shift",
+        stations=_met_stations(daily),
+        max_delta=md,
+        keys=["user_id"],
+    )
+    return out.select("user_id", "ts", F.round("temp", 6).alias("temp_h"))
