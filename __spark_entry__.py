@@ -493,6 +493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radiation_course": q_radiation_course,
         "radiation_bc": q_radiation_bc,
         "temp_sine_sunshift": q_temp_sine_sunshift,
+        "wind_equal": q_wind_equal,
+        "wind_random": q_wind_random,
     }
 
 
@@ -789,6 +791,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id,
                    CAST(date AS TIMESTAMP) + to_hours(h.h) AS ts,
                    round(least(greatest(hum, 0.0), 100.0), 6) AS hum_h
+            FROM daily CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h) h
+        """,
+        "wind_equal": f"""
+            WITH daily AS ({_MET_DAILY_SQL})
+            SELECT user_id,
+                   CAST(date AS TIMESTAMP) + to_hours(h.h) AS ts,
+                   round(hum / 10.0, 6) AS wind_h
             FROM daily CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h) h
         """,
         "wind_cosine": f"""
@@ -2708,3 +2717,25 @@ def q_temp_sine_sunshift(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["user_id"],
     )
     return out.select("user_id", "ts", F.round("temp", 6).alias("temp_h"))
+
+
+def q_wind_equal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """equal wind disaggregation (`wind.py:60-63`): the daily mean
+    replicated across the 24 hours."""
+    from melodist_spark.operators.wind import disaggregate_wind
+
+    daily = _met_daily(spark, sf_dir).withColumn("wind", F.col("hum") / 10.0)
+    out = disaggregate_wind(daily, method="equal", keys=["user_id"])
+    return out.select("user_id", "ts", F.round("wind", 6).alias("wind_h"))
+
+
+def q_wind_random(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """random wind disaggregation (`wind.py:69-70`):
+    ``w̄·(-ln U)^0.3`` with seeded ``rand`` — reproducible in this
+    engine (the reference's RNG is unseeded). Stochastic → rows-only
+    (n_days × 24)."""
+    from melodist_spark.operators.wind import disaggregate_wind
+
+    daily = _met_daily(spark, sf_dir).withColumn("wind", F.col("hum") / 10.0)
+    out = disaggregate_wind(daily, method="random", seed=42, keys=["user_id"])
+    return out.select("user_id", "ts", F.round("wind", 6).alias("wind_h"))
