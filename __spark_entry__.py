@@ -495,6 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temp_sine_sunshift": q_temp_sine_sunshift,
         "wind_equal": q_wind_equal,
         "wind_random": q_wind_random,
+        "api_pipeline": q_api_pipeline,
     }
 
 
@@ -1360,6 +1361,61 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN (pot / potd * glob_d) < 0.01 THEN 0.0
                          ELSE pot / potd * glob_d END, 6) AS glob_h
             FROM p3
+        """,
+        "api_pipeline": f"""
+            WITH daily0 AS ({_MET_DAILY_SQL}),
+            rng AS (
+              SELECT user_id, min(date) AS d0, max(date) AS d1
+              FROM daily0 GROUP BY 1
+            ),
+            cal AS (
+              SELECT user_id,
+                     CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                                 CAST(d1 AS TIMESTAMP),
+                                                 INTERVAL 1 DAY)) AS DATE) AS date
+              FROM rng
+            ),
+            dailyf AS (
+              SELECT c.user_id, c.date, d.tmin, d.tmax, d.hum
+              FROM cal c LEFT JOIN daily0 d
+                ON c.user_id = d.user_id AND c.date = d.date
+            ),
+            loc_t AS (
+              SELECT user_id, date, tmin, tmax, hum,
+                     CASE WHEN lead(date) OVER w IS NULL THEN tmin
+                          ELSE lead(tmin) OVER w END AS min_val_next,
+                     CASE WHEN lag(date) OVER w IS NULL THEN tmax
+                          ELSE lag(tmax) OVER w END AS max_val_before
+              FROM dailyf
+              WINDOW w AS (PARTITION BY user_id ORDER BY date)
+            ),
+            hourly_t AS (
+              SELECT l.*, h.h,
+                     CAST(l.date AS TIMESTAMP) + to_hours(h.h) AS ts
+              FROM loc_t l CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h) h
+            ),
+            temp_c AS (
+              SELECT user_id, ts, date, hum AS hum_obs, tmin,
+                     (CASE WHEN h < 14 THEN tmin ELSE min_val_next END
+                      + (CASE WHEN h < 7 THEN max_val_before ELSE tmax END
+                         - CASE WHEN h < 14 THEN tmin ELSE min_val_next END)/2.0)
+                     + (CASE WHEN h < 7 THEN max_val_before ELSE tmax END
+                        - CASE WHEN h < 14 THEN tmin ELSE min_val_next END)/2.0
+                       * cos(2*pi()/24.0 * (h - 14)) AS temp_raw
+              FROM hourly_t
+            ),
+            h0 AS (
+              SELECT user_id AS station_id, ts, date, hum_obs,
+                     100.0 * (CASE WHEN tmin >= 273.15 THEN 6.112 * exp(17.62*(tmin-273.15)/(243.12+tmin-273.15)) ELSE 6.112 * exp(22.46*(tmin-273.15)/(272.62+tmin-273.15)) END) / (CASE WHEN temp_raw >= 273.15 THEN 6.112 * exp(17.62*(temp_raw-273.15)/(243.12+temp_raw-273.15)) ELSE 6.112 * exp(22.46*(temp_raw-273.15)/(272.62+temp_raw-273.15)) END) AS hum0
+              FROM temp_c
+            ),
+            bias AS (
+              SELECT *, avg(hum0) OVER (PARTITION BY station_id, date) - hum_obs AS b
+              FROM h0
+            )
+            SELECT station_id, ts,
+                   round(least(greatest(hum0 - coalesce(b, 0.0), 0.0), 100.0), 6) AS hum_h
+            FROM bias
         """,
         "temp_sine_sunshift": f"""
             WITH daily_t AS ({_MET_DAILY_SQL}),
@@ -2739,3 +2795,27 @@ def q_wind_random(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = _met_daily(spark, sf_dir).withColumn("wind", F.col("hum") / 10.0)
     out = disaggregate_wind(daily, method="random", seed=42, keys=["user_id"])
     return out.select("user_id", "ts", F.round("wind", 6).alias("wind_h"))
+
+
+def q_api_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-level Stations API chain (`station.py:81-103`, `181-401`):
+    ingest validation + calendar fill, temperature dispatch, then
+    minimal humidity with preserve_daily_mean — the per-day bias
+    subtraction (`humidity.py:112-118`) before the [0,100] clip."""
+    from melodist_spark.api import Stations
+
+    daily = _met_daily(spark, sf_dir).withColumnRenamed("user_id", "station_id")
+    meta = (
+        daily.select("station_id")
+        .distinct()
+        .select(
+            "station_id",
+            F.lit(LON).alias("lon"),
+            F.lit(LAT).alias("lat"),
+            F.lit(TZ).alias("timezone"),
+        )
+    )
+    st = Stations(meta, daily)
+    st.disaggregate_temperature(method="sine_min_max", min_max_time="fix")
+    hum = st.disaggregate_humidity(method="minimal", preserve_daily_mean=True)
+    return hum.select("station_id", "ts", F.round("hum", 6).alias("hum_h"))
