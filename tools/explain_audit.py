@@ -57,6 +57,27 @@ def main():
             [r"BroadcastHashJoin"],
             [r"CartesianProduct"],
         ),
+        (
+            # sun-timed sine: station metadata joins must broadcast and
+            # the plan must stay free of cross products
+            "temp_sine_sunloc",
+            [r"BroadcastHashJoin"],
+            [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"SortMergeJoin"],
+        ),
+        (
+            # LSH near-dup: candidate generation is an equi-join on the
+            # bucket signature, never an all-pairs product
+            "embedding_neardup",
+            [r"ArrowEvalPython|BatchEvalPython"],
+            [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        ),
+        (
+            # full radiation chain: events scan pruned to the 3 used
+            # columns, parameter joins broadcast
+            "radiation_ssd",
+            [r"ReadSchema: struct<ts:bigint,user_id:bigint,value:double>"],
+            [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        ),
     ]
 
     failed = []
