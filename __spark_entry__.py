@@ -496,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wind_equal": q_wind_equal,
         "wind_random": q_wind_random,
         "api_pipeline": q_api_pipeline,
+        "multimodal_hist": q_multimodal_hist,
     }
 
 
@@ -1361,6 +1362,19 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN (pot / potd * glob_d) < 0.01 THEN 0.0
                          ELSE pot / potd * glob_d END, 6) AS glob_h
             FROM p3
+        """,
+        "multimodal_hist": """
+            SELECT doc_id,
+                   octet_length(CAST(text AS BLOB)) AS n_bytes,
+                   CASE WHEN text IS NULL THEN NULL
+                        WHEN octet_length(CAST(text AS BLOB)) = 0 THEN 0.0
+                        ELSE round((length(text) - length(replace(text, ' ', ''))) * 1.0
+                                   / octet_length(CAST(text AS BLOB)), 6) END AS space_frac,
+                   CASE WHEN text IS NULL THEN NULL
+                        WHEN octet_length(CAST(text AS BLOB)) = 0 THEN 0.0
+                        ELSE round((length(text) - length(replace(text, 'e', ''))) * 1.0
+                                   / octet_length(CAST(text AS BLOB)), 6) END AS e_frac
+            FROM documents
         """,
         "api_pipeline": f"""
             WITH daily0 AS ({_MET_DAILY_SQL}),
@@ -2819,3 +2833,24 @@ def q_api_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     st.disaggregate_temperature(method="sine_min_max", min_max_time="fix")
     hum = st.disaggregate_humidity(method="minimal", preserve_daily_mean=True)
     return hum.select("station_id", "ts", F.round("hum", 6).alias("hum_h"))
+
+
+def q_multimodal_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary content features: the multimodal byte-histogram
+    path (Arrow-batched mapInPandas over binary payloads — the real,
+    non-stubbed part of the media plumbing), driven here with utf-8
+    document bytes as payloads. Outputs the payload size and two
+    histogram bins (space, 'e')."""
+    from melodist_spark.pipeline.multimodal import byte_histogram
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    out = byte_histogram(docs)
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.round(F.col("histogram").getItem(32), 6).alias("space_frac"),
+        F.round(F.col("histogram").getItem(101), 6).alias("e_frac"),
+    )
