@@ -497,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wind_random": q_wind_random,
         "api_pipeline": q_api_pipeline,
         "multimodal_hist": q_multimodal_hist,
+        "ivf_topk": q_ivf_topk,
     }
 
 
@@ -1362,6 +1363,60 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN (pot / potd * glob_d) < 0.01 THEN 0.0
                          ELSE pot / potd * glob_d END, 6) AS glob_h
             FROM p3
+        """,
+        "ivf_topk": """
+            WITH flat AS (
+              SELECT label,
+                     CAST(unnest(generate_series(1, len(embedding))) - 1 AS BIGINT) AS pos,
+                     CAST(unnest(embedding) AS DOUBLE) AS v
+              FROM embeddings
+            ),
+            cent AS (
+              SELECT label, pos, avg(v) AS c
+              FROM flat GROUP BY 1, 2
+            ),
+            qf AS (
+              SELECT vec_id AS query_id,
+                     CAST(unnest(generate_series(1, len(embedding))) - 1 AS BIGINT) AS pos,
+                     CAST(unnest(embedding) AS DOUBLE) AS qv
+              FROM embeddings WHERE vec_id < 8
+            ),
+            cell AS (
+              SELECT q.query_id, c.label,
+                     sum(q.qv * c.c) / (sqrt(sum(q.qv * q.qv)) * sqrt(sum(c.c * c.c))) AS cell_cos
+              FROM qf q JOIN cent c ON q.pos = c.pos
+              GROUP BY 1, 2
+            ),
+            assigned AS (
+              SELECT query_id, label
+              FROM (
+                SELECT query_id, label,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cell_cos DESC, label ASC) AS rn
+                FROM cell
+              ) WHERE rn = 1
+            ),
+            q AS (
+              SELECT e.vec_id AS query_id, e.embedding AS qv, a.label
+              FROM embeddings e JOIN assigned a ON e.vec_id = a.query_id
+            ),
+            cand AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS sim
+              FROM q JOIN embeddings e ON e.label = q.label
+              WHERE e.vec_id <> q.query_id
+            ),
+            ranked AS (
+              SELECT query_id, neighbor_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id ASC) AS rank
+              FROM cand
+            )
+            SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim,
+                   CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 5
         """,
         "multimodal_hist": """
             SELECT doc_id,
@@ -2853,4 +2908,22 @@ def q_multimodal_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bytes").cast("long").alias("n_bytes"),
         F.round(F.col("histogram").getItem(32), 6).alias("space_frac"),
         F.round(F.col("histogram").getItem(101), 6).alias("e_frac"),
+    )
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed approximate top-k: queries coarse-quantize to the
+    nearest label-cell centroid, exact cosine re-rank inside that cell
+    only — the partition-pruning ANN scale path complementing the LSH
+    variant."""
+    from melodist_spark.pipeline.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = ivf_topk(emb, queries, k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
     )

@@ -172,6 +172,75 @@ def neardup_pairs(
     return sims.filter(F.col("cos_sim") >= threshold)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize each query to its
+    nearest cell centroid (cosine), then exact top-k within that cell
+    only.
+
+    Cells are the values of ``label_col`` (a pre-existing partition
+    key, or the output of any clustering). At corpus scale the probe
+    touches one cell instead of the whole corpus — candidate
+    generation is an equi-join on the assigned cell; the centroid
+    table (cells × dim, long form) broadcasts. Returns
+    (query_id, neighbor_id, cos_sim, rank).
+    """
+    # cell centroids, long form (label, pos, c)
+    cent = (
+        corpus.select(label_col, F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy(label_col, "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+    )
+    ql = queries.select(
+        F.col(id_col).alias("query_id"), F.posexplode(vec_col).alias("pos", "qv")
+    ).withColumn("qv", F.col("qv").cast("double"))
+    cell_sims = (
+        ql.join(F.broadcast(cent), "pos")
+        .groupBy("query_id", label_col)
+        .agg(
+            F.sum(F.col("qv") * F.col("c")).alias("dot"),
+            F.sum(F.col("qv") * F.col("qv")).alias("qq"),
+            F.sum(F.col("c") * F.col("c")).alias("cc"),
+        )
+        .withColumn(
+            "cell_cos",
+            F.try_divide(F.col("dot"), F.sqrt("qq") * F.sqrt("cc")),
+        )
+    )
+    wcell = Window.partitionBy("query_id").orderBy(
+        F.col("cell_cos").desc(), F.col(label_col).asc()
+    )
+    assigned = (
+        cell_sims.withColumn("__rn", F.row_number().over(wcell))
+        .filter(F.col("__rn") == 1)
+        .select("query_id", label_col)
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).join(F.broadcast(assigned), "query_id")
+    cand = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), label_col
+    ).join(F.broadcast(q), label_col).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    sims = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

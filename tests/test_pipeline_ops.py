@@ -16,7 +16,7 @@ from melodist_spark.pipeline.dedup import (
     lsh_candidate_pairs,
     minhash_signature,
 )
-from melodist_spark.pipeline.similarity import brute_force_topk, lsh_topk, neardup_pairs
+from melodist_spark.pipeline.similarity import brute_force_topk, ivf_topk, lsh_topk, neardup_pairs
 from melodist_spark.pipeline.text import (
     bpe_ish_token_count,
     detect_language,
@@ -170,3 +170,20 @@ def test_neardup_pairs_finds_noisy_twins(spark):
     twins = got[(got["id_b"] - got["id_a"]) == 20]
     assert len(twins) >= 12  # 4 planes: most twins collide in-bucket
     assert (got["cos_sim"] >= 0.99).all()
+
+
+def test_ivf_topk_recovers_twins_within_cell(spark):
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    noisy = base + 0.01 * rng.standard_normal((20, 16)).astype(np.float32)
+    vecs = np.vstack([base, noisy])
+    # twins share a cell label, so the probe must find them
+    labels = [int(i % 4) for i in range(20)] * 2
+    pdf = pd.DataFrame(
+        {"vec_id": range(40), "label": labels,
+         "embedding": [v.tolist() for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    queries = df.filter(F.col("vec_id") < 5)
+    got = ivf_topk(df, queries, k=1).toPandas().set_index("query_id")
+    assert (got["neighbor_id"] == got.index + 20).all()
