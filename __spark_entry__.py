@@ -426,78 +426,79 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 entries — the driver's correctness gate checks the
+    first 50 registry keys, so every operator family keeps exactly one
+    representative inside the window. Former micro-queries (cumsum,
+    ffill, day_normalize, vapor_pressure, dewpoint, five_min_calendar,
+    sub_level_calendar, dedup_exact, dedup_prefix, fingerprint,
+    token_stats, lang_id, simhash, temp_sine_mean, temp_sine_night)
+    live on inside the q_*-compounds; operators whose chains subsume
+    them (mean_course ⊂ mean_course_temp, pot_radiation ⊂
+    radiation_potrad, angstroem ⊂ radiation_ssd, bristow_campbell ⊂
+    radiation_bc, temp_shift ⊂ temp_sine_sunshift, minhash_bands ⊂
+    minhash_pairs, embedding_bucket ⊂ embedding_neardup,
+    embedding_centroids ⊂ ivf_topk, humidity_equal ⊂
+    distribute_equally+api_pipeline, complete_days ⊂
+    drop_incomplete_days) are anchored by the containing query."""
     return {
+        # temperature family
         "temp_sine_disagg": q_temp_sine_disagg,
-        "daily_from_hourly": q_daily_from_hourly,
-        "distribute_equally": q_distribute_equally,
-        "seasonal_subset": q_seasonal_subset,
-        "lead_lag": q_lead_lag,
-        "cumsum": q_cumsum,
-        "day_normalize": q_day_normalize,
-        "gap_count": q_gap_count,
-        "complete_days": q_complete_days,
-        "vapor_pressure": q_vapor_pressure,
-        "dewpoint": q_dewpoint,
-        "sun_times": q_sun_times,
-        "pot_radiation": q_pot_radiation,
-        "linregress": q_linregress,
-        "mean_course": q_mean_course,
-        "month_hour_wet_mean": q_month_hour_wet_mean,
-        "pricing_summary": q_pricing_summary,
-        "revenue_by_nation": q_revenue_by_nation,
-        "dedup_exact": q_dedup_exact,
-        "fingerprint": q_fingerprint,
-        "token_stats": q_token_stats,
-        "lang_id": q_lang_id,
-        "simhash": q_simhash,
-        "minhash_bands": q_minhash_bands,
-        "embedding_topk": q_embedding_topk,
-        "humidity_equal": q_humidity_equal,
-        "wind_cosine": q_wind_cosine,
-        "calendar_fill": q_calendar_fill,
-        "ffill": q_ffill,
-        "interpolate": q_interpolate,
-        "bristow_campbell": q_bristow_campbell,
-        "angstroem": q_angstroem,
-        "validation_metrics": q_validation_metrics,
-        "minhash_pairs": q_minhash_pairs,
-        "jaccard_pairs": q_jaccard_pairs,
-        "embedding_bucket": q_embedding_bucket,
-        "cascade_disagg": q_cascade_disagg,
-        "drop_incomplete_days": q_drop_incomplete_days,
-        "five_min_calendar": q_five_min_calendar,
-        "sub_level_calendar": q_sub_level_calendar,
-        "humidity_minmax": q_humidity_minmax,
+        "temp_sine_sunloc": q_temp_sine_sunloc,
+        "temp_sine_sunshift": q_temp_sine_sunshift,
+        "temp_sine_variants": q_temp_sine_variants,
+        "temp_course_mean": q_temp_course_mean,
         "mean_course_temp": q_mean_course_temp,
-        "temp_shift": q_temp_shift,
-        "top_customers": q_top_customers,
-        "embedding_centroids": q_embedding_centroids,
-        "streaming_daily_agg": q_streaming_daily_agg,
-        "dedup_prefix": q_dedup_prefix,
-        "radiation_potrad": q_radiation_potrad,
+        # humidity family
+        "humidity_lindew": q_humidity_lindew,
+        "humidity_minimal": q_humidity_minimal,
+        "humidity_minmax": q_humidity_minmax,
         "humidity_dewpoint": q_humidity_dewpoint,
         "humidity_mhpm": q_humidity_mhpm,
-        "temp_sine_sunloc": q_temp_sine_sunloc,
-        "humidity_lindew": q_humidity_lindew,
-        "temp_sine_mean": q_temp_sine_mean,
-        "temp_sine_night": q_temp_sine_night,
-        "humidity_minimal": q_humidity_minimal,
-        "precip_masterstation": q_precip_masterstation,
-        "temp_course_mean": q_temp_course_mean,
+        # radiation family
+        "radiation_ssd": q_radiation_ssd,
+        "radiation_bc": q_radiation_bc,
+        "radiation_course": q_radiation_course,
+        "radiation_potrad": q_radiation_potrad,
         "angstroem_fit": q_angstroem_fit,
+        # wind family
         "wind_cosine_fit": q_wind_cosine_fit,
-        "embedding_neardup": q_embedding_neardup,
+        "wind_equal": q_wind_equal,
+        "wind_cosine": q_wind_cosine,
+        "wind_random": q_wind_random,
+        # precipitation / cascade family
+        "precip_masterstation": q_precip_masterstation,
+        "cascade_disagg": q_cascade_disagg,
         "cascade_calibration": q_cascade_calibration,
         "cascade_5min": q_cascade_5min,
-        "radiation_ssd": q_radiation_ssd,
-        "radiation_course": q_radiation_course,
-        "radiation_bc": q_radiation_bc,
-        "temp_sine_sunshift": q_temp_sine_sunshift,
-        "wind_equal": q_wind_equal,
-        "wind_random": q_wind_random,
+        # API surface
         "api_pipeline": q_api_pipeline,
+        # training-data pipeline
         "multimodal_hist": q_multimodal_hist,
         "ivf_topk": q_ivf_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "embedding_topk": q_embedding_topk,
+        "minhash_pairs": q_minhash_pairs,
+        "jaccard_pairs": q_jaccard_pairs,
+        "dedup_groups": q_dedup_groups,
+        "text_features": q_text_features,
+        # aggregation / calendar / util family
+        "daily_from_hourly": q_daily_from_hourly,
+        "distribute_equally": q_distribute_equally,
+        "calendar_fill": q_calendar_fill,
+        "window_primitives": q_window_primitives,
+        "interpolate": q_interpolate,
+        "dyadic_calendars": q_dyadic_calendars,
+        "gap_count": q_gap_count,
+        "drop_incomplete_days": q_drop_incomplete_days,
+        "seasonal_subset": q_seasonal_subset,
+        "lead_lag": q_lead_lag,
+        "meteo_scalars": q_meteo_scalars,
+        "sun_times": q_sun_times,
+        "linregress": q_linregress,
+        "month_hour_wet_mean": q_month_hour_wet_mean,
+        "validation_metrics": q_validation_metrics,
+        "streaming_daily_agg": q_streaming_daily_agg,
+        "pricing_summary": q_pricing_summary,
     }
 
 
@@ -789,6 +790,107 @@ def oracle_sql() -> dict[str, str]:
 
     extended = {
         "embedding_neardup": neardup_sql,
+        "meteo_scalars": f"""
+            WITH m AS ({_MET_HOURLY_SQL}),
+            v AS (
+              SELECT user_id, ts, temp,
+                     CASE WHEN temp >= 273.15
+                          THEN 6.112 * exp(17.62*(temp-273.15)/(243.12+temp-273.15))
+                          ELSE 6.112 * exp(22.46*(temp-273.15)/(272.62+temp-273.15))
+                     END * hum / 100.0 AS vp
+              FROM m
+            )
+            SELECT user_id, ts, round(vp, 6) AS vp,
+                   round(CASE WHEN temp >= 273.15
+                         THEN 243.12 * ln(vp/6.112) / (17.62 - ln(vp/6.112))
+                         ELSE 272.62 * ln(vp/6.112) / (22.46 - ln(vp/6.112))
+                         END + 273.15, 6) AS td
+            FROM v
+        """,
+        "window_primitives": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER wcum, 3) AS run_sum,
+                   round(value / sum(value) OVER (PARTITION BY user_id, CAST(ts AS DATE)), 6) AS day_frac,
+                   round(last_value(CASE WHEN value > 50 THEN value END IGNORE NULLS) OVER wcum, 6) AS v_ff
+            FROM events
+            WINDOW wcum AS (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "dyadic_calendars": f"""
+            WITH daily AS ({_MET_DAILY_SQL})
+            SELECT user_id, CAST(date AS TIMESTAMP) + to_minutes(5 * h.h) AS ts,
+                   'five_min' AS grain
+            FROM daily CROSS JOIN (SELECT unnest(generate_series(0, 287)) AS h) h
+            UNION ALL
+            SELECT user_id,
+                   CAST(date AS TIMESTAMP) + to_microseconds(168750000 * h.h) AS ts,
+                   'level9' AS grain
+            FROM (SELECT user_id, date FROM ({_MET_DAILY_SQL}))
+            CROSS JOIN (SELECT unnest(generate_series(0, 511)) AS h) h
+        """,
+        "dedup_groups": """
+            SELECT 'exact' AS method, md5(text) AS digest,
+                   count(*) AS n_docs, min(doc_id) AS keep_id
+            FROM documents GROUP BY digest HAVING count(*) > 1
+            UNION ALL
+            SELECT 'prefix' AS method,
+                   md5(array_to_string((string_split(text, ' '))[1:2], ' ')) AS digest,
+                   count(*) AS n_docs, min(doc_id) AS keep_id
+            FROM documents GROUP BY digest HAVING count(*) > 1
+        """,
+        "text_features": f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                     md5(array_to_string(list_sort(list_distinct(
+                         string_split_regex(trim(text), '\\s+'))), ' ')) AS fp
+              FROM documents
+            ),
+            wl AS (
+              SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id,
+                     sum(CASE WHEN w = ANY({stop_en}) THEN 1 ELSE 0 END) AS score_en,
+                     sum(CASE WHEN w = ANY({stop_de}) THEN 1 ELSE 0 END) AS score_de,
+                     sum(CASE WHEN w = ANY({stop_es}) THEN 1 ELSE 0 END) AS score_es
+              FROM wl GROUP BY doc_id
+            ),
+            toks2 AS (
+              SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+              FROM documents
+            ),
+            contrib AS (
+              SELECT t2.doc_id, b.b,
+                     sum(CASE WHEN substr(md5(t2.w), b.b + 1, 1) IN
+                              ('1','3','5','7','9','b','d','f')
+                         THEN 1 ELSE -1 END) AS sg
+              FROM toks2 t2
+              CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) b
+              GROUP BY 1, 2
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN sg > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+              FROM contrib GROUP BY doc_id
+            )
+            SELECT t.doc_id, t.fp,
+                   CAST(t.n_tokens AS BIGINT) AS n_tokens,
+                   round(CASE WHEN t.n_tokens > 0 THEN
+                         length(regexp_replace(t.text, '\\s+', '', 'g')) * 1.0 / t.n_tokens END, 6) AS mean_word_len,
+                   round(CASE WHEN t.n_tokens > 0 THEN s.score_en * 1.0 / t.n_tokens END, 6) AS stopword_ratio,
+                   round((length(t.text) - length(regexp_replace(t.text, '[.,;:!?]', '', 'g'))) * 1.0
+                         / length(t.text), 6) AS punct_ratio,
+                   CAST(s.score_en AS BIGINT) AS score_en,
+                   CAST(s.score_de AS BIGINT) AS score_de,
+                   CAST(s.score_es AS BIGINT) AS score_es,
+                   sh.simhash
+            FROM t
+            JOIN s ON t.doc_id = s.doc_id
+            JOIN sh ON t.doc_id = sh.doc_id
+        """,
         "humidity_equal": f"""
             WITH daily AS ({_MET_DAILY_SQL})
             SELECT user_id,
@@ -937,8 +1039,9 @@ def oracle_sql() -> dict[str, str]:
               JOIN reg r ON r.user_id = t.user_id
             )
             SELECT user_id, ts,
-                   round(least(greatest(
-                       100.0 * (CASE WHEN tdew >= 273.15 THEN 6.112 * exp(17.62*(tdew-273.15)/(243.12+tdew-273.15)) ELSE 6.112 * exp(22.46*(tdew-273.15)/(272.62+tdew-273.15)) END) / (CASE WHEN temp_raw >= 273.15 THEN 6.112 * exp(17.62*(temp_raw-273.15)/(243.12+temp_raw-273.15)) ELSE 6.112 * exp(22.46*(temp_raw-273.15)/(272.62+temp_raw-273.15)) END), 0.0), 100.0), 6) AS hum_h
+                   round(CASE WHEN temp_raw IS NULL OR tdew IS NULL THEN NULL
+                         ELSE least(greatest(
+                       100.0 * (CASE WHEN tdew >= 273.15 THEN 6.112 * exp(17.62*(tdew-273.15)/(243.12+tdew-273.15)) ELSE 6.112 * exp(22.46*(tdew-273.15)/(272.62+tdew-273.15)) END) / (CASE WHEN temp_raw >= 273.15 THEN 6.112 * exp(17.62*(temp_raw-273.15)/(243.12+temp_raw-273.15)) ELSE 6.112 * exp(22.46*(temp_raw-273.15)/(272.62+temp_raw-273.15)) END), 0.0), 100.0) END, 6) AS hum_h
             FROM scaffold
 
         """),
@@ -960,7 +1063,8 @@ def oracle_sql() -> dict[str, str]:
               FROM daily d CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h) h
             )
             SELECT g.user_id, g.ts,
-                   round(least(greatest(p.hum_mean, 0.0), 100.0), 6) AS hum_h
+                   round(CASE WHEN p.hum_mean IS NULL THEN NULL
+                         ELSE least(greatest(p.hum_mean, 0.0), 100.0) END, 6) AS hum_h
             FROM grid g LEFT JOIN mhpm p
               ON p.user_id = g.user_id AND p.m = month(g.ts)
              AND p.h2 = g.h AND p.wet = g.wet
@@ -1073,8 +1177,9 @@ def oracle_sql() -> dict[str, str]:
               JOIN nxt n ON t.user_id = n.user_id AND t.date = n.date
             )
             SELECT user_id, ts,
-                   round(least(greatest(
-                       100.0 * (CASE WHEN tdew >= 273.15 THEN 6.112 * exp(17.62*(tdew-273.15)/(243.12+tdew-273.15)) ELSE 6.112 * exp(22.46*(tdew-273.15)/(272.62+tdew-273.15)) END) / (CASE WHEN temp_raw >= 273.15 THEN 6.112 * exp(17.62*(temp_raw-273.15)/(243.12+temp_raw-273.15)) ELSE 6.112 * exp(22.46*(temp_raw-273.15)/(272.62+temp_raw-273.15)) END), 0.0), 100.0), 6) AS hum_h
+                   round(CASE WHEN temp_raw IS NULL OR tdew IS NULL THEN NULL
+                         ELSE least(greatest(
+                       100.0 * (CASE WHEN tdew >= 273.15 THEN 6.112 * exp(17.62*(tdew-273.15)/(243.12+tdew-273.15)) ELSE 6.112 * exp(22.46*(tdew-273.15)/(272.62+tdew-273.15)) END) / (CASE WHEN temp_raw >= 273.15 THEN 6.112 * exp(17.62*(temp_raw-273.15)/(243.12+temp_raw-273.15)) ELSE 6.112 * exp(22.46*(temp_raw-273.15)/(272.62+temp_raw-273.15)) END), 0.0), 100.0) END, 6) AS hum_h
             FROM scaffold
         """,
         "temp_sine_mean": f"""
@@ -1122,11 +1227,60 @@ def oracle_sql() -> dict[str, str]:
                    END, 6) AS temp_h
             FROM pieces
         """,
+        "temp_sine_variants": f"""
+            SELECT user_id, ts, 'mean' AS method, temp_h FROM (
+              WITH daily AS ({_MET_DAILY_SQL})
+              SELECT user_id,
+                     CAST(date AS TIMESTAMP) + to_hours(h.h) AS ts,
+                     round(temp + (tmax - tmin)/2.0 * cos(2*pi()/24.0 * (h.h - 14)), 6) AS temp_h
+              FROM daily CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h) h
+            )
+            UNION ALL
+            SELECT user_id, ts, 'night' AS method, temp_h FROM (
+              WITH daily_t AS ({_MET_DAILY_SQL}),
+              loc_t AS (
+                SELECT user_id, date, tmin, tmax,
+                       CASE WHEN lead(date) OVER w IS NULL THEN tmin
+                            WHEN date_diff('day', date, lead(date) OVER w) = 1 THEN lead(tmin) OVER w
+                            END AS min_val_next,
+                       CASE WHEN lag(date) OVER w IS NULL THEN tmax
+                            WHEN date_diff('day', lag(date) OVER w, date) = 1 THEN lag(tmax) OVER w
+                            END AS max_val_before
+                FROM daily_t
+                WINDOW w AS (PARTITION BY user_id ORDER BY date)
+              ),
+              hourly_t AS (
+                SELECT l.*, h.h,
+                       CAST(l.date AS TIMESTAMP) + to_hours(h.h) AS ts
+                FROM loc_t l CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h) h
+              ),
+              vals AS (
+                SELECT user_id, ts, h,
+                       CASE WHEN h < 14 THEN tmin ELSE min_val_next END AS minv,
+                       CASE WHEN h < 7 THEN max_val_before ELSE tmax END AS maxv
+                FROM hourly_t
+              ),
+              pieces AS (
+                SELECT user_id, ts, h,
+                       minv + (maxv - minv)/2.0 AS vt,
+                       (maxv - minv)/2.0 AS hd
+                FROM vals
+              )
+              SELECT user_id, ts,
+                     round(CASE
+                       WHEN h <= 7 THEN vt + hd * cos(pi()/17.0 * (10 + h))
+                       WHEN h < 14 THEN vt + hd * cos(1.25*pi() + 0.75*pi()/7.0 * (h - 7))
+                       ELSE vt + hd * cos(pi()/17.0 * (h - 14))
+                     END, 6) AS temp_h
+              FROM pieces
+            )
+        """,
         "humidity_minimal": f"""
             {_TEMP_SINE_CORE_SQL}
             SELECT t.user_id, t.ts,
-                   round(least(greatest(
-                       100.0 * (CASE WHEN d.tmin >= 273.15 THEN 6.112 * exp(17.62*(d.tmin-273.15)/(243.12+d.tmin-273.15)) ELSE 6.112 * exp(22.46*(d.tmin-273.15)/(272.62+d.tmin-273.15)) END) / (CASE WHEN t.temp_raw >= 273.15 THEN 6.112 * exp(17.62*(t.temp_raw-273.15)/(243.12+t.temp_raw-273.15)) ELSE 6.112 * exp(22.46*(t.temp_raw-273.15)/(272.62+t.temp_raw-273.15)) END), 0.0), 100.0), 6) AS hum_h
+                   round(CASE WHEN t.temp_raw IS NULL THEN NULL
+                         ELSE least(greatest(
+                       100.0 * (CASE WHEN d.tmin >= 273.15 THEN 6.112 * exp(17.62*(d.tmin-273.15)/(243.12+d.tmin-273.15)) ELSE 6.112 * exp(22.46*(d.tmin-273.15)/(272.62+d.tmin-273.15)) END) / (CASE WHEN t.temp_raw >= 273.15 THEN 6.112 * exp(17.62*(t.temp_raw-273.15)/(243.12+t.temp_raw-273.15)) ELSE 6.112 * exp(22.46*(t.temp_raw-273.15)/(272.62+t.temp_raw-273.15)) END), 0.0), 100.0) END, 6) AS hum_h
             FROM temp_core t
             JOIN daily_t d ON t.user_id = d.user_id AND t.date = d.date
         """,
@@ -1483,7 +1637,8 @@ def oracle_sql() -> dict[str, str]:
               FROM h0
             )
             SELECT station_id, ts,
-                   round(least(greatest(hum0 - coalesce(b, 0.0), 0.0), 100.0), 6) AS hum_h
+                   round(CASE WHEN hum0 IS NULL THEN NULL
+                         ELSE least(greatest(hum0 - coalesce(b, 0.0), 0.0), 100.0) END, 6) AS hum_h
             FROM bias
         """,
         "temp_sine_sunshift": f"""
@@ -1718,11 +1873,17 @@ def oracle_sql() -> dict[str, str]:
         "humidity_minmax": f"""
             {_TEMP_SINE_CORE_SQL}
             SELECT t.user_id, t.ts,
-                   round(least(greatest(
-                       d.hum_max + CASE WHEN d.tmax = d.tmin THEN NULL
-                                   ELSE (t.temp_raw - d.tmin) / (d.tmax - d.tmin) END
-                                 * (d.hum_min - d.hum_max),
-                       0.0), 100.0), 6) AS hum_h
+                   round(CASE WHEN t.temp_raw IS NULL THEN NULL
+                         WHEN d.tmax = d.tmin THEN
+                            -- reference numpy on a flat day: ±inf clips
+                            -- to 100/0; 0·inf → NaN (here NULL)
+                            CASE WHEN t.temp_raw = d.tmin OR d.hum_min = d.hum_max THEN NULL
+                                 WHEN (t.temp_raw > d.tmin) = (d.hum_min > d.hum_max) THEN 100.0
+                                 ELSE 0.0 END
+                         ELSE least(greatest(
+                            d.hum_max + (t.temp_raw - d.tmin) / (d.tmax - d.tmin)
+                                      * (d.hum_min - d.hum_max),
+                            0.0), 100.0) END, 6) AS hum_h
             FROM temp_core t JOIN daily_t d
               ON t.user_id = d.user_id AND t.date = d.date
         """,
@@ -2266,14 +2427,13 @@ def q_humidity_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily range (`humidity.py:91-101`) — consumes the temperature
     disaggregation output (operator chaining)."""
     from melodist_spark.operators.humidity import disaggregate_humidity
-    from melodist_spark.operators.temperature import disaggregate_temperature
 
     daily = _met_daily(spark, sf_dir)
-    temp_h = disaggregate_temperature(
-        daily, method="sine_min_max", min_max_time="fix", keys=["user_id"]
-    )
     out = disaggregate_humidity(
-        daily, method="min_max", hourly_temp=temp_h, keys=["user_id"]
+        daily,
+        method="min_max",
+        temp_disagg={"method": "sine_min_max", "min_max_time": "fix"},
+        keys=["user_id"],
     )
     return out.select("user_id", "ts", F.round("hum", 6).alias("hum_h"))
 
@@ -2454,18 +2614,14 @@ def q_humidity_dewpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         dewpoint_regression,
         disaggregate_humidity,
     )
-    from melodist_spark.operators.temperature import disaggregate_temperature
 
     m = _met_hourly(spark, sf_dir)
     daily = _met_daily(spark, sf_dir)
     params = dewpoint_regression(m, keys=["user_id"]).withColumn("kr", F.lit(12))
-    temp_h = disaggregate_temperature(
-        daily, method="sine_min_max", min_max_time="fix", keys=["user_id"]
-    )
     out = disaggregate_humidity(
         daily,
         method="dewpoint_regression",
-        hourly_temp=temp_h,
+        temp_disagg={"method": "sine_min_max", "min_max_time": "fix"},
         hum_params=params,
         keys=["user_id"],
     )
@@ -2528,18 +2684,14 @@ def q_humidity_lindew(spark: SparkSession, sf_dir: str) -> DataFrame:
         dewpoint_regression,
         disaggregate_humidity,
     )
-    from melodist_spark.operators.temperature import disaggregate_temperature
 
     m = _met_hourly(spark, sf_dir)
     daily = _met_daily(spark, sf_dir)
     params = dewpoint_regression(m, keys=["user_id"]).withColumn("kr", F.lit(12))
-    temp_h = disaggregate_temperature(
-        daily, method="sine_min_max", min_max_time="fix", keys=["user_id"]
-    )
     out = disaggregate_humidity(
         daily,
         method="linear_dewpoint_variation",
-        hourly_temp=temp_h,
+        temp_disagg={"method": "sine_min_max", "min_max_time": "fix"},
         hum_params=params,
         keys=["user_id"],
     )
@@ -2580,14 +2732,13 @@ def q_humidity_minimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     to daily tmin (a0=0, a1=1), relative humidity from the saturation
     vapor-pressure ratio against the hourly temperature sine."""
     from melodist_spark.operators.humidity import disaggregate_humidity
-    from melodist_spark.operators.temperature import disaggregate_temperature
 
     daily = _met_daily(spark, sf_dir)
-    temp_h = disaggregate_temperature(
-        daily, method="sine_min_max", min_max_time="fix", keys=["user_id"]
-    )
     out = disaggregate_humidity(
-        daily, method="minimal", hourly_temp=temp_h, keys=["user_id"]
+        daily,
+        method="minimal",
+        temp_disagg={"method": "sine_min_max", "min_max_time": "fix"},
+        keys=["user_id"],
     )
     return out.select("user_id", "ts", F.round("hum", 6).alias("hum_h"))
 
@@ -2926,4 +3077,144 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         F.round("cos_sim", 6).alias("cos_sim"),
         F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 2: compound queries — the driver checks the first 50 registry
+# keys, so same-grain micro-queries are merged into compounds (union
+# with a tag column / multi-column selects) to fit every operator
+# family inside the checked window.
+# ---------------------------------------------------------------------------
+
+
+def q_temp_sine_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sine_mean (`temperature.py:172-176`) and sine_min_max with
+    mod_nighttime (`temperature.py:145-167`) in one result, tagged by
+    method — a narrow union, no join between the hourly branches."""
+    from melodist_spark.operators.temperature import disaggregate_temperature
+
+    daily = _met_daily(spark, sf_dir)
+    mean = disaggregate_temperature(
+        daily, method="sine_mean", min_max_time="fix", keys=["user_id"]
+    ).select(
+        "user_id", "ts", F.lit("mean").alias("method"),
+        F.round("temp", 6).alias("temp_h"),
+    )
+    night = disaggregate_temperature(
+        daily,
+        method="sine_min_max",
+        min_max_time="fix",
+        mod_nighttime=True,
+        keys=["user_id"],
+    ).select(
+        "user_id", "ts", F.lit("night").alias("method"),
+        F.round("temp", 6).alias("temp_h"),
+    )
+    return mean.unionByName(night)
+
+
+def q_meteo_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sonntag vapor pressure and dewpoint temperature, both branches,
+    in one projection (`util/util.py:70-134`)."""
+    from melodist_spark.functions.meteo import (
+        dewpoint_temperature,
+        vapor_pressure,
+    )
+
+    m = _met_hourly(spark, sf_dir)
+    return m.select(
+        "user_id",
+        "ts",
+        F.round(vapor_pressure(F.col("temp"), F.col("hum")), 6).alias("vp"),
+        F.round(dewpoint_temperature(F.col("temp"), F.col("hum")), 6).alias("td"),
+    )
+
+
+def q_window_primitives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three event-grain window primitives in one pass: running
+    sum (cascade regrid, `precipitation.py:292-303`), per-day fraction
+    (master-station, `precipitation.py:399-400`) and forward fill
+    (`util/util.py:60-62`) — one window spec shared by two of them."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wday = Window.partitionBy("user_id", F.to_date("ts"))
+    v = F.when(F.col("value") > 50, F.col("value"))
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(wcum), 3).alias("run_sum"),
+        F.round(F.col("value") / F.sum("value").over(wday), 6).alias("day_frac"),
+        F.round(F.last(v, ignorenulls=True).over(wcum), 6).alias("v_ff"),
+    )
+
+
+def q_dyadic_calendars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two sub-hourly cascade grids, tagged by grain: the 288-step
+    5-minute day (`precipitation.py:740-767`) and the level-9 dyadic
+    day of 512 boxes (`precipitation.py:705-737`)."""
+    from melodist_spark.util.calendar import five_min_calendar, sub_level_calendar
+
+    daily = _met_daily(spark, sf_dir).select("user_id", "date")
+    five = five_min_calendar(daily).select(
+        "user_id", "ts", F.lit("five_min").alias("grain")
+    )
+    lvl9 = sub_level_calendar(daily, level=9).select(
+        "user_id", "ts", F.lit("level9").alias("grain")
+    )
+    return five.unionByName(lvl9)
+
+
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup groups on two digests, tagged by method: full-text
+    md5 (no collisions on this corpus) and a 2-word-prefix digest
+    (real duplicate groups) — group / keep-min-id / count semantics."""
+    from melodist_spark.pipeline.dedup import exact_duplicates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ex = exact_duplicates(docs).select(
+        F.lit("exact").alias("method"), "digest", "n_docs", "keep_id"
+    )
+    pdg = F.md5(F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 2)))
+    pre = (
+        docs.groupBy(pdg.alias("digest"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+        .select(F.lit("prefix").alias("method"), "digest", "n_docs", "keep_id")
+    )
+    return ex.unionByName(pre)
+
+
+def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full text-analysis feature set in one narrow projection —
+    fingerprint, token/quality stats, language-ID scores and the
+    16-bit SimHash are all JVM column expressions over ``documents``,
+    so the compound is join-free and single-scan."""
+    from melodist_spark.pipeline.text import (
+        fingerprint,
+        language_scores,
+        quality_features,
+        simhash,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    staged = simhash(quality_features(docs))
+    scores = language_scores(F.col("text"))
+    return staged.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fp"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        scores["score_en"].cast("long").alias("score_en"),
+        scores["score_de"].cast("long").alias("score_de"),
+        scores["score_es"].cast("long").alias("score_es"),
+        F.col("simhash").cast("long").alias("simhash"),
     )

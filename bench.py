@@ -19,35 +19,40 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # meteorology chains
     "temp_sine_disagg",
+    "temp_sine_sunloc",
+    "temp_sine_variants",
+    "mean_course_temp",
+    "humidity_lindew",
+    "humidity_dewpoint",
+    "humidity_mhpm",
+    "radiation_potrad",
+    "radiation_bc",
+    "wind_cosine",
+    "wind_equal",
+    "precip_masterstation",
+    "cascade_disagg",
+    "cascade_calibration",
+    "api_pipeline",
+    # aggregation / calendar / scalar primitives
     "daily_from_hourly",
     "distribute_equally",
     "lead_lag",
-    "cumsum",
-    "day_normalize",
-    "vapor_pressure",
-    "dewpoint",
-    "pot_radiation",
-    "mean_course",
-    "month_hour_wet_mean",
-    "pricing_summary",
-    "revenue_by_nation",
-    "token_stats",
-    "simhash",
-    "minhash_bands",
-    "embedding_topk",
-    "humidity_equal",
-    "wind_cosine",
+    "window_primitives",
+    "meteo_scalars",
     "interpolate",
-    "bristow_campbell",
+    "month_hour_wet_mean",
     "validation_metrics",
-    "embedding_bucket",
-    "cascade_disagg",
-    "radiation_potrad",
-    "humidity_lindew",
-    "temp_sine_sunloc",
-    "precip_masterstation",
+    # relational
+    "pricing_summary",
+    # training-data pipeline
+    "text_features",
+    "minhash_pairs",
+    "embedding_topk",
     "embedding_neardup",
+    "ivf_topk",
+    "multimodal_hist",
 ]
 
 

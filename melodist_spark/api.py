@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from melodist_spark.functions.solar import sun_times as _sun_times
-from melodist_spark.operators.cascade import collect_cascade_stats, disagg_prec_cascade
+from melodist_spark.operators.cascade import disagg_prec_cascade
 from melodist_spark.operators.humidity import disaggregate_humidity
 from melodist_spark.operators.precipitation import disagg_prec
 from melodist_spark.operators.radiation import disaggregate_radiation
@@ -85,8 +85,7 @@ class Stations:
 
     def disaggregate_temperature(self, method="sine_min_max", min_max_time="fix", **kw):
         s = self.statistics
-        out = disaggregate_temperature(
-            self._data_daily,
+        spec = dict(
             method=method,
             min_max_time=min_max_time,
             stations=self.meta,
@@ -94,15 +93,24 @@ class Stations:
             mean_course=s.temp_mean_course if s else None,
             **kw,
         )
+        out = disaggregate_temperature(self._data_daily, **spec)
         self.data_disagg["temp"] = out
+        # remembered so a later humidity call can fuse the temperature
+        # into its own calendar explode instead of joining two
+        # hourly-grain tables (one shuffle less at fleet scale)
+        self._temp_spec = spec
         return out
 
     def disaggregate_humidity(self, method="equal", preserve_daily_mean=False, **kw):
         s = self.statistics
+        temp_spec = getattr(self, "_temp_spec", None)
+        if temp_spec is not None and "hourly_temp" not in kw:
+            kw = dict(kw, temp_disagg=temp_spec)
+        else:
+            kw = dict(kw, hourly_temp=self.data_disagg.get("temp"))
         out = disaggregate_humidity(
             self._data_daily,
             method=method,
-            hourly_temp=self.data_disagg.get("temp"),
             hum_params=s.hum if s else None,
             month_hour_precip_mean=s.hum_month_hour_precip_mean if s else None,
             preserve_daily_mean=preserve_daily_mean,
@@ -145,13 +153,14 @@ class Stations:
         if method == "cascade":
             s = self.statistics
             assert s is not None and s.precip_stats is not None
-            stats = collect_cascade_stats(s.precip_stats)
+            # stats stay a DataFrame — joined into the kernel input per
+            # station, never collected to the driver (fleet-scale safe)
             parts = []
             for season_idx, months in enumerate(s.precip_months):
                 sub = seasonal_subset(self._data_daily, months, ts_col="date")
                 parts.append(
                     disagg_prec_cascade(
-                        sub, stats, seed=seed, season=season_idx, **kw
+                        sub, s.precip_stats, seed=seed, season=season_idx, **kw
                     )
                 )
             out = parts[0]

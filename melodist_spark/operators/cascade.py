@@ -291,6 +291,13 @@ def _stats_schema(df: DataFrame, keys: list[str]) -> str:
     )
 
 
+def _default_buckets(df: DataFrame) -> int:
+    """Bucket count scaling with the cluster: one grouped-map task per
+    core at minimum 64 (the sweet spot measured at bench scale) so
+    cascade parallelism is never capped below the executor fleet."""
+    return max(64, df.sparkSession.sparkContext.defaultParallelism)
+
+
 def build_casc(
     hourly_df: DataFrame,
     months: list[list[int]] | None = None,
@@ -301,20 +308,24 @@ def build_casc(
     keys: list[str] = ("station_id",),
     ts_col: str = "ts",
     precip_col: str = "precip",
-    station_buckets: int = 64,
+    station_buckets: int | None = None,
 ) -> DataFrame:
     """Distributed cascade calibration.
 
     Stations are hash-bucketed into ``station_buckets`` grouped-map
     tasks (kernel loops stations inside — amortizes Arrow/pandas fixed
-    costs; results are per-station and bucket-invariant); seasons are
+    costs; results are per-station and bucket-invariant); the default
+    scales with ``spark.defaultParallelism``. Seasons are
     month subsets as in `precipitation.py:631-702`. Output rows carry
     the flattened statistics arrays; ``level = -1`` marks the averaged
     statistics (``avg_stats=True``), otherwise one row per level.
-    Use :func:`collect_cascade_stats` to turn the result into the
-    broadcastable dict consumed by :func:`disagg_prec_cascade`.
+    The result DataFrame feeds :func:`disagg_prec_cascade` directly
+    (stats join, nothing on the driver); :func:`collect_cascade_stats`
+    remains for the small-fleet broadcast-dict path.
     """
     keys = list(keys)
+    if station_buckets is None:
+        station_buckets = _default_buckets(hourly_df)
     if months is None:
         months = [list(range(1, 13))]
     schema = _stats_schema(hourly_df, keys)
@@ -355,8 +366,11 @@ def build_casc(
                 return pd.DataFrame(rows)
 
             def fit_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+                # group by the FULL key tuple — grouping by keys[0]
+                # alone would silently merge distinct stations that
+                # share the first key component
                 return pd.concat(
-                    [fit_one(g) for _, g in pdf.groupby(keys[0], sort=True)],
+                    [fit_one(g) for _, g in pdf.groupby(keys, sort=True)],
                     ignore_index=True,
                 )
 
@@ -511,6 +525,26 @@ def _station_seed(station_id, seed: int) -> int:
     return (zlib.crc32(str(station_id).encode()) ^ seed) & 0xFFFFFFFF
 
 
+def _stats_from_rows(rows) -> "CascadeStatistics | list[CascadeStatistics]":
+    """Rebuild CascadeStatistics from build_casc stats rows (dict-like
+    structs carried per group through the stats join)."""
+
+    def mk(r):
+        s = CascadeStatistics()
+        s.p01 = np.array(r["p01"]).reshape(2, 4)
+        s.p10 = np.array(r["p10"]).reshape(2, 4)
+        s.pxx = np.array(r["pxx"]).reshape(2, 4)
+        s.wxx = np.array(r["wxx"]).reshape(7, 2, 4)
+        s.threshold = np.array(r["threshold"])
+        s.percentile = r["percentile"]
+        return s
+
+    rows = sorted(rows, key=lambda r: r["level"])
+    if len(rows) == 1 and rows[0]["level"] == -1:
+        return mk(rows[0])
+    return [mk(r) for r in rows]
+
+
 def disagg_prec_cascade(
     daily: DataFrame,
     cascade_options,
@@ -522,14 +556,21 @@ def disagg_prec_cascade(
     date_col: str = "date",
     ts_col: str = "ts",
     season: int = 0,
-    station_buckets: int = 64,
+    station_buckets: int | None = None,
 ) -> DataFrame:
     """Distributed cascade disaggregation.
 
-    ``cascade_options`` may be a single :class:`CascadeStatistics` (or
-    per-level list) applied to every station, or the dict from
-    :func:`collect_cascade_stats` keyed ``(station_id, season)`` —
-    shipped to executors via a Spark broadcast.
+    ``cascade_options`` may be:
+
+    - the **DataFrame returned by** :func:`build_casc` — the scale
+      path: the per-station statistics are joined into the kernel
+      input as columns (co-partitioned with the subsequent grouping),
+      so the driver never materializes the fleet's statistics;
+    - a single :class:`CascadeStatistics` (or per-level list) applied
+      to every station — broadcast;
+    - the dict from :func:`collect_cascade_stats` keyed
+      ``(station_id, season)`` — broadcast; fine to ~10⁵ stations,
+      driver-memory-bound beyond that (prefer the DataFrame form).
 
     Missing daily values are zeroed before and restored to null after
     (`precipitation.py:96-99`, `313-315`); ``shift`` relabels the
@@ -539,14 +580,21 @@ def disagg_prec_cascade(
     grouped-map task and looped inside the kernel: per-group Arrow +
     pandas fixed costs dominate when station series are short (a 4×
     win measured at 1500 stations × 30 days), and per-station seeding
-    keeps results identical for any bucket count. Set 0 to group by
-    raw station.
+    keeps results identical for any bucket count. The default scales
+    with ``spark.defaultParallelism``; set 0 to group by raw station.
 
     Returns (keys..., ts, precip) at hourly or 5-minute resolution.
     """
     keys = list(keys)
     spark = daily.sparkSession
-    bc = spark.sparkContext.broadcast(cascade_options)
+    if station_buckets is None:
+        station_buckets = _default_buckets(daily)
+    stats_df = cascade_options if isinstance(cascade_options, DataFrame) else None
+    bc = (
+        None
+        if stats_df is not None
+        else spark.sparkContext.broadcast(cascade_options)
+    )
     out_step_us = 3_600_000_000 if hourly else 300_000_000
     steps_per_day = 24 if hourly else 288
     box_step_us = LEVEL11_STEP_US * (2 ** (11 - level))
@@ -554,10 +602,16 @@ def disagg_prec_cascade(
 
     schema = _key_schema(daily, keys) + f", {ts_col} timestamp, precip double"
 
+    # the kernel must not close over the DataFrame itself (unpicklable)
+    stats_in_col = stats_df is not None
+
     def disagg_one(sid, pdf: pd.DataFrame) -> pd.DataFrame:
-        opts = bc.value
-        if isinstance(opts, dict):
-            opts = opts[(sid, season)]
+        if stats_in_col:
+            opts = _stats_from_rows(pdf["__stats"].iloc[0])
+        else:
+            opts = bc.value
+            if isinstance(opts, dict):
+                opts = opts[(sid, season)]
         pdf = pdf.sort_values(date_col)
         x = pdf["precip"].to_numpy(dtype=float)
         missing = np.isnan(x)
@@ -602,13 +656,38 @@ def disagg_prec_cascade(
         return pd.DataFrame(res)
 
     selected = daily.select(*keys, date_col, "precip")
+    if stats_df is not None:
+        # one struct-array column per station, joined on the same keys
+        # the grouped-map shuffles on — no driver materialization
+        per_station = (
+            stats_df.filter(F.col("season") == F.lit(season))
+            .groupBy(*keys)
+            .agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            "level", "p01", "p10", "pxx", "wxx",
+                            "threshold", "percentile",
+                        )
+                    )
+                ).alias("__stats")
+            )
+        )
+        selected = selected.join(per_station, keys)
+
+    def group_key(pdf: pd.DataFrame):
+        # full key tuple — keys[0] alone would merge distinct stations
+        # sharing the first component (and mis-key seed/stats lookups)
+        if len(keys) == 1:
+            return pdf[keys[0]].iloc[0]
+        return tuple(pdf[k].iloc[0] for k in keys)
 
     if station_buckets and station_buckets > 0:
 
         def disagg_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
             parts = [
-                disagg_one(sid, g)
-                for sid, g in pdf.groupby(keys[0], sort=True)
+                disagg_one(group_key(g), g)
+                for _, g in pdf.groupby(keys, sort=True)
             ]
             return pd.concat(parts, ignore_index=True)
 
@@ -620,6 +699,6 @@ def disagg_prec_cascade(
         )
 
     def disagg(pdf: pd.DataFrame) -> pd.DataFrame:
-        return disagg_one(pdf[keys[0]].iloc[0], pdf)
+        return disagg_one(group_key(pdf), pdf)
 
     return selected.groupBy(*keys).applyInPandas(disagg, schema=schema)

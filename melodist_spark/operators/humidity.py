@@ -40,13 +40,25 @@ def disaggregate_humidity(
     keys: list[str] = ("station_id",),
     date_col: str = "date",
     ts_col: str = "ts",
+    temp_disagg: dict | None = None,
 ) -> DataFrame:
     """Disaggregate daily humidity to hourly relative humidity [%].
 
     Args mirror `humidity.py:28-59`:
 
     - ``hourly_temp``: (keys..., ts, temp) hourly temperature — required
-      by the dewpoint-family and min_max methods
+      by the dewpoint-family and min_max methods when ``temp_disagg``
+      is not given. NOTE: this joins two hourly-grain tables (a full
+      shuffle of the temperature series at fleet scale); prefer
+      ``temp_disagg`` when the temperature comes from our own
+      disaggregation.
+    - ``temp_disagg``: kwargs for
+      :func:`~melodist_spark.operators.temperature.disaggregate_temperature`
+      (e.g. ``{"method": "sine_min_max", "min_max_time": "fix"}``).
+      The temperature is then computed INLINE on the same exploded
+      hourly calendar as the humidity — one explode, no hourly×hourly
+      join, lineage stays co-partitioned (the plan's only exchanges
+      are the daily-grain window and broadcasts).
     - ``hum_params``: (keys..., a0, a1, kr) dewpoint regression
       parameters per station
     - ``month_hour_precip_mean``: (keys..., month, hour, wet, hum_mean)
@@ -59,45 +71,64 @@ def disaggregate_humidity(
     keys = list(keys)
 
     daily_cols = [c for c in ("hum", "tmin", "tmax", "hum_min", "hum_max", "precip") if c in daily.columns]
-    base = hourly_calendar(
-        daily.select(*keys, date_col, *daily_cols), date_col=date_col, ts_col=ts_col
+    dew_family = method in (
+        "minimal", "dewpoint_regression", "linear_dewpoint_variation"
     )
+    fused = temp_disagg is not None and (dew_family or method == "min_max")
+
+    # --- daily-grain prep: everything that is constant within a day is
+    # computed BEFORE the hourly explode (dewpoint from the regression,
+    # next-day dewpoint via a daily window) so neither mode needs an
+    # hourly-grain re-aggregation or join for it -----------------------
+    prep = daily
+    prep_cols = list(daily_cols)
+    if dew_family:
+        if method == "minimal":
+            # a0=0, a1=1 (`humidity.py:64-66`)
+            prep = prep.withColumn("tdew", F.col("tmin"))
+        else:
+            assert hum_params is not None, "hum_params (a0, a1, kr) required"
+            prep = prep.join(F.broadcast(hum_params), keys, "left")
+            prep = prep.withColumn("tdew", F.col("a0") + F.col("a1") * F.col("tmin"))
+        prep_cols.append("tdew")
+        if method == "linear_dewpoint_variation":
+            # next-day daily tdew, last day copies itself
+            # (`humidity.py:80-81`)
+            wd = Window.partitionBy(*keys).orderBy(date_col)
+            prep = prep.withColumn(
+                "tdew_next",
+                F.coalesce(F.lead("tdew", 1).over(wd), F.col("tdew")),
+            )
+            prep_cols += ["tdew_next", "kr"]
+
+    if fused:
+        assert hourly_temp is None, "pass either hourly_temp or temp_disagg"
+        from melodist_spark.operators.temperature import disaggregate_temperature
+
+        base = disaggregate_temperature(
+            prep,
+            keys=keys,
+            date_col=date_col,
+            ts_col=ts_col,
+            extra_cols=[date_col, *prep_cols],
+            **temp_disagg,
+        )
+    else:
+        base = hourly_calendar(
+            prep.select(*keys, date_col, *prep_cols), date_col=date_col, ts_col=ts_col
+        )
 
     if method == "equal":
         out = base.withColumn("hum_disagg", F.col("hum"))
 
-    elif method in ("minimal", "dewpoint_regression", "linear_dewpoint_variation"):
-        assert hourly_temp is not None, "hourly temperature required"
-        if method == "minimal":
-            # a0=0, a1=1 (`humidity.py:64-66`)
-            base = base.withColumn("a0", F.lit(0.0)).withColumn("a1", F.lit(1.0))
-            kr_col = F.lit(12)
-        else:
-            assert hum_params is not None, "hum_params (a0, a1, kr) required"
-            base = base.join(F.broadcast(hum_params), keys, "left")
-            kr_col = F.col("kr")
-
-        base = base.withColumn("tdew", F.col("a0") + F.col("a1") * F.col("tmin"))
-
+    elif dew_family:
+        assert fused or hourly_temp is not None, "hourly temperature required"
         if method == "linear_dewpoint_variation":
-            # eq. (20)/(21) of Debele et al. (2007) (`humidity.py:73-86`);
-            # next-day daily tdew computed at the daily grain, last day
-            # copies itself (`humidity.py:80-81`)
-            daily_tdew = (
-                base.groupBy(*keys, date_col)
-                .agg(F.first("tdew").alias("tdew_d"))
-                .withColumn(
-                    "tdew_next",
-                    F.coalesce(
-                        F.lead("tdew_d", 1).over(Window.partitionBy(*keys).orderBy(date_col)),
-                        F.col("tdew_d"),
-                    ),
-                )
-                .select(*keys, date_col, "tdew_next")
-            )
-            base = base.join(daily_tdew, [*keys, date_col])
+            # eq. (20)/(21) of Debele et al. (2007) (`humidity.py:73-86`)
             hour = F.hour(ts_col).cast("double")
-            tdew_delta = 0.5 * F.sin((hour + 1) * F.lit(PI) / kr_col - F.lit(3.0 * PI / 4.0))
+            tdew_delta = 0.5 * F.sin(
+                (hour + 1) * F.lit(PI) / F.col("kr") - F.lit(3.0 * PI / 4.0)
+            )
             base = base.withColumn(
                 "tdew",
                 F.col("tdew")
@@ -105,7 +136,12 @@ def disaggregate_humidity(
                 + tdew_delta,
             )
 
-        joined = base.join(hourly_temp.select(*keys, ts_col, "temp"), [*keys, ts_col])
+        if fused:
+            joined = base  # temp computed on this same exploded calendar
+        else:
+            joined = base.join(
+                hourly_temp.select(*keys, ts_col, "temp"), [*keys, ts_col]
+            )
         out = joined.withColumn(
             "hum_disagg",
             100.0
@@ -117,17 +153,28 @@ def disaggregate_humidity(
         assert "hum_min" in daily.columns and "hum_max" in daily.columns, (
             "Minimum and maximum humidity must be present in data frame"
         )
-        assert hourly_temp is not None, "hourly temperature required"
-        joined = base.join(hourly_temp.select(*keys, ts_col, "temp"), [*keys, ts_col])
-        # tmax == tmin (flat day) → reference numpy gives inf/nan;
-        # try_divide's null matches after the clip
+        assert fused or hourly_temp is not None, "hourly temperature required"
+        if fused:
+            joined = base
+        else:
+            joined = base.join(
+                hourly_temp.select(*keys, ts_col, "temp"), [*keys, ts_col]
+            )
+        # flat day (tmax == tmin): the reference's numpy ratio is ±inf
+        # (→ 100/0 after the clip, sign of (temp-tmin)·(hum_min-hum_max))
+        # and NaN only for temp == tmin or hum_min == hum_max (0·inf);
+        # we reproduce that, with NaN expressed as null
+        num = F.col("temp") - F.col("tmin")
+        den = F.col("tmax") - F.col("tmin")
+        diff = F.col("hum_min") - F.col("hum_max")
+        flat = F.when(
+            (num == 0) | (diff == 0), F.lit(None).cast("double")
+        ).otherwise(
+            F.when((num > 0) == (diff > 0), F.lit(100.0)).otherwise(F.lit(0.0))
+        )
         out = joined.withColumn(
             "hum_disagg",
-            F.col("hum_max")
-            + F.try_divide(
-                F.col("temp") - F.col("tmin"), F.col("tmax") - F.col("tmin")
-            )
-            * (F.col("hum_min") - F.col("hum_max")),
+            F.when(den != 0, F.col("hum_max") + num / den * diff).otherwise(flat),
         )
 
     elif method == "month_hour_precip_mean":
@@ -152,11 +199,13 @@ def disaggregate_humidity(
             "hum_disagg", F.col("hum_disagg") - F.coalesce(bias, F.lit(0.0))
         )
 
-    return out.select(
-        *keys,
-        ts_col,
-        F.least(F.greatest(F.col("hum_disagg"), F.lit(0.0)), F.lit(100.0)).alias("hum"),
-    )
+    # null-preserving clip: Spark's greatest/least skip nulls, which
+    # would turn a null (the reference's NaN) into 0.0 — keep it null
+    val = F.col("hum_disagg")
+    clipped = F.when(
+        val.isNull(), val
+    ).otherwise(F.least(F.greatest(val, F.lit(0.0)), F.lit(100.0)))
+    return out.select(*keys, ts_col, clipped.alias("hum"))
 
 
 def dewpoint_regression(

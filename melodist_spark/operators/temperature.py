@@ -43,6 +43,11 @@ def _locdf(
     if min_max_time == "fix":
         d = d.withColumn("min_loc", F.lit(7)).withColumn("max_loc", F.lit(14))
     elif min_max_time == "sun_loc":
+        # rounding-mode deviation (documented in SURVEY.md §6): Spark
+        # F.round is HALF_UP while pandas Series.round is half-to-even,
+        # so a sunrise/sunnoon landing exactly on .5 can place the
+        # extreme one hour later than the reference. Sun times are
+        # irrational-valued in practice; the boundary has measure zero.
         d = d.withColumn("min_loc", F.round("sunrise").cast("int")).withColumn(
             "max_loc", (F.round("sunnoon") + DEFAULT_SHIFT_HOURS).cast("int")
         )
@@ -107,6 +112,7 @@ def disaggregate_temperature(
     keys: list[str] = ("station_id",),
     date_col: str = "date",
     ts_col: str = "ts",
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Disaggregate daily temperature to hourly values.
 
@@ -122,17 +128,27 @@ def disaggregate_temperature(
     - ``mean_course``: (station_id, month, hour, value) from
       ``mean_daily_course_by_month`` (mean_course methods; normalized
       for min_max, raw for mean)
+    - ``extra_cols``: daily columns to carry through the explode into
+      the output (fusion hook — downstream operators that need hourly
+      temperature *and* daily context, e.g. the dewpoint-family
+      humidity methods, consume the same exploded calendar instead of
+      joining two hourly-grain tables)
 
-    Returns (keys..., ts, temp).
+    Returns (keys..., ts[, extra_cols...], temp).
     """
     if method not in SINE_METHODS + MEAN_COURSE_METHODS:
         raise ValueError("Invalid option")
     keys = list(keys)
+    extras = [c for c in (extra_cols or []) if c != date_col]
+    # date_col in extra_cols → keep the day column in the output too
+    keep_date = extra_cols is not None and date_col in extra_cols
+    out_extras = ([date_col] if keep_date else []) + extras
 
     if method in MEAN_COURSE_METHODS:
         assert mean_course is not None
+        carry = [c for c in extras if c not in ("temp", "tmin", "tmax")]
         hourly = hourly_calendar(
-            daily.select(*keys, date_col, "temp", "tmin", "tmax"),
+            daily.select(*keys, date_col, "temp", "tmin", "tmax", *carry),
             date_col=date_col,
             ts_col=ts_col,
         ).withColumns({"month": F.month(ts_col), "hour": F.hour(ts_col)})
@@ -147,7 +163,7 @@ def disaggregate_temperature(
             ).drop("value")
             out = hourly.join(F.broadcast(mc), [*keys, "month", "hour"], "left")
             temp = F.col("temp") + (F.col("tmax") - F.col("tmin")) * F.col("mc0")
-        return out.select(*keys, ts_col, temp.alias("temp"))
+        return out.select(*keys, ts_col, *out_extras, temp.alias("temp"))
 
     # --- sine methods ---
     need_sun = min_max_time in ("sun_loc", "sun_loc_shift") or stations is not None
@@ -228,9 +244,9 @@ def disaggregate_temperature(
     hourly = hourly.withColumn("temp", temp)
 
     if apply_polar:
-        return _apply_polar_override(hourly, keys, ts_col)
+        return _apply_polar_override(hourly, keys, ts_col, out_extras)
 
-    return hourly.select(*keys, ts_col, "temp")
+    return hourly.select(*keys, ts_col, *out_extras, "temp")
 
 
 def _polar_possible(stations: DataFrame) -> bool:
@@ -239,7 +255,12 @@ def _polar_possible(stations: DataFrame) -> bool:
     return row["m"] is not None and row["m"] > 60.0
 
 
-def _apply_polar_override(hourly: DataFrame, keys: list[str], ts_col: str) -> DataFrame:
+def _apply_polar_override(
+    hourly: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    out_extras: list[str] | None = None,
+) -> DataFrame:
     """Polar-night flattening (`temperature.py:178-240`).
 
     Days with daylength < 3 h get no diurnal cycle: only tmin/tmax are
@@ -284,11 +305,12 @@ def _apply_polar_override(hourly: DataFrame, keys: list[str], ts_col: str) -> Da
     # (`temperature.py:240`): subseries rows are replaced wholesale, so
     # the stitch is a UNION of untouched rows with the interpolated
     # subseries — no join against the full hourly frame
-    keep = hourly.filter(~in_sub).select(*keys, ts_col, "temp")
+    extras = out_extras or []
+    keep = hourly.filter(~in_sub).select(*keys, ts_col, *extras, "temp")
     sub = hourly.filter(in_sub).withColumn("__sv", sub_val)
     sub = interpolate_linear(
         sub, "__sv", keys=keys, ts_col=ts_col, limit=23, limit_direction="forward"
-    ).select(*keys, ts_col, F.col("__sv").alias("temp"))
+    ).select(*keys, ts_col, *extras, F.col("__sv").alias("temp"))
     return keep.unionByName(sub)
 
 
@@ -304,12 +326,23 @@ def get_shift_by_data(
     Reference `temperature.py:267-287`: per day, the hour of maximum
     temperature (``max_by`` — no self-join, no idxmax collect), minus
     sunnoon, averaged by month. Returns (keys..., month, max_delta).
+
+    Ties on the daily max resolve to the EARLIEST hour (the reference's
+    ``idxmax`` first-occurrence rule): ``max_by`` over the
+    ``(temp, -hour)`` struct is deterministic across partitionings,
+    whereas a bare ``max_by(hour, temp)`` would be free to return any
+    tied hour.
     """
     keys = list(keys)
     daily_max_hour = (
         hourly.filter(F.col(temp_col).isNotNull())
         .groupBy(*keys, F.to_date(ts_col).alias("date"))
-        .agg(F.max_by(F.hour(ts_col), F.col(temp_col)).alias("max_hour"))
+        .agg(
+            F.max_by(
+                F.hour(ts_col),
+                F.struct(F.col(temp_col), -F.hour(ts_col)),
+            ).alias("max_hour")
+        )
     )
     with_sun = daily_max_hour.join(
         F.broadcast(stations.select(*keys, "lon", "lat", "timezone")), keys

@@ -42,12 +42,19 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def _shingles(text: Column, n: int | None) -> Column:
-    """Distinct word-level shingles; n=None → unigrams (token set)."""
+    """Distinct word-level shingles; n=None → unigrams (token set).
+
+    Documents shorter than ``n`` tokens yield an empty shingle set —
+    without the guard, ``sequence(0, size-n)`` would descend and
+    ``slice(…, 0, n)`` would raise at runtime on any short document.
+    """
     toks = F.split(F.trim(text), r"\s+")
     if n is None or n == 1:
         return F.array_distinct(toks)
     # word n-grams via transform over positions
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     )
@@ -104,20 +111,53 @@ def lsh_bands(
 
 
 def lsh_candidate_pairs(
-    bands: DataFrame, id_col: str = "doc_id"
+    bands: DataFrame, id_col: str = "doc_id", max_bucket: int | None = 4096
 ) -> DataFrame:
     """Self-join the band table → distinct candidate (id_a, id_b) pairs
-    with id_a < id_b. The join key (band_idx, band_hash) keeps the
-    blow-up bounded by bucket sizes (salt/band-size tune skew).
+    with id_a < id_b.
+
+    Skew guard: a degenerate corpus (many identical docs) collapses
+    into one (band_idx, band_hash) bucket, making a single task do
+    O(m²) work. With ``max_bucket`` set, buckets of size m are split
+    into g = ceil(m / max_bucket) salt groups by an id hash; the left
+    side is replicated across the g partner salts so the SAME pair set
+    comes out of g co-partitioned join groups of ~m²/g work each —
+    semantics identical, straggler gone, replication only where the
+    bucket is actually oversized (g = 1 elsewhere). ``max_bucket=None``
+    restores the plain equi-join.
     """
-    a = bands.select(
-        F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id_a")
+    if max_bucket is None:
+        a = bands.select(
+            F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id_a")
+        )
+        b = bands.select(
+            F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id_b")
+        )
+        return (
+            a.join(b, ["band_idx", "band_hash"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+
+    sizes = bands.groupBy("band_idx", "band_hash").agg(F.count("*").alias("__m"))
+    # same key as the agg → co-partitioned, no extra exchange
+    sized = bands.join(sizes, ["band_idx", "band_hash"])
+    g = F.greatest(
+        F.lit(1), F.ceil(F.col("__m") / F.lit(max_bucket))
+    ).cast("int")
+    salt = F.pmod(F.xxhash64(F.col(id_col)), g).cast("int")
+    a = sized.select(
+        "band_idx",
+        "band_hash",
+        F.col(id_col).alias("id_a"),
+        F.explode(F.sequence(F.lit(0), g - 1)).alias("__salt"),
     )
-    b = bands.select(
-        F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id_b")
+    b = sized.select(
+        "band_idx", "band_hash", F.col(id_col).alias("id_b"), salt.alias("__salt")
     )
     return (
-        a.join(b, ["band_idx", "band_hash"])
+        a.join(b, ["band_idx", "band_hash", "__salt"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()

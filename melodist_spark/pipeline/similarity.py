@@ -141,6 +141,7 @@ def neardup_pairs(
     num_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH candidate join.
 
@@ -150,6 +151,11 @@ def neardup_pairs(
     candidates only. ``id_a < id_b`` canonicalizes each pair. At corpus
     scale the bucket join is the only shuffle; fewer planes trade more
     candidate work for higher recall.
+
+    Skew guard (same construction as ``lsh_candidate_pairs``): buckets
+    larger than ``max_bucket`` split into g salt groups by an id hash,
+    the left side replicated across partner salts — identical pair
+    set, O(m²) straggler task becomes g tasks of ~m²/g.
     """
     bucket = lsh_bucket_udf(dim, num_planes)
     b = corpus.select(
@@ -157,13 +163,36 @@ def neardup_pairs(
         F.col(vec_col).alias("__v"),
         bucket(F.col(vec_col)).alias("__bucket"),
     )
-    x = b.select(
-        F.col("__id").alias("id_a"), F.col("__v").alias("__va"), "__bucket"
-    )
-    y = b.select(
-        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), "__bucket"
-    )
-    pairs = x.join(y, "__bucket").filter(F.col("id_a") < F.col("id_b"))
+    if max_bucket is None:
+        x = b.select(
+            F.col("__id").alias("id_a"), F.col("__v").alias("__va"), "__bucket"
+        )
+        y = b.select(
+            F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), "__bucket"
+        )
+        pairs = x.join(y, "__bucket").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        sizes = b.groupBy("__bucket").agg(F.count("*").alias("__m"))
+        sized = b.join(sizes, "__bucket")
+        g = F.greatest(
+            F.lit(1), F.ceil(F.col("__m") / F.lit(max_bucket))
+        ).cast("int")
+        salt = F.pmod(F.xxhash64(F.col("__id")), g).cast("int")
+        x = sized.select(
+            "__bucket",
+            F.col("__id").alias("id_a"),
+            F.col("__v").alias("__va"),
+            F.explode(F.sequence(F.lit(0), g - 1)).alias("__salt"),
+        )
+        y = sized.select(
+            "__bucket",
+            F.col("__id").alias("id_b"),
+            F.col("__v").alias("__vb"),
+            salt.alias("__salt"),
+        )
+        pairs = x.join(y, ["__bucket", "__salt"]).filter(
+            F.col("id_a") < F.col("id_b")
+        )
     sims = pairs.select(
         "id_a",
         "id_b",

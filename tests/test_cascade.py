@@ -190,3 +190,71 @@ def test_multi_season_calibration_and_disagg(spark, met_hourly, met_daily, stati
     )
     j = re.join(met_daily.select("station_id", "date", "precip"), ["station_id", "date"])
     assert j.filter(F.abs(F.col("s") - F.col("precip")) > 1e-3).count() == 0
+
+
+def test_disagg_stats_dataframe_matches_dict(met_hourly, met_daily, casc_stats):
+    """The DataFrame stats path (per-station join, nothing collected to
+    the driver) must reproduce the broadcast-dict path exactly."""
+    stats_df = build_casc(met_hourly, percentile=50)
+    via_df = (
+        disagg_prec_cascade(met_daily, stats_df, seed=11)
+        .orderBy("station_id", "ts")
+        .toPandas()
+    )
+    via_dict = (
+        disagg_prec_cascade(met_daily, casc_stats, seed=11)
+        .orderBy("station_id", "ts")
+        .toPandas()
+    )
+    np.testing.assert_allclose(
+        via_df["precip"].values, via_dict["precip"].values, equal_nan=True
+    )
+
+
+def test_disagg_stats_dataframe_per_level(met_hourly, met_daily):
+    """Per-level stats rows (avg_stats=False) reconstruct the 5-element
+    list inside the kernel via the stats join."""
+    stats_df = build_casc(met_hourly, avg_stats=False)
+    d = collect_cascade_stats(stats_df)
+    via_df = (
+        disagg_prec_cascade(met_daily, stats_df, seed=2)
+        .orderBy("station_id", "ts")
+        .toPandas()
+    )
+    via_dict = (
+        disagg_prec_cascade(met_daily, d, seed=2)
+        .orderBy("station_id", "ts")
+        .toPandas()
+    )
+    np.testing.assert_allclose(
+        via_df["precip"].values, via_dict["precip"].values, equal_nan=True
+    )
+
+
+def test_multi_key_stations_not_merged(spark):
+    """ADVICE r1: with composite keys, stations sharing the first key
+    component must stay separate series (full-tuple grouping)."""
+    stats = CascadeStatistics()
+    stats.fill_with_sample_data()
+    days = pd.date_range("2015-01-01", periods=30, freq="D").date
+    pdf = pd.concat(
+        [
+            pd.DataFrame(dict(net="n1", sid="a", date=days, precip=2.0)),
+            pd.DataFrame(dict(net="n1", sid="b", date=days, precip=5.0)),
+        ],
+        ignore_index=True,
+    )
+    daily = spark.createDataFrame(pdf)
+    out = disagg_prec_cascade(
+        daily, stats, seed=3, keys=["net", "sid"], station_buckets=4
+    )
+    got = out.groupBy("net", "sid", F.to_date("ts").alias("date")).agg(
+        F.sum("precip").alias("s")
+    ).toPandas()
+    # daily conservation PER composite station — a keys[0]-only grouping
+    # would interleave the two series and break it
+    assert len(got) == 60
+    a = got[got.sid == "a"]["s"]
+    b = got[got.sid == "b"]["s"]
+    np.testing.assert_allclose(a, 2.0, atol=1e-9)
+    np.testing.assert_allclose(b, 5.0, atol=1e-9)

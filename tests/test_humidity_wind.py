@@ -176,3 +176,63 @@ def test_wind_cosine_fit_roundtrip(spark, met_daily):
     got = fit["a"] * np.cos(np.pi * (h - fit["t_shift"]) / 12) + fit["b"]
     exp = a_true * np.cos(np.pi * (h - t_true) / 12) + b_true
     np.testing.assert_allclose(got, exp, atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "method", ["minimal", "dewpoint_regression", "linear_dewpoint_variation", "min_max"]
+)
+def test_fused_humidity_matches_join_path(method, met_daily, met_hourly, hourly_temp):
+    """temp_disagg fusion (temperature computed on the humidity's own
+    calendar explode) must be value-identical to the hourly_temp join
+    path — same physics, one shuffle less."""
+    kwargs = {}
+    if method in ("dewpoint_regression", "linear_dewpoint_variation"):
+        params = dewpoint_regression(met_hourly).withColumn("kr", F.lit(12))
+        kwargs["hum_params"] = params
+    joined = disaggregate_humidity(
+        met_daily, method=method, hourly_temp=hourly_temp, **kwargs
+    ).orderBy("station_id", "ts").toPandas()
+    fused = disaggregate_humidity(
+        met_daily,
+        method=method,
+        temp_disagg={"method": "sine_min_max", "min_max_time": "fix"},
+        **kwargs,
+    ).orderBy("station_id", "ts").toPandas()
+    assert len(joined) == len(fused)
+    np.testing.assert_allclose(
+        joined["hum"].to_numpy(dtype=float),
+        fused["hum"].to_numpy(dtype=float),
+        atol=1e-9, equal_nan=True,
+    )
+
+
+def test_min_max_flat_day_reference_semantics(spark):
+    """tmax == tmin: the reference's numpy ratio is ±inf → 100/0 after
+    the clip; temp == tmin (0·inf) stays NaN (null here) — ADVICE r1."""
+    daily = spark.createDataFrame(
+        pd.DataFrame(
+            dict(
+                station_id=["s1"],
+                date=[pd.Timestamp("2015-06-01").date()],
+                tmin=[280.0],
+                tmax=[280.0],
+                hum_min=[40.0],
+                hum_max=[80.0],
+            )
+        )
+    )
+    hours = pd.date_range("2015-06-01", periods=24, freq="h")
+    temp = np.full(24, 280.0)
+    temp[5] = 281.0  # > tmin → ratio +inf, diff<0 → -inf → clip 0
+    temp[6] = 279.0  # < tmin → +inf → clip 100
+    ht = spark.createDataFrame(
+        pd.DataFrame(dict(station_id="s1", ts=hours, temp=temp))
+    )
+    out = (
+        disaggregate_humidity(daily, method="min_max", hourly_temp=ht)
+        .orderBy("ts")
+        .toPandas()
+    )
+    assert out["hum"].iloc[5] == 0.0
+    assert out["hum"].iloc[6] == 100.0
+    assert np.isnan(out["hum"].iloc[0])  # temp == tmin → NaN/null

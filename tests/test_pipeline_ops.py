@@ -187,3 +187,87 @@ def test_ivf_topk_recovers_twins_within_cell(spark):
     queries = df.filter(F.col("vec_id") < 5)
     got = ivf_topk(df, queries, k=1).toPandas().set_index("query_id")
     assert (got["neighbor_id"] == got.index + 20).all()
+
+
+def test_shingles_short_docs_no_crash(spark):
+    """ADVICE r1: docs with fewer tokens than the shingle size must
+    yield an empty shingle set, not a runtime slice error."""
+    from melodist_spark.pipeline.dedup import (
+        jaccard_pairs,
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            dict(
+                doc_id=[0, 1, 2, 3],
+                text=["one", "", "two words here now ok", "two words here now ok"],
+            )
+        )
+    )
+    sigs = minhash_signature(docs, num_hashes=4, shingle=2)
+    got = sigs.orderBy("doc_id").toPandas()
+    # short docs: empty shingle set → null signature
+    assert got["sig_0"].isna().tolist() == [True, True, False, False]
+    bands = lsh_bands(sigs, num_hashes=4, band_size=2)
+    pairs = lsh_candidate_pairs(bands)
+    jac = jaccard_pairs(docs, pairs, shingle=2).toPandas()
+    # the twin long docs survive end-to-end with jaccard 1.0
+    assert [(r.id_a, r.id_b) for r in jac.itertuples()] == [(2, 3)]
+    assert jac["jaccard"].iloc[0] == 1.0
+
+
+def test_lsh_skew_guard_same_pairs(docs):
+    """Salted oversized-bucket join must emit exactly the plain join's
+    pair set."""
+    from melodist_spark.pipeline.dedup import (
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    bands = lsh_bands(minhash_signature(docs, num_hashes=8), num_hashes=8, band_size=2)
+    plain = lsh_candidate_pairs(bands, max_bucket=None).toPandas()
+    salted = lsh_candidate_pairs(bands, max_bucket=2).toPandas()
+    key = lambda df: sorted(map(tuple, df[["id_a", "id_b"]].to_numpy().tolist()))
+    assert key(plain) == key(salted)
+
+
+def test_lsh_degenerate_corpus_completes(spark):
+    """2000 identical docs land in one bucket; the salt split must
+    spread the O(n²) pair generation over many tasks and still count
+    n(n-1)/2 exact pairs."""
+    from melodist_spark.pipeline.dedup import (
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    n = 2000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("same text every time").alias("text")
+    )
+    bands = lsh_bands(minhash_signature(docs, num_hashes=2), num_hashes=2, band_size=2)
+    pairs = lsh_candidate_pairs(bands, max_bucket=128)
+    assert pairs.count() == n * (n - 1) // 2
+
+
+def test_neardup_skew_guard_same_pairs(spark):
+    """neardup_pairs with the bucket-salt guard matches the plain
+    self-join pair-for-pair."""
+    from melodist_spark.pipeline.similarity import neardup_pairs
+
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(40, 16))
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            dict(vec_id=range(40), embedding=[r.tolist() for r in base])
+        )
+    )
+    plain = neardup_pairs(emb, dim=16, threshold=0.1, num_planes=2, max_bucket=None).toPandas()
+    salted = neardup_pairs(emb, dim=16, threshold=0.1, num_planes=2, max_bucket=8).toPandas()
+    key = lambda df: sorted(map(tuple, df[["id_a", "id_b"]].to_numpy().tolist()))
+    assert key(plain) == key(salted)
+    assert len(plain) > 0

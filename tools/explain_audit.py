@@ -38,9 +38,29 @@ def main():
             [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
         ),
         (
+            # star-join rollup exercise (kept as a function even though
+            # the registry slot was merged away)
             "revenue_by_nation",
             [r"BroadcastHashJoin", r"PushedFilters: \[IsNotNull\(o_custkey\)\]"],
             [r"SortMergeJoin"],
+        ),
+        (
+            # fused dewpoint humidity: the temperature is computed on
+            # the humidity's own calendar explode — NO sort-merge join
+            # of two hourly-grain tables may appear
+            "humidity_dewpoint",
+            [],
+            [r"SortMergeJoin", r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        ),
+        (
+            "humidity_lindew",
+            [],
+            [r"SortMergeJoin", r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        ),
+        (
+            "humidity_minmax",
+            [],
+            [r"SortMergeJoin", r"CartesianProduct", r"BroadcastNestedLoopJoin"],
         ),
         (
             "pricing_summary",
@@ -82,7 +102,8 @@ def main():
 
     failed = []
     for name, must, must_not in checks:
-        plan = plan_of(qs[name](spark, sf_dir))
+        fn = qs.get(name) or getattr(entry, f"q_{name}")
+        plan = plan_of(fn(spark, sf_dir))
         problems = []
         for pat in must:
             if not re.search(pat, plan):
