@@ -678,23 +678,26 @@ def oracle_sql() -> dict[str, str]:
     stop_es = "['el','la','los','que','de','y','en','un']"
 
     minhash_cte = """
-        toks AS (
-          SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        lists AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
           FROM documents
+        ),
+        toks AS (
+          SELECT DISTINCT doc_id,
+                 l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS w
+          FROM lists, unnest(generate_series(1, len(l) - 2)) AS t(i)
         ),
         sigs AS (
           SELECT t.doc_id, i.i,
                  min(md5(CAST(i.i AS VARCHAR) || ':' || t.w)) AS sig
-          FROM toks t CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) i
+          FROM toks t CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) i
           GROUP BY 1, 2
         ),
         bands AS (
-          SELECT a.doc_id,
-                 CAST(a.i // 2 AS BIGINT) AS band_idx,
-                 md5(a.sig || '|' || b.sig) AS band_hash
-          FROM sigs a JOIN sigs b
-            ON a.doc_id = b.doc_id AND b.i = a.i + 1
-          WHERE a.i % 2 = 0
+          SELECT doc_id,
+                 CAST(i // 4 AS BIGINT) AS band_idx,
+                 md5(string_agg(sig, '|' ORDER BY i)) AS band_hash
+          FROM sigs GROUP BY doc_id, i // 4
         ),
         pairs AS (
           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
@@ -2288,7 +2291,13 @@ def q_validation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs from MinHash bands (near-dup join)."""
+    """LSH candidate pairs from MinHash bands (near-dup join).
+
+    Word 3-gram shingles with 4 bands of 4 hashes: the collision
+    probability 1-(1-s^4)^4 is steep around s≈0.7, so the candidate
+    set stays near-linear in corpus size instead of the near-all-pairs
+    blow-up a unigram/band-of-2 scheme produces on a shared-vocabulary
+    corpus (measured 10.6M pairs from 5k docs at sf0.1)."""
     from melodist_spark.pipeline.dedup import (
         lsh_bands,
         lsh_candidate_pairs,
@@ -2296,12 +2305,16 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    bands = lsh_bands(minhash_signature(docs, num_hashes=8), num_hashes=8, band_size=2)
+    bands = lsh_bands(
+        minhash_signature(docs, num_hashes=16, shingle=3),
+        num_hashes=16,
+        band_size=4,
+    )
     return lsh_candidate_pairs(bands)
 
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard for the LSH candidate pairs."""
+    """Exact 3-gram-shingle Jaccard for the LSH candidate pairs."""
     from melodist_spark.pipeline.dedup import (
         jaccard_pairs,
         lsh_bands,
@@ -2310,9 +2323,13 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    bands = lsh_bands(minhash_signature(docs, num_hashes=8), num_hashes=8, band_size=2)
+    bands = lsh_bands(
+        minhash_signature(docs, num_hashes=16, shingle=3),
+        num_hashes=16,
+        band_size=4,
+    )
     pairs = lsh_candidate_pairs(bands)
-    out = jaccard_pairs(docs, pairs)
+    out = jaccard_pairs(docs, pairs, shingle=3)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 

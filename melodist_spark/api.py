@@ -174,11 +174,18 @@ class Stations:
         self.data_disagg["precip"] = out
         return out
 
-    def interpolate(self, column_hours: dict[str, int], limit=24,
-                    limit_direction="both", **kw):
-        """Anchor daily columns at given hours and linearly interpolate
-        (`station.py:403-437`)."""
+    def interpolate(self, column_hours: dict[str, int], method="linear",
+                    limit=24, limit_direction="both", **kw):
+        """Anchor daily columns at given hours and interpolate between
+        them (`station.py:403-437`). ``method='linear'`` is the
+        window-function path; the cubic family ('cubic', 'spline',
+        'cubicspline') runs the per-station spline kernel."""
         scaffold = prepare_interpolation_data(self._data_daily, column_hours)
-        return interpolate_linear(
-            scaffold, "value", limit=limit, limit_direction=limit_direction, **kw
-        )
+        if method == "linear":
+            return interpolate_linear(
+                scaffold, "value", limit=limit, limit_direction=limit_direction,
+                **kw,
+            )
+        from melodist_spark.util.interpolate import interpolate_spline
+
+        return interpolate_spline(scaffold, "value", method=method, **kw)

@@ -71,17 +71,24 @@ def minhash_signature(
     Each signature is ``min(md5(seed || shingle))`` over the distinct
     shingle set — one narrow pass, no shuffle.
     """
-    sh = _shingles(F.col(text_col), shingle)
+    # materialize the shingle array in its own projection: the k
+    # signature expressions below each reference it, and inlining the
+    # split/sequence/slice tree into every one would recompute it k×
+    # per row (Catalyst's CollapseProject keeps a non-cheap alias that
+    # is referenced more than once as a separate project)
+    staged = df.withColumn("__shingles", _shingles(F.col(text_col), shingle))
 
     def salted(prefix: str):
         # closure factory: a bare 1-arg lambda, so pyspark doesn't
         # misread a default-arg capture as the (element, index) form
-        return F.transform(sh, lambda w: F.md5(F.concat(F.lit(prefix), w)))
+        return F.transform(
+            F.col("__shingles"), lambda w: F.md5(F.concat(F.lit(prefix), w))
+        )
 
     cols = {}
     for i in range(num_hashes):
         cols[f"sig_{i}"] = F.array_min(salted(f"{i}:"))
-    return df.withColumns(cols)
+    return staged.withColumns(cols).drop("__shingles")
 
 
 def lsh_bands(

@@ -2,6 +2,7 @@
 (`examples/examples.ipynb` cells 6-24)."""
 
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -59,3 +60,84 @@ def test_interpolate_scaffold(st, met_daily):
         .join(met_daily.select("station_id", "date", "tmin"), ["station_id", "date"])
     )
     assert j.filter(F.abs(F.col("value") - F.col("tmin")) > 1e-9).count() == 0
+
+
+def test_spline_fill_reproduces_cubic():
+    """A not-a-knot spline through >=4 samples of a cubic polynomial IS
+    that polynomial — exactness by construction, no scipy needed."""
+    from melodist_spark.util.interpolate import _spline_fill
+
+    x = np.arange(24, dtype=float)
+    poly = 0.5 * x**3 - 2.0 * x**2 + 3.0 * x + 1.0
+    y = poly.copy()
+    holes = [2, 3, 7, 11, 12, 13, 19]
+    y[holes] = np.nan
+    got = _spline_fill(y)
+    assert np.allclose(got, poly, atol=1e-8)
+    # knots bit-identical
+    keep = np.setdiff1d(np.arange(24), holes)
+    assert np.array_equal(got[keep], poly[keep])
+
+
+def test_spline_fill_edges_and_small_n():
+    from melodist_spark.util.interpolate import _spline_fill
+
+    # leading/trailing NaNs untouched (no extrapolation)
+    y = np.array([np.nan, 1.0, np.nan, 3.0, np.nan])
+    got = _spline_fill(y)
+    assert np.isnan(got[0]) and np.isnan(got[4])
+    assert got[2] == pytest.approx(2.0)  # 2 knots -> chord
+
+    # 3 knots -> the unique parabola
+    x = np.arange(5, dtype=float)
+    par = 2.0 * x**2 - 3.0 * x + 1.0
+    y = par.copy()
+    y[[1, 3]] = np.nan
+    assert np.allclose(_spline_fill(y), par, atol=1e-9)
+
+    # all-NaN and single-knot series pass through
+    assert np.isnan(_spline_fill(np.array([np.nan, np.nan]))).all()
+
+
+def test_interpolate_spline_distributed(spark):
+    """Kernel vs the same numpy fill, two stations, shuffled input."""
+    from melodist_spark.util.interpolate import _spline_fill, interpolate_spline
+
+    ts = pd.date_range("2014-01-01", periods=48, freq="h")
+    frames = []
+    for sid, seed in [("a", 1), ("b", 2)]:
+        rng = np.random.default_rng(seed)
+        y = np.sin(np.arange(48) / 5.0) * 10 + rng.normal(0, 0.1, 48)
+        y[rng.choice(np.arange(4, 44), 10, replace=False)] = np.nan
+        frames.append(
+            pd.DataFrame({"station_id": sid, "ts": ts, "value": y})
+        )
+    pdf = pd.concat(frames)
+    df = spark.createDataFrame(pdf.sample(frac=1.0, random_state=0))
+
+    out = (
+        interpolate_spline(df, "value", ts_col="ts")
+        .toPandas()
+        .sort_values(["station_id", "ts"])
+    )
+    for sid in ("a", "b"):
+        want = _spline_fill(
+            pdf[pdf.station_id == sid].sort_values("ts")["value"].to_numpy()
+        )
+        got = out[out.station_id == sid]["value"].to_numpy()
+        assert np.allclose(got, want, equal_nan=True)
+
+
+def test_api_interpolate_cubic(st, met_daily):
+    out = st.interpolate({"tmin": 7, "tmax": 14}, method="cubic")
+    assert out.count() == met_daily.count() * 24
+    # anchors preserved exactly
+    j = (
+        out.filter(F.hour("ts") == 14)
+        .withColumn("date", F.to_date("ts"))
+        .join(met_daily.select("station_id", "date", "tmax"), ["station_id", "date"])
+    )
+    assert j.filter(F.abs(F.col("value") - F.col("tmax")) > 1e-9).count() == 0
+    # interior hours between anchors are filled
+    mid = out.filter(F.hour("ts").isin(8, 9, 10, 11, 12, 13))
+    assert mid.filter(F.col("value").isNull()).count() == 0
