@@ -142,3 +142,108 @@ def write_smet(
         f.write("[DATA]\n")
         for r in rows:
             f.write(r["l"] + "\n")
+
+
+def write_smet_partitioned(
+    df: DataFrame,
+    out_dir: str,
+    metadata_by_station: dict[str, dict] | None = None,
+    nodata_value: float = -999,
+    mode: str = "h",
+    check_nan: bool = True,
+    ts_col: str = "ts",
+) -> list[str]:
+    """Fleet-scale SMET sink: one ``<station_id>.smet`` per station.
+
+    The single-file :func:`write_smet` collects rows to the driver —
+    right for one station, wrong for a fleet. Here the whole fleet is
+    written by ONE distributed job: header lines are unioned in as
+    sort-first rows per station, the frame is repartitioned by
+    station and written with ``partitionBy(station_id).text(...)``,
+    so every part file leaves the executors already being a complete
+    SMET file (header + sorted body). The driver's only per-station
+    work is an O(1) file rename — no data ever moves through it.
+
+    Unlike the reference's per-station writer (`data_io.py:228-307`),
+    ``check_nan`` drops columns that are all-null across the WHOLE
+    fleet (one agg pass), keeping every file on a common field list.
+
+    Returns the list of written file paths.
+    """
+    import glob
+    import os
+    import shutil
+
+    to_smet = (
+        {v: k for k, v in SMET_TO_DAILY.items()}
+        if mode == "d"
+        else {v: k for k, v in SMET_TO_HOURLY.items()}
+    )
+    data_cols = [c for c in df.columns if c not in (ts_col, "station_id")]
+
+    if check_nan:
+        counts = df.select(
+            *[F.count(F.col(c)).alias(c) for c in data_cols]
+        ).collect()[0]
+        data_cols = [c for c in data_cols if counts[c] > 0]
+
+    pattern = "yyyy-MM-dd'T'00:00" if mode == "d" else "yyyy-MM-dd'T'HH:mm"
+    line = F.concat_ws(
+        " ",
+        F.date_format(ts_col, pattern),
+        *[
+            F.format_string("%.2f", F.coalesce(F.col(c), F.lit(float(nodata_value))))
+            for c in data_cols
+        ],
+    )
+    body = df.select(
+        F.col("station_id").cast("string").alias("station_id"),
+        F.lit(1).alias("__sect"),
+        F.col(ts_col).cast("string").alias("__ord"),
+        line.alias("value"),
+    )
+
+    fields = ["timestamp"] + [to_smet.get(c, c) for c in data_cols]
+    sids = [r[0] for r in df.select("station_id").distinct().collect()]
+    header_rows = []
+    for sid in sids:
+        md = dict((metadata_by_station or {}).get(sid, {}))
+        md.setdefault("station_id", sid)
+        md["fields"] = " ".join(fields)
+        md["units_multiplier"] = len(fields) * "1 "
+        lines = ["SMET 1.1 ASCII", "[HEADER]"]
+        lines += [f"{k} = {v}" for k, v in md.items()]
+        lines.append("[DATA]")
+        header_rows += [
+            (str(sid), 0, f"{i:06d}", text) for i, text in enumerate(lines)
+        ]
+    spark = df.sparkSession
+    headers = spark.createDataFrame(
+        header_rows, schema="station_id string, __sect int, __ord string, value string"
+    )
+
+    tmp = os.path.join(out_dir, "__smet_parts")
+    (
+        body.unionByName(headers)
+        .repartition("station_id")
+        .sortWithinPartitions("station_id", "__sect", "__ord")
+        .select("station_id", "value")
+        .write.mode("overwrite")
+        .partitionBy("station_id")
+        .text(tmp)
+    )
+
+    written = []
+    for sid in sids:
+        parts = sorted(glob.glob(os.path.join(tmp, f"station_id={sid}", "part-*")))
+        dest = os.path.join(out_dir, f"{sid}.smet")
+        if len(parts) == 1:
+            shutil.move(parts[0], dest)
+        else:  # defensive: concat if the writer ever splits a station
+            with open(dest, "w") as out:
+                for p in parts:
+                    with open(p) as src:
+                        shutil.copyfileobj(src, out)
+        written.append(dest)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return written

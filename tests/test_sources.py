@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from melodist_spark.sources.dwd import read_dwd
 from melodist_spark.sources.knmi import read_knmi
-from melodist_spark.sources.smet import read_smet, write_smet
+from melodist_spark.sources.smet import read_smet, write_smet, write_smet_partitioned
 
 SMET_SAMPLE = """\
 SMET 1.1 ASCII
@@ -52,6 +52,53 @@ def test_smet_roundtrip(spark, tmp_path):
     b = df2.orderBy("ts").toPandas()
     for c in ("temp", "hum", "wind", "precip"):
         np.testing.assert_allclose(a[c].values, b[c].values, atol=0.01, equal_nan=True)
+
+
+def test_write_smet_partitioned_fleet(spark, tmp_path):
+    """Fleet sink: 100 stations → 100 valid SMET files, one job."""
+    n_stations, n_hours = 100, 48
+    fleet = (
+        spark.range(n_stations)
+        .selectExpr("concat('st', lpad(cast(id as string), 3, '0')) as station_id")
+        .crossJoin(spark.range(n_hours).selectExpr("id as h"))
+        .selectExpr(
+            "station_id",
+            "timestamp'2016-01-01 00:00:00' + make_interval(0,0,0,0,cast(h as int),0,0) as ts",
+            "cast(273.15 + pmod(h, 24) * 0.5 as double) as temp",
+            "cast(case when pmod(h, 7) = 0 then null else 50.0 + pmod(h, 40) end as double) as hum",
+            "cast(null as double) as wind",  # all-null → dropped by check_nan
+        )
+        .drop("h")
+    )
+    out = tmp_path / "fleet"
+    written = write_smet_partitioned(
+        fleet,
+        str(out),
+        metadata_by_station={"st000": {"station_name": "Zero", "latitude": 51.0}},
+        mode="h",
+    )
+    assert len(written) == n_stations
+    assert sorted(written) == sorted(
+        str(out / f"st{i:03d}.smet") for i in range(n_stations)
+    )
+
+    # spot-check two stations round-trip through the single-file reader
+    for sid in ("st000", "st099"):
+        header, back = read_smet(spark, str(out / f"{sid}.smet"), mode="h")
+        assert header["station_id"] == sid
+        # all-null wind column dropped fleet-wide
+        assert header["fields"].split() == ["timestamp", "TA", "RH"]
+        got = back.orderBy("ts").toPandas()
+        assert len(got) == n_hours
+        exp = fleet.filter(F.col("station_id") == sid).orderBy("ts").toPandas()
+        np.testing.assert_allclose(
+            got["temp"].values, exp["temp"].values, atol=0.01
+        )
+        np.testing.assert_allclose(
+            got["hum"].values, exp["hum"].values, atol=0.01, equal_nan=True
+        )
+    header, _ = read_smet(spark, str(out / "st000.smet"), mode="h")
+    assert header["station_name"] == "Zero"
 
 
 DWD_META = textwrap.dedent("""\
