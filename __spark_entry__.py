@@ -639,15 +639,20 @@ def oracle_sql() -> dict[str, str]:
           SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
           FROM documents
         ),
+        h AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(w), 1, 15))::BIGINT AS h1,
+                 ('0x' || substr(md5(w), 17, 15))::BIGINT % 36028797018963968 AS h2
+          FROM toks
+        ),
         sigs AS (
-          SELECT t.doc_id, i.i,
-                 min(md5(CAST(i.i AS VARCHAR) || ':' || t.w)) AS sig
-          FROM toks t CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) i
+          SELECT doc_id, i.i, min(h1 + i.i * h2) AS sig
+          FROM h CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) i
           GROUP BY 1, 2
         )
         SELECT a.doc_id,
                CAST(a.i // 2 AS BIGINT) AS band_idx,
-               md5(a.sig || '|' || b.sig) AS band_hash
+               md5(CAST(a.sig AS VARCHAR) || '|' || CAST(b.sig AS VARCHAR)) AS band_hash
         FROM sigs a JOIN sigs b
           ON a.doc_id = b.doc_id AND b.i = a.i + 1
         WHERE a.i % 2 = 0
@@ -687,16 +692,21 @@ def oracle_sql() -> dict[str, str]:
                  l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS w
           FROM lists, unnest(generate_series(1, len(l) - 2)) AS t(i)
         ),
+        h AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(w), 1, 15))::BIGINT AS h1,
+                 ('0x' || substr(md5(w), 17, 15))::BIGINT % 36028797018963968 AS h2
+          FROM toks
+        ),
         sigs AS (
-          SELECT t.doc_id, i.i,
-                 min(md5(CAST(i.i AS VARCHAR) || ':' || t.w)) AS sig
-          FROM toks t CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) i
+          SELECT doc_id, i.i, min(h1 + i.i * h2) AS sig
+          FROM h CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) i
           GROUP BY 1, 2
         ),
         bands AS (
           SELECT doc_id,
                  CAST(i // 4 AS BIGINT) AS band_idx,
-                 md5(string_agg(sig, '|' ORDER BY i)) AS band_hash
+                 md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY i)) AS band_hash
           FROM sigs GROUP BY doc_id, i // 4
         ),
         pairs AS (

@@ -44,20 +44,26 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def _shingles(text: Column, n: int | None) -> Column:
     """Distinct word-level shingles; n=None → unigrams (token set).
 
-    Documents shorter than ``n`` tokens yield an empty shingle set —
-    without the guard, ``sequence(0, size-n)`` would descend and
-    ``slice(…, 0, n)`` would raise at runtime on any short document.
+    N-grams are built by zipping ``n`` shifted slices of the token
+    array rather than ``transform(positions, slice(...))``: a lambda
+    that captures the un-staged split expression makes codegen
+    re-tokenize the text once per position — O(len²) per document,
+    measured 6× slower on the sf0.1 corpus. Documents shorter than
+    ``n`` tokens yield an empty shingle set (slice length clamps to 0).
     """
     toks = F.split(F.trim(text), r"\s+")
     if n is None or n == 1:
         return F.array_distinct(toks)
-    # word n-grams via transform over positions
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
-    ).otherwise(F.array().cast("array<int>"))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    )
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    acc = F.slice(toks, 1, m)
+    for j in range(2, n + 1):
+        acc = F.zip_with(
+            acc, F.slice(toks, j, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.array_distinct(acc)
+
+
+_H2_MOD = 2**55  # keeps h1 + i·h2 < 2^63 for i ≤ 64 (ANSI-safe)
 
 
 def minhash_signature(
@@ -66,29 +72,54 @@ def minhash_signature(
     num_hashes: int = 8,
     shingle: int | None = None,
 ) -> DataFrame:
-    """Attach ``sig_0..sig_{k-1}`` MinHash columns.
+    """Attach ``sig_0..sig_{k-1}`` MinHash columns (bigint).
 
-    Each signature is ``min(md5(seed || shingle))`` over the distinct
-    shingle set — one narrow pass, no shuffle.
+    One md5 per shingle; the k permutations come from
+    Kirsch–Mitzenmacher double hashing ``g_i = h1 + i·h2`` over the
+    two 60-bit halves of the digest — a valid MinHash family at 1/k
+    of the hashing cost, engine-portable (DuckDB parses the same hex
+    substrings), one narrow pass, no shuffle.
     """
-    # materialize the shingle array in its own projection: the k
-    # signature expressions below each reference it, and inlining the
-    # split/sequence/slice tree into every one would recompute it k×
-    # per row (Catalyst's CollapseProject keeps a non-cheap alias that
-    # is referenced more than once as a separate project)
-    staged = df.withColumn("__shingles", _shingles(F.col(text_col), shingle))
-
-    def salted(prefix: str):
-        # closure factory: a bare 1-arg lambda, so pyspark doesn't
-        # misread a default-arg capture as the (element, index) form
-        return F.transform(
-            F.col("__shingles"), lambda w: F.md5(F.concat(F.lit(prefix), w))
+    if num_hashes > 64:
+        raise ValueError("num_hashes > 64 would overflow bigint in g_i = h1 + i*h2")
+    # materialize shingle/h1/h2 arrays in their own projections: each
+    # is referenced by several downstream expressions, and inlining
+    # would recompute the tokenize/md5 work per reference (Catalyst's
+    # CollapseProject keeps a non-cheap alias that is referenced more
+    # than once as a separate project)
+    staged = (
+        df.withColumn("__shingles", _shingles(F.col(text_col), shingle))
+        .withColumn(
+            "__md5", F.transform(F.col("__shingles"), lambda w: F.md5(w))
         )
+        .withColumn(
+            "__h1",
+            F.transform(
+                F.col("__md5"),
+                lambda x: F.conv(F.substring(x, 1, 15), 16, 10).cast("bigint"),
+            ),
+        )
+        .withColumn(
+            "__h2",
+            F.transform(
+                F.col("__md5"),
+                lambda x: F.pmod(
+                    F.conv(F.substring(x, 17, 15), 16, 10).cast("bigint"),
+                    F.lit(_H2_MOD),
+                ),
+            ),
+        )
+    )
+
+    def km(i: int):
+        # closure factory: late-binding of the loop var inside the
+        # zip_with lambda would alias every i to the last value
+        return lambda a, b: a + F.lit(i) * b
 
     cols = {}
     for i in range(num_hashes):
-        cols[f"sig_{i}"] = F.array_min(salted(f"{i}:"))
-    return staged.withColumns(cols).drop("__shingles")
+        cols[f"sig_{i}"] = F.array_min(F.zip_with("__h1", "__h2", km(i)))
+    return staged.withColumns(cols).drop("__shingles", "__md5", "__h1", "__h2")
 
 
 def lsh_bands(
@@ -104,7 +135,12 @@ def lsh_bands(
     n_bands = num_hashes // band_size
     bands = []
     for b in range(n_bands):
-        sig_cols = [F.col(f"sig_{b * band_size + j}") for j in range(band_size)]
+        # explicit string cast: sigs are bigint and ANSI concat_ws
+        # wants strings; decimal formatting matches DuckDB's VARCHAR cast
+        sig_cols = [
+            F.col(f"sig_{b * band_size + j}").cast("string")
+            for j in range(band_size)
+        ]
         bands.append(
             F.struct(
                 F.lit(b).alias("band_idx"),
