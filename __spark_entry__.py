@@ -2369,7 +2369,11 @@ def q_cascade_disagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = CascadeStatistics()
     stats.fill_with_sample_data()
     daily = _met_daily(spark, sf_dir).select("user_id", "date", "precip")
-    out = disagg_prec_cascade(daily, stats, seed=42, keys=["user_id"])
+    # ~27 days/station at this SF → tiny-group regime, bucket to
+    # amortize per-group Arrow costs (results are bucket-invariant)
+    out = disagg_prec_cascade(
+        daily, stats, seed=42, keys=["user_id"], station_buckets=64
+    )
     return out.select("user_id", "ts", F.round("precip", 6).alias("precip_c"))
 
 
@@ -2884,7 +2888,9 @@ def q_cascade_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from melodist_spark.operators.cascade import build_casc
 
     m = _met_hourly(spark, sf_dir).select("user_id", "ts", "precip")
-    out = build_casc(m, avg_stats=True, keys=["user_id"])
+    # ~67 hourly rows/station at this SF → tiny-group regime, bucket
+    # to amortize per-group Arrow costs (results are bucket-invariant)
+    out = build_casc(m, avg_stats=True, keys=["user_id"], station_buckets=64)
     return out.select(
         "user_id",
         "season",
@@ -2908,7 +2914,13 @@ def q_cascade_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats.fill_with_sample_data()
     daily = _met_daily(spark, sf_dir).select("user_id", "date", "precip")
     out = disagg_prec_cascade(
-        daily, [stats] * 9, hourly=False, level=9, seed=7, keys=["user_id"]
+        daily,
+        [stats] * 9,
+        hourly=False,
+        level=9,
+        seed=7,
+        keys=["user_id"],
+        station_buckets=64,  # tiny-group regime at this SF
     )
     return out.select("user_id", "ts", F.round("precip", 6).alias("precip_5m"))
 

@@ -292,10 +292,19 @@ def _stats_schema(df: DataFrame, keys: list[str]) -> str:
 
 
 def _default_buckets(df: DataFrame) -> int:
-    """Bucket count scaling with the cluster: one grouped-map task per
-    core at minimum 64 (the sweet spot measured at bench scale) so
-    cascade parallelism is never capped below the executor fleet."""
-    return max(64, df.sparkSession.sparkContext.defaultParallelism)
+    """Default: 0 = direct ``groupBy(keys)`` grouped-map.
+
+    Measured crossover (local[32]): with long per-station series
+    (≥ ~1000 rows/station — the cluster-scale regime) direct grouping
+    is 4–8× faster than hash-bucketing, because the input's existing
+    station partitioning is reused (no extra exchange) and Spark's
+    grouped-map handles many small groups efficiently. Bucketing
+    (``station_buckets > 0``) wins only on tiny-group corpora (tens of
+    rows per station, e.g. short test extracts), where it amortizes
+    the per-group Python-worker round-trip across stations — callers
+    in that regime should pass an explicit bucket count of roughly
+    ``n_stations / 20``."""
+    return 0
 
 
 def build_casc(
@@ -312,10 +321,13 @@ def build_casc(
 ) -> DataFrame:
     """Distributed cascade calibration.
 
-    Stations are hash-bucketed into ``station_buckets`` grouped-map
-    tasks (kernel loops stations inside — amortizes Arrow/pandas fixed
-    costs; results are per-station and bucket-invariant); the default
-    scales with ``spark.defaultParallelism``. Seasons are
+    Default is a direct ``groupBy(keys)`` grouped-map — reuses any
+    existing station partitioning and is the fast path for
+    cluster-scale series (see :func:`_default_buckets`). With
+    ``station_buckets > 0`` stations are instead hash-bucketed into
+    that many tasks (kernel loops stations inside — amortizes
+    Arrow/pandas fixed costs on tiny-group corpora; results are
+    per-station and bucket-invariant). Seasons are
     month subsets as in `precipitation.py:631-702`. Output rows carry
     the flattened statistics arrays; ``level = -1`` marks the averaged
     statistics (``avg_stats=True``), otherwise one row per level.
@@ -576,12 +588,13 @@ def disagg_prec_cascade(
     (`precipitation.py:96-99`, `313-315`); ``shift`` relabels the
     result by N steps (`precipitation.py:317-319`).
 
-    Stations are grouped into ``station_buckets`` hash buckets per
-    grouped-map task and looped inside the kernel: per-group Arrow +
-    pandas fixed costs dominate when station series are short (a 4×
-    win measured at 1500 stations × 30 days), and per-station seeding
-    keeps results identical for any bucket count. The default scales
-    with ``spark.defaultParallelism``; set 0 to group by raw station.
+    Default is a direct ``groupBy(keys)`` grouped-map (the
+    cluster-scale fast path, see :func:`_default_buckets`). With
+    ``station_buckets > 0`` stations are hash-bucketed and looped
+    inside the kernel: per-group Arrow + pandas fixed costs dominate
+    when station series are short (a 2× win measured at 1500 stations
+    × 30 days), and per-station seeding keeps results identical for
+    any bucket count.
 
     Returns (keys..., ts, precip) at hourly or 5-minute resolution.
     """
