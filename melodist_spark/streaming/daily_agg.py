@@ -12,6 +12,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _tz_timestamp(stream: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP; cast a TIMESTAMP_NTZ event-time
+    column through the session zone (pinned UTC in the entry points)."""
+    if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream
+
+
 def streaming_daily_from_hourly(
     stream: DataFrame,
     watermark: str = "2 days",
@@ -26,6 +34,7 @@ def streaming_daily_from_hourly(
     watermark, or ``update`` for live dashboards.
     """
     keys = list(keys)
+    stream = _tz_timestamp(stream, ts_col)
     cols = set(stream.columns)
     aggs = []
     if "temp" in cols:
@@ -69,6 +78,7 @@ def streaming_gap_monitor(
     row count vs the expected cadence (`util/util.py:249-297` as a
     stream). Days with count < expected have gaps."""
     keys = list(keys)
+    stream = _tz_timestamp(stream, ts_col)
     expected = 86400 // timestep_seconds
     return (
         stream.withWatermark(ts_col, watermark)

@@ -26,7 +26,13 @@ def detect_gaps(
     """
     keys = list(keys)
     w = Window.partitionBy(*keys).orderBy(ts_col)
-    diff = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col, 1).over(w))
+    # unix_micros rejects TIMESTAMP_NTZ; cast NTZ through TIMESTAMP
+    # (session tz is pinned by the entry points, and successive-row
+    # DIFFERENCES are offset-invariant anyway)
+    ts = F.col(ts_col)
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        ts = ts.cast("timestamp")
+    diff = F.unix_micros(ts) - F.unix_micros(F.lag(ts, 1).over(w))
     return (
         df.select(*keys, ts_col)
         .withColumn("__d", diff)
