@@ -44,6 +44,15 @@ def get_spark(
         # broadcast anything below 64 MB
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # long sessions compile hundreds of whole-stage-codegen classes;
+        # the JVM's default 240 MB JIT code cache fills after a few dozen
+        # expression-heavy queries and HotSpot silently stops compiling —
+        # measured 4-10x slowdowns on lambda-heavy projections late in a
+        # bench session. local mode: driver == executor, one flag suffices.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
