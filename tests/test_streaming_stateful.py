@@ -1,0 +1,130 @@
+"""Stateful streaming disaggregation vs the batch operator.
+
+The daily rows are split into several parquet files and fed one file
+per micro-batch (``maxFilesPerTrigger=1``), so the next-day/prev-day
+dependencies genuinely cross micro-batch boundaries — the test fails
+if the operator's GroupState does not carry the buffered day across
+batches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from melodist_spark.operators.temperature import disaggregate_temperature
+from melodist_spark.streaming.stateful import streaming_disaggregate_temperature
+
+
+def test_streaming_matches_batch_across_microbatches(spark, met_daily, tmp_path):
+    daily_pd = (
+        met_daily.select("station_id", "date", "tmin", "tmax")
+        .filter("date >= '2014-03-01' and date < '2014-03-13'")
+        .toPandas()
+        .sort_values(["station_id", "date"])
+        .reset_index(drop=True)
+    )
+    n_days = daily_pd["date"].nunique()
+    assert n_days == 12
+
+    # 4 files of 3 days each, per station — one micro-batch per file
+    src = str(tmp_path / "daily_src")
+    dates = sorted(daily_pd["date"].unique())
+    for i in range(0, len(dates), 3):
+        chunk = daily_pd[daily_pd["date"].isin(dates[i : i + 3])]
+        spark.createDataFrame(chunk).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    hourly = streaming_disaggregate_temperature(stream, idle_flush=None)
+    q = (
+        hourly.writeStream.format("memory")
+        .queryName("stateful_temp")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.sql("select * from stateful_temp")
+        .toPandas()
+        .sort_values(["station_id", "ts"])
+        .reset_index(drop=True)
+    )
+
+    # every day except the buffered tail is emitted (idle_flush=None:
+    # the tail day stays in state waiting for a successor)
+    stations = daily_pd["station_id"].nunique()
+    assert len(got) == stations * (n_days - 1) * 24
+
+    batch = (
+        disaggregate_temperature(
+            spark.createDataFrame(
+                daily_pd.assign(temp=(daily_pd.tmin + daily_pd.tmax) / 2)
+            ),
+            method="sine_min_max",
+            min_max_time="fix",
+        )
+        .toPandas()
+        .sort_values(["station_id", "ts"])
+        .reset_index(drop=True)
+    )
+    batch = batch[batch["ts"] < pd.Timestamp(max(dates))]
+    merged = got.merge(batch, on=["station_id", "ts"], suffixes=("_s", "_b"))
+    assert len(merged) == len(got)
+    np.testing.assert_allclose(
+        merged["temp_s"].values, merged["temp_b"].values, rtol=0, atol=1e-9
+    )
+
+
+def test_streaming_gap_semantics(spark, tmp_path):
+    # two days with a hole between them: the day before the hole gets
+    # null evening values (no next tmin), matching the batch lead guard
+    daily_pd = pd.DataFrame(
+        {
+            "station_id": ["g1"] * 3,
+            "date": pd.to_datetime(["2015-06-01", "2015-06-02", "2015-06-04"]).date,
+            "tmin": [280.0, 281.0, 282.0],
+            "tmax": [290.0, 291.0, 292.0],
+        }
+    )
+    src = str(tmp_path / "gap_daily")
+    spark.createDataFrame(daily_pd).write.parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        streaming_disaggregate_temperature(stream, idle_flush=None)
+        .writeStream.format("memory")
+        .queryName("stateful_gap")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from stateful_gap").toPandas()
+    got["d"] = got["ts"].dt.date.astype(str)
+    got["h"] = got["ts"].dt.hour
+
+    # day 1 → day 2 consecutive: fully populated
+    d1 = got[got["d"] == "2015-06-01"]
+    assert len(d1) == 24 and d1["temp"].notna().all()
+    # day 2 → day 4 gap: evening half (h >= 14) null, morning intact
+    d2 = got[got["d"] == "2015-06-02"]
+    assert len(d2) == 24
+    assert d2[d2.h >= 14]["temp"].isna().all()
+    assert d2[d2.h < 14]["temp"].notna().all()
+
+
+def test_timeout_flush_matches_batch_last_row():
+    """The processing-time-timeout branch emits the buffered tail day
+    with the batch is_last fallback (next tmin := own tmin)."""
+    from melodist_spark.streaming.stateful import _emit, _sine_day
+
+    pend = (16700, 280.0, 290.0, 289.0)  # (day, tmin, tmax, tmax_before)
+    out = _emit(("s1",), ["station_id"], pend, pend[1])
+    exp = _sine_day(16700, 280.0, 290.0, 289.0, 280.0)
+    assert (out["temp"].values == exp["temp"].values).all()
+    assert out["station_id"].eq("s1").all() and len(out) == 24
