@@ -51,7 +51,7 @@ def get_spark(
         # bench session. local mode: driver == executor, one flag suffices.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=512m",
+            "-XX:ReservedCodeCacheSize=1g",
         )
         .config("spark.ui.enabled", "false")
     )
