@@ -48,13 +48,18 @@ def get_spark(
         # the JVM's default 240 MB JIT code cache fills after a few dozen
         # expression-heavy queries and HotSpot silently stops compiling —
         # measured 4-10x slowdowns on lambda-heavy projections late in a
-        # bench session. local mode: driver == executor, one flag suffices.
-        .config(
-            "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g",
-        )
+        # bench session. 1 GiB is reserved (not committed) address space.
+        # local mode: driver == executor, one flag suffices.
+        .config("spark.driver.extraJavaOptions", _JVM_OPTS)
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
+        if k == "spark.driver.extraJavaOptions":
+            # compose with (not clobber) our JIT-cache flag; the caller's
+            # opts come last so they win on any duplicated -XX flag
+            v = f"{_JVM_OPTS} {v}"
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+_JVM_OPTS = "-XX:ReservedCodeCacheSize=1g"

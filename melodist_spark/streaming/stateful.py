@@ -84,16 +84,29 @@ def streaming_disaggregate_temperature(
     daily_stream: DataFrame,
     keys: list[str] = ("station_id",),
     date_col: str = "date",
-    idle_flush: str | None = "30 seconds",
+    idle_flush: str | None = None,
 ) -> DataFrame:
     """Daily (keys..., date, tmin, tmax) stream → hourly temp stream.
 
     One shuffle (the groupBy hash partitioning); state is a 4-field
-    tuple per station. ``idle_flush`` is the processing-time timeout
+    tuple per station. ``idle_flush`` is a processing-time timeout
     after which a station's buffered tail day is emitted with the
-    batch last-row fallback; ``None`` disables the flush (the tail
-    day stays buffered until its successor arrives — use for
-    finite replays where a trailing partial result is unwanted).
+    batch last-row fallback (next tmin := own tmin); the default
+    ``None`` disables it, so the tail day stays buffered until its
+    successor arrives.
+
+    WARNING: any ``idle_flush`` shorter than a station's real
+    inter-arrival time changes results for EVERY day, not just the
+    stream end — a flushed day uses the is_last fallback and resets
+    state, so the following day is treated as first-ever-seen
+    (tmax_before := its own tmax). Only set ``idle_flush`` well above
+    the worst-case gap between consecutive daily records (hours for
+    replays, never seconds for live feeds).
+
+    Rows must arrive in non-decreasing date order per station
+    (micro-batch file ordering is mtime-based, not guaranteed):
+    late or duplicate days — ``date`` at or before the buffered
+    day — are dropped rather than corrupting state.
     """
     keys = list(keys)
     key_fields = [daily_stream.schema[k] for k in keys]
@@ -124,11 +137,12 @@ def streaming_disaggregate_temperature(
             state.remove()
             return
 
-        rows = pd.concat(list(pdfs), ignore_index=True)
-        if rows.empty:
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
             if flush_ms is not None:
                 state.setTimeoutDuration(flush_ms)
             return
+        rows = pd.concat(chunks, ignore_index=True)
         rows = rows.sort_values(date_col)
         days = (
             pd.to_datetime(rows[date_col]).values.astype("datetime64[D]")
@@ -142,6 +156,9 @@ def streaming_disaggregate_temperature(
         for day, tmin, tmax in zip(days, tmins, tmaxs):
             day = int(day)
             if pend is not None:
+                if day <= pend[0]:
+                    # late/duplicate day: ignore rather than regress state
+                    continue
                 consecutive = day == pend[0] + 1
                 # gap → batch lead-guard: evening half has no next tmin
                 outs.append(
@@ -175,8 +192,31 @@ def streaming_disaggregate_temperature(
     )
 
 
+_UNIT_MS = {
+    "ms": 1, "millisecond": 1, "milli": 1,
+    "s": 1000, "sec": 1000, "second": 1000,
+    "m": 60_000, "min": 60_000, "minute": 60_000,
+    "h": 3_600_000, "hr": 3_600_000, "hour": 3_600_000,
+}
+
+
 def _duration_ms(s: str) -> int:
-    n, unit = s.split()
-    n = int(n)
-    return n * {"millisecond": 1, "second": 1000, "minute": 60_000,
-                "hour": 3_600_000}[unit.rstrip("s")]
+    """Parse '30 seconds' / '5 min' / '90s' → milliseconds.
+
+    Mirrors the common subset of Spark's CalendarInterval durations;
+    raises a descriptive ValueError on anything it can't parse so a
+    misconfigured idle_flush fails at call time, not mid-stream.
+    """
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]+)\s*", s or "")
+    if m:
+        n, unit = int(m.group(1)), m.group(2).lower()
+        if unit not in _UNIT_MS:  # plural → singular ('seconds' → 'second')
+            unit = unit.rstrip("s") or "s"
+        if unit in _UNIT_MS:
+            return n * _UNIT_MS[unit]
+    raise ValueError(
+        f"cannot parse duration {s!r}; expected '<N> <unit>' with unit one "
+        f"of ms/seconds/minutes/hours, e.g. '30 seconds' or '5 min'"
+    )

@@ -118,6 +118,70 @@ def test_streaming_gap_semantics(spark, tmp_path):
     assert d2[d2.h < 14]["temp"].notna().all()
 
 
+def test_streaming_late_duplicate_rows_dropped(spark, tmp_path):
+    """A later micro-batch re-sending already-processed days must not
+    regress state: duplicates are ignored and output matches in-order
+    processing of the distinct days."""
+    src = str(tmp_path / "dup_daily")
+    d1 = pd.DataFrame(
+        {
+            "station_id": ["d1"] * 2,
+            "date": pd.to_datetime(["2015-06-01", "2015-06-02"]).date,
+            "tmin": [280.0, 281.0],
+            "tmax": [290.0, 291.0],
+        }
+    )
+    # second file replays both old days and adds day 3
+    d2 = pd.DataFrame(
+        {
+            "station_id": ["d1"] * 3,
+            "date": pd.to_datetime(
+                ["2015-06-01", "2015-06-02", "2015-06-03"]
+            ).date,
+            "tmin": [999.0, 999.0, 282.0],
+            "tmax": [999.0, 999.0, 292.0],
+        }
+    )
+    spark.createDataFrame(d1).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(d2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_disaggregate_temperature(stream, idle_flush=None)
+        .writeStream.format("memory")
+        .queryName("stateful_dup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from stateful_dup").toPandas()
+    # days 1 and 2 emitted (day 3 buffered); replayed 999s never leak in
+    assert len(got) == 2 * 24
+    assert got["temp"].max() < 400.0
+
+
+def test_duration_parser():
+    from melodist_spark.streaming.stateful import _duration_ms
+
+    assert _duration_ms("30 seconds") == 30_000
+    assert _duration_ms("1 second") == 1_000
+    assert _duration_ms("90s") == 90_000
+    assert _duration_ms("5 min") == 300_000
+    assert _duration_ms("2 hours") == 7_200_000
+    assert _duration_ms("250 ms") == 250
+    import pytest
+
+    with pytest.raises(ValueError, match="cannot parse"):
+        _duration_ms("2 hours 30 minutes")
+    with pytest.raises(ValueError, match="cannot parse"):
+        _duration_ms("fast")
+
+
 def test_timeout_flush_matches_batch_last_row():
     """The processing-time-timeout branch emits the buffered tail day
     with the batch is_last fallback (next tmin := own tmin)."""
