@@ -36,11 +36,17 @@ class Stations:
         `station.py:81-103`)
     """
 
-    def __init__(self, meta: DataFrame, data_daily: DataFrame | None = None):
+    def __init__(
+        self,
+        meta: DataFrame,
+        data_daily: DataFrame | None = None,
+        validate: str = "lazy",
+    ):
         self.meta = meta
         self._data_daily: DataFrame | None = None
         self.statistics: StationStatistics | None = None
         self.data_disagg: dict[str, DataFrame] = {}
+        self._validate = validate
         if data_daily is not None:
             self.data_daily = data_daily
 
@@ -53,12 +59,32 @@ class Stations:
     @data_daily.setter
     def data_daily(self, df: DataFrame):
         # plausibility check: daily temperature must look like Kelvin
-        # (`station.py:92-96`); evaluated lazily via an assert column
+        # (`station.py:92-96`). Default 'lazy' compiles the check into
+        # the plan (raise_error fires during the first downstream pass
+        # — no extra job, which matters when assignment would otherwise
+        # pay a full scan of fleet-scale daily data just to validate);
+        # 'eager' reproduces the reference's raise-at-assignment.
         if "temp" in df.columns:
-            n_bad = df.filter(F.col("temp") < 200).count()
-            if n_bad:
-                raise ValueError(
-                    f"{n_bad} daily temperature values < 200 K — data must be in Kelvin"
+            if self._validate == "eager":
+                n_bad = df.filter(F.col("temp") < 200).count()
+                if n_bad:
+                    raise ValueError(
+                        f"{n_bad} daily temperature values < 200 K — "
+                        "data must be in Kelvin"
+                    )
+            else:
+                df = df.withColumn(
+                    "temp",
+                    F.when(
+                        F.col("temp") < 200,
+                        F.raise_error(
+                            F.format_string(
+                                "daily temperature %s < 200 K — data must "
+                                "be in Kelvin",
+                                F.col("temp"),
+                            )
+                        ),
+                    ).otherwise(F.col("temp")),
                 )
         self._data_daily = fill_daily_calendar(df)
 

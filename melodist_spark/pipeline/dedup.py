@@ -183,9 +183,16 @@ def lsh_candidate_pairs(
             .distinct()
         )
 
-    sizes = bands.groupBy("band_idx", "band_hash").agg(F.count("*").alias("__m"))
-    # same key as the agg → co-partitioned, no extra exchange
-    sized = bands.join(sizes, ["band_idx", "band_hash"])
+    # bucket size via a window count (not groupBy+self-join): both join
+    # branches below then share ONE shuffle of the band table — Spark's
+    # ReuseExchange collapses the identical child, so the (expensive)
+    # shingle→md5 banding upstream is evaluated once, not per branch
+    from pyspark.sql import Window
+
+    sized = bands.withColumn(
+        "__m",
+        F.count("*").over(Window.partitionBy("band_idx", "band_hash")),
+    )
     g = F.greatest(
         F.lit(1), F.ceil(F.col("__m") / F.lit(max_bucket))
     ).cast("int")

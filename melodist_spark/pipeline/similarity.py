@@ -172,8 +172,13 @@ def neardup_pairs(
         )
         pairs = x.join(y, "__bucket").filter(F.col("id_a") < F.col("id_b"))
     else:
-        sizes = b.groupBy("__bucket").agg(F.count("*").alias("__m"))
-        sized = b.join(sizes, "__bucket")
+        # window count instead of groupBy+self-join: the two join
+        # branches share one shuffle of b (ReuseExchange), so the
+        # Arrow-batched bucket UDF runs once over the corpus, not
+        # once per branch
+        sized = b.withColumn(
+            "__m", F.count("*").over(Window.partitionBy("__bucket"))
+        )
         g = F.greatest(
             F.lit(1), F.ceil(F.col("__m") / F.lit(max_bucket))
         ).cast("int")

@@ -17,8 +17,15 @@ def st(stations, met_daily, met_hourly):
 
 
 def test_rejects_celsius_daily(stations, met_daily):
+    celsius = met_daily.withColumn("temp", F.col("temp") - 273.15)
+    # default lazy validation: the raise_error column fires on the
+    # first action over the plan, costing no extra ingest pass
+    s = Stations(stations, celsius)
+    with pytest.raises(Exception, match="Kelvin"):
+        s.data_daily.collect()
+    # eager mode reproduces the reference's raise-at-assignment
     with pytest.raises(ValueError, match="Kelvin"):
-        Stations(stations, met_daily.withColumn("temp", F.col("temp") - 273.15))
+        Stations(stations, celsius, validate="eager")
 
 
 def test_sun_times(st):
