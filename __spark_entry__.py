@@ -438,8 +438,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     radiation_bc, temp_shift ⊂ temp_sine_sunshift, minhash_bands ⊂
     minhash_pairs, embedding_bucket ⊂ embedding_neardup,
     embedding_centroids ⊂ ivf_topk, humidity_equal ⊂
-    distribute_equally+api_pipeline, complete_days ⊂
-    drop_incomplete_days) are anchored by the containing query."""
+    distribute_equally+api_pipeline, complete_days ⊂ gap_analysis,
+    gap_count+drop_incomplete_days ⊂ gap_analysis, calendar_fill ⊂
+    api_pipeline's fill_daily_calendar, linregress ⊂
+    humidity_dewpoint+angstroem_fit closed-form OLS) are anchored by
+    the containing query."""
     return {
         # temperature family
         "temp_sine_disagg": q_temp_sine_disagg,
@@ -480,21 +483,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "jaccard_pairs": q_jaccard_pairs,
         "dedup_groups": q_dedup_groups,
+        "dup_clusters": q_dup_clusters,
+        "doc_sample": q_doc_sample,
+        "vocab_topk": q_vocab_topk,
         "text_features": q_text_features,
         # aggregation / calendar / util family
         "daily_from_hourly": q_daily_from_hourly,
         "distribute_equally": q_distribute_equally,
-        "calendar_fill": q_calendar_fill,
         "window_primitives": q_window_primitives,
         "interpolate": q_interpolate,
         "dyadic_calendars": q_dyadic_calendars,
-        "gap_count": q_gap_count,
-        "drop_incomplete_days": q_drop_incomplete_days,
+        "gap_analysis": q_gap_analysis,
         "seasonal_subset": q_seasonal_subset,
         "lead_lag": q_lead_lag,
         "meteo_scalars": q_meteo_scalars,
         "sun_times": q_sun_times,
-        "linregress": q_linregress,
         "month_hour_wet_mean": q_month_hour_wet_mean,
         "validation_metrics": q_validation_metrics,
         "streaming_daily_agg": q_streaming_daily_agg,
@@ -1005,6 +1008,62 @@ def oracle_sql() -> dict[str, str]:
             FROM d2 GROUP BY user_id
         """,
         "minhash_pairs": f"WITH {minhash_cte} SELECT id_a, id_b FROM pairs",
+        "dup_clusters": f"""
+            WITH RECURSIVE {minhash_cte},
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b AS src, id_a AS dst FROM pairs
+            ),
+            reach(id, lbl) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst
+            )
+            SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+        """,
+        "doc_sample": """
+            WITH half AS (
+              SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+              FROM documents
+              WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|hs'), 1, 15))::BIGINT
+                    / 1152921504606846976.0 < 0.5
+            ),
+            ranked AS (
+              SELECT doc_id, lang, n_chars,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|r3'), 1, 15))::BIGINT
+                                / 1152921504606846976.0,
+                                doc_id
+                     ) AS r
+              FROM half
+            )
+            SELECT doc_id, lang, n_chars FROM ranked WHERE r <= 40
+        """,
+        "vocab_topk": """
+            WITH lists AS (
+              SELECT lang, string_split_regex(trim(lower(text)), '\\s+') AS l
+              FROM documents
+            ),
+            toks2 AS (
+              SELECT lang, t.w AS token
+              FROM lists, unnest(l) AS t(w)
+              WHERE t.w <> ''
+            ),
+            c AS (
+              SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+              FROM toks2 GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT lang, token, n,
+                     CAST(row_number() OVER (
+                       PARTITION BY lang ORDER BY n DESC, token ASC
+                     ) AS BIGINT) AS rank
+              FROM c
+            )
+            SELECT lang, token, n, rank FROM ranked WHERE rank <= 20
+        """,
         "jaccard_pairs": f"""
             WITH {minhash_cte},
             sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
@@ -2036,6 +2095,48 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
               FROM events
             ) GROUP BY user_id
+        """,
+        "gap_analysis": f"""
+            WITH daily AS ({_MET_DAILY_SQL}),
+            gaps AS (
+              SELECT user_id,
+                     CAST(sum(CASE WHEN prev_ts IS NOT NULL
+                              AND date_diff('microsecond', prev_ts, ts) <> 3600000000
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps
+              FROM (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+                FROM events
+              ) GROUP BY user_id
+            ),
+            grid AS (
+              SELECT user_id,
+                     CAST(date AS TIMESTAMP) + to_hours(h.h) AS ts,
+                     precip / 24.0 AS p
+              FROM daily CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h) h
+            ),
+            b AS (SELECT user_id, min(ts) AS lo0, max(ts) AS hi0 FROM grid GROUP BY 1),
+            ragged AS (
+              SELECT g.user_id, g.ts, g.p
+              FROM grid g JOIN b ON g.user_id = b.user_id
+              WHERE g.ts >= b.lo0 + INTERVAL 5 HOUR AND g.ts <= b.hi0 - INTERVAL 3 HOUR
+            ),
+            bounds AS (
+              SELECT user_id,
+                     min(CASE WHEN hour(ts) = 0 AND minute(ts) = 0 THEN ts END) AS lo,
+                     max(CASE WHEN hour(ts) = 23 AND minute(ts) = 0 THEN ts END) AS hi
+              FROM ragged GROUP BY 1
+            ),
+            kept AS (
+              SELECT r.user_id,
+                     CAST(count(*) AS BIGINT) AS n_kept,
+                     round(sum(r.p), 4) AS precip_kept
+              FROM ragged r JOIN bounds o ON r.user_id = o.user_id
+              WHERE r.ts BETWEEN o.lo AND o.hi
+              GROUP BY 1
+            )
+            SELECT g.user_id, g.n_gaps, k.n_kept, k.precip_kept
+            FROM gaps g JOIN kept k ON g.user_id = k.user_id
         """,
         "complete_days": """
             SELECT user_id, CAST(ts AS DATE) AS date,
@@ -3256,4 +3357,98 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         scores["score_de"].cast("long").alias("score_de"),
         scores["score_es"].cast("long").alias("score_es"),
         F.col("simhash").cast("long").alias("simhash"),
+    )
+
+
+def q_gap_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-station data-quality summary fusing the two gap utilities
+    (`util/util.py:249-297`, `300-352`): hourly-step gap count over the
+    raw event series, joined with the surviving-hours count and precip
+    mass after trimming a ragged grid back to complete midnight-aligned
+    days (the drop_incomplete_days chain)."""
+    from melodist_spark.util.calendar import distribute_equally
+    from melodist_spark.util.gaps import detect_gaps, drop_incomplete_days
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir).select("user_id", "ts")
+    gaps = detect_gaps(e, 3600, keys=["user_id"]).select(
+        "user_id", F.col("n_gaps").cast("long").alias("n_gaps")
+    )
+
+    daily = _met_daily(spark, sf_dir).select("user_id", "date", "precip")
+    grid = distribute_equally(daily, "precip", divide=True)
+    w = Window.partitionBy("user_id")
+    ragged = (
+        grid.withColumn("__lo", F.min("ts").over(w))
+        .withColumn("__hi", F.max("ts").over(w))
+        .filter(
+            (F.col("ts") >= F.col("__lo") + F.expr("INTERVAL 5 HOURS"))
+            & (F.col("ts") <= F.col("__hi") - F.expr("INTERVAL 3 HOURS"))
+        )
+        .drop("__lo", "__hi")
+    )
+    kept = (
+        drop_incomplete_days(ragged, keys=["user_id"])
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.round(F.sum("precip"), 4).alias("precip_kept"),
+        )
+    )
+    return gaps.join(kept, "user_id").select(
+        "user_id", "n_gaps", "n_kept", "precip_kept"
+    )
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate cluster assignment: LSH candidate pairs closed
+    into connected components by distributed min-label propagation —
+    the step that turns pairwise near-dup evidence into keep/drop
+    groups for corpus curation. cluster_id is the min doc_id reachable
+    from each clustered document (deterministic canonical label)."""
+    from melodist_spark.pipeline.dedup import (
+        duplicate_clusters,
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bands = lsh_bands(
+        minhash_signature(docs, num_hashes=16, shingle=3),
+        num_hashes=16,
+        band_size=4,
+    )
+    pairs = lsh_candidate_pairs(bands)
+    out = duplicate_clusters(pairs)
+    return out.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-data sampling: a 50% id-hash sample of
+    the corpus (reproducible on any engine/layout), then an exact
+    40-docs-per-language stratified draw in id-hash order — the
+    curation primitive for building fixed-size, re-runnable training
+    mixes."""
+    from melodist_spark.pipeline.sampling import hash_sample, stratified_sample_n
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    half = hash_sample(docs, 0.5, id_col="doc_id", salt="hs")
+    samp = stratified_sample_n(half, ["lang"], n=40, id_col="doc_id", salt="r3")
+    return samp.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: top-20 tokens per language by
+    frequency (map-side-combined hash aggregate over the exploded
+    token stream, window rank on the distinct-token counts)."""
+    from melodist_spark.pipeline.text import vocab_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = vocab_topk(docs, k=20, by=["lang"])
+    return out.select(
+        "lang",
+        "token",
+        F.col("n").cast("long").alias("n"),
+        F.col("rank").cast("long").alias("rank"),
     )

@@ -48,6 +48,9 @@ HEADLINE = [
     "pricing_summary",
     # training-data pipeline
     "text_features",
+    "dup_clusters",
+    "doc_sample",
+    "vocab_topk",
     "minhash_pairs",
     "embedding_topk",
     "embedding_neardup",

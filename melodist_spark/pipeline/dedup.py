@@ -214,6 +214,88 @@ def lsh_candidate_pairs(
     )
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Transitively close near-duplicate pairs into clusters.
+
+    LSH/Jaccard emit *pairs*; curation needs *groups* (keep one doc
+    per connected component). This is connected components by min-label
+    propagation: every node starts labeled with its own id, then each
+    round takes the min of its label and its neighbors' labels until a
+    fixpoint — the final label is the minimum id reachable from the
+    node, a deterministic canonical cluster id.
+
+    Scale shape: each round is (a) one shuffle join of the
+    (symmetrized) edge list against the label table plus a
+    min-aggregation, and (b) a pointer-jumping self-join of the label
+    table (``label := label(label)``) that compresses paths so even a
+    worst-case chain converges in O(log n) rounds, not O(diameter) —
+    the same doubling trick as parallel union-find. No driver-side
+    graph, no adjacency materialization. Label lineage is truncated
+    every round with ``localCheckpoint`` so the plan does not grow
+    with iterations. A convergence count per round is the driver's
+    only involvement.
+
+    Returns (id, cluster_id) for every node that appears in ``pairs``
+    (singletons are by definition absent).
+    """
+    sym = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    ).distinct()
+    sym = sym.localCheckpoint(eager=False)
+
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("label").alias("dst_label")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_label").alias("nbr_label"))
+        )
+        prop = labels.join(nbr, labels["id"] == nbr["src"], "left").select(
+            "id",
+            "label",
+            F.least("label", F.coalesce("nbr_label", "label")).alias(
+                "mid_label"
+            ),
+        )
+        # pointer jumping: follow the label one more hop through the
+        # label table itself (label-of-label), halving chain depth
+        jump = labels.select(
+            F.col("id").alias("mid_label"), F.col("label").alias("jump_label")
+        )
+        stepped = (
+            prop.join(jump, "mid_label", "left")
+            .select(
+                "id",
+                "label",
+                F.least(
+                    "mid_label", F.coalesce("jump_label", "mid_label")
+                ).alias("new_label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.filter(F.col("new_label") != F.col("label")).count()
+        labels = stepped.select("id", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
 def jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,

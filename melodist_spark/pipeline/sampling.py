@@ -1,0 +1,96 @@
+"""Deterministic sampling for training-data curation.
+
+Corpus curation needs *reproducible* samples: the same corpus, salt
+and rate must select the same documents on any engine, any partition
+layout, any day — so experiments are comparable and ablations
+re-runnable. Both operators therefore key on a cryptographic hash of
+the document id (never ``rand()``, which is per-task-attempt
+nondeterministic and not portable across engines).
+
+Scale shape: ``hash_sample`` is a stateless narrow filter — it
+pushes through scans, costs one md5 per row, and never shuffles.
+``stratified_sample_n`` is a per-stratum top-n: one shuffle on the
+strata key. With few large strata (the language-distribution case)
+the window sort would funnel each stratum through one task, so rows
+are pre-pruned with a per-partition local top-n before the shuffle —
+the same two-phase trick Spark uses for global ``ORDER BY LIMIT``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# md5 prefix of 15 hex digits = 60 bits, interpreted as a fraction of
+# 16^15; cryptographically uniform on [0, 1) and identical in DuckDB:
+# ('0x' || substr(md5(x), 1, 15))::BIGINT / 16.0^15
+_HASH_SPACE = float(16**15)
+
+
+def _hash01(col) -> F.Column:
+    """Uniform [0,1) hash of a column, engine-portable (md5 hex)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(_HASH_SPACE)
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows by id-hash threshold.
+
+    Different ``salt`` values give independent samples; nested rates
+    compose (a 0.5 sample of a 0.5 sample with the same salt is the
+    0.25 sample — threshold filters are monotone). Narrow, no shuffle.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    key = F.concat(F.col(id_col).cast("string"), F.lit(f"|{salt}"))
+    return df.filter(_hash01(key) < F.lit(fraction))
+
+
+def stratified_sample_n(
+    df: DataFrame,
+    strata_cols: list[str],
+    n: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+    skew_groups: int = 64,
+) -> DataFrame:
+    """Deterministic ``n`` rows per stratum, chosen by id-hash order.
+
+    The hash order is a reproducible random order, so this is an
+    exact-size uniform sample per stratum (the distributed analogue of
+    per-group reservoir sampling, without reservoir state). Ties are
+    impossible short of md5 collisions; ``id_col`` breaks them anyway.
+
+    Two-phase top-n (the salted shape of global ``ORDER BY LIMIT``):
+    phase 1 ranks within (salt-group, stratum) — ``skew_groups``
+    balanced partitions per stratum — and keeps at most ``n`` each, so
+    a handful of giant strata (language skew) cannot funnel the corpus
+    through single window tasks; phase 2 ranks the surviving
+    ``≤ n × skew_groups`` rows per stratum for the exact answer. The
+    salt only bounds phase-1 group sizes — the selected sample is
+    salt-invariant. ``skew_groups=1`` collapses to the plain window.
+    """
+    key = F.concat(F.col(id_col).cast("string"), F.lit(f"|{salt}"))
+    h = _hash01(key).alias("__h")
+    staged = df.withColumn("__h", h)
+    if skew_groups > 1:
+        sg = F.pmod(F.xxhash64(F.col(id_col)), F.lit(skew_groups))
+        local = Window.partitionBy(sg, *strata_cols).orderBy("__h", id_col)
+        staged = staged.withColumn(
+            "__local_rank", F.row_number().over(local)
+        ).filter(F.col("__local_rank") <= n)
+    strat = Window.partitionBy(*strata_cols).orderBy("__h", id_col)
+    return (
+        staged.withColumn("__rank", F.row_number().over(strat))
+        .filter(F.col("__rank") <= n)
+        .drop("__h", "__local_rank", "__rank")
+    )

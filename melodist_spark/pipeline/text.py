@@ -214,3 +214,49 @@ def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> 
         .withColumn(out_col, _simhash_from_masks(F.col("__m")))
         .drop("__h", "__m")
     )
+
+
+def vocab_topk(
+    df: DataFrame,
+    k: int = 100,
+    by: list[str] | None = None,
+    text_col: str = "text",
+    lowercase: bool = True,
+    skew_groups: int = 0,
+) -> DataFrame:
+    """Corpus vocabulary statistics: top-``k`` tokens by frequency,
+    optionally per group (e.g. per language).
+
+    Shape at scale: explode → two-level aggregation. The token count
+    is a hash aggregate with map-side partial combine (the explode
+    never crosses the wire un-aggregated), then the top-k is a window
+    rank over the (tiny) distinct-token counts. Ties broken by token
+    for determinism. With very few groups and a huge vocabulary the
+    rank window can additionally be salted two-phase via
+    ``skew_groups`` (same construction as
+    ``sampling.stratified_sample_n``); counts are exact either way.
+
+    Returns (by..., token, n, rank).
+    """
+    from pyspark.sql import Window
+
+    by = list(by or [])
+    t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = df.select(*by, F.explode(_tokens(t)).alias("token")).filter(
+        F.col("token") != ""
+    )
+    counts = toks.groupBy(*by, "token").agg(F.count("*").alias("n"))
+    if skew_groups and skew_groups > 1:
+        sg = F.pmod(F.xxhash64("token"), F.lit(skew_groups))
+        local = Window.partitionBy(sg, *by).orderBy(
+            F.col("n").desc(), F.col("token").asc()
+        )
+        counts = counts.withColumn(
+            "__lr", F.row_number().over(local)
+        ).filter(F.col("__lr") <= k)
+    w = Window.partitionBy(*by).orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("__lr")
+    )

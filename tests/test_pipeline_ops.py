@@ -271,3 +271,94 @@ def test_neardup_skew_guard_same_pairs(spark):
     key = lambda df: sorted(map(tuple, df[["id_a", "id_b"]].to_numpy().tolist()))
     assert key(plain) == key(salted)
     assert len(plain) > 0
+
+
+def test_duplicate_clusters_chain_and_clique(spark):
+    """A 4-node chain and a separate 3-clique both collapse to their
+    min id; singletons (absent from pairs) don't appear."""
+    from melodist_spark.pipeline.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    """A 40-node path graph (worst-case diameter) still converges to
+    a single component within the iteration cap."""
+    from melodist_spark.pipeline.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["id_a", "id_b"]
+    )
+    labels = duplicate_clusters(pairs).collect()
+    assert len(labels) == 41
+    assert {r["cluster_id"] for r in labels} == {0}
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    from melodist_spark.pipeline.sampling import hash_sample
+
+    df = spark.range(4000).withColumnRenamed("id", "doc_id")
+    s1 = set(r[0] for r in hash_sample(df, 0.5, salt="a").collect())
+    s2 = set(r[0] for r in hash_sample(df, 0.5, salt="a").collect())
+    assert s1 == s2  # reproducible
+    # roughly the right rate
+    assert 0.45 < len(s1) / 4000 < 0.55
+    # nested: the 0.25 sample is a subset of the 0.5 sample (same salt)
+    s3 = set(r[0] for r in hash_sample(df, 0.25, salt="a").collect())
+    assert s3 <= s1
+    # different salt → materially different selection
+    s4 = set(r[0] for r in hash_sample(df, 0.5, salt="b").collect())
+    assert len(s1 ^ s4) > 500
+    with pytest.raises(ValueError):
+        hash_sample(df, 1.5)
+
+
+def test_stratified_sample_exact_n_and_salt_invariant(spark):
+    from melodist_spark.pipeline.sampling import stratified_sample_n
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(900),
+            "lang": ["en"] * 600 + ["de"] * 250 + ["es"] * 50,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = stratified_sample_n(df, ["lang"], n=30).toPandas()
+    assert out.groupby("lang").size().to_dict() == {"de": 30, "en": 30, "es": 30}
+    # the skew-group pre-filter must not change the selected sample
+    plain = stratified_sample_n(df, ["lang"], n=30, skew_groups=1).toPandas()
+    assert set(map(tuple, out.values)) == set(map(tuple, plain.values))
+    # n larger than a stratum returns the whole stratum
+    big = stratified_sample_n(df, ["lang"], n=100).toPandas()
+    assert big.groupby("lang").size().to_dict() == {"de": 100, "en": 100, "es": 50}
+
+
+def test_vocab_topk_counts(spark):
+    from melodist_spark.pipeline.text import vocab_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "a a a b b c"),
+            (2, "en", "a b  b"),
+            (3, "de", "x y x"),
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    out = vocab_topk(df, k=2, by=["lang"]).toPandas()
+    en = out[out.lang == "en"].set_index("token")["n"].to_dict()
+    de = out[out.lang == "de"].set_index("token")["n"].to_dict()
+    assert en == {"a": 4, "b": 4}  # tie broken by token: a ranks 1
+    assert de == {"x": 2, "y": 1}
+    ranks = out[out.lang == "en"].set_index("token")["rank"].to_dict()
+    assert ranks == {"a": 1, "b": 2}
+    # salted two-phase gives identical results
+    salted = vocab_topk(df, k=2, by=["lang"], skew_groups=8).toPandas()
+    assert set(map(tuple, salted.values)) == set(map(tuple, out.values))
