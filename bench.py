@@ -48,10 +48,10 @@ HEADLINE = [
     "pricing_summary",
     # training-data pipeline
     "text_features",
+    "minhash_pairs",
     "dup_clusters",
     "doc_sample",
     "vocab_topk",
-    "minhash_pairs",
     "embedding_topk",
     "embedding_neardup",
     "ivf_topk",
