@@ -41,6 +41,19 @@ def bristow_campbell_exprs(
     join). ``dT = tmax - (tmin + tmin_nextday)/2``; B from the monthly
     mean of dT; last day's tmin_nextday is its own tmin.
     """
+    d = _bc_transmissivity(daily, a, c, keys, date_col)
+    return d.withColumn(
+        "bc_rad", F.col("__trans") * F.col(pot_rad_daily_col)
+    ).drop("__trans")
+
+
+def _bc_transmissivity(
+    daily: DataFrame, a, c, keys: list[str], date_col: str = "date"
+) -> DataFrame:
+    """Attach the Bristow-Campbell atmospheric transmissivity
+    ``__trans = a·(1 − exp(−B·dT^c))`` — a pure daily-grain quantity
+    (two narrow windows per station), computable *before* any hourly
+    explode."""
     w = Window.partitionBy(*keys).orderBy(date_col)
     nxt_ok = F.datediff(F.lead(date_col, 1).over(w), F.col(date_col)) == 1
     tmin_next = F.coalesce(
@@ -52,9 +65,7 @@ def bristow_campbell_exprs(
     a_col = a if isinstance(a, Column) else F.lit(float(a))
     c_col = c if isinstance(c, Column) else F.lit(float(c))
     transmissivity = a_col * (1 - F.exp(-F.col("__B") * F.pow(F.col("__dT"), c_col)))
-    return d.withColumn("bc_rad", transmissivity * F.col(pot_rad_daily_col)).drop(
-        "__dT", "__B"
-    )
+    return d.withColumn("__trans", transmissivity).drop("__dT", "__B")
 
 
 def angstroem_expr(ssd, day_length, pot_rad_daily, a, b) -> Column:
@@ -108,6 +119,24 @@ def disaggregate_radiation(
     d = _with_station_meta(daily.select(*keys, date_col, *daily_cols), stations, keys)
     d = d.withColumns(sun_times_exprs(date_col, F.col("lon"), F.col("lat"), F.col("timezone")))
 
+    if method == "pot_rad_via_bc":
+        # transmissivity is a daily-grain quantity: attach it BEFORE the
+        # hourly explode, so the clear-sky curve is evaluated once and
+        # no hourly↔daily join or re-aggregation exists in the plan
+        # (glob = pot_rad·trans — the daily-mean normalization cancels)
+        if bristcamp_params is not None:
+            d = d.withColumn("__m", F.month(date_col)).join(
+                F.broadcast(
+                    bristcamp_params.withColumnRenamed("month", "__m")
+                ),
+                [*keys, "__m"],
+                "left",
+            )
+            a_in, c_in = F.col("a"), F.col("c")
+        else:
+            a_in, c_in = F.lit(bristcamp_a), F.lit(bristcamp_c)
+        d = _bc_transmissivity(d, a_in, c_in, keys, date_col).drop("__m")
+
     hourly = hourly_calendar(d, date_col=date_col, ts_col=ts_col)
 
     if method == "mean_course":
@@ -146,26 +175,8 @@ def disaggregate_radiation(
             (a_col + b_col * F.try_divide(F.col("ssd"), F.col("daylength")))
             * F.col("pot_rad_daily"),
         ).otherwise(F.lit(0.0))
-    else:  # pot_rad_via_bc
-        # B-C needs the daily grain (lead of tmin, monthly mean dT)
-        if bristcamp_params is not None:
-            dd = d.withColumn("month", F.month(date_col)).join(
-                F.broadcast(bristcamp_params), [*keys, "month"], "left"
-            )
-            a_in, c_in = F.col("a"), F.col("c")
-        else:
-            dd = d
-            a_in, c_in = F.lit(bristcamp_a), F.lit(bristcamp_c)
-        pot_daily = (
-            hourly.groupBy(*keys, F.to_date(ts_col).alias(date_col))
-            .agg(F.avg("pot_rad").alias("pot_rad_daily"))
-        )
-        dd = dd.join(pot_daily, [*keys, date_col])
-        bc = bristow_campbell_exprs(dd, "pot_rad_daily", a_in, c_in, keys, date_col)
-        hourly = hourly.join(
-            bc.select(*keys, date_col, "bc_rad"), [*keys, date_col]
-        )
-        glob_daily = F.col("bc_rad")
+    else:  # pot_rad_via_bc — __trans attached pre-explode above
+        glob_daily = F.col("__trans") * F.col("pot_rad_daily")
 
     # polar-night days have pot_rad_daily == 0; the reference's numpy
     # 0/0 yields NaN (`radiation.py:98`) — try_divide's null matches

@@ -34,7 +34,10 @@ def main():
         # (query, must-contain regexes, must-NOT-contain regexes)
         (
             "temp_sine_disagg",
-            [r"ReadSchema: struct<ts:bigint,user_id:bigint,value:double>"],
+            # TIMESTAMP(NANOS) surfaces as bigint (nanosAsLong) or
+            # timestamp_ntz depending on Spark's parquet reader path;
+            # both are the pruned 3-column scan we assert
+            [r"ReadSchema: struct<ts:(bigint|timestamp_ntz),user_id:bigint,value:double>"],
             [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
         ),
         (
@@ -95,7 +98,10 @@ def main():
             # full radiation chain: events scan pruned to the 3 used
             # columns, parameter joins broadcast
             "radiation_ssd",
-            [r"ReadSchema: struct<ts:bigint,user_id:bigint,value:double>"],
+            # TIMESTAMP(NANOS) surfaces as bigint (nanosAsLong) or
+            # timestamp_ntz depending on Spark's parquet reader path;
+            # both are the pruned 3-column scan we assert
+            [r"ReadSchema: struct<ts:(bigint|timestamp_ntz),user_id:bigint,value:double>"],
             [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
         ),
     ]
