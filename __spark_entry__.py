@@ -441,8 +441,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     distribute_equally+api_pipeline, complete_days ⊂ gap_analysis,
     gap_count+drop_incomplete_days ⊂ gap_analysis, calendar_fill ⊂
     api_pipeline's fill_daily_calendar, linregress ⊂
-    humidity_dewpoint+angstroem_fit closed-form OLS) are anchored by
-    the containing query."""
+    humidity_dewpoint+angstroem_fit closed-form OLS,
+    daily_from_hourly ⊂ every met oracle's daily CTE, lead_lag ⊂ the
+    temp-sine next/prev-day windows, distribute_equally ⊂
+    wind_equal/humidity_equal explode+ffill) are anchored by the
+    containing query."""
     return {
         # temperature family
         "temp_sine_disagg": q_temp_sine_disagg,
@@ -487,15 +490,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample": q_doc_sample,
         "vocab_topk": q_vocab_topk,
         "text_features": q_text_features,
+        "text_clean": q_text_clean,
+        "quality_flags": q_quality_flags,
+        "repetition_stats": q_repetition_stats,
         # aggregation / calendar / util family
-        "daily_from_hourly": q_daily_from_hourly,
-        "distribute_equally": q_distribute_equally,
         "window_primitives": q_window_primitives,
         "interpolate": q_interpolate,
         "dyadic_calendars": q_dyadic_calendars,
         "gap_analysis": q_gap_analysis,
         "seasonal_subset": q_seasonal_subset,
-        "lead_lag": q_lead_lag,
         "meteo_scalars": q_meteo_scalars,
         "sun_times": q_sun_times,
         "month_hour_wet_mean": q_month_hour_wet_mean,
@@ -906,6 +909,90 @@ def oracle_sql() -> dict[str, str]:
             FROM t
             JOIN s ON t.doc_id = s.doc_id
             JOIN sh ON t.doc_id = sh.doc_id
+        """,
+        "text_clean": """
+            WITH cleaned AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+                     len(regexp_extract_all(text, '\\+?\\d[\\d() -]{7,}\\d')) AS n_phones,
+                     len(regexp_extract_all(text, '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) AS n_ipv4,
+                     trim(regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(text, '<[^>]+>', ' ', 'g'),
+                           'https?://\\S+', ' ', 'g'),
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', ' ', 'g'),
+                       '\\s+', ' ', 'g')) AS clean
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(n_emails AS BIGINT) AS n_emails,
+                   CAST(n_phones AS BIGINT) AS n_phones,
+                   CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+                   CAST(length(clean) AS BIGINT) AS clean_len,
+                   md5(clean) AS clean_md5
+            FROM cleaned
+        """,
+        "quality_flags": f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+              FROM documents
+            ),
+            wl AS (
+              SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id,
+                     sum(CASE WHEN w = ANY({stop_en}) THEN 1 ELSE 0 END) AS n_stop
+              FROM wl GROUP BY doc_id
+            ),
+            f AS (
+              SELECT t.doc_id,
+                     t.n_tokens,
+                     t.n_tokens BETWEEN 20 AND 1000 AS ok_length,
+                     CASE WHEN t.n_tokens > 0 THEN
+                       length(regexp_replace(t.text, '\\s+', '', 'g')) * 1.0 / t.n_tokens
+                     END BETWEEN 2.0 AND 12.0 AS ok_word_len,
+                     CASE WHEN t.n_tokens > 0 THEN s.n_stop * 1.0 / t.n_tokens END
+                       >= 0.05 AS ok_stopwords,
+                     (length(t.text) - length(regexp_replace(t.text, '[.,;:!?]', '', 'g'))) * 1.0
+                       / length(t.text) <= 0.2 AS ok_punct
+              FROM t JOIN s ON t.doc_id = s.doc_id
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   ok_length, ok_word_len, ok_stopwords, ok_punct,
+                   ok_length AND ok_word_len AND ok_stopwords AND ok_punct AS keep
+            FROM f
+        """,
+        "repetition_stats": """
+            WITH lists AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l
+              FROM documents
+            ),
+            uni AS (
+              SELECT doc_id, t.w FROM lists, unnest(l) AS t(w) WHERE t.w <> ''
+            ),
+            uc AS (SELECT doc_id, w, count(*) AS c FROM uni GROUP BY 1, 2),
+            us AS (
+              SELECT doc_id, max(c) * 1.0 / sum(c) AS top_unigram_frac
+              FROM uc GROUP BY 1
+            ),
+            big AS (
+              SELECT doc_id, l[i] || ' ' || l[i+1] AS g
+              FROM lists, unnest(generate_series(1, len(l) - 1)) AS t(i)
+            ),
+            bc2 AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2),
+            bs AS (
+              SELECT doc_id, max(c) * 1.0 / sum(c) AS top_bigram_frac
+              FROM bc2 GROUP BY 1
+            )
+            SELECT u.doc_id,
+                   round(u.top_unigram_frac, 6) AS top_unigram_frac,
+                   round(b.top_bigram_frac, 6) AS top_bigram_frac
+            FROM us u JOIN bs b ON u.doc_id = b.doc_id
         """,
         "humidity_equal": f"""
             WITH daily AS ({_MET_DAILY_SQL})
@@ -3451,4 +3538,58 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token",
         F.col("n").cast("long").alias("n"),
         F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate scrub + PII scan in one pass: per-doc email/phone/
+    IPv4 pattern counts on the raw text, then the C4-style clean
+    (tags/URLs/emails stripped, whitespace collapsed) fingerprinted by
+    md5 — all narrow codegen expressions over the documents scan."""
+    from melodist_spark.pipeline.text import clean_text, pii_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = pii_counts(F.col("text"))
+    cleaned = clean_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        counts["n_emails"].cast("long").alias("n_emails"),
+        counts["n_phones"].cast("long").alias("n_phones"),
+        counts["n_ipv4"].cast("long").alias("n_ipv4"),
+        F.length(cleaned).cast("long").alias("clean_len"),
+        F.md5(cleaned).alias("clean_md5"),
+    )
+
+
+def q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style keep-drop audit: per-rule booleans (length,
+    mean word length, stopword presence, punctuation) and the
+    conjunction keep flag over the single-pass feature projection."""
+    from melodist_spark.pipeline.text import quality_flags
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = quality_flags(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "ok_length",
+        "ok_word_len",
+        "ok_stopwords",
+        "ok_punct",
+        "keep",
+    )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals (Gopher A1.3): fraction of each document
+    covered by its most frequent unigram / bigram — two-level hash
+    aggregates over the exploded gram streams."""
+    from melodist_spark.pipeline.text import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = repetition_stats(docs)
+    return out.select(
+        "doc_id",
+        F.round("top_unigram_frac", 6).alias("top_unigram_frac"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
     )

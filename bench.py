@@ -48,6 +48,9 @@ HEADLINE = [
     "pricing_summary",
     # training-data pipeline
     "text_features",
+    "text_clean",
+    "quality_flags",
+    "repetition_stats",
     "minhash_pairs",
     "dup_clusters",
     "doc_sample",

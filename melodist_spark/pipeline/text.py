@@ -260,3 +260,107 @@ def vocab_topk(
         .filter(F.col("rank") <= k)
         .drop("__lr")
     )
+
+
+# -- cleaning / PII / quality rules / repetition ------------------------
+
+# patterns kept lookaround-free so Java regex (Spark) and RE2 (DuckDB,
+# the oracle engine) agree
+URL_RE = r"https?://\S+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+TAG_RE = r"<[^>]+>"
+PHONE_RE = r"\+?\d[\d() -]{7,}\d"
+IPV4_RE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-document counts of common PII-shaped patterns (emails,
+    phone-like digit runs, IPv4-like quads). Narrow column
+    expressions — at corpus scale this is a scan-speed pass."""
+    return {
+        "n_emails": F.regexp_count(text, F.lit(EMAIL_RE)),
+        "n_phones": F.regexp_count(text, F.lit(PHONE_RE)),
+        "n_ipv4": F.regexp_count(text, F.lit(IPV4_RE)),
+    }
+
+
+def clean_text(text: Column) -> Column:
+    """Boilerplate scrub: drop HTML-ish tags, URLs and emails, then
+    collapse whitespace — the C4-style normalization pass before
+    dedup/tokenization. Pure codegen expressions, no shuffle."""
+    t = F.regexp_replace(text, TAG_RE, " ")
+    t = F.regexp_replace(t, URL_RE, " ")
+    t = F.regexp_replace(t, EMAIL_RE, " ")
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_tokens: int = 1000,
+    min_word_len: float = 2.0,
+    max_word_len: float = 12.0,
+    min_stopword_ratio: float = 0.05,
+    max_punct_ratio: float = 0.2,
+) -> DataFrame:
+    """Gopher/C4-style keep-drop rules over :func:`quality_features`.
+
+    Attaches one boolean per rule plus the conjunction ``keep`` — the
+    curation pattern where drop *reasons* are retained for auditing
+    rather than filtering in place. All rules are column predicates on
+    the single-pass feature projection; the filter itself stays
+    pushdown-friendly (``df.filter("keep")``)."""
+    q = quality_features(df, text_col)
+    flags = {
+        "ok_length": F.col("n_tokens").between(min_tokens, max_tokens),
+        "ok_word_len": F.col("mean_word_len").between(
+            min_word_len, max_word_len
+        ),
+        "ok_stopwords": F.col("stopword_ratio") >= min_stopword_ratio,
+        "ok_punct": F.col("punct_ratio") <= max_punct_ratio,
+    }
+    out = q.withColumns(flags)
+    keep = None
+    for name in flags:
+        keep = F.col(name) if keep is None else keep & F.col(name)
+    return out.withColumn("keep", keep)
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repetition signals (Gopher §A1.3): the fraction of the document
+    occupied by its most frequent unigram and bigram. High values mark
+    boilerplate/spam for the quality filter.
+
+    Scale shape: explode → count per (doc, gram) — a hash aggregate
+    with map-side combine keyed by high-cardinality (doc, gram), then
+    a per-doc max/sum. Documents shorter than 2 tokens have no bigram
+    and are dropped (inner join), mirroring the oracle semantics.
+    Returns (id, top_unigram_frac, top_bigram_frac)."""
+    t = F.lower(F.col(text_col))
+    toks = _tokens(t)
+    uni = df.select(F.col(id_col), F.explode(toks).alias("w")).filter(
+        F.col("w") != ""
+    )
+    us = (
+        uni.groupBy(id_col, "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg((F.max("c") / F.sum("c")).alias("top_unigram_frac"))
+    )
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    grams = F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    big = df.select(F.col(id_col), F.explode(grams).alias("g"))
+    bs = (
+        big.groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg((F.max("c") / F.sum("c")).alias("top_bigram_frac"))
+    )
+    return us.join(bs, id_col)

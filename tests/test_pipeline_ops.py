@@ -362,3 +362,62 @@ def test_vocab_topk_counts(spark):
     # salted two-phase gives identical results
     salted = vocab_topk(df, k=2, by=["lang"], skew_groups=8).toPandas()
     assert set(map(tuple, salted.values)) == set(map(tuple, out.values))
+
+
+def test_clean_text_and_pii(spark):
+    from melodist_spark.pipeline.text import clean_text, pii_counts
+
+    df = spark.createDataFrame(
+        [
+            (1, "Contact <b>us</b> at bob@example.com or https://x.io/a?b=1  now"),
+            (2, "call +1 (555) 123-4567 or 192.168.0.1 twice: 10.0.0.255"),
+            (3, "plain   text\n with \t spaces"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = df.select(
+        "doc_id",
+        clean_text(F.col("text")).alias("clean"),
+        *[v.alias(k) for k, v in pii_counts(F.col("text")).items()],
+    ).toPandas().set_index("doc_id")
+    assert out.loc[1, "clean"] == "Contact us at or now"
+    assert out.loc[1, "n_emails"] == 1
+    assert out.loc[2, "n_phones"] == 1
+    assert out.loc[2, "n_ipv4"] == 2
+    assert out.loc[3, "clean"] == "plain text with spaces"
+    assert out.loc[3, ["n_emails", "n_phones", "n_ipv4"]].sum() == 0
+
+
+def test_quality_flags_rules(spark):
+    from melodist_spark.pipeline.text import quality_flags
+
+    good = "the quick brown fox jumps over the lazy dog " * 5  # 45 toks, stopwords
+    short = "the tiny doc"
+    no_stop = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, no_stop)], ["doc_id", "text"]
+    )
+    out = quality_flags(df).select("doc_id", "ok_length", "ok_stopwords", "keep").toPandas().set_index("doc_id")
+    assert bool(out.loc[1, "keep"])
+    assert not bool(out.loc[2, "ok_length"])
+    assert not bool(out.loc[3, "ok_stopwords"])
+    assert not bool(out.loc[2, "keep"]) and not bool(out.loc[3, "keep"])
+
+
+def test_repetition_stats(spark):
+    from melodist_spark.pipeline.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam ham"),      # top uni 4/5; top bi 'spam spam' 3/4
+            (2, "a b c d"),                       # all unique: 1/4, 1/3
+            (3, "solo"),                          # no bigram -> dropped
+        ],
+        ["doc_id", "text"],
+    )
+    out = repetition_stats(df).toPandas().set_index("doc_id")
+    assert 3 not in out.index
+    np.testing.assert_allclose(out.loc[1, "top_unigram_frac"], 4 / 5)
+    np.testing.assert_allclose(out.loc[1, "top_bigram_frac"], 3 / 4)
+    np.testing.assert_allclose(out.loc[2, "top_unigram_frac"], 1 / 4)
+    np.testing.assert_allclose(out.loc[2, "top_bigram_frac"], 1 / 3)
