@@ -36,9 +36,7 @@ HEADLINE = [
     "cascade_calibration",
     "api_pipeline",
     # aggregation / calendar / scalar primitives
-    "daily_from_hourly",
-    "distribute_equally",
-    "lead_lag",
+    "gap_analysis",
     "window_primitives",
     "meteo_scalars",
     "interpolate",
