@@ -254,9 +254,12 @@ def duplicate_clusters(
     ).distinct()
     sym = sym.localCheckpoint(eager=False)
 
+    # seed with min(self, neighbors) — the first propagation round for
+    # free, computed on the same shuffle that builds the node set
     labels = (
-        sym.select(F.col("src").alias("id")).distinct()
-        .withColumn("label", F.col("id"))
+        sym.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("__nbr"))
+        .select("id", F.least("id", "__nbr").alias("label"))
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):

@@ -112,3 +112,45 @@ def test_streaming_gap_monitor(spark, tmp_path, met_hourly_pd):
     q.awaitTermination(120)
     got = spark.sql("select * from gap_stream").orderBy("date").toPandas()
     assert (got["n_missing"] == 5).any()
+
+
+def test_streaming_dedup_exact(spark, tmp_path):
+    """Duplicates arriving in later micro-batches are dropped; first
+    occurrences survive."""
+    import pandas as pd
+    from melodist_spark.streaming.dedup import streaming_dedup_exact
+
+    src = str(tmp_path / "docs_stream")
+    b1 = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "ts": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 00:01", "2024-01-01 00:02"]),
+            "text": ["alpha", "beta", "alpha"],  # in-batch dup
+        }
+    )
+    b2 = pd.DataFrame(
+        {
+            "doc_id": [4, 5],
+            "ts": pd.to_datetime(["2024-01-01 00:03", "2024-01-01 00:04"]),
+            "text": ["beta", "gamma"],  # cross-batch dup + new
+        }
+    )
+    spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_dedup_exact(stream, ts_col="ts")
+        .writeStream.format("memory")
+        .queryName("stream_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select text from stream_dedup").toPandas()
+    assert sorted(got["text"]) == ["alpha", "beta", "gamma"]

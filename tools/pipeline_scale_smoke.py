@@ -1,0 +1,131 @@
+"""Scale smoke for the training-data pipeline: N synthetic documents
+(with planted duplicate groups and near-duplicates) generated
+DISTRIBUTED, then the curation chain end-to-end — quality flags,
+cleaning, exact dedup, MinHash LSH candidates, connected-component
+clusters, stratified sample, vocabulary. Validates the shapes the
+100 TB story depends on: narrow feature scans, map-side-combined gram
+aggregates, equi-join (not quadratic) candidate generation, and
+O(log n)-round clustering.
+
+Usage: python tools/pipeline_scale_smoke.py [n_docs] (default 200000)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from melodist_spark.session import get_spark
+
+
+def main():
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    spark = get_spark("pipeline_scale_smoke", shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t_all = time.perf_counter()
+
+    # -- distributed synthetic corpus -------------------------------------
+    # ~40-token docs over a 5k-word vocab; every 20th doc is an exact
+    # duplicate of its predecessor, every 50th a near-dup (one word
+    # swapped) — planted structure the dedup chain must find.
+    vocab = F.concat(F.lit("w"), F.pmod(F.xxhash64("pos", "seed"), F.lit(5000)))
+    base = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") - F.pmod(F.col("id"), 20)).alias("theme"),
+        F.pmod(F.col("id"), 5).cast("string").alias("lang"),
+    )
+    docs = (
+        base.withColumn(
+            "seed",
+            F.when(F.pmod("doc_id", 20) == 1, F.col("doc_id") - 1)  # exact dup
+            .when(F.pmod("doc_id", 50) == 2, F.col("doc_id") - 1)   # near dup
+            .otherwise(F.col("doc_id")),
+        )
+        .withColumn("pos", F.explode(F.sequence(F.lit(0), F.lit(39))))
+        .withColumn(
+            "w",
+            F.when(
+                (F.pmod("doc_id", 50) == 2) & (F.col("pos") == 0),
+                F.lit("swapped"),  # the near-dup's single changed word
+            )
+            # plant stopwords at fixed positions so the Gopher
+            # stopword rule sees realistic English-like density
+            .when(F.pmod("pos", 7) == 3, F.lit("the"))
+            .when(F.pmod("pos", 11) == 6, F.lit("a"))
+            .otherwise(vocab),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(F.concat_ws(" ", F.collect_list("w")).alias("text"))
+        .persist()
+    )
+    n = docs.count()
+    t0 = time.perf_counter()
+    print(f"generate {n} docs: {t0 - t_all:.1f}s")
+
+    from melodist_spark.pipeline.dedup import (
+        duplicate_clusters,
+        exact_duplicates,
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+    from melodist_spark.pipeline.sampling import stratified_sample_n
+    from melodist_spark.pipeline.text import clean_text, quality_flags, vocab_topk
+
+    qf = quality_flags(docs, min_tokens=10)
+    kept = qf.filter("keep").count()
+    t1 = time.perf_counter()
+    print(f"quality_flags: {t1 - t0:.1f}s ({kept} kept)")
+
+    docs.select("doc_id", clean_text(F.col("text")).alias("c")).agg(
+        F.sum(F.length("c"))
+    ).collect()
+    t2 = time.perf_counter()
+    print(f"clean_text: {t2 - t1:.1f}s")
+
+    n_exact = exact_duplicates(docs).count()
+    t3 = time.perf_counter()
+    print(f"exact_duplicates: {t3 - t2:.1f}s ({n_exact} dup groups)")
+
+    bands = lsh_bands(
+        minhash_signature(docs, num_hashes=16, shingle=3),
+        num_hashes=16,
+        band_size=4,
+    )
+    pairs = lsh_candidate_pairs(bands).persist()
+    n_pairs = pairs.count()
+    t4 = time.perf_counter()
+    print(f"minhash LSH candidates: {t4 - t3:.1f}s ({n_pairs} pairs)")
+
+    clusters = duplicate_clusters(pairs)
+    n_clustered = clusters.count()
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    t5 = time.perf_counter()
+    print(
+        f"duplicate_clusters: {t5 - t4:.1f}s "
+        f"({n_clustered} docs in {n_clusters} clusters)"
+    )
+
+    stratified_sample_n(docs, ["lang"], n=1000).count()
+    t6 = time.perf_counter()
+    print(f"stratified_sample_n: {t6 - t5:.1f}s")
+
+    vocab_topk(docs, k=50, by=["lang"]).count()
+    t7 = time.perf_counter()
+    print(f"vocab_topk: {t7 - t6:.1f}s")
+
+    total = t7 - t_all
+    print(
+        f"TOTAL {total:.1f}s for {n} docs "
+        f"({n / total:,.0f} docs/s end-to-end)"
+    )
+
+
+if __name__ == "__main__":
+    main()
