@@ -444,7 +444,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     humidity_dewpoint+angstroem_fit closed-form OLS,
     daily_from_hourly ⊂ every met oracle's daily CTE, lead_lag ⊂ the
     temp-sine next/prev-day windows, distribute_equally ⊂
-    wind_equal/humidity_equal explode+ffill) are anchored by the
+    wind_equal/humidity_equal explode+ffill, seasonal_subset's
+    month-isin predicate ⊂ the month groupings of
+    month_hour_wet_mean/mean_course_temp) are anchored by the
     containing query."""
     return {
         # temperature family
@@ -498,7 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolate": q_interpolate,
         "dyadic_calendars": q_dyadic_calendars,
         "gap_analysis": q_gap_analysis,
-        "seasonal_subset": q_seasonal_subset,
+        "asof_attribution": q_asof_attribution,
         "meteo_scalars": q_meteo_scalars,
         "sun_times": q_sun_times,
         "month_hour_wet_mean": q_month_hour_wet_mean,
@@ -909,6 +911,21 @@ def oracle_sql() -> dict[str, str]:
             FROM t
             JOIN s ON t.doc_id = s.doc_id
             JOIN sh ON t.doc_id = sh.doc_id
+        """,
+        "asof_attribution": """
+            WITH c AS (
+              SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+            ),
+            v AS (
+              SELECT user_id, ts AS view_ts, value AS vv
+              FROM events WHERE event_type = 'view'
+            )
+            SELECT c.user_id, c.ts,
+                   round(c.value, 6) AS click_value,
+                   v.view_ts,
+                   round(v.vv, 6) AS view_value
+            FROM c ASOF LEFT JOIN v
+              ON c.user_id = v.user_id AND c.ts >= v.view_ts
         """,
         "text_clean": """
             WITH cleaned AS (
@@ -3592,4 +3609,30 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round("top_unigram_frac", 6).alias("top_unigram_frac"),
         F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+    )
+
+
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (the canonical time-series join Spark lacks
+    natively): each click event attributed to the same user's most
+    recent prior view. Implemented as tag-union + one keyed window
+    (one shuffle, no range join); oracle is DuckDB's native ASOF
+    LEFT JOIN."""
+    from melodist_spark.operators.asof import asof_join
+
+    e = _events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(clicks, views, keys="user_id", ts_col="ts",
+                    right_prefix="view_")
+    return out.select(
+        "user_id",
+        "ts",
+        F.round("value", 6).alias("click_value"),
+        "view_ts",
+        F.round("view_value", 6).alias("view_value"),
     )

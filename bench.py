@@ -37,6 +37,7 @@ HEADLINE = [
     "api_pipeline",
     # aggregation / calendar / scalar primitives
     "gap_analysis",
+    "asof_attribution",
     "window_primitives",
     "meteo_scalars",
     "interpolate",
