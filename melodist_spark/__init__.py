@@ -57,6 +57,7 @@ from melodist_spark.operators.cascade import (
     build_casc,
     disagg_prec_cascade,
 )
+from melodist_spark.operators.asof import asof_join
 
 __all__ = [
     "get_spark",
@@ -89,4 +90,5 @@ __all__ = [
     "CascadeStatistics",
     "build_casc",
     "disagg_prec_cascade",
+    "asof_join",
 ]

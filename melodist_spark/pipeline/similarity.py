@@ -213,16 +213,19 @@ def ivf_topk(
     label_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probe: int = 1,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize each query to its
     nearest cell centroid (cosine), then exact top-k within that cell
     only.
 
-    Cells are the values of ``label_col`` (a pre-existing partition
-    key, or the output of any clustering). At corpus scale the probe
-    touches one cell instead of the whole corpus — candidate
-    generation is an equi-join on the assigned cell; the centroid
-    table (cells × dim, long form) broadcasts. Returns
+    Cells are the values of ``label_col`` — a pre-existing partition
+    key, or the assignment from :func:`train_kmeans_centroids` +
+    :func:`ivf_assign`. At corpus scale the probe touches ``n_probe``
+    cells instead of the whole corpus — candidate generation is an
+    equi-join on the assigned cells; the centroid table (cells × dim,
+    long form) broadcasts. Raising ``n_probe`` trades work for recall
+    exactly as in FAISS-style IVF. Returns
     (query_id, neighbor_id, cos_sim, rank).
     """
     # cell centroids, long form (label, pos, c)
@@ -252,7 +255,7 @@ def ivf_topk(
     )
     assigned = (
         cell_sims.withColumn("__rn", F.row_number().over(wcell))
-        .filter(F.col("__rn") == 1)
+        .filter(F.col("__rn") <= n_probe)
         .select("query_id", label_col)
     )
 
@@ -307,3 +310,71 @@ def lsh_topk(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def train_kmeans_centroids(
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic Lloyd's k-means for the IVF coarse quantizer.
+
+    Init picks the ``k`` corpus vectors first in md5(id) order — a
+    reproducible random draw, engine/partitioning-invariant. Each
+    iteration is one Arrow-batched matmul assignment over the corpus
+    plus a per-cell mean (map-side combined); the (k × dim) centroid
+    matrix round-trips through the driver exactly as MLlib's KMeans
+    does — it IS the model, k·dim floats, not data.
+
+    Empty cells keep their previous centroid. Returns (k, dim) float64.
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    init = (
+        corpus.select(h.alias("__h"), F.col(vec_col))
+        .orderBy("__h")
+        .limit(k)
+        .collect()
+    )
+    cents = np.array([r[vec_col] for r in init], dtype=np.float64)
+
+    for _ in range(iters):
+        assign = ivf_assign(corpus, cents, vec_col=vec_col)
+        new = (
+            assign.select("__cell", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("__cell", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("c"))
+            .collect()
+        )
+        nxt = cents.copy()
+        for r in new:
+            nxt[r["__cell"], r["pos"]] = r["c"]
+        cents = nxt
+    return cents
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "__cell",
+) -> DataFrame:
+    """Attach each vector's nearest-centroid index (cosine argmax) via
+    one Arrow-batched matmul per batch against the broadcast
+    (k × dim) matrix. Ties break to the lowest cell index
+    (numpy argmax), deterministically."""
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-30
+    )
+
+    @pandas_udf("int")
+    def _cell(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        x = np.vstack(v.to_numpy()).astype(np.float64)
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+        return pd.Series((xn @ cn.T).argmax(axis=1).astype("int32"))
+
+    return corpus.withColumn(out_col, _cell(F.col(vec_col)))

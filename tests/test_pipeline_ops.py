@@ -421,3 +421,55 @@ def test_repetition_stats(spark):
     np.testing.assert_allclose(out.loc[1, "top_bigram_frac"], 3 / 4)
     np.testing.assert_allclose(out.loc[2, "top_unigram_frac"], 1 / 4)
     np.testing.assert_allclose(out.loc[2, "top_bigram_frac"], 1 / 3)
+
+
+def test_kmeans_ivf_end_to_end(spark):
+    """Trained coarse quantizer separates planted gaussian blobs and
+    multi-probe IVF recall dominates single-probe."""
+    from melodist_spark.pipeline.similarity import (
+        brute_force_topk,
+        ivf_assign,
+        ivf_topk,
+        train_kmeans_centroids,
+    )
+
+    rng = np.random.default_rng(3)
+    dim, blobs, per = 16, 4, 60
+    # orthogonal blob centers: separable under the quantizer's cosine
+    # metric regardless of init draw
+    centers = np.zeros((blobs, dim))
+    for b in range(blobs):
+        centers[b, b * 3] = 5.0
+        centers[b, b * 3 + 1] = 3.0
+    rows = []
+    for b in range(blobs):
+        for i in range(per):
+            v = centers[b] + rng.normal(size=dim) * 0.4
+            rows.append((b * per + i, [float(x) for x in v]))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    corpus = spark.createDataFrame(pdf)
+
+    cents = train_kmeans_centroids(corpus, k=blobs, dim=dim, iters=4)
+    assert cents.shape == (blobs, dim)
+    assigned = ivf_assign(corpus, cents, out_col="label").toPandas()
+    # every planted blob lands (almost) entirely in one trained cell
+    purity = (
+        assigned.assign(blob=assigned.vec_id // per)
+        .groupby("blob")["label"]
+        .agg(lambda s: s.value_counts().iloc[0] / len(s))
+    )
+    assert (purity > 0.95).all()
+
+    labeled = spark.createDataFrame(assigned)
+    queries = labeled.filter(F.col("vec_id") % 40 == 0)
+    exact = brute_force_topk(labeled, queries, k=5).toPandas()
+    got1 = ivf_topk(labeled, queries, k=5, n_probe=1).toPandas()
+    got2 = ivf_topk(labeled, queries, k=5, n_probe=2).toPandas()
+
+    def recall(g):
+        e = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+        s = set(map(tuple, g[["query_id", "neighbor_id"]].values))
+        return len(e & s) / len(e)
+
+    assert recall(got1) > 0.8  # blobs are tight: single probe is enough
+    assert recall(got2) >= recall(got1)
