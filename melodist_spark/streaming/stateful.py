@@ -19,8 +19,11 @@ min_max_time='fix')`` exactly:
 - first day ever seen         → pre-dawn falls back to its own tmax
   (batch ``is_first`` fill)
 - stream end / idle station   → the buffered tail day is emitted on
-  processing-time timeout with the batch ``is_last`` fallback
-  (next tmin := own tmin)
+  timeout with the batch ``is_last`` fallback (next tmin := own
+  tmin); preferred is the event-time flush (``flush_after``), which
+  fires when the WATERMARK passes the buffered day — deterministic
+  across replays — with wall-clock ``idle_flush`` as the legacy
+  alternative
 """
 
 from __future__ import annotations
@@ -32,6 +35,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
@@ -85,29 +89,41 @@ def streaming_disaggregate_temperature(
     keys: list[str] = ("station_id",),
     date_col: str = "date",
     idle_flush: str | None = None,
+    flush_after: str | None = None,
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Daily (keys..., date, tmin, tmax) stream → hourly temp stream.
 
     One shuffle (the groupBy hash partitioning); state is a 4-field
-    tuple per station. ``idle_flush`` is a processing-time timeout
-    after which a station's buffered tail day is emitted with the
-    batch last-row fallback (next tmin := own tmin); the default
-    ``None`` disables it, so the tail day stays buffered until its
-    successor arrives.
+    tuple per station. Two ways to flush a station's buffered tail day
+    with the batch last-row fallback (next tmin := own tmin):
 
-    WARNING: any ``idle_flush`` shorter than a station's real
-    inter-arrival time changes results for EVERY day, not just the
-    stream end — a flushed day uses the is_last fallback and resets
-    state, so the following day is treated as first-ever-seen
-    (tmax_before := its own tmax). Only set ``idle_flush`` well above
-    the worst-case gap between consecutive daily records (hours for
-    replays, never seconds for live feeds).
+    - ``flush_after`` (PREFERRED, event-time): the buffered day is
+      emitted once the stream's watermark passes that day's end plus
+      this horizon (e.g. ``"2 days"``). Keyed to data, not wall-clock:
+      deterministic across replays and lag spikes, and a station with
+      a genuine gap flushes as soon as the rest of the fleet's data
+      proves the successor day isn't coming. Requires an event-time
+      watermark; one is derived from ``date_col`` with
+      ``watermark_delay`` allowance for late daily rows.
+    - ``idle_flush`` (processing-time): wall-clock timeout. WARNING:
+      any value shorter than a station's real inter-arrival time
+      changes results for EVERY day, not just the stream end — a
+      flushed day uses the is_last fallback and resets state, so the
+      following day is treated as first-ever-seen. Only set it well
+      above the worst-case gap between consecutive records; prefer
+      ``flush_after``.
+
+    Default (both ``None``): the tail day stays buffered until its
+    successor arrives.
 
     Rows must arrive in non-decreasing date order per station
     (micro-batch file ordering is mtime-based, not guaranteed):
     late or duplicate days — ``date`` at or before the buffered
     day — are dropped rather than corrupting state.
     """
+    if idle_flush is not None and flush_after is not None:
+        raise ValueError("set at most one of idle_flush / flush_after")
     keys = list(keys)
     key_fields = [daily_stream.schema[k] for k in keys]
     out_schema = StructType(
@@ -123,6 +139,8 @@ def streaming_disaggregate_temperature(
          StructField("pend_tmax_before", DoubleType())]
     )
     flush_ms = _duration_ms(idle_flush) if idle_flush is not None else None
+    horizon_ms = _duration_ms(flush_after) if flush_after is not None else None
+    _DAY_MS = 86_400_000
 
     def fn(
         key: Tuple[Any, ...],
@@ -137,10 +155,19 @@ def streaming_disaggregate_temperature(
             state.remove()
             return
 
-        chunks = [p for p in pdfs if len(p)]
-        if not chunks:
+        def arm_timeout(pend_day: int | None):
             if flush_ms is not None:
                 state.setTimeoutDuration(flush_ms)
+            elif horizon_ms is not None and pend_day is not None:
+                # flush when the watermark proves the successor day
+                # can no longer arrive: end of buffered day + horizon
+                state.setTimeoutTimestamp(
+                    (pend_day + 1) * _DAY_MS + horizon_ms
+                )
+
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            arm_timeout(state.get[0] if state.exists else None)
             return
         rows = pd.concat(chunks, ignore_index=True)
         rows = rows.sort_values(date_col)
@@ -170,16 +197,21 @@ def streaming_disaggregate_temperature(
                 tmax_before = tmax
             pend = (day, float(tmin), float(tmax), float(tmax_before))
         state.update(pend)
-        if flush_ms is not None:
-            state.setTimeoutDuration(flush_ms)
+        arm_timeout(pend[0])
         if outs:
             yield pd.concat(outs, ignore_index=True)
 
-    timeout = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if flush_ms is not None
-        else GroupStateTimeout.NoTimeout
-    )
+    if flush_ms is not None:
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
+    elif horizon_ms is not None:
+        timeout = GroupStateTimeout.EventTimeTimeout
+        # event-time timeouts need a watermark; derive one from the
+        # daily date column
+        daily_stream = daily_stream.withColumn(
+            "__evt", F.col(date_col).cast("timestamp")
+        ).withWatermark("__evt", watermark_delay)
+    else:
+        timeout = GroupStateTimeout.NoTimeout
     return (
         daily_stream.groupBy(*keys)
         .applyInPandasWithState(
@@ -197,6 +229,7 @@ _UNIT_MS = {
     "s": 1000, "sec": 1000, "second": 1000,
     "m": 60_000, "min": 60_000, "minute": 60_000,
     "h": 3_600_000, "hr": 3_600_000, "hour": 3_600_000,
+    "d": 86_400_000, "day": 86_400_000,
 }
 
 
@@ -218,5 +251,5 @@ def _duration_ms(s: str) -> int:
             return n * _UNIT_MS[unit]
     raise ValueError(
         f"cannot parse duration {s!r}; expected '<N> <unit>' with unit one "
-        f"of ms/seconds/minutes/hours, e.g. '30 seconds' or '5 min'"
+        f"of ms/seconds/minutes/hours/days, e.g. '30 seconds' or '5 min'"
     )

@@ -192,3 +192,66 @@ def test_timeout_flush_matches_batch_last_row():
     exp = _sine_day(16700, 280.0, 290.0, 289.0, 280.0)
     assert (out["temp"].values == exp["temp"].values).all()
     assert out["station_id"].eq("s1").all() and len(out) == 24
+
+
+def test_event_time_flush(spark, tmp_path):
+    """A station whose successor day never arrives is flushed once the
+    fleet's watermark passes its buffered day + horizon — keyed to
+    data, not wall-clock."""
+    src = str(tmp_path / "evt_daily")
+    # batch 1: station A days 1-2, station B day 1
+    b1 = pd.DataFrame(
+        {
+            "station_id": ["A", "A", "B"],
+            "date": pd.to_datetime(
+                ["2015-06-01", "2015-06-02", "2015-06-01"]
+            ).date,
+            "tmin": [280.0, 281.0, 270.0],
+            "tmax": [290.0, 291.0, 280.0],
+        }
+    )
+    # batch 2: only station B advances, far past A's buffered day
+    b2 = pd.DataFrame(
+        {
+            "station_id": ["B"] * 2,
+            "date": pd.to_datetime(["2015-06-07", "2015-06-08"]).date,
+            "tmin": [271.0, 272.0],
+            "tmax": [281.0, 282.0],
+        }
+    )
+    # batch 3: B again, watermark moves further (triggers A's timeout)
+    b3 = pd.DataFrame(
+        {
+            "station_id": ["B"],
+            "date": pd.to_datetime(["2015-06-09"]).date,
+            "tmin": [273.0],
+            "tmax": [283.0],
+        }
+    )
+    for b in (b1, b2, b3):
+        spark.createDataFrame(b).coalesce(1).write.mode("append").parquet(src)
+
+    from melodist_spark.streaming.stateful import streaming_disaggregate_temperature
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_disaggregate_temperature(stream, flush_after="2 days")
+        .writeStream.format("memory")
+        .queryName("stateful_evt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select * from stateful_evt").toPandas()
+    a = got[got.station_id == "A"].copy()
+    a["d"] = a["ts"].dt.date.astype(str)
+    # A emitted day 1 (successor arrived) AND day 2 (event-time flush:
+    # watermark reached 2015-06-09 > day-2-end + 2 days)
+    assert sorted(a["d"].unique()) == ["2015-06-01", "2015-06-02"]
+    # flushed day uses the is_last fallback -> fully populated
+    assert a[a.d == "2015-06-02"]["temp"].notna().all()
