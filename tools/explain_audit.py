@@ -95,6 +95,13 @@ def main():
             [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
         ),
         (
+            # as-of join compiles to union + ONE keyed window — any
+            # Join node means Spark fell back to a range join
+            "asof_attribution",
+            [r"Window"],
+            [r"Join", r"CartesianProduct"],
+        ),
+        (
             # full radiation chain: events scan pruned to the 3 used
             # columns, parameter joins broadcast
             "radiation_ssd",
