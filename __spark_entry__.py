@@ -2906,6 +2906,7 @@ def q_temp_sine_sunloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         method="sine_min_max",
         min_max_time="sun_loc",
         stations=stations,
+        polar=False,
         keys=["user_id"],
     )
     return out.select("user_id", "ts", F.round("temp", 6).alias("temp_h"))
@@ -3233,6 +3234,7 @@ def q_temp_sine_sunshift(spark: SparkSession, sf_dir: str) -> DataFrame:
         method="sine_min_max",
         min_max_time="sun_loc_shift",
         stations=_met_stations(daily),
+        polar=False,
         max_delta=md,
         keys=["user_id"],
     )
@@ -3280,7 +3282,7 @@ def q_api_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     st = Stations(meta, daily)
-    st.disaggregate_temperature(method="sine_min_max", min_max_time="fix")
+    st.disaggregate_temperature(method="sine_min_max", min_max_time="fix", polar=False)
     hum = st.disaggregate_humidity(method="minimal", preserve_daily_mean=True)
     return hum.select("station_id", "ts", F.round("hum", 6).alias("hum_h"))
 

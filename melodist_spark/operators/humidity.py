@@ -181,9 +181,13 @@ def disaggregate_humidity(
         assert month_hour_precip_mean is not None
         # the day's wet flag is just daily precip > 0 (`humidity.py:105-110`)
         out = (
-            base.withColumn("wet", F.col("precip") > 0)
-            .withColumn("month", F.month(ts_col))
-            .withColumn("hour", F.hour(ts_col))
+            base.withColumns(
+                {
+                    "wet": F.col("precip") > 0,
+                    "month": F.month(ts_col),
+                    "hour": F.hour(ts_col),
+                }
+            )
             .join(
                 F.broadcast(month_hour_precip_mean),
                 [*keys, "month", "hour", "wet"],

@@ -41,15 +41,18 @@ def _locdf(
 
     d = daily
     if min_max_time == "fix":
-        d = d.withColumn("min_loc", F.lit(7)).withColumn("max_loc", F.lit(14))
+        d = d.withColumns({"min_loc": F.lit(7), "max_loc": F.lit(14)})
     elif min_max_time == "sun_loc":
         # rounding-mode deviation (documented in SURVEY.md §6): Spark
         # F.round is HALF_UP while pandas Series.round is half-to-even,
         # so a sunrise/sunnoon landing exactly on .5 can place the
         # extreme one hour later than the reference. Sun times are
         # irrational-valued in practice; the boundary has measure zero.
-        d = d.withColumn("min_loc", F.round("sunrise").cast("int")).withColumn(
-            "max_loc", (F.round("sunnoon") + DEFAULT_SHIFT_HOURS).cast("int")
+        d = d.withColumns(
+            {
+                "min_loc": F.round("sunrise").cast("int"),
+                "max_loc": (F.round("sunnoon") + DEFAULT_SHIFT_HOURS).cast("int"),
+            }
         )
     elif min_max_time == "sun_loc_shift":
         assert max_delta is not None, "max_delta table required for sun_loc_shift"
@@ -58,8 +61,11 @@ def _locdf(
             .join(F.broadcast(max_delta), [*keys, "month"], "left")
             .drop("month")
         )
-        d = d.withColumn("min_loc", F.round("sunrise").cast("int")).withColumn(
-            "max_loc", F.round(F.col("sunnoon") + F.col("max_delta")).cast("int")
+        d = d.withColumns(
+            {
+                "min_loc": F.round("sunrise").cast("int"),
+                "max_loc": F.round(F.col("sunnoon") + F.col("max_delta")).cast("int"),
+            }
         )
         # fallback where shift puts the max before the min
         # (`temperature.py:104-107`)
@@ -90,14 +96,19 @@ def _locdf(
             edge = is_first
         return F.when(edge, F.col(col)).otherwise(v)
 
-    return (
-        d.withColumn("min_val_cur", F.col("tmin"))
-        .withColumn("max_val_cur", F.col("tmax"))
-        .withColumn("mean_val_cur", F.col("temp"))
-        .withColumn("min_val_next", shifted("tmin", lead=True))
-        .withColumn("max_val_next", shifted("tmax", lead=True))
-        .withColumn("min_val_before", shifted("tmin", lead=False))
-        .withColumn("max_val_before", shifted("tmax", lead=False))
+    # one withColumns: a chained withColumn re-analyzes the growing
+    # plan per call — measured ~0.4s of driver time on the fused
+    # api_pipeline build
+    return d.withColumns(
+        {
+            "min_val_cur": F.col("tmin"),
+            "max_val_cur": F.col("tmax"),
+            "mean_val_cur": F.col("temp"),
+            "min_val_next": shifted("tmin", lead=True),
+            "max_val_next": shifted("tmax", lead=True),
+            "min_val_before": shifted("tmin", lead=False),
+            "max_val_before": shifted("tmax", lead=False),
+        }
     )
 
 
@@ -113,6 +124,7 @@ def disaggregate_temperature(
     date_col: str = "date",
     ts_col: str = "ts",
     extra_cols: list[str] | None = None,
+    polar: bool | str = "auto",
 ) -> DataFrame:
     """Disaggregate daily temperature to hourly values.
 
@@ -179,7 +191,15 @@ def disaggregate_temperature(
     # polar handling only matters above ~64° (daylength < 3 h); a
     # driver-side peek at the tiny stations table skips the whole
     # machinery for mid-latitude fleets
-    apply_polar = stations is not None and _polar_possible(stations)
+    # 'auto' probes max |lat| with a tiny driver agg to prune the whole
+    # polar subplan for mid-latitude fleets; pass polar=False/True when
+    # the fleet's extent is known to skip that job (it is one scan of
+    # the stations table — cheap for a real metadata table, but a full
+    # upstream aggregation when `stations` is derived from the facts)
+    if polar == "auto":
+        apply_polar = stations is not None and _polar_possible(stations)
+    else:
+        apply_polar = bool(polar) and stations is not None
     if apply_polar:
         wd = Window.partitionBy(*keys).orderBy(date_col)
         polar = F.col("daylength") < DAYLENGTH_THRES
@@ -208,7 +228,7 @@ def disaggregate_temperature(
     max_val = F.when(F.col("hour") < F.col("min_loc"), F.col("max_val_before")).otherwise(
         F.col("max_val_cur")
     )
-    hourly = hourly.withColumn("__minv", min_val).withColumn("__maxv", max_val)
+    hourly = hourly.withColumns({"__minv": min_val, "__maxv": max_val})
 
     h = F.col("hour").cast("double")
     if method in ("sine_min_max", "sine"):
