@@ -88,3 +88,33 @@ def streaming_gap_monitor(
         .withColumn("n_missing", F.lit(expected) - F.col("n_obs"))
         .drop("win")
     )
+
+
+def streaming_sessions(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    keys: list[str] = ("station_id",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked session aggregation over an unbounded event stream:
+    Spark's native ``session_window`` merges events of a key whose
+    gaps stay below ``gap`` and finalizes a session once the watermark
+    passes its close. State is per-open-session and expires with the
+    watermark — the streaming counterpart of ``util.gaps.sessionize``.
+
+    Returns (keys..., session_start, session_end, n_events).
+    """
+    keys = list(keys)
+    stream = _tz_timestamp(stream, ts_col)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(*keys, F.session_window(F.col(ts_col), gap).alias("__sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            *keys,
+            F.col("__sw.start").alias("session_start"),
+            F.col("__sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

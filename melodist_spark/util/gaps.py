@@ -83,3 +83,36 @@ def drop_incomplete_days(
         .filter(F.col(ts_col).between(F.col("__lo"), F.col("__hi")))
         .drop("__lo", "__hi")
     )
+
+
+def sessionize(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    keys: list[str] = ("station_id",),
+    ts_col: str = "ts",
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization: consecutive rows of a key belong to
+    the same session while the inter-row gap stays below ``gap``; a
+    larger gap starts a new session. ``session_id`` is the 0-based
+    session index per key.
+
+    One shuffle (the per-key window sort): a session break is
+    ``ts - lag(ts) > gap``, and the running sum of breaks IS the
+    session index — the standard window formulation, no self-join.
+    For unbounded streams use :func:`streaming_sessions` (Spark's
+    native watermarked session windows) instead.
+    """
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    prev = F.lag(ts_col, 1).over(w)
+    brk = F.when(
+        prev.isNull() | (F.col(ts_col) - prev <= F.expr(f"INTERVAL {gap}")),
+        F.lit(0),
+    ).otherwise(F.lit(1))
+    return df.withColumn(
+        out_col,
+        F.sum(brk).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"),
+    )

@@ -232,3 +232,71 @@ def test_drop_incomplete_days_with_shift(spark):
     assert got.ts.iloc[0].hour == 7
     assert got.ts.iloc[-1].hour == 6
     assert len(got) % 24 == 0
+
+
+def test_sessionize(spark):
+    import pandas as pd
+    from melodist_spark.util.gaps import sessionize
+
+    rows = pd.DataFrame(
+        {
+            "station_id": ["u"] * 5 + ["v"] * 2,
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 10:00", "2024-01-01 10:10",  # session 0
+                    "2024-01-01 11:30",                       # session 1 (80m gap)
+                    "2024-01-01 11:50", "2024-01-01 12:15",  # s1, s1 (25m gaps)
+                    "2024-01-01 09:00", "2024-01-02 09:00",  # v: s0, s1
+                ]
+            ),
+        }
+    )
+    got = (
+        sessionize(spark.createDataFrame(rows), gap="30 minutes")
+        .toPandas()
+        .sort_values(["station_id", "ts"])
+    )
+    assert list(got[got.station_id == "u"]["session_id"]) == [0, 0, 1, 1, 1]
+    assert list(got[got.station_id == "v"]["session_id"]) == [0, 1]
+
+
+def test_streaming_sessions(spark, tmp_path):
+    import pandas as pd
+    from melodist_spark.streaming.daily_agg import streaming_sessions
+
+    rows = pd.DataFrame(
+        {
+            "station_id": ["u"] * 4,
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00", "2024-01-01 10:10",
+                 "2024-01-01 12:00", "2024-01-01 12:05"]
+            ),
+        }
+    )
+    src = str(tmp_path / "sess_events")
+    spark.createDataFrame(rows).coalesce(1).write.mode("append").parquet(src)
+    # a later event in a second micro-batch advances the watermark past
+    # the second session's close so it finalizes; its own session
+    # stays open (append mode emits only closed sessions)
+    late = pd.DataFrame(
+        {"station_id": ["u"], "ts": pd.to_datetime(["2024-01-01 14:00"])}
+    )
+    spark.createDataFrame(late).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_sessions(stream, gap="30 minutes", watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from sess").toPandas().sort_values("session_start")
+    # two sessions of 2 events each (the open tail session may be held
+    # back by the watermark; with 0s delay + availableNow both close)
+    assert list(got["n_events"]) == [2, 2]
