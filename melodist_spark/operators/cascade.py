@@ -618,23 +618,24 @@ def disagg_prec_cascade(
     # the kernel must not close over the DataFrame itself (unpicklable)
     stats_in_col = stats_df is not None
 
-    def disagg_one(sid, pdf: pd.DataFrame) -> pd.DataFrame:
+    def _opts_for(sid, stats_cell):
         if stats_in_col:
-            opts = _stats_from_rows(pdf["__stats"].iloc[0])
-        else:
-            opts = bc.value
-            if isinstance(opts, dict):
-                opts = opts[(sid, season)]
-        pdf = pdf.sort_values(date_col)
-        x = pdf["precip"].to_numpy(dtype=float)
-        missing = np.isnan(x)
-        x = np.nan_to_num(x, nan=0.0)
+            return _stats_from_rows(stats_cell)
+        opts = bc.value
+        if isinstance(opts, dict):
+            opts = opts[(sid, season)]
+        return opts
+
+    def disagg_core(sid, opts, x_raw, dates):
+        """Arrays in (date-sorted), (ts, vals) out — shared by the
+        per-group path and the numpy-sliced bucket path."""
+        missing = np.isnan(x_raw)
+        x = np.nan_to_num(x_raw, nan=0.0)
 
         rng = np.random.default_rng(_station_seed(sid, seed))
         v = disagg_cascade_values(x, opts, hourly=hourly, level=level, rng=rng)
 
-        n_days = len(pdf)
-        dates = pd.to_datetime(pdf[date_col]).to_numpy().astype("datetime64[us]")
+        n_days = len(x_raw)
 
         if hourly:
             vals = v
@@ -662,7 +663,15 @@ def disagg_prec_cascade(
 
         offs = (np.arange(steps_per_day) * out_step_us).astype("timedelta64[us]")
         ts = (dates[:, None] + offs[None, :]).ravel()
+        return ts, vals
 
+    def disagg_one(sid, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(date_col)
+        opts = _opts_for(sid, pdf["__stats"].iloc[0] if stats_in_col else None)
+        dates = pd.to_datetime(pdf[date_col]).to_numpy().astype("datetime64[us]")
+        ts, vals = disagg_core(
+            sid, opts, pdf["precip"].to_numpy(dtype=float), dates
+        )
         res = {k: np.repeat(pdf[k].iloc[0], len(vals)) for k in keys}
         res[ts_col] = ts
         res["precip"] = vals
@@ -698,11 +707,50 @@ def disagg_prec_cascade(
     if station_buckets and station_buckets > 0:
 
         def disagg_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-            parts = [
-                disagg_one(group_key(g), g)
-                for _, g in pdf.groupby(keys, sort=True)
-            ]
-            return pd.concat(parts, ignore_index=True)
+            # ONE sort + numpy boundary slicing + ONE output frame per
+            # bucket: pandas groupby materializing ~25-row sub-frames
+            # and per-station DataFrames dominated the kernel wall time
+            # (the cascade math itself is ~20% of it)
+            pdf = pdf.sort_values([*keys, date_col], kind="mergesort")
+            karrs = [pdf[k].to_numpy() for k in keys]
+            n = len(pdf)
+            change = np.zeros(n, dtype=bool)
+            change[0] = True
+            for a in karrs:
+                change[1:] |= a[1:] != a[:-1]
+            starts = np.flatnonzero(change)
+            ends = np.r_[starts[1:], n]
+
+            precip = pdf["precip"].to_numpy(dtype=float)
+            date_np = (
+                pd.to_datetime(pdf[date_col]).to_numpy().astype("datetime64[us]")
+            )
+            stats_np = pdf["__stats"].to_numpy() if stats_in_col else None
+
+            key_parts = [[] for _ in keys]
+            ts_parts, val_parts = [], []
+            for s0, s1 in zip(starts, ends):
+                sid = (
+                    karrs[0][s0]
+                    if len(keys) == 1
+                    else tuple(a[s0] for a in karrs)
+                )
+                opts = _opts_for(
+                    sid, stats_np[s0] if stats_in_col else None
+                )
+                ts, vals = disagg_core(
+                    sid, opts, precip[s0:s1], date_np[s0:s1]
+                )
+                for i, a in enumerate(karrs):
+                    key_parts[i].append(np.repeat(a[s0], len(vals)))
+                ts_parts.append(ts)
+                val_parts.append(vals)
+            res = {
+                k: np.concatenate(key_parts[i]) for i, k in enumerate(keys)
+            }
+            res[ts_col] = np.concatenate(ts_parts)
+            res["precip"] = np.concatenate(val_parts)
+            return pd.DataFrame(res)
 
         bucket = F.pmod(F.xxhash64(*keys), F.lit(station_buckets))
         return (
