@@ -446,7 +446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     temp-sine next/prev-day windows, distribute_equally ⊂
     wind_equal/humidity_equal explode+ffill, seasonal_subset's
     month-isin predicate ⊂ the month groupings of
-    month_hour_wet_mean/mean_course_temp) are anchored by the
+    month_hour_wet_mean/mean_course_temp, cascade_5min ⊂
+    cascade_disagg's grain='5min' branch) are anchored by the
     containing query."""
     return {
         # temperature family
@@ -477,7 +478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "precip_masterstation": q_precip_masterstation,
         "cascade_disagg": q_cascade_disagg,
         "cascade_calibration": q_cascade_calibration,
-        "cascade_5min": q_cascade_5min,
+        # sources / sinks
+        "smet_roundtrip": q_smet_roundtrip,
         # API surface
         "api_pipeline": q_api_pipeline,
         # training-data pipeline
@@ -809,7 +811,134 @@ def oracle_sql() -> dict[str, str]:
         FROM pairs WHERE cos >= 0.3
     """
 
+    # Cascade calibration oracle: 5 chained dyadic-pair levels, each
+    # reproducing aggregate_precipitation_values (operators/cascade.py:
+    # 160-230) in SQL — percentile_cont threshold over wet pair-sums,
+    # (intensity, boxtype) cell classification via lag/lead, conditional
+    # branch counts, and the (wlower, wupper] weight-class first moment.
+    # The too-sparse fallback (any of the 8 cells without a wet box →
+    # published sample statistics) enters as literal sums over the
+    # fallback arrays (operators/cascade.py:61-110); missing weight
+    # cells contribute the uniform-1/7 first moment (0+..+6)/7 = 3.
+    casc_p01s = "1.9955773004950241"
+    casc_p10s = "2.0079518765609103"
+    casc_pxxs = "3.996470822944066"
+    casc_wm1s = "25.343169229745"
+
+    def _casc_level(lv: int) -> str:
+        src = "x0" if lv == 1 else f"v{lv - 1}"
+        return f"""
+        p{lv} AS (
+          SELECT user_id, rn // 2 AS rn,
+                 max(CASE WHEN rn % 2 = 0 THEN v END) AS r1,
+                 max(CASE WHEN rn % 2 = 1 THEN v END) AS r2
+          FROM {src}
+          GROUP BY user_id, rn // 2
+          HAVING count(*) = 2
+        ),
+        v{lv} AS (SELECT user_id, rn, r1 + r2 AS v FROM p{lv}),
+        s{lv} AS (
+          SELECT user_id, rn, r1, r2, r1 + r2 AS v,
+                 coalesce(lag(r1 + r2 > 0) OVER w, false) AS prev_wet,
+                 coalesce(lead(r1 + r2 > 0) OVER w, false) AS next_wet
+          FROM p{lv}
+          WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+        ),
+        t{lv} AS (
+          SELECT user_id,
+                 percentile_cont(0.5) WITHIN GROUP (ORDER BY v)
+                   FILTER (WHERE v > 0) AS thr,
+                 count(*) FILTER (WHERE v > 0) AS n_wet
+          FROM v{lv} GROUP BY user_id
+        ),
+        c{lv} AS (
+          SELECT s.user_id,
+                 CASE WHEN s.v > t.thr THEN 1 ELSE 0 END AS ba,
+                 CASE WHEN s.prev_wet AND s.next_wet THEN 2
+                      WHEN s.next_wet THEN 1
+                      WHEN s.prev_wet THEN 3
+                      ELSE 4 END AS bt,
+                 count(*) AS nb,
+                 count(*) FILTER (WHERE s.r1 = 0 AND s.r2 > 0) AS c01,
+                 count(*) FILTER (WHERE s.r1 > 0 AND s.r2 = 0) AS c10,
+                 count(*) FILTER (WHERE s.r1 > 0 AND s.r2 > 0) AS cxx,
+                 sum(CASE WHEN s.r1 / s.v <= 0.1429 THEN 0
+                          WHEN s.r1 / s.v <= 0.2857 THEN 1
+                          WHEN s.r1 / s.v <= 0.4286 THEN 2
+                          WHEN s.r1 / s.v <= 0.5714 THEN 3
+                          WHEN s.r1 / s.v <= 0.7143 THEN 4
+                          WHEN s.r1 / s.v <= 0.8571 THEN 5
+                          ELSE 6 END)
+                   FILTER (WHERE s.r1 > 0 AND s.r2 > 0) AS ksum
+          FROM s{lv} s JOIN t{lv} t USING (user_id)
+          WHERE s.v > 0
+          GROUP BY 1, 2, 3
+        ),
+        a{lv} AS (
+          SELECT user_id,
+                 count(*) AS n_cells,
+                 count(*) FILTER (WHERE cxx > 0) AS n_xx_cells,
+                 sum(c01 * 1.0 / nb) AS p01_sum,
+                 sum(c10 * 1.0 / nb) AS p10_sum,
+                 sum(cxx * 1.0 / nb) AS pxx_sum,
+                 sum(CASE WHEN cxx > 0 THEN ksum * 1.0 / cxx ELSE 0 END) AS wm1
+          FROM c{lv} GROUP BY user_id
+        ),
+        r{lv} AS (
+          SELECT u.user_id, CAST({lv - 1} AS BIGINT) AS level,
+                 CASE WHEN coalesce(t.n_wet, 0) = 0 THEN 0.0 ELSE t.thr END AS threshold,
+                 CASE WHEN coalesce(a.n_cells, 0) < 8 THEN {casc_p01s} ELSE a.p01_sum END AS p01_sum,
+                 CASE WHEN coalesce(a.n_cells, 0) < 8 THEN {casc_p10s} ELSE a.p10_sum END AS p10_sum,
+                 CASE WHEN coalesce(a.n_cells, 0) < 8 THEN {casc_pxxs} ELSE a.pxx_sum END AS pxx_sum,
+                 CASE WHEN coalesce(a.n_cells, 0) < 8 THEN {casc_wm1s}
+                      ELSE a.wm1 + 3.0 * (8 - a.n_xx_cells) END AS wxx_m1
+          FROM users u
+          LEFT JOIN t{lv} t USING (user_id)
+          LEFT JOIN a{lv} a USING (user_id)
+        )"""
+
+    casc_calib_sql = f"""
+        WITH hourly AS ({_MET_HOURLY_SQL}),
+        users AS (SELECT DISTINCT user_id FROM events),
+        x0 AS (
+          SELECT user_id,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS rn,
+                 precip AS v
+          FROM hourly
+        ),
+        {",".join(_casc_level(lv) for lv in range(1, 6))}
+        SELECT user_id, level,
+               round(threshold, 6) AS threshold,
+               round(p01_sum, 6) AS p01_sum,
+               round(p10_sum, 6) AS p10_sum,
+               round(pxx_sum, 6) AS pxx_sum,
+               round(wxx_m1, 6) AS wxx_m1
+        FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+              UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+              UNION ALL SELECT * FROM r5)
+    """
+
     extended = {
+        "cascade_calibration": casc_calib_sql,
+        # cascade_disagg: daily mass balance of the stochastic sub-daily
+        # output is exact (branch weights sum to 1, regrids preserve
+        # sums) — the oracle is the daily totals, once per grain
+        "cascade_disagg": f"""
+            WITH daily AS ({_MET_DAILY_SQL})
+            SELECT user_id, date, g.grain, g.n_steps,
+                   round(precip, 3) AS precip_day
+            FROM daily
+            CROSS JOIN (VALUES ('1h', CAST(24 AS BIGINT)),
+                               ('5min', CAST(288 AS BIGINT))) g(grain, n_steps)
+        """,
+        # smet_roundtrip: values are pre-rounded to the SMET body's 2
+        # decimals before writing, so the ASCII round-trip is exact
+        "smet_roundtrip": """
+            SELECT user_id, date_trunc('minute', ts) AS ts,
+                   round(250.0 + value * 0.2, 2) AS temp,
+                   round(greatest(value - 300.0, 0.0), 2) AS precip
+            FROM events WHERE user_id < 40
+        """,
         "embedding_neardup": neardup_sql,
         "meteo_scalars": f"""
             WITH m AS ({_MET_HOURLY_SQL}),
@@ -2010,7 +2139,6 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY 1 HAVING count(*) > 1
         """,
-        # cascade_disagg: stochastic, no oracle (rows-only check)
         "drop_incomplete_days": f"""
             WITH daily AS ({_MET_DAILY_SQL}),
             grid AS (
@@ -2562,10 +2690,18 @@ def q_embedding_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cascade_disagg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cascade precipitation disaggregation with the published sample
-    statistics, seeded (`precipitation.py:74-372`). Stochastic → no SQL
-    oracle; the driver's rows-only check applies (row count is
-    deterministic: n_days × 24)."""
+    """Cascade precipitation disaggregation, BOTH sub-daily paths
+    (`precipitation.py:74-372`): hourly (avg stats, 45 min→1 h regrid)
+    and level-9 5-min (per-level stats, `precipitation.py:132-140`,
+    `307-311`), each re-aggregated back to daily totals. The sub-daily
+    pattern is stochastic, but every split's branch weights sum to 1
+    and the regrids preserve sums, so daily mass balance is EXACT
+    (reference invariant `tests/test_precipitation.py:14,26`) — this
+    makes the query hash-checkable against the daily-precip oracle
+    while still running the full stochastic kernels end-to-end
+    (``n_steps`` asserts the complete sub-daily grid was produced).
+    Full-resolution value behavior stays pinned by test_cascade.
+    Subsumes the former ``cascade_5min`` registry row (grain='5min')."""
     from melodist_spark.operators.cascade import (
         CascadeStatistics,
         disagg_prec_cascade,
@@ -2576,10 +2712,30 @@ def q_cascade_disagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = _met_daily(spark, sf_dir).select("user_id", "date", "precip")
     # ~27 days/station at this SF → tiny-group regime, bucket to
     # amortize per-group Arrow costs (results are bucket-invariant)
-    out = disagg_prec_cascade(
+    hourly = disagg_prec_cascade(
         daily, stats, seed=42, keys=["user_id"], station_buckets=64
     )
-    return out.select("user_id", "ts", F.round("precip", 6).alias("precip_c"))
+    fivemin = disagg_prec_cascade(
+        daily,
+        [stats] * 9,
+        hourly=False,
+        level=9,
+        seed=7,
+        keys=["user_id"],
+        station_buckets=64,
+    )
+
+    def reagg(df: DataFrame, grain: str) -> DataFrame:
+        return (
+            df.groupBy("user_id", F.to_date("ts").alias("date"))
+            .agg(
+                F.count("*").cast("long").alias("n_steps"),
+                F.round(F.sum("precip"), 3).alias("precip_day"),
+            )
+            .withColumn("grain", F.lit(grain))
+        )
+
+    return reagg(hourly, "1h").unionByName(reagg(fivemin, "5min"))
 
 
 # ---------------------------------------------------------------------------
@@ -3086,49 +3242,68 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cascade_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cascade calibration (`precipitation.py:416-702`): dyadic
-    pair-sums, branch-type/intensity counting, weight histograms and
-    sparse fallback per station-season, level-weight averaged.
-    Deterministic but the multi-level numpy kernel is not
-    SQL-expressible — driver records the rows-only check; the
-    per-value parity is covered by test_cascade against the kernel."""
+    pair-sums, branch-type/intensity classification, conditional branch
+    counts, weight histograms and the sparse/sample fallback, per
+    station and aggregation level (``avg_stats=False`` — per-level rows
+    carry strictly more information than their count-weighted average,
+    which stays pinned by test_cascade kernel parity). Deterministic
+    end-to-end, so hash-checked against a 5-level DuckDB oracle:
+    ``floor(rn/2)`` pair grouping per level, ``percentile_cont``
+    threshold, per-(intensity, boxtype)-cell conditional counts, and
+    the (wlower, wupper] weight-class first moment; the too-sparse
+    fallback statistics enter as precomputed literal sums."""
     from melodist_spark.operators.cascade import build_casc
 
     m = _met_hourly(spark, sf_dir).select("user_id", "ts", "precip")
     # ~67 hourly rows/station at this SF → tiny-group regime, bucket
     # to amortize per-group Arrow costs (results are bucket-invariant)
-    out = build_casc(m, avg_stats=True, keys=["user_id"], station_buckets=64)
+    out = build_casc(m, avg_stats=False, keys=["user_id"], station_buckets=64)
+    arrsum = lambda c: F.aggregate(c, F.lit(0.0), lambda a, v: a + v)
+    # first moment of the weight histogram over its 7 classes: wxx is
+    # the raveled (class, intensity, boxtype) array, so class = i div 8
+    wxx_m1 = F.expr(
+        "aggregate(zip_with(wxx, sequence(0, size(wxx) - 1),"
+        " (x, i) -> x * double(i div 8)), 0D, (a, x) -> a + x)"
+    )
     return out.select(
         "user_id",
-        "season",
-        "level",
-        F.round("percentile", 6).alias("percentile"),
-        F.round(F.aggregate("p01", F.lit(0.0), lambda a, v: a + v), 6).alias("p01_sum"),
-        F.round(F.aggregate("pxx", F.lit(0.0), lambda a, v: a + v), 6).alias("pxx_sum"),
+        F.col("level").cast("long").alias("level"),
+        F.round(F.element_at("threshold", 1), 6).alias("threshold"),
+        F.round(arrsum("p01"), 6).alias("p01_sum"),
+        F.round(arrsum("p10"), 6).alias("p10_sum"),
+        F.round(arrsum("pxx"), 6).alias("pxx_sum"),
+        F.round(wxx_m1, 6).alias("wxx_m1"),
     )
 
 
-def q_cascade_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-minute cascade path (`precipitation.py:132-140`, `307-311`):
-    levels-9 dyadic splitting on the 2^-11-day grid, resampled to the
-    288-step day. Stochastic → rows-only (n_days × 288 rows)."""
-    from melodist_spark.operators.cascade import (
-        CascadeStatistics,
-        disagg_prec_cascade,
-    )
+def q_smet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMET fleet round-trip (`data_io.py:27-104`, `228-307`): the
+    one-distributed-job fleet sink (`write_smet_partitioned`) writes
+    one ``<station>.smet`` per station, and the distributed fleet
+    reader (`read_smet_fleet`) reads the whole directory back with a
+    single text scan. Values are pre-rounded to the format's 2-decimal
+    body so the ASCII round-trip is exact and hash-checkable — the
+    §2.1 source/sink family's oracle anchor."""
+    import tempfile
 
-    stats = CascadeStatistics()
-    stats.fill_with_sample_data()
-    daily = _met_daily(spark, sf_dir).select("user_id", "date", "precip")
-    out = disagg_prec_cascade(
-        daily,
-        [stats] * 9,
-        hourly=False,
-        level=9,
-        seed=7,
-        keys=["user_id"],
-        station_buckets=64,  # tiny-group regime at this SF
+    from melodist_spark.sources.smet import read_smet_fleet, write_smet_partitioned
+
+    m = _met_hourly(spark, sf_dir).filter(F.col("user_id") < 40)
+    df = m.select(
+        F.col("user_id").cast("string").alias("station_id"),
+        F.date_trunc("minute", F.col("ts")).alias("ts"),
+        F.round("temp", 2).alias("temp"),
+        F.round("precip", 2).alias("precip"),
     )
-    return out.select("user_id", "ts", F.round("precip", 6).alias("precip_5m"))
+    out_dir = tempfile.mkdtemp(prefix="smet_roundtrip_")
+    write_smet_partitioned(df, out_dir, mode="h")
+    back = read_smet_fleet(spark, out_dir, mode="h")
+    return back.select(
+        F.col("station_id").cast("long").alias("user_id"),
+        "ts",
+        "temp",
+        "precip",
+    )
 
 
 def _met_stations(daily: DataFrame) -> DataFrame:

@@ -86,6 +86,52 @@ def read_smet(
     return header, df.select(*out_cols)
 
 
+def read_smet_fleet(
+    spark: SparkSession,
+    directory: str,
+    mode: str = "h",
+) -> DataFrame:
+    """Distributed reader for a directory of SMET files that share one
+    field list (as written by :func:`write_smet_partitioned`).
+
+    Complements :func:`read_smet` (one file, arbitrary header): here
+    ONE ``spark.read.text`` scan covers ``<directory>/*.smet``, data
+    rows are separated from header lines by their leading ISO
+    timestamp, and the station id comes from the file name via
+    ``input_file_name`` — the driver only opens a single header to
+    learn the common field list, so a 10⁶-file fleet reads as one
+    distributed job.
+    """
+    import glob as _glob
+    import os as _os
+
+    files = sorted(_glob.glob(_os.path.join(directory, "*.smet")))
+    if not files:
+        raise FileNotFoundError(f"no .smet files under {directory}")
+    header, _ = read_smet_header(files[0])
+    columns = header["fields"].split()
+    multipliers = [float(x) for x in header["units_multiplier"].split()]
+
+    raw = spark.read.text(_os.path.join(directory, "*.smet")).select(
+        F.input_file_name().alias("__file"), "value"
+    )
+    data = raw.filter(F.col("value").rlike(r"^\d{4}-\d{2}-\d{2}T"))
+    parts = F.split(F.trim(F.regexp_replace("value", r"\s+", " ")), " ")
+
+    rename = SMET_TO_DAILY if mode == "d" else SMET_TO_HOURLY
+    out_cols = [
+        F.regexp_extract("__file", r"([^/]+)\.smet$", 1).alias("station_id"),
+        F.to_timestamp(parts.getItem(0), "yyyy-MM-dd'T'HH:mm").alias("ts"),
+    ]
+    for i, c in enumerate(columns):
+        if c == "timestamp":
+            continue
+        v = parts.getItem(i).cast("double")
+        v = F.when(v == -999, None).otherwise(v * F.lit(multipliers[i]))
+        out_cols.append(v.alias(rename.get(c, c)))
+    return data.select(*out_cols)
+
+
 def write_smet(
     df: DataFrame,
     filename: str,

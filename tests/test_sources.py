@@ -100,6 +100,27 @@ def test_write_smet_partitioned_fleet(spark, tmp_path):
     header, _ = read_smet(spark, str(out / "st000.smet"), mode="h")
     assert header["station_name"] == "Zero"
 
+    # fleet reader: one distributed scan over the whole directory
+    # agrees row-for-row with the per-file reader
+    from melodist_spark.sources.smet import read_smet_fleet
+
+    fl = read_smet_fleet(spark, str(out), mode="h")
+    assert set(fl.columns) == {"station_id", "ts", "temp", "hum"}
+    got = fl.toPandas()
+    assert len(got) == n_stations * n_hours
+    assert got["station_id"].nunique() == n_stations
+    one = (
+        fl.filter(F.col("station_id") == "st042")
+        .orderBy("ts")
+        .toPandas()
+    )
+    _, single = read_smet(spark, str(out / "st042.smet"), mode="h")
+    exp = single.orderBy("ts").toPandas()
+    np.testing.assert_allclose(one["temp"].values, exp["temp"].values)
+    np.testing.assert_allclose(
+        one["hum"].values, exp["hum"].values, equal_nan=True
+    )
+
 
 DWD_META = textwrap.dedent("""\
     Stations_id;Stationsname;Geogr.Breite;Geogr.Laenge;Hoehe
