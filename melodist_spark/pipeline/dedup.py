@@ -219,6 +219,8 @@ def duplicate_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 30,
+    check_every: int = 2,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Transitively close near-duplicate pairs into clusters.
 
@@ -239,30 +241,56 @@ def duplicate_clusters(
     (LSH false-positive chains) converge in O(log n) rounds, not
     O(diameter) — measured 6 rounds on a 4.5k-node giant-component
     corpus where plain propagation hadn't converged after 30. No
-    driver-side graph, no adjacency materialization; label lineage is
-    truncated every round with ``localCheckpoint`` so the plan does
-    not grow. A convergence count per round is the driver's only
-    involvement.
+    driver-side graph, no adjacency materialization.
+
+    Iteration mechanics: label lineage must be truncated every round
+    or the plan grows without bound. Fault-tolerance story — with
+    ``checkpoint_dir=None`` truncation uses ``localCheckpoint``
+    (executor-local blocks: cheapest, but a lost executor kills the
+    job mid-iteration; the right default on a single-node session or
+    when a rerun is acceptable). On a large cluster pass
+    ``checkpoint_dir``: each round's label table is written to that
+    reliable storage (alternating scratch parquet paths, as is the
+    symmetrized edge list once), so executor loss replays at most one
+    round from durable state instead of restarting the whole
+    propagation. Convergence is counted only every ``check_every``
+    rounds (the count is a driver action; exponential percolation
+    makes intermediate checks mostly wasted), at worst running
+    ``check_every - 1`` extra cheap rounds past the fixpoint.
 
     Returns (id, cluster_id) for every node that appears in ``pairs``
     (singletons are by definition absent).
     """
+    import warnings
+
+    def _truncate(df: DataFrame, slot: str) -> DataFrame:
+        if checkpoint_dir is None:
+            return df.localCheckpoint(eager=True)
+        path = f"{checkpoint_dir.rstrip('/')}/{slot}"
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+
     sym = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).unionByName(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     ).distinct()
-    sym = sym.localCheckpoint(eager=False)
+    sym = (
+        sym.localCheckpoint(eager=False)
+        if checkpoint_dir is None
+        else _truncate(sym, "sym")
+    )
 
     # seed with min(self, neighbors) — the first propagation round for
     # free, computed on the same shuffle that builds the node set
-    labels = (
+    labels = _truncate(
         sym.groupBy(F.col("src").alias("id"))
         .agg(F.min("dst").alias("__nbr"))
-        .select("id", F.least("id", "__nbr").alias("label"))
-        .localCheckpoint(eager=True)
+        .select("id", F.least("id", "__nbr").alias("label")),
+        "labels_seed",
     )
-    for _ in range(max_iter):
+    changed = None
+    for it in range(max_iter):
         nbr = (
             sym.join(
                 labels.select(
@@ -286,19 +314,31 @@ def duplicate_clusters(
         )
         # pointer jump on the UPDATED table: label := label(label)
         jump = l2.select(F.col("id").alias("l2"), F.col("l2").alias("j"))
-        stepped = (
-            l2.join(jump, "l2", "left")
-            .select(
+        stepped = _truncate(
+            l2.join(jump, "l2", "left").select(
                 "id",
                 "label",
                 F.least("l2", F.coalesce("j", "l2")).alias("new_label"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            f"labels_{it % 2}",  # alternate: never clobber the round's input
         )
-        changed = stepped.filter(F.col("new_label") != F.col("label")).count()
         labels = stepped.select("id", F.col("new_label").alias("label"))
-        if changed == 0:
-            break
+        if (it + 1) % check_every == 0 or it == max_iter - 1:
+            changed = stepped.filter(
+                F.col("new_label") != F.col("label")
+            ).count()
+            if changed == 0:
+                break
+    if changed != 0:
+        # partially-merged labels would silently disagree with an exact
+        # connected-components oracle — make non-convergence loud
+        warnings.warn(
+            f"duplicate_clusters did not converge within max_iter={max_iter} "
+            f"rounds ({changed} labels still changing); cluster ids may be "
+            "partially merged",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 

@@ -302,6 +302,40 @@ def test_duplicate_clusters_long_chain_converges(spark):
     assert {r["cluster_id"] for r in labels} == {0}
 
 
+def test_duplicate_clusters_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir mode (durable scratch parquet instead of
+    localCheckpoint) produces identical labels."""
+    from melodist_spark.pipeline.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in duplicate_clusters(
+            pairs, checkpoint_dir=str(tmp_path / "cc")
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_duplicate_clusters_nonconvergence_warns(spark):
+    """Exhausting max_iter before the fixpoint must be loud, not a
+    silently partially-merged labeling."""
+    import warnings
+
+    from melodist_spark.pipeline.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], ["id_a", "id_b"]
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        duplicate_clusters(pairs, max_iter=1).collect()
+    assert any("did not converge" in str(w.message) for w in caught)
+
+
 def test_hash_sample_deterministic_and_nested(spark):
     from melodist_spark.pipeline.sampling import hash_sample
 
