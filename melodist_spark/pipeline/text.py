@@ -197,15 +197,78 @@ def _simhash_from_masks(masks: Column) -> Column:
     return out
 
 
-def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+def simhash16_arrow_udf():
+    """Arrow-batched SimHash finisher: md5-digest arrays in, 16-bit
+    hash out.
+
+    One numpy pass per batch: the concatenated first-16-hex-digit
+    block of every token digest is parsed as raw ASCII, digit parities
+    fall out as ``(value & 1)``, and per-document bit counts come from
+    a single ``add.reduceat`` — replacing the 16 per-row aggregate
+    expressions of :func:`_simhash_from_masks`, whose evaluation
+    dominated ``text_features``' CPU (the parities, and therefore the
+    bits, are identical). Same Arrow-matmul pattern as
+    ``similarity.lsh_bucket_udf``; per-batch work is one vectorized
+    kernel, so at corpus scale this stays scan-bound.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no annotations: `from __future__ import annotations` turns them
+    # into strings pyspark's hint inference can't resolve here — the
+    # un-hinted form is the plain SCALAR pandas_udf
+    @pandas_udf("bigint")
+    def _simhash16(hashes):
+        # null token arrays (null text) → 0, matching the expression
+        # path, whose null bit conditions fall through to otherwise(0)
+        out = np.zeros(len(hashes), dtype=np.int64)
+        null = hashes.isna().to_numpy()
+        lens = np.array(
+            [0 if n else len(h) for h, n in zip(hashes, null)], dtype=np.int64
+        )
+        nz = lens > 0
+        if nz.any():
+            joined = "".join(
+                h[:16] for lst, n in zip(hashes, null) if not n for h in lst
+            )
+            arr = np.frombuffer(joined.encode("ascii"), dtype=np.uint8)
+            arr = arr.reshape(-1, 16)
+            # hex-digit parity: '0'-'9' → code&1 (48 even), 'a'-'f' →
+            # (code-87)&1 (87 odd flips it)
+            par = ((arr - np.where(arr >= 97, 87, 48)) & 1).astype(np.int64)
+            offsets = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            counts = np.add.reduceat(par, offsets[nz], axis=0)
+            bits = (2 * counts > lens[nz, None]).astype(np.int64)
+            out[nz] = bits @ (1 << np.arange(16, dtype=np.int64))
+        return pd.Series(out)
+
+    return _simhash16
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "simhash",
+    use_arrow: bool = True,
+) -> DataFrame:
     """Attach a 16-bit SimHash column.
 
     The per-token md5 array is materialized once in an intermediate
-    projection (one md5 per token instead of 16).
+    projection (one md5 per token instead of 16). The bit counting
+    runs as the Arrow popcount kernel by default
+    (:func:`simhash16_arrow_udf`); ``use_arrow=False`` keeps the
+    pure-column-expression path (bit-identical, used as the parity
+    reference and for engines without Arrow workers).
     """
     staged = df.withColumn(
         "__h", F.transform(_tokens(F.col(text_col)), lambda w: F.md5(w))
     )
+    if use_arrow:
+        return staged.withColumn(
+            out_col, simhash16_arrow_udf()(F.col("__h")).cast("int")
+        ).drop("__h")
     # parity masks staged in their own projection: all 16 bit
     # aggregates reference them, and inlining would re-parse the hex
     # digests per bit position

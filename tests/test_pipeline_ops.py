@@ -95,6 +95,22 @@ def test_simhash_similarity(docs):
     assert near < rand
 
 
+def test_simhash_arrow_matches_expression_path(docs, spark):
+    """The Arrow popcount kernel and the pure column-expression path
+    must be bit-identical, including blank and null texts."""
+    edge = spark.createDataFrame(
+        [(9001, ""), (9002, "   "), (9003, None), (9004, "one"), (9005, "a b a b a")],
+        "doc_id long, text string",
+    )
+    both = docs.select("doc_id", "text").unionByName(edge)
+    fast = simhash(both, use_arrow=True).toPandas().set_index("doc_id")["simhash"]
+    ref = simhash(both, use_arrow=False).toPandas().set_index("doc_id")["simhash"]
+    assert len(fast) == len(ref)
+    for k in ref.index:
+        a, b = fast[k], ref[k]
+        assert (pd.isna(a) and pd.isna(b)) or int(a) == int(b), k
+
+
 def test_token_counts(spark):
     df = spark.createDataFrame(
         [(0, "a b  c"), (1, ""), (2, "   "), (3, "supercalifragilistic word")],
