@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import MapType
 
 
 def asof_join(
@@ -66,6 +67,24 @@ def asof_join(
         # equal-ts right rows must not be visible: order left rows
         # BEFORE right rows at the same timestamp
         order[1] = F.col("__side").desc()
+    # deterministic tie-break for duplicate right timestamps on the
+    # same key: without it the carried payload is whichever tied right
+    # row happens to sort last — nondeterministic across runs and
+    # partitionings. Ordering the carried columns themselves gives a
+    # total order on right ties (left rows are all-null there, so
+    # their relative order stays irrelevant); the carried row is the
+    # greatest payload tuple among the tied timestamps. Unorderable
+    # payload types (maps) are skipped — ties on those stay arbitrary.
+    orderable = {
+        f"__r_{f.name}": not isinstance(f.dataType, MapType)
+        for f in right.schema.fields
+        if f.name in payload
+    }
+    order += [
+        F.col(c).asc_nulls_first()
+        for c in carried
+        if orderable.get(c, True)
+    ]
 
     w = (
         Window.partitionBy(*keys)

@@ -160,9 +160,18 @@ def streaming_disaggregate_temperature(
                 state.setTimeoutDuration(flush_ms)
             elif horizon_ms is not None and pend_day is not None:
                 # flush when the watermark proves the successor day
-                # can no longer arrive: end of buffered day + horizon
+                # can no longer arrive: end of buffered day + horizon.
+                # Clamped above the current watermark — for a station
+                # whose buffered day lags the fleet, the global
+                # watermark may already be past that instant, and
+                # setTimeoutTimestamp on a passed timestamp throws,
+                # failing the whole query; the clamp makes the lagging
+                # key flush on the next trigger instead.
                 state.setTimeoutTimestamp(
-                    (pend_day + 1) * _DAY_MS + horizon_ms
+                    max(
+                        (pend_day + 1) * _DAY_MS + horizon_ms,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
                 )
 
         chunks = [p for p in pdfs if len(p)]

@@ -98,16 +98,19 @@ def sessionize(
     session index per key.
 
     One shuffle (the per-key window sort): a session break is
-    ``ts - lag(ts) > gap``, and the running sum of breaks IS the
+    ``ts - lag(ts) >= gap``, and the running sum of breaks IS the
     session index — the standard window formulation, no self-join.
     For unbounded streams use :func:`streaming_sessions` (Spark's
-    native watermarked session windows) instead.
+    native watermarked session windows) instead; the boundary rule
+    matches it exactly — Spark session windows are half-open
+    ``[start, last + gap)``, so an event at precisely ``prev + gap``
+    starts a NEW session on both paths.
     """
     keys = list(keys)
     w = Window.partitionBy(*keys).orderBy(ts_col)
     prev = F.lag(ts_col, 1).over(w)
     brk = F.when(
-        prev.isNull() | (F.col(ts_col) - prev <= F.expr(f"INTERVAL {gap}")),
+        prev.isNull() | (F.col(ts_col) - prev < F.expr(f"INTERVAL {gap}")),
         F.lit(0),
     ).otherwise(F.lit(1))
     return df.withColumn(

@@ -86,3 +86,30 @@ def test_asof_no_right_rows_for_key(spark):
         spark.createDataFrame(left), spark.createDataFrame(right), keys="key"
     ).toPandas()
     assert len(got) == 2 and got["r_quote"].isna().all()
+
+
+def test_asof_tied_right_timestamps_deterministic(spark):
+    """Duplicate right timestamps for the same key: the carried payload
+    is the greatest payload tuple among the ties — stable across runs
+    and partitionings."""
+    import pandas as pd
+
+    left = pd.DataFrame(
+        {"key": ["x"], "ts": pd.to_datetime(["2024-01-01 12:00"]), "lv": [1.0]}
+    )
+    right = pd.DataFrame(
+        {
+            "key": ["x"] * 3,
+            "ts": pd.to_datetime(["2024-01-01 10:00"] * 3),
+            "quote": [7.0, 9.0, 3.0],
+        }
+    )
+    results = set()
+    for parts in (1, 3, 7):
+        got = asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right).repartition(parts),
+            keys="key",
+        ).toPandas()
+        results.add(float(got["r_quote"].iloc[0]))
+    assert results == {9.0}

@@ -259,6 +259,24 @@ def test_sessionize(spark):
     assert list(got[got.station_id == "u"]["session_id"]) == [0, 0, 1, 1, 1]
     assert list(got[got.station_id == "v"]["session_id"]) == [0, 1]
 
+    # boundary rule matches streaming session_window's half-open
+    # [start, last + gap): a gap of EXACTLY the threshold starts a new
+    # session
+    exact = pd.DataFrame(
+        {
+            "station_id": ["w"] * 3,
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00", "2024-01-01 10:30", "2024-01-01 10:59"]
+            ),
+        }
+    )
+    got2 = (
+        sessionize(spark.createDataFrame(exact), gap="30 minutes")
+        .toPandas()
+        .sort_values("ts")
+    )
+    assert list(got2["session_id"]) == [0, 1, 1]
+
 
 def test_streaming_sessions(spark, tmp_path):
     import pandas as pd
