@@ -52,6 +52,21 @@ def qs():
             [],
             [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
         ),
+        (
+            # pruned event scan: the per-station gap summary must not
+            # drag event_type/props through the aggregation
+            "gap_analysis",
+            [r"ReadSchema: struct<ts:(bigint|timestamp_ntz),user_id:bigint(,value:double)?>"],
+            [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        ),
+        (
+            # trained-quantizer ANN: centroid/probe joins must all be
+            # broadcast — a SortMergeJoin on the probe side would
+            # shuffle the full embedding table per query batch
+            "ivf_topk",
+            [r"BroadcastHashJoin"],
+            [r"SortMergeJoin", r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        ),
     ],
 )
 def test_plan_contract(spark, qs, name, must, must_not):
@@ -60,3 +75,30 @@ def test_plan_contract(spark, qs, name, must, must_not):
         assert re.search(pat, plan), f"{name}: missing /{pat}/"
     for pat in must_not:
         assert not re.search(pat, plan), f"{name}: found forbidden /{pat}/"
+
+
+def test_plan_contract_lsh_candidate_pairs(spark):
+    """The dup_clusters/minhash/jaccard candidate stage (its label
+    propagation executes eagerly, so the contract is pinned on the
+    candidate-pair frame): the skew-salted band join must carry the
+    salt in its join keys and never degenerate into a cartesian."""
+    from melodist_spark.pipeline.dedup import (
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = lsh_candidate_pairs(
+        lsh_bands(
+            minhash_signature(docs, num_hashes=16, shingle=3),
+            num_hashes=16,
+            band_size=4,
+        )
+    )
+    plan = _plan(pairs)
+    assert re.search(r"__salt", plan), "salt missing from candidate join"
+    assert re.search(
+        r"Left keys \[3\]: \[band_idx[^\]]*band_hash[^\]]*__salt", plan
+    ), "salt not part of the join keys"
+    assert not re.search(r"CartesianProduct|BroadcastNestedLoopJoin", plan)
