@@ -63,6 +63,122 @@ def test_resize_is_marked_stub():
         resize_stub()
 
 
+def _ppm_bytes(img):
+    from melodist_spark.pipeline.multimodal import encode_ppm
+
+    return encode_ppm(img)
+
+
+def _bmp_bytes(img):
+    """Build a minimal uncompressed 24-bit BMP (bottom-up, padded
+    rows) from an (h, w, 3) RGB array."""
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for row in img[::-1]:  # bottom-up
+        line = row[:, ::-1].astype(np.uint8).tobytes()  # RGB→BGR
+        body += line + b"\x00" * (stride - len(line))
+    off = 14 + 40
+    header = (
+        b"BM"
+        + (off + len(body)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(body).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return bytes(header) + bytes(body)
+
+
+def _wav_bytes(samples, rate=8000):
+    """Minimal 16-bit mono PCM WAV from a float array in [-1, 1]."""
+    pcm = (np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes()
+    fmt = (
+        (1).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * 2).to_bytes(4, "little")
+        + (2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(pcm).to_bytes(4, "little") + pcm
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def test_numpy_codecs_roundtrip():
+    from melodist_spark.pipeline.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        decode_wav,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_ppm(_ppm_bytes(img)), img)
+    gray = rng.integers(0, 256, size=(5, 9), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_ppm(_ppm_bytes(gray)), gray)
+    # PPM comments in the header are skipped
+    commented = b"P6\n# a comment\n7 10\n255\n" + img.tobytes()
+    np.testing.assert_array_equal(decode_ppm(commented), img)
+    np.testing.assert_array_equal(decode_bmp(_bmp_bytes(img)), img)
+
+    wave = np.sin(np.linspace(0, 40 * np.pi, 4000))
+    samples, rate = decode_wav(_wav_bytes(wave))
+    assert rate == 8000 and samples.shape == (4000, 1)
+    np.testing.assert_allclose(samples[:, 0], wave, atol=1e-3)
+
+    big = resize_nearest(img, 20, 14)
+    assert big.shape == (20, 14, 3)
+    # nearest-neighbor: every output pixel is some input pixel
+    assert set(np.unique(big)) <= set(np.unique(img))
+
+
+def test_numpy_media_decoder_real_paths():
+    from melodist_spark.pipeline.multimodal import (
+        _fake_decode,
+        numpy_media_decoder,
+    )
+
+    flat = np.full((16, 16, 3), 128, dtype=np.uint8)
+    feat = numpy_media_decoder(_ppm_bytes(flat))
+    np.testing.assert_allclose(feat, np.full(64, 128 / 255.0))
+
+    silence = _wav_bytes(np.zeros(1000))
+    np.testing.assert_allclose(numpy_media_decoder(silence), np.zeros(64))
+
+    blob = b"\x89PNG not actually decodable here"
+    np.testing.assert_allclose(
+        numpy_media_decoder(blob), _fake_decode(blob)
+    )
+
+
+def test_resize_images_distributed(spark):
+    from melodist_spark.pipeline.multimodal import decode_ppm, resize_images
+
+    rng = np.random.default_rng(11)
+    imgs = [rng.integers(0, 256, size=(32, 24, 3), dtype=np.uint8) for _ in range(3)]
+    rows = [(i, _ppm_bytes(img)) for i, img in enumerate(imgs)]
+    rows.append((3, _bmp_bytes(imgs[0])))
+    rows.append((4, b"JFIF-ish poison blob"))  # must not kill the job
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = resize_images(df, 8, 8).orderBy("media_id").toPandas()
+    assert len(got) == 5
+    ok = got[got["err"].isna()]
+    assert set(ok["media_id"]) == {0, 1, 2, 3}
+    for _, r in ok.iterrows():
+        out = decode_ppm(bytes(r["payload"]))
+        assert out.shape == (8, 8, 3)
+    assert got[got["media_id"] == 4]["err"].notna().all()
+
+
 def test_streaming_daily_agg(spark, tmp_path, met_hourly_pd):
     src = str(tmp_path / "stream_src")
     pdf = met_hourly_pd[met_hourly_pd.station_id == "s1"].head(24 * 10)
