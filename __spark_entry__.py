@@ -837,6 +837,7 @@ def oracle_sql() -> dict[str, str]:
           HAVING count(*) = 2
         ),
         v{lv} AS (SELECT user_id, rn, r1 + r2 AS v FROM p{lv}),
+        n{lv} AS (SELECT user_id, count(*) AS cnt FROM v{lv} GROUP BY user_id),
         s{lv} AS (
           SELECT user_id, rn, r1, r2, r1 + r2 AS v,
                  coalesce(lag(r1 + r2 > 0) OVER w, false) AS prev_wet,
@@ -906,16 +907,35 @@ def oracle_sql() -> dict[str, str]:
                  precip AS v
           FROM hourly
         ),
-        {",".join(_casc_level(lv) for lv in range(1, 6))}
+        {",".join(_casc_level(lv) for lv in range(1, 6))},
+        lvls AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+                 UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+                 UNION ALL SELECT * FROM r5),
+        cnts AS ({" UNION ALL ".join(
+            f"SELECT user_id, CAST({lv - 1} AS BIGINT) AS level, cnt FROM n{lv}"
+            for lv in range(1, 6)
+        )}),
+        -- the avg_stats row: count-weighted mean of the level
+        -- statistics (all reduced stats are linear in the arrays, so
+        -- the weighted mean commutes with the sums/moments); its
+        -- threshold is the level-0 threshold (thresholds[0])
+        avg_r AS (
+          SELECT l.user_id, CAST(-1 AS BIGINT) AS level,
+                 max(CASE WHEN l.level = 0 THEN l.threshold END) AS threshold,
+                 sum(c.cnt * l.p01_sum) / sum(c.cnt) AS p01_sum,
+                 sum(c.cnt * l.p10_sum) / sum(c.cnt) AS p10_sum,
+                 sum(c.cnt * l.pxx_sum) / sum(c.cnt) AS pxx_sum,
+                 sum(c.cnt * l.wxx_m1) / sum(c.cnt) AS wxx_m1
+          FROM lvls l JOIN cnts c ON l.user_id = c.user_id AND l.level = c.level
+          GROUP BY l.user_id
+        )
         SELECT user_id, level,
                round(threshold, 6) AS threshold,
                round(p01_sum, 6) AS p01_sum,
                round(p10_sum, 6) AS p10_sum,
                round(pxx_sum, 6) AS pxx_sum,
                round(wxx_m1, 6) AS wxx_m1
-        FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
-              UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
-              UNION ALL SELECT * FROM r5)
+        FROM (SELECT * FROM lvls UNION ALL SELECT * FROM avg_r)
     """
 
     extended = {
@@ -3255,9 +3275,6 @@ def q_cascade_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from melodist_spark.operators.cascade import build_casc
 
     m = _met_hourly(spark, sf_dir).select("user_id", "ts", "precip")
-    # ~67 hourly rows/station at this SF → tiny-group regime, bucket
-    # to amortize per-group Arrow costs (results are bucket-invariant)
-    out = build_casc(m, avg_stats=False, keys=["user_id"], station_buckets=64)
     arrsum = lambda c: F.aggregate(c, F.lit(0.0), lambda a, v: a + v)
     # first moment of the weight histogram over its 7 classes: wxx is
     # the raveled (class, intensity, boxtype) array, so class = i div 8
@@ -3265,15 +3282,26 @@ def q_cascade_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate(zip_with(wxx, sequence(0, size(wxx) - 1),"
         " (x, i) -> x * double(i div 8)), 0D, (a, x) -> a + x)"
     )
-    return out.select(
-        "user_id",
-        F.col("level").cast("long").alias("level"),
-        F.round(F.element_at("threshold", 1), 6).alias("threshold"),
-        F.round(arrsum("p01"), 6).alias("p01_sum"),
-        F.round(arrsum("p10"), 6).alias("p10_sum"),
-        F.round(arrsum("pxx"), 6).alias("pxx_sum"),
-        F.round(wxx_m1, 6).alias("wxx_m1"),
-    )
+
+    def proj(df):
+        return df.select(
+            "user_id",
+            F.col("level").cast("long").alias("level"),
+            F.round(F.element_at("threshold", 1), 6).alias("threshold"),
+            F.round(arrsum("p01"), 6).alias("p01_sum"),
+            F.round(arrsum("p10"), 6).alias("p10_sum"),
+            F.round(arrsum("pxx"), 6).alias("pxx_sum"),
+            F.round(wxx_m1, 6).alias("wxx_m1"),
+        )
+
+    # ~67 hourly rows/station at this SF → tiny-group regime, bucket
+    # to amortize per-group Arrow costs (results are bucket-invariant)
+    per_level = build_casc(m, avg_stats=False, keys=["user_id"], station_buckets=64)
+    # the avg_stats=True row (level = -1) anchors the count-weighted
+    # level averaging (_weighted_stats / reference __add__+__mul__,
+    # cascade.py:111-122) against the oracle's weighted-sum CTE
+    averaged = build_casc(m, avg_stats=True, keys=["user_id"], station_buckets=64)
+    return proj(per_level).unionByName(proj(averaged))
 
 
 def q_smet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
