@@ -35,7 +35,9 @@ def asof_join(
     strict: bool = False,
 ) -> DataFrame:
     """For each left row, the latest right row with ``r.ts <= l.ts``
-    (``backward``; ``forward`` = earliest with ``r.ts >= l.ts``).
+    (``backward``; ``forward`` = earliest with ``r.ts >= l.ts``;
+    ``nearest`` = whichever of the two is closer, ties to backward —
+    pandas ``merge_asof`` semantics).
 
     Right's non-key, non-ts columns are attached with ``right_prefix``,
     plus ``<prefix><ts_col>`` = the matched right timestamp (null when
@@ -45,6 +47,32 @@ def asof_join(
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     payload = [c for c in right.columns if c not in {*keys, ts_col}]
+
+    if direction == "nearest":
+        # two window passes (backward + forward) over the union, then
+        # a per-row distance pick — still join-free; ~2× the cost of a
+        # single direction, same shuffle key both times so the second
+        # pass reuses the first's partitioning
+        out = asof_join(
+            left, right, keys, ts_col, "backward", tolerance, "__bk_", strict
+        )
+        out = asof_join(
+            out, right, keys, ts_col, "forward", tolerance, "__fw_", strict
+        )
+        d_bk = F.col(ts_col) - F.col(f"__bk_{ts_col}")
+        d_fw = F.col(f"__fw_{ts_col}") - F.col(ts_col)
+        use_bk = F.col(f"__fw_{ts_col}").isNull() | (
+            F.col(f"__bk_{ts_col}").isNotNull() & (d_bk <= d_fw)
+        )
+        for c in [ts_col] + payload:
+            out = out.withColumn(
+                f"{right_prefix}{c}",
+                F.when(use_bk, F.col(f"__bk_{c}")).otherwise(F.col(f"__fw_{c}")),
+            )
+        return out.drop(
+            *[f"__bk_{c}" for c in [ts_col] + payload],
+            *[f"__fw_{c}" for c in [ts_col] + payload],
+        )
 
     lt = left.withColumn("__side", F.lit(1))
     rt = right.select(

@@ -46,8 +46,11 @@ def _expected(left, right, direction, tolerance=None, strict=False):
     [
         ("backward", None, False),
         ("forward", None, False),
+        ("nearest", None, False),
         ("backward", "INTERVAL 30 MINUTES", False),
+        ("nearest", "INTERVAL 30 MINUTES", False),
         ("backward", None, True),
+        ("nearest", None, True),
     ],
 )
 def test_asof_matches_pandas(spark, frames, direction, tolerance, strict):
