@@ -92,3 +92,39 @@ def test_cascade_stats_always_valid(x, pct):
     wsum = stats.wxx.sum(axis=0)
     valid = ~np.isnan(wsum)
     assert np.allclose(wsum[valid], 1.0, atol=1e-9)
+
+
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    gray=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_ppm_roundtrip_property(h, w, gray, seed):
+    """encode→decode is the identity for any image shape."""
+    from melodist_spark.pipeline.multimodal import decode_ppm, encode_ppm
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    np.testing.assert_array_equal(decode_ppm(encode_ppm(img)), img)
+
+
+@given(
+    out_h=st.integers(1, 16),
+    out_w=st.integers(1, 16),
+    h=st.integers(1, 32),
+    w=st.integers(1, 32),
+)
+@settings(max_examples=40, deadline=None)
+def test_resize_nearest_property(out_h, out_w, h, w):
+    """Any resize: output shape exact, every pixel comes from the
+    source, and identity resize is a no-op."""
+    from melodist_spark.pipeline.multimodal import resize_nearest
+
+    img = np.arange(h * w, dtype=np.int64).reshape(h, w)
+    out = resize_nearest(img, out_h, out_w)
+    assert out.shape == (out_h, out_w)
+    assert np.isin(out, img).all()
+    np.testing.assert_array_equal(resize_nearest(img, h, w), img)
