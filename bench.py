@@ -45,6 +45,8 @@ HEADLINE = [
     "validation_metrics",
     # relational
     "pricing_summary",
+    # sources / sinks (fleet SMET write + distributed read back)
+    "smet_roundtrip",
     # training-data pipeline
     "text_features",
     "text_clean",

@@ -644,10 +644,14 @@ def disagg_prec_cascade(
             # start offset, like resample('5min').sum()
             # (`precipitation.py:307-311`)
             bins = (np.arange(boxes_per_day) * box_step_us) // out_step_us
-            vals = np.zeros(n_days * steps_per_day)
             day_idx = np.repeat(np.arange(n_days), boxes_per_day)
             flat_bins = day_idx * steps_per_day + np.tile(bins, n_days)
-            np.add.at(vals, flat_bins, v)
+            # bincount(weights=...) over the flat bin ids: same
+            # accumulation order as np.add.at (input order per bin) at
+            # a fraction of the scatter-add cost
+            vals = np.bincount(
+                flat_bins, weights=v, minlength=n_days * steps_per_day
+            )
 
         # restore missing days to null (`precipitation.py:313-315`)
         mask = np.repeat(missing, steps_per_day)
