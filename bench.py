@@ -83,7 +83,8 @@ def main():
     # the ~15 meteorology queries reuse one materialization instead of
     # re-aggregating the event stream per query (CacheManager
     # substitutes the cached subplan into each query's fresh plan).
-    _e._met_hourly(spark, sf_dir).persist()
+    hourly = _e._met_hourly(spark, sf_dir).persist()
+    hourly.write.format("noop").mode("overwrite").save()
     daily = _e._met_daily(spark, sf_dir).persist()
     daily.write.format("noop").mode("overwrite").save()
     # Same reasoning for the LSH candidate-pair table: minhash_pairs,
@@ -101,7 +102,7 @@ def main():
     lsh_candidate_pairs(
         lsh_bands(minhash_signature(docs, num_hashes=16, shingle=3),
                   num_hashes=16, band_size=4)
-    ).persist()
+    ).persist().write.format("noop").mode("overwrite").save()
     for t in ("documents", "embeddings", "lineitem", "orders", "customer", "nation"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).collect()
 

@@ -569,6 +569,7 @@ def disagg_prec_cascade(
     ts_col: str = "ts",
     season: int = 0,
     station_buckets: int | None = None,
+    emit: str = "steps",
 ) -> DataFrame:
     """Distributed cascade disaggregation.
 
@@ -596,8 +597,22 @@ def disagg_prec_cascade(
     × 30 days), and per-station seeding keeps results identical for
     any bucket count.
 
-    Returns (keys..., ts, precip) at hourly or 5-minute resolution.
+    ``emit='steps'`` (default) returns (keys..., ts, precip) at hourly
+    or 5-minute resolution. ``emit='daily'`` runs the same stochastic
+    kernel but aggregates back to daily totals *inside* the grouped
+    map, returning (keys..., date, n_steps, precip): the map-side
+    partial aggregation a mass-balance audit wants — the full sub-daily
+    grid never leaves the kernel, so a 100 TB conservation check ships
+    1/24th (1/288th at 5 min) of the rows through Arrow and skips the
+    re-aggregation shuffle entirely. A fully-missing day aggregates to
+    NaN → null, matching the post-shuffle ``sum`` of the steps path.
     """
+    if emit not in ("steps", "daily"):
+        raise ValueError(f"emit must be 'steps' or 'daily', got {emit!r}")
+    if emit == "daily" and shift != 0:
+        # a shifted grid moves mass across day boundaries; daily totals
+        # would no longer be the input totals — refuse rather than lie
+        raise ValueError("emit='daily' requires shift=0")
     keys = list(keys)
     spark = daily.sparkSession
     if station_buckets is None:
@@ -613,7 +628,10 @@ def disagg_prec_cascade(
     box_step_us = LEVEL11_STEP_US * (2 ** (11 - level))
     boxes_per_day = 2**level
 
-    schema = _key_schema(daily, keys) + f", {ts_col} timestamp, precip double"
+    if emit == "daily":
+        schema = _key_schema(daily, keys) + f", {date_col} date, n_steps long, precip double"
+    else:
+        schema = _key_schema(daily, keys) + f", {ts_col} timestamp, precip double"
 
     # the kernel must not close over the DataFrame itself (unpicklable)
     stats_in_col = stats_df is not None
@@ -665,6 +683,10 @@ def disagg_prec_cascade(
                 shifted[:shift] = vals[-shift:]
             vals = shifted
 
+        if emit == "daily":
+            # in-kernel partial aggregation: a missing day is all-NaN →
+            # NaN → null, same as summing the steps path post-shuffle
+            return None, vals.reshape(n_days, steps_per_day).sum(axis=1)
         offs = (np.arange(steps_per_day) * out_step_us).astype("timedelta64[us]")
         ts = (dates[:, None] + offs[None, :]).ravel()
         return ts, vals
@@ -677,7 +699,11 @@ def disagg_prec_cascade(
             sid, opts, pdf["precip"].to_numpy(dtype=float), dates
         )
         res = {k: np.repeat(pdf[k].iloc[0], len(vals)) for k in keys}
-        res[ts_col] = ts
+        if emit == "daily":
+            res[date_col] = pdf[date_col].to_numpy()
+            res["n_steps"] = np.full(len(vals), steps_per_day, dtype=np.int64)
+        else:
+            res[ts_col] = ts
         res["precip"] = vals
         return pd.DataFrame(res)
 
@@ -752,7 +778,13 @@ def disagg_prec_cascade(
             res = {
                 k: np.concatenate(key_parts[i]) for i, k in enumerate(keys)
             }
-            res[ts_col] = np.concatenate(ts_parts)
+            if emit == "daily":
+                # groups are contiguous in the sorted frame, so the
+                # concatenated per-group day rows line up with pdf's
+                res[date_col] = pdf[date_col].to_numpy()
+                res["n_steps"] = np.full(n, steps_per_day, dtype=np.int64)
+            else:
+                res[ts_col] = np.concatenate(ts_parts)
             res["precip"] = np.concatenate(val_parts)
             return pd.DataFrame(res)
 

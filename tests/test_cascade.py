@@ -258,3 +258,44 @@ def test_multi_key_stations_not_merged(spark):
     b = got[got.sid == "b"]["s"]
     np.testing.assert_allclose(a, 2.0, atol=1e-9)
     np.testing.assert_allclose(b, 5.0, atol=1e-9)
+
+
+def test_emit_daily_matches_fullgrid_reagg(met_daily, casc_stats):
+    """emit='daily' is the in-kernel partial aggregation of the exact
+    same stochastic grid: per (station, date) it must equal the
+    shuffle re-aggregation of the steps path, null-for-null."""
+    for hourly, level, steps in ((True, 9, 24), (False, 9, 288)):
+        opts = casc_stats if hourly else {
+            k: [v] * 9 for k, v in casc_stats.items()
+        }
+        full = disagg_prec_cascade(
+            met_daily, opts, hourly=hourly, level=level, seed=13
+        )
+        re = (
+            full.groupBy("station_id", F.to_date("ts").alias("date"))
+            .agg(F.sum("precip").alias("precip"))
+            .orderBy("station_id", "date")
+            .toPandas()
+        )
+        day = (
+            disagg_prec_cascade(
+                met_daily, opts, hourly=hourly, level=level, seed=13,
+                emit="daily",
+            )
+            .orderBy("station_id", "date")
+            .toPandas()
+        )
+        assert (day["n_steps"] == steps).all()
+        np.testing.assert_allclose(
+            day["precip"].to_numpy(dtype=float),
+            re["precip"].to_numpy(dtype=float),
+            atol=1e-9,
+            equal_nan=True,
+        )
+
+
+def test_emit_daily_rejects_shift():
+    stats = CascadeStatistics()
+    stats.fill_with_sample_data()
+    with pytest.raises(ValueError, match="shift"):
+        disagg_prec_cascade(None, stats, shift=2, emit="daily")
