@@ -54,6 +54,7 @@ HEADLINE = [
     "repetition_stats",
     "minhash_pairs",
     "dup_clusters",
+    "decontaminate",
     "doc_sample",
     "vocab_topk",
     "embedding_topk",

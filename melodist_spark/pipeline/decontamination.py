@@ -1,0 +1,107 @@
+"""Benchmark decontamination: flag training documents that overlap an
+evaluation set by shared word n-grams.
+
+The standard LLM curation step (GPT-3 appendix C / PaLM style): a
+document is contaminated when it shares at least ``threshold`` distinct
+n-grams with any benchmark document. The scale shape is deliberately
+asymmetric — the corpus is the 100 TB side and is only ever *scanned*
+(explode n-gram hashes, one narrow pass), while the benchmark shingle
+set is tiny (eval suites are MBs) and rides a broadcast join, so there
+is no corpus-sized shuffle anywhere: the only wide operation is the
+per-document count aggregation, which is map-side combinable.
+
+N-grams are compared by 60-bit md5-prefix hashes, not raw strings —
+an 8-byte join key instead of a ~50-byte phrase, identical semantics
+on any engine that can parse hex (the DuckDB oracle applies the same
+digest-prefix). At 10⁹+ distinct benchmark grams the birthday bound
+becomes visible (~2.7 × 10⁻² expected collisions at 10⁸ grams); eval
+sets are orders of magnitude below that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _shingles
+
+__all__ = ["ngram_hashes", "decontaminate"]
+
+
+def _gram_hash(w: Column) -> Column:
+    """60-bit bigint from the md5 prefix of an n-gram (engine-portable:
+    DuckDB computes the identical value as ('0x' || substr(md5(w), 1,
+    15))::BIGINT)."""
+    return F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint")
+
+
+def ngram_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 5,
+) -> DataFrame:
+    """(id, gram-hash) pairs, one row per *distinct* n-gram per doc.
+
+    Narrow: tokenize → zip-shifted slices (see ``dedup._shingles``) →
+    dedupe within the array → explode → hash. No shuffle.
+    """
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(_shingles(F.col(text_col), ngram), _gram_hash)
+        ).alias("__g"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 5,
+    threshold: int = 1,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Per-document benchmark-overlap audit.
+
+    Returns one row per document that has at least one ``ngram``-gram
+    (shorter docs carry no decontamination signal and are dropped):
+
+    - ``n_ngrams``  — distinct n-grams in the document
+    - ``n_hits``    — how many of them appear anywhere in ``benchmark``
+    - ``overlap``   — ``n_hits / n_ngrams``
+    - ``contaminated`` — ``n_hits >= threshold``
+
+    ``broadcast_benchmark=True`` (default) hints the deduplicated
+    benchmark gram set onto the broadcast side — the corpus side never
+    shuffles. Disable only if the "benchmark" is itself corpus-sized
+    (e.g. cross-corpus leakage checks), which degrades to a shuffle
+    hash join on the 8-byte gram key.
+    """
+    bench = (
+        ngram_hashes(benchmark, text_col, id_col, ngram)
+        .select(F.col("__g").alias("__bg"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+
+    grams = ngram_hashes(docs, text_col, id_col, ngram)
+    per_doc = (
+        grams.join(bench, grams["__g"] == bench["__bg"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.sum(
+                F.when(F.col("__bg").isNotNull(), 1).otherwise(0)
+            ).alias("n_hits"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_ngrams",
+        "n_hits",
+        (F.col("n_hits") / F.col("n_ngrams")).alias("overlap"),
+        (F.col("n_hits") >= F.lit(threshold)).alias("contaminated"),
+    )

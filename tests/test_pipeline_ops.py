@@ -523,3 +523,53 @@ def test_kmeans_ivf_end_to_end(spark):
 
     assert recall(got1) > 0.8  # blobs are tight: single probe is enough
     assert recall(got2) >= recall(got1)
+
+
+def test_decontaminate_counts_and_flags(spark):
+    from melodist_spark.pipeline.decontamination import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            # contains the benchmark 5-gram "quick brown fox jumps over"
+            (1, "a quick brown fox jumps over a fence today"),
+            # shares words but no 5-gram run
+            (2, "the dog is lazy and the fox is quick"),
+            # verbatim copy: every 5-gram hits
+            (3, "the quick brown fox jumps over the lazy dog"),
+            # too short for any 5-gram -> excluded from the output
+            (4, "only four words here"[:19]),
+        ],
+        ["doc_id", "text"],
+    )
+    got = (
+        decontaminate(docs, bench, ngram=5, threshold=1)
+        .orderBy("doc_id")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert list(got.index) == [1, 2, 3]
+    # doc 1: 5 distinct 5-grams, exactly one ("quick brown fox jumps
+    # over") appears in the benchmark
+    assert got.loc[1, "n_ngrams"] == 5
+    assert got.loc[1, "n_hits"] == 1
+    assert bool(got.loc[1, "contaminated"])
+    assert got.loc[2, "n_hits"] == 0
+    assert not bool(got.loc[2, "contaminated"])
+    assert got.loc[3, "n_hits"] == got.loc[3, "n_ngrams"] == 5
+    assert abs(got.loc[3, "overlap"] - 1.0) < 1e-12
+
+
+def test_decontaminate_benchmark_broadcast_plan(spark):
+    """The corpus side must not shuffle: the benchmark gram set rides
+    a BroadcastHashJoin (explicitly hinted — it has no stats)."""
+    from melodist_spark.pipeline.decontamination import decontaminate
+
+    bench = spark.createDataFrame([(0, "a b c d e f")], ["doc_id", "text"])
+    docs = spark.createDataFrame([(1, "a b c d e f g")], ["doc_id", "text"])
+    plan = decontaminate(docs, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
