@@ -112,9 +112,22 @@ def main():
         f"({n_clustered} docs in {n_clusters} clusters)"
     )
 
+    from melodist_spark.pipeline.decontamination import decontaminate
+
+    # every 997th doc stands in for an eval-suite document; the exact/
+    # near dups planted above guarantee real contamination hits
+    bench = docs.filter(F.pmod("doc_id", 997) == 0)
+    n_contam = (
+        decontaminate(docs.filter(F.pmod("doc_id", 997) != 0), bench, ngram=5)
+        .filter("contaminated")
+        .count()
+    )
+    t5b = time.perf_counter()
+    print(f"decontaminate: {t5b - t5:.1f}s ({n_contam} contaminated)")
+
     stratified_sample_n(docs, ["lang"], n=1000).count()
     t6 = time.perf_counter()
-    print(f"stratified_sample_n: {t6 - t5:.1f}s")
+    print(f"stratified_sample_n: {t6 - t5b:.1f}s")
 
     vocab_topk(docs, k=50, by=["lang"]).count()
     t7 = time.perf_counter()
