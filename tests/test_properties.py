@@ -128,3 +128,35 @@ def test_resize_nearest_property(out_h, out_w, h, w):
     assert out.shape == (out_h, out_w)
     assert np.isin(out, img).all()
     np.testing.assert_array_equal(resize_nearest(img, h, w), img)
+
+
+def test_decontaminate_verbatim_inclusion_property(spark):
+    """Deterministic small-case sweep (batched into one job): any doc
+    containing a verbatim >=n-token window of a benchmark doc must be
+    flagged; docs over a disjoint vocabulary must never be."""
+    from melodist_spark.pipeline.decontamination import decontaminate
+
+    bench_text = " ".join(f"b{i}" for i in range(12))
+    rows, expect = [], {}
+    did = 0
+    for start in range(0, 8):  # verbatim 5-token windows, varying offset
+        did += 1
+        prefix = " ".join(f"p{did}x{j}" for j in range(start % 3))
+        window = " ".join(f"b{i}" for i in range(start, start + 5))
+        rows.append((did, f"{prefix} {window} tail{did}".strip()))
+        expect[did] = True
+    for k in range(5):  # disjoint vocab, varied length >= 5 tokens
+        did += 1
+        rows.append((did, " ".join(f"z{k}w{j}" for j in range(5 + k))))
+        expect[did] = False
+    got = (
+        decontaminate(
+            spark.createDataFrame(rows, ["doc_id", "text"]),
+            spark.createDataFrame([(0, bench_text)], ["doc_id", "text"]),
+            ngram=5,
+        )
+        .toPandas()
+        .set_index("doc_id")["contaminated"]
+        .to_dict()
+    )
+    assert got == expect
