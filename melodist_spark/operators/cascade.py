@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..util.execution import pin_partitions
+
 #: class boundaries of the weight histogram (`precipitation.py:143`)
 WCLASSBOUNDS = np.array([0.0, 0.1429, 0.2857, 0.4286, 0.5714, 0.7143, 0.8571, 1.0])
 WLOWER = WCLASSBOUNDS[:7]
@@ -401,12 +403,20 @@ def build_casc(
 
             bucket = F.pmod(F.xxhash64(*keys), F.lit(station_buckets))
             parts.append(
-                sub.withColumn("__bucket", bucket)
+                pin_partitions(
+                    sub.withColumn("__bucket", bucket),
+                    ["__bucket"],
+                    n=station_buckets,
+                )
                 .groupBy("__bucket")
                 .applyInPandas(debucketed(fit_bucket), schema=schema)
             )
         else:
-            parts.append(sub.groupBy(*keys).applyInPandas(fit_one, schema=schema))
+            parts.append(
+                pin_partitions(sub, keys)
+                .groupBy(*keys)
+                .applyInPandas(fit_one, schema=schema)
+            )
 
     out = parts[0]
     for p in parts[1:]:
@@ -790,7 +800,11 @@ def disagg_prec_cascade(
 
         bucket = F.pmod(F.xxhash64(*keys), F.lit(station_buckets))
         return (
-            selected.withColumn("__bucket", bucket)
+            pin_partitions(
+                selected.withColumn("__bucket", bucket),
+                ["__bucket"],
+                n=station_buckets,
+            )
             .groupBy("__bucket")
             .applyInPandas(lambda pdf: disagg_bucket(pdf.drop(columns="__bucket")), schema=schema)
         )
@@ -798,4 +812,4 @@ def disagg_prec_cascade(
     def disagg(pdf: pd.DataFrame) -> pd.DataFrame:
         return disagg_one(group_key(pdf), pdf)
 
-    return selected.groupBy(*keys).applyInPandas(disagg, schema=schema)
+    return pin_partitions(selected, keys).groupBy(*keys).applyInPandas(disagg, schema=schema)

@@ -270,4 +270,6 @@ def fit_bristow_campbell_params(
         out.update(a=[float(x[0])], c=[float(x[1])])
         return pd.DataFrame(out)
 
-    return prepared.groupBy(*keys).applyInPandas(fit, schema=schema)
+    from ..util.execution import pin_partitions
+
+    return pin_partitions(prepared, keys).groupBy(*keys).applyInPandas(fit, schema=schema)

@@ -109,4 +109,6 @@ def fit_cosine_function(
         res.update(a=[a], b=[float(b)], t_shift=[t_shift])
         return pd.DataFrame(res)
 
-    return prepared.groupBy(*keys).applyInPandas(fit, schema=schema)
+    from ..util.execution import pin_partitions
+
+    return pin_partitions(prepared, keys).groupBy(*keys).applyInPandas(fit, schema=schema)

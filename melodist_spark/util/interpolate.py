@@ -255,4 +255,6 @@ def interpolate_spline(
         pdf[ocol] = _spline_fill(pdf[vcol].to_numpy(dtype=float))
         return pdf[names]
 
-    return df.groupBy(*keys).applyInPandas(fill, schema=out_schema)
+    from .execution import pin_partitions
+
+    return pin_partitions(df, keys).groupBy(*keys).applyInPandas(fill, schema=out_schema)
