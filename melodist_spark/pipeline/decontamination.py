@@ -25,7 +25,12 @@ from pyspark.sql import functions as F
 
 from .dedup import _shingles
 
-__all__ = ["ngram_hashes", "decontaminate"]
+__all__ = [
+    "ngram_hashes",
+    "decontaminate",
+    "benchmark_gram_array",
+    "decontaminate_stateless",
+]
 
 
 def _gram_hash(w: Column) -> Column:
@@ -104,4 +109,92 @@ def decontaminate(
         "n_hits",
         (F.col("n_hits") / F.col("n_ngrams")).alias("overlap"),
         (F.col("n_hits") >= F.lit(threshold)).alias("contaminated"),
+    )
+
+
+def benchmark_gram_array(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 5,
+):
+    """Collect the benchmark's deduplicated gram hashes to a sorted
+    int64 numpy array — the model object of the stateless path.
+
+    This is a deliberate driver boundary, same as the trained k-means
+    centroids in ``similarity``: eval suites are MBs, so their gram
+    set (8 bytes each) is a small array that ships to executors once
+    as a task-closure broadcast.
+    """
+    import numpy as np
+
+    rows = (
+        ngram_hashes(benchmark, text_col, id_col, ngram)
+        .select("__g")
+        .distinct()
+        .collect()
+    )
+    return np.sort(np.array([r[0] for r in rows], dtype=np.int64))
+
+
+def decontaminate_stateless(
+    docs: DataFrame,
+    bench_grams,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 5,
+    threshold: int = 1,
+) -> DataFrame:
+    """Shuffle-free decontamination — safe on streaming DataFrames.
+
+    Same contract as :func:`decontaminate`, but the per-document hit
+    count is computed by an Arrow-batched kernel against the sorted
+    benchmark gram array (``np.isin`` over the batch's concatenated
+    gram lists, one ``reduceat`` per batch — the
+    ``simhash16_arrow_udf`` pattern) instead of an explode + join +
+    aggregation. The plan is a single narrow projection: no exchange,
+    no state — which is exactly what a ``readStream`` ingest filter
+    needs (the joined :func:`decontaminate` needs a per-doc
+    aggregation that streaming would have to hold state for).
+
+    ``bench_grams`` is the array from :func:`benchmark_gram_array`.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bench = np.ascontiguousarray(bench_grams, dtype=np.int64)
+
+    @pandas_udf("long")
+    def _hits(grams):
+        out = np.zeros(len(grams), dtype=np.int64)
+        null = grams.isna().to_numpy()
+        lens = np.array(
+            [0 if n else len(g) for g, n in zip(grams, null)], dtype=np.int64
+        )
+        nz = lens > 0
+        if nz.any():
+            flat = np.concatenate(
+                [np.asarray(g, dtype=np.int64) for g, n in zip(grams, null) if not n and len(g)]
+            )
+            hit = np.isin(flat, bench).astype(np.int64)
+            offsets = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            out[nz] = np.add.reduceat(hit, offsets[nz])
+        return pd.Series(out)
+
+    staged = docs.withColumn(
+        "__grams", F.transform(_shingles(F.col(text_col), ngram), _gram_hash)
+    )
+    return (
+        staged.withColumn("n_ngrams", F.size("__grams").cast("long"))
+        .filter(F.col("n_ngrams") > 0)
+        .withColumn("n_hits", _hits(F.col("__grams")))
+        .select(
+            id_col,
+            "n_ngrams",
+            "n_hits",
+            (F.col("n_hits") / F.col("n_ngrams")).alias("overlap"),
+            (F.col("n_hits") >= F.lit(threshold)).alias("contaminated"),
+        )
     )

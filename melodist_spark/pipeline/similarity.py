@@ -163,6 +163,17 @@ def neardup_pairs(
         F.col(vec_col).alias("__v"),
         bucket(F.col(vec_col)).alias("__bucket"),
     )
+    return _bucketed_cosine_pairs(b, threshold, max_bucket)
+
+
+def _bucketed_cosine_pairs(
+    b: DataFrame, threshold: float, max_bucket: int | None
+) -> DataFrame:
+    """Salted equi self-join on ``__bucket`` + exact cosine re-check —
+    the shared candidate machinery of :func:`neardup_pairs` (LSH
+    buckets) and :func:`semantic_dedup` (k-means cells). ``b`` carries
+    (__id, __v, __bucket); returns (id_a, id_b, cos_sim) with
+    ``id_a < id_b`` and ``cos_sim >= threshold``."""
     if max_bucket is None:
         x = b.select(
             F.col("__id").alias("id_a"), F.col("__v").alias("__va"), "__bucket"
@@ -204,6 +215,60 @@ def neardup_pairs(
         cosine_similarity(F.col("__va"), F.col("__vb")).alias("cos_sim"),
     )
     return sims.filter(F.col("cos_sim") >= threshold)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    dim: int,
+    k: int = 64,
+    threshold: float = 0.95,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell: int | None = 4096,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings, compare pairs
+    only *within* a cluster, keep one representative per
+    cosine-≥-threshold duplicate group.
+
+    Composition of existing scale-shaped pieces: the deterministic
+    Lloyd quantizer (:func:`train_kmeans_centroids` — the k×dim model
+    is the only driver round-trip), the Arrow-matmul cell assignment
+    (:func:`ivf_assign`), the salted within-cell cosine join (shared
+    with :func:`neardup_pairs` — ``max_cell`` bounds a popular cell's
+    join work), and connected-components labeling
+    (``dedup.duplicate_clusters``). The SemDeDup approximation is
+    inherited deliberately: duplicates that k-means separates into
+    different cells are not compared — that is what makes the method
+    sub-quadratic; raise ``k`` for tighter cells (paper uses
+    k ≈ n/10⁴) and ``threshold`` for precision.
+
+    Returns (id, cluster_id, keep): every corpus row labeled with its
+    duplicate-group representative (its own id when unique), ``keep``
+    true exactly once per group (the min id — deterministic).
+    """
+    from .dedup import duplicate_clusters
+
+    cents = train_kmeans_centroids(
+        corpus, k=k, dim=dim, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    b = ivf_assign(corpus, cents, vec_col=vec_col).select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        F.col("__cell").alias("__bucket"),
+    )
+    pairs = _bucketed_cosine_pairs(b, threshold, max_cell)
+    labels = duplicate_clusters(pairs)
+    return (
+        corpus.select(id_col)
+        .join(labels.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col(id_col) == F.col("cluster_id"))
+    )
 
 
 def ivf_topk(

@@ -573,3 +573,98 @@ def test_decontaminate_benchmark_broadcast_plan(spark):
     plan = decontaminate(docs, bench)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_semantic_dedup_keeps_one_per_twin_group(spark):
+    """SemDeDup composition: planted near-identical twin groups inside
+    separable blobs collapse to one kept representative each; distinct
+    vectors keep themselves."""
+    from melodist_spark.pipeline.similarity import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    dim, blobs, per = 16, 3, 20
+    centers = np.zeros((blobs, dim))
+    for b in range(blobs):
+        centers[b, b * 4] = 5.0
+    rows = []
+    vid = 0
+    twin_groups = []
+    for b in range(blobs):
+        base_vecs = []
+        first_vid = vid
+        for i in range(per):
+            v = centers[b] + rng.normal(size=dim) * 0.3
+            base_vecs.append(v)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+        # plant 3 near-copies of this blob's first vector (tiny noise
+        # keeps cosine > 0.999)
+        group = [first_vid]
+        for _ in range(3):
+            v = base_vecs[0] + rng.normal(size=dim) * 1e-3
+            rows.append((vid, [float(x) for x in v]))
+            group.append(vid)
+            vid += 1
+        twin_groups.append(group)
+    corpus = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    got = (
+        semantic_dedup(corpus, dim=dim, k=blobs, threshold=0.999, iters=4)
+        .toPandas()
+        .set_index("vec_id")
+    )
+    assert len(got) == vid  # every row labeled
+    for group in twin_groups:
+        labels = {got.loc[g, "cluster_id"] for g in group}
+        assert labels == {min(group)}  # one canonical rep per group
+        keeps = [got.loc[g, "keep"] for g in group]
+        assert sum(keeps) == 1 and got.loc[min(group), "keep"]
+    # non-twin vectors are their own clusters (threshold is strict)
+    singles = got.drop(index=[g for grp in twin_groups for g in grp])
+    assert (singles["cluster_id"] == singles.index).all()
+    assert singles["keep"].all()
+
+
+def test_decontaminate_stateless_matches_joined_path(spark):
+    """The Arrow-kernel stateless path must agree with the broadcast-
+    join path row for row on the same corpus (and it must carry no
+    shuffle: streaming-safe plan)."""
+    from melodist_spark.pipeline.decontamination import (
+        benchmark_gram_array,
+        decontaminate,
+        decontaminate_stateless,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+
+    joined = decontaminate(train, bench, ngram=5).toPandas()
+    grams = benchmark_gram_array(bench, ngram=5)
+    stateless_df = decontaminate_stateless(train, grams, ngram=5)
+    stateless = stateless_df.toPandas()
+
+    a = joined.sort_values("doc_id").reset_index(drop=True)
+    b = stateless.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    plan = stateless_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # single narrow pass — stream-safe
+
+    # and it really runs on a stream: availableNow over the same files
+    import tempfile, os
+    src = os.path.join(tempfile.mkdtemp(prefix="decon_stream_"), "docs")
+    train.write.parquet(src)
+    stream = spark.readStream.schema(train.schema).parquet(src)
+    q = (
+        decontaminate_stateless(stream, grams, ngram=5)
+        .writeStream.format("memory")
+        .queryName("decon_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM decon_stream").toPandas()
+    c = got.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, c, check_dtype=False)
