@@ -412,11 +412,9 @@ def build_casc(
                 .applyInPandas(debucketed(fit_bucket), schema=schema)
             )
         else:
-            parts.append(
-                pin_partitions(sub, keys)
-                .groupBy(*keys)
-                .applyInPandas(fit_one, schema=schema)
-            )
+            # direct path: unpinned on purpose (reuses existing station
+            # partitioning, e.g. bucketed scans — see disagg_prec_cascade)
+            parts.append(sub.groupBy(*keys).applyInPandas(fit_one, schema=schema))
 
     out = parts[0]
     for p in parts[1:]:
@@ -812,4 +810,8 @@ def disagg_prec_cascade(
     def disagg(pdf: pd.DataFrame) -> pd.DataFrame:
         return disagg_one(group_key(pdf), pdf)
 
-    return pin_partitions(selected, keys).groupBy(*keys).applyInPandas(disagg, schema=schema)
+    # direct path: NO pin — the point of station_buckets=0 is reusing
+    # the table's existing station partitioning (bucketed scans skip
+    # their exchange entirely); tiny-group corpora where AQE would
+    # coalesce-and-serialize belong on the pinned bucket path above
+    return selected.groupBy(*keys).applyInPandas(disagg, schema=schema)

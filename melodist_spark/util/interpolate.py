@@ -215,6 +215,7 @@ def interpolate_spline(
     ts_col: str = "ts",
     method: str = "cubic",
     out_col: str | None = None,
+    pin: bool = True,
 ) -> DataFrame:
     """Fill interior nulls of ``value_col`` by positional cubic spline.
 
@@ -231,6 +232,13 @@ def interpolate_spline(
     sample are NOT extrapolated (documented deviation — spline
     extrapolation is numerically explosive and never meaningful for
     met series).
+
+    ``pin=True`` (default) repartitions by ``keys`` with an explicit
+    count so AQE cannot coalesce a small fleet onto one task in front
+    of the spline kernel (see ``util.execution.pin_partitions``); pass
+    ``pin=False`` when ``df`` is a table bucketed/partitioned by
+    ``keys`` whose existing layout should carry the grouped map with
+    no exchange at all.
     """
     if method not in ("cubic", "spline", "cubicspline"):
         raise NotImplementedError(
@@ -257,4 +265,5 @@ def interpolate_spline(
 
     from .execution import pin_partitions
 
-    return pin_partitions(df, keys).groupBy(*keys).applyInPandas(fill, schema=out_schema)
+    grouped = pin_partitions(df, keys) if pin else df
+    return grouped.groupBy(*keys).applyInPandas(fill, schema=out_schema)
