@@ -21,7 +21,20 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import MapType
+from pyspark.sql.types import ArrayType, MapType, StructType
+
+
+def _contains_map(dt) -> bool:
+    """True if the type tree contains a MapType anywhere — Spark's sort
+    orderability rejects maps at ANY nesting depth (array<map<...>>,
+    struct<..., map<...>>), not just at the top level."""
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
 
 
 def asof_join(
@@ -102,9 +115,10 @@ def asof_join(
     # total order on right ties (left rows are all-null there, so
     # their relative order stays irrelevant); the carried row is the
     # greatest payload tuple among the tied timestamps. Unorderable
-    # payload types (maps) are skipped — ties on those stay arbitrary.
+    # payload types (maps at any nesting depth) are skipped — ties on
+    # those stay arbitrary.
     orderable = {
-        f"__r_{f.name}": not isinstance(f.dataType, MapType)
+        f"__r_{f.name}": not _contains_map(f.dataType)
         for f in right.schema.fields
         if f.name in payload
     }

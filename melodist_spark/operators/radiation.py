@@ -226,6 +226,7 @@ def fit_bristow_campbell_params(
     daily: DataFrame,
     keys: list[str] = ("station_id",),
     date_col: str = "date",
+    pin: bool = True,
 ) -> DataFrame:
     """Fit Bristow-Campbell (A, C) by minimizing |mean bias|.
 
@@ -272,4 +273,5 @@ def fit_bristow_campbell_params(
 
     from ..util.execution import pin_partitions
 
-    return pin_partitions(prepared, keys).groupBy(*keys).applyInPandas(fit, schema=schema)
+    grouped = pin_partitions(prepared, keys) if pin else prepared
+    return grouped.groupBy(*keys).applyInPandas(fit, schema=schema)

@@ -67,6 +67,7 @@ def fit_cosine_function(
     keys: list[str] = ("station_id",),
     ts_col: str = "ts",
     wind_col: str = "wind",
+    pin: bool = True,
 ) -> DataFrame:
     """Fit (a, b, t_shift) of the diurnal cosine per station.
 
@@ -111,4 +112,5 @@ def fit_cosine_function(
 
     from ..util.execution import pin_partitions
 
-    return pin_partitions(prepared, keys).groupBy(*keys).applyInPandas(fit, schema=schema)
+    grouped = pin_partitions(prepared, keys) if pin else prepared
+    return grouped.groupBy(*keys).applyInPandas(fit, schema=schema)

@@ -165,21 +165,17 @@ def decontaminate_stateless(
 
     bench = np.ascontiguousarray(bench_grams, dtype=np.int64)
 
+    from ._arrow import ragged_layout
+
     @pandas_udf("long")
     def _hits(grams):
         out = np.zeros(len(grams), dtype=np.int64)
-        null = grams.isna().to_numpy()
-        lens = np.array(
-            [0 if n else len(g) for g, n in zip(grams, null)], dtype=np.int64
-        )
-        nz = lens > 0
+        null, _, offsets, nz = ragged_layout(grams)
         if nz.any():
             flat = np.concatenate(
                 [np.asarray(g, dtype=np.int64) for g, n in zip(grams, null) if not n and len(g)]
             )
             hit = np.isin(flat, bench).astype(np.int64)
-            offsets = np.zeros(len(lens), dtype=np.int64)
-            np.cumsum(lens[:-1], out=offsets[1:])
             out[nz] = np.add.reduceat(hit, offsets[nz])
         return pd.Series(out)
 

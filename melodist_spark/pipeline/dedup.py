@@ -277,6 +277,12 @@ def duplicate_clusters(
     """
     import warnings
 
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    if check_every < 1:
+        # 1 = check every round; 0 would be a modulo-by-zero mid-loop
+        raise ValueError(f"check_every must be >= 1, got {check_every}")
+
     def _truncate(df: DataFrame, slot: str) -> DataFrame:
         if checkpoint_dir is None:
             return df.localCheckpoint(eager=True)

@@ -87,7 +87,19 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     if maxval > 255:
         raise ValueError("16-bit PPM not supported")
     ch = 3 if payload[:2] == b"P6" else 1
-    arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=i)
+    need = w * h * ch
+    # tolerate CRLF-written headers (non-conformant but common): skip
+    # extra whitespace before the raster ONLY while the payload is
+    # over-long, so a raster whose first pixel byte happens to be
+    # whitespace-valued is never eaten; a short payload raises instead
+    # of silently shifting pixels
+    while n - i > need and payload[i : i + 1].isspace():
+        i += 1
+    if n - i < need:
+        raise ValueError(
+            f"PPM raster truncated: need {need} bytes, have {n - i}"
+        )
+    arr = np.frombuffer(payload, dtype=np.uint8, count=need, offset=i)
     return arr.reshape((h, w, 3) if ch == 3 else (h, w))
 
 

@@ -218,16 +218,14 @@ def simhash16_arrow_udf():
     # no annotations: `from __future__ import annotations` turns them
     # into strings pyspark's hint inference can't resolve here — the
     # un-hinted form is the plain SCALAR pandas_udf
+    from ._arrow import ragged_layout
+
     @pandas_udf("bigint")
     def _simhash16(hashes):
         # null token arrays (null text) → 0, matching the expression
         # path, whose null bit conditions fall through to otherwise(0)
         out = np.zeros(len(hashes), dtype=np.int64)
-        null = hashes.isna().to_numpy()
-        lens = np.array(
-            [0 if n else len(h) for h, n in zip(hashes, null)], dtype=np.int64
-        )
-        nz = lens > 0
+        null, lens, offsets, nz = ragged_layout(hashes)
         if nz.any():
             joined = "".join(
                 h[:16] for lst, n in zip(hashes, null) if not n for h in lst
@@ -237,8 +235,6 @@ def simhash16_arrow_udf():
             # hex-digit parity: '0'-'9' → code&1 (48 even), 'a'-'f' →
             # (code-87)&1 (87 odd flips it)
             par = ((arr - np.where(arr >= 97, 87, 48)) & 1).astype(np.int64)
-            offsets = np.zeros(len(lens), dtype=np.int64)
-            np.cumsum(lens[:-1], out=offsets[1:])
             counts = np.add.reduceat(par, offsets[nz], axis=0)
             bits = (2 * counts > lens[nz, None]).astype(np.int64)
             out[nz] = bits @ (1 << np.arange(16, dtype=np.int64))

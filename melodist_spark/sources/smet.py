@@ -98,29 +98,53 @@ def read_smet_fleet(
     ONE ``spark.read.text`` scan covers ``<directory>/*.smet``, data
     rows are separated from header lines by their leading ISO
     timestamp, and the station id comes from the file name via
-    ``input_file_name`` — the driver only opens a single header to
-    learn the common field list, so a 10⁶-file fleet reads as one
-    distributed job.
+    ``input_file_name`` (URL-decoded — Spark encodes the path). The
+    shared field list is learned from the SAME scan (a tiny distinct
+    over the two header lines), so discovery needs no driver-local
+    filesystem access: the directory may live on HDFS/S3/any Hadoop
+    filesystem, and a 10⁶-file fleet reads as one distributed job.
+    The distinct doubles as validation — files disagreeing on the
+    field list raise instead of mis-parsing columns positionally.
     """
-    import glob as _glob
     import os as _os
 
-    files = sorted(_glob.glob(_os.path.join(directory, "*.smet")))
-    if not files:
-        raise FileNotFoundError(f"no .smet files under {directory}")
-    header, _ = read_smet_header(files[0])
-    columns = header["fields"].split()
-    multipliers = [float(x) for x in header["units_multiplier"].split()]
+    from pyspark.errors import AnalysisException
 
     raw = spark.read.text(_os.path.join(directory, "*.smet")).select(
         F.input_file_name().alias("__file"), "value"
     )
+    header: dict[str, str] = {}
+    try:
+        hdr_lines = (
+            raw.filter(F.col("value").rlike(r"^(fields|units_multiplier)\s*="))
+            .select(F.trim("value").alias("v"))
+            .distinct()
+            .collect()
+        )
+    except AnalysisException as e:
+        raise FileNotFoundError(f"no .smet files under {directory}") from e
+    for (ln,) in hdr_lines:
+        k, v = ln.split("=", 1)
+        k, v = k.strip(), v.strip()
+        if k in header and header[k] != v:
+            raise ValueError(
+                f"SMET fleet files under {directory} disagree on '{k}' — "
+                "read them individually with read_smet instead"
+            )
+        header[k] = v
+    if "fields" not in header:
+        raise FileNotFoundError(f"no .smet files under {directory}")
+    columns = header["fields"].split()
+    multipliers = [float(x) for x in header["units_multiplier"].split()]
+
     data = raw.filter(F.col("value").rlike(r"^\d{4}-\d{2}-\d{2}T"))
     parts = F.split(F.trim(F.regexp_replace("value", r"\s+", " ")), " ")
 
     rename = SMET_TO_DAILY if mode == "d" else SMET_TO_HOURLY
     out_cols = [
-        F.regexp_extract("__file", r"([^/]+)\.smet$", 1).alias("station_id"),
+        F.url_decode(
+            F.regexp_extract("__file", r"([^/]+)\.smet$", 1)
+        ).alias("station_id"),
         F.to_timestamp(parts.getItem(0), "yyyy-MM-dd'T'HH:mm").alias("ts"),
     ]
     for i, c in enumerate(columns):

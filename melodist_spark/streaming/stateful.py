@@ -155,28 +155,38 @@ def streaming_disaggregate_temperature(
             state.remove()
             return
 
-        def arm_timeout(pend_day: int | None):
+        def arm_or_flush(pend):
+            """Arm the timeout for ``pend``, or — when the watermark has
+            ALREADY passed the flush deadline — emit the buffered day
+            right now and clear state, returning the emission.
+
+            Arming a passed timestamp is not an option twice over:
+            setTimeoutTimestamp throws on it, and the earlier clamp to
+            watermark+1 only fired if the watermark advanced *again* —
+            a lagging station at the end of a stream (or an
+            availableNow run's last batch) would never flush even
+            though the watermark already proves its successor day
+            cannot arrive. Flushing inline is the semantically due
+            action, not a workaround.
+            """
             if flush_ms is not None:
                 state.setTimeoutDuration(flush_ms)
-            elif horizon_ms is not None and pend_day is not None:
-                # flush when the watermark proves the successor day
-                # can no longer arrive: end of buffered day + horizon.
-                # Clamped above the current watermark — for a station
-                # whose buffered day lags the fleet, the global
-                # watermark may already be past that instant, and
-                # setTimeoutTimestamp on a passed timestamp throws,
-                # failing the whole query; the clamp makes the lagging
-                # key flush on the next trigger instead.
-                state.setTimeoutTimestamp(
-                    max(
-                        (pend_day + 1) * _DAY_MS + horizon_ms,
-                        state.getCurrentWatermarkMs() + 1,
-                    )
-                )
+                return None
+            if horizon_ms is None or pend is None:
+                return None
+            deadline = (pend[0] + 1) * _DAY_MS + horizon_ms
+            if deadline <= state.getCurrentWatermarkMs():
+                out = _emit(key, keys, pend, pend[1])
+                state.remove()
+                return out
+            state.setTimeoutTimestamp(deadline)
+            return None
 
         chunks = [p for p in pdfs if len(p)]
         if not chunks:
-            arm_timeout(state.get[0] if state.exists else None)
+            em = arm_or_flush(state.get if state.exists else None)
+            if em is not None:
+                yield em
             return
         rows = pd.concat(chunks, ignore_index=True)
         rows = rows.sort_values(date_col)
@@ -206,7 +216,9 @@ def streaming_disaggregate_temperature(
                 tmax_before = tmax
             pend = (day, float(tmin), float(tmax), float(tmax_before))
         state.update(pend)
-        arm_timeout(pend[0])
+        em = arm_or_flush(pend)
+        if em is not None:
+            outs.append(em)
         if outs:
             yield pd.concat(outs, ignore_index=True)
 

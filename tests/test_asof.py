@@ -116,3 +116,25 @@ def test_asof_tied_right_timestamps_deterministic(spark):
         ).toPandas()
         results.add(float(got["r_quote"].iloc[0]))
     assert results == {9.0}
+
+
+def test_asof_right_payload_with_nested_map_runs(spark):
+    """Regression: payload columns whose type contains a map at any
+    nesting depth (array<map>, struct<map>) are unorderable — they
+    must be skipped by the tie-break, not crash the plan."""
+    left = spark.createDataFrame(
+        [("k", 10)], ["station_id", "ts"]
+    )
+    right = spark.createDataFrame(
+        [
+            ("k", 5, [{"a": "1"}], 1.0),
+            ("k", 5, [{"b": "2"}], 2.0),
+        ],
+        "station_id string, ts long, attrs array<map<string,string>>, v double",
+    )
+    from melodist_spark.operators.asof import asof_join
+
+    got = asof_join(left, right, keys=["station_id"], ts_col="ts").toPandas()
+    assert len(got) == 1
+    # the orderable column v still breaks the tie deterministically
+    assert got["r_v"].iloc[0] == 2.0

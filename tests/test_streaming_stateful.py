@@ -255,3 +255,57 @@ def test_event_time_flush(spark, tmp_path):
     assert sorted(a["d"].unique()) == ["2015-06-01", "2015-06-02"]
     # flushed day uses the is_last fallback -> fully populated
     assert a[a.d == "2015-06-02"]["temp"].notna().all()
+
+
+def test_event_time_flush_for_already_late_station(spark, tmp_path):
+    """Regression: a station whose flush deadline is ALREADY behind the
+    fleet watermark when its data arrives must emit inline — arming a
+    watermark+1 timeout would never fire on a stream that then goes
+    quiet, silently losing the buffered day."""
+    src = str(tmp_path / "evt_late")
+    # batch 1: station B far in the future — drives the watermark
+    b1 = pd.DataFrame(
+        {
+            "station_id": ["B"] * 3,
+            "date": pd.to_datetime(
+                ["2015-06-07", "2015-06-08", "2015-06-09"]
+            ).date,
+            "tmin": [271.0, 272.0, 273.0],
+            "tmax": [281.0, 282.0, 283.0],
+        }
+    )
+    # batch 2: lagging station A, deadline (06-02 + 2d) << watermark;
+    # nothing else ever arrives
+    b2 = pd.DataFrame(
+        {
+            "station_id": ["A"],
+            "date": pd.to_datetime(["2015-06-01"]).date,
+            "tmin": [280.0],
+            "tmax": [290.0],
+        }
+    )
+    for b in (b1, b2):
+        spark.createDataFrame(b).coalesce(1).write.mode("append").parquet(src)
+
+    from melodist_spark.streaming.stateful import (
+        streaming_disaggregate_temperature,
+    )
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_disaggregate_temperature(stream, flush_after="2 days")
+        .writeStream.format("memory")
+        .queryName("stateful_evt_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select * from stateful_evt_late").toPandas()
+    a = got[got.station_id == "A"].copy()
+    assert len(a) == 24  # the buffered day WAS emitted
+    assert a["temp"].notna().all()
