@@ -102,3 +102,39 @@ def test_plan_contract_lsh_candidate_pairs(spark):
         r"Left keys \[3\]: \[band_idx[^\]]*band_hash[^\]]*__salt", plan
     ), "salt not part of the join keys"
     assert not re.search(r"CartesianProduct|BroadcastNestedLoopJoin", plan)
+
+
+def test_plan_contract_grouped_map_pinned_parallelism(spark):
+    """The bucketed cascade grouped-map must sit behind an explicit
+    REPARTITION_BY_NUM exchange (AQE's byte-based coalescing would
+    otherwise serialize the compute-heavy kernel onto one task), while
+    the direct station_buckets=0 path must NOT insert one (its point
+    is reusing the table's existing station partitioning)."""
+    import pandas as pd
+
+    from melodist_spark.operators.cascade import (
+        CascadeStatistics,
+        disagg_prec_cascade,
+    )
+
+    stats = CascadeStatistics()
+    stats.fill_with_sample_data()
+    daily = spark.createDataFrame(
+        pd.DataFrame(
+            dict(
+                station_id="s1",
+                date=pd.date_range("2015-01-01", periods=10, freq="D").date,
+                precip=1.0,
+            )
+        )
+    )
+    pinned = _plan(
+        disagg_prec_cascade(daily, stats, seed=1, station_buckets=8)
+    )
+    assert re.search(r"REPARTITION_BY_NUM|RoundRobin|rep", pinned) and re.search(
+        r"hashpartitioning\(__bucket[^)]*, 8\)", pinned
+    ), "bucket path lost its explicit 8-partition exchange"
+    direct = _plan(
+        disagg_prec_cascade(daily, stats, seed=1, station_buckets=0)
+    )
+    assert not re.search(r"REPARTITION_BY_NUM", direct)
