@@ -244,20 +244,24 @@ def duplicate_clusters(
     corpus where plain propagation hadn't converged after 30. No
     driver-side graph, no adjacency materialization.
 
-    Iteration mechanics: label lineage must be truncated every round
-    or the plan grows without bound. Fault-tolerance story — with
-    ``checkpoint_dir=None`` truncation uses ``localCheckpoint``
-    (executor-local blocks: cheapest, but a lost executor kills the
-    job mid-iteration; the right default on a single-node session or
-    when a rerun is acceptable). On a large cluster pass
-    ``checkpoint_dir``: each round's label table is written to that
-    reliable storage (alternating scratch parquet paths, as is the
-    symmetrized edge list once), so executor loss replays at most one
-    round from durable state instead of restarting the whole
-    propagation. Convergence is counted only every ``check_every``
-    rounds (the count is a driver action; exponential percolation
-    makes intermediate checks mostly wasted), at worst running
-    ``check_every - 1`` extra cheap rounds past the fixpoint.
+    Iteration mechanics: label lineage is truncated every round, but
+    rounds are BATCHED into ``check_every``-sized windows so each
+    window costs exactly one driver action. With
+    ``checkpoint_dir=None`` every round lazy-``localCheckpoint``s and
+    the window's convergence count is the single job that materializes
+    (and block-persists) all of them — executor-local blocks are
+    cheapest, but a lost executor kills the job mid-iteration; the
+    right default on a single-node session or when a rerun is
+    acceptable. On a large cluster pass ``checkpoint_dir``: the label
+    table is written to that reliable storage once per window
+    (alternating scratch parquet paths, as is the symmetrized edge
+    list once), with the changed-row count riding the write job as an
+    observed metric instead of a second full scan; executor loss
+    replays at most one window (≤ ``check_every`` rounds) from
+    durable state instead of restarting the whole propagation.
+    Exponential percolation makes per-round convergence checks mostly
+    wasted — a window runs at worst ``check_every - 1`` extra cheap
+    rounds past the fixpoint.
 
     Near-dup graphs are *sparse*: the label table holds one row per
     node that appears in any pair — typically orders of magnitude
@@ -315,6 +319,7 @@ def duplicate_clusters(
         else (lambda df: df)
     )
     changed = None
+    n_writes = 0
     for it in range(max_iter):
         nbr = (
             sym.join(
@@ -341,21 +346,48 @@ def duplicate_clusters(
         )
         # pointer jump on the UPDATED table: label := label(label)
         jump = l2.select(F.col("id").alias("l2"), F.col("l2").alias("j"))
-        stepped = _truncate(
-            l2.join(hint(jump), "l2", "left").select(
-                "id",
-                "label",
-                F.least("l2", F.coalesce("j", "l2")).alias("new_label"),
-            ),
-            f"labels_{it % 2}",  # alternate: never clobber the round's input
+        plan = l2.join(hint(jump), "l2", "left").select(
+            "id",
+            "label",
+            F.least("l2", F.coalesce("j", "l2")).alias("new_label"),
         )
+        is_check = (it + 1) % check_every == 0 or it == max_iter - 1
+        if checkpoint_dir is None:
+            # lazy truncation: the convergence count at the end of the
+            # check window is the ONE driver action that materializes
+            # (and block-persists) every round in the window — versus
+            # one eager checkpoint job per round plus a separate count
+            stepped = plan.localCheckpoint(eager=False)
+            if is_check:
+                changed = stepped.filter(
+                    F.col("new_label") != F.col("label")
+                ).count()
+        elif is_check:
+            # reliable mode: the parquet write is the window's single
+            # action; the changed-count rides it as an observed metric
+            # instead of re-scanning the written table. Alternate two
+            # slot paths by write count so a write never overwrites
+            # the parquet its own job is reading.
+            from pyspark.sql import Observation
+
+            obs = Observation(f"cc_changed_{it}")
+            stepped = _truncate(
+                plan.observe(
+                    obs,
+                    F.count(
+                        F.when(F.col("new_label") != F.col("label"), 1)
+                    ).alias("changed"),
+                ),
+                f"labels_{n_writes % 2}",
+            )
+            n_writes += 1
+            changed = obs.get["changed"]
+        else:
+            # lineage grows ≤ check_every-1 rounds deep between writes
+            stepped = plan
         labels = stepped.select("id", F.col("new_label").alias("label"))
-        if (it + 1) % check_every == 0 or it == max_iter - 1:
-            changed = stepped.filter(
-                F.col("new_label") != F.col("label")
-            ).count()
-            if changed == 0:
-                break
+        if is_check and changed == 0:
+            break
     if changed != 0:
         # partially-merged labels would silently disagree with an exact
         # connected-components oracle — make non-convergence loud
