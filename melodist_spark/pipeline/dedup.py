@@ -401,6 +401,73 @@ def duplicate_clusters(
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 
+# positional packing of (doc_id, line_no) into one orderable bigint:
+# supports docs up to 2^20 (~1M) lines — far beyond any real document
+_LINE_POS_BITS = 20
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 10,
+    out_col: str = "text_deduped",
+) -> DataFrame:
+    """Corpus-wide line-level deduplication (the C4/RefinedWeb pass):
+    every line that appears anywhere else in the corpus is kept only
+    at its FIRST occurrence (smallest ``(doc_id, line_no)``) and
+    removed everywhere else, then documents are reassembled in line
+    order. Lines shorter than ``min_chars`` after trimming (bullets,
+    blank separators, "Home") are exempt — dropping those would
+    mangle unrelated documents that legitimately share them.
+
+    Scale shape: no windows and no driver state. First-occurrence
+    selection is ``groupBy(line).agg(min(packed_position))`` — a
+    map-side-combinable aggregation, so a line duplicated a million
+    times (boilerplate headers) contributes one partial row per input
+    partition, not a million shuffled rows; the keep-decision then
+    comes back via an equi-join on the line (AQE skew-split handles
+    hot lines). Reassembly is one aggregation by document. Three
+    shuffles total, each on a natural key.
+
+    Returns the input frame with ``out_col`` added (empty string if
+    every line of a document was dropped; null text stays null).
+    """
+    packed = (
+        F.col(id_col).cast("bigint") * F.lit(1 << _LINE_POS_BITS)
+        + F.col("__pos")
+    )
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    ).withColumn("__at", packed)
+    eligible = F.length(F.trim(F.col("__line"))) >= min_chars
+    first_occ = (
+        lines.filter(eligible)
+        .groupBy("__line")
+        .agg(F.min("__at").alias("__keep_at"))
+    )
+    kept = (
+        lines.join(first_occ, "__line", "left")
+        .filter((~eligible) | (F.col("__at") == F.col("__keep_at")))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias(out_col)
+    )
+    return df.join(rebuilt, id_col, "left").withColumn(
+        out_col,
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string")).otherwise(
+            F.coalesce(F.col(out_col), F.lit(""))
+        ),
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,

@@ -668,3 +668,149 @@ def test_decontaminate_stateless_matches_joined_path(spark):
     got = spark.sql("SELECT * FROM decon_stream").toPandas()
     c = got.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, c, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# line-level dedup / LM perplexity / sequence packing
+# ---------------------------------------------------------------------------
+
+
+def test_line_dedup_keeps_first_occurrence(spark):
+    from melodist_spark.pipeline.dedup import line_dedup
+
+    boiler = "subscribe to our newsletter today"
+    rows = [
+        (1, f"unique first line one\n{boiler}\nshort\nunique tail one"),
+        (2, f"{boiler}\nunique first line two"),
+        (3, f"unique only line three\n{boiler}"),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["text_deduped"]
+        for r in line_dedup(df, min_chars=10).collect()
+    }
+    # boilerplate survives only in doc 1 (first occurrence); the short
+    # line ("short" < 10 chars) is exempt and survives everywhere
+    assert out[1] == rows[0][1]
+    assert out[2] == "unique first line two"
+    assert out[3] == "unique only line three"
+    assert out[4] is None
+    assert out[5] == ""
+
+
+def test_line_dedup_within_doc_repeat(spark):
+    from melodist_spark.pipeline.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(7, "repeated enough chars\nmiddle line here\nrepeated enough chars")],
+        "doc_id long, text string",
+    )
+    out = line_dedup(df, min_chars=10).collect()[0]["text_deduped"]
+    assert out == "repeated enough chars\nmiddle line here"
+
+
+def test_lm_cross_entropy_ranks_gibberish(spark):
+    """A document of corpus-typical bigrams must score lower
+    cross-entropy than one of bigrams never seen in training."""
+    from melodist_spark.pipeline.lm import lm_cross_entropy
+
+    train_rows = [(i, "the cat sat on the mat " * 5) for i in range(10)]
+    train_rows += [(100 + i, "a dog ran in the park " * 5) for i in range(10)]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    df = spark.createDataFrame(
+        train_rows[:1] + [(500, "zxq qzx vvk kzz pqw wqp"), (501, "the")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in lm_cross_entropy(df, train_df=train).select(
+            "doc_id", "n_bigrams", "cross_entropy", "perplexity"
+        ).collect()
+    }
+    assert out[0]["cross_entropy"] < out[500]["cross_entropy"]
+    # every gibberish bigram is fully unseen (unknown w1): P = 1/V with
+    # V = 10 train unigrams, so perplexity == V exactly
+    import math as _m
+
+    assert _m.isclose(out[500]["perplexity"], 10.0, rel_tol=1e-9)
+    assert out[501]["cross_entropy"] is None  # < 2 tokens
+    import math
+
+    assert math.isclose(
+        out[0]["perplexity"], math.exp(out[0]["cross_entropy"]), rel_tol=1e-9
+    )
+
+
+def test_lm_cross_entropy_matches_hand_model(spark):
+    """Tiny corpus checked against a hand-computed smoothed bigram LM."""
+    import math
+
+    from melodist_spark.pipeline.lm import lm_cross_entropy
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b")], "doc_id long, text string"
+    )
+    # unigrams: a=3, b=3 -> V=2; bigrams: "a b"=3, "b a"=1; alpha=0.4
+    p_ab = (3 + 0.4) / (3 + 0.4 * 2)
+    p_ba = (1 + 0.4) / (3 + 0.4 * 2)
+    h1 = -(2 * math.log(p_ab) + 1 * math.log(p_ba)) / 3
+    got = {
+        r["doc_id"]: r["cross_entropy"]
+        for r in lm_cross_entropy(df).collect()
+    }
+    assert math.isclose(got[1], h1, rel_tol=1e-9)
+    assert math.isclose(got[2], -math.log(p_ab), rel_tol=1e-9)
+
+
+def test_pack_sequences_layout_invariants(spark):
+    """Offsets tile the stream exactly; the layout is identical no
+    matter how the input is partitioned or how many range buckets the
+    prefix sum uses."""
+    from melodist_spark.pipeline.packing import pack_sequences
+
+    rows = [(i, "tok " * ((i % 7) + 1)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, seq_len=16, n_buckets=8).toPandas()
+    out = out.sort_values("begin_offset").reset_index(drop=True)
+
+    # contiguous tiling: each doc starts where the previous ended
+    ends = out["begin_offset"] + out["n_tokens"]
+    assert (out["begin_offset"].iloc[1:].to_numpy() == ends.iloc[:-1].to_numpy()).all()
+    assert out["begin_offset"].iloc[0] == 0
+    # sequence ids consistent with offsets
+    assert (out["seq_first"] == out["begin_offset"] // 16).all()
+    assert (out["seq_last"] == (ends - 1) // 16).all()
+    assert (out["offset_in_seq"] == out["begin_offset"] % 16).all()
+
+    # bucket-count and partitioning invariance
+    alt = (
+        pack_sequences(df.repartition(13), seq_len=16, n_buckets=1)
+        .toPandas()
+        .sort_values("begin_offset")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out[["doc_id", "begin_offset"]], alt[["doc_id", "begin_offset"]]
+    )
+
+
+def test_pack_sequences_no_global_window(spark):
+    """The prefix sum must not funnel the corpus through one task: no
+    single-partition Exchange feeding the big window sort."""
+    from melodist_spark.pipeline.packing import pack_sequences
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit("a b c").alias("text")
+    )
+    plan = (
+        pack_sequences(df, seq_len=8, n_buckets=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the only SinglePartition exchange allowed is the tiny
+    # bucket-offset frame (64 rows); the corpus-side window must be
+    # hash-partitioned by bucket
+    assert "hashpartitioning(__bucket" in plan
