@@ -44,9 +44,13 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _met_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → met-shaped hourly-ish observations."""
     e = _events(spark, sf_dir)
+    # event_id/value ride along for the event-grain compounds
+    # (window_primitives); Catalyst prunes them everywhere else
     return e.select(
+        F.col("event_id"),
         F.col("user_id"),
         F.col("ts"),
+        F.col("value"),
         (250.0 + F.col("value") * 0.2).alias("temp"),
         (20.0 + F.col("value") - F.floor(F.col("value") / 60.0) * 60.0).alias("hum"),
         F.greatest(F.col("value") - 300.0, F.lit(0.0)).alias("precip"),
@@ -61,7 +65,7 @@ def _met_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MET_HOURLY_SQL = """
-    SELECT user_id, ts,
+    SELECT event_id, user_id, ts, value,
            250.0 + value * 0.2 AS temp,
            20.0 + value - floor(value / 60.0) * 60.0 AS hum,
            greatest(value - 300.0, 0.0) AS precip,
@@ -406,17 +410,29 @@ def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 for the first 8 query vectors."""
-    from melodist_spark.pipeline.similarity import brute_force_topk
+    """ANN baseline and scale path in one frame, tagged by method:
+    ``brute`` — exact cosine top-5 (broadcast query set over one
+    corpus scan) — and ``ivf`` — the same queries coarse-quantized to
+    the nearest label-cell centroid with exact re-rank inside the
+    probed cell only (partition-pruning ANN). One row per
+    (method, query, rank); comparing the two methods per query IS the
+    recall measurement (subsumes the former ``ivf_topk`` row)."""
+    from melodist_spark.pipeline.similarity import brute_force_topk, ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 8)
-    out = brute_force_topk(emb, queries, k=5)
-    return out.select(
-        "query_id",
-        "neighbor_id",
-        F.round("cos_sim", 6).alias("cos_sim"),
-        F.col("rank").cast("long").alias("rank"),
+
+    def shaped(method: str, out: DataFrame) -> DataFrame:
+        return out.select(
+            F.lit(method).alias("method"),
+            "query_id",
+            "neighbor_id",
+            F.round("cos_sim", 6).alias("cos_sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    return shaped("brute", brute_force_topk(emb, queries, k=5)).unionByName(
+        shaped("ivf", ivf_topk(emb, queries, k=5))
     )
 
 
@@ -449,7 +465,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     wind_equal/humidity_equal explode+ffill, seasonal_subset's
     month-isin predicate ⊂ the month groupings of
     month_hour_wet_mean/mean_course_temp, cascade_5min ⊂
-    cascade_disagg's grain='5min' branch) are anchored by the
+    cascade_disagg's grain='5min' branch, meteo_scalars ⊂
+    window_primitives' single event-grain scan, dedup_groups ⊂
+    dup_clusters' exact/prefix member rows, ivf_topk ⊂
+    embedding_topk's method='ivf' branch) are anchored by the
     containing query."""
     return {
         # temperature family
@@ -485,13 +504,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "api_pipeline": q_api_pipeline,
         # training-data pipeline
         "multimodal_hist": q_multimodal_hist,
-        "ivf_topk": q_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_topk": q_embedding_topk,
         "minhash_pairs": q_minhash_pairs,
         "jaccard_pairs": q_jaccard_pairs,
-        "dedup_groups": q_dedup_groups,
         "dup_clusters": q_dup_clusters,
+        "line_dedup": q_line_dedup,
+        "doc_perplexity": q_doc_perplexity,
+        "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
         "doc_sample": q_doc_sample,
         "vocab_topk": q_vocab_topk,
@@ -505,7 +525,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dyadic_calendars": q_dyadic_calendars,
         "gap_analysis": q_gap_analysis,
         "asof_attribution": q_asof_attribution,
-        "meteo_scalars": q_meteo_scalars,
         "sun_times": q_sun_times,
         "month_hour_wet_mean": q_month_hour_wet_mean,
         "validation_metrics": q_validation_metrics,
@@ -695,6 +714,61 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank
         FROM ranked WHERE rank <= 5
+    """
+
+    ivf_sql = """
+            WITH flat AS (
+              SELECT label,
+                     CAST(unnest(generate_series(1, len(embedding))) - 1 AS BIGINT) AS pos,
+                     CAST(unnest(embedding) AS DOUBLE) AS v
+              FROM embeddings
+            ),
+            cent AS (
+              SELECT label, pos, avg(v) AS c
+              FROM flat GROUP BY 1, 2
+            ),
+            qf AS (
+              SELECT vec_id AS query_id,
+                     CAST(unnest(generate_series(1, len(embedding))) - 1 AS BIGINT) AS pos,
+                     CAST(unnest(embedding) AS DOUBLE) AS qv
+              FROM embeddings WHERE vec_id < 8
+            ),
+            cell AS (
+              SELECT q.query_id, c.label,
+                     sum(q.qv * c.c) / (sqrt(sum(q.qv * q.qv)) * sqrt(sum(c.c * c.c))) AS cell_cos
+              FROM qf q JOIN cent c ON q.pos = c.pos
+              GROUP BY 1, 2
+            ),
+            assigned AS (
+              SELECT query_id, label
+              FROM (
+                SELECT query_id, label,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cell_cos DESC, label ASC) AS rn
+                FROM cell
+              ) WHERE rn = 1
+            ),
+            q AS (
+              SELECT e.vec_id AS query_id, e.embedding AS qv, a.label
+              FROM embeddings e JOIN assigned a ON e.vec_id = a.query_id
+            ),
+            cand AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS sim
+              FROM q JOIN embeddings e ON e.label = q.label
+              WHERE e.vec_id <> q.query_id
+            ),
+            ranked AS (
+              SELECT query_id, neighbor_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id ASC) AS rank
+              FROM cand
+            )
+            SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim,
+                   CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 5
     """
 
     stop_en = "['the','and','of','to','in','is','that','with']"
@@ -986,12 +1060,26 @@ def oracle_sql() -> dict[str, str]:
                          END + 273.15, 6) AS td
             FROM v
         """,
-        "window_primitives": """
+        "window_primitives": f"""
+            WITH m AS ({_MET_HOURLY_SQL}),
+            v AS (
+              SELECT *,
+                     CASE WHEN temp >= 273.15
+                          THEN 6.112 * exp(17.62*(temp-273.15)/(243.12+temp-273.15))
+                          ELSE 6.112 * exp(22.46*(temp-273.15)/(272.62+temp-273.15))
+                     END * hum / 100.0 AS vp
+              FROM m
+            )
             SELECT event_id, user_id,
                    round(sum(value) OVER wcum, 3) AS run_sum,
                    round(value / sum(value) OVER (PARTITION BY user_id, CAST(ts AS DATE)), 6) AS day_frac,
-                   round(last_value(CASE WHEN value > 50 THEN value END IGNORE NULLS) OVER wcum, 6) AS v_ff
-            FROM events
+                   round(last_value(CASE WHEN value > 50 THEN value END IGNORE NULLS) OVER wcum, 6) AS v_ff,
+                   round(vp, 6) AS vp,
+                   round(CASE WHEN temp >= 273.15
+                         THEN 243.12 * ln(vp/6.112) / (17.62 - ln(vp/6.112))
+                         ELSE 272.62 * ln(vp/6.112) / (22.46 - ln(vp/6.112))
+                         END + 273.15, 6) AS td
+            FROM v
             WINDOW wcum AS (PARTITION BY user_id ORDER BY ts
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
@@ -1281,8 +1369,122 @@ def oracle_sql() -> dict[str, str]:
               SELECT src, src FROM edges
               UNION
               SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst
+            ),
+            ex AS (
+              SELECT doc_id,
+                     min(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id,
+                     count(*) OVER (PARTITION BY md5(text)) AS n
+              FROM documents
+            ),
+            pre AS (
+              SELECT doc_id,
+                     min(doc_id) OVER (PARTITION BY md5(array_to_string(
+                         (string_split(text, ' '))[1:2], ' '))) AS cluster_id,
+                     count(*) OVER (PARTITION BY md5(array_to_string(
+                         (string_split(text, ' '))[1:2], ' '))) AS n
+              FROM documents
             )
-            SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+            SELECT 'exact' AS method, doc_id, cluster_id FROM ex WHERE n > 1
+            UNION ALL
+            SELECT 'prefix' AS method, doc_id, cluster_id FROM pre WHERE n > 1
+            UNION ALL
+            SELECT 'neardup' AS method, id AS doc_id, min(lbl) AS cluster_id
+            FROM reach GROUP BY id
+        """,
+        "line_dedup": """
+            WITH src AS (
+              SELECT doc_id,
+                     'shared header for source ' || source || chr(10) ||
+                     text || chr(10) ||
+                     'shared footer for lang ' || lang AS text
+              FROM documents
+            ),
+            l AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM src),
+            lines AS (
+              SELECT doc_id, i - 1 AS pos, ls[i] AS line
+              FROM l, unnest(generate_series(1, len(ls))) AS t(i)
+            ),
+            fo AS (
+              SELECT line, min(doc_id * 1048576 + pos) AS keep_at
+              FROM lines WHERE length(trim(line)) >= 10 GROUP BY line
+            ),
+            kept AS (
+              SELECT li.doc_id, li.pos, li.line
+              FROM lines li LEFT JOIN fo ON li.line = fo.line
+              WHERE length(trim(li.line)) < 10
+                 OR li.doc_id * 1048576 + li.pos = fo.keep_at
+            ),
+            rebuilt AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS td
+              FROM kept GROUP BY doc_id
+            )
+            SELECT s.doc_id,
+                   CAST(length(s.text) AS BIGINT) AS n_chars_in,
+                   CAST(length(coalesce(r.td, '')) AS BIGINT) AS n_chars_out,
+                   coalesce(r.td, '') AS text_deduped
+            FROM src s LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "doc_perplexity": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS w
+              FROM documents
+            ),
+            uni AS (
+              SELECT w1, count(*) AS c1
+              FROM (SELECT unnest(w) AS w1 FROM toks) GROUP BY w1
+            ),
+            vsz AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+            bg AS (
+              SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram, w[i] AS w1
+              FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)
+            ),
+            dbg AS (
+              SELECT doc_id, bigram, w1, count(*) AS k
+              FROM bg GROUP BY 1, 2, 3
+            ),
+            bc AS (SELECT bigram, count(*) AS c12 FROM bg GROUP BY bigram),
+            scored AS (
+              SELECT d.doc_id, sum(d.k) AS n_bigrams,
+                     sum(d.k * -ln(
+                         (coalesce(bc.c12, 0) + CAST(0.4 AS DOUBLE))
+                         / (coalesce(u.c1, 0) + CAST(0.4 AS DOUBLE) * vsz.v)
+                     )) / sum(d.k) AS h
+              FROM dbg d
+              LEFT JOIN bc USING (bigram)
+              LEFT JOIN uni u ON u.w1 = d.w1
+              CROSS JOIN vsz
+              GROUP BY d.doc_id
+            )
+            SELECT doc.doc_id,
+                   CAST(s.n_bigrams AS BIGINT) AS n_bigrams,
+                   round(s.h, 6) AS cross_entropy,
+                   round(exp(s.h), 6) AS perplexity
+            FROM documents doc LEFT JOIN scored s USING (doc_id)
+        """,
+        "pack_sequences": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+'))
+                          END AS BIGINT) AS n_tokens,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'), 1, 15))::BIGINT
+                     / 1152921504606846976.0 AS h
+              FROM documents
+            ),
+            o AS (
+              SELECT doc_id, n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (
+                         ORDER BY h, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS begin_offset
+              FROM t
+            )
+            SELECT doc_id, n_tokens, begin_offset,
+                   CAST(floor(begin_offset / 512.0) AS BIGINT) AS seq_first,
+                   CAST(floor((begin_offset + n_tokens - 1) / 512.0) AS BIGINT) AS seq_last,
+                   begin_offset % 512 AS offset_in_seq
+            FROM o
         """,
         "doc_sample": """
             WITH half AS (
@@ -1887,60 +2089,7 @@ def oracle_sql() -> dict[str, str]:
                          ELSE pot / potd * glob_d END, 6) AS glob_h
             FROM p3
         """,
-        "ivf_topk": """
-            WITH flat AS (
-              SELECT label,
-                     CAST(unnest(generate_series(1, len(embedding))) - 1 AS BIGINT) AS pos,
-                     CAST(unnest(embedding) AS DOUBLE) AS v
-              FROM embeddings
-            ),
-            cent AS (
-              SELECT label, pos, avg(v) AS c
-              FROM flat GROUP BY 1, 2
-            ),
-            qf AS (
-              SELECT vec_id AS query_id,
-                     CAST(unnest(generate_series(1, len(embedding))) - 1 AS BIGINT) AS pos,
-                     CAST(unnest(embedding) AS DOUBLE) AS qv
-              FROM embeddings WHERE vec_id < 8
-            ),
-            cell AS (
-              SELECT q.query_id, c.label,
-                     sum(q.qv * c.c) / (sqrt(sum(q.qv * q.qv)) * sqrt(sum(c.c * c.c))) AS cell_cos
-              FROM qf q JOIN cent c ON q.pos = c.pos
-              GROUP BY 1, 2
-            ),
-            assigned AS (
-              SELECT query_id, label
-              FROM (
-                SELECT query_id, label,
-                       row_number() OVER (PARTITION BY query_id
-                                          ORDER BY cell_cos DESC, label ASC) AS rn
-                FROM cell
-              ) WHERE rn = 1
-            ),
-            q AS (
-              SELECT e.vec_id AS query_id, e.embedding AS qv, a.label
-              FROM embeddings e JOIN assigned a ON e.vec_id = a.query_id
-            ),
-            cand AS (
-              SELECT q.query_id, e.vec_id AS neighbor_id,
-                     list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
-                     / (sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))
-                        * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS sim
-              FROM q JOIN embeddings e ON e.label = q.label
-              WHERE e.vec_id <> q.query_id
-            ),
-            ranked AS (
-              SELECT query_id, neighbor_id, sim,
-                     row_number() OVER (PARTITION BY query_id
-                                        ORDER BY sim DESC, neighbor_id ASC) AS rank
-              FROM cand
-            )
-            SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim,
-                   CAST(rank AS BIGINT) AS rank
-            FROM ranked WHERE rank <= 5
-        """,
+        "ivf_topk": ivf_sql,
         "multimodal_hist": """
             SELECT doc_id,
                    octet_length(CAST(text AS BLOB)) AS n_bytes,
@@ -2555,7 +2704,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash": simhash_sql,
         "minhash_bands": minhash_sql,
-        "embedding_topk": topk_sql,
+        "embedding_topk": f"""
+            SELECT 'brute' AS method, t.* FROM ({topk_sql}) t
+            UNION ALL
+            SELECT 'ivf' AS method, v.* FROM ({ivf_sql}) v
+        """,
     }
 
 
@@ -3566,24 +3719,6 @@ def q_multimodal_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-probed approximate top-k: queries coarse-quantize to the
-    nearest label-cell centroid, exact cosine re-rank inside that cell
-    only — the partition-pruning ANN scale path complementing the LSH
-    variant."""
-    from melodist_spark.pipeline.similarity import ivf_topk
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    queries = emb.filter(F.col("vec_id") < 8)
-    out = ivf_topk(emb, queries, k=5)
-    return out.select(
-        "query_id",
-        "neighbor_id",
-        F.round("cos_sim", 6).alias("cos_sim"),
-        F.col("rank").cast("long").alias("rank"),
-    )
-
-
 # ---------------------------------------------------------------------------
 # round 2: compound queries — the driver checks the first 50 registry
 # keys, so same-grain micro-queries are merged into compounds (union
@@ -3618,31 +3753,24 @@ def q_temp_sine_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mean.unionByName(night)
 
 
-def q_meteo_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sonntag vapor pressure and dewpoint temperature, both branches,
-    in one projection (`util/util.py:70-134`)."""
+def q_window_primitives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three event-grain window primitives — running sum (cascade
+    regrid, `precipitation.py:292-303`), per-day fraction
+    (master-station, `precipitation.py:399-400`), forward fill
+    (`util/util.py:60-62`) — plus the Sonntag scalar pair (vapor
+    pressure / dewpoint, both temperature branches,
+    `util/util.py:70-134`), all in ONE single-scan projection over
+    the event stream (subsumes the former ``meteo_scalars`` row:
+    identical table and grain, so one compound keeps both operator
+    families inside the checked window)."""
+    from pyspark.sql import Window
+
     from melodist_spark.functions.meteo import (
         dewpoint_temperature,
         vapor_pressure,
     )
 
     m = _met_hourly(spark, sf_dir)
-    return m.select(
-        "user_id",
-        "ts",
-        F.round(vapor_pressure(F.col("temp"), F.col("hum")), 6).alias("vp"),
-        F.round(dewpoint_temperature(F.col("temp"), F.col("hum")), 6).alias("td"),
-    )
-
-
-def q_window_primitives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The three event-grain window primitives in one pass: running
-    sum (cascade regrid, `precipitation.py:292-303`), per-day fraction
-    (master-station, `precipitation.py:399-400`) and forward fill
-    (`util/util.py:60-62`) — one window spec shared by two of them."""
-    from pyspark.sql import Window
-
-    e = _events(spark, sf_dir)
     wcum = (
         Window.partitionBy("user_id")
         .orderBy("ts")
@@ -3650,12 +3778,14 @@ def q_window_primitives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wday = Window.partitionBy("user_id", F.to_date("ts"))
     v = F.when(F.col("value") > 50, F.col("value"))
-    return e.select(
+    return m.select(
         "event_id",
         "user_id",
         F.round(F.sum("value").over(wcum), 3).alias("run_sum"),
         F.round(F.col("value") / F.sum("value").over(wday), 6).alias("day_frac"),
         F.round(F.last(v, ignorenulls=True).over(wcum), 6).alias("v_ff"),
+        F.round(vapor_pressure(F.col("temp"), F.col("hum")), 6).alias("vp"),
+        F.round(dewpoint_temperature(F.col("temp"), F.col("hum")), 6).alias("td"),
     )
 
 
@@ -3673,26 +3803,6 @@ def q_dyadic_calendars(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", F.lit("level9").alias("grain")
     )
     return five.unionByName(lvl9)
-
-
-def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-dedup groups on two digests, tagged by method: full-text
-    md5 (no collisions on this corpus) and a 2-word-prefix digest
-    (real duplicate groups) — group / keep-min-id / count semantics."""
-    from melodist_spark.pipeline.dedup import exact_duplicates
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    ex = exact_duplicates(docs).select(
-        F.lit("exact").alias("method"), "digest", "n_docs", "keep_id"
-    )
-    pdg = F.md5(F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 2)))
-    pre = (
-        docs.groupBy(pdg.alias("digest"))
-        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
-        .filter(F.col("n_docs") > 1)
-        .select(F.lit("prefix").alias("method"), "digest", "n_docs", "keep_id")
-    )
-    return ex.unionByName(pre)
 
 
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3765,11 +3875,19 @@ def q_gap_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate cluster assignment: LSH candidate pairs closed
-    into connected components by distributed min-label propagation —
-    the step that turns pairwise near-dup evidence into keep/drop
-    groups for corpus curation. cluster_id is the min doc_id reachable
-    from each clustered document (deterministic canonical label)."""
+    """Duplicate-cluster membership, all three dedup granularities in
+    one harmonized (method, doc_id, cluster_id) frame: ``exact``
+    (full-text md5 digest groups), ``prefix`` (2-word-prefix digest
+    groups — the template-duplicate signal), and ``neardup`` (LSH
+    candidate pairs closed into connected components by distributed
+    min-label propagation). cluster_id is the min doc_id of the group
+    — the deterministic keep representative — and singletons are
+    omitted, so the frame IS the curation drop-list join key.
+    Subsumes the former ``dedup_groups`` row (digest groups and
+    member rows carry the same information; group size is a count
+    over cluster_id)."""
+    from pyspark.sql import Window
+
     from melodist_spark.pipeline.dedup import (
         duplicate_clusters,
         lsh_bands,
@@ -3778,14 +3896,108 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def digest_members(method: str, digest: F.Column) -> DataFrame:
+        w = Window.partitionBy(digest)
+        return (
+            docs.withColumn("__n", F.count("*").over(w))
+            .withColumn("cluster_id", F.min("doc_id").over(w))
+            .filter(F.col("__n") > 1)
+            .select(F.lit(method).alias("method"), "doc_id", "cluster_id")
+        )
+
+    exact = digest_members("exact", F.md5(F.col("text")))
+    prefix = digest_members(
+        "prefix",
+        F.md5(F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 2))),
+    )
+
     bands = lsh_bands(
         minhash_signature(docs, num_hashes=16, shingle=3),
         num_hashes=16,
         band_size=4,
     )
     pairs = lsh_candidate_pairs(bands)
-    out = duplicate_clusters(pairs)
-    return out.select(F.col("id").alias("doc_id"), "cluster_id")
+    near = duplicate_clusters(pairs).select(
+        F.lit("neardup").alias("method"),
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+    )
+    return exact.unionByName(prefix).unionByName(near)
+
+
+def _multiline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with synthetic boilerplate lines: the corpus has
+    single-line texts, so shared header/footer lines (keyed off
+    source and lang — real shared-boilerplate structure) are added to
+    give line-level dedup actual cross-document duplicates to find."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.withColumn(
+        "text",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("shared header for source "), F.col("source")),
+            F.col("text"),
+            F.concat(F.lit("shared footer for lang "), F.col("lang")),
+        ),
+    )
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line-level dedup (C4/RefinedWeb pass): every line
+    keeps only its first (smallest (doc_id, line_no)) occurrence;
+    lines under 10 trimmed chars are exempt. Runs over documents with
+    synthetic per-source/per-lang boilerplate lines attached (the
+    corpus texts are single-line) — exactly one document per source
+    keeps the header and one per lang keeps the footer."""
+    from melodist_spark.pipeline.dedup import line_dedup
+
+    out = line_dedup(
+        _multiline_docs(spark, sf_dir), min_chars=10, out_col="text_deduped"
+    )
+    return out.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_in"),
+        F.length("text_deduped").cast("long").alias("n_chars_out"),
+        "text_deduped",
+    )
+
+
+def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring: per-document cross-entropy and
+    perplexity under an additively-smoothed bigram model trained on
+    the corpus itself (self-perplexity — the fluency/repetition
+    signal; high-perplexity tail = curation drop candidates)."""
+    from melodist_spark.pipeline.lm import lm_cross_entropy
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = lm_cross_entropy(docs, alpha=0.4)
+    return out.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round("cross_entropy", 6).alias("cross_entropy"),
+        F.round("perplexity", 6).alias("perplexity"),
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing manifest: documents in a
+    reproducible md5 shuffle order, concatenated into one token
+    stream and chunked every 512 tokens — per document its absolute
+    stream offset and first/last sequence (two-phase distributed
+    prefix sum; all-integer output, exact oracle parity)."""
+    from melodist_spark.pipeline.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = pack_sequences(docs, seq_len=512, n_buckets=64)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "begin_offset",
+        "seq_first",
+        "seq_last",
+        "offset_in_seq",
+    )
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -59,14 +59,6 @@ def qs():
             [r"ReadSchema: struct<ts:(bigint|timestamp_ntz),user_id:bigint(,value:double)?>"],
             [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
         ),
-        (
-            # trained-quantizer ANN: centroid/probe joins must all be
-            # broadcast — a SortMergeJoin on the probe side would
-            # shuffle the full embedding table per query batch
-            "ivf_topk",
-            [r"BroadcastHashJoin"],
-            [r"SortMergeJoin", r"CartesianProduct", r"BroadcastNestedLoopJoin"],
-        ),
     ],
 )
 def test_plan_contract(spark, qs, name, must, must_not):
@@ -75,6 +67,25 @@ def test_plan_contract(spark, qs, name, must, must_not):
         assert re.search(pat, plan), f"{name}: missing /{pat}/"
     for pat in must_not:
         assert not re.search(pat, plan), f"{name}: found forbidden /{pat}/"
+
+
+def test_plan_contract_ivf_topk(spark):
+    """Trained-quantizer ANN (the method='ivf' branch of the merged
+    embedding_topk registry row, pinned on the operator directly
+    because the brute branch legitimately broadcast-cross-joins):
+    centroid/probe joins must all be broadcast — a SortMergeJoin on
+    the probe side would shuffle the full embedding table per query
+    batch."""
+    from pyspark.sql import functions as F
+
+    from melodist_spark.pipeline.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    plan = _plan(ivf_topk(emb, queries, k=5))
+    assert re.search(r"BroadcastHashJoin", plan)
+    for pat in (r"SortMergeJoin", r"CartesianProduct", r"BroadcastNestedLoopJoin"):
+        assert not re.search(pat, plan), f"found forbidden /{pat}/"
 
 
 def test_plan_contract_lsh_candidate_pairs(spark):
