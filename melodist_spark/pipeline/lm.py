@@ -91,10 +91,6 @@ def lm_cross_entropy(
     signal). Adds ``n_bigrams``, ``cross_entropy`` (nats/bigram) and
     ``perplexity``; documents with fewer than two tokens get nulls.
     """
-    train = df if train_df is None else train_df
-    big, uni = bigram_lm(train, text_col, id_col, min_count=min_count)
-    vocab_size = uni.count()  # driver scalar: the model boundary
-
     # distinct bigrams with multiplicity: join size is per-doc
     # vocabulary, not document length
     doc_bigrams = (
@@ -103,6 +99,15 @@ def lm_cross_entropy(
         .agg(F.count("*").alias("k"))
         .withColumn("w1", F.split(F.col("bigram"), " ", 2)[0])
     )
+    # NOTE (measured, 2M docs): deriving the model's bigram counts
+    # from doc_bigrams ("reuse the shuffle") is a LOSS — the per-doc
+    # table is nearly as wide as the instance stream, so regrouping it
+    # by bigram shuffles ~78M rows, while re-tokenizing feeds a
+    # map-side-combined count from a narrow in-place pass (48-52 s vs
+    # 55-66 s interleaved A/B). Train always goes through bigram_lm.
+    train = df if train_df is None else train_df
+    big, uni = bigram_lm(train, text_col, id_col, min_count=min_count)
+    vocab_size = uni.count()  # driver scalar: the model boundary
     prob = (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(alpha)) / (
         F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha) * F.lit(vocab_size)
     )

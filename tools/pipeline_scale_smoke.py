@@ -133,7 +133,38 @@ def main():
     t7 = time.perf_counter()
     print(f"vocab_topk: {t7 - t6:.1f}s")
 
-    total = t7 - t_all
+    from melodist_spark.pipeline.dedup import line_dedup
+
+    # 3-line docs (shared boilerplate header per theme) so the
+    # line-level pass has real cross-document duplicates
+    multiline = docs.withColumn(
+        "text",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("boilerplate header for theme "),
+                     F.pmod(F.col("doc_id"), 1000)),
+            F.col("text"),
+        ),
+    )
+    line_dedup(multiline).agg(F.sum(F.length("text_deduped"))).collect()
+    t8 = time.perf_counter()
+    print(f"line_dedup: {t8 - t7:.1f}s")
+
+    from melodist_spark.pipeline.lm import lm_cross_entropy
+
+    lm_cross_entropy(docs).agg(F.avg("perplexity")).collect()
+    t9 = time.perf_counter()
+    print(f"lm_cross_entropy (self-trained bigram LM): {t9 - t8:.1f}s")
+
+    from melodist_spark.pipeline.packing import pack_sequences
+
+    pack_sequences(docs, seq_len=2048).agg(
+        F.max("seq_last"), F.sum("n_tokens")
+    ).collect()
+    t10 = time.perf_counter()
+    print(f"pack_sequences: {t10 - t9:.1f}s")
+
+    total = t10 - t_all
     print(
         f"TOTAL {total:.1f}s for {n} docs "
         f"({n / total:,.0f} docs/s end-to-end)"
