@@ -814,3 +814,66 @@ def test_pack_sequences_no_global_window(spark):
     # bucket-offset frame (64 rows); the corpus-side window must be
     # hash-partitioned by bucket
     assert "hashpartitioning(__bucket" in plan
+
+
+def test_mixture_sample_hits_target_proportions(spark):
+    from melodist_spark.pipeline.sampling import mixture_sample
+
+    rows = [(i, "web") for i in range(8000)]
+    rows += [(10_000 + i, "code") for i in range(1000)]
+    rows += [(20_000 + i, "forums") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    out = mixture_sample(df, {"web": 0.5, "code": 0.25, "forums": 0.25})
+    got = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # binding group: code/forums (1000 docs each at 25%) -> N = 4000,
+    # web keeps ~2000 of 8000 (hash threshold is approximate), the
+    # small groups keep everything
+    assert got["code"] == 1000
+    assert got["forums"] == 1000
+    assert abs(got["web"] - 2000) < 200
+    # deterministic: same call, same selection
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in mixture_sample(
+        df, {"web": 0.5, "code": 0.25, "forums": 0.25}).collect())
+    assert a == b
+
+    # groups not in the mix are dropped; unknown groups raise
+    out2 = mixture_sample(df, {"web": 1.0})
+    assert out2.filter(F.col("source") != "web").count() == 0
+    with pytest.raises(ValueError):
+        mixture_sample(df, {"books": 1.0})
+    with pytest.raises(ValueError):
+        mixture_sample(df, {})
+
+
+def test_chunk_documents_reconstruction(spark):
+    from melodist_spark.pipeline.packing import chunk_documents
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(25))),  # 25 tokens
+        (2, "a b c"),                               # shorter than a chunk
+        (3, ""),                                    # no chunks
+        (4, " ".join(f"u{i}" for i in range(10))),  # exact multiple
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, max_tokens=10, overlap=0).toPandas()
+
+    assert set(out[out.doc_id == 3].chunk_id) == set()
+    d1 = out[out.doc_id == 1].sort_values("chunk_id")
+    assert list(d1.chunk_tokens) == [10, 10, 5]
+    # concatenating non-overlapping chunks reconstructs the document
+    assert " ".join(d1.chunk_text) == rows[0][1]
+    d4 = out[out.doc_id == 4].sort_values("chunk_id")
+    assert list(d4.chunk_tokens) == [10]
+
+    # with overlap: starts advance by step, every chunk except the
+    # first repeats `overlap` tokens of left context
+    ov = chunk_documents(df.filter("doc_id = 1"), max_tokens=10, overlap=3)
+    d = ov.toPandas().sort_values("chunk_id")
+    toks = rows[0][1].split()
+    for _, r in d.iterrows():
+        s = int(r.chunk_id) * 7
+        assert r.chunk_text == " ".join(toks[s:s + 10])
+    # full coverage of the token stream
+    assert int(d.chunk_id.max()) * 7 + int(d.chunk_tokens.iloc[-1]) == 25
