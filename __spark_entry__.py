@@ -1043,23 +1043,6 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE user_id < 40
         """,
         "embedding_neardup": neardup_sql,
-        "meteo_scalars": f"""
-            WITH m AS ({_MET_HOURLY_SQL}),
-            v AS (
-              SELECT user_id, ts, temp,
-                     CASE WHEN temp >= 273.15
-                          THEN 6.112 * exp(17.62*(temp-273.15)/(243.12+temp-273.15))
-                          ELSE 6.112 * exp(22.46*(temp-273.15)/(272.62+temp-273.15))
-                     END * hum / 100.0 AS vp
-              FROM m
-            )
-            SELECT user_id, ts, round(vp, 6) AS vp,
-                   round(CASE WHEN temp >= 273.15
-                         THEN 243.12 * ln(vp/6.112) / (17.62 - ln(vp/6.112))
-                         ELSE 272.62 * ln(vp/6.112) / (22.46 - ln(vp/6.112))
-                         END + 273.15, 6) AS td
-            FROM v
-        """,
         "window_primitives": f"""
             WITH m AS ({_MET_HOURLY_SQL}),
             v AS (
@@ -1094,16 +1077,6 @@ def oracle_sql() -> dict[str, str]:
                    'level9' AS grain
             FROM (SELECT user_id, date FROM ({_MET_DAILY_SQL}))
             CROSS JOIN (SELECT unnest(generate_series(0, 511)) AS h) h
-        """,
-        "dedup_groups": """
-            SELECT 'exact' AS method, md5(text) AS digest,
-                   count(*) AS n_docs, min(doc_id) AS keep_id
-            FROM documents GROUP BY digest HAVING count(*) > 1
-            UNION ALL
-            SELECT 'prefix' AS method,
-                   md5(array_to_string((string_split(text, ' '))[1:2], ' ')) AS digest,
-                   count(*) AS n_docs, min(doc_id) AS keep_id
-            FROM documents GROUP BY digest HAVING count(*) > 1
         """,
         "text_features": f"""
             WITH t AS (
@@ -2089,7 +2062,6 @@ def oracle_sql() -> dict[str, str]:
                          ELSE pot / potd * glob_d END, 6) AS glob_h
             FROM p3
         """,
-        "ivf_topk": ivf_sql,
         "multimodal_hist": """
             SELECT doc_id,
                    octet_length(CAST(text AS BLOB)) AS n_bytes,

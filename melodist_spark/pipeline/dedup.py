@@ -244,24 +244,25 @@ def duplicate_clusters(
     corpus where plain propagation hadn't converged after 30. No
     driver-side graph, no adjacency materialization.
 
-    Iteration mechanics: label lineage is truncated every round, but
-    rounds are BATCHED into ``check_every``-sized windows so each
-    window costs exactly one driver action. With
-    ``checkpoint_dir=None`` every round lazy-``localCheckpoint``s and
-    the window's convergence count is the single job that materializes
-    (and block-persists) all of them — executor-local blocks are
-    cheapest, but a lost executor kills the job mid-iteration; the
-    right default on a single-node session or when a rerun is
-    acceptable. On a large cluster pass ``checkpoint_dir``: the label
-    table is written to that reliable storage once per window
-    (alternating scratch parquet paths, as is the symmetrized edge
-    list once), with the changed-row count riding the write job as an
-    observed metric instead of a second full scan; executor loss
-    replays at most one window (≤ ``check_every`` rounds) from
-    durable state instead of restarting the whole propagation.
-    Exponential percolation makes per-round convergence checks mostly
-    wasted — a window runs at worst ``check_every - 1`` extra cheap
-    rounds past the fixpoint.
+    Iteration mechanics: label lineage is truncated every round (a
+    round references its input eight times — through nbr, hub and
+    jump — so an un-truncated round would widen the analyzed plan 8×),
+    and convergence is only counted once per ``check_every``-sized
+    window. With ``checkpoint_dir=None`` truncation is a lazy
+    ``localCheckpoint`` and the window's convergence count is the
+    single driver action that materializes (and block-persists) every
+    round in the window — executor-local blocks are cheapest, but a
+    lost executor kills the job mid-iteration; the right default on a
+    single-node session or when a rerun is acceptable. On a large
+    cluster pass ``checkpoint_dir``: every round's label table is
+    written to that reliable storage (alternating scratch parquet
+    paths, as is the symmetrized edge list once) so executor loss
+    replays at most one round from durable state, and on check rounds
+    the changed-row count rides the write job as an observed metric
+    instead of costing a second full scan. Exponential percolation
+    makes per-round convergence checks mostly wasted — a window runs
+    at worst ``check_every - 1`` extra cheap rounds past the
+    fixpoint.
 
     Near-dup graphs are *sparse*: the label table holds one row per
     node that appears in any pair — typically orders of magnitude
@@ -362,29 +363,34 @@ def duplicate_clusters(
                 changed = stepped.filter(
                     F.col("new_label") != F.col("label")
                 ).count()
-        elif is_check:
-            # reliable mode: the parquet write is the window's single
-            # action; the changed-count rides it as an observed metric
-            # instead of re-scanning the written table. Alternate two
-            # slot paths by write count so a write never overwrites
-            # the parquet its own job is reading.
-            from pyspark.sql import Observation
-
-            obs = Observation(f"cc_changed_{it}")
-            stepped = _truncate(
-                plan.observe(
-                    obs,
-                    F.count(
-                        F.when(F.col("new_label") != F.col("label"), 1)
-                    ).alias("changed"),
-                ),
-                f"labels_{n_writes % 2}",
-            )
-            n_writes += 1
-            changed = obs.get["changed"]
         else:
-            # lineage grows ≤ check_every-1 rounds deep between writes
-            stepped = plan
+            # reliable mode: EVERY round truncates to parquet (a round
+            # references its input 8 times — via nbr, hub and jump —
+            # so leaving rounds un-truncated would widen the analyzed
+            # plan 8x per round; per-round durable truncation also
+            # keeps executor-loss recovery transparent). The
+            # changed-count rides the check-round write as an observed
+            # metric instead of re-scanning the written table.
+            # Alternate slot paths by write count so a write never
+            # overwrites the parquet its own job is reading.
+            if is_check:
+                from pyspark.sql import Observation
+
+                obs = Observation(f"cc_changed_{it}")
+                stepped = _truncate(
+                    plan.observe(
+                        obs,
+                        F.count(
+                            F.when(F.col("new_label") != F.col("label"), 1)
+                        ).alias("changed"),
+                    ),
+                    f"labels_{n_writes % 2}",
+                )
+                n_writes += 1
+                changed = obs.get["changed"]
+            else:
+                stepped = _truncate(plan, f"labels_{n_writes % 2}")
+                n_writes += 1
         labels = stepped.select("id", F.col("new_label").alias("label"))
         if is_check and changed == 0:
             break
@@ -399,11 +405,6 @@ def duplicate_clusters(
             stacklevel=2,
         )
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
-
-
-# positional packing of (doc_id, line_no) into one orderable bigint:
-# supports docs up to 2^20 (~1M) lines — far beyond any real document
-_LINE_POS_BITS = 20
 
 
 def line_dedup(
@@ -422,7 +423,7 @@ def line_dedup(
     mangle unrelated documents that legitimately share them.
 
     Scale shape: no windows and no driver state. First-occurrence
-    selection is ``groupBy(line).agg(min(packed_position))`` — a
+    selection is ``groupBy(line).agg(min(struct(doc_id, pos)))`` — a
     map-side-combinable aggregation, so a line duplicated a million
     times (boilerplate headers) contributes one partial row per input
     partition, not a million shuffled rows; the keep-decision then
@@ -433,14 +434,15 @@ def line_dedup(
     Returns the input frame with ``out_col`` added (empty string if
     every line of a document was dropped; null text stays null).
     """
-    packed = (
-        F.col(id_col).cast("bigint") * F.lit(1 << _LINE_POS_BITS)
-        + F.col("__pos")
-    )
+    # first-occurrence key: a (doc_id, pos) struct ordered
+    # lexicographically — no packed-bigint id-range limit, min() over
+    # structs is still map-side combinable
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
-    ).withColumn("__at", packed)
+    ).withColumn(
+        "__at", F.struct(F.col(id_col).alias("d"), F.col("__pos").alias("p"))
+    )
     eligible = F.length(F.trim(F.col("__line"))) >= min_chars
     first_occ = (
         lines.filter(eligible)

@@ -39,8 +39,12 @@ def _token_array(text_col: str) -> F.Column:
     return F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE)
 
 
-def _bigram_stream(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, bigram) with one row per bigram INSTANCE (positional)."""
+def _bigram_stream(
+    df: DataFrame, text_col: str, id_col: str | None
+) -> DataFrame:
+    """One row per bigram INSTANCE (positional); ``id_col=None``
+    omits the id (training needs only the bigrams, so a reference
+    corpus without document ids works)."""
     toks = _token_array(text_col)
     n = F.size(toks)
     bigrams = F.zip_with(
@@ -48,23 +52,24 @@ def _bigram_stream(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    return df.select(
-        F.col(id_col), F.explode(bigrams).alias("bigram")
-    )
+    exploded = F.explode(bigrams).alias("bigram")
+    if id_col is None:
+        return df.select(exploded)
+    return df.select(F.col(id_col), exploded)
 
 
 def bigram_lm(
     train_df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     min_count: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """Train: returns ``(bigram_counts(bigram, c12), unigram_counts
     (w1, c1))``. ``min_count`` drops bigrams rarer than the threshold
     from the model (pruning; their probability falls back to the
-    smoothed unseen mass)."""
+    smoothed unseen mass). Only ``text_col`` is required of
+    ``train_df`` — an external reference corpus needs no ids."""
     big = (
-        _bigram_stream(train_df, text_col, id_col)
+        _bigram_stream(train_df, text_col, None)
         .groupBy("bigram")
         .agg(F.count("*").alias("c12"))
     )
@@ -106,7 +111,11 @@ def lm_cross_entropy(
     # map-side-combined count from a narrow in-place pass (48-52 s vs
     # 55-66 s interleaved A/B). Train always goes through bigram_lm.
     train = df if train_df is None else train_df
-    big, uni = bigram_lm(train, text_col, id_col, min_count=min_count)
+    big, uni = bigram_lm(train, text_col, min_count=min_count)
+    # persist the (small, vocabulary-sized) unigram table: the V count
+    # below and the scoring join both consume it — without the persist
+    # each would re-run the full tokenize+count pass over the corpus
+    uni = uni.persist()
     vocab_size = uni.count()  # driver scalar: the model boundary
     prob = (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(alpha)) / (
         F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha) * F.lit(vocab_size)

@@ -73,11 +73,17 @@ def chunk_documents(
     staged = df.withColumn("__toks", toks).withColumn(
         "__n", token_count(F.col(text_col))
     )
-    # chunk start offsets 0, step, 2*step, ... strictly below n
+    # chunk start offsets 0, step, 2*step, ...; a start s > 0 only
+    # earns a chunk if it contributes tokens beyond the previous
+    # chunk's end (s < n - overlap) — otherwise the trailing chunk
+    # would be a pure suffix-duplicate of its predecessor (e.g. an
+    # 8-token doc at max=10/overlap=3 must yield ONE chunk, not a
+    # redundant second chunk of its last token)
     starts = F.sequence(
         F.lit(0),
         F.greatest(
-            F.floor((F.col("__n") - 1) / step).cast("int"), F.lit(0)
+            F.floor((F.col("__n") - overlap - 1) / step).cast("int"),
+            F.lit(0),
         )
         * step,
         F.lit(step),
