@@ -160,3 +160,100 @@ def test_decontaminate_verbatim_inclusion_property(spark):
         .to_dict()
     )
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# curation-operator properties (deterministic generated grids, batched
+# into few spark jobs like the interpolation cases above)
+# ---------------------------------------------------------------------------
+
+
+def test_line_dedup_idempotent_and_conserving(spark):
+    """Applying line_dedup to its own output changes nothing (the
+    survivors ARE first occurrences), and every surviving line is a
+    line of the original document in original order."""
+    import numpy as np
+
+    from melodist_spark.pipeline.dedup import line_dedup
+
+    rng = np.random.default_rng(17)
+    pool = [f"shared line number {i} with enough characters" for i in range(12)]
+    rows = []
+    for d in range(40):
+        k = rng.integers(1, 6)
+        lines = list(rng.choice(pool, size=k)) + [f"unique tail {d} of doc"]
+        rows.append((d, "\n".join(lines)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    from pyspark.sql import functions as F
+
+    once = line_dedup(df, min_chars=10).select(
+        "doc_id", F.col("text_deduped").alias("text")
+    )
+    twice = line_dedup(once, min_chars=10)
+    changed = twice.filter(
+        F.col("text_deduped") != F.col("text")
+    ).count()
+    assert changed == 0
+
+    # order/containment: each output doc's lines are a subsequence of
+    # the input doc's lines
+    inp = {r["doc_id"]: r["text"].split("\n") for r in df.collect()}
+    for r in line_dedup(df, min_chars=10).collect():
+        it = iter(inp[r["doc_id"]])
+        kept = r["text_deduped"].split("\n") if r["text_deduped"] else []
+        for line in kept:
+            while True:
+                nxt = next(it)  # StopIteration = not a subsequence
+                if nxt == line:
+                    break
+
+
+def test_pack_sequences_token_conservation(spark):
+    """Total stream length equals the token sum; each seq id below the
+    last is fully tiled (no holes) for any seq_len/bucket combo."""
+    from melodist_spark.pipeline.packing import pack_sequences
+
+    rows = [(i, "w " * ((i * 7) % 23 + 1)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for seq_len, buckets in ((16, 1), (64, 8), (1024, 64)):
+        out = pack_sequences(df, seq_len=seq_len, n_buckets=buckets).toPandas()
+        total = out["n_tokens"].sum()
+        assert (out["begin_offset"] + out["n_tokens"]).max() == total
+        # offsets are a permutation-free exact tiling
+        srt = out.sort_values("begin_offset")
+        ends = (srt["begin_offset"] + srt["n_tokens"]).to_numpy()
+        assert (srt["begin_offset"].to_numpy()[1:] == ends[:-1]).all()
+
+
+def test_chunk_documents_never_redundant(spark):
+    """For a grid of (n_tokens, max_tokens, overlap): every chunk after
+    the first contributes at least one new token, all tokens are
+    covered, and concatenating the step-prefixes reconstructs the
+    document."""
+    from melodist_spark.pipeline.packing import chunk_documents
+
+    cases = []
+    did = 0
+    for n in (1, 2, 5, 8, 10, 11, 24, 25, 40):
+        cases.append((did, " ".join(f"t{i}" for i in range(n)), n))
+        did += 1
+    df = spark.createDataFrame(
+        [(d, t) for d, t, _ in cases], "doc_id long, text string"
+    )
+    for max_tokens, overlap in ((10, 0), (10, 3), (10, 9), (7, 2)):
+        step = max_tokens - overlap
+        out = chunk_documents(df, max_tokens=max_tokens, overlap=overlap).toPandas()
+        for did, text, n in cases:
+            d = out[out.doc_id == did].sort_values("chunk_id")
+            toks = text.split()
+            # coverage: last chunk reaches the last token
+            last_start = int(d.chunk_id.max()) * step
+            assert last_start + int(d.chunk_tokens.iloc[-1]) == n
+            # no redundant chunks: every start beyond 0 adds new tokens
+            for cid in d.chunk_id:
+                assert cid == 0 or cid * step < n - overlap
+            # chunk contents are the expected token windows
+            for _, r in d.iterrows():
+                s = int(r.chunk_id) * step
+                assert r.chunk_text == " ".join(toks[s:s + max_tokens])
