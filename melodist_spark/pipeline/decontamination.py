@@ -144,6 +144,7 @@ def decontaminate_stateless(
     id_col: str = "doc_id",
     ngram: int = 5,
     threshold: int = 1,
+    keep_payload: bool = False,
 ) -> DataFrame:
     """Shuffle-free decontamination — safe on streaming DataFrames.
 
@@ -158,6 +159,12 @@ def decontaminate_stateless(
     aggregation that streaming would have to hold state for).
 
     ``bench_grams`` is the array from :func:`benchmark_gram_array`.
+
+    ``keep_payload=True`` returns ALL input columns plus the audit
+    columns, and documents too short to form a single n-gram are kept
+    with ``contaminated=false`` (nothing to match) instead of being
+    dropped — the shape an ingest filter pipeline needs. The default
+    keeps the audit-projection contract of :func:`decontaminate`.
     """
     import numpy as np
     import pandas as pd
@@ -181,10 +188,28 @@ def decontaminate_stateless(
 
     staged = docs.withColumn(
         "__grams", F.transform(_shingles(F.col(text_col), ngram), _gram_hash)
-    )
+    ).withColumn("n_ngrams", F.coalesce(F.size("__grams"), F.lit(0)).cast("long"))
+    if keep_payload:
+        scored = staged.withColumn(
+            "n_hits",
+            F.when(F.col("n_ngrams") > 0, _hits(F.col("__grams"))).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        return scored.select(
+            *docs.columns,
+            "n_ngrams",
+            "n_hits",
+            F.when(
+                F.col("n_ngrams") > 0, F.col("n_hits") / F.col("n_ngrams")
+            ).alias("overlap"),
+            (
+                (F.col("n_ngrams") > 0)
+                & (F.col("n_hits") >= F.lit(threshold))
+            ).alias("contaminated"),
+        )
     return (
-        staged.withColumn("n_ngrams", F.size("__grams").cast("long"))
-        .filter(F.col("n_ngrams") > 0)
+        staged.filter(F.col("n_ngrams") > 0)
         .withColumn("n_hits", _hits(F.col("__grams")))
         .select(
             id_col,

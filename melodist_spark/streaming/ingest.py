@@ -1,0 +1,65 @@
+"""Composed streaming ingest curation: the batch curation operators
+wired into one continuously-running intake pipeline.
+
+A crawl lands as a stream; by the time documents reach storage they
+should already be cleaned, quality-gated, decontaminated and
+first-occurrence deduplicated — running curation at ingest avoids a
+second full pass over the corpus later. Every stage here is the SAME
+operator the batch pipeline uses, which is the point: the stateless
+stages (cleaning, quality rules, Arrow-kernel decontamination) are
+narrow projections that are streaming-safe by construction, and the
+one stateful stage (exact dedup) keys on the same md5 digest as the
+batch `exact_duplicates`, so a streaming-then-batch pipeline agrees
+with a pure-batch run on document identity.
+
+Scale shape: the only state is the dedup digest store (bounded by the
+watermark horizon when ``ts_col`` is given); everything else is
+per-batch narrow compute that scales with executor count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_curate(
+    stream: DataFrame,
+    bench_grams=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+    min_tokens: int = 20,
+    max_tokens: int = 1000,
+    ngram: int = 5,
+) -> DataFrame:
+    """Clean → quality-gate → decontaminate → dedup, on a stream.
+
+    ``bench_grams`` is the sorted benchmark gram-hash array from
+    :func:`melodist_spark.pipeline.decontamination.benchmark_gram_array`
+    (None skips the decontamination stage). Returns the curated
+    stream: original columns plus ``text_clean`` and the quality
+    columns, with dropped documents filtered out.
+    """
+    from ..pipeline.decontamination import decontaminate_stateless
+    from ..pipeline.text import clean_text, quality_flags
+    from .dedup import streaming_dedup_exact
+
+    staged = stream.withColumn("__clean", clean_text(F.col(text_col)))
+    gated = quality_flags(
+        staged, text_col=text_col, min_tokens=min_tokens, max_tokens=max_tokens
+    ).filter(F.col("keep"))
+    if bench_grams is not None:
+        gated = decontaminate_stateless(
+            gated,
+            bench_grams,
+            text_col=text_col,
+            id_col=id_col,
+            ngram=ngram,
+            keep_payload=True,
+        ).filter(~F.col("contaminated"))
+    deduped = streaming_dedup_exact(
+        gated, text_col=text_col, ts_col=ts_col, watermark=watermark
+    )
+    return deduped.withColumnRenamed("__clean", "text_clean")
