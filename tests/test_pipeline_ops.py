@@ -838,6 +838,10 @@ def test_mixture_sample_hits_target_proportions(spark):
         df, {"web": 0.5, "code": 0.25, "forums": 0.25}).collect())
     assert a == b
 
+    # scale shape: the returned frame is a narrow filter — no Exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
     # groups not in the mix are dropped; unknown groups raise
     out2 = mixture_sample(df, {"web": 1.0})
     assert out2.filter(F.col("source") != "web").count() == 0
