@@ -193,3 +193,73 @@ def test_smet_daily_mode_roundtrip(spark, tmp_path):
     assert list(got.columns) == ["station_id", "ts", "tmean", "precip"]
     np.testing.assert_allclose(got["tmean"].values, pdf["tmean"].values, atol=0.01)
     assert (pd.to_datetime(got["ts"]).dt.hour == 0).all()
+
+
+def test_bucketed_warehouse_elides_station_exchanges(spark, tmp_path):
+    """Observation tables written via write_bucketed start station-
+    keyed stages WITHOUT an Exchange: per-station windows and
+    aggregations read the bucketing off the scan, and two tables
+    bucketed the same way join without shuffling either side."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from melodist_spark.sources.warehouse import read_bucketed, write_bucketed
+
+    ts = pd.date_range("2015-01-01", periods=24 * 20, freq="h")
+    rows = []
+    for sid in range(6):
+        for t, v in zip(ts, np.arange(len(ts), dtype=float)):
+            rows.append((sid, t, v + sid))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts", "temp"])
+    )
+    write_bucketed(
+        df, "obs_bucketed", buckets=4, path=str(tmp_path / "obs")
+    )
+    try:
+        obs = read_bucketed(spark, "obs_bucketed")
+
+        # per-station window: no Exchange in the plan
+        w = Window.partitionBy("user_id").orderBy("ts")
+        windowed = obs.withColumn("prev", F.lag("temp").over(w))
+        plan = windowed._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+        # station-keyed aggregation: partial+final collapse, no Exchange
+        agg = obs.groupBy("user_id").agg(F.avg("temp"))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+        # co-located join of two identically-bucketed tables on the
+        # bucket key (the station-parameter join pattern)
+        write_bucketed(
+            df.groupBy("user_id").agg(F.avg("temp").alias("t_mean")),
+            "obs_bucketed_b",
+            buckets=4,
+            sort=("user_id",),
+            path=str(tmp_path / "obs_b"),
+        )
+        # force the sort-merge path (at test size Spark would rather
+        # broadcast): both sides must come in pre-partitioned
+        prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = obs.join(
+                read_bucketed(spark, "obs_bucketed_b"), ["user_id"]
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+
+        # and the data survives the round trip
+        assert obs.count() == df.count()
+        got = windowed.filter(
+            (F.col("user_id") == 3) & F.col("prev").isNotNull()
+        ).count()
+        assert got == len(ts) - 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS obs_bucketed")
+        spark.sql("DROP TABLE IF EXISTS obs_bucketed_b")
