@@ -41,6 +41,35 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(keep, id_col, "left_semi")
 
 
+def digest_index(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-column (digest) index of a corpus's distinct text md5s —
+    the durable state an incremental ingest deduplicates against.
+    Map-side-combined distinct; store it partitioned/bucketed by
+    digest and it grows by one row per new distinct document."""
+    return df.select(F.md5(F.col(text_col)).alias("digest")).distinct()
+
+
+def dedup_against(
+    df: DataFrame, index: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Incremental exact dedup: drop documents whose text digest
+    already exists in ``index`` (from :func:`digest_index` — e.g. the
+    digest table of everything previously ingested).
+
+    One left-anti equi-join on the digest; combined with
+    :func:`dedup_exact` on the batch itself this gives exactly-once
+    ingest across corpus snapshots without ever re-scanning the
+    historical corpus. Union the surviving batch's
+    :func:`digest_index` into the stored index to advance the state.
+    """
+    keyed = df.withColumn("__digest", F.md5(F.col(text_col)))
+    return keyed.join(
+        index.select(F.col("digest").alias("__digest")),
+        "__digest",
+        "left_anti",
+    ).drop("__digest")
+
+
 def _shingles(text: Column, n: int | None) -> Column:
     """Distinct word-level shingles; n=None → unigrams (token set).
 

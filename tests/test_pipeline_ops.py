@@ -881,3 +881,31 @@ def test_chunk_documents_reconstruction(spark):
         assert r.chunk_text == " ".join(toks[s:s + 10])
     # full coverage of the token stream
     assert int(d.chunk_id.max()) * 7 + int(d.chunk_tokens.iloc[-1]) == 25
+
+
+def test_dedup_against_incremental_index(spark):
+    """Exactly-once ingest across snapshots: batch 2 drops docs whose
+    digests batch 1 already indexed, and unioning the survivors'
+    digests advances the index for batch 3."""
+    from melodist_spark.pipeline.dedup import (
+        dedup_against,
+        dedup_exact,
+        digest_index,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha doc"), (2, "beta doc")], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(10, "alpha doc"), (11, "gamma doc"), (12, "gamma doc")],
+        "doc_id long, text string",
+    )
+    idx = digest_index(b1)
+    fresh = dedup_exact(dedup_against(b2, idx))
+    assert {r["doc_id"] for r in fresh.collect()} == {11}
+
+    idx2 = idx.unionByName(digest_index(fresh)).distinct()
+    b3 = spark.createDataFrame(
+        [(20, "gamma doc"), (21, "delta doc")], "doc_id long, text string"
+    )
+    assert {r["doc_id"] for r in dedup_against(b3, idx2).collect()} == {21}
