@@ -70,6 +70,86 @@ def dedup_against(
     ).drop("__digest")
 
 
+def repeated_spans(
+    df: DataFrame,
+    span_tokens: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Duplicate-passage detection (the ExactSubstr idea of Lee et
+    al.'s "Deduplicating Training Data Makes Language Models Better",
+    re-expressed relationally): find every position where a document
+    contains a ``span_tokens``-token passage that occurs at least
+    ``min_occurrences`` times in the corpus, and merge overlapping
+    positions into maximal spans. Downstream curation cuts the spans
+    out (rather than dropping whole documents — most duplicated text
+    lives inside otherwise-unique pages).
+
+    Instead of a suffix array (shared-memory, hard to distribute),
+    the corpus is exploded into one xxhash64 per token position over
+    the ``span_tokens``-gram starting there — the same cost class as
+    the MinHash shingle pass. Repeated grams fall out of a map-side-
+    combined count; positions flow back through a semi-join, and a
+    per-document window merges overlapping hits into spans. Hash
+    collisions (~2^-64 per pair) can at worst mark a non-duplicated
+    span — the standard trade the hashed variant makes.
+
+    Returns (id, span_begin, span_end, n_positions): token-offset
+    span [span_begin, span_end) and how many duplicated gram
+    positions support it.
+    """
+    from pyspark.sql import Window
+
+    if span_tokens < 1:
+        raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    # sequence(0, k) is DESCENDING for k < 0 — guard short docs to an
+    # empty gram array instead
+    starts = F.when(
+        n >= span_tokens, F.sequence(F.lit(0), n - span_tokens)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        starts,
+        lambda i: F.xxhash64(
+            F.concat_ws(" ", F.slice(toks, i + 1, F.lit(span_tokens)))
+        ),
+    )
+    pos = df.select(
+        F.col(id_col), F.posexplode(grams).alias("__pos", "__gh")
+    )
+    dup = (
+        pos.groupBy("__gh")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= min_occurrences)
+        .select("__gh")
+    )
+    hits = pos.join(dup, "__gh", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    # a new span starts when this position no longer overlaps the
+    # previous hit's gram ([prev, prev+span) vs pos)
+    spans = (
+        hits.withColumn("__prev", F.lag("__pos").over(w))
+        .withColumn(
+            "__new",
+            (
+                F.col("__prev").isNull()
+                | (F.col("__pos") - F.col("__prev") > span_tokens)
+            ).cast("int"),
+        )
+        .withColumn("__span", F.sum("__new").over(w))
+        .groupBy(id_col, "__span")
+        .agg(
+            F.min("__pos").alias("span_begin"),
+            (F.max("__pos") + span_tokens).alias("span_end"),
+            F.count("*").alias("n_positions"),
+        )
+        .drop("__span")
+    )
+    return spans
+
+
 def _shingles(text: Column, n: int | None) -> Column:
     """Distinct word-level shingles; n=None → unigrams (token set).
 

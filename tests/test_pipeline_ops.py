@@ -909,3 +909,34 @@ def test_dedup_against_incremental_index(spark):
         [(20, "gamma doc"), (21, "delta doc")], "doc_id long, text string"
     )
     assert {r["doc_id"] for r in dedup_against(b3, idx2).collect()} == {21}
+
+
+def test_repeated_spans_finds_planted_passages(spark):
+    """A passage planted in several documents at different offsets is
+    reported as a span with exact token bounds; unique docs report
+    nothing; overlapping hits merge into one maximal span."""
+    from melodist_spark.pipeline.dedup import repeated_spans
+
+    passage = [f"p{i}" for i in range(12)]  # 12-token duplicated passage
+    uniq = lambda d, n: [f"u{d}_{i}" for i in range(n)]
+    rows = [
+        (1, " ".join(uniq(1, 5) + passage + uniq(1, 4))),   # offset 5
+        (2, " ".join(passage + uniq(2, 7))),                # offset 0
+        (3, " ".join(uniq(3, 9) + passage)),                # offset 9
+        (4, " ".join(uniq(4, 30))),                         # unique
+        (5, "short doc"),                                   # < span
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = repeated_spans(df, span_tokens=8).toPandas()
+
+    assert set(out[out.doc_id == 4].span_begin) == set()
+    assert set(out[out.doc_id == 5].span_begin) == set()
+    # the 12-token passage with 8-grams: duplicated gram starts run
+    # from the passage start to start+4, merging into one span
+    # [start, start+4+8) = [start, start+12) — the exact passage
+    for did, begin in ((1, 5), (2, 0), (3, 9)):
+        d = out[out.doc_id == did]
+        assert len(d) == 1
+        assert int(d.span_begin.iloc[0]) == begin
+        assert int(d.span_end.iloc[0]) == begin + 12
+        assert int(d.n_positions.iloc[0]) == 5
