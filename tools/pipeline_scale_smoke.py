@@ -150,6 +150,14 @@ def main():
     t8 = time.perf_counter()
     print(f"line_dedup: {t8 - t7:.1f}s")
 
+    from melodist_spark.pipeline.dedup import repeated_spans
+
+    # the planted exact/near dups guarantee real repeated passages
+    n_spans = repeated_spans(docs, span_tokens=20).count()
+    t8b = time.perf_counter()
+    print(f"repeated_spans: {t8b - t8:.1f}s ({n_spans} spans)")
+    t8 = t8b
+
     from melodist_spark.pipeline.lm import lm_cross_entropy
 
     lm_cross_entropy(docs).agg(F.avg("perplexity")).collect()
