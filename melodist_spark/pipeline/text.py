@@ -423,3 +423,51 @@ def repetition_stats(
         .agg((F.max("c") / F.sum("c")).alias("top_bigram_frac"))
     )
     return us.join(bs, id_col)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — the standard keyword /
+    topic-tagging signal for corpus exploration and mixture design.
+
+    Scores are ``tf * (ln((1 + N) / (1 + df)) + 1)`` (smoothed IDF, N
+    = corpus size as a driver scalar — the model boundary); ``min_df``
+    prunes hapax noise from the vocabulary. Ties break by term for a
+    deterministic ranking.
+
+    Scale shape: one token explode feeding two map-side-combined
+    aggregations (per-doc term counts; document frequencies), one
+    equi-join on the term, and a per-document window top-k (documents
+    are small groups — no skew). Nothing touches the driver but N.
+
+    Returns (id, term, tf, score, rank).
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    terms = df.select(
+        F.col(id_col), F.explode(_tokens(F.lower(F.col(text_col)))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    idf = F.log((1.0 + float(n_docs)) / (1.0 + F.col("df"))) + 1.0
+    scored = tf.join(dfreq, "term").withColumn(
+        "score", F.col("tf") * idf
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "score", "rank")
+    )

@@ -940,3 +940,35 @@ def test_repeated_spans_finds_planted_passages(spark):
         assert int(d.span_begin.iloc[0]) == begin
         assert int(d.span_end.iloc[0]) == begin + 12
         assert int(d.n_positions.iloc[0]) == 5
+
+
+def test_tfidf_top_terms_ranks_distinctive_words(spark):
+    from melodist_spark.pipeline.text import tfidf_top_terms
+
+    common = "shared background words appearing everywhere always"
+    rows = [
+        (1, f"{common} zebra zebra zebra"),
+        (2, f"{common} quartz quartz"),
+        (3, common),
+        (4, common),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_top_terms(df, k=2).toPandas()
+
+    top = out[out["rank"] == 1].set_index("doc_id")["term"]
+    # distinctive terms beat the corpus-wide background vocabulary
+    assert top[1] == "zebra"
+    assert top[2] == "quartz"
+    # background-only docs still get a deterministic (alphabetical
+    # among equals) ranking
+    assert set(out[out.doc_id == 3]["term"]) <= set(common.split())
+    # hand-check one score: tf=3, df=1, N=4
+    import math
+
+    z = out[(out.doc_id == 1) & (out.term == "zebra")]
+    assert math.isclose(
+        z.score.iloc[0], 3 * (math.log(5 / 2) + 1), rel_tol=1e-9
+    )
+    # min_df prunes singletons
+    pruned = tfidf_top_terms(df, k=2, min_df=2).toPandas()
+    assert "zebra" not in set(pruned.term)
