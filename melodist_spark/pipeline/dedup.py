@@ -103,7 +103,12 @@ def repeated_spans(
 
     if span_tokens < 1:
         raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # stage the token array in its own projection: the per-position
+    # lambda below slices it L-span+1 times, and an inlined split
+    # expression would re-tokenize the whole document per position —
+    # the O(L²) codegen trap `_shingles` documents (measured 6×)
+    staged = df.withColumn("__toks", F.split(F.trim(F.col(text_col)), r"\s+"))
+    toks = F.col("__toks")
     n = F.size(toks)
     # sequence(0, k) is DESCENDING for k < 0 — guard short docs to an
     # empty gram array instead
@@ -116,9 +121,16 @@ def repeated_spans(
             F.concat_ws(" ", F.slice(toks, i + 1, F.lit(span_tokens)))
         ),
     )
-    pos = df.select(
+    pos = staged.select(
         F.col(id_col), F.posexplode(grams).alias("__pos", "__gh")
     )
+    # The aggregate (build) side and the probe side both derive from
+    # `pos`, so the gram scan runs twice — a deliberate trade: the
+    # recompute is a stateless linear map pass, while the alternatives
+    # either cache a corpus-sized exploded table (memory pressure the
+    # caller can't see) or count via a window over __gh (un-splittable
+    # hot partition for a billion-fold duplicated gram; the groupBy
+    # here combines map-side and the semi-join gets AQE skew handling).
     dup = (
         pos.groupBy("__gh")
         .agg(F.count("*").alias("__c"))

@@ -28,8 +28,8 @@ def write_bucketed(
     df: DataFrame,
     table: str,
     buckets: int,
-    key: str = "user_id",
-    sort: tuple[str, ...] = ("user_id", "ts"),
+    key: str = "station_id",
+    sort: tuple[str, ...] = ("station_id", "ts"),
     path: str | None = None,
     mode: str = "overwrite",
 ) -> None:

@@ -46,20 +46,27 @@ def streaming_curate(
     from ..pipeline.text import clean_text, quality_flags
     from .dedup import streaming_dedup_exact
 
-    staged = stream.withColumn("__clean", clean_text(F.col(text_col)))
+    # every gate operates on the CLEANED text: two re-crawls that
+    # differ only in boilerplate (tracking URL, tag churn) must hash
+    # to the same dedup digest, markup tokens must not pad a document
+    # past the quality gate, and benchmark text wrapped in tags must
+    # not evade the n-gram match
+    staged = stream.withColumn("text_clean", clean_text(F.col(text_col)))
     gated = quality_flags(
-        staged, text_col=text_col, min_tokens=min_tokens, max_tokens=max_tokens
+        staged,
+        text_col="text_clean",
+        min_tokens=min_tokens,
+        max_tokens=max_tokens,
     ).filter(F.col("keep"))
     if bench_grams is not None:
         gated = decontaminate_stateless(
             gated,
             bench_grams,
-            text_col=text_col,
+            text_col="text_clean",
             id_col=id_col,
             ngram=ngram,
             keep_payload=True,
         ).filter(~F.col("contaminated"))
-    deduped = streaming_dedup_exact(
-        gated, text_col=text_col, ts_col=ts_col, watermark=watermark
+    return streaming_dedup_exact(
+        gated, text_col="text_clean", ts_col=ts_col, watermark=watermark
     )
-    return deduped.withColumnRenamed("__clean", "text_clean")

@@ -291,6 +291,9 @@ def test_streaming_curate_end_to_end(spark, tmp_path):
     for i in range(80):
         rows.append((i, " ".join(rng.choice(vocab, size=40)) + " the a is"))
     rows.append((100, rows[0][1]))          # exact dup — dropped by dedup
+    # re-crawl of doc 1 differing only in boilerplate the cleaner
+    # strips: must dedup against doc 1 (clean-text digest)
+    rows.append((103, rows[1][1] + " https://t.example/track?id=9"))
     rows.append((101, "tiny"))              # fails min_tokens gate
     rows.append((102, rows[5][1] + " x"))   # shares 5-grams with bench doc 5
     docs = spark.createDataFrame(rows, "doc_id long, text string")
@@ -314,28 +317,31 @@ def test_streaming_curate_end_to_end(spark, tmp_path):
         for r in spark.sql("SELECT doc_id FROM curated_ingest").collect()
     }
 
-    # batch reference: same operators composed the same way
-    gated = quality_flags(docs, min_tokens=20).filter("keep")
+    # batch reference: same operators composed the same way, all
+    # gates on the cleaned text
+    cleaned = docs.withColumn("text_clean", clean_text(F.col("text")))
+    gated = quality_flags(cleaned, text_col="text_clean", min_tokens=20).filter("keep")
     decon = decontaminate_stateless(
-        gated, grams, ngram=5, keep_payload=True
+        gated, grams, text_col="text_clean", ngram=5, keep_payload=True
     ).filter(~F.col("contaminated"))
     # exact dedup keep-first by min doc_id (streaming keeps first seen;
     # with one availableNow batch the kept member of a digest group is
     # arbitrary — compare at digest-group granularity)
     want_digests = {
         r["d"]
-        for r in decon.select(F.md5("text").alias("d")).distinct().collect()
+        for r in decon.select(F.md5("text_clean").alias("d")).distinct().collect()
     }
     got_digests = {
         r["d"]
         for r in spark.sql("SELECT * FROM curated_ingest")
-        .select(F.md5("text").alias("d"))
+        .select(F.md5("text_clean").alias("d"))
         .collect()
     }
     assert got_digests == want_digests
     # gates actually fired
     assert 101 not in got          # quality gate
     assert 5 not in got and 102 not in got  # decontamination (5 ⊆ bench)
+    assert not {1, 103} <= got     # boilerplate-only re-crawl deduped
     assert len(got) == len(got_digests)     # dedup: one doc per digest
     # clean column present on the survivors
     cols = spark.sql("SELECT * FROM curated_ingest").columns

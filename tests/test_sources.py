@@ -212,7 +212,7 @@ def test_bucketed_warehouse_elides_station_exchanges(spark, tmp_path):
         for t, v in zip(ts, np.arange(len(ts), dtype=float)):
             rows.append((sid, t, v + sid))
     df = spark.createDataFrame(
-        pd.DataFrame(rows, columns=["user_id", "ts", "temp"])
+        pd.DataFrame(rows, columns=["station_id", "ts", "temp"])
     )
     write_bucketed(
         df, "obs_bucketed", buckets=4, path=str(tmp_path / "obs")
@@ -221,23 +221,23 @@ def test_bucketed_warehouse_elides_station_exchanges(spark, tmp_path):
         obs = read_bucketed(spark, "obs_bucketed")
 
         # per-station window: no Exchange in the plan
-        w = Window.partitionBy("user_id").orderBy("ts")
+        w = Window.partitionBy("station_id").orderBy("ts")
         windowed = obs.withColumn("prev", F.lag("temp").over(w))
         plan = windowed._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
 
         # station-keyed aggregation: partial+final collapse, no Exchange
-        agg = obs.groupBy("user_id").agg(F.avg("temp"))
+        agg = obs.groupBy("station_id").agg(F.avg("temp"))
         plan = agg._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
 
         # co-located join of two identically-bucketed tables on the
         # bucket key (the station-parameter join pattern)
         write_bucketed(
-            df.groupBy("user_id").agg(F.avg("temp").alias("t_mean")),
+            df.groupBy("station_id").agg(F.avg("temp").alias("t_mean")),
             "obs_bucketed_b",
             buckets=4,
-            sort=("user_id",),
+            sort=("station_id",),
             path=str(tmp_path / "obs_b"),
         )
         # force the sort-merge path (at test size Spark would rather
@@ -246,7 +246,7 @@ def test_bucketed_warehouse_elides_station_exchanges(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
             joined = obs.join(
-                read_bucketed(spark, "obs_bucketed_b"), ["user_id"]
+                read_bucketed(spark, "obs_bucketed_b"), ["station_id"]
             )
             plan = joined._jdf.queryExecution().executedPlan().toString()
             assert "SortMergeJoin" in plan
@@ -257,7 +257,7 @@ def test_bucketed_warehouse_elides_station_exchanges(spark, tmp_path):
         # and the data survives the round trip
         assert obs.count() == df.count()
         got = windowed.filter(
-            (F.col("user_id") == 3) & F.col("prev").isNotNull()
+            (F.col("station_id") == 3) & F.col("prev").isNotNull()
         ).count()
         assert got == len(ts) - 1
     finally:
