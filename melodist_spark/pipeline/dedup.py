@@ -428,16 +428,22 @@ def duplicate_clusters(
     )
 
     # seed with min(self, neighbors) — the first propagation round for
-    # free, computed on the same shuffle that builds the node set
+    # free, computed on the same shuffle that builds the node set. The
+    # broadcast-gate node count rides the seed materialization as an
+    # observed metric: no separate full scan of the label table.
+    from pyspark.sql import Observation
+
+    seed_obs = Observation("cc_nodes")
     labels = _truncate(
         sym.groupBy(F.col("src").alias("id"))
         .agg(F.min("dst").alias("__nbr"))
-        .select("id", F.least("id", "__nbr").alias("label")),
+        .select("id", F.least("id", "__nbr").alias("label"))
+        .observe(seed_obs, F.count(F.lit(1)).alias("n")),
         "labels_seed",
     )
     hint = (
         F.broadcast
-        if labels.count() <= broadcast_nodes
+        if seed_obs.get["n"] <= broadcast_nodes
         else (lambda df: df)
     )
     changed = None
