@@ -454,7 +454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     them (mean_course ⊂ mean_course_temp, pot_radiation ⊂
     radiation_potrad, angstroem ⊂ radiation_ssd, bristow_campbell ⊂
     radiation_bc, temp_shift ⊂ temp_sine_sunshift, minhash_bands ⊂
-    minhash_pairs, embedding_bucket ⊂ embedding_neardup,
+    minhash_pairs, text_clean+quality_flags ⊂ text_curation's
+    single-scan audit, embedding_bucket ⊂ embedding_neardup,
     embedding_centroids ⊂ ivf_topk, humidity_equal ⊂
     distribute_equally+api_pipeline, complete_days ⊂ gap_analysis,
     gap_count+drop_incomplete_days ⊂ gap_analysis, calendar_fill ⊂
@@ -511,13 +512,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "line_dedup": q_line_dedup,
         "doc_perplexity": q_doc_perplexity,
+        "pmi_collocations": q_pmi_collocations,
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
         "doc_sample": q_doc_sample,
         "vocab_topk": q_vocab_topk,
         "text_features": q_text_features,
-        "text_clean": q_text_clean,
-        "quality_flags": q_quality_flags,
+        "text_curation": q_text_curation,
         "repetition_stats": q_repetition_stats,
         # aggregation / calendar / util family
         "window_primitives": q_window_primitives,
@@ -1146,31 +1147,22 @@ def oracle_sql() -> dict[str, str]:
             FROM c ASOF LEFT JOIN v
               ON c.user_id = v.user_id AND c.ts >= v.view_ts
         """,
-        "text_clean": """
+        "text_curation": f"""
             WITH cleaned AS (
               SELECT doc_id,
-                     len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
-                     len(regexp_extract_all(text, '\\+?\\d[\\d() -]{7,}\\d')) AS n_phones,
-                     len(regexp_extract_all(text, '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) AS n_ipv4,
+                     len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_emails,
+                     len(regexp_extract_all(text, '\\+?\\d[\\d() -]{{7,}}\\d')) AS n_phones,
+                     len(regexp_extract_all(text, '\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}')) AS n_ipv4,
                      trim(regexp_replace(
                        regexp_replace(
                          regexp_replace(
                            regexp_replace(text, '<[^>]+>', ' ', 'g'),
                            'https?://\\S+', ' ', 'g'),
-                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', ' ', 'g'),
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', ' ', 'g'),
                        '\\s+', ' ', 'g')) AS clean
               FROM documents
-            )
-            SELECT doc_id,
-                   CAST(n_emails AS BIGINT) AS n_emails,
-                   CAST(n_phones AS BIGINT) AS n_phones,
-                   CAST(n_ipv4 AS BIGINT) AS n_ipv4,
-                   CAST(length(clean) AS BIGINT) AS clean_len,
-                   md5(clean) AS clean_md5
-            FROM cleaned
-        """,
-        "quality_flags": f"""
-            WITH t AS (
+            ),
+            t AS (
               SELECT doc_id, text,
                      CASE WHEN length(trim(text)) = 0 THEN 0
                           ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
@@ -1198,10 +1190,16 @@ def oracle_sql() -> dict[str, str]:
                        / length(t.text) <= 0.2 AS ok_punct
               FROM t JOIN s ON t.doc_id = s.doc_id
             )
-            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+            SELECT f.doc_id,
+                   CAST(c.n_emails AS BIGINT) AS n_emails,
+                   CAST(c.n_phones AS BIGINT) AS n_phones,
+                   CAST(c.n_ipv4 AS BIGINT) AS n_ipv4,
+                   CAST(length(c.clean) AS BIGINT) AS clean_len,
+                   md5(c.clean) AS clean_md5,
+                   CAST(f.n_tokens AS BIGINT) AS n_tokens,
                    ok_length, ok_word_len, ok_stopwords, ok_punct,
                    ok_length AND ok_word_len AND ok_stopwords AND ok_punct AS keep
-            FROM f
+            FROM f JOIN cleaned c ON f.doc_id = c.doc_id
         """,
         "repetition_stats": """
             WITH lists AS (
@@ -1429,11 +1427,44 @@ def oracle_sql() -> dict[str, str]:
               CROSS JOIN vsz
               GROUP BY d.doc_id
             )
-            SELECT doc.doc_id,
+            SELECT m.method,
+                   doc.doc_id,
                    CAST(s.n_bigrams AS BIGINT) AS n_bigrams,
                    round(s.h, 6) AS cross_entropy,
                    round(exp(s.h), 6) AS perplexity
-            FROM documents doc LEFT JOIN scored s USING (doc_id)
+            FROM documents doc
+            LEFT JOIN scored s USING (doc_id)
+            CROSS JOIN (VALUES ('join'), ('broadcast')) AS m(method)
+        """,
+        "pmi_collocations": """
+            WITH toks AS (
+              SELECT string_split_regex(lower(trim(text)), '\\s+') AS w
+              FROM documents
+            ),
+            uni AS (
+              SELECT w1, count(*) AS c1
+              FROM (SELECT unnest(w) AS w1 FROM toks) GROUP BY w1
+            ),
+            bg AS (
+              SELECT w[i] AS w1, w[i+1] AS w2
+              FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)
+            ),
+            bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+            tot AS (
+              SELECT (SELECT CAST(sum(c12) AS DOUBLE) FROM bc) AS n_big,
+                     (SELECT CAST(sum(c1) AS DOUBLE) FROM uni) AS n_uni
+            )
+            SELECT bc.w1, bc.w2, bc.c12,
+                   round(ln((bc.c12 / tot.n_big)
+                            / ((u1.c1 / tot.n_uni) * (u2.c1 / tot.n_uni))),
+                         6) AS pmi
+            FROM bc
+            JOIN uni u1 ON u1.w1 = bc.w1
+            JOIN uni u2 ON u2.w1 = bc.w2
+            CROSS JOIN tot
+            WHERE bc.c12 >= 5
+            ORDER BY pmi DESC, bc.w1, bc.w2
+            LIMIT 100
         """,
         "pack_sequences": """
             WITH t AS (
@@ -3939,17 +3970,46 @@ def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality scoring: per-document cross-entropy and
     perplexity under an additively-smoothed bigram model trained on
     the corpus itself (self-perplexity — the fluency/repetition
-    signal; high-perplexity tail = curation drop candidates)."""
-    from melodist_spark.pipeline.lm import lm_cross_entropy
+    signal; high-perplexity tail = curation drop candidates).
+
+    Both deployment shapes run, tagged by ``method``: ``join`` (the
+    relational model join — the fallback when the model exceeds
+    executor memory) and ``broadcast`` (model shipped to workers,
+    scoring fully map-side, zero corpus shuffle — the 100 TB default
+    for a pruned KenLM-analog). The hash gate checking both against
+    one oracle IS the path-equivalence proof."""
+    from melodist_spark.pipeline.lm import (
+        lm_cross_entropy,
+        lm_cross_entropy_broadcast,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = lm_cross_entropy(docs, alpha=0.4)
-    return out.select(
-        "doc_id",
-        F.col("n_bigrams").cast("long").alias("n_bigrams"),
-        F.round("cross_entropy", 6).alias("cross_entropy"),
-        F.round("perplexity", 6).alias("perplexity"),
+
+    def shaped(method: str, out: DataFrame) -> DataFrame:
+        return out.select(
+            F.lit(method).alias("method"),
+            "doc_id",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.round("cross_entropy", 6).alias("cross_entropy"),
+            F.round("perplexity", 6).alias("perplexity"),
+        )
+
+    return shaped("join", lm_cross_entropy(docs, alpha=0.4)).unionByName(
+        shaped("broadcast", lm_cross_entropy_broadcast(docs, alpha=0.4))
     )
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocation mining: top bigrams by pointwise mutual
+    information (min joint count 5) — the phrase-mining statistic
+    behind tokenizer-vocabulary diagnostics and boilerplate
+    detection. One map-side-combined bigram count + one unigram
+    count; both probability joins broadcast the vocabulary-bounded
+    unigram table."""
+    from melodist_spark.pipeline.lm import pmi_collocations
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pmi_collocations(docs, min_count=5, top_k=100)
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4025,36 +4085,31 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Boilerplate scrub + PII scan in one pass: per-doc email/phone/
-    IPv4 pattern counts on the raw text, then the C4-style clean
-    (tags/URLs/emails stripped, whitespace collapsed) fingerprinted by
-    md5 — all narrow codegen expressions over the documents scan."""
-    from melodist_spark.pipeline.text import clean_text, pii_counts
+def q_text_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full single-scan curation audit (merges the former
+    ``text_clean`` and ``quality_flags`` rows — in a production
+    pipeline these run as one pass): per-doc PII pattern counts and
+    the md5-fingerprinted C4-style clean, plus the Gopher/C4
+    keep-drop rule booleans and their conjunction — every column a
+    narrow codegen expression over one documents scan (the stopword
+    count is the only aggregation, map-side combinable)."""
+    from melodist_spark.pipeline.text import (
+        clean_text,
+        pii_counts,
+        quality_flags,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     counts = pii_counts(F.col("text"))
     cleaned = clean_text(F.col("text"))
-    return docs.select(
+    out = quality_flags(docs)
+    return out.select(
         "doc_id",
         counts["n_emails"].cast("long").alias("n_emails"),
         counts["n_phones"].cast("long").alias("n_phones"),
         counts["n_ipv4"].cast("long").alias("n_ipv4"),
         F.length(cleaned).cast("long").alias("clean_len"),
         F.md5(cleaned).alias("clean_md5"),
-    )
-
-
-def q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher/C4-style keep-drop audit: per-rule booleans (length,
-    mean word length, stopword presence, punctuation) and the
-    conjunction keep flag over the single-pass feature projection."""
-    from melodist_spark.pipeline.text import quality_flags
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = quality_flags(docs)
-    return out.select(
-        "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         "ok_length",
         "ok_word_len",

@@ -48,8 +48,8 @@ HEADLINE = [
     "smet_roundtrip",
     # training-data pipeline
     "text_features",
-    "text_clean",
-    "quality_flags",
+    "text_curation",  # merged text_clean + quality_flags single-scan audit
+    "pmi_collocations",
     "repetition_stats",
     "minhash_pairs",
     "dup_clusters",  # exact + prefix + neardup membership

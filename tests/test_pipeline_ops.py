@@ -764,6 +764,79 @@ def test_lm_cross_entropy_matches_hand_model(spark):
     assert math.isclose(got[2], -math.log(p_ab), rel_tol=1e-9)
 
 
+def test_lm_cross_entropy_broadcast_matches_relational(spark):
+    """The broadcast map-side scorer must reproduce the relational
+    join path exactly (same model, same tokenization) — including on
+    whitespace edge cases where JVM and Python split semantics could
+    diverge (leading tab → empty first token, trailing newline →
+    empty last token, space-only trim)."""
+    import math
+
+    from melodist_spark.pipeline.lm import (
+        lm_cross_entropy,
+        lm_cross_entropy_broadcast,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat the cat the cat"),
+        (3, "\tleading tab text"),
+        (4, "trailing newline text\n"),
+        (5, "  space padded  "),
+        (6, "single"),
+        (7, ""),
+        (8, "mixed\twhitespace\nin middle"),
+        (9, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rel = {
+        r["doc_id"]: r
+        for r in lm_cross_entropy(df)
+        .select("doc_id", "n_bigrams", "cross_entropy", "perplexity")
+        .collect()
+    }
+    bcast = {
+        r["doc_id"]: r
+        for r in lm_cross_entropy_broadcast(df)
+        .select("doc_id", "n_bigrams", "cross_entropy", "perplexity")
+        .collect()
+    }
+    assert set(rel) == set(bcast)
+    for k in rel:
+        assert rel[k]["n_bigrams"] == bcast[k]["n_bigrams"], k
+        for col in ("cross_entropy", "perplexity"):
+            a, b = rel[k][col], bcast[k][col]
+            if a is None:
+                assert b is None, (k, col, b)
+            else:
+                assert math.isclose(a, b, rel_tol=1e-12), (k, col, a, b)
+
+
+def test_pmi_collocations_hand_computed(spark):
+    """Tiny corpus checked against hand-computed PMI values; ranking,
+    min_count pruning and the deterministic tie-break all exercised."""
+    import math
+
+    from melodist_spark.pipeline.lm import pmi_collocations
+
+    df = spark.createDataFrame(
+        [(1, "new york new york city"), (2, "the the the")],
+        "doc_id long, text string",
+    )
+    # unigrams: new=2 york=2 city=1 the=3 (N=8)
+    # bigrams: "new york"=2 "york new"=1 "york city"=1 "the the"=2 (N=6)
+    out = pmi_collocations(df, min_count=2, top_k=10).collect()
+    assert [(r["w1"], r["w2"]) for r in out] == [
+        ("new", "york"),
+        ("the", "the"),
+    ]
+    exp_ny = math.log((2 / 6) / ((2 / 8) * (2 / 8)))
+    exp_tt = math.log((2 / 6) / ((3 / 8) * (3 / 8)))
+    assert math.isclose(out[0]["pmi"], round(exp_ny, 6), abs_tol=1e-9)
+    assert math.isclose(out[1]["pmi"], round(exp_tt, 6), abs_tol=1e-9)
+    assert out[0]["c12"] == 2 and out[1]["c12"] == 2
+
+
 def test_pack_sequences_layout_invariants(spark):
     """Offsets tile the stream exactly; the layout is identical no
     matter how the input is partitioned or how many range buckets the
