@@ -442,11 +442,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """51 entries; the driver's correctness gate checks the FIRST 50
+    """52 entries; the driver's correctness gate checks the FIRST 50
     registry keys, so every operator family keeps exactly one
     representative inside the window and the 50 checked rows are all
     hash-verifiable (wind_random — the one op with no conserved
-    statistic to oracle — deliberately sits 51st, pytest-pinned). Former micro-queries (cumsum,
+    statistic to oracle — and bpe_tokenize — inherently iterative —
+    deliberately sit 51st/52nd, pytest-pinned). Former micro-queries (cumsum,
     ffill, day_normalize, vapor_pressure, dewpoint, five_min_calendar,
     sub_level_calendar, dedup_exact, dedup_prefix, fingerprint,
     token_stats, lang_id, simhash, temp_sine_mean, temp_sine_night)
@@ -538,6 +539,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by test_humidity_wind instead, and keeping it past the window
         # lets every checked row be hash-verified.
         "wind_random": q_wind_random,
+        # position 52, also outside the checked window: BPE training
+        # is inherently iterative (merge k depends on merge k-1), so
+        # no SQL oracle exists; the classic Sennrich worked example +
+        # greedy-encode round-trip are pytest-pinned instead
+        # (tests/test_pipeline_ops.py::test_bpe_*).
+        "bpe_tokenize": q_bpe_tokenize,
     }
 
 
@@ -3996,6 +4003,27 @@ def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return shaped("join", lm_cross_entropy(docs, alpha=0.4)).unionByName(
         shaped("broadcast", lm_cross_entropy_broadcast(docs, alpha=0.4))
+    )
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training + application: learn a 200-merge BPE table
+    from the corpus word counts (one distributed map-side-combined
+    aggregation; the sequential merge loop runs on the driver over the
+    vocabulary-bounded word-freq table — the model boundary), then
+    tokenize the corpus with the broadcast merge table in one
+    shuffle-free mapInPandas pass. Emits per-doc piece counts and an
+    md5 over the piece stream (order-sensitive digest of the exact
+    tokenization)."""
+    from melodist_spark.pipeline.bpe import bpe_tokenize, bpe_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe_train(docs, num_merges=200, min_count=2)
+    out = bpe_tokenize(docs, merges)
+    return out.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_pieces"),
+        F.md5(F.concat_ws("", "bpe_tokens")).alias("pieces_md5"),
     )
 
 

@@ -47,20 +47,20 @@ def _token_array(text_col: str) -> F.Column:
 def _bigram_stream(
     df: DataFrame, text_col: str, id_col: str | None
 ) -> DataFrame:
-    """One row per bigram INSTANCE (positional); ``id_col=None``
-    omits the id (training needs only the bigrams, so a reference
-    corpus without document ids works)."""
+    """One row per bigram INSTANCE (positional), as ``(w1, w2)``
+    columns; ``id_col=None`` omits the id (training needs only the
+    bigrams, so a reference corpus without document ids works)."""
     toks = _token_array(text_col)
     n = F.size(toks)
     bigrams = F.zip_with(
         F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
         F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
-        lambda a, b: F.concat(a, F.lit(" "), b),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    exploded = F.explode(bigrams).alias("bigram")
-    if id_col is None:
-        return df.select(exploded)
-    return df.select(F.col(id_col), exploded)
+    cols = [F.col(id_col)] if id_col is not None else []
+    return df.select(
+        *cols, F.explode(bigrams).alias("bg")
+    ).select(*[c for c in ([id_col] if id_col else [])], "bg.w1", "bg.w2")
 
 
 def bigram_lm(
@@ -68,14 +68,14 @@ def bigram_lm(
     text_col: str = "text",
     min_count: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
-    """Train: returns ``(bigram_counts(bigram, c12), unigram_counts
+    """Train: returns ``(bigram_counts(w1, w2, c12), unigram_counts
     (w1, c1))``. ``min_count`` drops bigrams rarer than the threshold
     from the model (pruning; their probability falls back to the
     smoothed unseen mass). Only ``text_col`` is required of
     ``train_df`` — an external reference corpus needs no ids."""
     big = (
         _bigram_stream(train_df, text_col, None)
-        .groupBy("bigram")
+        .groupBy("w1", "w2")
         .agg(F.count("*").alias("c12"))
     )
     if min_count > 1:
@@ -105,9 +105,8 @@ def lm_cross_entropy(
     # vocabulary, not document length
     doc_bigrams = (
         _bigram_stream(df, text_col, id_col)
-        .groupBy(id_col, "bigram")
+        .groupBy(id_col, "w1", "w2")
         .agg(F.count("*").alias("k"))
-        .withColumn("w1", F.split(F.col("bigram"), " ", 2)[0])
     )
     # NOTE (measured, 2M docs): deriving the model's bigram counts
     # from doc_bigrams ("reuse the shuffle") is a LOSS — the per-doc
@@ -126,7 +125,7 @@ def lm_cross_entropy(
         F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha) * F.lit(vocab_size)
     )
     scored = (
-        doc_bigrams.join(big, "bigram", "left")
+        doc_bigrams.join(big, ["w1", "w2"], "left")
         .join(uni, "w1", "left")
         .groupBy(id_col)
         .agg(
@@ -140,26 +139,40 @@ def lm_cross_entropy(
     return df.join(scored, id_col, "left")
 
 
-def _py_tokens(text: str | None) -> list[str]:
-    """Python mirror of :func:`_token_array` (trim → lower →
-    split on ``\\s+``), byte-for-byte parity on the operations Spark
-    performs JVM-side:
+def _mix(h1, h2):
+    """Combine two uint64 token hashes into one bigram key
+    (golden-ratio multiply-add, wrapping) — used identically on the
+    driver (model keys) and in the scoring kernel (query keys)."""
+    import numpy as np
 
-    - Spark ``trim`` strips 0x20 (space) only → ``str.strip(' ')``;
-    - Java regex ``\\s`` is the ASCII class ``[ \\t\\n\\x0B\\f\\r]``
-      → Python ``re.ASCII`` gives the identical set;
-    - Java ``split`` with limit -1 keeps leading/trailing empty
-      fields, as does :func:`re.split`.
+    with np.errstate(over="ignore"):
+        return h1 * np.uint64(0x9E3779B97F4A7C15) + h2
 
-    ``lower()`` parity holds for ASCII (and the common Unicode simple
-    case mappings); locale-dependent full case mappings are the one
-    documented divergence from JVM ``lower``.
+
+def _arrow_token_lists(texts):
+    """Arrow-native mirror of :func:`_token_array` (trim → lower →
+    split on ``\\s+``), all C-side — no per-token Python objects
+    until hashing:
+
+    - Spark ``trim`` strips 0x20 (space) only →
+      ``pc.utf8_trim(arr, ' ')``;
+    - Java regex ``\\s`` is the ASCII class ``[ \\t\\n\\x0B\\f\\r]``;
+      RE2's ``\\s`` is ``[ \\t\\n\\f\\r]`` — identical except U+000B
+      (vertical tab), the one documented divergence;
+    - both splits keep leading/trailing empty fields.
+
+    ``utf8_lower`` parity with JVM ``lower`` holds for ASCII and the
+    common Unicode simple case mappings.
+
+    Returns a ``pyarrow.ListArray`` of tokens (null in → null out).
     """
-    import re
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    if text is None:
-        return []
-    return re.split(r"\s+", text.strip(" ").lower(), flags=re.ASCII)
+    arr = pa.array(texts, type=pa.string())
+    return pc.split_pattern_regex(
+        pc.utf8_lower(pc.utf8_trim(arr, " ")), r"\s+"
+    )
 
 
 def lm_cross_entropy_broadcast(
@@ -182,16 +195,27 @@ def lm_cross_entropy_broadcast(
     shuffle of ~tokens rows + a groupBy(doc) re-aggregation), the
     model ships to the workers once as a broadcast dict and every
     document is scored inside one ``mapInPandas`` pass — zero wide
-    operations over the corpus. Rule of thumb: model rows × ~60 B
-    must fit comfortably per executor (100 M pruned bigrams ≈ 6 GB —
-    beyond that, fall back to the relational join, which AQE
-    skew-handles).
+    operations over the corpus. The model rides as sorted
+    (uint64 hash, count) arrays — ~16 B/row per worker; rule of
+    thumb: 100 M pruned bigrams ≈ 1.6 GB, fine; beyond ~1 G rows,
+    fall back to the relational join, which AQE skew-handles.
+
+    Measured decision boundary (2 M × 40-token docs, local[32]):
+    with a pretrained bounded model (100 k-doc reference slice,
+    min_count=2) this path scores the corpus in ~17 s steady-state
+    vs ~34-58 s for the relational join; but SELF-trained on the
+    same high-entropy corpus (20 M distinct bigrams ≈ corpus/4) the
+    model collect+hash dominates (~90 s driver-side) and the
+    relational join wins. Broadcast when the model is meaningfully
+    smaller than the corpus; join otherwise.
 
     The driver round-trip is the pruned model (the model/data
     boundary, same as the k-means centroids); tokenization parity
-    with the JVM path is pinned by ``_py_tokens`` and the
+    with the JVM path is pinned by ``_arrow_token_lists`` and the
     path-equivalence test.
     """
+    import numpy as np
+    import pandas as pd
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     spark = df.sparkSession
@@ -200,9 +224,36 @@ def lm_cross_entropy_broadcast(
     big_pdf = big.toPandas()
     uni_pdf = uni.toPandas()
     vocab_size = len(uni_pdf)
-    big_map = dict(zip(big_pdf["bigram"], big_pdf["c12"].astype("int64")))
-    uni_map = dict(zip(uni_pdf["w1"], uni_pdf["c1"].astype("int64")))
-    bc = spark.sparkContext.broadcast((big_map, uni_map, vocab_size))
+
+    # Model representation: (sorted uint64 key-hash, count) array
+    # pairs, not a dict — ~16 B/entry per worker instead of ~170 B,
+    # pickles compactly, and lookup is one vectorized searchsorted per
+    # batch. Keys are hashed PER TOKEN (pd.util.hash_array —
+    # deterministic across processes, fixed default hash key) and a
+    # bigram key is the golden-ratio mix of its two token hashes, so
+    # the scoring kernel never materializes a per-bigram Python
+    # string. A 64-bit collision between two model keys would merge
+    # their counts (P ≈ n²/2⁶⁵ — ~1e-5 at 14 M pruned bigrams, zero
+    # observed at test scales).
+    def _sorted(hk: "np.ndarray", counts: pd.Series):
+        order = np.argsort(hk, kind="stable")
+        return hk[order], counts.to_numpy(np.float64)[order]
+
+    def _hash_tokens(s: pd.Series) -> "np.ndarray":
+        return pd.util.hash_array(s.to_numpy(dtype=object))
+
+    if len(big_pdf):
+        big_keys = _mix(
+            _hash_tokens(big_pdf["w1"]), _hash_tokens(big_pdf["w2"])
+        )
+    else:
+        big_keys = np.empty(0, dtype=np.uint64)
+    model = (
+        _sorted(big_keys, big_pdf["c12"]),
+        _sorted(_hash_tokens(uni_pdf["w1"]), uni_pdf["c1"]),
+        vocab_size,
+    )
+    bc = spark.sparkContext.broadcast(model)
     a = float(alpha)
 
     out_schema = StructType(
@@ -218,37 +269,53 @@ def lm_cross_entropy_broadcast(
         import numpy as np
         import pandas as pd
 
-        big_m, uni_m, v = bc.value
+        (big_hk, big_c), (uni_hk, uni_c), v = bc.value
         av = float(a)
         denom_unseen = av * v
+
+        def lookup(q: "np.ndarray", hk: np.ndarray, c: np.ndarray):
+            out = np.zeros(len(q), np.float64)
+            if len(hk):
+                idx = np.searchsorted(hk, q)
+                idx_c = np.minimum(idx, len(hk) - 1)
+                hit = (idx < len(hk)) & (hk[idx_c] == q)
+                out[hit] = c[idx_c[hit]]
+            return out
+
         for pdf in batches:
             n = len(pdf)
             n_big = np.zeros(n, dtype=np.float64)
             h = np.full(n, np.nan)
-            bigrams: list[str] = []
-            w1s: list[str] = []
-            offsets = np.zeros(n + 1, dtype=np.int64)
-            for i, text in enumerate(pdf[text_col]):
-                toks = _py_tokens(text)
-                for j in range(len(toks) - 1):
-                    w1s.append(toks[j])
-                    bigrams.append(toks[j] + " " + toks[j + 1])
-                offsets[i + 1] = len(bigrams)
-            if bigrams:
-                c12 = (
-                    pd.Series(bigrams).map(big_m).fillna(0.0).to_numpy(np.float64)
-                )
-                c1 = pd.Series(w1s).map(uni_m).fillna(0.0).to_numpy(np.float64)
+            # C-side tokenize (trim→lower→regex split), then hash the
+            # flat token stream once — no per-token Python objects
+            # besides the hash_array input conversion
+            lists = _arrow_token_lists(pdf[text_col])
+            lens = lists.value_lengths().to_numpy(zero_copy_only=False)
+            lens = np.nan_to_num(lens.astype(np.float64), nan=0.0).astype(
+                np.int64
+            )
+            flat = lists.flatten().to_numpy(zero_copy_only=False)
+            if len(flat):
+                th = pd.util.hash_array(flat)
+                ends = np.cumsum(lens)
+                doc_of = np.repeat(np.arange(n), lens)
+                pos = np.arange(len(flat))
+                is_start = pos + 1 < ends[doc_of]
+                h1 = th[is_start]
+                h2 = th[np.flatnonzero(is_start) + 1]
+                c12 = lookup(_mix(h1, h2), big_hk, big_c)
+                c1 = lookup(h1, uni_hk, uni_c)
                 nll = -np.log((c12 + av) / (c1 + denom_unseen))
+                nb = np.maximum(lens - 1, 0)
+                offsets = np.concatenate([[0], np.cumsum(nb)])
                 sums = np.add.reduceat(
                     np.concatenate([nll, [0.0]]), offsets[:-1]
                 )
-                counts = np.diff(offsets)
-                has = counts > 0
+                has = nb > 0
                 # reduceat quirk: offsets[i] == offsets[i+1] yields the
                 # element AT the offset, not 0 — mask those rows out
-                n_big[has] = counts[has]
-                h[has] = sums[has] / counts[has]
+                n_big[has] = nb[has]
+                h[has] = sums[has] / nb[has]
             res = pdf.copy()
             res["n_bigrams"] = pd.array(
                 np.where(n_big > 0, n_big, np.nan), dtype="Int64"
@@ -296,17 +363,13 @@ def pmi_collocations(
     )
     big = (
         _bigram_stream(df, text_col, None)
-        .groupBy("bigram")
+        .groupBy("w1", "w2")
         .agg(F.count("*").alias("c12"))
     )
     totals = big.agg(
         F.sum("c12").alias("n_big")
     ).crossJoin(uni.agg(F.sum("c1").alias("n_uni")))
-    pruned = big.filter(F.col("c12") >= min_count).select(
-        F.split(F.col("bigram"), " ", 2)[0].alias("w1"),
-        F.split(F.col("bigram"), " ", 2)[1].alias("w2"),
-        "c12",
-    )
+    pruned = big.filter(F.col("c12") >= min_count)
     uni2 = uni.select(F.col("w1").alias("w2"), F.col("c1").alias("c2"))
     pmi = F.log(
         (F.col("c12") / F.col("n_big"))

@@ -1045,3 +1045,62 @@ def test_tfidf_top_terms_ranks_distinctive_words(spark):
     # min_df prunes singletons
     pruned = tfidf_top_terms(df, k=2, min_df=2).toPandas()
     assert "zebra" not in set(pruned.term)
+
+
+def test_bpe_train_classic_merges(spark):
+    """Sennrich et al.'s worked example (low/lower/newest/widest):
+    the first five merges are hand-derivable, including the
+    deterministic lexicographic tie-break among the three count-9
+    pairs."""
+    from melodist_spark.pipeline.bpe import bpe_train
+
+    corpus = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    df = spark.createDataFrame([(1, corpus)], "doc_id long, text string")
+    merges = bpe_train(df, num_merges=5)
+    assert merges == [
+        ("e", "s"),
+        ("es", "t"),
+        ("est", "</w>"),
+        ("l", "o"),
+        ("lo", "w"),
+    ]
+    # partitioning invariance: same corpus split across rows/partitions
+    rows = [(i, w) for i, w in enumerate(corpus.split())]
+    df2 = spark.createDataFrame(rows, "doc_id long, text string").repartition(7)
+    assert bpe_train(df2, num_merges=5) == merges
+
+
+def test_bpe_tokenize_greedy_and_roundtrip(spark):
+    from melodist_spark.pipeline.bpe import bpe_tokenize, bpe_train
+
+    corpus = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    train = spark.createDataFrame([(1, corpus)], "doc_id long, text string")
+    merges = bpe_train(train, num_merges=10)
+    df = spark.createDataFrame(
+        [(1, "lowest newest"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_tokenize(df, merges).collect()
+    }
+    # "lowest" is out-of-vocabulary: greedy lowest-rank merging yields
+    # the learned subwords low + est</w>; "newest" was fully merged
+    assert out[1] == ["low", "est</w>", "newest</w>"]
+    assert out[2] == []
+    assert out[3] is None
+    # lossless: stripping </w> and joining reconstructs the words
+    joined = "".join(out[1]).replace("</w>", " ").strip()
+    assert joined == "lowest newest"
+
+
+def test_bpe_zero_merges_is_chars(spark):
+    from melodist_spark.pipeline.bpe import bpe_tokenize
+
+    df = spark.createDataFrame([(1, "ab c")], "doc_id long, text string")
+    out = bpe_tokenize(df, []).collect()[0]["bpe_tokens"]
+    assert out == ["a", "b", "</w>", "c", "</w>"]

@@ -164,6 +164,24 @@ def main():
     t9 = time.perf_counter()
     print(f"lm_cross_entropy (self-trained bigram LM): {t9 - t8:.1f}s")
 
+    from melodist_spark.pipeline.lm import lm_cross_entropy_broadcast
+
+    # the broadcast path's deployment: a PRETRAINED bounded model (5%
+    # reference slice, pruned) scoring the full corpus map-side; the
+    # self-trained corpus-sized model above is the relational join's
+    # territory (measured: broadcast loses there — model collect
+    # dominates when distinct bigrams ~ corpus/4)
+    ref = docs.filter(F.col("doc_id") % 20 == 0)
+    lm_cross_entropy_broadcast(docs, train_df=ref, min_count=2).agg(
+        F.avg("perplexity")
+    ).collect()
+    t9b = time.perf_counter()
+    print(
+        f"lm_cross_entropy_broadcast (pretrained 5%-slice model, "
+        f"map-side scoring, min_count=2): {t9b - t9:.1f}s"
+    )
+    t9 = t9b
+
     from melodist_spark.pipeline.packing import pack_sequences
 
     pack_sequences(docs, seq_len=2048).agg(
