@@ -545,6 +545,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # greedy-encode round-trip are pytest-pinned instead
         # (tests/test_pipeline_ops.py::test_bpe_*).
         "bpe_tokenize": q_bpe_tokenize,
+        # position 53, outside the window: PQ codebooks come from an
+        # iterative Lloyd trainer (no SQL oracle); recall vs the
+        # oracle-green brute-force path + partitioning invariance are
+        # pytest-pinned (test_pq_*).
+        "pq_topk": q_pq_topk,
     }
 
 
@@ -4003,6 +4008,29 @@ def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return shaped("join", lm_cross_entropy(docs, alpha=0.4)).unionByName(
         shaped("broadcast", lm_cross_entropy_broadcast(docs, alpha=0.4))
+    )
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: codebooks trained FAISS-style on a
+    bounded deterministic sample (driver-side model boundary), corpus
+    encoded to m-byte codes distributed (32× compression at 64 dims),
+    queries scored by asymmetric-distance LUT gathers over the code
+    scan — each Arrow batch emits only its per-query top-k partials."""
+    from melodist_spark.pipeline.similarity import (
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    books = train_pq_codebooks(emb, dim=64, m=8, ksub=32)
+    out = pq_topk(emb, queries, books, k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("pq_score", 6).alias("pq_score"),
+        F.col("rank").cast("long").alias("rank"),
     )
 
 

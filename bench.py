@@ -61,6 +61,8 @@ HEADLINE = [
     "vocab_topk",
     "embedding_topk",  # brute + ivf branches
     "embedding_neardup",
+    "pq_topk",  # product-quantization ANN (sample-trained codebooks)
+    "bpe_tokenize",  # BPE train (driver merge loop) + broadcast encode
     "multimodal_hist",
 ]
 

@@ -443,3 +443,191 @@ def ivf_assign(
         return pd.Series((xn @ cn.T).argmax(axis=1).astype("int32"))
 
     return corpus.withColumn(out_col, _cell(F.col(vec_col)))
+
+
+def _normalize_rows(x: np.ndarray) -> np.ndarray:
+    return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 10,
+    sample: int = 16384,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Product-quantization codebooks, FAISS-style: train on a
+    bounded deterministic sample, encode the corpus distributed.
+
+    The vector space splits into ``m`` subspaces of ``dim/m``
+    dimensions; each gets its own ``ksub``-centroid Lloyd quantizer,
+    trained here in numpy over the first ``sample`` corpus vectors in
+    md5(id) order (a reproducible draw — the industry-standard
+    sample-then-train boundary: the *model* is m·ksub·dsub floats, the
+    corpus never leaves the cluster). Vectors are L2-normalized first
+    so PQ distances approximate cosine, matching the other ANN paths.
+
+    Returns (m, ksub, dim//m) float64.
+    """
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    h = F.md5(F.col(id_col).cast("string"))
+    rows = (
+        corpus.select(h.alias("__h"), F.col(vec_col))
+        .orderBy("__h")
+        .limit(sample)
+        .collect()
+    )
+    x = _normalize_rows(np.array([r[vec_col] for r in rows], dtype=np.float64))
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for s in range(m):
+        xs = x[:, s * dsub : (s + 1) * dsub]
+        k = min(ksub, len(xs))
+        cents = xs[:k].copy()
+        for _ in range(iters):
+            d2 = (
+                (xs * xs).sum(axis=1, keepdims=True)
+                - 2.0 * xs @ cents.T
+                + (cents * cents).sum(axis=1)
+            )
+            code = d2.argmin(axis=1)
+            for c in range(k):
+                pts = xs[code == c]
+                if len(pts):
+                    cents[c] = pts.mean(axis=0)
+        if k < ksub:  # degenerate tiny corpus: pad with repeats
+            cents = np.vstack([cents, np.repeat(cents[:1], ksub - k, axis=0)])
+        books[s] = cents
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Encode each vector to ``m`` bytes (nearest sub-centroid per
+    subspace, L2 over the normalized vector) — a BINARY column, so a
+    64-dim float corpus compresses 32× before any index is built.
+    One Arrow-batched distance matmul per subspace per batch; ties
+    break to the lowest code (argmin), deterministically."""
+    m, ksub, dsub = codebooks.shape
+    books = codebooks.copy()
+
+    @pandas_udf("binary")
+    def _enc(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        x = _normalize_rows(np.vstack(v.to_numpy()).astype(np.float64))
+        codes = np.empty((len(x), m), dtype=np.uint8)
+        for s in range(m):
+            xs = x[:, s * dsub : (s + 1) * dsub]
+            cents = books[s]
+            d2 = (
+                (xs * xs).sum(axis=1, keepdims=True)
+                - 2.0 * xs @ cents.T
+                + (cents * cents).sum(axis=1)
+            )
+            codes[:, s] = d2.argmin(axis=1).astype(np.uint8)
+        return pd.Series([c.tobytes() for c in codes])
+
+    return df.withColumn(out_col, _enc(F.col(vec_col)))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k by asymmetric distance computation:
+    each query builds an (m × ksub) inner-product lookup table against
+    the codebooks (driver-side — queries are the small side), and a
+    corpus code's score is the sum of m table gathers — no float
+    vector is touched at scan time, so the working set is the m-byte
+    codes (the 100 TB story: a 32×-compressed corpus scan).
+
+    Each Arrow batch emits only its per-query top-k partials
+    (q·k rows), so the final exact window ranks a tiny frame.
+    Pass ``code_col`` to reuse a pre-encoded corpus (else encodes
+    on the fly). Returns (query_id, neighbor_id, pq_score, rank).
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    m, ksub, dsub = codebooks.shape
+    spark = corpus.sparkSession
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    qx = _normalize_rows(
+        np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    )
+    # LUT[q, s, c] = <query subvector, codebook centroid>
+    lut = np.einsum(
+        "qsd,scd->qsc", qx.reshape(len(qx), m, dsub), codebooks
+    )
+    bc = spark.sparkContext.broadcast((qids, lut))
+
+    if code_col is None:
+        corpus = pq_encode(corpus, codebooks, vec_col=vec_col)
+        code_col = "pq_code"
+    src = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(code_col))
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("pq_score", DoubleType()),
+        ]
+    )
+    kk = int(k)
+    ccol = code_col
+
+    def score(batches):
+        ids_q, tbl = bc.value
+        nq = len(ids_q)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or nq == 0:
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf[ccol].to_numpy()), dtype=np.uint8
+            ).reshape(n, m)
+            nid = pdf["neighbor_id"].to_numpy(np.int64)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(nq):
+                s = tbl[qi][np.arange(m), codes].sum(axis=1)
+                s[nid == ids_q[qi]] = -np.inf  # exclude self-match
+                top = min(kk, n)
+                part = np.argpartition(-s, top - 1)[:top]
+                out_q.append(np.full(top, ids_q[qi]))
+                out_n.append(nid[part])
+                out_s.append(s[part])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "pq_score": np.concatenate(out_s),
+                }
+            )
+
+    partial = src.mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+        .filter(F.col("pq_score") > float("-inf"))
+    )

@@ -1104,3 +1104,63 @@ def test_bpe_zero_merges_is_chars(spark):
     df = spark.createDataFrame([(1, "ab c")], "doc_id long, text string")
     out = bpe_tokenize(df, []).collect()[0]["bpe_tokens"]
     assert out == ["a", "b", "</w>", "c", "</w>"]
+
+
+def test_pq_encode_compression_and_invariance(spark):
+    """PQ codes are m bytes per vector and identical regardless of
+    input partitioning (deterministic sample + argmin tie-breaks)."""
+    from melodist_spark.pipeline.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    rng = np.random.default_rng(21)
+    vecs = rng.standard_normal((120, 16)).astype(np.float32)
+    pdf = pd.DataFrame(
+        {"vec_id": range(120), "embedding": [v.tolist() for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    books = train_pq_codebooks(df, dim=16, m=4, ksub=8, sample=64)
+    assert books.shape == (4, 8, 4)
+    a = pq_encode(df, books).toPandas().set_index("vec_id")["pq_code"]
+    b = (
+        pq_encode(df.repartition(13), books)
+        .toPandas()
+        .set_index("vec_id")["pq_code"]
+    )
+    assert (a.str.len() == 4).all()
+    for i in a.index:
+        assert a[i] == b[i]
+
+
+def test_pq_topk_recovers_twins(spark):
+    """ADC scoring over PQ codes must recover the noisy-twin nearest
+    neighbours that exact cosine finds (high-recall regime: clustered
+    data, 16 sub-centroids per 4-dim subspace)."""
+    from melodist_spark.pipeline.similarity import (
+        brute_force_topk,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    rng = np.random.default_rng(31)
+    base = rng.standard_normal((25, 16)).astype(np.float32)
+    noisy = base + 0.01 * rng.standard_normal((25, 16)).astype(np.float32)
+    vecs = np.vstack([base, noisy])
+    pdf = pd.DataFrame(
+        {"vec_id": range(50), "embedding": [v.tolist() for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    queries = df.filter(F.col("vec_id") < 5)
+    books = train_pq_codebooks(df, dim=16, m=4, ksub=16, sample=50)
+    got = pq_topk(df, queries, books, k=1).toPandas()
+    exact = brute_force_topk(df, queries, k=1).toPandas()
+    assert (exact.set_index("query_id")["neighbor_id"]
+            == exact["query_id"].values + 25).all()
+    hits = (
+        got.set_index("query_id")["neighbor_id"] == got["query_id"].values + 25
+    ).mean()
+    assert hits >= 0.8
+    # no self matches, ranks well-formed
+    assert (got["query_id"] != got["neighbor_id"]).all()
+    assert set(got["rank"]) == {1}
