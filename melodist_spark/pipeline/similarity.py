@@ -631,3 +631,118 @@ def pq_topk(
         .filter(F.col("rank") <= kk)
         .filter(F.col("pq_score") > float("-inf"))
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    coarse_centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str | None = None,
+    code_col: str | None = None,
+) -> DataFrame:
+    """IVF-PQ — the standard billion-scale ANN layout: an IVF coarse
+    quantizer prunes the scan to ``n_probe`` cells per query AND the
+    pruned scan reads only m-byte PQ codes (ADC LUT scoring), so at
+    100 TB the per-query work is (corpus/cells · n_probe) rows ×
+    m bytes — both factors compound.
+
+    ``coarse_centroids`` (cells × dim) and ``codebooks``
+    (m × ksub × dsub) come from :func:`train_kmeans_centroids` and
+    :func:`train_pq_codebooks`. Pass ``cell_col``/``code_col`` to
+    reuse a pre-assigned, pre-encoded corpus (the deployment shape:
+    assign+encode once at ingest, store codes next to ids, drop the
+    float vectors from the hot path). Queries probe their ``n_probe``
+    nearest cells (cosine, driver-side — queries are the small side).
+    Returns (query_id, neighbor_id, pq_score, rank).
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    m, ksub, dsub = codebooks.shape
+    spark = corpus.sparkSession
+    if cell_col is None:
+        corpus = ivf_assign(corpus, coarse_centroids, vec_col=vec_col)
+        cell_col = "__cell"
+    if code_col is None:
+        corpus = pq_encode(corpus, codebooks, vec_col=vec_col)
+        code_col = "pq_code"
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    qx = _normalize_rows(
+        np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    )
+    cn = _normalize_rows(coarse_centroids.astype(np.float64))
+    order = np.argsort(-(qx @ cn.T), axis=1, kind="stable")
+    probes = order[:, : int(n_probe)]  # (q, n_probe) cell ids
+    lut = np.einsum("qsd,scd->qsc", qx.reshape(len(qx), m, dsub), codebooks)
+    bc = spark.sparkContext.broadcast((qids, probes, lut))
+
+    # scan only the union of probed cells (partition pruning when the
+    # corpus is stored partitioned/clustered by cell)
+    probed = sorted({int(c) for row in probes for c in row})
+    src = corpus.filter(F.col(cell_col).isin(probed)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(cell_col).alias("__cell_v"),
+        F.col(code_col),
+    )
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("pq_score", DoubleType()),
+        ]
+    )
+    kk = int(k)
+    ccol = code_col
+
+    def score(batches):
+        ids_q, prb, tbl = bc.value
+        nq = len(ids_q)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or nq == 0:
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf[ccol].to_numpy()), dtype=np.uint8
+            ).reshape(n, m)
+            nid = pdf["neighbor_id"].to_numpy(np.int64)
+            cell = pdf["__cell_v"].to_numpy(np.int64)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(nq):
+                mask = np.isin(cell, prb[qi]) & (nid != ids_q[qi])
+                if not mask.any():
+                    continue
+                sub = codes[mask]
+                s = tbl[qi][np.arange(m), sub].sum(axis=1)
+                top = min(kk, len(s))
+                part = np.argpartition(-s, top - 1)[:top]
+                out_q.append(np.full(top, ids_q[qi]))
+                out_n.append(nid[mask][part])
+                out_s.append(s[part])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "pq_score": np.concatenate(out_s),
+                    }
+                )
+
+    partial = src.mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+    )

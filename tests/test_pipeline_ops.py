@@ -1164,3 +1164,43 @@ def test_pq_topk_recovers_twins(spark):
     # no self matches, ranks well-formed
     assert (got["query_id"] != got["neighbor_id"]).all()
     assert set(got["rank"]) == {1}
+
+
+def test_ivf_pq_topk_prunes_and_recovers(spark):
+    """IVF-PQ: cell pruning + compressed ADC scoring still recovers
+    the noisy twins when the probe covers their cell; results agree
+    with plain pq_topk when every cell is probed."""
+    from melodist_spark.pipeline.similarity import (
+        ivf_pq_topk,
+        pq_topk,
+        train_kmeans_centroids,
+        train_pq_codebooks,
+    )
+
+    rng = np.random.default_rng(41)
+    base = rng.standard_normal((30, 16)).astype(np.float32)
+    noisy = base + 0.01 * rng.standard_normal((30, 16)).astype(np.float32)
+    vecs = np.vstack([base, noisy])
+    pdf = pd.DataFrame(
+        {"vec_id": range(60), "embedding": [v.tolist() for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    queries = df.filter(F.col("vec_id") < 5)
+    cents = train_kmeans_centroids(df, k=4, dim=16)
+    books = train_pq_codebooks(df, dim=16, m=4, ksub=16, sample=60)
+
+    got = ivf_pq_topk(df, queries, cents, books, k=1, n_probe=2).toPandas()
+    hits = (
+        got.set_index("query_id")["neighbor_id"] == got["query_id"].values + 30
+    ).mean()
+    assert hits >= 0.8  # twin shares the query's cell by construction
+
+    # probing all cells == plain PQ (same scores, same ranking)
+    full = ivf_pq_topk(df, queries, cents, books, k=3, n_probe=4).toPandas()
+    plain = pq_topk(df, queries, books, k=3).toPandas()
+    a = full.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = plain.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a[["query_id", "neighbor_id", "rank"]],
+        b[["query_id", "neighbor_id", "rank"]],
+    )
