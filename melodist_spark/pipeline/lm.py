@@ -343,32 +343,37 @@ def pmi_collocations(
     multiword units should the tokenizer keep together; which
     boilerplate n-grams dominate the crawl).
 
-    Scale shape: one bigram count and one unigram count, both
-    map-side-combined aggregations over narrow exploded streams (the
-    same cost class as :func:`bigram_lm` training). The unigram table
-    is vocabulary-bounded, so both probability joins are broadcast;
-    the corpus-sized stream is never shuffled by anything wider than
-    the two count aggregations. ``min_count`` is applied to c12
-    before the joins (rare-pair PMI is noise AND pruning bounds the
-    sort input); the final top-k is a sink-side
-    ``ORDER BY pmi DESC LIMIT k`` with a deterministic
-    (w1, w2) tie-break. Totals N_bigrams / N_unigrams ride along as
-    1-row aggregates cross-joined in (broadcast, no driver action).
+    Scale shape: exactly three corpus passes — one bigram count and
+    one unigram count (both map-side-combined aggregations over
+    narrow exploded streams, the :func:`bigram_lm` cost class) plus
+    one join-free ``size()`` pass for the instance totals (per doc,
+    bigrams = max(tokens-1, 0), so neither total needs a second
+    aggregation over the exploded streams). The unigram table is
+    vocabulary-bounded: it is persisted and broadcast into both
+    probability joins, so neither re-runs its corpus scan.
+    ``min_count`` is applied to c12 before the joins (rare-pair PMI
+    is noise AND pruning bounds the sort input); the final top-k is
+    a sink-side ``ORDER BY pmi DESC LIMIT k`` with a deterministic
+    (w1, w2) tie-break. Totals ride along as a 1-row broadcast
+    cross join (no driver action).
     """
+    n_toks = F.size(_token_array(text_col))
+    totals = df.agg(
+        F.sum(F.greatest(n_toks - 1, F.lit(0))).alias("n_big"),
+        F.sum(n_toks).alias("n_uni"),
+    )
     toks = df.select(_token_array(text_col).alias("w"))
     uni = (
         toks.select(F.explode("w").alias("w1"))
         .groupBy("w1")
         .agg(F.count("*").alias("c1"))
+        .persist()  # vocabulary-bounded; feeds both probability joins
     )
     big = (
         _bigram_stream(df, text_col, None)
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("c12"))
     )
-    totals = big.agg(
-        F.sum("c12").alias("n_big")
-    ).crossJoin(uni.agg(F.sum("c1").alias("n_uni")))
     pruned = big.filter(F.col("c12") >= min_count)
     uni2 = uni.select(F.col("w1").alias("w2"), F.col("c1").alias("c2"))
     pmi = F.log(

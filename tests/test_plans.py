@@ -59,6 +59,36 @@ def qs():
             [r"ReadSchema: struct<ts:(bigint|timestamp_ntz),user_id:bigint(,value:double)?>"],
             [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
         ),
+        (
+            # vocab table cached and broadcast into both probability
+            # joins (no re-scan), no sort-merge anywhere; the 1-row
+            # totals ride a broadcast nested-loop cross join, which is
+            # why BNLJ is NOT forbidden here
+            "pmi_collocations",
+            [r"InMemoryTableScan", r"BroadcastHashJoin"],
+            [r"SortMergeJoin", r"CartesianProduct"],
+        ),
+        (
+            # merged clean+PII+quality audit: one narrow scan, every
+            # column a codegen expression — no join, no shuffle at all
+            "text_curation",
+            [],
+            [r"Exchange", r"Join", r"CartesianProduct"],
+        ),
+        (
+            # PQ ANN: Arrow kernels (encode + ADC partials); the only
+            # shuffle ranks the q·k-per-batch partial frame
+            "pq_topk",
+            [r"MapInPandas"],
+            [r"SortMergeJoin", r"CartesianProduct"],
+        ),
+        (
+            # both LM deployment shapes in one frame; neither path may
+            # degenerate to a cartesian or nested-loop join
+            "doc_perplexity",
+            [r"MapInPandas"],
+            [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        ),
     ],
 )
 def test_plan_contract(spark, qs, name, must, must_not):
