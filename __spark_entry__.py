@@ -550,6 +550,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-green brute-force path + partitioning invariance are
         # pytest-pinned (test_pq_*).
         "pq_topk": q_pq_topk,
+        # position 54, outside the window: IRLS is iterative (weights
+        # of step k feed step k+1); the trainer is pytest-pinned to a
+        # numpy textbook reference at 1e-6 (test_logreg_*).
+        "quality_classifier": q_quality_classifier,
     }
 
 
@@ -4008,6 +4012,30 @@ def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return shaped("join", lm_cross_entropy(docs, alpha=0.4)).unionByName(
         shaped("broadcast", lm_cross_entropy_broadcast(docs, alpha=0.4))
+    )
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText/DSIR-style quality model: logistic regression over
+    the single-scan quality features, trained by distributed IRLS
+    (each Newton step = one map-side-combined aggregation of the
+    (d+1)² cross-moments; the driver solves the tiny system — the
+    model boundary). Labels here: the deterministic lang=='en' split
+    standing in for an external 'known good' set. Scoring is a pure
+    codegen expression (no UDF in the per-document path)."""
+    from melodist_spark.pipeline.classifier import logreg_score, logreg_train
+    from melodist_spark.pipeline.text import quality_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = quality_features(docs).na.fill(0.0).withColumn(
+        "label", (F.col("lang") == "en").cast("double")
+    )
+    cols = ["n_tokens", "mean_word_len", "stopword_ratio", "punct_ratio"]
+    model = logreg_train(feats, cols, "label", iters=6)
+    return logreg_score(feats, model).select(
+        "doc_id",
+        "label",
+        F.round("quality_score", 6).alias("quality_score"),
     )
 
 
