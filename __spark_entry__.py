@@ -1522,8 +1522,83 @@ def oracle_sql() -> dict[str, str]:
                                 doc_id
                      ) AS r
               FROM half
+            ),
+            toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS w
+              FROM documents
+            ),
+            dbg AS (
+              SELECT doc_id, w[i] AS w1, w[i+1] AS w2, count(*) AS k
+              FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)
+              GROUP BY 1, 2, 3
+            ),
+            tgt_ids AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+            uni_t AS (
+              SELECT w1, count(*) AS c1
+              FROM (SELECT unnest(w) AS w1 FROM toks
+                    WHERE doc_id IN (SELECT doc_id FROM tgt_ids))
+              GROUP BY w1
+            ),
+            bg_t AS (
+              SELECT w1, w2, sum(k) AS c12 FROM dbg
+              WHERE doc_id IN (SELECT doc_id FROM tgt_ids)
+              GROUP BY 1, 2
+            ),
+            vt AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni_t),
+            uni_r AS (
+              SELECT w1, count(*) AS c1
+              FROM (SELECT unnest(w) AS w1 FROM toks) GROUP BY w1
+            ),
+            bg_r AS (SELECT w1, w2, sum(k) AS c12 FROM dbg GROUP BY 1, 2),
+            vr AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni_r),
+            ht AS (
+              SELECT d.doc_id, sum(d.k) AS nb,
+                     sum(d.k * -ln(
+                         (coalesce(b.c12, 0) + 0.4)
+                         / (coalesce(u.c1, 0) + 0.4 * vt.v)
+                     )) / sum(d.k) AS h
+              FROM dbg d
+              LEFT JOIN bg_t b ON b.w1 = d.w1 AND b.w2 = d.w2
+              LEFT JOIN uni_t u ON u.w1 = d.w1
+              CROSS JOIN vt GROUP BY d.doc_id
+            ),
+            hr AS (
+              SELECT d.doc_id, sum(d.k * -ln(
+                         (coalesce(b.c12, 0) + 0.4)
+                         / (coalesce(u.c1, 0) + 0.4 * vr.v)
+                     )) / sum(d.k) AS h
+              FROM dbg d
+              LEFT JOIN bg_r b ON b.w1 = d.w1 AND b.w2 = d.w2
+              LEFT JOIN uni_r u ON u.w1 = d.w1
+              CROSS JOIN vr GROUP BY d.doc_id
+            ),
+            gum AS (
+              SELECT doc.doc_id, doc.lang,
+                     CAST(doc.n_chars AS BIGINT) AS n_chars,
+                     ht.nb * (hr.h - ht.h) AS li,
+                     least(greatest(
+                       ('0x' || substr(md5(CAST(doc.doc_id AS VARCHAR) || '|dsir'), 1, 15))::BIGINT
+                       / 1152921504606846976.0, 1e-15), 1.0 - 1e-15) AS u
+              FROM documents doc
+              JOIN ht ON ht.doc_id = doc.doc_id
+              JOIN hr ON hr.doc_id = doc.doc_id
+            ),
+            dsir AS (
+              SELECT doc_id, lang, n_chars, li,
+                     li - ln(-ln(u)) AS gk
+              FROM gum
+              ORDER BY gk DESC, doc_id ASC
+              LIMIT 40
             )
-            SELECT doc_id, lang, n_chars FROM ranked WHERE r <= 40
+            SELECT 'stratified' AS method, doc_id, lang, n_chars,
+                   CAST(NULL AS DOUBLE) AS log_importance,
+                   CAST(NULL AS DOUBLE) AS gumbel_key
+            FROM ranked WHERE r <= 40
+            UNION ALL
+            SELECT 'dsir', doc_id, lang, n_chars,
+                   round(li, 6), round(gk, 6)
+            FROM dsir
         """,
         "vocab_topk": """
             WITH lists AS (
@@ -4140,17 +4215,48 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic training-data sampling: a 50% id-hash sample of
-    the corpus (reproducible on any engine/layout), then an exact
-    40-docs-per-language stratified draw in id-hash order — the
-    curation primitive for building fixed-size, re-runnable training
-    mixes."""
-    from melodist_spark.pipeline.sampling import hash_sample, stratified_sample_n
+    """Deterministic training-data sampling, all three curation
+    draws method-tagged in one frame:
+
+    - ``stratified``: a 50% id-hash sample, then an exact
+      40-docs-per-language stratified draw in id-hash order;
+    - ``dsir``: importance resampling toward a target domain (the
+      lang='en' slice standing in for the target corpus) — two
+      broadcast bigram LMs score every document map-side, the draw is
+      the deterministic Gumbel-top-k over md5 uniforms (exact
+      weighted sampling without replacement, no RNG state).
+
+    Every number, including the Gumbel keys, is hash-checked against
+    the DuckDB oracle."""
+    from melodist_spark.pipeline.sampling import (
+        hash_sample,
+        importance_resample,
+        stratified_sample_n,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     half = hash_sample(docs, 0.5, id_col="doc_id", salt="hs")
     samp = stratified_sample_n(half, ["lang"], n=40, id_col="doc_id", salt="r3")
-    return samp.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+    strat = samp.select(
+        F.lit("stratified").alias("method"),
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.lit(None).cast("double").alias("log_importance"),
+        F.lit(None).cast("double").alias("gumbel_key"),
+    )
+    target = docs.filter(F.col("lang") == "en")
+    dsir = importance_resample(
+        docs, target, n=40, min_count=1, salt="dsir"
+    ).select(
+        F.lit("dsir").alias("method"),
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round("log_importance", 6).alias("log_importance"),
+        F.round("gumbel_key", 6).alias("gumbel_key"),
+    )
+    return strat.unionByName(dsir)
 
 
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -150,3 +150,66 @@ def stratified_sample_n(
         .filter(F.col("__rank") <= n)
         .drop("__h", "__local_rank", "__rank")
     )
+
+
+def importance_resample(
+    df: DataFrame,
+    target_df: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "dsir",
+    min_count: int = 2,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023): draw ``n``
+    documents from the raw corpus with probability proportional to
+    ``p_target(x) / p_raw(x)`` under two bigram LMs — the standard
+    recipe for steering a crawl toward a target domain distribution
+    without a trained classifier.
+
+    Log-importance per doc = n_bigrams · (H_raw − H_target) (both
+    cross-entropies come from :func:`~melodist_spark.pipeline.lm.
+    lm_cross_entropy_broadcast` — map-side scoring, so the corpus is
+    scanned, never shuffled). Sampling WITHOUT replacement uses the
+    Gumbel-top-k identity (Efraimidis-Spirakis): key =
+    log w + Gumbel(u) with u a deterministic md5 hash uniform — the
+    draw is exactly the weighted sample yet fully reproducible on any
+    partitioning (no RNG state), and the global top-n is the standard
+    two-phase ``ORDER BY LIMIT``. Docs with <2 tokens carry zero
+    weight (dropped). Returns the sampled rows plus
+    ``log_importance`` and the ``gumbel_key`` used for selection.
+    """
+    from melodist_spark.pipeline.lm import lm_cross_entropy_broadcast
+
+    # chain the two map-side scorers (each adds columns in place — no
+    # join, no shuffle in the scoring path; the only wide work is the
+    # two model TRAINING aggregations inside each call)
+    under_t = lm_cross_entropy_broadcast(
+        df, train_df=target_df, text_col=text_col, id_col=id_col,
+        alpha=alpha, min_count=min_count,
+    ).select(
+        *df.columns,
+        F.col("n_bigrams").alias("__nb"),
+        F.col("cross_entropy").alias("__h_t"),
+    )
+    both = lm_cross_entropy_broadcast(
+        under_t, train_df=df, text_col=text_col, id_col=id_col,
+        alpha=alpha, min_count=min_count,
+    ).withColumnRenamed("cross_entropy", "__h_r")
+    u = _hash01(F.concat(F.col(id_col).cast("string"), F.lit("|" + salt)))
+    # clamp u away from {0,1}: -log(-log(u)) must stay finite
+    u = F.least(F.greatest(u, F.lit(1e-15)), F.lit(1.0 - 1e-15))
+    scored = (
+        both.filter(F.col("__nb").isNotNull())
+        .withColumn(
+            "log_importance", F.col("__nb") * (F.col("__h_r") - F.col("__h_t"))
+        )
+        .withColumn("gumbel_key", F.col("log_importance") - F.log(-F.log(u)))
+        .drop("n_bigrams", "perplexity")
+    )
+    return (
+        scored.orderBy(F.col("gumbel_key").desc(), F.col(id_col).asc())
+        .limit(n)
+        .drop("__nb", "__h_t", "__h_r")
+    )

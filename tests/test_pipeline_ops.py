@@ -1264,3 +1264,29 @@ def test_logreg_on_quality_features(spark):
     scored = logreg_score(feats, model).toPandas().set_index("doc_id")
     assert scored.loc[0, "quality_score"] > 0.9
     assert scored.loc[40, "quality_score"] < 0.1
+
+
+def test_importance_resample_steers_to_target(spark):
+    """DSIR resampling must oversample documents that look like the
+    target domain, deterministically across partitionings."""
+    from melodist_spark.pipeline.sampling import importance_resample
+
+    sci = "the experiment measured the reaction rate of the compound"
+    web = "click here to buy cheap deals now best price online shop"
+    rows = []
+    for i in range(100):
+        rows.append((i, sci if i % 2 == 0 else web))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(1000 + i, sci) for i in range(20)], "doc_id long, text string"
+    )
+    got = importance_resample(df, target, n=30, min_count=1).toPandas()
+    assert len(got) == 30
+    sci_frac = (got["doc_id"] % 2 == 0).mean()
+    assert sci_frac > 0.9  # target-like docs dominate the draw
+
+    alt = importance_resample(
+        df.repartition(7), target, n=30, min_count=1
+    ).toPandas()
+    assert set(alt["doc_id"]) == set(got["doc_id"])  # deterministic
+    assert {"log_importance", "gumbel_key"} <= set(got.columns)
