@@ -196,3 +196,50 @@ def pack_sequences(
         )
     )
     return out.drop("__h", "__ntok", "__bucket", "__bucket_off")
+
+
+def assign_shards(
+    manifest: DataFrame, seqs_per_shard: int, out_col: str = "shard"
+) -> DataFrame:
+    """Attach the output-shard id to a :func:`pack_sequences`
+    manifest: ``shard = seq_first // seqs_per_shard`` — contiguous
+    runs of sequences land in the same shard, so every shard holds
+    ~``seqs_per_shard × seq_len`` tokens by construction (the last
+    document of a shard may spill its tail into the next shard's
+    first sequence, exactly as sequence packing splits documents).
+    A narrow expression — no shuffle."""
+    if seqs_per_shard < 1:
+        raise ValueError(f"seqs_per_shard must be >= 1, got {seqs_per_shard}")
+    return manifest.withColumn(
+        out_col, (F.col("seq_first") / seqs_per_shard).cast("bigint")
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    seq_len: int,
+    seqs_per_shard: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "",
+    n_buckets: int = 1024,
+) -> None:
+    """Materialize the corpus as size-balanced training shards:
+    pack → assign shards → one file per shard
+    (``repartition(shard)`` + ``partitionBy(shard)``), so a loader
+    streams shard directories of near-identical token counts in
+    manifest order. Token balance is by construction (not by file
+    size), which is what a fixed-batch trainer actually needs."""
+    manifest = pack_sequences(
+        df, seq_len, text_col=text_col, id_col=id_col, salt=salt,
+        n_buckets=n_buckets,
+    )
+    sharded = assign_shards(manifest, seqs_per_shard)
+    (
+        sharded.repartition(F.col("shard"))
+        .sortWithinPartitions("begin_offset")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(path)
+    )

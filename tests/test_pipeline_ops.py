@@ -1290,3 +1290,32 @@ def test_importance_resample_steers_to_target(spark):
     ).toPandas()
     assert set(alt["doc_id"]) == set(got["doc_id"])  # deterministic
     assert {"log_importance", "gumbel_key"} <= set(got.columns)
+
+
+def test_training_shards_token_balance(spark, tmp_path):
+    """Shards hold ~seqs_per_shard*seq_len tokens each (boundary doc
+    spillover bounded by one document), cover every document exactly
+    once, and read back in manifest order."""
+    from melodist_spark.pipeline.packing import (
+        assign_shards,
+        pack_sequences,
+        write_training_shards,
+    )
+
+    rows = [(i, "tok " * ((i % 13) + 1)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "shards")
+    write_training_shards(df, path, seq_len=32, seqs_per_shard=4)
+
+    back = spark.read.parquet(path).toPandas()
+    assert sorted(back["doc_id"]) == list(range(500))
+    target = 32 * 4
+    sums = back.groupby("shard")["n_tokens"].sum()
+    max_doc = 13
+    full = sums.iloc[:-1] if len(sums) > 1 else sums
+    assert (full >= target - max_doc).all() and (full <= target + max_doc).all()
+
+    # shard assignment is a pure expression over the manifest
+    man = pack_sequences(df, 32)
+    sh = assign_shards(man, 4).toPandas()
+    assert (sh["shard"] == sh["seq_first"] // 4).all()
