@@ -157,8 +157,10 @@ def _arrow_token_lists(texts):
     - Spark ``trim`` strips 0x20 (space) only →
       ``pc.utf8_trim(arr, ' ')``;
     - Java regex ``\\s`` is the ASCII class ``[ \\t\\n\\x0B\\f\\r]``;
-      RE2's ``\\s`` is ``[ \\t\\n\\f\\r]`` — identical except U+000B
-      (vertical tab), the one documented divergence;
+      RE2's ``\\s`` is ``[ \\t\\n\\f\\r]`` — missing U+000B (vertical
+      tab), so VT is normalized to ``\\n`` BEFORE the split (VT is
+      never token content on the JVM side either, so the streams
+      agree);
     - both splits keep leading/trailing empty fields.
 
     ``utf8_lower`` parity with JVM ``lower`` holds for ASCII and the
@@ -170,6 +172,7 @@ def _arrow_token_lists(texts):
     import pyarrow.compute as pc
 
     arr = pa.array(texts, type=pa.string())
+    arr = pc.replace_substring(arr, "\x0b", "\n")
     return pc.split_pattern_regex(
         pc.utf8_lower(pc.utf8_trim(arr, " ")), r"\s+"
     )

@@ -257,3 +257,65 @@ def test_chunk_documents_never_redundant(spark):
             for _, r in d.iterrows():
                 s = int(r.chunk_id) * step
                 assert r.chunk_text == " ".join(toks[s:s + max_tokens])
+
+
+def test_lm_broadcast_tokenizer_parity_property(spark):
+    """Adversarial whitespace corpus, batched into one job: the
+    Arrow-kernel tokenizer must agree with the JVM split on every
+    ASCII whitespace char Java's \\s covers — including U+000B, which
+    RE2's \\s lacks (normalized in the kernel)."""
+    import math
+
+    from melodist_spark.pipeline.lm import (
+        lm_cross_entropy,
+        lm_cross_entropy_broadcast,
+    )
+
+    ws = [" ", "\t", "\n", "\x0b", "\f", "\r"]
+    texts = []
+    for i, a in enumerate(ws):
+        for j, b in enumerate(ws):
+            texts.append(f"{a}alpha{a}beta{b}gamma{b}")
+            texts.append(f"word{a}{b}mixed runs{b}{a}end")
+    texts += ["", "  ", "\x0b", "one", "UPPER Case MiX", None]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rel = {
+        r["doc_id"]: r
+        for r in lm_cross_entropy(df)
+        .select("doc_id", "n_bigrams", "cross_entropy")
+        .collect()
+    }
+    bc = {
+        r["doc_id"]: r
+        for r in lm_cross_entropy_broadcast(df)
+        .select("doc_id", "n_bigrams", "cross_entropy")
+        .collect()
+    }
+    for k, rv in rel.items():
+        assert rv["n_bigrams"] == bc[k]["n_bigrams"], (k, texts[k])
+        a, b = rv["cross_entropy"], bc[k]["cross_entropy"]
+        assert (a is None) == (b is None), (k, texts[k])
+        if a is not None:
+            assert math.isclose(a, b, rel_tol=1e-12), (k, texts[k], a, b)
+
+
+def test_bpe_roundtrip_property(spark):
+    """For any corpus, stripping </w> from the BPE pieces and joining
+    reconstructs the normalized text exactly — at every merge count."""
+    from melodist_spark.pipeline.bpe import bpe_tokenize, bpe_train
+
+    rng = np.random.default_rng(3)
+    vocab = ["ab", "abc", "aabb", "xyzzy", "q", "longishword", "a" * 20]
+    rows = [
+        (i, " ".join(rng.choice(vocab, size=rng.integers(1, 12))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n_merges in (0, 3, 50):
+        merges = bpe_train(df, num_merges=n_merges)
+        got = bpe_tokenize(df, merges).collect()
+        for r in got:
+            rebuilt = "".join(r["bpe_tokens"]).replace("</w>", " ").strip()
+            norm = " ".join(dict(rows)[r["doc_id"]].lower().split())
+            assert rebuilt == norm, (n_merges, r["doc_id"])
