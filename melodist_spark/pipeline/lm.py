@@ -44,23 +44,30 @@ def _token_array(text_col: str) -> F.Column:
     return F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE)
 
 
+def _ngram_stream(
+    df: DataFrame, text_col: str, id_col: str | None, order: int
+) -> DataFrame:
+    """One row per n-gram INSTANCE (positional), as ``w1..w{order}``
+    columns; ``id_col=None`` omits the id (training needs only the
+    grams, so a reference corpus without document ids works)."""
+    toks = _token_array(text_col)
+    n = F.size(toks)
+    m = F.greatest(n - (order - 1), F.lit(0))
+    grams = F.arrays_zip(
+        *[F.slice(toks, i + 1, m).alias(f"w{i + 1}") for i in range(order)]
+    )
+    cols = [F.col(id_col)] if id_col is not None else []
+    names = [f"w{i + 1}" for i in range(order)]
+    return df.select(*cols, F.explode(grams).alias("bg")).select(
+        *[c for c in ([id_col] if id_col else [])],
+        *[F.col(f"bg.{w}").alias(w) for w in names],
+    )
+
+
 def _bigram_stream(
     df: DataFrame, text_col: str, id_col: str | None
 ) -> DataFrame:
-    """One row per bigram INSTANCE (positional), as ``(w1, w2)``
-    columns; ``id_col=None`` omits the id (training needs only the
-    bigrams, so a reference corpus without document ids works)."""
-    toks = _token_array(text_col)
-    n = F.size(toks)
-    bigrams = F.zip_with(
-        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-    )
-    cols = [F.col(id_col)] if id_col is not None else []
-    return df.select(
-        *cols, F.explode(bigrams).alias("bg")
-    ).select(*[c for c in ([id_col] if id_col else [])], "bg.w1", "bg.w2")
+    return _ngram_stream(df, text_col, id_col, 2)
 
 
 def bigram_lm(
@@ -86,6 +93,42 @@ def bigram_lm(
         .agg(F.count("*").alias("c1"))
     )
     return big, uni
+
+
+def ngram_lm(
+    train_df: DataFrame,
+    order: int,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Order-n generalization of :func:`bigram_lm`: returns
+    ``(gram_counts(w1..wn, c), prefix_counts(w1..w{n-1}, cp))`` where
+    the prefix counts come from the full (n-1)-gram stream (for n=2
+    this is exactly the unigram table). Both are map-side-combined
+    aggregations; ``min_count`` prunes the gram table only (the
+    prefix table is the smaller, denominator side)."""
+    if order < 2:
+        raise ValueError(f"order must be >= 2, got {order}")
+    names = [f"w{i + 1}" for i in range(order)]
+    gram = (
+        _ngram_stream(train_df, text_col, None, order)
+        .groupBy(*names)
+        .agg(F.count("*").alias("c"))
+    )
+    if min_count > 1:
+        gram = gram.filter(F.col("c") >= min_count)
+    prefix = (
+        _ngram_stream(train_df, text_col, None, order - 1)
+        .groupBy(*names[:-1])
+        .agg(F.count("*").alias("cp"))
+        if order > 2
+        else train_df.select(
+            F.explode(_token_array(text_col)).alias("w1")
+        )
+        .groupBy("w1")
+        .agg(F.count("*").alias("cp"))
+    )
+    return gram, prefix
 
 
 def lm_cross_entropy(
@@ -185,6 +228,7 @@ def lm_cross_entropy_broadcast(
     id_col: str = "doc_id",
     alpha: float = 0.4,
     min_count: int = 1,
+    order: int = 2,
 ) -> DataFrame:
     """Same scores as :func:`lm_cross_entropy`, but with the model
     BROADCAST and scoring fully map-side: the corpus is scanned once
@@ -216,6 +260,14 @@ def lm_cross_entropy_broadcast(
     boundary, same as the k-means centroids); tokenization parity
     with the JVM path is pinned by ``_arrow_token_lists`` and the
     path-equivalence test.
+
+    ``order`` generalizes the model to order-n (KenLM deployments are
+    typically 5-gram): gram keys are the hash-fold of n token hashes,
+    the denominator is the (n-1)-gram prefix count, and the smoothing
+    vocabulary stays the distinct-unigram count. ``n_bigrams`` then
+    holds the n-gram instance count (column name kept for API
+    stability); the relational :func:`lm_cross_entropy` remains the
+    order-2 reference implementation.
     """
     import numpy as np
     import pandas as pd
@@ -223,10 +275,19 @@ def lm_cross_entropy_broadcast(
 
     spark = df.sparkSession
     train = df if train_df is None else train_df
-    big, uni = bigram_lm(train, text_col, min_count=min_count)
-    big_pdf = big.toPandas()
-    uni_pdf = uni.toPandas()
-    vocab_size = len(uni_pdf)
+    gram, prefix = ngram_lm(train, order, text_col, min_count=min_count)
+    big_pdf = gram.toPandas().rename(columns={"c": "c12"})
+    uni_pdf = prefix.toPandas().rename(columns={"cp": "c1"})
+    # smoothing vocabulary = distinct unigrams (== the prefix table
+    # for order 2; one extra tiny distinct-count for higher orders)
+    if order == 2:
+        vocab_size = len(uni_pdf)
+    else:
+        vocab_size = (
+            train.select(F.explode(_token_array(text_col)).alias("w"))
+            .agg(F.count_distinct("w"))
+            .collect()[0][0]
+        )
 
     # Model representation: (sorted uint64 key-hash, count) array
     # pairs, not a dict — ~16 B/entry per worker instead of ~170 B,
@@ -245,19 +306,22 @@ def lm_cross_entropy_broadcast(
     def _hash_tokens(s: pd.Series) -> "np.ndarray":
         return pd.util.hash_array(s.to_numpy(dtype=object))
 
-    if len(big_pdf):
-        big_keys = _mix(
-            _hash_tokens(big_pdf["w1"]), _hash_tokens(big_pdf["w2"])
-        )
-    else:
-        big_keys = np.empty(0, dtype=np.uint64)
+    def _fold_keys(pdf: pd.DataFrame, ncols: int) -> "np.ndarray":
+        if not len(pdf):
+            return np.empty(0, dtype=np.uint64)
+        key = _hash_tokens(pdf["w1"])
+        for i in range(1, ncols):
+            key = _mix(key, _hash_tokens(pdf[f"w{i + 1}"]))
+        return key
+
     model = (
-        _sorted(big_keys, big_pdf["c12"]),
-        _sorted(_hash_tokens(uni_pdf["w1"]), uni_pdf["c1"]),
+        _sorted(_fold_keys(big_pdf, order), big_pdf["c12"]),
+        _sorted(_fold_keys(uni_pdf, order - 1), uni_pdf["c1"]),
         vocab_size,
     )
     bc = spark.sparkContext.broadcast(model)
     a = float(alpha)
+    ord_n_b = int(order)
 
     out_schema = StructType(
         list(df.schema.fields)
@@ -275,6 +339,7 @@ def lm_cross_entropy_broadcast(
         (big_hk, big_c), (uni_hk, uni_c), v = bc.value
         av = float(a)
         denom_unseen = av * v
+        ord_n = ord_n_b
 
         def lookup(q: "np.ndarray", hk: np.ndarray, c: np.ndarray):
             out = np.zeros(len(q), np.float64)
@@ -303,13 +368,19 @@ def lm_cross_entropy_broadcast(
                 ends = np.cumsum(lens)
                 doc_of = np.repeat(np.arange(n), lens)
                 pos = np.arange(len(flat))
-                is_start = pos + 1 < ends[doc_of]
-                h1 = th[is_start]
-                h2 = th[np.flatnonzero(is_start) + 1]
-                c12 = lookup(_mix(h1, h2), big_hk, big_c)
-                c1 = lookup(h1, uni_hk, uni_c)
+                # positions that start a full n-gram within their doc
+                is_start = pos + (ord_n - 1) < ends[doc_of]
+                starts = np.flatnonzero(is_start)
+                gram_key = th[starts]
+                for i in range(1, ord_n):
+                    gram_key = _mix(gram_key, th[starts + i])
+                prefix_key = th[starts]
+                for i in range(1, ord_n - 1):
+                    prefix_key = _mix(prefix_key, th[starts + i])
+                c12 = lookup(gram_key, big_hk, big_c)
+                c1 = lookup(prefix_key, uni_hk, uni_c)
                 nll = -np.log((c12 + av) / (c1 + denom_unseen))
-                nb = np.maximum(lens - 1, 0)
+                nb = np.maximum(lens - (ord_n - 1), 0)
                 offsets = np.concatenate([[0], np.cumsum(nb)])
                 sums = np.add.reduceat(
                     np.concatenate([nll, [0.0]]), offsets[:-1]

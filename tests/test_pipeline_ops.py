@@ -1319,3 +1319,28 @@ def test_training_shards_token_balance(spark, tmp_path):
     man = pack_sequences(df, 32)
     sh = assign_shards(man, 4).toPandas()
     assert (sh["shard"] == sh["seq_first"] // 4).all()
+
+
+def test_lm_broadcast_trigram_hand_model(spark):
+    """order=3 checked against a hand-computed additively-smoothed
+    trigram model (prefix = bigram counts, V = distinct unigrams)."""
+    import math
+
+    from melodist_spark.pipeline.lm import lm_cross_entropy_broadcast
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b")], "doc_id long, text string"
+    )
+    # trigrams: "a b c"=2, "b c a"=1, "c a b"=1; bigram prefixes:
+    # "a b"=3, "b c"=2, "c a"=1; V = 3 (a, b, c); alpha=0.4
+    p_abc = (2 + 0.4) / (3 + 0.4 * 3)
+    p_bca = (1 + 0.4) / (2 + 0.4 * 3)
+    p_cab = (1 + 0.4) / (1 + 0.4 * 3)
+    h1 = -(2 * math.log(p_abc) + math.log(p_bca) + math.log(p_cab)) / 4
+    out = {
+        r["doc_id"]: r
+        for r in lm_cross_entropy_broadcast(df, order=3).collect()
+    }
+    assert out[1]["n_bigrams"] == 4  # n-gram instances at order 3
+    assert math.isclose(out[1]["cross_entropy"], h1, rel_tol=1e-12)
+    assert out[2]["cross_entropy"] is None  # < 3 tokens, no trigram
