@@ -346,3 +346,47 @@ def test_streaming_curate_end_to_end(spark, tmp_path):
     # clean column present on the survivors
     cols = spark.sql("SELECT * FROM curated_ingest").columns
     assert "text_clean" in cols
+
+
+def test_streaming_quality_classifier_gate(spark, tmp_path):
+    """logreg_score is a pure column expression, so a model trained
+    in batch gates a STREAMING ingest without any stateful operator —
+    scores on the stream match the batch scores exactly."""
+    from melodist_spark.pipeline.classifier import logreg_score, logreg_train
+    from melodist_spark.pipeline.text import quality_features
+
+    rows = []
+    for i in range(30):
+        rows.append((i, "the quick brown fox jumps over a lazy dog near the river " * 2))
+    for i in range(30, 60):
+        rows.append((i, "!!!! @@@@ #### %%%% " * 8))
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    feats = quality_features(batch).na.fill(0.0).withColumn(
+        "label", (F.col("doc_id") < 30).cast("double")
+    )
+    cols = ["n_tokens", "mean_word_len", "stopword_ratio", "punct_ratio"]
+    model = logreg_train(feats, cols, "label", iters=5)
+
+    src = str(tmp_path / "docs_src")
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    scored = logreg_score(
+        quality_features(stream).na.fill(0.0), model
+    ).filter(F.col("quality_score") > 0.5)
+    out = str(tmp_path / "gated")
+    q = (
+        scored.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).toPandas()
+    assert set(got["doc_id"]) == set(range(30))  # clean docs pass the gate
+    ref = (
+        logreg_score(quality_features(batch).na.fill(0.0), model)
+        .select("doc_id", "quality_score").toPandas().set_index("doc_id")
+    )
+    for _, r in got.iterrows():
+        assert abs(ref.loc[r["doc_id"], "quality_score"] - r["quality_score"]) < 1e-12
