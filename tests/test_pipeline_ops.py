@@ -1344,3 +1344,43 @@ def test_lm_broadcast_trigram_hand_model(spark):
     assert out[1]["n_bigrams"] == 4  # n-gram instances at order 3
     assert math.isclose(out[1]["cross_entropy"], h1, rel_tol=1e-12)
     assert out[2]["cross_entropy"] is None  # < 3 tokens, no trigram
+
+
+def test_stupid_backoff_hand_computed(spark):
+    """Brants et al. stupid backoff against hand-computed scores:
+    full trigram hit, backoff-to-bigram-to-unigram for unseen words,
+    and the unseen-unigram floor."""
+    import math
+
+    from melodist_spark.pipeline.lm import stupid_backoff_scores
+
+    train = spark.createDataFrame(
+        [(0, "a b c a b c")], "doc_id long, text string"
+    )
+    # train counts: uni a=2 b=2 c=2 (N=6); bi ab=2 bc=2 ca=1;
+    # tri abc=2 bca=1 cab=1
+    df = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b x"), (3, "b c a b"), (4, "a b")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in stupid_backoff_scores(df, train_df=train, order=3).collect()
+    }
+    # doc1: S = [2/2, 1/2, 1/1, 2/2] -> mean log = ln(.5)/4
+    assert out[1]["n_scored"] == 4
+    assert math.isclose(
+        out[1]["mean_log_score"], math.log(0.5) / 4, rel_tol=1e-12
+    )
+    # doc2: "a b x": tri unseen, bi "b x" unseen, uni x unseen ->
+    # 0.4 * 0.4 * (0.5/6)
+    assert out[2]["n_scored"] == 1
+    assert math.isclose(
+        out[2]["mean_log_score"], math.log(0.4 * 0.4 * 0.5 / 6), rel_tol=1e-12
+    )
+    # doc3: [c(bca)/c(bc)=1/2, c(cab)/c(ca)=1/1]
+    assert math.isclose(
+        out[3]["mean_log_score"], math.log(0.5) / 2, rel_tol=1e-12
+    )
+    # doc4: shorter than order -> nulls
+    assert out[4]["n_scored"] is None and out[4]["mean_log_score"] is None
