@@ -210,8 +210,10 @@ def assign_shards(
     A narrow expression — no shuffle."""
     if seqs_per_shard < 1:
         raise ValueError(f"seqs_per_shard must be >= 1, got {seqs_per_shard}")
+    # integer `div`, not float division: seq_first at 100 TB scale
+    # exceeds double's exact-integer range
     return manifest.withColumn(
-        out_col, (F.col("seq_first") / seqs_per_shard).cast("bigint")
+        out_col, F.expr(f"seq_first div {int(seqs_per_shard)}")
     )
 
 
