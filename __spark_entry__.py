@@ -4115,25 +4115,40 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN: codebooks trained FAISS-style on a
-    bounded deterministic sample (driver-side model boundary), corpus
-    encoded to m-byte codes distributed (32× compression at 64 dims),
-    queries scored by asymmetric-distance LUT gathers over the code
-    scan — each Arrow batch emits only its per-query top-k partials."""
+    """Product-quantization ANN, both deployment shapes tagged by
+    ``method``: ``pq`` — full scan over m-byte codes (codebooks
+    trained FAISS-style on a bounded deterministic sample, corpus
+    encoded distributed — 32× compression at 64 dims, asymmetric-
+    distance LUT scoring, per-batch top-k partials) — and ``ivfpq`` —
+    the same codes behind an IVF coarse probe (n_probe of k cells),
+    the billion-scale layout where cell pruning and code compression
+    compound."""
     from melodist_spark.pipeline.similarity import (
+        ivf_pq_topk,
         pq_topk,
+        train_kmeans_centroids,
         train_pq_codebooks,
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 8)
     books = train_pq_codebooks(emb, dim=64, m=8, ksub=32)
-    out = pq_topk(emb, queries, books, k=5)
-    return out.select(
-        "query_id",
-        "neighbor_id",
-        F.round("pq_score", 6).alias("pq_score"),
-        F.col("rank").cast("long").alias("rank"),
+    cents = train_kmeans_centroids(emb, k=8, dim=64)
+
+    def shaped(method: str, out: DataFrame) -> DataFrame:
+        return out.select(
+            F.lit(method).alias("method"),
+            "query_id",
+            "neighbor_id",
+            F.round("pq_score", 6).alias("pq_score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    return shaped("pq", pq_topk(emb, queries, books, k=5)).unionByName(
+        shaped(
+            "ivfpq",
+            ivf_pq_topk(emb, queries, cents, books, k=5, n_probe=2),
+        )
     )
 
 

@@ -61,8 +61,9 @@ HEADLINE = [
     "vocab_topk",
     "embedding_topk",  # brute + ivf branches
     "embedding_neardup",
-    "pq_topk",  # product-quantization ANN (sample-trained codebooks)
+    "pq_topk",  # PQ + IVF-PQ ANN branches (sample-trained codebooks)
     "bpe_tokenize",  # BPE train (driver merge loop) + broadcast encode
+    "quality_classifier",  # distributed-IRLS logreg + codegen scoring
     "multimodal_hist",
 ]
 
