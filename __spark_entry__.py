@@ -442,12 +442,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """52 entries; the driver's correctness gate checks the FIRST 50
+    """54 entries; the driver's correctness gate checks the FIRST 50
     registry keys, so every operator family keeps exactly one
     representative inside the window and the 50 checked rows are all
-    hash-verifiable (wind_random — the one op with no conserved
-    statistic to oracle — and bpe_tokenize — inherently iterative —
-    deliberately sit 51st/52nd, pytest-pinned). Former micro-queries (cumsum,
+    hash-verifiable (the four iterative/stochastic ops with no SQL
+    oracle — wind_random, bpe_tokenize, pq_topk, quality_classifier —
+    deliberately sit 51st-54th, pytest-pinned). Former micro-queries (cumsum,
     ffill, day_normalize, vapor_pressure, dewpoint, five_min_calendar,
     sub_level_calendar, dedup_exact, dedup_prefix, fingerprint,
     token_stats, lang_id, simhash, temp_sine_mean, temp_sine_night)

@@ -87,11 +87,7 @@ def bigram_lm(
     )
     if min_count > 1:
         big = big.filter(F.col("c12") >= min_count)
-    uni = (
-        train_df.select(F.explode(_token_array(text_col)).alias("w1"))
-        .groupBy("w1")
-        .agg(F.count("*").alias("c1"))
-    )
+    uni = _unigram_counts(train_df, text_col).withColumnRenamed("c", "c1")
     return big, uni
 
 
@@ -122,11 +118,7 @@ def ngram_lm(
         .groupBy(*names[:-1])
         .agg(F.count("*").alias("cp"))
         if order > 2
-        else train_df.select(
-            F.explode(_token_array(text_col)).alias("w1")
-        )
-        .groupBy("w1")
-        .agg(F.count("*").alias("cp"))
+        else _unigram_counts(train_df, text_col).withColumnRenamed("c", "cp")
     )
     return gram, prefix
 
@@ -183,13 +175,70 @@ def lm_cross_entropy(
 
 
 def _mix(h1, h2):
-    """Combine two uint64 token hashes into one bigram key
+    """Combine two uint64 token hashes into one n-gram key
     (golden-ratio multiply-add, wrapping) — used identically on the
-    driver (model keys) and in the scoring kernel (query keys)."""
+    driver (model keys) and in the scoring kernels (query keys)."""
     import numpy as np
 
     with np.errstate(over="ignore"):
         return h1 * np.uint64(0x9E3779B97F4A7C15) + h2
+
+
+def _unigram_counts(train_df: DataFrame, text_col: str) -> DataFrame:
+    """Map-side-combined unigram count table ``(w1, c)`` — the shared
+    tokenize+count pass every trainer in this module builds on."""
+    return (
+        train_df.select(F.explode(_token_array(text_col)).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def _hash_tokens(s) -> "object":
+    """Deterministic cross-process uint64 hash of a string Series
+    (pd.util.hash_array, fixed default key)."""
+    import pandas as pd
+
+    return pd.util.hash_array(s.to_numpy(dtype=object))
+
+
+def _fold_keys(pdf, ncols: int):
+    """n-gram keys for a ``w1..w{ncols}`` count table: per-token
+    hashes folded with :func:`_mix`. MUST stay the exact scheme the
+    scoring kernels apply to query positions — model and query keys
+    agree bit-for-bit or every lookup silently misses."""
+    import numpy as np
+
+    if not len(pdf):
+        return np.empty(0, dtype=np.uint64)
+    key = _hash_tokens(pdf["w1"])
+    for i in range(1, ncols):
+        key = _mix(key, _hash_tokens(pdf[f"w{i + 1}"]))
+    return key
+
+
+def _sorted_table(keys, counts):
+    """(sorted uint64 keys, aligned float64 counts) — the broadcast
+    model representation (~16 B/row per worker)."""
+    import numpy as np
+
+    order = np.argsort(keys, kind="stable")
+    return keys[order], counts.to_numpy("float64")[order]
+
+
+def _lookup_sorted(q, table):
+    """Vectorized count lookup of query keys in a sorted table;
+    misses return 0."""
+    import numpy as np
+
+    hk, c = table
+    out = np.zeros(len(q), np.float64)
+    if len(hk):
+        idx = np.searchsorted(hk, q)
+        idx_c = np.minimum(idx, len(hk) - 1)
+        hit = (idx < len(hk)) & (hk[idx_c] == q)
+        out[hit] = c[idx_c[hit]]
+    return out
 
 
 def _arrow_token_lists(texts):
@@ -299,24 +348,9 @@ def lm_cross_entropy_broadcast(
     # string. A 64-bit collision between two model keys would merge
     # their counts (P ≈ n²/2⁶⁵ — ~1e-5 at 14 M pruned bigrams, zero
     # observed at test scales).
-    def _sorted(hk: "np.ndarray", counts: pd.Series):
-        order = np.argsort(hk, kind="stable")
-        return hk[order], counts.to_numpy(np.float64)[order]
-
-    def _hash_tokens(s: pd.Series) -> "np.ndarray":
-        return pd.util.hash_array(s.to_numpy(dtype=object))
-
-    def _fold_keys(pdf: pd.DataFrame, ncols: int) -> "np.ndarray":
-        if not len(pdf):
-            return np.empty(0, dtype=np.uint64)
-        key = _hash_tokens(pdf["w1"])
-        for i in range(1, ncols):
-            key = _mix(key, _hash_tokens(pdf[f"w{i + 1}"]))
-        return key
-
     model = (
-        _sorted(_fold_keys(big_pdf, order), big_pdf["c12"]),
-        _sorted(_fold_keys(uni_pdf, order - 1), uni_pdf["c1"]),
+        _sorted_table(_fold_keys(big_pdf, order), big_pdf["c12"]),
+        _sorted_table(_fold_keys(uni_pdf, order - 1), uni_pdf["c1"]),
         vocab_size,
     )
     bc = spark.sparkContext.broadcast(model)
@@ -340,15 +374,6 @@ def lm_cross_entropy_broadcast(
         av = float(a)
         denom_unseen = av * v
         ord_n = ord_n_b
-
-        def lookup(q: "np.ndarray", hk: np.ndarray, c: np.ndarray):
-            out = np.zeros(len(q), np.float64)
-            if len(hk):
-                idx = np.searchsorted(hk, q)
-                idx_c = np.minimum(idx, len(hk) - 1)
-                hit = (idx < len(hk)) & (hk[idx_c] == q)
-                out[hit] = c[idx_c[hit]]
-            return out
 
         for pdf in batches:
             n = len(pdf)
@@ -377,8 +402,8 @@ def lm_cross_entropy_broadcast(
                 prefix_key = th[starts]
                 for i in range(1, ord_n - 1):
                     prefix_key = _mix(prefix_key, th[starts + i])
-                c12 = lookup(gram_key, big_hk, big_c)
-                c1 = lookup(prefix_key, uni_hk, uni_c)
+                c12 = _lookup_sorted(gram_key, (big_hk, big_c))
+                c1 = _lookup_sorted(prefix_key, (uni_hk, uni_c))
                 nll = -np.log((c12 + av) / (c1 + denom_unseen))
                 nb = np.maximum(lens - (ord_n - 1), 0)
                 offsets = np.concatenate([[0], np.cumsum(nb)])
@@ -506,26 +531,11 @@ def stupid_backoff_scores(
     spark = df.sparkSession
     train = df if train_df is None else train_df
 
-    def _hash_tokens(s: pd.Series) -> "np.ndarray":
-        return pd.util.hash_array(s.to_numpy(dtype=object))
-
-    def _fold(pdf: pd.DataFrame, ncols: int) -> "np.ndarray":
-        if not len(pdf):
-            return np.empty(0, dtype=np.uint64)
-        key = _hash_tokens(pdf["w1"])
-        for i in range(1, ncols):
-            key = _mix(key, _hash_tokens(pdf[f"w{i + 1}"]))
-        return key
-
     tables = []  # tables[k] = sorted (hash, count) for (k+1)-grams
     total_tokens = None
     for k in range(1, order + 1):
         if k == 1:
-            cnt = (
-                train.select(F.explode(_token_array(text_col)).alias("w1"))
-                .groupBy("w1")
-                .agg(F.count("*").alias("c"))
-            )
+            cnt = _unigram_counts(train, text_col)
         else:
             names = [f"w{i + 1}" for i in range(k)]
             cnt = (
@@ -538,9 +548,7 @@ def stupid_backoff_scores(
         pdf_k = cnt.toPandas()
         if k == 1:
             total_tokens = float(pdf_k["c"].sum()) if len(pdf_k) else 0.0
-        keys = _fold(pdf_k, k)
-        o = np.argsort(keys, kind="stable")
-        tables.append((keys[o], pdf_k["c"].to_numpy(np.float64)[o]))
+        tables.append(_sorted_table(_fold_keys(pdf_k, k), pdf_k["c"]))
 
     bc = spark.sparkContext.broadcast((tables, total_tokens))
     ord_n = int(order)
@@ -558,14 +566,7 @@ def stupid_backoff_scores(
         tbls, n_tok = bc.value
 
         def lookup(q, k):
-            hk, c = tbls[k - 1]
-            out = np.zeros(len(q), np.float64)
-            if len(hk):
-                idx = np.searchsorted(hk, q)
-                idx_c = np.minimum(idx, len(hk) - 1)
-                hit = (idx < len(hk)) & (hk[idx_c] == q)
-                out[hit] = c[idx_c[hit]]
-            return out
+            return _lookup_sorted(q, tbls[k - 1])
 
         for pdf in batches:
             n = len(pdf)
@@ -577,7 +578,10 @@ def stupid_backoff_scores(
                 np.int64
             )
             flat = lists.flatten().to_numpy(zero_copy_only=False)
-            if len(flat):
+            # n_tok == 0 (empty/degenerate training corpus): no model
+            # exists — every document scores NULL, matching the other
+            # degenerate cases instead of emitting log(0) = -inf
+            if len(flat) and n_tok:
                 th = pd.util.hash_array(flat)
                 ends = np.cumsum(lens)
                 doc_of = np.repeat(np.arange(n), lens)
@@ -603,13 +607,13 @@ def stupid_backoff_scores(
                     for i in range(1, k - 1):
                         pk = _mix(pk, th[first + i])
                     cg = lookup(gk, k)
-                    cp = lookup(pk, k - 1) if k > 1 else None
+                    cp = lookup(pk, k - 1)  # k >= 2 here, so k-1 >= 1
                     seen = (cg > 0) & (cp > 0)
                     res = u[seen]
                     s_val[res] = backoff[res] * (cg[seen] / cp[seen])
                     unresolved[res] = False
                     backoff[u[~seen]] *= rho_f
-                if unresolved.any() and n_tok:
+                if unresolved.any():
                     u = np.flatnonzero(unresolved)
                     last = starts[u] + (ord_n - 1)
                     c1 = lookup(th[last], 1)

@@ -240,7 +240,7 @@ def write_training_shards(
     sharded = assign_shards(manifest, seqs_per_shard)
     (
         sharded.repartition(F.col("shard"))
-        .sortWithinPartitions("begin_offset")
+        .sortWithinPartitions("shard", "begin_offset")
         .write.partitionBy("shard")
         .mode("overwrite")
         .parquet(path)

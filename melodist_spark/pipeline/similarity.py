@@ -474,6 +474,10 @@ def train_pq_codebooks(
     """
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
+    if not 1 <= ksub <= 256:
+        # codes are stored as uint8 — a larger ksub would silently
+        # wrap argmin indices into wrong centroids
+        raise ValueError(f"ksub must be in [1, 256], got {ksub}")
     dsub = dim // m
     h = F.md5(F.col(id_col).cast("string"))
     rows = (
@@ -482,6 +486,8 @@ def train_pq_codebooks(
         .limit(sample)
         .collect()
     )
+    if not rows:
+        raise ValueError("cannot train PQ codebooks on an empty corpus")
     x = _normalize_rows(np.array([r[vec_col] for r in rows], dtype=np.float64))
     books = np.empty((m, ksub, dsub), dtype=np.float64)
     for s in range(m):
@@ -539,6 +545,24 @@ def pq_encode(
     return df.withColumn(out_col, _enc(F.col(vec_col)))
 
 
+def _decode_pq_codes(pdf, code_col: str, m: int) -> np.ndarray:
+    """Binary m-byte codes column -> (n, m) uint8 matrix."""
+    return np.frombuffer(
+        b"".join(pdf[code_col].to_numpy()), dtype=np.uint8
+    ).reshape(len(pdf), m)
+
+
+def _adc_scores(lut_q: np.ndarray, codes: np.ndarray) -> np.ndarray:
+    """Asymmetric-distance scores for one query: sum of per-subspace
+    LUT gathers. ``lut_q`` is (m, ksub), ``codes`` (n, m)."""
+    m = codes.shape[1]
+    return lut_q[np.arange(m), codes].sum(axis=1)
+
+
+def _empty_topk(spark, schema):
+    return spark.createDataFrame([], schema)
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -570,6 +594,11 @@ def pq_topk(
     m, ksub, dsub = codebooks.shape
     spark = corpus.sparkSession
     qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        return _empty_topk(
+            spark,
+            "query_id long, neighbor_id long, pq_score double, rank long",
+        )
     qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
     qx = _normalize_rows(
         np.array([r[vec_col] for r in qrows], dtype=np.float64)
@@ -601,13 +630,11 @@ def pq_topk(
             n = len(pdf)
             if n == 0 or nq == 0:
                 continue
-            codes = np.frombuffer(
-                b"".join(pdf[ccol].to_numpy()), dtype=np.uint8
-            ).reshape(n, m)
+            codes = _decode_pq_codes(pdf, ccol, m)
             nid = pdf["neighbor_id"].to_numpy(np.int64)
             out_q, out_n, out_s = [], [], []
             for qi in range(nq):
-                s = tbl[qi][np.arange(m), codes].sum(axis=1)
+                s = _adc_scores(tbl[qi], codes)
                 s[nid == ids_q[qi]] = -np.inf  # exclude self-match
                 top = min(kk, n)
                 part = np.argpartition(-s, top - 1)[:top]
@@ -677,6 +704,11 @@ def ivf_pq_topk(
         code_col = "pq_code"
 
     qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        return _empty_topk(
+            spark,
+            "query_id long, neighbor_id long, pq_score double, rank long",
+        )
     qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
     qx = _normalize_rows(
         np.array([r[vec_col] for r in qrows], dtype=np.float64)
@@ -712,9 +744,7 @@ def ivf_pq_topk(
             n = len(pdf)
             if n == 0 or nq == 0:
                 continue
-            codes = np.frombuffer(
-                b"".join(pdf[ccol].to_numpy()), dtype=np.uint8
-            ).reshape(n, m)
+            codes = _decode_pq_codes(pdf, ccol, m)
             nid = pdf["neighbor_id"].to_numpy(np.int64)
             cell = pdf["__cell_v"].to_numpy(np.int64)
             out_q, out_n, out_s = [], [], []
@@ -722,8 +752,7 @@ def ivf_pq_topk(
                 mask = np.isin(cell, prb[qi]) & (nid != ids_q[qi])
                 if not mask.any():
                     continue
-                sub = codes[mask]
-                s = tbl[qi][np.arange(m), sub].sum(axis=1)
+                s = _adc_scores(tbl[qi], codes[mask])
                 top = min(kk, len(s))
                 part = np.argpartition(-s, top - 1)[:top]
                 out_q.append(np.full(top, ids_q[qi]))

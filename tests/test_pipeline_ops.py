@@ -1384,3 +1384,11 @@ def test_stupid_backoff_hand_computed(spark):
     )
     # doc4: shorter than order -> nulls
     assert out[4]["n_scored"] is None and out[4]["mean_log_score"] is None
+
+    # degenerate training corpus with zero tokens (all-null texts):
+    # NULLs, never log(0) = -inf
+    empty_train = spark.createDataFrame(
+        [(9, None), (10, None)], "doc_id long, text string"
+    )
+    deg = stupid_backoff_scores(df, train_df=empty_train, order=3).collect()
+    assert all(r["mean_log_score"] is None for r in deg)
