@@ -75,6 +75,23 @@ def logreg_train(
     regularizes the solve (and is the tie-breaker that keeps the
     trained model deterministic on degenerate data)."""
     d = len(feature_cols)
+    # persist the (features, label) projection: every Newton step and
+    # the standardizer aggregate over the same narrow columns — cache
+    # once instead of recomputing the feature expressions iters+1
+    # times over the corpus
+    df = df.select(
+        *[F.col(c).cast("double").alias(c) for c in feature_cols],
+        F.col(label_col).cast("double").alias(label_col),
+    ).persist()
+    try:
+        return _logreg_train_cached(
+            df, feature_cols, label_col, iters, ridge, d
+        )
+    finally:
+        df.unpersist()
+
+
+def _logreg_train_cached(df, feature_cols, label_col, iters, ridge, d):
     mu, sd = _standardizer(df, feature_cols)
     w = np.zeros(d + 1)  # [intercept, w_1..w_d]
 
