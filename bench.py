@@ -30,18 +30,30 @@ HEADLINE = [
     "radiation_potrad",
     "radiation_bc",
     "wind_cosine",
+    "wind_cosine_fit",
     "wind_equal",
+    "wind_random",
+    "humidity_minimal",
+    "humidity_minmax",
+    "radiation_ssd",
+    "radiation_course",
+    "temp_sine_sunshift",
+    "temp_course_mean",
+    "angstroem_fit",
     "precip_masterstation",
     "cascade_disagg",
     "cascade_calibration",
     "api_pipeline",
     # aggregation / calendar / scalar primitives
     "gap_analysis",
+    "sun_times",
+    "dyadic_calendars",
     "asof_attribution",
     "window_primitives",  # includes the former meteo_scalars columns
     "interpolate",
     "month_hour_wet_mean",
     "validation_metrics",
+    "streaming_daily_agg",
     # relational
     "pricing_summary",
     # sources / sinks (fleet SMET write + distributed read back)
@@ -52,6 +64,7 @@ HEADLINE = [
     "pmi_collocations",
     "repetition_stats",
     "minhash_pairs",
+    "jaccard_pairs",
     "dup_clusters",  # exact + prefix + neardup membership
     "line_dedup",
     "doc_perplexity",
