@@ -151,17 +151,27 @@ def lm_cross_entropy(
     # 55-66 s interleaved A/B). Train always goes through bigram_lm.
     train = df if train_df is None else train_df
     big, uni = bigram_lm(train, text_col, min_count=min_count)
-    # persist the (small, vocabulary-sized) unigram table: the V count
-    # below and the scoring join both consume it — without the persist
-    # each would re-run the full tokenize+count pass over the corpus
-    uni = uni.persist()
-    vocab_size = uni.count()  # driver scalar: the model boundary
+    # the vocabulary size V rides along as a 1-row broadcast aggregate
+    # instead of a driver-side count(): both V and the scoring join
+    # consume the same unigram shuffle subtree, so ReuseExchange runs
+    # the tokenize+count corpus pass ONCE — no persist, no cached
+    # blocks left behind in a long-lived session, no driver action
+    # count(c1 > 0), not count(*): every c1 is >= 1 so the value is V
+    # either way, but a predicate on c1 is something the optimizer
+    # cannot prove away, so column pruning keeps c1 in this branch's
+    # partial aggregate — the two unigram subtrees stay canonically
+    # identical, which is what lets the shuffle be reused (one corpus
+    # scan) instead of re-run
+    vsize = uni.agg(
+        F.count(F.when(F.col("c1") > 0, 1)).alias("__vsize")
+    )
     prob = (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(alpha)) / (
-        F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha) * F.lit(vocab_size)
+        F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha) * F.col("__vsize")
     )
     scored = (
         doc_bigrams.join(big, ["w1", "w2"], "left")
         .join(uni, "w1", "left")
+        .join(F.broadcast(vsize))
         .groupBy(id_col)
         .agg(
             F.sum("k").alias("n_bigrams"),
@@ -448,8 +458,10 @@ def pmi_collocations(
     one join-free ``size()`` pass for the instance totals (per doc,
     bigrams = max(tokens-1, 0), so neither total needs a second
     aggregation over the exploded streams). The unigram table is
-    vocabulary-bounded: it is persisted and broadcast into both
-    probability joins, so neither re-runs its corpus scan.
+    vocabulary-bounded and broadcast into both probability joins;
+    both broadcasts hang off the same unigram shuffle subtree, so
+    ReuseExchange runs its corpus scan once — no persist, so a
+    long-lived session accumulates no cached blocks across calls.
     ``min_count`` is applied to c12 before the joins (rare-pair PMI
     is noise AND pruning bounds the sort input); the final top-k is
     a sink-side ``ORDER BY pmi DESC LIMIT k`` with a deterministic
@@ -466,7 +478,8 @@ def pmi_collocations(
         toks.select(F.explode("w").alias("w1"))
         .groupBy("w1")
         .agg(F.count("*").alias("c1"))
-        .persist()  # vocabulary-bounded; feeds both probability joins
+        # no persist: uni2 below projects off this same aggregate, so
+        # both broadcast builds share one shuffle via ReuseExchange
     )
     big = (
         _bigram_stream(df, text_col, None)

@@ -60,13 +60,18 @@ def qs():
             [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
         ),
         (
-            # vocab table cached and broadcast into both probability
-            # joins (no re-scan), no sort-merge anywhere; the 1-row
-            # totals ride a broadcast nested-loop cross join, which is
-            # why BNLJ is NOT forbidden here
+            # vocab table broadcast into both probability joins; the
+            # two broadcast builds hang off one canonical unigram
+            # shuffle, so AQE's ReuseExchange runs the corpus scan
+            # once at runtime (asserted in
+            # test_lm_reuse_exchange_no_cache_residue) — no persist,
+            # so no InMemoryTableScan and no cached-block residue in
+            # long-lived sessions. The 1-row totals ride a broadcast
+            # nested-loop cross join, which is why BNLJ is NOT
+            # forbidden here
             "pmi_collocations",
-            [r"InMemoryTableScan", r"BroadcastHashJoin"],
-            [r"SortMergeJoin", r"CartesianProduct"],
+            [r"BroadcastHashJoin"],
+            [r"SortMergeJoin", r"CartesianProduct", r"InMemoryTableScan"],
         ),
         (
             # merged clean+PII+quality audit: one narrow scan, every
@@ -84,10 +89,15 @@ def qs():
         ),
         (
             # both LM deployment shapes in one frame; neither path may
-            # degenerate to a cartesian or nested-loop join
+            # degenerate to a cartesian. The vocabulary size V rides
+            # along as a 1-row broadcast aggregate (no driver count(),
+            # no persist), and that 1-row cross join is a
+            # BroadcastNestedLoopJoin by construction — so BNLJ is NOT
+            # forbidden here (the no-persist/ReuseExchange contract is
+            # pinned in test_lm_reuse_exchange_no_cache_residue)
             "doc_perplexity",
             [r"MapInPandas"],
-            [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+            [r"CartesianProduct", r"InMemoryTableScan"],
         ),
     ],
 )
@@ -179,3 +189,29 @@ def test_plan_contract_grouped_map_pinned_parallelism(spark):
         disagg_prec_cascade(daily, stats, seed=1, station_buckets=0)
     )
     assert not re.search(r"REPARTITION_BY_NUM", direct)
+
+
+def test_lm_reuse_exchange_no_cache_residue(spark):
+    """Round-6 leak fix (ADVICE): lm_cross_entropy and
+    pmi_collocations used to persist() the vocabulary-sized unigram
+    table and never unpersist it — every scoring call in a long-lived
+    session leaked cached blocks into executor storage. Both now
+    share the unigram shuffle across their consumers via AQE's
+    runtime ReuseExchange instead: one corpus scan, zero cached
+    blocks. Contract: the FINAL adaptive plan contains a
+    ReusedExchange, and executor storage holds no RDD blocks after
+    materialization."""
+    from melodist_spark.pipeline.lm import lm_cross_entropy, pmi_collocations
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for df in (
+        lm_cross_entropy(docs).select("doc_id", "cross_entropy"),
+        pmi_collocations(docs, min_count=2, top_k=10),
+    ):
+        df.collect()
+        final = _plan(df)
+        assert re.search(r"ReusedExchange", final), "unigram shuffle not reused"
+        assert not re.search(r"InMemoryTableScan", final)
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    leaked = [i for i in infos if i.numCachedPartitions() > 0]
+    assert not leaked, f"cached blocks left behind: {leaked}"
