@@ -63,6 +63,8 @@ def logreg_train(
     label_col: str,
     iters: int = 8,
     ridge: float = 1e-8,
+    tol: float = 1e-10,
+    max_step: float = 10.0,
 ) -> dict:
     """Train logistic regression by IRLS; returns the model dict
     ``{"weights", "intercept", "mu", "sd", "feature_cols"}`` with
@@ -73,7 +75,19 @@ def logreg_train(
     producing the (d+1)×(d+1) weighted cross-moment matrix and the
     residual vector; rows never leave the executors. ``ridge``
     regularizes the solve (and is the tie-breaker that keeps the
-    trained model deterministic on degenerate data)."""
+    trained model deterministic on degenerate data).
+
+    Step control (deterministic, no extra corpus passes): iteration
+    stops early once the mean absolute gradient drops below ``tol``
+    (converged — further steps only burn aggregation passes), and
+    each Newton step is clipped to ``max_step`` in standardized
+    L2 norm (a trust region). The clip is what bounds the
+    linearly-separable case: the logistic MLE does not exist there,
+    so undamped Newton grows the weights every iteration until
+    ``exp`` saturates — with the clip, weights grow at most
+    ``iters·max_step``, scores stay finite, and the fit is still the
+    maximally-confident separator the data supports. Both guards are
+    mirrored bit-for-bit in :func:`logreg_train_local`."""
     d = len(feature_cols)
     # persist the (features, label) projection: every Newton step and
     # the standardizer aggregate over the same narrow columns — cache
@@ -85,13 +99,27 @@ def logreg_train(
     ).persist()
     try:
         return _logreg_train_cached(
-            df, feature_cols, label_col, iters, ridge, d
+            df, feature_cols, label_col, iters, ridge, d, tol, max_step
         )
     finally:
         df.unpersist()
 
 
-def _logreg_train_cached(df, feature_cols, label_col, iters, ridge, d):
+def _newton_step(w, H, g, ridge, max_step):
+    """Shared solve + trust-region clip — the exact arithmetic both
+    the distributed and the numpy-reference trainers apply, so the
+    parity test pins the whole step, guards included."""
+    H = H + ridge * np.eye(len(w))
+    delta = np.linalg.solve(H, g)
+    nrm = float(np.linalg.norm(delta))
+    if nrm > max_step:
+        delta *= max_step / nrm
+    return w + delta
+
+
+def _logreg_train_cached(
+    df, feature_cols, label_col, iters, ridge, d, tol, max_step
+):
     mu, sd = _standardizer(df, feature_cols)
     w = np.zeros(d + 1)  # [intercept, w_1..w_d]
 
@@ -104,21 +132,23 @@ def _logreg_train_cached(df, feature_cols, label_col, iters, ridge, d):
             eta = eta + zs[j] * float(w[j + 1])
         p = _sigmoid(eta)
         s = p * (1.0 - p)
-        aggs = []
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
         for i in range(d + 1):
             for j in range(i, d + 1):
                 aggs.append(F.sum(s * xs[i] * xs[j]).alias(f"h_{i}_{j}"))
         for i in range(d + 1):
             aggs.append(F.sum((y - p) * xs[i]).alias(f"g_{i}"))
         row = df.agg(*aggs).collect()[0]
+        n = row["n_rows"] or 1
         H = np.zeros((d + 1, d + 1))
         g = np.zeros(d + 1)
         for i in range(d + 1):
             g[i] = row[f"g_{i}"] or 0.0
             for j in range(i, d + 1):
                 H[i, j] = H[j, i] = row[f"h_{i}_{j}"] or 0.0
-        H += ridge * np.eye(d + 1)
-        w = w + np.linalg.solve(H, g)
+        if float(np.abs(g).max()) <= tol * n:
+            break  # converged: stop burning aggregation passes
+        w = _newton_step(w, H, g, ridge, max_step)
     return {
         "weights": w[1:],
         "intercept": float(w[0]),
@@ -143,11 +173,17 @@ def logreg_score(
 
 
 def logreg_train_local(
-    X: np.ndarray, y: np.ndarray, iters: int = 8, ridge: float = 1e-8
+    X: np.ndarray,
+    y: np.ndarray,
+    iters: int = 8,
+    ridge: float = 1e-8,
+    tol: float = 1e-10,
+    max_step: float = 10.0,
 ) -> np.ndarray:
     """Numpy reference of the same IRLS (standardized design with
-    intercept prepended) — used by tests to pin the distributed
-    trainer to the textbook algorithm step for step."""
+    intercept prepended, identical convergence stop and trust-region
+    clip) — used by tests to pin the distributed trainer to the
+    textbook algorithm step for step."""
     n, d = X.shape
     mu = X.mean(axis=0)
     sd = X.std(axis=0)
@@ -157,7 +193,9 @@ def logreg_train_local(
     for _ in range(iters):
         p = 1.0 / (1.0 + np.exp(-(Z @ w)))
         s = p * (1.0 - p)
-        H = Z.T @ (Z * s[:, None]) + ridge * np.eye(d + 1)
+        H = Z.T @ (Z * s[:, None])
         g = Z.T @ (y - p)
-        w = w + np.linalg.solve(H, g)
+        if float(np.abs(g).max()) <= tol * n:
+            break
+        w = _newton_step(w, H, g, ridge, max_step)
     return w

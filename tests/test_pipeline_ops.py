@@ -1392,3 +1392,39 @@ def test_stupid_backoff_hand_computed(spark):
     )
     deg = stupid_backoff_scores(df, train_df=empty_train, order=3).collect()
     assert all(r["mean_log_score"] is None for r in deg)
+
+
+def test_logreg_separable_data_stays_bounded(spark):
+    """Round-6 guard (ADVICE): on linearly separable data the
+    logistic MLE does not exist — undamped Newton grows the weights
+    every iteration until exp() saturates. The trust-region clip
+    bounds each step at max_step in standardized L2, so even a large
+    user-set iters leaves finite weights and (0,1)-interior scores,
+    and the distributed trainer still matches the numpy reference
+    with the same guards."""
+    from melodist_spark.pipeline.classifier import (
+        logreg_score,
+        logreg_train,
+        logreg_train_local,
+    )
+
+    n = 400
+    x = np.concatenate([np.linspace(-3, -1, n // 2), np.linspace(1, 3, n // 2)])
+    y = (x > 0).astype(float)  # perfectly separable on one feature
+    df = spark.createDataFrame(
+        pd.DataFrame({"f1": x, "label": y})
+    ).repartition(4)
+
+    model = logreg_train(df, ["f1"], "label", iters=25)
+    ref = logreg_train_local(x.reshape(-1, 1), y, iters=25)
+    got = np.concatenate([[model["intercept"]], model["weights"]])
+    assert np.allclose(got, ref, rtol=1e-6, atol=1e-8), (got, ref)
+    # bounded by iters * max_step, far from exp() saturation (~709)
+    assert np.abs(got).max() <= 25 * 10.0
+    assert np.isfinite(got).all()
+    scored = logreg_score(df, model).toPandas()
+    assert scored["quality_score"].between(0.0, 1.0).all()
+    assert np.isfinite(scored["quality_score"]).all()
+    # still the right separator, maximally confident
+    assert (scored.loc[scored["label"] == 1, "quality_score"] > 0.99).all()
+    assert (scored.loc[scored["label"] == 0, "quality_score"] < 0.01).all()
