@@ -33,10 +33,20 @@ of partitioning and dict iteration order.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 END_OF_WORD = "</w>"
+
+# Tokenizer parity (training vs encoding): word_counts splits with the
+# JVM regex \s+, and Java's \s is the ASCII class [ \t\n\x0b\f\r] —
+# NOT Unicode whitespace. The Python encoder must split on exactly the
+# same class (str.split() would also break on U+00A0/U+2028/U+0085/
+# \x1c-\x1f, silently training on different word boundaries than
+# encoding applies). Same discipline as lm.py's pinned tokenizer.
+_JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
 
 
 def word_counts(
@@ -135,12 +145,23 @@ def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = 200,
-    min_count: int = 1,
+    min_count: int = 2,
 ) -> list[tuple[str, str]]:
     """Learn a BPE merge table from a corpus: distributed word-count
     reduction, then the driver merge loop (see module docstring for
     why that boundary is correct). Returns ``[(left, right), ...]``
-    in merge order."""
+    in merge order.
+
+    Driver boundary: the collect is bounded by the number of DISTINCT
+    words above ``min_count``, not corpus size — but a web-scale
+    crawl has 10^8+ distinct "words" (typos, URLs, hashes), so
+    ``min_count=1`` would collect the entire unpruned tail to the
+    driver. The default is therefore 2 (drops hapax legomena — the
+    standard Sennrich pruning, which also barely moves the learned
+    merges because count-1 pairs almost never win a merge). For
+    crawl-scale corpora raise it further (GPT-2-scale trainers prune
+    far harder); set ``min_count=1`` only on small corpora where the
+    full word table is known to fit on the driver."""
     wc = word_counts(df, text_col, min_count=min_count).collect()
     # sort for a partitioning-independent driver state (tie-breaks in
     # the merge loop are already deterministic; this pins word order)
@@ -205,7 +226,9 @@ def bpe_tokenize(
                     col.append(None)
                     continue
                 pieces: list[str] = []
-                for w in text.strip(" ").lower().split():
+                for w in _JAVA_WS.split(text.strip(" ").lower()):
+                    if not w:
+                        continue
                     got = cache.get(w)
                     if got is None:
                         got = _encode_word(w, rank)

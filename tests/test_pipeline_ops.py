@@ -1428,3 +1428,72 @@ def test_logreg_separable_data_stays_bounded(spark):
     # still the right separator, maximally confident
     assert (scored.loc[scored["label"] == 1, "quality_score"] > 0.99).all()
     assert (scored.loc[scored["label"] == 0, "quality_score"] < 0.01).all()
+
+
+def _encode_word_by_rank_order(word, merges):
+    """Second, independent BPE encoder for differential testing: walk
+    the merge table IN TRAINING ORDER and merge every occurrence of
+    each pair (the reference-implementation shape in Sennrich's
+    apply_bpe / HF tokenizers), instead of the library's repeated
+    lowest-rank-pair scan. For tables learned by bpe_train the two
+    must produce identical tokenizations."""
+    from melodist_spark.pipeline.bpe import END_OF_WORD, _merge_word
+
+    syms = list(word) + [END_OF_WORD]
+    for pair in merges:
+        if len(syms) == 1:
+            break
+        syms = _merge_word(syms, pair)
+    return syms
+
+
+def test_bpe_encode_differential_vs_rank_order(spark):
+    """Differential test (round-6 VERDICT item): the greedy encoder
+    against an independent in-rank-order implementation, over merge
+    tables trained on three differently-shaped corpora, applied to
+    in-vocabulary, out-of-vocabulary, and degenerate words."""
+    from melodist_spark.pipeline.bpe import (
+        _encode_word,
+        bpe_train,
+    )
+
+    corpora = [
+        " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3),
+        "the cat sat on the mat the cat ran the dog sat " * 4,
+        "aaaa aaab abab banana bandana ana ana nana " * 3,
+    ]
+    probes = [
+        "low", "lowest", "newest", "wide", "thematic", "banana",
+        "aaaaaaa", "x", "", "catsat", "anabanana",
+    ]
+    for corpus in corpora:
+        df = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(corpus.split())],
+            "doc_id long, text string",
+        )
+        merges = bpe_train(df, num_merges=30, min_count=1)
+        rank = {pair: i for i, pair in enumerate(merges)}
+        for w in probes:
+            greedy = _encode_word(w, rank)
+            by_rank = _encode_word_by_rank_order(w, merges)
+            assert greedy == by_rank, (w, greedy, by_rank)
+
+
+def test_bpe_unicode_whitespace_tokenizer_parity(spark):
+    """Round-6 ADVICE fix: training splits words with the JVM regex
+    \\s+ (ASCII-only [ \\t\\n\\x0b\\f\\r]), so the encoder must NOT
+    split on Unicode whitespace (U+00A0 etc.) the way str.split()
+    does — a word containing a no-break space is ONE training word
+    and must be ONE encoding unit."""
+    from melodist_spark.pipeline.bpe import bpe_tokenize, bpe_train, word_counts
+
+    text = "alpha beta alpha beta alpha beta plain plain"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    words = {r["word"]: r["n"] for r in word_counts(df).collect()}
+    assert words == {"alpha beta": 3, "plain": 2}
+
+    merges = bpe_train(df, num_merges=50, min_count=1)
+    out = bpe_tokenize(df, merges).collect()[0]["bpe_tokens"]
+    # the trained table fully merges both training words, so encoding
+    # must reproduce them exactly — including the U+00A0 inside
+    assert out == ["alpha beta</w>"] * 3 + ["plain</w>"] * 2
