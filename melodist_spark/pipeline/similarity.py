@@ -384,38 +384,47 @@ def train_kmeans_centroids(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample: int = 65536,
 ) -> np.ndarray:
-    """Deterministic Lloyd's k-means for the IVF coarse quantizer.
+    """Deterministic Lloyd's k-means for the IVF coarse quantizer,
+    trained on a bounded sample (FAISS-style — the same boundary as
+    :func:`train_pq_codebooks`).
 
-    Init picks the ``k`` corpus vectors first in md5(id) order — a
-    reproducible random draw, engine/partitioning-invariant. Each
-    iteration is one Arrow-batched matmul assignment over the corpus
-    plus a per-cell mean (map-side combined); the (k × dim) centroid
-    matrix round-trips through the driver exactly as MLlib's KMeans
-    does — it IS the model, k·dim floats, not data.
+    The first ``sample`` corpus vectors in md5(id) order are a
+    reproducible, partitioning-invariant draw; init is the first
+    ``k`` of those. Lloyd then runs driver-side in numpy over the
+    sample — assignment uses the exact cosine-argmax/lowest-index
+    tie-break arithmetic of :func:`ivf_assign`, so the sample-trained
+    cells mean the same thing the full-corpus ingest assignment later
+    applies. The (k × dim) centroid matrix IS the model (k·dim
+    floats); the corpus is touched ONCE, by the sampling scan —
+    previously each Lloyd iteration was a full corpus scan + matmul
+    (3 scans of a 100 TB table before ingest even starts; measured
+    46 s of a 2M-vector smoke), which is exactly why FAISS trains
+    coarse quantizers on samples. Keep :func:`ivf_assign` full-corpus
+    only for the single final ingest assignment.
 
     Empty cells keep their previous centroid. Returns (k, dim) float64.
     """
     h = F.md5(F.col(id_col).cast("string"))
-    init = (
+    rows = (
         corpus.select(h.alias("__h"), F.col(vec_col))
         .orderBy("__h")
-        .limit(k)
+        .limit(max(int(sample), k))
         .collect()
     )
-    cents = np.array([r[vec_col] for r in init], dtype=np.float64)
+    x = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    cents = x[:k].copy()
+    xn = _normalize_rows(x)
 
     for _ in range(iters):
-        assign = ivf_assign(corpus, cents, vec_col=vec_col)
-        new = (
-            assign.select("__cell", F.posexplode(vec_col).alias("pos", "v"))
-            .groupBy("__cell", "pos")
-            .agg(F.avg(F.col("v").cast("double")).alias("c"))
-            .collect()
-        )
+        cn = _normalize_rows(cents)
+        cell = (xn @ cn.T).argmax(axis=1)  # ties -> lowest index
         nxt = cents.copy()
-        for r in new:
-            nxt[r["__cell"], r["pos"]] = r["c"]
+        for c in range(len(cents)):
+            pts = x[cell == c]
+            if len(pts):
+                nxt[c] = pts.mean(axis=0)
         cents = nxt
     return cents
 
