@@ -23,22 +23,20 @@ HEADLINE = [
     "temp_sine_disagg",
     "temp_sine_sunloc",
     "temp_sine_variants",
-    "mean_course_temp",
+    "temp_course_variants",  # merged temp_course_mean + mean_course_temp
     "humidity_lindew",
     "humidity_dewpoint",
     "humidity_mhpm",
     "radiation_potrad",
     "radiation_bc",
-    "wind_cosine",
     "wind_cosine_fit",
-    "wind_equal",
+    "wind_variants",  # merged wind_equal + wind_cosine
     "wind_random",
     "humidity_minimal",
     "humidity_minmax",
     "radiation_ssd",
     "radiation_course",
     "temp_sine_sunshift",
-    "temp_course_mean",
     "angstroem_fit",
     "precip_masterstation",
     "cascade_disagg",
@@ -74,9 +72,9 @@ HEADLINE = [
     "vocab_topk",
     "embedding_topk",  # brute + ivf branches
     "embedding_neardup",
-    "pq_topk",  # PQ + IVF-PQ ANN branches (sample-trained codebooks)
+    "pq_topk",  # PQ + IVF-PQ ANN branches (pinned codebooks, apply-only)
     "bpe_tokenize",  # BPE train (driver merge loop) + broadcast encode
-    "quality_classifier",  # distributed-IRLS logreg + codegen scoring
+    "quality_classifier",  # codegen scoring with pinned IRLS weights
     "multimodal_hist",
 ]
 

@@ -1497,3 +1497,45 @@ def test_bpe_unicode_whitespace_tokenizer_parity(spark):
     # the trained table fully merges both training words, so encoding
     # must reproduce them exactly — including the U+00A0 inside
     assert out == ["alpha beta</w>"] * 3 + ["plain</w>"] * 2
+
+
+def test_pinned_models_match_fresh_training(spark):
+    """Round-6 train/apply split: the registry's apply-only rows
+    (pq_topk, quality_classifier) score with the pinned literals in
+    pipeline/pinned.py, and the correctness gate hash-checks the
+    apply arithmetic against DuckDB. This test pins the TRAIN side:
+    re-running each trainer on the same sf0.001 inputs must
+    reproduce the generated literals, so a trainer change that
+    shifts the learned models fails here instead of silently
+    invalidating the pinned deployment model."""
+    from melodist_spark.pipeline.classifier import logreg_train
+    from melodist_spark.pipeline.pinned import (
+        IVF_CENTROIDS,
+        LOGREG_MODEL,
+        PQ_CODEBOOKS,
+    )
+    from melodist_spark.pipeline.similarity import (
+        train_kmeans_centroids,
+        train_pq_codebooks,
+    )
+    from melodist_spark.pipeline.text import quality_features
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = train_pq_codebooks(emb, dim=64, m=8, ksub=32)
+    cents = train_kmeans_centroids(emb, k=8, dim=64)
+    assert np.allclose(books, PQ_CODEBOOKS, rtol=0, atol=1e-12)
+    assert np.allclose(cents, IVF_CENTROIDS, rtol=0, atol=1e-12)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = quality_features(docs).na.fill(0.0).withColumn(
+        "label", (F.col("lang") == "en").cast("double")
+    )
+    model = logreg_train(
+        feats, LOGREG_MODEL["feature_cols"], "label", iters=6
+    )
+    # distributed float aggregation: partition-order rounding only
+    assert np.allclose(model["mu"], LOGREG_MODEL["mu"], atol=1e-9)
+    assert np.allclose(model["sd"], LOGREG_MODEL["sd"], atol=1e-9)
+    assert np.allclose(model["weights"], LOGREG_MODEL["weights"], atol=1e-7)
+    assert abs(model["intercept"] - LOGREG_MODEL["intercept"]) < 1e-7

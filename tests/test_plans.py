@@ -99,6 +99,48 @@ def qs():
             [r"MapInPandas"],
             [r"CartesianProduct", r"InMemoryTableScan"],
         ),
+        (
+            # C4/RefinedWeb line dedup: first-occurrence via
+            # min-struct AGGREGATION — a Window partitioned by the
+            # line key would serialize every occurrence of a hot
+            # boilerplate line ("click here") into one task
+            "line_dedup",
+            [],
+            [r"\(\d+\) Window", r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        ),
+        (
+            # two-phase distributed prefix sum: the doc-level running
+            # sum must be partitioned by __bucket (per-bucket window),
+            # and the only global window runs over the n_buckets-row
+            # bucket-totals frame — an UNPARTITIONED window ordered by
+            # doc attributes (windowspecdefinition starting at __h)
+            # would be the single-task global prefix sum the design
+            # forbids
+            "pack_sequences",
+            [
+                r"windowspecdefinition\(__bucket#\d+, __h#\d+ ASC",
+            ],
+            [
+                r"windowspecdefinition\(__h#",
+                r"CartesianProduct",
+                r"BroadcastNestedLoopJoin",
+            ],
+        ),
+        (
+            # round-6 apply-only scoring with pinned IRLS weights:
+            # the per-document path is PURE codegen — sigmoid of a
+            # literal-weighted sum over single-scan features; no
+            # Python evaluation of any kind, no join, no shuffle
+            "quality_classifier",
+            [],
+            [
+                r"BatchEvalPython",
+                r"ArrowEvalPython",
+                r"MapInPandas",
+                r"Exchange",
+                r"Join",
+            ],
+        ),
     ],
 )
 def test_plan_contract(spark, qs, name, must, must_not):
@@ -203,6 +245,16 @@ def test_lm_reuse_exchange_no_cache_residue(spark):
     materialization."""
     from melodist_spark.pipeline.lm import lm_cross_entropy, pmi_collocations
 
+    def cached_ids():
+        # other tests in the shared session may hold their own
+        # legitimate persists — only NEW residue counts as a leak
+        return {
+            i.id()
+            for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            if i.numCachedPartitions() > 0
+        }
+
+    before = cached_ids()
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     for df in (
         lm_cross_entropy(docs).select("doc_id", "cross_entropy"),
@@ -212,6 +264,21 @@ def test_lm_reuse_exchange_no_cache_residue(spark):
         final = _plan(df)
         assert re.search(r"ReusedExchange", final), "unigram shuffle not reused"
         assert not re.search(r"InMemoryTableScan", final)
-    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-    leaked = [i for i in infos if i.numCachedPartitions() > 0]
-    assert not leaked, f"cached blocks left behind: {leaked}"
+    leaked = cached_ids() - before
+    assert not leaked, f"cached blocks left behind by LM calls: {leaked}"
+
+
+def test_plan_contract_backoff_and_spans_no_cartesian(spark):
+    """Round-6 contracts for the heavies without registry-row plan
+    pins: stupid-backoff scoring (longest-order-first resolution must
+    stay broadcast/relational) and ExactSubstr repeated-spans (one
+    gram hash per token position + window span-merge) must never
+    degenerate into a cartesian or nested-loop join."""
+    from melodist_spark.pipeline.dedup import repeated_spans
+    from melodist_spark.pipeline.lm import stupid_backoff_scores
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for df in (stupid_backoff_scores(docs), repeated_spans(docs)):
+        plan = _plan(df)
+        for pat in (r"CartesianProduct", r"BroadcastNestedLoopJoin"):
+            assert not re.search(pat, plan), f"found forbidden /{pat}/"
