@@ -171,6 +171,16 @@ def main():
                     "python worker pool pre-forked"
                 ),
                 "timing": "min of 2 materializations per query",
+                "notes": {
+                    "streaming_daily_agg": (
+                        "stream SOURCE parquet written once per "
+                        "process and reused (harness setup); the "
+                        "min-of-2 therefore prices stream start + "
+                        "watermark agg, not the source write — "
+                        "rounds <=5 included a per-run source write "
+                        "in this query's number"
+                    )
+                },
             }
         )
     )
