@@ -76,7 +76,7 @@ def main():
             [r"CartesianProduct"],
         ),
         (
-            "mean_course_temp",
+            "temp_course_variants",
             [r"BroadcastHashJoin"],
             [r"CartesianProduct"],
         ),
