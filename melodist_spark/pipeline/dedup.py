@@ -609,7 +609,22 @@ def jaccard_pairs(
     Intersection via exploded shingle equi-join restricted to the
     candidate pairs (semi-bounded work), union by inclusion-exclusion
     on per-doc set sizes.
+
+    The corpus is semi-join pruned to candidate members BEFORE the
+    shingle explode: every downstream consumer (intersection join,
+    set sizes) inner-joins against ``pairs``, so docs outside the
+    candidate set contribute nothing — and at corpus scale the LSH
+    candidate set is orders of magnitude smaller than the corpus, so
+    pruning first means the expensive regex shingling + explode (and
+    the set-size aggregation) run over |candidates| docs, not |corpus|
+    (round 6; previously the full corpus was shingled three times).
     """
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    df = df.join(cand_ids, id_col, "left_semi")
     sh = df.select(
         F.col(id_col), F.explode(_shingles(F.col(text_col), shingle)).alias("w")
     )
