@@ -413,6 +413,8 @@ def train_kmeans_centroids(
         .limit(max(int(sample), k))
         .collect()
     )
+    if not rows:
+        raise ValueError("cannot train k-means centroids on an empty corpus")
     x = np.array([r[vec_col] for r in rows], dtype=np.float64)
     cents = x[:k].copy()
     xn = _normalize_rows(x)
