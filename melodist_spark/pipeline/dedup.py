@@ -606,47 +606,48 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs.
 
-    Intersection via exploded shingle equi-join restricted to the
-    candidate pairs (semi-bounded work), union by inclusion-exclusion
-    on per-doc set sizes.
+    Pairs with no common shingle are omitted (the LSH candidate
+    filter's job is exactly to make those rare).
 
-    The corpus is semi-join pruned to candidate members BEFORE the
-    shingle explode: every downstream consumer (intersection join,
-    set sizes) inner-joins against ``pairs``, so docs outside the
-    candidate set contribute nothing — and at corpus scale the LSH
-    candidate set is orders of magnitude smaller than the corpus, so
-    pruning first means the expensive regex shingling + explode (and
-    the set-size aggregation) run over |candidates| docs, not |corpus|
-    (round 6; previously the full corpus was shingled three times).
+    Round-6 shape: no shingle explode at all. The corpus is
+    semi-join pruned to candidate members (at corpus scale the LSH
+    candidate set is orders of magnitude smaller than the corpus),
+    each candidate doc's DISTINCT shingle set is materialized once
+    as an array column, and each pair joins its two arrays and
+    scores ``|A∩B| / (|A|+|B|-|A∩B|)`` with ``array_intersect`` —
+    per-pair work is the same O(|A|+|B|) the exploded equi-join paid,
+    but without shuffling a corpus-sized (id, shingle) stream or
+    aggregating per-pair counts: the only shuffles are the two
+    id-keyed joins of the (small) pair list against the (pruned)
+    shingle-array table, and the a-/b-side builds hang off the same
+    hashpartitioning(id) subtree for ReuseExchange. AQE's skew-join
+    splitting handles hub documents that appear in many pairs.
     """
     cand_ids = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .union(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
+        pairs.select(
+            F.explode(F.array("id_a", "id_b")).alias(id_col)
+        ).distinct()  # one pass over the pair list, not a 2-scan union
     )
-    df = df.join(cand_ids, id_col, "left_semi")
-    sh = df.select(
-        F.col(id_col), F.explode(_shingles(F.col(text_col), shingle)).alias("w")
+    ws = (
+        df.join(cand_ids, id_col, "left_semi")
+        .select(F.col(id_col), _shingles(F.col(text_col), shingle).alias("ws"))
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
-
-    a = sh.select(F.col(id_col).alias("id_a"), "w")
-    b = sh.select(F.col(id_col).alias("id_b"), "w")
-    inter = (
+    a = ws.select(F.col(id_col).alias("id_a"), F.col("ws").alias("ws_a"))
+    b = ws.select(F.col(id_col).alias("id_b"), F.col("ws").alias("ws_b"))
+    scored = (
         pairs.join(a, "id_a")
-        .join(b, ["id_b", "w"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    return (
-        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .join(b, "id_b")
         .select(
             "id_a",
             "id_b",
-            (
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-            ).alias("jaccard"),
+            F.size(F.array_intersect("ws_a", "ws_b")).alias("n_inter"),
+            (F.size("ws_a") + F.size("ws_b")).alias("n_tot"),
         )
+    )
+    return scored.filter(F.col("n_inter") >= 1).select(
+        "id_a",
+        "id_b",
+        (F.col("n_inter") / (F.col("n_tot") - F.col("n_inter"))).alias(
+            "jaccard"
+        ),
     )
