@@ -4,14 +4,16 @@ Design for 100 TB: media is carried as opaque ``binary`` columns with a
 typed metadata struct; all per-item compute is Arrow-batched
 ``mapInPandas`` so bytes never round-trip through Python row objects.
 
-Decoders: uncompressed container formats are decoded for REAL in pure
-numpy — binary PPM/PGM (P6/P5) and 24-bit uncompressed BMP images,
-PCM WAV audio — and images resize through a numpy nearest-neighbor
-kernel. Compressed codecs (JPEG/PNG/H.264/MP3) need PIL/ffmpeg, which
-this container does not have: those payloads fall back to the
-clearly-marked deterministic fake (`_fake_decode`) or raise, while
-every piece of Spark-side plumbing (schema, batching, partition
-sizing, UDF signatures) is real and tested either way.
+Decoders: real, pure stdlib+numpy — binary PPM/PGM (P6/P5) and 24-bit
+uncompressed BMP images, 8-bit PNG (gray/RGB/RGBA/palette, all five
+scanline filters; zlib is stdlib — round 6, previously listed as
+env-blocked), PCM WAV audio — and images resize through a numpy
+nearest-neighbor kernel. The remaining compressed codecs (JPEG /
+H.264 / MP3) genuinely need PIL/ffmpeg, which this container does not
+have: those payloads fall back to the clearly-marked deterministic
+fake (`_fake_decode`) or raise, while every piece of Spark-side
+plumbing (schema, batching, partition sizing, UDF signatures) is real
+and tested either way.
 """
 
 from __future__ import annotations
@@ -133,6 +135,174 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return rows[:, :, ::-1]  # BGR → RGB
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type (3 = palette: 1 index byte -> RGB)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(payload: bytes):
+    i, n = len(_PNG_SIG), len(payload)
+    while i + 8 <= n:
+        size = int.from_bytes(payload[i : i + 4], "big")
+        ctype = payload[i + 4 : i + 8]
+        yield ctype, payload[i + 8 : i + 8 + size]
+        i += 12 + size  # length + type + data + crc
+        if ctype == b"IEND":
+            break
+
+
+def _png_unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
+    """Invert PNG scanline filtering (spec §9: None/Sub/Up/Average/
+    Paeth). Rows are sequential (Up/Average/Paeth reference the
+    reconstructed previous row); within a row, Sub inverts as a
+    wrapping per-stride cumsum, while Average/Paeth walk pixels
+    (vectorized across the ``bpp`` channels — w iterations of tiny
+    vector ops, fine for the thumbnail/test scale this pure-numpy
+    path serves)."""
+    stride = w * bpp
+    raw = raw.reshape(h, 1 + stride)
+    filters = raw[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = int(filters[y])
+        cur = raw[y, 1:].copy()
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if f == 0:
+            out[y] = cur
+        elif f == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp]
+            px = cur.reshape(w, bpp)
+            out[y] = np.cumsum(px.astype(np.int64), axis=0).astype(
+                np.uint8
+            ).ravel()
+        elif f == 2:  # Up
+            out[y] = cur + prev
+        elif f == 3:  # Average
+            row = out[y]
+            pr = prev.reshape(w, bpp).astype(np.int64)
+            cu = cur.reshape(w, bpp).astype(np.int64)
+            left = np.zeros(bpp, dtype=np.int64)
+            for x in range(w):
+                left = (cu[x] + ((left + pr[x]) >> 1)) & 0xFF
+                row[x * bpp : (x + 1) * bpp] = left
+        elif f == 4:  # Paeth
+            row = out[y]
+            pr = prev.reshape(w, bpp).astype(np.int64)
+            cu = cur.reshape(w, bpp).astype(np.int64)
+            left = np.zeros(bpp, dtype=np.int64)
+            ul = np.zeros(bpp, dtype=np.int64)
+            for x in range(w):
+                up = pr[x]
+                p = left + up - ul
+                pa, pb, pc = (
+                    np.abs(p - left),
+                    np.abs(p - up),
+                    np.abs(p - ul),
+                )
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+                )
+                left = (cu[x] + pred) & 0xFF
+                row[x * bpp : (x + 1) * bpp] = left
+                ul = up
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit-depth, non-interlaced PNG to a uint8 array —
+    (h, w) for grayscale, (h, w, C) otherwise. Pure stdlib zlib +
+    numpy: chunk walk, IDAT inflate, scanline unfilter (all five
+    filter types), palette expansion for color type 3. 16-bit,
+    sub-byte, and Adam7-interlaced PNGs raise (they fall back to the
+    documented deterministic fake upstream), as do JPEG/H.264/MP3,
+    which genuinely need PIL/ffmpeg."""
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    plte = None
+    trns = None
+    idat = []
+    for ctype, body in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"tRNS":
+            trns = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, _comp, _filt, interlace = ihdr[8:13]
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNG supported (depth={depth})")
+    if interlace:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"unknown PNG color type {color}")
+    bpp = _PNG_CHANNELS[color]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if len(raw) != h * (1 + w * bpp):
+        raise ValueError("PNG raster size mismatch")
+    img = _png_unfilter(raw, h, w, bpp).reshape(h, w, bpp)
+    if color == 3:  # palette -> RGB(A)
+        if plte is None:
+            raise ValueError("paletted PNG missing PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = img[:, :, 0]
+        rgb = pal[idx]
+        if trns is not None:
+            alpha = np.full(len(pal), 255, dtype=np.uint8)
+            a = np.frombuffer(trns, dtype=np.uint8)
+            alpha[: len(a)] = a
+            return np.dstack([rgb, alpha[idx]])
+        return rgb
+    if bpp == 1:
+        return img[:, :, 0]
+    return img
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Inverse of :func:`decode_png` for 8-bit gray / RGB / RGBA
+    arrays: filter-0 scanlines, one zlib IDAT, correct CRCs. (A
+    round-trippable real encoder — handy for the resize path and for
+    pinning the decoder in tests.)"""
+    import zlib
+
+    img = np.ascontiguousarray(img.astype(np.uint8))
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big")
+            + ctype
+            + body
+            + zlib.crc32(ctype + body).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, color, 0, 0, 0])
+    )
+    raster = np.zeros((h, 1 + w * c), dtype=np.uint8)
+    raster[:, 1:] = img.reshape(h, w * c)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raster.tobytes(), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """Decode PCM WAV to (samples ndarray of shape (n, channels),
     sample_rate). 16-bit and 8-bit PCM; compressed formats raise."""
@@ -179,9 +349,10 @@ def numpy_media_decoder(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """Real feature extraction for the formats the pure-numpy codecs
     cover, sniffed by magic bytes:
 
-    - PPM/PGM/BMP images → grayscale, nearest-resized to an 8×8 patch,
-      scaled to [0, 1] (a tiny perceptual thumbprint — the classic
-      aHash input), padded/truncated to ``dim``;
+    - PPM/PGM/BMP/PNG images → grayscale (alpha dropped), nearest-
+      resized to an 8×8 patch, scaled to [0, 1] (a tiny perceptual
+      thumbprint — the classic aHash input), padded/truncated to
+      ``dim``;
     - PCM WAV audio → per-slice RMS energy over ``dim`` equal windows;
     - anything else (compressed codecs need PIL/ffmpeg, absent here) →
       the deterministic :func:`_fake_decode`.
@@ -189,6 +360,10 @@ def numpy_media_decoder(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     try:
         if payload[:2] in (b"P6", b"P5"):
             img = decode_ppm(payload)
+        elif payload[: len(_PNG_SIG)] == _PNG_SIG:
+            img = decode_png(payload)
+            if img.ndim == 3 and img.shape[2] in (2, 4):
+                img = img[:, :, :-1]  # drop alpha before the gray mean
         elif payload[:2] == b"BM":
             img = decode_bmp(payload)
         elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -219,13 +394,14 @@ def resize_images(
     payload_col: str = "payload",
     id_col: str = "media_id",
 ) -> DataFrame:
-    """Distributed image resize for PPM/PGM/BMP payloads: decode →
-    nearest-neighbor resize → re-encode as PPM, Arrow-batched. Output
-    is again an opaque binary column (plus the new dimensions), so the
-    operator composes with the rest of the media pipeline. Payloads in
-    formats the numpy codecs can't read come back null (``err`` says
-    why) rather than failing the job — at corpus scale a poison blob
-    must not kill the pass.
+    """Distributed image resize for PPM/PGM/BMP/PNG payloads: decode →
+    nearest-neighbor resize → re-encode (PNG stays PNG, everything
+    else re-encodes as PPM), Arrow-batched. Output is again an opaque
+    binary column (plus the new dimensions), so the operator composes
+    with the rest of the media pipeline. Payloads in formats the numpy
+    codecs can't read come back null (``err`` says why) rather than
+    failing the job — at corpus scale a poison blob must not kill the
+    pass.
     """
     schema = StructType(
         [
@@ -244,12 +420,18 @@ def resize_images(
                 try:
                     if p is None:
                         raise ValueError("null payload")
-                    if bytes(p[:2]) == b"BM":
-                        img = decode_bmp(bytes(p))
+                    b = bytes(p)
+                    is_png = b[: len(_PNG_SIG)] == _PNG_SIG
+                    if is_png:
+                        img = decode_png(b)
+                    elif b[:2] == b"BM":
+                        img = decode_bmp(b)
                     else:
-                        img = decode_ppm(bytes(p))
+                        img = decode_ppm(b)
                     small = resize_nearest(img, out_h, out_w)
-                    out["payload"].append(encode_ppm(small))
+                    out["payload"].append(
+                        encode_png(small) if is_png else encode_ppm(small)
+                    )
                     out["width"].append(out_w)
                     out["height"].append(out_h)
                     out["err"].append(None)
@@ -273,8 +455,8 @@ def decode_features(
     """payload → feature vector, Arrow-batched.
 
     The default decoder is :func:`numpy_media_decoder` — REAL features
-    for PPM/PGM/BMP/PCM-WAV payloads, deterministic fake for formats
-    that need the absent PIL/ffmpeg. ``real_decoder(bytes) ->
+    for PPM/PGM/BMP/PNG/PCM-WAV payloads, deterministic fake for
+    formats that need the absent PIL/ffmpeg (JPEG/H.264/MP3). ``real_decoder(bytes) ->
     np.ndarray`` plugs in an actual model/codec stack instead.
     """
     decoder = real_decoder or numpy_media_decoder
@@ -358,11 +540,11 @@ def sample_frames(
 
 
 def resize_stub(*_args, **_kwargs):
-    """Kept for API compatibility: resize of COMPRESSED formats needs
-    PIL/opencv. Uncompressed PPM/PGM/BMP resize is real — use
+    """Kept for API compatibility: resize of JPEG/H.264 needs
+    PIL/opencv. PPM/PGM/BMP/PNG resize is real — use
     :func:`resize_images`."""
     raise NotImplementedError(
-        "resize of compressed formats needs PIL/opencv which are not "
-        "installed; PPM/PGM/BMP payloads resize for real via "
+        "resize of JPEG/H.264 needs PIL/opencv which are not "
+        "installed; PPM/PGM/BMP/PNG payloads resize for real via "
         "resize_images()"
     )

@@ -390,3 +390,169 @@ def test_streaming_quality_classifier_gate(spark, tmp_path):
     )
     for _, r in got.iterrows():
         assert abs(ref.loc[r["doc_id"], "quality_score"] - r["quality_score"]) < 1e-12
+
+
+def _png_filter_row(f, cur, prev, bpp):
+    """Reference PNG filter APPLICATION (spec forward direction) for
+    pinning the decoder's unfilter: given reconstructed rows, produce
+    the filtered raw bytes."""
+    import numpy as np
+
+    w = len(cur)
+    out = np.zeros(w, dtype=np.uint8)
+    for x in range(w):
+        a = int(cur[x - bpp]) if x >= bpp else 0          # left
+        b = int(prev[x])                                   # up
+        c = int(prev[x - bpp]) if x >= bpp else 0          # upper-left
+        if f == 0:
+            pred = 0
+        elif f == 1:
+            pred = a
+        elif f == 2:
+            pred = b
+        elif f == 3:
+            pred = (a + b) // 2
+        else:  # paeth
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        out[x] = (int(cur[x]) - pred) & 0xFF
+    return out
+
+
+def _build_png(img, row_filters):
+    """Hand-assemble a PNG with a CHOSEN filter per scanline — the
+    encoder only emits filter 0, so this is what exercises
+    Sub/Up/Average/Paeth in the decoder."""
+    import zlib
+
+    import numpy as np
+
+    from melodist_spark.pipeline.multimodal import _PNG_SIG
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    flat = img.reshape(h, w * c)
+    raster = bytearray()
+    prev = np.zeros(w * c, dtype=np.uint8)
+    for y in range(h):
+        f = row_filters[y % len(row_filters)]
+        raster.append(f)
+        raster.extend(_png_filter_row(f, flat[y], prev, c).tobytes())
+        prev = flat[y]
+
+    def chunk(ctype, body):
+        return (
+            len(body).to_bytes(4, "big") + ctype + body
+            + zlib.crc32(ctype + body).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, color, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raster)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_all_color_types():
+    """encode_png -> decode_png is lossless for gray/GA/RGB/RGBA."""
+    import numpy as np
+
+    from melodist_spark.pipeline.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(5)
+    for shape in [(13, 7), (13, 7, 2), (9, 11, 3), (6, 5, 4)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        got = decode_png(encode_png(img))
+        assert got.shape == img.shape
+        assert (got == img).all(), shape
+
+
+def test_png_decoder_inverts_every_filter_type():
+    """Each of the five spec filters (None/Sub/Up/Average/Paeth),
+    applied per scanline by an independent reference implementation
+    of the spec's FORWARD direction, must be inverted exactly."""
+    import numpy as np
+
+    from melodist_spark.pipeline.multimodal import decode_png
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(10, 6, 3), dtype=np.uint8)
+    for f in range(5):
+        got = decode_png(_build_png(img, [f]))
+        assert (got == img).all(), f"filter {f} not inverted"
+    # mixed filters across rows
+    got = decode_png(_build_png(img, [0, 1, 2, 3, 4]))
+    assert (got == img).all()
+
+
+def test_png_palette_and_trns():
+    import zlib
+
+    import numpy as np
+
+    from melodist_spark.pipeline.multimodal import _PNG_SIG, decode_png
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+    h, w = idx.shape
+
+    def chunk(ctype, body):
+        return (
+            len(body).to_bytes(4, "big") + ctype + body
+            + zlib.crc32(ctype + body).to_bytes(4, "big")
+        )
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 3, 0, 0, 0])
+    raster = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    base = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", pal.tobytes())
+    png = base + chunk(b"IDAT", zlib.compress(raster)) + chunk(b"IEND", b"")
+    got = decode_png(png)
+    assert got.shape == (2, 3, 3)
+    assert (got == pal[idx]).all()
+    # tRNS adds per-palette-entry alpha
+    png_a = (
+        base + chunk(b"tRNS", bytes([10, 20]))
+        + chunk(b"IDAT", zlib.compress(raster)) + chunk(b"IEND", b"")
+    )
+    got_a = decode_png(png_a)
+    assert got_a.shape == (2, 3, 4)
+    assert (got_a[:, :, :3] == pal[idx]).all()
+    assert (got_a[:, :, 3] == np.array([[10, 20, 255], [255, 20, 10]])).all()
+
+
+def test_png_gets_real_features_and_resize(spark):
+    """PNG payloads now take the REAL decode path: identical pixels
+    as PPM give identical features (and differ from the sha-fake),
+    and resize_images round-trips PNG -> PNG."""
+    import numpy as np
+
+    from melodist_spark.pipeline.multimodal import (
+        _fake_decode,
+        decode_png,
+        encode_png,
+        encode_ppm,
+        numpy_media_decoder,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    f_png = numpy_media_decoder(encode_png(img))
+    f_ppm = numpy_media_decoder(encode_ppm(img))
+    assert np.allclose(f_png, f_ppm)  # same pixels, same real features
+    assert not np.allclose(f_png, _fake_decode(encode_png(img)))
+
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(img)))], "media_id long, payload binary"
+    )
+    out = resize_images(df, 4, 4).collect()[0]
+    assert out["err"] is None and out["width"] == 4
+    small = decode_png(bytes(out["payload"]))
+    assert small.shape == (4, 4, 3)
