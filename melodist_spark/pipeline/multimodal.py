@@ -6,14 +6,16 @@ typed metadata struct; all per-item compute is Arrow-batched
 
 Decoders: real, pure stdlib+numpy — binary PPM/PGM (P6/P5) and 24-bit
 uncompressed BMP images, 8-bit PNG (gray/RGB/RGBA/palette, all five
-scanline filters; zlib is stdlib — round 6, previously listed as
-env-blocked), PCM WAV audio — and images resize through a numpy
-nearest-neighbor kernel. The remaining compressed codecs (JPEG /
-H.264 / MP3) genuinely need PIL/ffmpeg, which this container does not
-have: those payloads fall back to the clearly-marked deterministic
-fake (`_fake_decode`) or raise, while every piece of Spark-side
-plumbing (schema, batching, partition sizing, UDF signatures) is real
-and tested either way.
+scanline filters; zlib is stdlib), baseline/extended-sequential JPEG
+(pipeline/jpeg.py — canonical Huffman + 8×8 DCT + YCbCr are plain
+arithmetic; both added round 6, previously listed as env-blocked),
+PCM WAV audio — and images resize through a numpy nearest-neighbor
+kernel. The remaining compressed codecs (progressive JPEG, H.264,
+MP3) genuinely need PIL/ffmpeg, which this container does not have:
+those payloads fall back to the clearly-marked deterministic fake
+(`_fake_decode`) or raise, while every piece of Spark-side plumbing
+(schema, batching, partition sizing, UDF signatures) is real and
+tested either way.
 """
 
 from __future__ import annotations
@@ -349,7 +351,7 @@ def numpy_media_decoder(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """Real feature extraction for the formats the pure-numpy codecs
     cover, sniffed by magic bytes:
 
-    - PPM/PGM/BMP/PNG images → grayscale (alpha dropped), nearest-
+    - PPM/PGM/BMP/PNG/JPEG images → grayscale (alpha dropped), nearest-
       resized to an 8×8 patch, scaled to [0, 1] (a tiny perceptual
       thumbprint — the classic aHash input), padded/truncated to
       ``dim``;
@@ -364,6 +366,10 @@ def numpy_media_decoder(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
             img = decode_png(payload)
             if img.ndim == 3 and img.shape[2] in (2, 4):
                 img = img[:, :, :-1]  # drop alpha before the gray mean
+        elif payload[:2] == b"\xff\xd8":
+            from melodist_spark.pipeline.jpeg import decode_jpeg
+
+            img = decode_jpeg(payload)
         elif payload[:2] == b"BM":
             img = decode_bmp(payload)
         elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -394,9 +400,10 @@ def resize_images(
     payload_col: str = "payload",
     id_col: str = "media_id",
 ) -> DataFrame:
-    """Distributed image resize for PPM/PGM/BMP/PNG payloads: decode →
-    nearest-neighbor resize → re-encode (PNG stays PNG, everything
-    else re-encodes as PPM), Arrow-batched. Output is again an opaque
+    """Distributed image resize for PPM/PGM/BMP/PNG/JPEG payloads:
+    decode → nearest-neighbor resize → re-encode (PNG stays PNG,
+    JPEG stays JPEG, everything else re-encodes as PPM),
+    Arrow-batched. Output is again an opaque
     binary column (plus the new dimensions), so the operator composes
     with the rest of the media pipeline. Payloads in formats the numpy
     codecs can't read come back null (``err`` says why) rather than
@@ -422,16 +429,27 @@ def resize_images(
                         raise ValueError("null payload")
                     b = bytes(p)
                     is_png = b[: len(_PNG_SIG)] == _PNG_SIG
+                    is_jpg = b[:2] == b"\xff\xd8"
                     if is_png:
                         img = decode_png(b)
+                    elif is_jpg:
+                        from melodist_spark.pipeline.jpeg import decode_jpeg
+
+                        img = decode_jpeg(b)
                     elif b[:2] == b"BM":
                         img = decode_bmp(b)
                     else:
                         img = decode_ppm(b)
                     small = resize_nearest(img, out_h, out_w)
-                    out["payload"].append(
-                        encode_png(small) if is_png else encode_ppm(small)
-                    )
+                    if is_png:
+                        enc = encode_png(small)
+                    elif is_jpg:
+                        from melodist_spark.pipeline.jpeg import encode_jpeg
+
+                        enc = encode_jpeg(small)
+                    else:
+                        enc = encode_ppm(small)
+                    out["payload"].append(enc)
                     out["width"].append(out_w)
                     out["height"].append(out_h)
                     out["err"].append(None)
@@ -455,8 +473,9 @@ def decode_features(
     """payload → feature vector, Arrow-batched.
 
     The default decoder is :func:`numpy_media_decoder` — REAL features
-    for PPM/PGM/BMP/PNG/PCM-WAV payloads, deterministic fake for
-    formats that need the absent PIL/ffmpeg (JPEG/H.264/MP3). ``real_decoder(bytes) ->
+    for PPM/PGM/BMP/PNG/JPEG/PCM-WAV payloads, deterministic fake
+    for formats that need the absent PIL/ffmpeg (progressive JPEG,
+    H.264, MP3). ``real_decoder(bytes) ->
     np.ndarray`` plugs in an actual model/codec stack instead.
     """
     decoder = real_decoder or numpy_media_decoder
@@ -540,11 +559,11 @@ def sample_frames(
 
 
 def resize_stub(*_args, **_kwargs):
-    """Kept for API compatibility: resize of JPEG/H.264 needs
-    PIL/opencv. PPM/PGM/BMP/PNG resize is real — use
-    :func:`resize_images`."""
+    """Kept for API compatibility: resize of video (H.264) needs
+    ffmpeg/opencv. PPM/PGM/BMP/PNG/baseline-JPEG resize is real —
+    use :func:`resize_images`."""
     raise NotImplementedError(
-        "resize of JPEG/H.264 needs PIL/opencv which are not "
-        "installed; PPM/PGM/BMP/PNG payloads resize for real via "
-        "resize_images()"
+        "resize of video formats needs ffmpeg/opencv which are not "
+        "installed; PPM/PGM/BMP/PNG/JPEG payloads resize for real "
+        "via resize_images()"
     )

@@ -556,3 +556,118 @@ def test_png_gets_real_features_and_resize(spark):
     assert out["err"] is None and out["width"] == 4
     small = decode_png(bytes(out["payload"]))
     assert small.shape == (4, 4, 3)
+
+
+def test_jpeg_spec_constants_and_dct():
+    """Component pins independent of the codec round-trip: the DCT
+    matrix built from the textbook formula must be orthonormal (so
+    forward and inverse are exact transposes — a zigzag or transform
+    bug cannot hide behind a consistent inverse), and the zigzag
+    constant must be the spec's diagonal walk."""
+    import numpy as np
+
+    from melodist_spark.pipeline.jpeg import ZIGZAG, dct_matrix
+
+    C = dct_matrix()
+    assert np.allclose(C @ C.T, np.eye(8), atol=1e-12)
+    # DCT-II row 0 is the flat basis; row 1 ordered cosine
+    assert np.allclose(C[0], np.sqrt(1 / 8.0))
+    assert (np.diff(C[1]) < 0).all()
+    # zigzag: permutation; spot-pin the spec's first diagonal walks
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+    assert ZIGZAG[:10].tolist() == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert ZIGZAG[-4:].tolist() == [47, 55, 62, 63]
+
+
+def test_jpeg_roundtrip_modes():
+    """Round-trips a correct lossy codec must meet: DC-only images
+    exact, q=100 near-lossless even on noise (all-ones quant table ->
+    only DCT rounding), smooth content tightly bounded across 4:4:4 /
+    4:2:0 and restart intervals, and shapes preserved for odd
+    (non-MCU-aligned) dimensions."""
+    import numpy as np
+
+    from melodist_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    # constant gray: DC-only, exact
+    img = np.full((16, 24), 130, dtype=np.uint8)
+    assert (decode_jpeg(encode_jpeg(img, quality=90)) == img).all()
+
+    # q=100 on pure noise: only DCT rounding survives
+    rng = np.random.default_rng(9)
+    noise = rng.integers(0, 256, size=(24, 16, 3), dtype=np.uint8)
+    got = decode_jpeg(encode_jpeg(noise, quality=100))
+    err = np.abs(got.astype(int) - noise.astype(int))
+    assert err.mean() < 1.0 and err.max() <= 4
+
+    # smooth gradient across modes and odd shapes
+    grad = np.dstack(
+        [
+            np.linspace(0, 200, 41)[None, :].repeat(33, 0),
+            np.linspace(30, 220, 33)[:, None].repeat(41, 1),
+            np.full((33, 41), 100.0),
+        ]
+    ).astype(np.uint8)
+    for sub in (False, True):
+        for dri in (0, 2):
+            got = decode_jpeg(
+                encode_jpeg(grad, quality=90, subsample=sub, restart_interval=dri)
+            )
+            assert got.shape == grad.shape
+            err = np.abs(got.astype(int) - grad.astype(int))
+            assert err.mean() < 6, (sub, dri, err.mean())
+            assert err.max() < 40, (sub, dri, err.max())
+
+
+def test_jpeg_rejects_unsupported():
+    import numpy as np
+    import pytest
+
+    from melodist_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    # flip SOF0 -> SOF2 (progressive) in a real stream and expect a
+    # loud refusal, not garbage pixels
+    img = np.full((8, 8), 99, dtype=np.uint8)
+    raw = bytearray(encode_jpeg(img))
+    i = raw.find(b"\xff\xc0")
+    raw[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(raw))
+
+
+def test_jpeg_gets_real_features_and_resize(spark):
+    """JPEG payloads now take the REAL decode path end-to-end through
+    the Spark operators: features match the same pixels via PPM to
+    within JPEG loss, and resize_images round-trips JPEG -> JPEG."""
+    import numpy as np
+
+    from melodist_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+    from melodist_spark.pipeline.multimodal import (
+        _fake_decode,
+        encode_ppm,
+        numpy_media_decoder,
+        resize_images,
+    )
+
+    grad = np.dstack(
+        [
+            np.linspace(0, 200, 32)[None, :].repeat(32, 0),
+            np.linspace(30, 220, 32)[:, None].repeat(32, 1),
+            np.full((32, 32), 100.0),
+        ]
+    ).astype(np.uint8)
+    f_jpg = numpy_media_decoder(encode_jpeg(grad, quality=95))
+    f_ppm = numpy_media_decoder(encode_ppm(grad))
+    assert np.abs(f_jpg - f_ppm).max() < 0.05  # same pixels mod loss
+    assert not np.allclose(f_jpg, _fake_decode(encode_jpeg(grad)))
+
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg(grad, quality=95)))],
+        "media_id long, payload binary",
+    )
+    out = resize_images(df, 8, 8).collect()[0]
+    assert out["err"] is None and out["width"] == 8
+    small = decode_jpeg(bytes(out["payload"]))
+    assert small.shape == (8, 8, 3)
