@@ -201,6 +201,8 @@ class _BitReader:
     def read(self, n: int) -> int:
         if n == 0:
             return 0
+        if n > 24:
+            raise ValueError(f"bit read of {n} exceeds JPEG magnitude range")
         self._fill()
         v = (self.bits >> (self.nbits - n)) & ((1 << n) - 1)
         self.nbits -= n
@@ -224,6 +226,8 @@ class _HuffTable:
     length, O(16) per symbol."""
 
     def __init__(self, bits: list[int], huffval: list[int]):
+        if len(huffval) < sum(bits):
+            raise ValueError("DHT symbol table shorter than its counts")
         self.maxcode = [-1] * 17
         self.mincode = [0] * 17
         self.valptr = [0] * 17
@@ -281,6 +285,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if marker == 0xD9:  # EOI
             break
         seglen = int.from_bytes(payload[i : i + 2], "big")
+        if seglen < 2:
+            raise ValueError("corrupt JPEG segment length")
         body = payload[i + 2 : i + seglen]
         i += seglen
         if marker == 0xDB:  # DQT
@@ -363,12 +369,14 @@ def _decode_scan(payload, pos, frame, scan, qt, huff, restart_interval):
                 pred = [0] * len(comps)
             n_mcu += 1
             for ci, c in enumerate(comps):
+                if c["id"] not in scan:
+                    raise ValueError("SOS missing a frame component")
                 dc_t, ac_t = scan[c["id"]]
                 dht_dc = huff.get((0, dc_t))
                 dht_ac = huff.get((1, ac_t))
-                q = qt[c["tq"]]
-                if dht_dc is None or dht_ac is None:
-                    raise ValueError("missing Huffman table")
+                q = qt.get(c["tq"])
+                if dht_dc is None or dht_ac is None or q is None:
+                    raise ValueError("missing Huffman/quant table")
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
                         zz = np.zeros(64, dtype=np.int64)

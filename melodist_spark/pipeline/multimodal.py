@@ -248,7 +248,11 @@ def decode_png(payload: bytes) -> np.ndarray:
     if color not in _PNG_CHANNELS:
         raise ValueError(f"unknown PNG color type {color}")
     bpp = _PNG_CHANNELS[color]
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    try:
+        inflated = zlib.decompress(b"".join(idat))
+    except zlib.error as e:  # corrupt stream -> the poison-blob path
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
+    raw = np.frombuffer(inflated, dtype=np.uint8)
     if len(raw) != h * (1 + w * bpp):
         raise ValueError("PNG raster size mismatch")
     img = _png_unfilter(raw, h, w, bpp).reshape(h, w, bpp)

@@ -319,3 +319,78 @@ def test_bpe_roundtrip_property(spark):
             rebuilt = "".join(r["bpe_tokens"]).replace("</w>", " ").strip()
             norm = " ".join(dict(rows)[r["doc_id"]].lower().split())
             assert rebuilt == norm, (n_merges, r["doc_id"])
+
+
+@settings(max_examples=120, deadline=None)
+@given(data=st.binary(min_size=0, max_size=400), seed=st.integers(0, 2**32 - 1))
+def test_codec_fuzz_never_crashes(data, seed):
+    """Poison-blob contract for every pure-python codec: arbitrary
+    bytes — including byte strings that START with a valid magic —
+    must either raise ValueError (the resize/feature paths catch
+    exactly that) or return a well-formed array. Anything else
+    (IndexError, OverflowError, segfault-shaped numpy errors, hangs)
+    would kill a 100 TB media pass on one corrupt payload."""
+    import numpy as np
+
+    from melodist_spark.pipeline.jpeg import decode_jpeg
+    from melodist_spark.pipeline.multimodal import (
+        _PNG_SIG,
+        decode_bmp,
+        decode_png,
+        decode_ppm,
+        decode_wav,
+    )
+
+    rng = np.random.default_rng(seed)
+    magics = [
+        b"", b"P6", b"P5", b"BM", _PNG_SIG, b"\xff\xd8",
+        b"RIFF" + bytes(4) + b"WAVE",
+    ]
+    payload = magics[seed % len(magics)] + data
+    for dec in (decode_ppm, decode_bmp, decode_png, decode_jpeg):
+        try:
+            out = dec(payload)
+            assert isinstance(out, np.ndarray)
+        except ValueError:
+            pass
+        except Exception as e:  # normalize what the kernels catch
+            raise AssertionError(
+                f"{dec.__name__} leaked {type(e).__name__}: {e}"
+            ) from e
+    try:
+        samples, rate = decode_wav(payload)
+        assert isinstance(samples, np.ndarray)
+    except ValueError:
+        pass
+    except Exception as e:
+        raise AssertionError(
+            f"decode_wav leaked {type(e).__name__}: {e}"
+        ) from e
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 2**32 - 1), flip=st.integers(0, 10**9))
+def test_codec_fuzz_bitflips_on_valid_streams(seed, flip):
+    """Single byte corruptions of VALID PNG/JPEG streams (past the
+    magic) must also resolve to ValueError or an array — corrupt
+    Huffman/zlib streams are the realistic poison case."""
+    import numpy as np
+
+    from melodist_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+    from melodist_spark.pipeline.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    for enc, dec in ((encode_png, decode_png), (lambda a: encode_jpeg(a, quality=70), decode_jpeg)):
+        raw = bytearray(enc(img))
+        pos = 8 + flip % max(len(raw) - 9, 1)
+        raw[pos] ^= 1 + (flip % 255)
+        try:
+            out = dec(bytes(raw))
+            assert isinstance(out, np.ndarray)
+        except ValueError:
+            pass
+        except Exception as e:
+            raise AssertionError(
+                f"{dec.__name__} leaked {type(e).__name__} on bitflip: {e}"
+            ) from e
