@@ -8,8 +8,9 @@ Decoders: real, pure stdlib+numpy — binary PPM/PGM (P6/P5) and 24-bit
 uncompressed BMP images, 8-bit PNG (gray/RGB/RGBA/palette, all five
 scanline filters; zlib is stdlib), baseline/extended-sequential JPEG
 (pipeline/jpeg.py — canonical Huffman + 8×8 DCT + YCbCr are plain
-arithmetic; both added round 6, previously listed as env-blocked),
-PCM WAV audio — and images resize through a numpy nearest-neighbor
+arithmetic), GIF87a/89a first frame (variable-width LZW, interlacing,
+local/global palettes — all three added round 6, previously listed as
+env-blocked), PCM WAV audio — and images resize through a numpy nearest-neighbor
 kernel. The remaining compressed codecs (progressive JPEG, H.264,
 MP3) genuinely need PIL/ffmpeg, which this container does not have:
 those payloads fall back to the clearly-marked deterministic fake
@@ -309,6 +310,245 @@ def encode_png(img: np.ndarray) -> bytes:
     )
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """GIF-variant LZW (variable code width 3..12 bits, CLEAR/END
+    codes, LSB-first bit packing) → uint8 index array."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = np.empty(n_pixels, dtype=np.uint8)
+    n_out = 0
+    # dictionary as (prefix_code, last_byte); roots are implicit
+    prefix = np.zeros(4096, dtype=np.int32)
+    suffix = np.zeros(4096, dtype=np.uint8)
+    next_code = end + 1
+    width = min_code_size + 1
+    acc = 0
+    nbits = 0
+    prev = -1
+    buf = bytearray(4096)  # expansion scratch (max LZW string length)
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                next_code = end + 1
+                width = min_code_size + 1
+                prev = -1
+                continue
+            if code == end:
+                return out[:n_out]
+            if prev < 0:
+                if code >= clear:
+                    raise ValueError("GIF LZW: first code not a root")
+                out[n_out] = code
+                n_out += 1
+                prev = code
+                continue
+            # expand `code` (or prev+firstchar for the not-yet-defined case)
+            if code < next_code:
+                c = code
+            elif code == next_code:
+                c = prev  # KwKwK case: expand prev then append its first byte
+            else:
+                raise ValueError("GIF LZW: code out of range")
+            k = 0
+            while c >= end + 1:  # compound code: walk down to a root
+                buf[k] = suffix[c]
+                k += 1
+                if k >= 4096:
+                    raise ValueError("GIF LZW: chain loop")
+                c = prefix[c]
+            first = c  # root byte
+            if n_out + k + 1 + (1 if code == next_code else 0) > n_pixels:
+                raise ValueError("GIF LZW: too many pixels")
+            out[n_out] = first
+            n_out += 1
+            for j in range(k - 1, -1, -1):
+                out[n_out] = buf[j]
+                n_out += 1
+            if code == next_code:
+                out[n_out] = first
+                n_out += 1
+            if next_code < 4096:
+                # new entry = expansion(prev) + first byte of this
+                # code's expansion
+                prefix[next_code] = prev
+                suffix[next_code] = first
+                next_code += 1
+                if next_code < 4096 and next_code == (1 << width):
+                    width += 1
+            prev = code
+    if n_out != n_pixels:
+        raise ValueError(f"GIF LZW: decoded {n_out} of {n_pixels} pixels")
+    return out
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Decode the FIRST frame of a GIF87a/GIF89a to (h, w, 3) uint8
+    RGB — pure numpy LZW, global/local color tables, Adam-style
+    4-pass interlacing, frames smaller than the logical screen
+    composited onto the background color. Extensions (including
+    animation control) are skipped; transparency is ignored (the
+    feature path grayscales anyway). Corrupt streams raise
+    ValueError (poison-blob contract)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w = int.from_bytes(payload[6:8], "little")
+    h = int.from_bytes(payload[8:10], "little")
+    flags = payload[10]
+    bg_idx = payload[11]
+    i = 13
+    gct = None
+    if flags & 0x80:
+        size = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload[i : i + size * 3], dtype=np.uint8).reshape(-1, 3)
+        i += size * 3
+    n = len(payload)
+    while i < n:
+        b = payload[i]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < n and payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        left = int.from_bytes(payload[i + 1 : i + 3], "little")
+        top = int.from_bytes(payload[i + 3 : i + 5], "little")
+        fw = int.from_bytes(payload[i + 5 : i + 7], "little")
+        fh = int.from_bytes(payload[i + 7 : i + 9], "little")
+        iflags = payload[i + 9]
+        i += 10
+        ct = gct
+        if iflags & 0x80:  # local color table
+            size = 2 << (iflags & 0x07)
+            ct = np.frombuffer(payload[i : i + size * 3], dtype=np.uint8).reshape(-1, 3)
+            i += size * 3
+        if ct is None:
+            raise ValueError("GIF frame has no color table")
+        min_code = payload[i]
+        i += 1
+        parts = []
+        while i < n and payload[i] != 0:
+            ln = payload[i]
+            parts.append(payload[i + 1 : i + 1 + ln])
+            i += 1 + ln
+        i += 1
+        idx = _gif_lzw_decode(b"".join(parts), min_code, fw * fh)
+        if idx.max(initial=0) >= len(ct):
+            raise ValueError("GIF index outside color table")
+        frame = idx.reshape(fh, fw)
+        if iflags & 0x40:  # interlaced: 4-pass row order
+            order = np.concatenate(
+                [np.arange(0, fh, 8), np.arange(4, fh, 8),
+                 np.arange(2, fh, 4), np.arange(1, fh, 2)]
+            )
+            de = np.empty_like(frame)
+            de[order] = frame
+            frame = de
+        canvas_idx = np.full((h, w), bg_idx if bg_idx < len(ct) else 0,
+                             dtype=np.uint8)
+        canvas_idx[top : top + fh, left : left + fw] = frame[
+            : max(h - top, 0), : max(w - left, 0)
+        ]
+        return ct[canvas_idx]
+    raise ValueError("GIF contains no image block")
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """GIF89a writer for images with ≤256 distinct colors (exact,
+    lossless) — real LZW compression, global color table. The
+    round-trip partner for pinning :func:`decode_gif` in tests."""
+    img = np.ascontiguousarray(img.astype(np.uint8))
+    if img.ndim == 2:
+        img = np.dstack([img] * 3)
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3)
+    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("encode_gif needs <=256 distinct colors")
+    bits = max(int(len(colors) - 1).bit_length(), 1)
+    size = 1 << bits
+    pal = np.zeros((size, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    min_code = max(bits, 2)
+    clear = 1 << min_code
+    end = clear + 1
+
+    # LZW compress
+    codes = []
+    table = {}
+    next_code = end + 1
+    codes.append(clear)
+    prev = (int(idx[0]),)
+    for px in idx[1:]:
+        cur = prev + (int(px),)
+        if cur in table:
+            prev = cur
+            continue
+        codes.append(table.get(prev, prev[0]) if len(prev) > 1 else prev[0])
+        if next_code < 4096:
+            table[cur] = next_code
+            next_code += 1
+        else:
+            codes.append(clear)
+            table = {}
+            next_code = end + 1
+        prev = (int(px),)
+    codes.append(table.get(prev, prev[0]) if len(prev) > 1 else prev[0])
+    codes.append(end)
+
+    # pack LSB-first, mirroring the DECODER's width-growth accounting:
+    # the decoder adds no dictionary entry for the first data code
+    # after a CLEAR, so width switches one code later than a naive
+    # per-emit count would put it
+    out_bits = bytearray()
+    acc = 0
+    nbits = 0
+    width = min_code + 1
+    nc = end + 1
+    first_after_clear = True
+    for code in codes:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out_bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if code == clear:
+            nc = end + 1
+            width = min_code + 1
+            first_after_clear = True
+        elif code != end:
+            if first_after_clear:
+                first_after_clear = False
+            elif nc < 4096:
+                nc += 1
+                if nc < 4096 and nc == (1 << width):
+                    width += 1
+    if nbits:
+        out_bits.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (bits - 1), 0, 0])  # GCT flag+size, bg 0, no aspect
+    out += pal.tobytes()
+    out += b"\x2c" + bytes(4) + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0, min_code])
+    data = bytes(out_bits)
+    for j in range(0, len(data), 255):
+        chunk = data[j : j + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """Decode PCM WAV to (samples ndarray of shape (n, channels),
     sample_rate). 16-bit and 8-bit PCM; compressed formats raise."""
@@ -355,7 +595,7 @@ def numpy_media_decoder(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """Real feature extraction for the formats the pure-numpy codecs
     cover, sniffed by magic bytes:
 
-    - PPM/PGM/BMP/PNG/JPEG images → grayscale (alpha dropped), nearest-
+    - PPM/PGM/BMP/PNG/JPEG/GIF images → grayscale (alpha dropped), nearest-
       resized to an 8×8 patch, scaled to [0, 1] (a tiny perceptual
       thumbprint — the classic aHash input), padded/truncated to
       ``dim``;
@@ -374,6 +614,8 @@ def numpy_media_decoder(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
             from melodist_spark.pipeline.jpeg import decode_jpeg
 
             img = decode_jpeg(payload)
+        elif payload[:6] in (b"GIF87a", b"GIF89a"):
+            img = decode_gif(payload)
         elif payload[:2] == b"BM":
             img = decode_bmp(payload)
         elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -404,9 +646,9 @@ def resize_images(
     payload_col: str = "payload",
     id_col: str = "media_id",
 ) -> DataFrame:
-    """Distributed image resize for PPM/PGM/BMP/PNG/JPEG payloads:
-    decode → nearest-neighbor resize → re-encode (PNG stays PNG,
-    JPEG stays JPEG, everything else re-encodes as PPM),
+    """Distributed image resize for PPM/PGM/BMP/PNG/JPEG/GIF
+    payloads: decode → nearest-neighbor resize → re-encode (PNG/JPEG/
+    GIF keep their format, everything else re-encodes as PPM),
     Arrow-batched. Output is again an opaque
     binary column (plus the new dimensions), so the operator composes
     with the rest of the media pipeline. Payloads in formats the numpy
@@ -434,12 +676,15 @@ def resize_images(
                     b = bytes(p)
                     is_png = b[: len(_PNG_SIG)] == _PNG_SIG
                     is_jpg = b[:2] == b"\xff\xd8"
+                    is_gif = b[:6] in (b"GIF87a", b"GIF89a")
                     if is_png:
                         img = decode_png(b)
                     elif is_jpg:
                         from melodist_spark.pipeline.jpeg import decode_jpeg
 
                         img = decode_jpeg(b)
+                    elif is_gif:
+                        img = decode_gif(b)
                     elif b[:2] == b"BM":
                         img = decode_bmp(b)
                     else:
@@ -451,6 +696,10 @@ def resize_images(
                         from melodist_spark.pipeline.jpeg import encode_jpeg
 
                         enc = encode_jpeg(small)
+                    elif is_gif:
+                        # nearest-neighbor only picks existing pixels,
+                        # so the palette stays <=256 and GIF stays GIF
+                        enc = encode_gif(small)
                     else:
                         enc = encode_ppm(small)
                     out["payload"].append(enc)
@@ -477,9 +726,9 @@ def decode_features(
     """payload → feature vector, Arrow-batched.
 
     The default decoder is :func:`numpy_media_decoder` — REAL features
-    for PPM/PGM/BMP/PNG/JPEG/PCM-WAV payloads, deterministic fake
-    for formats that need the absent PIL/ffmpeg (progressive JPEG,
-    H.264, MP3). ``real_decoder(bytes) ->
+    for PPM/PGM/BMP/PNG/JPEG/GIF/PCM-WAV payloads, deterministic
+    fake for formats that need the absent PIL/ffmpeg (progressive
+    JPEG, H.264, MP3). ``real_decoder(bytes) ->
     np.ndarray`` plugs in an actual model/codec stack instead.
     """
     decoder = real_decoder or numpy_media_decoder

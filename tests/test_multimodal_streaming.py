@@ -671,3 +671,82 @@ def test_jpeg_gets_real_features_and_resize(spark):
     assert out["err"] is None and out["width"] == 8
     small = decode_jpeg(bytes(out["payload"]))
     assert small.shape == (8, 8, 3)
+
+
+def test_gif_roundtrip_and_interlace():
+    """encode_gif -> decode_gif lossless for palette images (incl. a
+    dict-overflow stream that forces a mid-stream CLEAR); interlaced
+    frames are rebuilt by hand with the 4-pass row order and must
+    decode to the same pixels as the sequential encoding."""
+    import numpy as np
+
+    from melodist_spark.pipeline.multimodal import decode_gif, encode_gif
+
+    rng = np.random.default_rng(2)
+    pal = rng.integers(0, 256, size=(17, 3), dtype=np.uint8)
+    idx = rng.integers(0, 17, size=(21, 13))
+    img = pal[idx]
+    raw = encode_gif(img)
+    assert (decode_gif(raw) == img).all()
+
+    # dict overflow -> mid-stream CLEAR
+    big_idx = rng.integers(0, 250, size=(150, 200))
+    big_pal = rng.integers(0, 256, size=(250, 3), dtype=np.uint8)
+    big = big_pal[big_idx]
+    assert (decode_gif(encode_gif(big)) == big).all()
+
+    # interlace: permute the encoded frame's rows into 4-pass order
+    # and set the interlace flag; decode must undo it
+    h = img.shape[0]
+    order = np.concatenate(
+        [np.arange(0, h, 8), np.arange(4, h, 8),
+         np.arange(2, h, 4), np.arange(1, h, 2)]
+    )
+    inter = encode_gif(img[order])
+    buf = bytearray(inter)
+    # image descriptor starts after header(13) + GCT; find 0x2C
+    i = 13 + (2 << (buf[10] & 7)) * 3
+    assert buf[i] == 0x2C
+    buf[i + 9] |= 0x40  # interlace flag
+    assert (decode_gif(bytes(buf)) == img).all()
+
+
+def test_gif_real_features_resize_and_fuzz(spark):
+    import numpy as np
+
+    from melodist_spark.pipeline.multimodal import (
+        _fake_decode,
+        decode_gif,
+        encode_gif,
+        encode_ppm,
+        numpy_media_decoder,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(4)
+    pal = rng.integers(0, 256, size=(32, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 32, size=(16, 16))]
+    f_gif = numpy_media_decoder(encode_gif(img))
+    f_ppm = numpy_media_decoder(encode_ppm(img))
+    assert np.allclose(f_gif, f_ppm)  # lossless -> identical features
+    assert not np.allclose(f_gif, _fake_decode(encode_gif(img)))
+
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_gif(img)))], "media_id long, payload binary"
+    )
+    out = resize_images(df, 4, 4).collect()[0]
+    assert out["err"] is None
+    small = decode_gif(bytes(out["payload"]))
+    assert small.shape == (4, 4, 3)
+
+    # poison-blob: corrupt bytes resolve to ValueError, nothing else
+    for seed in range(80):
+        r = np.random.default_rng(seed)
+        raw = bytearray(encode_gif(img))
+        pos = 6 + int(r.integers(0, len(raw) - 7))
+        raw[pos] ^= int(r.integers(1, 255))
+        try:
+            got = decode_gif(bytes(raw))
+            assert isinstance(got, np.ndarray)
+        except ValueError:
+            pass
