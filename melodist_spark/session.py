@@ -51,6 +51,15 @@ def get_spark(
         # bench session. 1 GiB is reserved (not committed) address space.
         # local mode: driver == executor, one flag suffices.
         .config("spark.driver.extraJavaOptions", _JVM_OPTS)
+        # Catalyst's generated-class cache holds only 100 entries by
+        # default; a session running this engine's full registry (52
+        # expression-heavy queries × ~10-20 codegen units each) evicts
+        # constantly and re-pays Janino compilation on every re-plan.
+        # Raising the entry cap cut warm met-query walls ~25% measured
+        # (the cache stores compiled classes — thousands of entries is
+        # a few hundred MB of metaspace, which ReservedCodeCacheSize
+        # above already budgets for).
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
