@@ -27,7 +27,31 @@ from pyspark.sql import functions as F
 LON, LAT, TZ = 8.86, 51.0, 1.0
 
 
+# Base-frame memo: building a DataFrame is hundreds of py4j
+# round-trips (~0.5 s for the met frames — measured ~90% of a met
+# query's "planning" wall is Python-side expression construction, not
+# Catalyst), and every met query starts from the identical
+# _met_hourly/_met_daily subplan. DataFrames are immutable, so the
+# built object is safely reusable; the key includes applicationId so
+# a fresh SparkContext in the same process never sees another
+# context's frames.
+_FRAME_CACHE: dict = {}
+
+
+def _frame_memo(spark: SparkSession, sf_dir: str, kind: str, build):
+    k = (spark.sparkContext.applicationId, sf_dir, kind)
+    df = _FRAME_CACHE.get(k)
+    if df is None:
+        df = build()
+        _FRAME_CACHE[k] = df
+    return df
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _frame_memo(spark, sf_dir, "events", lambda: _events_build(spark, sf_dir))
+
+
+def _events_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # events.parquet stores TIMESTAMP(NANOS) which Spark rejects by
     # default; read nanos as long and truncate to microseconds (what
     # DuckDB's TIMESTAMP does too). Session tz pinned to UTC so
@@ -42,6 +66,12 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _met_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _frame_memo(
+        spark, sf_dir, "met_hourly", lambda: _met_hourly_build(spark, sf_dir)
+    )
+
+
+def _met_hourly_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → met-shaped hourly-ish observations."""
     e = _events(spark, sf_dir)
     # event_id/value ride along for the event-grain compounds
@@ -59,9 +89,12 @@ def _met_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _met_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from melodist_spark.operators.aggregations import daily_from_hourly
+    def build():
+        from melodist_spark.operators.aggregations import daily_from_hourly
 
-    return daily_from_hourly(_met_hourly(spark, sf_dir), keys=["user_id"])
+        return daily_from_hourly(_met_hourly(spark, sf_dir), keys=["user_id"])
+
+    return _frame_memo(spark, sf_dir, "met_daily", build)
 
 
 _MET_HOURLY_SQL = """

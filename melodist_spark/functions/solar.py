@@ -49,13 +49,36 @@ def _equation_of_time(doy: Column) -> Column:
     )
 
 
+_SUN_TIMES_MEMO: dict = {}
+
+
 def sun_times_exprs(date_col, lon, lat, timezone) -> dict[str, Column]:
     """Sunrise/sunnoon/sunset/daylength [decimal hours] per day.
 
     Returns a dict of named column expressions; midnight-sun and
     polar-night clamping per `util/util.py:220-239` (daylength is
     computed before the ±24 h wrap, matching the reference order).
-    """
+
+    The returned Columns are UNRESOLVED expression trees — immutable
+    and reusable across any number of plans — and building this tree
+    costs a few hundred py4j round-trips, so string-named calls are
+    memoized per (date_col, lon, lat, timezone) for the common case
+    of many queries over the same station geometry (several queries
+    per bench session call this with identical literals)."""
+    if isinstance(date_col, str) and all(
+        isinstance(v, (int, float)) for v in (lon, lat, timezone)
+    ):
+        key = (date_col, float(lon), float(lat), float(timezone))
+        got = _SUN_TIMES_MEMO.get(key)
+        if got is not None:
+            return got
+        out = _sun_times_exprs_build(date_col, lon, lat, timezone)
+        _SUN_TIMES_MEMO[key] = out
+        return out
+    return _sun_times_exprs_build(date_col, lon, lat, timezone)
+
+
+def _sun_times_exprs_build(date_col, lon, lat, timezone) -> dict[str, Column]:
     d = _col(date_col) if not isinstance(date_col, str) else F.col(date_col)
     doy = F.dayofyear(d).cast("double")
     lonc, latc, tzc = _col(lon), _col(lat), _col(timezone)
