@@ -9,8 +9,9 @@ uncompressed BMP images, 8-bit PNG (gray/RGB/RGBA/palette, all five
 scanline filters; zlib is stdlib), baseline/extended-sequential JPEG
 (pipeline/jpeg.py — canonical Huffman + 8×8 DCT + YCbCr are plain
 arithmetic), GIF87a/89a first frame (variable-width LZW, interlacing,
-local/global palettes — all three added round 6, previously listed as
-env-blocked), PCM WAV audio — and images resize through a numpy nearest-neighbor
+local/global palettes), FLAC audio (pipeline/flac.py — Rice + fixed/
+LPC predictors + stereo decorrelation; all four added round 6,
+previously listed as env-blocked), PCM WAV audio — and images resize through a numpy nearest-neighbor
 kernel. The remaining compressed codecs (progressive JPEG, H.264,
 MP3) genuinely need PIL/ffmpeg, which this container does not have:
 those payloads fall back to the clearly-marked deterministic fake
@@ -591,6 +592,18 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return img[ys][:, xs]
 
 
+def _audio_rms_features(mono: np.ndarray, dim: int) -> np.ndarray:
+    """Per-slice RMS energy over ``dim`` equal windows — shared by the
+    WAV and FLAC feature paths."""
+    edges = np.linspace(0, len(mono), dim + 1).astype(np.int64)
+    feat = np.zeros(dim)
+    for k in range(dim):
+        seg = mono[edges[k] : edges[k + 1]]
+        if len(seg):
+            feat[k] = float(np.sqrt(np.mean(seg * seg)))
+    return feat
+
+
 def numpy_media_decoder(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """Real feature extraction for the formats the pure-numpy codecs
     cover, sniffed by magic bytes:
@@ -599,7 +612,8 @@ def numpy_media_decoder(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
       resized to an 8×8 patch, scaled to [0, 1] (a tiny perceptual
       thumbprint — the classic aHash input), padded/truncated to
       ``dim``;
-    - PCM WAV audio → per-slice RMS energy over ``dim`` equal windows;
+    - PCM WAV / FLAC audio → per-slice RMS energy over ``dim`` equal
+      windows (FLAC peak-normalized to [-1, 1] first);
     - anything else (compressed codecs need PIL/ffmpeg, absent here) →
       the deterministic :func:`_fake_decode`.
     """
@@ -620,14 +634,18 @@ def numpy_media_decoder(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
             img = decode_bmp(payload)
         elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             samples, _ = decode_wav(payload)
-            mono = samples.mean(axis=1)
-            edges = np.linspace(0, len(mono), dim + 1).astype(np.int64)
-            feat = np.zeros(dim)
-            for k in range(dim):
-                seg = mono[edges[k] : edges[k + 1]]
-                if len(seg):
-                    feat[k] = float(np.sqrt(np.mean(seg * seg)))
-            return feat
+            return _audio_rms_features(samples.mean(axis=1), dim)
+        elif payload[:4] == b"fLaC":
+            from melodist_spark.pipeline.flac import decode_flac
+
+            samples, _, bps = decode_flac(payload)
+            # full-scale normalization to [-1, 1], same convention as
+            # the WAV path (so the same signal gives the same features
+            # through either container)
+            return _audio_rms_features(
+                samples.mean(axis=1).astype(np.float64) / float(1 << (bps - 1)),
+                dim,
+            )
         else:
             return _fake_decode(payload, dim)
     except ValueError:
@@ -726,9 +744,9 @@ def decode_features(
     """payload → feature vector, Arrow-batched.
 
     The default decoder is :func:`numpy_media_decoder` — REAL features
-    for PPM/PGM/BMP/PNG/JPEG/GIF/PCM-WAV payloads, deterministic
-    fake for formats that need the absent PIL/ffmpeg (progressive
-    JPEG, H.264, MP3). ``real_decoder(bytes) ->
+    for PPM/PGM/BMP/PNG/JPEG/GIF/PCM-WAV/FLAC payloads,
+    deterministic fake for formats that need the absent PIL/ffmpeg
+    (progressive JPEG, H.264, MP3). ``real_decoder(bytes) ->
     np.ndarray`` plugs in an actual model/codec stack instead.
     """
     decoder = real_decoder or numpy_media_decoder

@@ -750,3 +750,138 @@ def test_gif_real_features_resize_and_fuzz(spark):
             assert isinstance(got, np.ndarray)
         except ValueError:
             pass
+
+
+def test_flac_roundtrip_modes():
+    """Lossless round-trips across the encoder's emission surface:
+    mono/stereo, independent + mid/side decorrelation, constant and
+    wasted-bits subframes, multi-block streams with odd tails,
+    16- and 24-bit depth."""
+    import numpy as np
+
+    from melodist_spark.pipeline.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(11)
+    t = np.arange(5000)
+    mono = (np.sin(t * 0.03) * 12000 + rng.normal(0, 300, len(t))).astype(
+        np.int64
+    )
+    raw = encode_flac(mono, rate=16000, block=1024)
+    got, rate, bps = decode_flac(raw)
+    assert rate == 16000 and bps == 16 and (got[:, 0] == mono).all()
+    assert len(raw) < len(mono) * 2  # actually compresses
+
+    L = (np.sin(t * 0.02) * 9000).astype(np.int64)
+    R = L + rng.integers(-50, 50, len(t))
+    st = np.stack([L, R], axis=1)
+    for ms in (False, True):
+        got, rate, _ = decode_flac(
+            encode_flac(st, rate=44100, block=1024, mid_side=ms)
+        )
+        assert rate == 44100 and (got == st).all()
+
+    c = np.full(3000, 4096, dtype=np.int64)
+    assert (decode_flac(encode_flac(c))[0][:, 0] == c).all()
+    w = (rng.integers(-100, 100, 2000) * 8).astype(np.int64)
+    assert (decode_flac(encode_flac(w))[0][:, 0] == w).all()
+    x24 = rng.normal(0, 1e6, 2048).astype(np.int64)
+    assert (decode_flac(encode_flac(x24, bps=24))[0][:, 0] == x24).all()
+
+
+def test_flac_decodes_lpc_and_partitioned_residual():
+    """Paths the test encoder never emits, built bit-by-bit from the
+    spec and checked against an independent numpy recurrence: an LPC
+    subframe (order 3, quantized coefficients, shift), a partition
+    order > 0 residual, and the raw-bits escape partition."""
+    import numpy as np
+
+    from melodist_spark.pipeline.flac import _Bits, _decode_subframe, _BitW
+
+    def build_lpc(warm, coefs, prec, shift, resid, n, bps, porder=0, escape_bits=None):
+        bw = _BitW()
+        bw.write(0, 1)
+        bw.write(32 + len(coefs) - 1, 6)  # LPC, order
+        bw.write(0, 1)  # no wasted bits
+        for v in warm:
+            bw.write(int(v), bps)
+        bw.write(prec - 1, 4)
+        bw.write(shift, 5)
+        for c in coefs:
+            bw.write(int(c), prec)
+        bw.write(0, 2)  # 4-bit rice method
+        bw.write(porder, 4)
+        nparts = 1 << porder
+        k = 0
+        for p in range(nparts):
+            cnt = n // nparts - (len(coefs) if p == 0 else 0)
+            if escape_bits is not None and p == nparts - 1:
+                bw.write(15, 4)  # escape
+                bw.write(escape_bits, 5)
+                for _ in range(cnt):
+                    bw.write(int(resid[k]), escape_bits)
+                    k += 1
+            else:
+                param = 4
+                bw.write(param, 4)
+                for _ in range(cnt):
+                    v = int(resid[k])
+                    u = (v << 1) ^ (v >> 63)
+                    bw.write_unary(u >> param)
+                    bw.write(u & ((1 << param) - 1), param)
+                    k += 1
+        bw.align()
+        return bytes(bw.buf)
+
+    rng = np.random.default_rng(3)
+    n, bps = 64, 16
+    warm = [100, -50, 25]
+    coefs = [205, -110, 37]  # Q: shift 8
+    prec, shift = 12, 8
+    resid = rng.integers(-40, 40, n - len(warm))
+
+    # independent reference recurrence
+    exp = np.zeros(n, dtype=np.int64)
+    exp[:3] = warm
+    for i in range(3, n):
+        pred = sum(coefs[j] * exp[i - 1 - j] for j in range(3))
+        exp[i] = resid[i - 3] + (pred >> shift)
+
+    for porder, esc in ((0, None), (2, None), (2, 10)):
+        raw = build_lpc(warm, coefs, prec, shift, resid, n, bps,
+                        porder=porder, escape_bits=esc)
+        got = _decode_subframe(_Bits(raw), n, bps)
+        assert (got == exp).all(), (porder, esc)
+
+
+def test_flac_features_and_poison(spark):
+    import numpy as np
+
+    from melodist_spark.pipeline.flac import decode_flac, encode_flac
+    from melodist_spark.pipeline.multimodal import (
+        _fake_decode,
+        numpy_media_decoder,
+    )
+
+    t = np.arange(8000)
+    x = (np.sin(t * 0.05) * 16000).astype(np.int64)
+    payload = encode_flac(x, rate=8000)
+    feat = numpy_media_decoder(payload)
+    assert np.isfinite(feat).all() and feat.max() > 0.1  # real RMS energy
+    assert not np.allclose(feat, _fake_decode(payload))
+    # matches the WAV path on the same signal (both peak-ish scaled)
+    from tests.test_multimodal_streaming import _wav_bytes
+
+    f_wav = numpy_media_decoder(_wav_bytes(x / 32768.0))
+    assert np.abs(feat - f_wav).max() < 0.05
+
+    # poison: bitflips resolve to ValueError or a decode, never leak
+    for seed in range(60):
+        r = np.random.default_rng(seed)
+        raw = bytearray(payload)
+        pos = 4 + int(r.integers(0, len(raw) - 5))
+        raw[pos] ^= int(r.integers(1, 255))
+        try:
+            out, _, _ = decode_flac(bytes(raw))
+            assert isinstance(out, np.ndarray)
+        except ValueError:
+            pass
