@@ -476,12 +476,13 @@ def _magnitude(v: int) -> int:
 
 
 def encode_jpeg(
-    img: np.ndarray, quality: int = 85, subsample: bool = False,
+    img: np.ndarray, quality: int = 85, subsample=False,
     restart_interval: int = 0,
 ) -> bytes:
     """Baseline JFIF encoder: Annex K tables scaled by ``quality``,
-    4:4:4 (or 4:2:0 with ``subsample=True``), optional DRI restarts.
-    Accepts (h, w) grayscale or (h, w, 3) RGB uint8."""
+    4:4:4 by default, 4:2:0 with ``subsample=True`` (or ``"420"``),
+    4:2:2 with ``subsample="422"``; optional DRI restarts. Accepts
+    (h, w) grayscale or (h, w, 3) RGB uint8."""
     img = np.asarray(img, dtype=np.float64)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -496,21 +497,25 @@ def encode_jpeg(
 
     q_luma = _quality_scale(QUANT_LUMA, quality)
     q_chroma = _quality_scale(QUANT_CHROMA, quality)
-    samp = (2, 2) if (subsample and not gray) else (1, 1)
-    hmax, vmax = (samp if not gray else (1, 1))
+    mode = "420" if subsample is True else (subsample or "444")
+    if gray:
+        mode = "444"
+    # luma sampling factors per chroma mode (chroma is always 1x1)
+    sx, sy = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[mode]
+    hmax, vmax = sx, sy
 
     comps = []
     for ci, plane in enumerate(ycc):
-        if ci > 0 and subsample:
-            # 2x2 mean subsample (pad to even first)
+        if ci > 0 and mode != "444":
+            # sx x sy mean subsample (pad to a multiple first)
             ph = plane
-            if ph.shape[0] % 2:
-                ph = np.vstack([ph, ph[-1:]])
-            if ph.shape[1] % 2:
-                ph = np.hstack([ph, ph[:, -1:]])
-            plane = ph.reshape(ph.shape[0] // 2, 2, ph.shape[1] // 2, 2).mean(
-                axis=(1, 3)
-            )
+            if ph.shape[0] % sy:
+                ph = np.vstack([ph] + [ph[-1:]] * (sy - ph.shape[0] % sy))
+            if ph.shape[1] % sx:
+                ph = np.hstack([ph] + [ph[:, -1:]] * (sx - ph.shape[1] % sx))
+            plane = ph.reshape(
+                ph.shape[0] // sy, sy, ph.shape[1] // sx, sx
+            ).mean(axis=(1, 3))
             cw, cv = 1, 1
         else:
             cw, cv = (hmax, vmax) if ci == 0 else (1, 1)

@@ -397,6 +397,13 @@ def decode_gif(payload: bytes) -> np.ndarray:
     ValueError (poison-blob contract)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
+    try:
+        return _decode_gif_inner(payload)
+    except IndexError as e:  # truncated stream -> poison-blob path
+        raise ValueError(f"truncated GIF: {e}") from e
+
+
+def _decode_gif_inner(payload: bytes) -> np.ndarray:
     w = int.from_bytes(payload[6:8], "little")
     h = int.from_bytes(payload[8:10], "little")
     flags = payload[10]

@@ -608,7 +608,7 @@ def test_jpeg_roundtrip_modes():
             np.full((33, 41), 100.0),
         ]
     ).astype(np.uint8)
-    for sub in (False, True):
+    for sub in (False, True, "422"):
         for dri in (0, 2):
             got = decode_jpeg(
                 encode_jpeg(grad, quality=90, subsample=sub, restart_interval=dri)

@@ -332,10 +332,12 @@ def test_codec_fuzz_never_crashes(data, seed):
     would kill a 100 TB media pass on one corrupt payload."""
     import numpy as np
 
+    from melodist_spark.pipeline.flac import decode_flac
     from melodist_spark.pipeline.jpeg import decode_jpeg
     from melodist_spark.pipeline.multimodal import (
         _PNG_SIG,
         decode_bmp,
+        decode_gif,
         decode_png,
         decode_ppm,
         decode_wav,
@@ -344,10 +346,10 @@ def test_codec_fuzz_never_crashes(data, seed):
     rng = np.random.default_rng(seed)
     magics = [
         b"", b"P6", b"P5", b"BM", _PNG_SIG, b"\xff\xd8",
-        b"RIFF" + bytes(4) + b"WAVE",
+        b"RIFF" + bytes(4) + b"WAVE", b"GIF89a", b"fLaC",
     ]
     payload = magics[seed % len(magics)] + data
-    for dec in (decode_ppm, decode_bmp, decode_png, decode_jpeg):
+    for dec in (decode_ppm, decode_bmp, decode_png, decode_jpeg, decode_gif):
         try:
             out = dec(payload)
             assert isinstance(out, np.ndarray)
@@ -357,15 +359,16 @@ def test_codec_fuzz_never_crashes(data, seed):
             raise AssertionError(
                 f"{dec.__name__} leaked {type(e).__name__}: {e}"
             ) from e
-    try:
-        samples, rate = decode_wav(payload)
-        assert isinstance(samples, np.ndarray)
-    except ValueError:
-        pass
-    except Exception as e:
-        raise AssertionError(
-            f"decode_wav leaked {type(e).__name__}: {e}"
-        ) from e
+    for adec in (decode_wav, decode_flac):
+        try:
+            out = adec(payload)
+            assert isinstance(out[0], np.ndarray)
+        except ValueError:
+            pass
+        except Exception as e:
+            raise AssertionError(
+                f"{adec.__name__} leaked {type(e).__name__}: {e}"
+            ) from e
 
 
 @settings(max_examples=40, deadline=None)
