@@ -579,15 +579,44 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     channels = int.from_bytes(fmt[2:4], "little")
     rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format != 1:
-        raise ValueError(f"only PCM WAV supported (format={audio_format})")
-    if bits == 16:
+    if audio_format in (6, 7):  # ITU-T G.711 A-law / mu-law telephony
+        u = np.frombuffer(data, dtype=np.uint8)
+        samples = (_alaw_decode(u) if audio_format == 6 else _ulaw_decode(u)) / 32768.0
+    elif audio_format != 1:
+        raise ValueError(f"only PCM/G.711 WAV supported (format={audio_format})")
+    elif bits == 16:
         samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
     elif bits == 8:
         samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
     else:
         raise ValueError(f"unsupported PCM width: {bits}")
     return samples.reshape(-1, channels), rate
+
+
+def _ulaw_decode(u: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 mu-law byte -> 16-bit linear (float64). The
+    textbook expansion: complement, split exponent/mantissa, rebuild
+    with the 0x84 bias."""
+    u = (~u.astype(np.int64)) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.float64)
+
+
+def _alaw_decode(a: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 A-law byte -> 16-bit linear (float64): even-bit
+    inversion (0x55), then segment expansion."""
+    a = a.astype(np.int64) ^ 0x55
+    sign = a & 0x80
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    mag = np.where(
+        exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (exp - 1)
+    )
+    # G.711 A-law: the (inverted) sign bit SET means positive
+    return np.where(sign, mag, -mag).astype(np.float64)
 
 
 def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:

@@ -885,3 +885,54 @@ def test_flac_features_and_poison(spark):
             assert isinstance(out, np.ndarray)
         except ValueError:
             pass
+
+
+def test_wav_g711_mulaw_alaw():
+    """G.711 telephony WAV (format 6 = A-law, 7 = mu-law): spec table
+    anchor points pin the expanders, and a companded sine decodes
+    within companding error of the original."""
+    import numpy as np
+
+    from melodist_spark.pipeline.multimodal import (
+        _alaw_decode,
+        _ulaw_decode,
+        decode_wav,
+    )
+
+    # canonical anchor values from the G.711 tables
+    assert _ulaw_decode(np.array([0xFF]))[0] == 0
+    assert _ulaw_decode(np.array([0x00]))[0] == -32124
+    assert _ulaw_decode(np.array([0x80]))[0] == 32124
+    assert _alaw_decode(np.array([0xD5]))[0] == 8
+    assert _alaw_decode(np.array([0x55]))[0] == -8
+    assert _alaw_decode(np.arange(256)).max() == 32256
+
+    def g711_wav(fmt_code, payload, rate=8000):
+        fmt = (
+            fmt_code.to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + rate.to_bytes(4, "little") + rate.to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+        )
+        chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        chunks += b"data" + len(payload).to_bytes(4, "little") + payload
+        return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+    # mu-law COMPRESS (reference forward transform) of a sine, then
+    # decode through the WAV path and compare within companding error
+    x = (np.sin(np.arange(800) * 0.05) * 20000).astype(np.int64)
+
+    def ulaw_encode(v):
+        BIAS = 0x84
+        sign = (v < 0).astype(np.int64)
+        mag = np.minimum(np.abs(v) + BIAS, 0x7FFF)
+        exp = np.floor(np.log2(mag)).astype(np.int64) - 7
+        exp = np.clip(exp, 0, 7)
+        mant = (mag >> (exp + 3)) & 0x0F
+        return (~((sign << 7) | (exp << 4) | mant)) & 0xFF
+
+    enc = ulaw_encode(x).astype(np.uint8).tobytes()
+    samples, rate = decode_wav(g711_wav(7, enc))
+    assert rate == 8000 and samples.shape == (800, 1)
+    err = np.abs(samples[:, 0] * 32768.0 - x)
+    # mu-law quantization error is bounded by the segment step
+    assert err.max() < 1024 and err.mean() < 300
