@@ -263,3 +263,91 @@ def test_bucketed_warehouse_elides_station_exchanges(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS obs_bucketed")
         spark.sql("DROP TABLE IF EXISTS obs_bucketed_b")
+
+
+def _warc_bytes(records):
+    """Assemble a spec-shaped WARC blob from (headers, payload)."""
+    out = bytearray()
+    for headers, payload in records:
+        out += b"WARC/1.0\r\n"
+        headers = dict(headers)
+        headers["Content-Length"] = str(len(payload))
+        for k, v in headers.items():
+            out += f"{k}: {v}\r\n".encode()
+        out += b"\r\n" + payload + b"\r\n\r\n"
+    return bytes(out)
+
+
+def test_read_warc_records_and_http_split(spark, tmp_path):
+    """WARC ingestion (Common Crawl shape): warcinfo + response +
+    request records parse with header fields intact, the HTTP layer
+    of application/http responses splits into status/content-type/
+    body, gzip archives decode, and a corrupt archive yields an
+    __error__ row instead of failing the job."""
+    import gzip
+
+    import numpy as np
+
+    from melodist_spark.sources.warc import (
+        parse_warc_records,
+        read_warc,
+        split_http_payload,
+    )
+
+    html = b"<html><body>hello crawl</body></html>"
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n"
+        b"Server: test\r\n\r\n" + html
+    )
+    records = [
+        (
+            {"WARC-Type": "warcinfo", "WARC-Record-ID": "<urn:uuid:1>",
+             "Content-Type": "application/warc-fields"},
+            b"software: test\r\n",
+        ),
+        (
+            {"WARC-Type": "response", "WARC-Record-ID": "<urn:uuid:2>",
+             "WARC-Target-URI": "http://example.com/",
+             "WARC-Date": "2024-01-01T00:00:00Z",
+             "Content-Type": "application/http; msgtype=response"},
+            http,
+        ),
+        (
+            {"WARC-Type": "request", "WARC-Record-ID": "<urn:uuid:3>",
+             "WARC-Target-URI": "http://example.com/",
+             "Content-Type": "application/http; msgtype=request"},
+            b"GET / HTTP/1.1\r\nHost: example.com\r\n\r\n",
+        ),
+    ]
+    blob = _warc_bytes(records)
+
+    # pure-function layer
+    parsed = list(parse_warc_records(blob))
+    assert [r["warc_type"] for r in parsed] == ["warcinfo", "response", "request"]
+    assert parsed[1]["target_uri"] == "http://example.com/"
+    status, ctype, body = split_http_payload(parsed[1]["payload"])
+    assert status == 200 and ctype.startswith("text/html") and body == html
+
+    # distributed layer: plain + gzip + corrupt in one directory
+    d = tmp_path / "warc"
+    d.mkdir()
+    (d / "a.warc").write_bytes(blob)
+    (d / "b.warc.gz").write_bytes(gzip.compress(blob))
+    (d / "c.warc").write_bytes(b"WARC/1.0\r\nContent-Length: 999999\r\n\r\nshort")
+    got = read_warc(spark, str(d) + "/*").toPandas()
+
+    ok = got[got.warc_type != "__error__"]
+    assert len(ok) == 6  # 3 records x 2 good archives
+    resp = ok[ok.warc_type == "response"]
+    assert len(resp) == 2
+    for _, r in resp.iterrows():
+        assert r["http_status"] == 200
+        assert bytes(r["http_body"]) == html
+        assert r["target_uri"] == "http://example.com/"
+    errs = got[got.warc_type == "__error__"]
+    assert len(errs) == 1 and "exceeds" in errs.iloc[0]["target_uri"]
+
+    # oversized payloads drop loudly, not OOM
+    got2 = read_warc(spark, str(d / "a.warc"), max_payload=10).toPandas()
+    assert (got2.warc_type == "__oversized__").sum() >= 2
+    assert got2[got2.warc_type == "__oversized__"]["payload"].isna().all()
