@@ -282,3 +282,18 @@ def test_plan_contract_backoff_and_spans_no_cartesian(spark):
         plan = _plan(df)
         for pat in (r"CartesianProduct", r"BroadcastNestedLoopJoin"):
             assert not re.search(pat, plan), f"found forbidden /{pat}/"
+
+
+def test_plan_contract_read_warc_no_shuffle(spark, tmp_path):
+    """Crawl ingestion is a pure per-archive map: binaryFile scan +
+    Arrow-batched record parse, no Exchange anywhere — an accidental
+    repartition would shuffle multi-GB archive blobs."""
+    from melodist_spark.sources.warc import read_warc
+
+    (tmp_path / "x.warc").write_bytes(
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 2\r\n\r\nok\r\n\r\n"
+    )
+    plan = _plan(read_warc(spark, str(tmp_path) + "/*.warc"))
+    assert re.search(r"MapInPandas", plan)
+    for pat in (r"Exchange", r"Join", r"CartesianProduct"):
+        assert not re.search(pat, plan), f"found forbidden /{pat}/"
