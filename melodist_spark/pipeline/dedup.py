@@ -534,6 +534,89 @@ def duplicate_clusters(
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 
+def minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle: int | None = None,
+) -> DataFrame:
+    """Durable near-dup state for incremental ingest: the MinHash
+    signature table ``(id, sig_0..sig_{k-1})`` — ~8k bytes per doc,
+    ~128 B at k=16, the only state an incremental crawl needs (the
+    band table is a cheap narrow derivation via :func:`lsh_bands`,
+    so it is NOT stored). Store partitioned/bucketed by id; union
+    each surviving batch's index in to advance the state — the
+    near-dup analogue of :func:`digest_index`."""
+    return minhash_signature(df, text_col, num_hashes, shingle).select(
+        id_col, *[f"sig_{i}" for i in range(num_hashes)]
+    )
+
+
+def neardup_against(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle: int | None = None,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental NEAR-dup: drop batch documents whose estimated
+    Jaccard against any previously-indexed document reaches
+    ``threshold`` — the daily-crawl increment, without ever
+    re-scanning (or even storing) the historical texts.
+
+    Verification uses the signature-agreement ESTIMATOR (the
+    fraction of matching MinHash components is an unbiased estimate
+    of shingle Jaccard, σ ≈ √(J(1−J)/k) — ~0.1 at k=16, so the
+    threshold is soft by that much; raise ``num_hashes`` for a
+    sharper boundary). This is exactly what lets the state stay
+    ~128 B/doc: candidates come from an equi-join of the batch's
+    band table against bands derived from the stored signatures, and
+    the estimate needs only the two signature rows. AQE's skew-join
+    splitting covers hot boilerplate bands in the two-table join
+    (the self-join salting of :func:`lsh_candidate_pairs` does not
+    apply here).
+
+    Returns the surviving batch rows. Exact-dup ingest
+    (:func:`dedup_against`) composes in front; union the survivors'
+    :func:`minhash_index` into the stored index afterwards."""
+    names = [f"sig_{i}" for i in range(num_hashes)]
+    bsig = minhash_signature(batch, text_col, num_hashes, shingle)
+    bband = lsh_bands(bsig, id_col, num_hashes, band_size).select(
+        F.col(id_col).alias("__bid"), "band_idx", "band_hash"
+    )
+    iband = lsh_bands(index, id_col, num_hashes, band_size).select(
+        F.col(id_col).alias("__iid"), "band_idx", "band_hash"
+    )
+    cand = (
+        bband.join(iband, ["band_idx", "band_hash"])
+        .select("__bid", "__iid")
+        .distinct()
+    )
+    bs = bsig.select(
+        F.col(id_col).alias("__bid"), *[F.col(n).alias(f"__b{i}") for i, n in enumerate(names)]
+    )
+    isx = index.select(
+        F.col(id_col).alias("__iid"), *[F.col(n).alias(f"__i{i}") for i, n in enumerate(names)]
+    )
+    est = sum(
+        F.when(F.col(f"__b{i}") == F.col(f"__i{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    ) / F.lit(float(num_hashes))
+    hits = (
+        cand.join(bs, "__bid")
+        .join(isx, "__iid")
+        .withColumn("__est", est)
+        .filter(F.col("__est") >= float(threshold))
+        .select(F.col("__bid").alias(id_col))
+        .distinct()
+    )
+    return batch.join(hits, id_col, "left_anti")
+
+
 def line_dedup(
     df: DataFrame,
     text_col: str = "text",

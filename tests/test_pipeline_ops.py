@@ -1539,3 +1539,58 @@ def test_pinned_models_match_fresh_training(spark):
     assert np.allclose(model["sd"], LOGREG_MODEL["sd"], atol=1e-9)
     assert np.allclose(model["weights"], LOGREG_MODEL["weights"], atol=1e-7)
     assert abs(model["intercept"] - LOGREG_MODEL["intercept"]) < 1e-7
+
+
+def test_neardup_against_incremental_index(spark):
+    """Incremental near-dup vs the ~128 B/doc signature index: a new
+    batch drops exact and near copies of INDEXED docs (without the
+    historical texts existing anywhere), keeps novel docs and mere
+    topical cousins, and the advanced index catches the same
+    near-dup arriving again in a later batch."""
+    from melodist_spark.pipeline.dedup import minhash_index, neardup_against
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the old river "
+        "bank while morning fog rolls across the quiet meadow grass"
+    )
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different text about spark query engines "
+                        "and distributed shuffle exchange planning strategies")],
+        "doc_id long, text string",
+    )
+    idx = minhash_index(corpus)
+    assert set(idx.columns) == {"doc_id"} | {f"sig_{i}" for i in range(16)}
+
+    batch = spark.createDataFrame(
+        [
+            (10, base),                                   # exact copy
+            (11, base.replace("morning", "evening")),     # near copy
+            (12, "entirely novel document text that resembles nothing "
+                 "stored in the historical index at all whatsoever"),
+            (13, "the quick brown fox appears here too but the rest of "
+                 "this document goes somewhere else entirely different"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = neardup_against(batch, idx, threshold=0.5)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 10 not in ids and 11 not in ids  # copies dropped
+    assert 12 in ids and 13 in ids          # novel + cousin kept
+
+    # advance the state with the survivors; a re-arrival of 13's
+    # near copy is now caught by the UPDATED index
+    idx2 = idx.unionByName(minhash_index(kept))
+    batch2 = spark.createDataFrame(
+        [(20, batch.collect()[3]["text"].replace("entirely", "utterly"))],
+        "doc_id long, text string",
+    )
+    kept2 = neardup_against(batch2, idx2, threshold=0.5)
+    assert kept2.count() == 0
+
+    # determinism under partitioning
+    ids_b = {
+        r["doc_id"]
+        for r in neardup_against(batch.repartition(7), idx, threshold=0.5)
+        .select("doc_id").collect()
+    }
+    assert ids_b == ids
