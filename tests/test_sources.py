@@ -351,3 +351,79 @@ def test_read_warc_records_and_http_split(spark, tmp_path):
     got2 = read_warc(spark, str(d / "a.warc"), max_payload=10).toPandas()
     assert (got2.warc_type == "__oversized__").sum() >= 2
     assert got2[got2.warc_type == "__oversized__"]["payload"].isna().all()
+
+
+def test_warc_to_corpus_composition(spark, tmp_path):
+    """End-to-end crawl ingestion: WARC archives -> HTML responses ->
+    clean_text -> quality gate -> incremental exact+near dedup — the
+    full Common Crawl-shaped path through existing operators, no
+    glue code beyond column expressions."""
+    import gzip
+
+    from pyspark.sql import functions as F
+
+    from melodist_spark.pipeline.dedup import (
+        dedup_against,
+        digest_index,
+        minhash_index,
+        neardup_against,
+    )
+    from melodist_spark.pipeline.text import clean_text, quality_flags
+    from melodist_spark.sources.warc import read_warc
+
+    body = (
+        "<html><head><title>t</title></head><body><p>"
+        "the quick brown fox jumps over the lazy dog near the old river "
+        "bank while morning fog rolls across the quiet meadow grass and "
+        "birds are singing softly in the first light of the day today"
+        "</p></body></html>"
+    )
+
+    def page(uri, text):
+        http = (
+            "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + text
+        ).encode()
+        hdr = (
+            f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: {uri}\r\n"
+            f"Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode()
+        return hdr + http + b"\r\n\r\n"
+
+    arc = page("http://a.com/", body)
+    arc += page("http://b.com/", body)  # exact dup page
+    arc += page("http://c.com/", body.replace("morning", "evening"))  # near
+    arc += page("http://d.com/", "<html><body>too short</body></html>")
+    (tmp_path / "crawl.warc.gz").write_bytes(gzip.compress(arc))
+
+    docs = (
+        read_warc(spark, str(tmp_path / "crawl.warc.gz"))
+        .filter(F.col("warc_type") == "response")
+        .filter(F.col("http_status") == 200)
+        .select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            F.col("target_uri"),
+            clean_text(F.col("http_body").cast("string")).alias("text"),
+        )
+    )
+    assert docs.count() == 4
+    # quality gate drops the too-short page
+    gated = quality_flags(docs, min_tokens=10).filter("ok_length")
+    uris = {r["target_uri"] for r in gated.collect()}
+    assert "http://d.com/" not in uris and len(uris) == 3
+
+    # incremental dedup vs an EMPTY prior index: exact dup collapses,
+    # then the near-dup estimator drops the one-word variant
+    empty_idx = digest_index(gated.limit(0))
+    batch = dedup_against(gated, empty_idx)
+    from melodist_spark.pipeline.dedup import dedup_exact
+
+    batch = dedup_exact(batch)
+    assert batch.count() == 2  # a/b collapsed, c + survivors remain
+    first = batch.orderBy("doc_id").limit(1)
+    survivors = neardup_against(
+        batch.join(first.select("doc_id"), "doc_id", "left_anti"),
+        minhash_index(first),
+        threshold=0.5,
+    )
+    assert survivors.count() == 0  # the near-dup page is caught too
