@@ -342,20 +342,22 @@ class _BitW:
 
 
 def _write_utf8_number(bw: _BitW, v: int):
+    """Standard UTF-8 envelope: an n-byte form carries (7 - n) lead
+    bits + 6 per continuation, so capacities are 11/16/21/26/31 bits
+    for 2-6 bytes."""
     if v < 0x80:
         bw.write(v, 8)
         return
-    # 2-byte form covers frame numbers up to 2047 — enough for tests;
-    # larger streams use more continuations
-    parts = []
-    while v >= 0x40:
-        parts.append(0x80 | (v & 0x3F))
-        v >>= 6
-    nbytes = len(parts) + 1
-    lead = (0xFF << (8 - nbytes - 1)) & 0xFF | v
-    bw.write(lead, 8)
-    for p in reversed(parts):
-        bw.write(p, 8)
+    for nbytes, capbits in ((2, 11), (3, 16), (4, 21), (5, 26), (6, 31)):
+        if v < (1 << capbits):
+            break
+    else:
+        raise ValueError("frame number too large for FLAC UTF-8 coding")
+    lead_mask = (0xFF << (8 - nbytes)) & 0xFF
+    shift = 6 * (nbytes - 1)
+    bw.write(lead_mask | (v >> shift), 8)
+    for k in range(nbytes - 2, -1, -1):
+        bw.write(0x80 | ((v >> (6 * k)) & 0x3F), 8)
 
 
 def _rice_param(resid: np.ndarray) -> int:

@@ -936,3 +936,18 @@ def test_wav_g711_mulaw_alaw():
     err = np.abs(samples[:, 0] * 32768.0 - x)
     # mu-law quantization error is bounded by the segment step
     assert err.max() < 1024 and err.mean() < 300
+
+
+def test_flac_long_stream_utf8_frame_numbers():
+    """Frame numbers >= 128 use the multi-byte UTF-8 envelope — a
+    round-6 self-review caught the writer emitting a malformed lead
+    byte there (latent: short test streams never crossed 128 frames).
+    300 frames pins 1- and 2-byte forms end to end."""
+    import numpy as np
+
+    from melodist_spark.pipeline.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(21)
+    x = rng.integers(-3000, 3000, size=300 * 64).astype(np.int64)
+    got, rate, bps = decode_flac(encode_flac(x, rate=8000, block=64))
+    assert (got[:, 0] == x).all()
