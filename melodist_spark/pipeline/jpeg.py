@@ -319,12 +319,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             ncomp = body[5]
+            if h == 0 or w == 0 or ncomp == 0:
+                raise ValueError("empty JPEG frame dimensions")
             comps = []
             for c in range(ncomp):
                 cid, samp, tq = body[6 + c * 3 : 9 + c * 3]
-                comps.append(
-                    {"id": cid, "h": samp >> 4, "v": samp & 0xF, "tq": tq}
-                )
+                sh, sv = samp >> 4, samp & 0xF
+                if not (1 <= sh <= 4 and 1 <= sv <= 4):
+                    raise ValueError(f"bad JPEG sampling factors {sh}x{sv}")
+                comps.append({"id": cid, "h": sh, "v": sv, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
         elif marker == 0xC2:
             raise ValueError("progressive JPEG not supported")
