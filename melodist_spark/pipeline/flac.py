@@ -164,6 +164,14 @@ def _decode_residual(br: _Bits, n: int, pred_order: int) -> np.ndarray:
 
 
 def _decode_subframe(br: _Bits, n: int, bps: int) -> np.ndarray:
+    # valid FLAC never overflows int64 in the predictor recurrences;
+    # corrupt streams can, and garbage-in/garbage-out is fine as long
+    # as it is silent and non-fatal (CRC checks reject the frame)
+    with np.errstate(over="ignore"):
+        return _decode_subframe_inner(br, n, bps)
+
+
+def _decode_subframe_inner(br: _Bits, n: int, bps: int) -> np.ndarray:
     if br.read(1):
         raise ValueError("FLAC subframe sync bit set")
     stype = br.read(6)

@@ -269,6 +269,13 @@ def _extend(v: int, t: int) -> int:
 def decode_jpeg(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
+    try:
+        return _decode_jpeg_inner(payload)
+    except IndexError as e:  # truncated segment -> poison-blob path
+        raise ValueError(f"truncated JPEG: {e}") from e
+
+
+def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _HuffTable] = {}
     restart_interval = 0

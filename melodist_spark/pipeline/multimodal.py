@@ -314,6 +314,10 @@ def encode_png(img: np.ndarray) -> bytes:
 def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
     """GIF-variant LZW (variable code width 3..12 bits, CLEAR/END
     codes, LSB-first bit packing) → uint8 index array."""
+    if not 2 <= min_code_size <= 8:
+        # spec: palette bits (max 8); larger values would overflow
+        # the 12-bit code space and the uint8 output
+        raise ValueError(f"bad GIF LZW min code size {min_code_size}")
     clear = 1 << min_code_size
     end = clear + 1
     out = np.empty(n_pixels, dtype=np.uint8)

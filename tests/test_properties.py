@@ -321,7 +321,7 @@ def test_bpe_roundtrip_property(spark):
             assert rebuilt == norm, (n_merges, r["doc_id"])
 
 
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=120, deadline=None, derandomize=True)
 @given(data=st.binary(min_size=0, max_size=400), seed=st.integers(0, 2**32 - 1))
 def test_codec_fuzz_never_crashes(data, seed):
     """Poison-blob contract for every pure-python codec: arbitrary
@@ -371,7 +371,7 @@ def test_codec_fuzz_never_crashes(data, seed):
             ) from e
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40, deadline=None, derandomize=True)
 @given(seed=st.integers(0, 2**32 - 1), flip=st.integers(0, 10**9))
 def test_codec_fuzz_bitflips_on_valid_streams(seed, flip):
     """Single byte corruptions of VALID PNG/JPEG streams (past the
