@@ -4413,8 +4413,10 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-bounded word-freq table — the model boundary), then
     tokenize the corpus with the broadcast merge table in one
     shuffle-free mapInPandas pass. Emits per-doc piece counts and an
-    md5 over the piece stream (order-sensitive digest of the exact
-    tokenization)."""
+    md5 over the piece stream, joined with "\\n" — which cannot occur
+    inside a piece because words are whitespace-split — so the digest
+    is unambiguous across piece boundaries (['ab','c'] and ['a','bc']
+    hash differently)."""
     from melodist_spark.pipeline.bpe import bpe_tokenize, bpe_train
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -4423,7 +4425,7 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id",
         F.size("bpe_tokens").cast("long").alias("n_pieces"),
-        F.md5(F.concat_ws("", "bpe_tokens")).alias("pieces_md5"),
+        F.md5(F.concat_ws("\n", "bpe_tokens")).alias("pieces_md5"),
     )
 
 

@@ -62,17 +62,27 @@ def sun_times_exprs(date_col, lon, lat, timezone) -> dict[str, Column]:
     The returned Columns are UNRESOLVED expression trees — immutable
     and reusable across any number of plans — and building this tree
     costs a few hundred py4j round-trips, so string-named calls are
-    memoized per (date_col, lon, lat, timezone) for the common case
-    of many queries over the same station geometry (several queries
-    per bench session call this with identical literals)."""
+    memoized per (applicationId, date_col, lon, lat, timezone) for
+    the common case of many queries over the same station geometry
+    (several queries per bench session call this with identical
+    literals). Keying on the active application's id means a JVM
+    gateway restart in-process invalidates the cached py4j-backed
+    trees instead of replaying stale ones, and the cache is bounded
+    (LRU-evicted past 256 geometries)."""
     if isinstance(date_col, str) and all(
         isinstance(v, (int, float)) for v in (lon, lat, timezone)
     ):
-        key = (date_col, float(lon), float(lat), float(timezone))
+        from pyspark.sql import SparkSession
+
+        active = SparkSession.getActiveSession()
+        app_id = active.sparkContext.applicationId if active is not None else None
+        key = (app_id, date_col, float(lon), float(lat), float(timezone))
         got = _SUN_TIMES_MEMO.get(key)
         if got is not None:
             return got
         out = _sun_times_exprs_build(date_col, lon, lat, timezone)
+        if len(_SUN_TIMES_MEMO) >= 256:  # bound: evict oldest geometry
+            _SUN_TIMES_MEMO.pop(next(iter(_SUN_TIMES_MEMO)))
         _SUN_TIMES_MEMO[key] = out
         return out
     return _sun_times_exprs_build(date_col, lon, lat, timezone)

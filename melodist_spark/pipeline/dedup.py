@@ -542,8 +542,9 @@ def minhash_index(
     shingle: int | None = None,
 ) -> DataFrame:
     """Durable near-dup state for incremental ingest: the MinHash
-    signature table ``(id, sig_0..sig_{k-1})`` — ~8k bytes per doc,
-    ~128 B at k=16, the only state an incremental crawl needs (the
+    signature table ``(id, sig_0..sig_{k-1})`` — 8 B per hash, so
+    ~128 B per doc at k=16, the only state an incremental crawl
+    needs (the
     band table is a cheap narrow derivation via :func:`lsh_bands`,
     so it is NOT stored). Store partitioned/bucketed by id; union
     each surviving batch's index in to advance the state — the

@@ -335,6 +335,19 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
                 if not (1 <= sh <= 4 and 1 <= sv <= 4):
                     raise ValueError(f"bad JPEG sampling factors {sh}x{sv}")
                 comps.append({"id": cid, "h": sh, "v": sv, "tq": tq})
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            for c in comps:
+                # upsampling is integer-ratio repeat; a legal-but-odd
+                # combo (e.g. luma 3x1 + chroma 2x1) must fail here
+                # with a clear error, not later as a broadcast shape
+                # mismatch deep in the scan loop
+                if hmax % c["h"] or vmax % c["v"]:
+                    raise ValueError(
+                        "unsupported JPEG sampling ratio "
+                        f"{c['h']}x{c['v']} vs max {hmax}x{vmax} "
+                        "(non-integer upsampling factor)"
+                    )
             frame = {"h": h, "w": w, "comps": comps}
         elif marker == 0xC2:
             raise ValueError("progressive JPEG not supported")

@@ -10,11 +10,17 @@ Scale shape: WARC files are the natural unit of parallelism — the
 format is a concatenation of independent records, but gzipped
 archives are only member-splittable with an index, so (like every
 production crawl pipeline) we parallelize per FILE: a
-``binaryFile`` scan hands each archive to one task, and the record
-parse is a generator inside ``mapInPandas`` (Arrow-batched out, so a
-1 GB archive never materializes as Python row objects — records
-stream out batch by batch). Common Crawl ships ~1 GB archives ×
-tens of thousands per dump: ample parallelism with no split logic.
+``binaryFile`` scan hands each archive to one task. Memory honesty
+at Common Crawl scale (~1 GB gz ≈ 4 GB raw): the COMPRESSED bytes
+are materialized once per task (that is what ``binaryFile``
+delivers — an inherent cost of the source, ~1 GB), but the
+DECOMPRESSED stream never is: records are parsed incrementally off
+a ``gzip.GzipFile`` (at most one record's payload in memory at a
+time) and flushed out as Arrow batches every ``flush_records``
+rows / ``flush_bytes`` payload bytes, so peak per-task memory is
+compressed-archive + one flush chunk + one record — not a multiple
+of the raw archive. Common Crawl ships ~1 GB archives × tens of
+thousands per dump: ample parallelism with no split logic.
 Oversized single payloads are dropped loudly (``max_payload``)
 instead of OOMing a task — the poison-blob discipline.
 
@@ -55,31 +61,29 @@ WARC_SCHEMA = StructType(
 )
 
 
-def parse_warc_records(blob: bytes):
-    """Yield dicts of parsed records from one (decompressed) WARC
-    blob. Pure function — shared by the Spark reader and tests."""
-    i = 0
-    n = len(blob)
-    while i < n:
-        # skip inter-record CRLFs
-        while i < n and blob[i : i + 1] in (b"\r", b"\n"):
-            i += 1
-        if i >= n:
-            break
-        eol = blob.find(b"\n", i)
-        if eol < 0:
-            break
-        version = blob[i:eol].strip()
+def parse_warc_stream(fh):
+    """Yield dicts of parsed records incrementally from a binary
+    file-like object (plain or a ``gzip.GzipFile``). At most one
+    record's payload is resident at a time — this is what lets a
+    1 GB-compressed archive parse without materializing the ~4 GB
+    decompressed blob. Pure function — shared by the Spark reader,
+    :func:`parse_warc_records`, and tests."""
+    while True:
+        # skip inter-record CRLF separators, find the version line
+        line = fh.readline()
+        if not line:
+            return
+        version = line.strip()
+        if not version:
+            continue
         if not version.startswith(b"WARC/"):
             raise ValueError(f"expected WARC version line, got {version[:20]!r}")
-        i = eol + 1
         headers = {}
-        while i < n:
-            eol = blob.find(b"\n", i)
-            if eol < 0:
+        while True:
+            line = fh.readline()
+            if not line:
                 raise ValueError("truncated WARC header")
-            line = blob[i:eol].rstrip(b"\r")
-            i = eol + 1
+            line = line.rstrip(b"\r\n")
             if not line:
                 break
             if b":" in line:
@@ -91,10 +95,9 @@ def parse_warc_records(blob: bytes):
             clen = int(headers.get("content-length", "0"))
         except ValueError as e:
             raise ValueError("bad WARC Content-Length") from e
-        if i + clen > n:
+        payload = fh.read(clen)
+        if len(payload) < clen:
             raise ValueError("WARC payload exceeds file size")
-        payload = blob[i : i + clen]
-        i += clen
         yield {
             "record_id": headers.get("warc-record-id"),
             "warc_type": headers.get("warc-type"),
@@ -104,6 +107,14 @@ def parse_warc_records(blob: bytes):
             "content_length": clen,
             "payload": payload,
         }
+
+
+def parse_warc_records(blob: bytes):
+    """Yield dicts of parsed records from one (decompressed) WARC
+    blob — bytes-input convenience over :func:`parse_warc_stream`."""
+    import io
+
+    yield from parse_warc_stream(io.BytesIO(blob))
 
 
 def split_http_payload(payload: bytes):
@@ -138,28 +149,38 @@ def read_warc(
     spark: SparkSession,
     path: str,
     max_payload: int = 64 * 1024 * 1024,
+    flush_records: int = 1024,
+    flush_bytes: int = 64 * 1024 * 1024,
 ) -> DataFrame:
     """Read ``.warc`` / ``.warc.gz`` archives under ``path`` into the
-    :data:`WARC_SCHEMA` DataFrame — one task per archive, records
-    streamed out via Arrow batches. A corrupt archive yields its
-    records up to the corruption point plus one error row
-    (warc_type='__error__', the message in target_uri) instead of
-    failing the job."""
+    :data:`WARC_SCHEMA` DataFrame — one task per archive, gzip
+    decompression STREAMED (``gzip.GzipFile``, multi-member ok) and
+    records flushed out as an Arrow batch every ``flush_records``
+    rows or ``flush_bytes`` accumulated payload bytes, so the raw
+    (decompressed) archive never materializes whole. A corrupt
+    archive yields its records up to the corruption point plus one
+    error row (warc_type='__error__', the message in target_uri)
+    instead of failing the job."""
     import gzip
 
     files = spark.read.format("binaryFile").load(path)
 
     def parse(batches):
+        import io
+
         import pandas as pd
 
         for pdf in batches:
             for fpath, blob in zip(pdf["path"], pdf["content"]):
                 rows = []
+                acc = 0
                 try:
                     data = bytes(blob)
                     if fpath.endswith(".gz") or data[:2] == b"\x1f\x8b":
-                        data = gzip.decompress(data)  # multi-member ok
-                    for rec in parse_warc_records(data):
+                        fh = gzip.GzipFile(fileobj=io.BytesIO(data))
+                    else:
+                        fh = io.BytesIO(data)
+                    for rec in parse_warc_stream(fh):
                         if len(rec["payload"]) > max_payload:
                             rec["payload"] = None
                             rec["warc_type"] = "__oversized__"
@@ -185,6 +206,10 @@ def read_warc(
                                 "payload": rec["payload"],
                             }
                         )
+                        acc += (rec["content_length"] or 0) + len(body or b"")
+                        if len(rows) >= flush_records or acc >= flush_bytes:
+                            yield pd.DataFrame(rows)
+                            rows, acc = [], 0
                 except (ValueError, OSError, EOFError) as e:
                     rows.append(
                         {
