@@ -31,7 +31,13 @@ formula and asserted orthonormal in tests, the zigzag constant is
 asserted to be the spec's diagonal walk, and round-trips are checked
 at tolerances a correct lossy codec must meet (exact-ish on DC-only
 images, bounded error on smooth content, across subsampling modes
-and restart intervals).
+and restart intervals). Round 7 adds EXTERNALLY-assembled known-good
+streams (tests/test_codec_vectors.py): hand-built T.81 bitstreams —
+flat gray, flat 4:2:0 color, and a single-AC-coefficient ramp whose
+expected pixels come from the spec's direct IDCT formula — decoded
+without ever touching this module's encoder, so a shared
+encoder/decoder misassumption (transposed zigzag, sign convention)
+can no longer round-trip its way past the suite.
 """
 
 from __future__ import annotations
