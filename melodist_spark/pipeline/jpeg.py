@@ -6,12 +6,16 @@ library at all: canonical Huffman, 8×8 DCT, and YCbCr are all plain
 arithmetic. This module implements
 
 - :func:`decode_jpeg`: baseline + extended-sequential (SOF0/SOF1)
-  Huffman JPEG → uint8 array, (h, w, 3) RGB or (h, w) grayscale.
-  Handles multiple DQT/DHT segments, chroma subsampling (4:4:4,
-  4:2:2, 4:2:0 — any h/v factors ≤ 4), restart markers, and 0xFF00
-  byte stuffing. Progressive (SOF2) and arithmetic-coded JPEGs raise
-  ``ValueError`` (callers fall back to the documented deterministic
-  fake, same seam as before).
+  AND progressive (SOF2, round 7) Huffman JPEG → uint8 array,
+  (h, w, 3) RGB or (h, w) grayscale. Handles multiple DQT/DHT
+  segments, chroma subsampling (4:4:4, 4:2:2, 4:2:0 — any h/v
+  factors ≤ 4), restart markers, 0xFF00 byte stuffing, and for
+  progressive frames the full Annex-G scan algebra: interleaved /
+  non-interleaved DC scans, single-component AC bands (spectral
+  selection), successive approximation with EOB-run batching and the
+  G.7.2.3 correction-bit refinement. Arithmetic-coded and
+  lossless/hierarchical JPEGs raise ``ValueError`` (callers fall
+  back to the documented deterministic fake, same seam as before).
 - :func:`encode_jpeg`: baseline encoder (Annex K quantization +
   Huffman tables, quality scaling per the classic IJG rule, 4:4:4 or
   4:2:0, optional restart interval) — the round-trip partner that
@@ -286,6 +290,7 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], _HuffTable] = {}
     restart_interval = 0
     frame = None
+    coef = None  # progressive: per-component coefficient buffers
     i = 2
     n = len(payload)
     while i + 4 <= n:
@@ -325,7 +330,7 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
                 vals = list(body[j + 17 : j + 17 + nsym])
                 huff[(tc, th)] = _HuffTable(bits, vals)
                 j += 17 + nsym
-        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline / ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec = body[0]
             if prec != 8:
                 raise ValueError(f"only 8-bit JPEG supported (precision={prec})")
@@ -354,9 +359,8 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
                         f"{c['h']}x{c['v']} vs max {hmax}x{vmax} "
                         "(non-integer upsampling factor)"
                     )
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker == 0xC2:
-            raise ValueError("progressive JPEG not supported")
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG frame type 0x{marker:02x}")
         elif marker == 0xDD:  # DRI
@@ -366,13 +370,31 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
                 raise ValueError("SOS before SOF")
             ns = body[0]
             scan = {}
+            order = []
             for c in range(ns):
                 cid, tables = body[1 + c * 2 : 3 + c * 2]
                 scan[cid] = (tables >> 4, tables & 0xF)
-            return _decode_scan(
-                payload, i, frame, scan, qt, huff, restart_interval
+                order.append(cid)
+            if not frame.get("progressive"):
+                return _decode_scan(
+                    payload, i, frame, scan, qt, huff, restart_interval
+                )
+            # progressive (SOF2, round 7): each SOS carries one
+            # spectral-selection / successive-approximation pass over
+            # the persistent coefficient buffers; decode it, advance
+            # past its entropy data, keep walking markers
+            if coef is None:
+                coef = _alloc_coef(frame)
+            ss, se = body[1 + ns * 2], body[2 + ns * 2]
+            ahal = body[3 + ns * 2]
+            ah, al = ahal >> 4, ahal & 0xF
+            i = _progressive_scan(
+                payload, i, frame, coef, order, scan, huff,
+                restart_interval, ss, se, ah, al,
             )
         # else: APPn/COM — skip
+    if frame is not None and frame.get("progressive") and coef is not None:
+        return _reconstruct_progressive(frame, coef, qt)
     raise ValueError("no SOS marker found")
 
 
@@ -433,7 +455,16 @@ def _decode_scan(payload, pos, frame, scan, qt, huff, restart_interval):
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
-    # crop to sampled size, upsample to full res, color-convert
+    return _finish_planes(frame, planes)
+
+
+def _finish_planes(frame, planes) -> np.ndarray:
+    """Shared decode tail: crop each component plane to its sampled
+    size, integer-repeat upsample to full resolution, level-shift,
+    and color-convert (BT.601 YCbCr→RGB per JFIF)."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     out = []
     for ci, c in enumerate(comps):
         sub_h = -(-h * c["v"] // vmax)
@@ -451,6 +482,258 @@ def _decode_scan(payload, pos, frame, scan, qt, huff, restart_interval):
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.dstack([r, g, b]).round(), 0, 255).astype(np.uint8)
+
+
+# -- progressive decode (SOF2, round 7) ----------------------------------
+#
+# T.81 Annex G: a progressive frame transmits the quantized DCT
+# coefficients over several scans — spectral selection (coefficient
+# bands Ss..Se) × successive approximation (high bits first, then one
+# refinement bit per scan). Each SOS updates persistent per-component
+# coefficient buffers; the image is reconstructed once, after the
+# last scan. The refinement logic below follows the spec's G.7.2.3
+# correction-bit procedure.
+
+
+def _alloc_coef(frame):
+    """Per-component (blocks_y, blocks_x, 64) int32 buffers, sized to
+    the MCU-padded interleaved grid (DC scans may be interleaved);
+    coefficients are stored in ZIGZAG (transmission) order."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    frame["mcux"], frame["mcuy"] = mcux, mcuy
+    return [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        for c in comps
+    ]
+
+
+def _nonint_blocks(frame, c):
+    """Non-interleaved block-grid dims for one component: based on the
+    component's OWN sampled size (ceil(px/8)), not the MCU-padded grid
+    (T.81 A.2.2)."""
+    hmax = max(x["h"] for x in frame["comps"])
+    vmax = max(x["v"] for x in frame["comps"])
+    comp_w = -(-frame["w"] * c["h"] // hmax)  # ceil(w * h_i / hmax)
+    comp_h = -(-frame["h"] * c["v"] // vmax)
+    return -(-comp_h // 8), -(-comp_w // 8)
+
+
+def _progressive_scan(
+    payload, pos, frame, coef, order, scan, huff, restart_interval,
+    ss, se, ah, al,
+):
+    """Decode one progressive SOS's entropy data into ``coef``;
+    return the byte offset of the next marker."""
+    comps = frame["comps"]
+    if ss == 0 and se != 0:
+        raise ValueError("progressive scan mixes DC and AC bands")
+    if ss > 63 or se > 63 or se < ss:
+        raise ValueError("bad progressive spectral selection")
+    idx = []
+    for cid in order:
+        matches = [ci for ci, c in enumerate(comps) if c["id"] == cid]
+        if not matches:
+            raise ValueError("SOS references unknown component")
+        idx.append(matches[0])
+    if ss > 0 and len(idx) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    br = _BitReader(payload, pos)
+
+    if ss == 0:
+        _prog_dc_scan(frame, coef, idx, scan, huff, br, restart_interval, ah, al)
+    else:
+        _prog_ac_scan(
+            frame, coef, idx[0], scan, huff, br, restart_interval, ss, se, ah, al
+        )
+
+    # locate the next marker (skip stuffed 0xFF00 and RSTn)
+    p = br.pos
+    n = len(payload)
+    while p + 1 < n:
+        if payload[p] == 0xFF and payload[p + 1] != 0x00:
+            if 0xD0 <= payload[p + 1] <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    return n
+
+
+def _prog_dc_scan(frame, coef, idx, scan, huff, br, restart_interval, ah, al):
+    comps = frame["comps"]
+    pred = {ci: 0 for ci in idx}
+    if len(idx) == 1:
+        # non-interleaved: raster over the component's own block grid
+        ci = idx[0]
+        c = comps[ci]
+        bh, bw = _nonint_blocks(frame, c)
+        units = [(ci, by, bx) for by in range(bh) for bx in range(bw)]
+        per_unit = 1
+    else:
+        units = []
+        for my in range(frame["mcuy"]):
+            for mx in range(frame["mcux"]):
+                mcu = []
+                for ci in idx:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            mcu.append(
+                                (ci, my * c["v"] + by, mx * c["h"] + bx)
+                            )
+                units.append(mcu)
+        per_unit = None  # units are whole MCUs
+    n_unit = 0
+
+    def handle(ci, by, bx):
+        if ah == 0:
+            dht = huff.get((0, scan[comps[ci]["id"]][0]))
+            if dht is None:
+                raise ValueError("missing DC Huffman table")
+            t = dht.decode(br)
+            pred[ci] += _extend(br.read(t), t)
+            coef[ci][by, bx, 0] = pred[ci] << al
+        else:  # refinement: one bit per block
+            if br.read(1):
+                coef[ci][by, bx, 0] |= 1 << al
+
+    if per_unit == 1:
+        for ci, by, bx in units:
+            if restart_interval and n_unit and n_unit % restart_interval == 0:
+                br.sync_restart()
+                pred = {k: 0 for k in pred}
+            n_unit += 1
+            handle(ci, by, bx)
+    else:
+        for mcu in units:
+            if restart_interval and n_unit and n_unit % restart_interval == 0:
+                br.sync_restart()
+                pred = {k: 0 for k in pred}
+            n_unit += 1
+            for ci, by, bx in mcu:
+                handle(ci, by, bx)
+
+
+def _prog_ac_scan(
+    frame, coef, ci, scan, huff, br, restart_interval, ss, se, ah, al
+):
+    comps = frame["comps"]
+    dht = huff.get((1, scan[comps[ci]["id"]][1]))
+    if dht is None:
+        raise ValueError("missing AC Huffman table")
+    bh, bw = _nonint_blocks(frame, comps[ci])
+    buf = coef[ci]
+    eobrun = 0
+    n_blk = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and n_blk and n_blk % restart_interval == 0:
+                br.sync_restart()
+                eobrun = 0
+            n_blk += 1
+            zz = buf[by, bx]
+            if ah == 0:
+                eobrun = _ac_first_block(zz, dht, br, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine_block(zz, dht, br, ss, se, al, eobrun)
+
+
+def _ac_first_block(zz, dht, br, ss, se, al, eobrun):
+    """T.81 G.2.2 first-pass AC band decode for one block; returns the
+    remaining end-of-band run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = dht.decode(br)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1  # EOBn: this block is one of 2^r
+            if r:
+                eobrun += br.read(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("progressive AC run overflow")
+        zz[k] = _extend(br.read(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(zz, dht, br, ss, se, al, eobrun):
+    """T.81 G.7.2.3 refinement: one correction bit per already-nonzero
+    coefficient, newly-significant coefficients appear at ±(1<<al)."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def correct(k):
+        if br.read(1) and (zz[k] & p1) == 0:
+            zz[k] += p1 if zz[k] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = dht.decode(br)
+            r, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r  # includes this block; -1 below
+                    if r:
+                        eobrun += br.read(r)
+                    break
+                # ZRL: advance past 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("refinement magnitude must be 1 bit")
+                newval = p1 if br.read(1) else m1
+            while k <= se:
+                if zz[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        if newval:
+                            zz[k] = newval
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                correct(k)
+            k += 1
+        return eobrun - 1
+    return 0
+
+
+def _reconstruct_progressive(frame, coef, qt):
+    """Dequantize + IDCT every component's coefficient buffer at once
+    (vectorized over blocks), then the shared upsample/color tail."""
+    comps = frame["comps"]
+    planes = []
+    idct = _DCT.T
+    for ci, c in enumerate(comps):
+        q = qt.get(c["tq"])
+        if q is None:
+            raise ValueError("missing quant table")
+        zz = coef[ci].astype(np.float64) * q  # (by, bx, 64) zigzag order
+        blocks = np.zeros_like(zz)
+        blocks[:, :, ZIGZAG] = zz
+        by, bx = blocks.shape[:2]
+        b8 = blocks.reshape(by, bx, 8, 8)
+        px = np.einsum("ab,yxbc,cd->yxad", idct, b8, _DCT, optimize=True)
+        planes.append(
+            px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        )
+    return _finish_planes(frame, planes)
 
 
 # -- encoder (round-trip partner for tests / real re-encode) -------------

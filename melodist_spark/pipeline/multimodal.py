@@ -12,7 +12,7 @@ arithmetic), GIF87a/89a first frame (variable-width LZW, interlacing,
 local/global palettes), FLAC audio (pipeline/flac.py — Rice + fixed/
 LPC predictors + stereo decorrelation; all four added round 6,
 previously listed as env-blocked), PCM WAV audio — and images resize through a numpy nearest-neighbor
-kernel. The remaining compressed codecs (progressive JPEG, H.264,
+kernel. The remaining compressed codecs (H.264,
 MP3) genuinely need PIL/ffmpeg, which this container does not have:
 those payloads fall back to the clearly-marked deterministic fake
 (`_fake_decode`) or raise, while every piece of Spark-side plumbing
@@ -786,7 +786,7 @@ def decode_features(
     The default decoder is :func:`numpy_media_decoder` — REAL features
     for PPM/PGM/BMP/PNG/JPEG/GIF/PCM-WAV/FLAC payloads,
     deterministic fake for formats that need the absent PIL/ffmpeg
-    (progressive JPEG, H.264, MP3). ``real_decoder(bytes) ->
+    (H.264, MP3). ``real_decoder(bytes) ->
     np.ndarray`` plugs in an actual model/codec stack instead.
     """
     decoder = real_decoder or numpy_media_decoder

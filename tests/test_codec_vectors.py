@@ -261,3 +261,83 @@ def test_flac_external_vector_crc_enforced():
     corrupted[-10] ^= 0x01
     with pytest.raises(ValueError, match="CRC"):
         decode_flac(bytes(corrupted))
+
+
+# -- progressive JPEG (SOF2, round 7) -------------------------------------
+
+# 8x8 gray flat 130 as a minimal two-scan progressive stream
+# (DC-first + AC-first 1..63); must decode exactly like its baseline
+# twin JPEG_FLAT_GRAY.
+JPEG_PROG_FLAT = bytes.fromhex(
+    "ffd8ffdb00430001010101010101010101010101010101010101010101010101"
+    "0101010101010101010101010101010101010101010101010101010101010101"
+    "01010101010101ffc2000b080008000801011100ffc400a0000000000c000000"
+    "000000000000000000000102030405060708090a0b1000000000000000700000"
+    "0000000000000001020304050610111213141516202122232425263031323334"
+    "3536404142434445465051525354555660616263646566707172737475768081"
+    "828384858690919293949596a0a1a2a3a4a5a6b0b1b2b3b4b5b6c0c1c2c3c4c5"
+    "c6d0d1d2d3d4d5d6e0e1e2e3e4e5e6f0f1f2f3f4f5f6ffda0008010100000000"
+    "587fffda0008010100013f0000ffd9"
+)
+
+# 16x16 gray, the full Annex-G scan algebra: successive approximation
+# (Al=1 first passes + Ah=1/Al=0 refinements) x spectral selection
+# (bands 1-5 and 6-63), EOB-run batching, newly-significant-coefficient
+# refinement. Expected pixels from the direct IDCT formula over the
+# hand-chosen coefficients (unit quant table -> exact).
+JPEG_PROG_SA = bytes.fromhex(
+    "ffd8ffdb00430001010101010101010101010101010101010101010101010101"
+    "0101010101010101010101010101010101010101010101010101010101010101"
+    "01010101010101ffc2000b080010001001011100ffc400a0000000000c000000"
+    "000000000000000000000102030405060708090a0b1000000000000000700000"
+    "0000000000000001020304050610111213141516202122232425263031323334"
+    "3536404142434445465051525354555660616263646566707172737475768081"
+    "828384858690919293949596a0a1a2a3a4a5a6b0b1b2b3b4b5b6c0c1c2c3c4c5"
+    "c6d0d1d2d3d4d5d6e0e1e2e3e4e5e6f0f1f2f3f4f5f6ffda0008010100000001"
+    "47324ae7ffda00080101000105011f00960016a0501a000b300fffda00080101"
+    "00063f013400923e5a49d50f1220003c2485a82d1a4242e72065e200103590b4"
+    "4809208a001450f81199ac7e08f038d2401fffda00080101000000107fffda00"
+    "080101000105100080000007ffda0008010100063f1008b4f6919401007e00a8"
+    "0147ffd9"
+)
+JPEG_PROG_SA_PIXELS = [[121, 122, 124, 137, 128, 118, 131, 128, 118, 126, 121, 128, 121, 128, 117, 109], [121, 134, 125, 129, 134, 119, 117, 129, 134, 131, 126, 121, 118, 128, 122, 122], [128, 121, 131, 132, 127, 124, 119, 126, 133, 133, 127, 125, 129, 126, 132, 124], [127, 113, 128, 134, 125, 128, 126, 127, 143, 130, 131, 114, 122, 123, 125, 127], [124, 120, 127, 124, 134, 133, 114, 133, 119, 121, 125, 127, 136, 120, 122, 110], [129, 125, 124, 129, 132, 126, 119, 123, 128, 120, 125, 121, 124, 120, 113, 114], [133, 119, 123, 135, 128, 124, 128, 117, 126, 125, 120, 131, 129, 124, 119, 117], [123, 127, 115, 128, 138, 126, 126, 125, 141, 133, 121, 128, 121, 127, 122, 130], [115, 117, 125, 128, 115, 117, 124, 125, 131, 120, 123, 123, 133, 138, 123, 117], [120, 119, 124, 128, 120, 123, 128, 126, 122, 119, 135, 127, 139, 127, 126, 119], [121, 115, 116, 122, 117, 122, 122, 116, 128, 134, 123, 131, 118, 127, 127, 134], [131, 122, 120, 127, 126, 132, 130, 121, 132, 132, 136, 120, 130, 112, 139, 137], [127, 117, 115, 121, 120, 126, 124, 115, 115, 138, 132, 151, 126, 129, 126, 132], [135, 128, 127, 131, 126, 130, 130, 124, 127, 130, 141, 133, 140, 126, 135, 130], [127, 125, 128, 130, 120, 122, 127, 125, 144, 138, 123, 130, 124, 142, 133, 138], [129, 130, 135, 135, 121, 122, 128, 130, 144, 132, 131, 128, 133, 142, 134, 135]]
+
+# 8x16 color (1x1x1 sampling): interleaved 3-component DC scan +
+# three single-component AC scans.
+JPEG_PROG_COLOR = bytes.fromhex(
+    "ffd8ffdb00430001010101010101010101010101010101010101010101010101"
+    "0101010101010101010101010101010101010101010101010101010101010101"
+    "01010101010101ffc20011080008001003011100021100031100ffc400a00000"
+    "00000c000000000000000000000000000102030405060708090a0b1000000000"
+    "0000007000000000000000000001020304050610111213141516202122232425"
+    "2630313233343536404142434445465051525354555660616263646566707172"
+    "737475768081828384858690919293949596a0a1a2a3a4a5a6b0b1b2b3b4b5b6"
+    "c0c1c2c3c4c5c6d0d1d2d3d4d5d6e0e1e2e3e4e5e6f0f1f2f3f4f5f6ffda000c"
+    "03010002000300000000481148001fffda0008010100013f001960b803203003"
+    "3c2d42a974807fffda0008010200013f0027e011340a20017031c1044a003fff"
+    "da0008010300013f0009cb70c20380041041c16808401fffd9"
+)
+JPEG_PROG_COLOR_PIXELS = [[[128, 126, 131], [128, 126, 127], [130, 127, 120], [133, 128, 124], [133, 130, 137], [132, 131, 139], [131, 130, 128], [132, 127, 123], [126, 130, 129], [131, 126, 130], [135, 122, 131], [132, 120, 134], [125, 121, 135], [123, 123, 133], [125, 123, 126], [131, 123, 121]], [[127, 126, 131], [127, 127, 127], [128, 127, 122], [132, 129, 124], [131, 130, 136], [131, 132, 137], [130, 130, 128], [131, 127, 124], [124, 131, 124], [126, 128, 125], [128, 126, 127], [128, 127, 132], [124, 129, 133], [123, 131, 133], [127, 132, 128], [131, 131, 123]], [[127, 128, 132], [126, 128, 127], [127, 128, 122], [129, 130, 124], [131, 130, 136], [128, 131, 136], [129, 131, 128], [129, 128, 124], [125, 127, 124], [127, 127, 125], [127, 129, 126], [124, 130, 130], [122, 132, 133], [124, 132, 134], [129, 131, 128], [133, 130, 125]], [[129, 129, 131], [127, 129, 128], [127, 128, 122], [128, 129, 124], [130, 129, 134], [130, 131, 136], [129, 131, 128], [128, 129, 124], [133, 122, 130], [132, 123, 128], [128, 126, 127], [126, 127, 129], [124, 128, 131], [126, 125, 131], [129, 123, 127], [132, 120, 122]], [[132, 130, 133], [129, 129, 129], [128, 129, 123], [129, 128, 124], [130, 128, 133], [130, 129, 134], [129, 129, 127], [129, 128, 126], [134, 121, 130], [130, 124, 128], [127, 127, 125], [124, 129, 125], [126, 127, 129], [127, 125, 130], [131, 122, 127], [131, 120, 124]], [[135, 130, 134], [130, 130, 132], [128, 129, 124], [129, 128, 124], [132, 127, 133], [130, 128, 133], [130, 129, 127], [128, 127, 125], [129, 124, 128], [126, 128, 125], [122, 132, 121], [121, 133, 121], [125, 132, 124], [129, 131, 128], [130, 130, 128], [129, 131, 128]], [[134, 132, 135], [130, 131, 133], [125, 130, 124], [127, 128, 123], [129, 127, 130], [130, 128, 133], [128, 128, 126], [127, 127, 125], [129, 127, 130], [124, 129, 125], [121, 132, 118], [124, 132, 117], [128, 129, 121], [130, 129, 125], [129, 131, 128], [126, 132, 128]], [[134, 134, 136], [128, 132, 133], [124, 131, 124], [126, 128, 123], [128, 128, 130], [128, 128, 130], [127, 129, 126], [124, 129, 125], [135, 125, 136], [129, 127, 130], [126, 129, 122], [126, 126, 118], [131, 121, 119], [132, 120, 122], [127, 122, 126], [122, 126, 129]]]
+
+
+def test_jpeg_progressive_flat_matches_baseline_twin():
+    got = decode_jpeg(JPEG_PROG_FLAT)
+    assert got.shape == (8, 8)
+    assert (got == 130).all()
+    assert (got == decode_jpeg(JPEG_FLAT_GRAY)).all()
+
+
+def test_jpeg_progressive_successive_approximation():
+    got = decode_jpeg(JPEG_PROG_SA)
+    exp = np.array(JPEG_PROG_SA_PIXELS, dtype=np.int64)
+    assert got.shape == (16, 16)
+    assert np.abs(got.astype(np.int64) - exp).max() <= 1
+
+
+def test_jpeg_progressive_interleaved_color():
+    got = decode_jpeg(JPEG_PROG_COLOR)
+    exp = np.array(JPEG_PROG_COLOR_PIXELS, dtype=np.int64)
+    assert got.shape == (8, 16, 3)
+    # the expected pixels round each Y/Cb/Cr plane to uint8 before the
+    # color transform (the decoder keeps floats), hence the +/-2 slack
+    assert np.abs(got.astype(np.int64) - exp).max() <= 2

@@ -655,13 +655,19 @@ def test_jpeg_rejects_unsupported():
 
     with pytest.raises(ValueError):
         decode_jpeg(b"not a jpeg")
-    # flip SOF0 -> SOF2 (progressive) in a real stream and expect a
-    # loud refusal, not garbage pixels
+    # flip SOF0 -> SOF2 in a BASELINE stream: progressive is now
+    # decoded for real (round 7), but a baseline SOS (Ss=0..Se=63)
+    # inside a progressive frame violates Annex G's band rules and
+    # must refuse loudly, not emit garbage pixels
     img = np.full((8, 8), 99, dtype=np.uint8)
     raw = bytearray(encode_jpeg(img))
     i = raw.find(b"\xff\xc0")
     raw[i + 1] = 0xC2
     with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(raw))
+    # lossless (SOF3) still refuses
+    raw[i + 1] = 0xC3
+    with pytest.raises(ValueError, match="frame type"):
         decode_jpeg(bytes(raw))
 
 
