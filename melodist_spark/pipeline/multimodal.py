@@ -213,14 +213,51 @@ def _png_unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass geometry (PNG spec §8.2): (x0, y0, dx, dy) per pass
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+# legal bit depths per color type (PNG spec §11.2.2)
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+
+
+def _png_raster(data: np.ndarray, h: int, w: int, depth: int, ch: int):
+    """Unfilter + unpack one (sub)image: returns (bytes_consumed,
+    (h, w, ch) uint8 pixels). Filtering operates on byte units of
+    ``max(1, ch*depth//8)`` per the spec; sub-byte samples unpack
+    MSB-first after unfiltering; 16-bit samples reduce to their high
+    byte (the spec's sample-depth rescaling for 8-bit output)."""
+    rowbytes = (w * ch * depth + 7) // 8
+    need = h * (1 + rowbytes)
+    if len(data) < need:
+        raise ValueError("PNG raster size mismatch")
+    unit = max(1, ch * depth // 8)
+    flat = _png_unfilter(data[:need], h, rowbytes // unit, unit)
+    if depth == 8:
+        return need, flat.reshape(h, w, ch)
+    if depth == 16:
+        b = flat.reshape(h, w * ch, 2)
+        return need, b[:, :, 0].reshape(h, w, ch)  # high byte
+    # sub-byte (ch == 1): unpack depth-bit samples MSB-first
+    bits = np.unpackbits(flat.reshape(h, rowbytes), axis=1)[:, : w * depth]
+    groups = bits.reshape(h, w, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (groups * weights).sum(axis=2).astype(np.uint8)
+    return need, vals[:, :, None]
+
+
 def decode_png(payload: bytes) -> np.ndarray:
-    """Decode an 8-bit-depth, non-interlaced PNG to a uint8 array —
-    (h, w) for grayscale, (h, w, C) otherwise. Pure stdlib zlib +
-    numpy: chunk walk, IDAT inflate, scanline unfilter (all five
-    filter types), palette expansion for color type 3. 16-bit,
-    sub-byte, and Adam7-interlaced PNGs raise (they fall back to the
-    documented deterministic fake upstream), as do JPEG/H.264/MP3,
-    which genuinely need PIL/ffmpeg."""
+    """Decode a PNG to a uint8 array — (h, w) for grayscale,
+    (h, w, C) otherwise. Pure stdlib zlib + numpy: chunk walk, IDAT
+    inflate, scanline unfilter (all five filter types), palette
+    expansion for color type 3, and (round 7) every legal bit depth
+    (1/2/4/8/16 — 16-bit reduces to the high byte for the uint8
+    contract, sub-byte grayscale rescales to full range) plus Adam7
+    interlacing (seven independently-filtered sub-images reassembled
+    by pass geometry)."""
     import zlib
 
     if payload[: len(_PNG_SIG)] != _PNG_SIG:
@@ -243,26 +280,44 @@ def decode_png(payload: bytes) -> np.ndarray:
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     depth, color, _comp, _filt, interlace = ihdr[8:13]
-    if depth != 8:
-        raise ValueError(f"only 8-bit PNG supported (depth={depth})")
-    if interlace:
-        raise ValueError("interlaced (Adam7) PNG not supported")
     if color not in _PNG_CHANNELS:
         raise ValueError(f"unknown PNG color type {color}")
-    bpp = _PNG_CHANNELS[color]
+    if depth not in _PNG_DEPTHS[color]:
+        raise ValueError(f"illegal PNG depth {depth} for color type {color}")
+    if h == 0 or w == 0:
+        raise ValueError("empty PNG dimensions")
+    ch = _PNG_CHANNELS[color]
     try:
         inflated = zlib.decompress(b"".join(idat))
     except zlib.error as e:  # corrupt stream -> the poison-blob path
         raise ValueError(f"PNG IDAT inflate failed: {e}") from e
     raw = np.frombuffer(inflated, dtype=np.uint8)
-    if len(raw) != h * (1 + w * bpp):
-        raise ValueError("PNG raster size mismatch")
-    img = _png_unfilter(raw, h, w, bpp).reshape(h, w, bpp)
+    if interlace == 1:  # Adam7
+        img = np.zeros((h, w, ch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            used, sub = _png_raster(raw[pos:], ph, pw, depth, ch)
+            pos += used
+            img[y0::dy, x0::dx] = sub
+        if pos != len(raw):
+            raise ValueError("PNG raster size mismatch")
+    elif interlace == 0:
+        used, img = _png_raster(raw, h, w, depth, ch)
+        if used != len(raw):
+            raise ValueError("PNG raster size mismatch")
+    else:
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if color == 3:  # palette -> RGB(A)
         if plte is None:
             raise ValueError("paletted PNG missing PLTE")
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         idx = img[:, :, 0]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("PNG palette index out of range")
         rgb = pal[idx]
         if trns is not None:
             alpha = np.full(len(pal), 255, dtype=np.uint8)
@@ -270,7 +325,12 @@ def decode_png(payload: bytes) -> np.ndarray:
             alpha[: len(a)] = a
             return np.dstack([rgb, alpha[idx]])
         return rgb
-    if bpp == 1:
+    if color == 0 and depth < 8:
+        # grayscale sample rescale to full 8-bit range (spec §12.5)
+        img = (img.astype(np.uint16) * (255 // ((1 << depth) - 1))).astype(
+            np.uint8
+        )
+    if ch == 1:
         return img[:, :, 0]
     return img
 

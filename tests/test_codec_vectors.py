@@ -341,3 +341,74 @@ def test_jpeg_progressive_interleaved_color():
     # the expected pixels round each Y/Cb/Cr plane to uint8 before the
     # color transform (the decoder keeps floats), hence the +/-2 slack
     assert np.abs(got.astype(np.int64) - exp).max() <= 2
+
+
+# -- PNG: Adam7 interlace / 16-bit / sub-byte depths (round 7) ------------
+
+# 9x10 RGB8, Adam7-interlaced — odd dimensions exercise every ragged
+# pass geometry; per-pass rows cycle through all five filter types.
+PNG_ADAM7 = bytes.fromhex(
+    "89504e470d0a1a0a0000000d49484452000000090000000a08020000019e60d3"
+    "7f0000012d4944415478da012201ddfe00c9cf38ee64e6018cec2362fe0e00ca"
+    "486e010e76e60005ab12fb7190c2564a0078a3bcfde9fd016084a2a197ff02bf"
+    "ac2d64f1a000f0520f1c89d045ebb94c1e1ea0fada01035e26becbdbfcc4188c"
+    "5703b774820004307062fff1bfac3df67a300186d45ae7ac2b0963ff56031502"
+    "a121a4c5e0b46d1eaf2a3a86039be2196cf283997b7bd9c115043476c2f7c0da"
+    "0bf7a2b5141e00543b9477ccb8a985e6e512c632b8ece230350550fa2370f8db"
+    "a10c017aa070c5f95f766573c449df8ff3915fa466b2a053271b718e96cb0263"
+    "b9e1bfaa328cd15fb8daea0393448ed9cd8b58121130419dc2d50360d526db02"
+    "4f79ff3220349f9561246356a1e0a79a86fd18039a12049602c821674522d7ea"
+    "d69ef710643169252a0f3803723d6cb3a5e1cb7f8af897b029cd000000004945"
+    "4e44ae426082"
+)
+PNG_ADAM7_PIXELS = [[[201, 207, 56], [4, 48, 112], [120, 163, 188], [98, 255, 241], [202, 72, 110], [191, 172, 61], [253, 233, 253], [246, 122, 48], [238, 100, 230]], [[84, 59, 148], [119, 204, 184], [169, 133, 230], [229, 18, 198], [50, 184, 236], [226, 48, 53], [5, 80, 250], [35, 112, 248], [219, 161, 12]], [[240, 82, 15], [134, 212, 90], [28, 137, 208], [109, 128, 133], [69, 235, 185], [118, 227, 132], [76, 30, 30], [204, 230, 153], [160, 250, 218]], [[122, 160, 112], [63, 153, 207], [181, 254, 66], [121, 71, 33], [8, 58, 178], [103, 222, 24], [25, 126, 107], [64, 153, 220], [206, 47, 167]], [[5, 171, 18], [39, 245, 254], [96, 132, 162], [50, 96, 57], [251, 113, 144], [227, 1, 51], [1, 27, 161], [246, 32, 31], [194, 86, 74]], [[221, 89, 81], [254, 67, 1], [65, 207, 161], [49, 33, 11], [11, 205, 246], [245, 183, 229], [164, 214, 125], [81, 201, 29], [107, 241, 124]], [[3, 94, 38], [174, 92, 152], [193, 41, 1], [220, 80, 235], [189, 237, 25], [120, 163, 10], [73, 68, 28], [144, 34, 41], [0, 184, 158]], [[206, 1, 78], [193, 36, 118], [250, 120, 189], [181, 128, 3], [245, 7, 160], [88, 181, 99], [94, 108, 10], [221, 151, 43], [167, 94, 101]], [[140, 236, 35], [226, 210, 90], [31, 48, 207], [217, 146, 114], [14, 118, 230], [131, 154, 172], [101, 12, 65], [69, 54, 202], [238, 234, 49]], [[100, 3, 22], [133, 139, 147], [227, 98, 167], [139, 0, 250], [197, 100, 43], [193, 218, 85], [208, 237, 13], [79, 42, 151], [2, 207, 120]]]
+
+# 3x4 grayscale, 16-bit depth (decodes to the high byte per the
+# uint8 output contract)
+PNG_GRAY16 = bytes.fromhex(
+    "89504e470d0a1a0a0000000d49484452000000030000000410000000003ed606"
+    "98000000254944415478da6348f3d6fe2d2dc358bf917d51673dd3ab3d535932"
+    "1630fb2eb9b3e3e61400966b0c2f4c611f370000000049454e44ae426082"
+)
+PNG_GRAY16_PIXELS = [[102, 43, 27], [127, 134, 15], [105, 27, 119], [129, 42, 41]]
+
+# 7x3 grayscale, 2-bit depth (samples 0..3 rescale by 85)
+PNG_GRAY2 = bytes.fromhex(
+    "89504e470d0a1a0a0000000d4948445200000007000000030200000000301852"
+    "b8000000114944415478da63781fc2b8e704d3bc070012c10449285394090000"
+    "000049454e44ae426082"
+)
+PNG_GRAY2_PIXELS = [[255, 170, 255, 255, 85, 85, 85], [170, 255, 255, 0, 170, 0, 85], [85, 85, 170, 170, 85, 170, 85]]
+
+# 5x5 paletted 4-bit AND Adam7-interlaced (both features at once)
+PNG_PAL4_ADAM7 = bytes.fromhex(
+    "89504e470d0a1a0a0000000d494844520000000500000005040300000108460b"
+    "400000000f504c5445ff000000ff000000ffffff000a141e2cc6d43d00000023"
+    "4944415478da633060306060643060546030546030611460626610643260547c"
+    "a40b001bee02c201622b250000000049454e44ae426082"
+)
+PNG_PAL4_ADAM7_PIXELS = [[[255, 255, 0], [255, 255, 0], [255, 255, 0], [10, 20, 30], [255, 255, 0]], [[0, 255, 0], [0, 255, 0], [255, 0, 0], [0, 0, 255], [255, 255, 0]], [[255, 255, 0], [0, 255, 0], [0, 255, 0], [255, 0, 0], [0, 0, 255]], [[0, 0, 255], [0, 255, 0], [255, 0, 0], [255, 255, 0], [255, 255, 0]], [[255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 0], [0, 255, 0]]]
+
+
+def test_png_external_vector_adam7_interlaced():
+    got = decode_png(PNG_ADAM7)
+    assert got.shape == (10, 9, 3)
+    assert (got == np.array(PNG_ADAM7_PIXELS, dtype=np.uint8)).all()
+
+
+def test_png_external_vector_16bit():
+    got = decode_png(PNG_GRAY16)
+    assert got.shape == (4, 3)
+    assert (got == np.array(PNG_GRAY16_PIXELS, dtype=np.uint8)).all()
+
+
+def test_png_external_vector_2bit_gray():
+    got = decode_png(PNG_GRAY2)
+    assert got.shape == (3, 7)
+    assert (got == np.array(PNG_GRAY2_PIXELS, dtype=np.uint8)).all()
+
+
+def test_png_external_vector_4bit_palette_interlaced():
+    got = decode_png(PNG_PAL4_ADAM7)
+    assert got.shape == (5, 5, 3)
+    assert (got == np.array(PNG_PAL4_ADAM7_PIXELS, dtype=np.uint8)).all()
