@@ -421,8 +421,20 @@ def duplicate_clusters(
     ).unionByName(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     ).distinct()
+    # The edge list is the one table here whose size is NOT bounded by
+    # the node count — dense candidate graphs (LSH false-positive storms
+    # on boilerplate-heavy corpora) reach 10^8-10^9 edges. Stored
+    # deserialized (the localCheckpoint default) that is tens of GB of
+    # row objects and OOMs the executors before MEMORY_AND_DISK can
+    # spill (measured: 532M candidate pairs -> 1.06B symmetrized edges
+    # killed a 100 GB local heap). Serialized MEMORY_AND_DISK keeps the
+    # blocks at ~wire size and spills cleanly; the per-round label
+    # tables below stay on the default level — they are node-count-
+    # sized and round-trip latency matters there.
+    from pyspark import StorageLevel
+
     sym = (
-        sym.localCheckpoint(eager=False)
+        sym.localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
         if checkpoint_dir is None
         else _truncate(sym, "sym")
     )

@@ -98,7 +98,12 @@ def main():
         num_hashes=16,
         band_size=4,
     )
-    pairs = lsh_candidate_pairs(bands).persist()
+    # serialized storage: the candidate-pair table scales with corpus
+    # DENSITY, not just size (532M pairs at 18M docs on this synthetic
+    # vocab) — deserialized caching of that is tens of GB of row objects
+    from pyspark import StorageLevel
+
+    pairs = lsh_candidate_pairs(bands).persist(StorageLevel.MEMORY_AND_DISK)
     n_pairs = pairs.count()
     t4 = time.perf_counter()
     print(f"minhash LSH candidates: {t4 - t3:.1f}s ({n_pairs} pairs)")
