@@ -412,3 +412,61 @@ def test_png_external_vector_4bit_palette_interlaced():
     got = decode_png(PNG_PAL4_ADAM7)
     assert got.shape == (5, 5, 3)
     assert (got == np.array(PNG_PAL4_ADAM7_PIXELS, dtype=np.uint8)).all()
+
+
+# -- bitflip fuzz over the vector corpus ----------------------------------
+#
+# The round-trip encoders cannot emit progressive JPEG, interlaced or
+# sub-byte PNG, or interlaced GIF, so the general bitflip fuzz in
+# test_properties.py (which corrupts encoder output) never reaches those
+# decode paths with *plausible* corrupt streams. The external vectors
+# are valid streams of exactly those shapes — flip one byte anywhere
+# past the magic and the decoder must still resolve to ValueError or a
+# well-formed array (the poison-blob contract the 100 TB media pass
+# relies on), never an IndexError/OverflowError/hang.
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_IMAGE_VECTORS = [
+    PNG_ADAM7, PNG_GRAY16, PNG_GRAY2, PNG_PAL4_ADAM7,
+    JPEG_PROG_FLAT, JPEG_PROG_SA, JPEG_PROG_COLOR,
+    GIF_INTERLACED,
+]
+
+
+@settings(max_examples=120, deadline=None, derandomize=True)
+@given(vec=st.integers(0, len(_IMAGE_VECTORS) - 1), flip=st.integers(0, 10**9))
+def test_vector_bitflip_fuzz_images(vec, flip):
+    raw = bytearray(_IMAGE_VECTORS[vec])
+    dec = decode_gif if raw[:3] == b"GIF" else (
+        decode_png if raw[:4] == b"\x89PNG" else decode_jpeg
+    )
+    pos = 8 + flip % max(len(raw) - 9, 1)
+    raw[pos] ^= 1 + (flip % 255)
+    try:
+        out = dec(bytes(raw))
+        assert isinstance(out, np.ndarray)
+    except ValueError:
+        pass
+    except Exception as e:
+        raise AssertionError(
+            f"{dec.__name__} leaked {type(e).__name__} on vector bitflip: {e}"
+        ) from e
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(vec=st.integers(0, 1), flip=st.integers(0, 10**9))
+def test_vector_bitflip_fuzz_flac(vec, flip):
+    raw = bytearray([FLAC_MONO, FLAC_STEREO_LS][vec])
+    pos = 4 + flip % max(len(raw) - 5, 1)
+    raw[pos] ^= 1 + (flip % 255)
+    try:
+        out = decode_flac(bytes(raw))
+        assert isinstance(out[0], np.ndarray)
+    except ValueError:
+        pass
+    except Exception as e:
+        raise AssertionError(
+            f"decode_flac leaked {type(e).__name__} on vector bitflip: {e}"
+        ) from e
