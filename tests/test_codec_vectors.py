@@ -470,3 +470,72 @@ def test_vector_bitflip_fuzz_flac(vec, flip):
         raise AssertionError(
             f"decode_flac leaked {type(e).__name__} on vector bitflip: {e}"
         ) from e
+
+
+# -- animated GIF (round 7: frame sampling) -------------------------------
+#
+# 5x4 canvas, 4-entry GCT (bg = yellow), Netscape loop extension, four
+# frames exercising the full GIF89a animation state machine: full-canvas
+# disposal-1 frame; a 2x2 offset frame with a LOCAL palette, transparency
+# index (revealing the prior canvas) and disposal 2 (rect restored to
+# background); a disposal-3 frame (rect restored to the PREVIOUS canvas);
+# and a final GCT frame observing both restorations. The independent
+# generator uses the CLEAR-before-every-code LZW form (legal, dictionary
+# never grows) — structurally unlike the repo encoder's output — and
+# composites expectations with a from-scratch spec walk.
+GIF_ANIM = bytes.fromhex(
+    "47494638396105000400810300ff000000ff000000ffffff0021ff0b4e455453"
+    "43415045322e30030100000021f904040a0000002c0000000005000400000210"
+    "044371044371044371044371044371050021f90409140001002c010001000200"
+    "020081ff00ffffffff00ffff0102030204044331050021f9040c1e0000002c03"
+    "0000000200020080000000808080020404c310050021f90400280000002c0000"
+    "0300020001000002020c55003b"
+)
+GIF_ANIM_DELAYS = [10, 20, 30, 40]
+GIF_ANIM_PIXELS = [
+    [[[255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 0], [255, 0, 0]], [[0, 255, 0], [0, 0, 255], [255, 255, 0], [255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], [[255, 255, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 0]]],
+    [[[255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 0], [255, 0, 0]], [[0, 255, 0], [255, 0, 255], [255, 255, 0], [255, 0, 0], [0, 255, 0]], [[0, 0, 255], [0, 255, 255], [255, 0, 0], [0, 255, 0], [0, 0, 255]], [[255, 255, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 0]]],
+    [[[255, 0, 0], [0, 255, 0], [0, 0, 255], [0, 0, 0], [128, 128, 128]], [[0, 255, 0], [255, 255, 0], [255, 255, 0], [128, 128, 128], [0, 0, 0]], [[0, 0, 255], [255, 255, 0], [255, 255, 0], [0, 255, 0], [0, 0, 255]], [[255, 255, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 0]]],
+    [[[255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 0], [255, 0, 0]], [[0, 255, 0], [255, 255, 0], [255, 255, 0], [255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 0], [255, 255, 0], [0, 255, 0], [0, 0, 255]], [[0, 255, 0], [0, 0, 255], [0, 255, 0], [0, 0, 255], [255, 255, 0]]],
+]
+
+
+def test_gif_external_vector_animation_compositing():
+    from melodist_spark.pipeline.multimodal import decode_gif_frames
+
+    got = decode_gif_frames(GIF_ANIM)
+    assert [g[0] for g in got] == [0, 1, 2, 3]
+    assert [g[1] for g in got] == GIF_ANIM_DELAYS
+    for (_, _, canvas), exp in zip(got, GIF_ANIM_PIXELS):
+        assert (canvas == np.array(exp, dtype=np.uint8)).all()
+
+
+def test_gif_external_vector_animation_sampling():
+    from melodist_spark.pipeline.multimodal import decode_gif, decode_gif_frames
+
+    got = decode_gif_frames(GIF_ANIM, every_n=2)
+    assert [g[0] for g in got] == [0, 2]
+    assert (got[1][2] == np.array(GIF_ANIM_PIXELS[2], dtype=np.uint8)).all()
+    # single-frame entry point = frame 0 of the animation walk
+    assert (decode_gif(GIF_ANIM) == np.array(GIF_ANIM_PIXELS[0], dtype=np.uint8)).all()
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(flip=st.integers(0, 10**9))
+def test_vector_bitflip_fuzz_gif_animation(flip):
+    """Bitflip fuzz through the whole animation walk (disposal /
+    transparency / local-palette state machine), not just frame 0."""
+    from melodist_spark.pipeline.multimodal import decode_gif_frames
+
+    raw = bytearray(GIF_ANIM)
+    pos = 8 + flip % max(len(raw) - 9, 1)
+    raw[pos] ^= 1 + (flip % 255)
+    try:
+        out = decode_gif_frames(bytes(raw))
+        assert all(isinstance(c, np.ndarray) for _, _, c in out)
+    except ValueError:
+        pass
+    except Exception as e:
+        raise AssertionError(
+            f"decode_gif_frames leaked {type(e).__name__} on bitflip: {e}"
+        ) from e

@@ -985,3 +985,48 @@ def test_flac_long_stream_utf8_frame_numbers():
     x = rng.integers(-3000, 3000, size=300 * 64).astype(np.int64)
     got, rate, bps = decode_flac(encode_flac(x, rate=8000, block=64))
     assert (got[:, 0] == x).all()
+
+
+def test_sample_frames_real_gif_animation(spark):
+    """Round-7: animated GIF payloads are frame-sampled for REAL —
+    composited frames come back as standalone GIF images that the
+    rest of the media pipeline can decode — while non-GIF video
+    payloads keep the fixed-size-framing stub shape, and a poison
+    GIF becomes an error row instead of a task failure."""
+    import numpy as np
+
+    from melodist_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        decode_gif,
+        encode_gif_frames,
+        sample_frames,
+    )
+
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 5, size=(6, 8, 3), dtype=np.uint8) * 50 for _ in range(7)]
+    anim = encode_gif_frames(frames, delays_cs=[3 * (i + 1) for i in range(7)])
+    rows = [
+        (0, "video", anim, None, None, 700),
+        (1, "video", bytes(5 * 1024), None, None, 5000),
+        (2, "video", b"GIF89a" + b"\x00" * 40, None, None, 100),  # poison
+        (3, "image", anim, None, None, None),  # not video-typed: excluded
+    ]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    got = sample_frames(df, every_n=3, frame_bytes=1024).orderBy(
+        "media_id", "frame_idx"
+    ).toPandas()
+
+    gif_rows = got[(got["codec"] == "gif") & got["err"].isna()]
+    assert gif_rows["frame_idx"].tolist() == [0, 3, 6]
+    assert gif_rows["delay_cs"].tolist() == [3, 12, 21]
+    for fi, frame in zip((0, 3, 6), gif_rows["frame"]):
+        assert (decode_gif(bytes(frame)) == frames[fi]).all()
+    assert set(gif_rows["height"]) == {6} and set(gif_rows["width"]) == {8}
+
+    raw_rows = got[got["codec"] == "raw"]
+    assert raw_rows["frame_idx"].tolist() == [0, 3]
+    assert all(len(bytes(f)) == 1024 for f in raw_rows["frame"])
+
+    err_rows = got[got["err"].notna()]
+    assert len(err_rows) == 1 and err_rows["media_id"].iloc[0] == 2
+    assert int((got["media_id"] == 3).sum()) == 0

@@ -397,3 +397,37 @@ def test_codec_fuzz_bitflips_on_valid_streams(seed, flip):
             raise AssertionError(
                 f"{dec.__name__} leaked {type(e).__name__} on bitflip: {e}"
             ) from e
+
+
+@settings(max_examples=25, deadline=None, derandomize=True)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    k=st.integers(1, 6),
+    levels=st.integers(2, 6),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_animation_roundtrip_property(h, w, k, levels, seed):
+    """encode_gif_frames ∘ decode_gif_frames is the identity for
+    full-canvas disposal-1 animations (each frame fully covers the
+    canvas, so every composited canvas equals its input frame), with
+    delays preserved — pins the animation walk against the encoder
+    the same way the single-frame round trip pins decode_gif."""
+    import numpy as np
+
+    from melodist_spark.pipeline.multimodal import (
+        decode_gif_frames,
+        encode_gif_frames,
+    )
+
+    rng = np.random.default_rng(seed)
+    frames = [
+        rng.integers(0, levels, size=(h, w, 3), dtype=np.uint8) * (255 // levels)
+        for _ in range(k)
+    ]
+    delays = [int(d) for d in rng.integers(0, 1000, size=k)]
+    got = decode_gif_frames(encode_gif_frames(frames, delays_cs=delays))
+    assert [g[0] for g in got] == list(range(k))
+    assert [g[1] for g in got] == delays
+    for (_, _, canvas), f in zip(got, frames):
+        assert (canvas == f).all()
