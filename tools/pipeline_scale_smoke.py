@@ -25,7 +25,19 @@ from melodist_spark.session import get_spark
 
 def main():
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    spark = get_spark("pipeline_scale_smoke", shuffle_partitions=64)
+    # A 40-minute multi-stage driver accumulates shuffle files from
+    # every finished stage: ContextCleaner only deletes them after a
+    # JVM GC collects the ShuffleDependency, and Spark forces that GC
+    # just once per 30 min by default. At 18M docs the retained files
+    # (LSH pair join + CC rounds) overflowed an 80 GB scratch disk in
+    # the repeated_spans stage. 2 min bounds retention to a few
+    # stages' worth — the same setting a long-running production
+    # driver needs (spark.cleaner.periodicGC.interval).
+    spark = get_spark(
+        "pipeline_scale_smoke",
+        shuffle_partitions=64,
+        extra_conf={"spark.cleaner.periodicGC.interval": "2min"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     t_all = time.perf_counter()
@@ -61,7 +73,18 @@ def main():
             .otherwise(vocab),
         )
         .groupBy("doc_id", "lang")
-        .agg(F.concat_ws(" ", F.collect_list("w")).alias("text"))
+        # collect_list order follows row arrival, which AQE can vary
+        # run-to-run; sorting by position makes the corpus (and thus
+        # the LSH pair count) bit-deterministic across runs
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+            ).alias("text")
+        )
         .persist()
     )
     n = docs.count()
