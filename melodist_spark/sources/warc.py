@@ -230,3 +230,66 @@ def read_warc(
                     yield pd.DataFrame(rows)
 
     return files.select("path", "content").mapInPandas(parse, WARC_SCHEMA)
+
+
+def read_wet(
+    spark: SparkSession,
+    path: str,
+    **kwargs,
+) -> DataFrame:
+    """Read WET archives (Common Crawl's pre-extracted plain text —
+    the input most text-only curation pipelines actually start from)
+    into ``(source_file, url, date, n_chars, text)`` rows, ready for
+    ``pipeline/`` curation with zero HTML handling.
+
+    WET is WARC framing with ``conversion`` records whose payload is
+    the page's extracted UTF-8 text (the sidecar's ``warcinfo``
+    header record is dropped here), so this is a narrow projection
+    over :func:`read_warc` — same per-archive parallelism, streamed
+    gzip, flush batching, and poison-record discipline. The UTF-8
+    decode happens JVM-side: binary→string cast is a raw-byte
+    passthrough, so ``make_valid_utf8`` then replaces malformed
+    sequences (a crawl always contains some) — without it the first
+    Arrow transfer or ANSI ``decode`` call would fail the task on a
+    single bad byte. The Python layer never touches the text.
+    """
+    from pyspark.sql import functions as F
+
+    recs = read_warc(spark, path, **kwargs)
+    return recs.filter(F.col("warc_type") == "conversion").select(
+        "source_file",
+        F.col("target_uri").alias("url"),
+        F.col("warc_date").alias("date"),
+        F.col("content_length").alias("n_chars"),
+        F.make_valid_utf8(F.col("payload").cast("string")).alias("text"),
+    )
+
+
+def read_wat(
+    spark: SparkSession,
+    path: str,
+    **kwargs,
+) -> DataFrame:
+    """Read WAT archives (Common Crawl's per-page metadata sidecar:
+    one JSON envelope per crawled URI — link graph, headers, title)
+    into ``(source_file, url, date, meta_json)`` rows. Parse the
+    envelope downstream with ``F.from_json`` / ``get_json_object``
+    against the fields a given pipeline needs — shipping a fixed
+    envelope schema here would freeze a structure Common Crawl
+    documents as format-versioned.
+
+    WAT is WARC framing with ``metadata`` records carrying
+    ``application/json``; same scale shape as :func:`read_wet`.
+    """
+    from pyspark.sql import functions as F
+
+    recs = read_warc(spark, path, **kwargs)
+    return recs.filter(
+        (F.col("warc_type") == "metadata")
+        & F.col("content_type").startswith("application/json")
+    ).select(
+        "source_file",
+        F.col("target_uri").alias("url"),
+        F.col("warc_date").alias("date"),
+        F.make_valid_utf8(F.col("payload").cast("string")).alias("meta_json"),
+    )

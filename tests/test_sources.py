@@ -427,3 +427,78 @@ def test_warc_to_corpus_composition(spark, tmp_path):
         threshold=0.5,
     )
     assert survivors.count() == 0  # the near-dup page is caught too
+
+
+def test_read_wet_and_wat_sidecars(spark, tmp_path):
+    """WET (extracted text) and WAT (metadata JSON) sidecar readers:
+    conversion records decode to UTF-8 text rows (invalid bytes
+    replaced, never a task failure), metadata records surface their
+    JSON envelope as a string, and each reader drops the other
+    record types (warcinfo headers, non-JSON metadata)."""
+    import gzip
+
+    from pyspark.sql import functions as F
+
+    from melodist_spark.sources.warc import read_wat, read_wet
+
+    wet = _warc_bytes(
+        [
+            (
+                {"WARC-Type": "warcinfo",
+                 "Content-Type": "application/warc-fields"},
+                b"software: test-wet\r\n",
+            ),
+            (
+                {"WARC-Type": "conversion",
+                 "WARC-Target-URI": "http://example.com/a",
+                 "WARC-Date": "2024-01-01T00:00:00Z",
+                 "Content-Type": "text/plain"},
+                "the morning text of page aé".encode(),
+            ),
+            (
+                {"WARC-Type": "conversion",
+                 "WARC-Target-URI": "http://example.com/b",
+                 "Content-Type": "text/plain"},
+                b"page b with a broken byte \xff here",
+            ),
+        ]
+    )
+    (tmp_path / "x.wet.gz").write_bytes(gzip.compress(wet))
+    got = read_wet(spark, str(tmp_path / "x.wet.gz")).orderBy("url").toPandas()
+    assert list(got["url"]) == ["http://example.com/a", "http://example.com/b"]
+    assert got.iloc[0]["text"] == "the morning text of page aé"
+    assert got.iloc[0]["date"] == "2024-01-01T00:00:00Z"
+    # bad UTF-8 replaced, not fatal; declared length is the raw bytes
+    assert "page b with a broken byte" in got.iloc[1]["text"]
+    assert got.iloc[1]["n_chars"] == len(b"page b with a broken byte \xff here")
+
+    wat = _warc_bytes(
+        [
+            (
+                {"WARC-Type": "warcinfo",
+                 "Content-Type": "application/warc-fields"},
+                b"software: test-wat\r\n",
+            ),
+            (
+                {"WARC-Type": "metadata",
+                 "WARC-Target-URI": "http://example.com/a",
+                 "Content-Type": "application/json"},
+                b'{"Envelope": {"WARC-Header-Length": "257"}}',
+            ),
+            (
+                {"WARC-Type": "metadata",
+                 "WARC-Target-URI": "http://example.com/z",
+                 "Content-Type": "text/plain"},
+                b"not json, must be dropped",
+            ),
+        ]
+    )
+    (tmp_path / "y.wat").write_bytes(wat)
+    wgot = read_wat(spark, str(tmp_path / "y.wat"))
+    rows = wgot.collect()
+    assert len(rows) == 1 and rows[0]["url"] == "http://example.com/a"
+    # the JSON envelope is queryable downstream with the built-ins
+    hdr_len = wgot.select(
+        F.get_json_object("meta_json", "$.Envelope.WARC-Header-Length")
+    ).first()[0]
+    assert hdr_len == "257"
