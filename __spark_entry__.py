@@ -527,8 +527,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temp_course_variants": q_temp_course_variants,
         # humidity family
         "humidity_lindew": q_humidity_lindew,
-        "humidity_minimal": q_humidity_minimal,
-        "humidity_minmax": q_humidity_minmax,
+        # round 7: merges the former humidity_minimal/humidity_minmax
+        # rows (variant-tagged union, both branches hash-checked) to
+        # free a checked-window slot for web_curation
+        "humidity_variants": q_humidity_variants,
         "humidity_dewpoint": q_humidity_dewpoint,
         "humidity_mhpm": q_humidity_mhpm,
         # radiation family
@@ -569,6 +571,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "text_features": q_text_features,
         "text_curation": q_text_curation,
+        # round 7: crawl-side curation (html_to_text + URL
+        # canonicalization / registered domains / per-domain cap)
+        "web_curation": q_web_curation,
         "repetition_stats": q_repetition_stats,
         # aggregation / calendar / util family
         "window_primitives": q_window_primitives,
@@ -1283,6 +1288,85 @@ def oracle_sql() -> dict[str, str]:
                    ok_length, ok_word_len, ok_stopwords, ok_punct,
                    ok_length AND ok_word_len AND ok_stopwords AND ok_punct AS keep
             FROM f JOIN cleaned c ON f.doc_id = c.doc_id
+        """,
+        "web_curation": """
+            WITH src AS (
+              SELECT doc_id,
+                     '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' &amp; notes</title><style>p{margin:0}</style></head><body><!-- header --><script type="text/javascript">var t=1&&0;</script><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || '</p><ul><li>lang: ' || lang || '</li><li>source: ' || source || '</li></ul><div>&copy; crawl &nbsp;&lt;archive&gt;</div></body></html>' AS html,
+                     'HTTPS://bot@WWW.' || source || '-Site' ||
+                       CASE WHEN doc_id % 3 = 0 THEN '.CO.UK'
+                            WHEN doc_id % 3 = 1 THEN '.Com'
+                            ELSE '.NET' END ||
+                       ':443/Crawl//' || lang || '/' || CAST(doc_id AS VARCHAR) ||
+                       '/?utm_source=feed&ref=rss&id=' || CAST(doc_id AS VARCHAR) || '&b=2&a=1#frag' AS url
+              FROM documents
+            ),
+            p AS (
+              SELECT doc_id, url, html,
+                     lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                     regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), '^[^@]*@', '') AS hostport
+              FROM src
+            ),
+            h AS (
+              SELECT *,
+                     regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')), '^www\\.', '') AS host,
+                     regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+                     regexp_extract(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''), '^([^?#]*)', 1) AS path,
+                     regexp_extract(url, '\\?([^#]*)', 1) AS query
+              FROM p
+            ),
+            n AS (
+              SELECT *,
+                     CASE WHEN port = '' OR (scheme='http' AND port='80') OR (scheme='https' AND port='443')
+                          THEN '' ELSE ':' || port END AS portpart,
+                     CASE WHEN regexp_replace(path, '/{2,}', '/', 'g') = '' THEN '/'
+                          WHEN length(regexp_replace(path, '/{2,}', '/', 'g')) > 1
+                            THEN regexp_replace(regexp_replace(path, '/{2,}', '/', 'g'), '/$', '')
+                          ELSE regexp_replace(path, '/{2,}', '/', 'g') END AS path_n,
+                     coalesce(array_to_string(list_sort(list_filter(string_split(query, '&'),
+                         x -> x <> '' AND NOT regexp_matches(x, '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src)='))), '&'), '') AS qn
+              FROM h
+            ),
+            u AS (
+              SELECT doc_id, html, host,
+                     CASE WHEN scheme = '' THEN lower(trim(url))
+                          ELSE scheme || '://' || host || portpart || path_n ||
+                               CASE WHEN qn = '' THEN '' ELSE '?' || qn END END AS url_norm,
+                     CASE WHEN regexp_matches(host, '^[0-9.]+$') THEN host
+                          WHEN regexp_extract(host, '([^.]+\\.(?:co|com|net|org|gov|edu|ac)\\.[a-z][a-z]|[^.]+\\.[^.]+)$', 1) = '' THEN host
+                          ELSE regexp_extract(host, '([^.]+\\.(?:co|com|net|org|gov|edu|ac)\\.[a-z][a-z]|[^.]+\\.[^.]+)$', 1) END AS domain
+              FROM n
+            ),
+            x AS (
+              SELECT doc_id, url_norm, host, domain,
+                     trim(regexp_replace(regexp_replace(
+                       replace(replace(replace(replace(replace(replace(replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                               regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g'),
+                               '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
+                               '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),
+                               '(?is)<noscript\\b[^>]*>.*?</noscript\\s*>', ' ', 'g'),
+                               '(?is)<template\\b[^>]*>.*?</template\\s*>', ' ', 'g'),
+                               '(?is)<svg\\b[^>]*>.*?</svg\\s*>', ' ', 'g'),
+                             '(?i)</?(?:p|div|br|li|ul|ol|h[1-6]|tr|table|thead|tbody|td|th|section|article|header|footer|blockquote|pre|form)\\b[^>]*/?>', e'\\n', 'g'),
+                           '<[^>]*>', ' ', 'g'),
+                         '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                         '&#39;', e'\\x27'), '&apos;', e'\\x27'), '&amp;', '&'),
+                       e'[ \\t]+', ' ', 'g'), e' ?\\n[ \\n]*', e'\\n', 'g'), e' \\n') AS extracted
+              FROM u
+            ),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY domain ORDER BY md5(url_norm), url_norm) AS rk
+              FROM x
+            )
+            SELECT doc_id, url_norm, host, domain,
+                   CAST(rk AS BIGINT) AS domain_rank,
+                   rk <= 25 AS kept,
+                   CAST(length(extracted) AS BIGINT) AS n_chars_clean,
+                   md5(extracted) AS clean_md5
+            FROM r
         """,
         "repetition_stats": """
             WITH lists AS (
@@ -2034,6 +2118,28 @@ def oracle_sql() -> dict[str, str]:
                      END, 6) AS temp_h
               FROM pieces
             )
+        """,
+        "humidity_variants": f"""
+            {_TEMP_SINE_CORE_SQL}
+            SELECT t.user_id, t.ts, 'minimal' AS variant,
+                   round(CASE WHEN t.temp_raw IS NULL THEN NULL
+                         ELSE least(greatest(
+                       100.0 * (CASE WHEN d.tmin >= 273.15 THEN 6.112 * exp(17.62*(d.tmin-273.15)/(243.12+d.tmin-273.15)) ELSE 6.112 * exp(22.46*(d.tmin-273.15)/(272.62+d.tmin-273.15)) END) / (CASE WHEN t.temp_raw >= 273.15 THEN 6.112 * exp(17.62*(t.temp_raw-273.15)/(243.12+t.temp_raw-273.15)) ELSE 6.112 * exp(22.46*(t.temp_raw-273.15)/(272.62+t.temp_raw-273.15)) END), 0.0), 100.0) END, 6) AS hum_h
+            FROM temp_core t
+            JOIN daily_t d ON t.user_id = d.user_id AND t.date = d.date
+            UNION ALL
+            SELECT t.user_id, t.ts, 'min_max' AS variant,
+                   round(CASE WHEN t.temp_raw IS NULL THEN NULL
+                         WHEN d.tmax = d.tmin THEN
+                            CASE WHEN t.temp_raw = d.tmin OR d.hum_min = d.hum_max THEN NULL
+                                 WHEN (t.temp_raw > d.tmin) = (d.hum_min > d.hum_max) THEN 100.0
+                                 ELSE 0.0 END
+                         ELSE least(greatest(
+                            d.hum_max + (t.temp_raw - d.tmin) / (d.tmax - d.tmin)
+                                      * (d.hum_min - d.hum_max),
+                            0.0), 100.0) END, 6) AS hum_h
+            FROM temp_core t
+            JOIN daily_t d ON t.user_id = d.user_id AND t.date = d.date
         """,
         "humidity_minimal": f"""
             {_TEMP_SINE_CORE_SQL}
@@ -3380,20 +3486,31 @@ def q_sub_level_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "ts")
 
 
-def q_humidity_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """min_max humidity from hourly temperature position within the
-    daily range (`humidity.py:91-101`) — consumes the temperature
-    disaggregation output (operator chaining)."""
+def q_humidity_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minimal (`humidity.py:63-66`: dewpoint = daily tmin, RH from
+    the saturation vapor-pressure ratio) and min_max
+    (`humidity.py:91-101`: hourly temperature position within the
+    daily range) in one result, tagged by method — a narrow union of
+    the two branches over the shared temperature-sine chain (merges
+    the former ``humidity_minimal`` / ``humidity_minmax`` rows; both
+    variants stay hash-checked inside the union)."""
     from melodist_spark.operators.humidity import disaggregate_humidity
 
     daily = _met_daily(spark, sf_dir)
-    out = disaggregate_humidity(
-        daily,
-        method="min_max",
-        temp_disagg={"method": "sine_min_max", "min_max_time": "fix"},
-        keys=["user_id"],
+    temp_disagg = {"method": "sine_min_max", "min_max_time": "fix"}
+    minimal = disaggregate_humidity(
+        daily, method="minimal", temp_disagg=temp_disagg, keys=["user_id"]
+    ).select(
+        "user_id", "ts", F.lit("minimal").alias("variant"),
+        F.round("hum", 6).alias("hum_h"),
     )
-    return out.select("user_id", "ts", F.round("hum", 6).alias("hum_h"))
+    minmax = disaggregate_humidity(
+        daily, method="min_max", temp_disagg=temp_disagg, keys=["user_id"]
+    ).select(
+        "user_id", "ts", F.lit("min_max").alias("variant"),
+        F.round("hum", 6).alias("hum_h"),
+    )
+    return minimal.unionByName(minmax)
 
 
 def q_temp_course_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3720,22 +3837,6 @@ def q_temp_sine_night(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["user_id"],
     )
     return out.select("user_id", "ts", F.round("temp", 6).alias("temp_h"))
-
-
-def q_humidity_minimal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """minimal humidity (`humidity.py:63-66`): dewpoint assumed equal
-    to daily tmin (a0=0, a1=1), relative humidity from the saturation
-    vapor-pressure ratio against the hourly temperature sine."""
-    from melodist_spark.operators.humidity import disaggregate_humidity
-
-    daily = _met_daily(spark, sf_dir)
-    out = disaggregate_humidity(
-        daily,
-        method="minimal",
-        temp_disagg={"method": "sine_min_max", "min_max_time": "fix"},
-        keys=["user_id"],
-    )
-    return out.select("user_id", "ts", F.round("hum", 6).alias("hum_h"))
 
 
 def q_precip_masterstation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4631,6 +4732,75 @@ def q_text_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ok_stopwords",
         "ok_punct",
         "keep",
+    )
+
+
+def q_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-side curation primitives (round 7) in one documents
+    scan: each document is wrapped in deterministic messy page markup
+    (comments, script/style blocks, block elements, entities) and
+    stripped back with ``html_to_text``; a campaign-tracking URL
+    derived from (source, lang, doc_id) is canonicalized with
+    ``normalize_url`` (userinfo/default-port/fragment dropped,
+    tracking params removed, params sorted), reduced to its
+    registrable domain (multi-part TLDs included), and ranked within
+    its domain in md5 order — the per-domain corpus-diversity cap is
+    returned as a ``kept`` flag so every row (survivor or not) stays
+    hash-checked. All columns are JVM codegen expressions; the only
+    exchange is the domain window's hash partition (skew-safe salted
+    variant: ``urls.cap_per_domain(salt=)``)."""
+    from melodist_spark.pipeline.text import html_to_text
+    from melodist_spark.pipeline.urls import (
+        domain_rank,
+        normalize_url,
+        registered_domain,
+        url_host,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), sid,
+        F.lit(
+            " &amp; notes</title><style>p{margin:0}</style></head>"
+            '<body><!-- header --><script type="text/javascript">'
+            "var t=1&&0;</script><h1>Doc "
+        ),
+        sid, F.lit("</h1><p>"), F.col("text"),
+        F.lit("</p><ul><li>lang: "), F.col("lang"),
+        F.lit("</li><li>source: "), F.col("source"),
+        F.lit(
+            "</li></ul><div>&copy; crawl &nbsp;&lt;archive&gt;"
+            "</div></body></html>"
+        ),
+    )
+    tld = (
+        F.when(F.pmod("doc_id", 3) == 0, F.lit(".CO.UK"))
+        .when(F.pmod("doc_id", 3) == 1, F.lit(".Com"))
+        .otherwise(F.lit(".NET"))
+    )
+    url = F.concat(
+        F.lit("HTTPS://bot@WWW."), F.col("source"), F.lit("-Site"), tld,
+        F.lit(":443/Crawl//"), F.col("lang"), F.lit("/"), sid,
+        F.lit("/?utm_source=feed&ref=rss&id="), sid, F.lit("&b=2&a=1#frag"),
+    )
+    derived = docs.select(
+        "doc_id",
+        html_to_text(html).alias("clean"),
+        normalize_url(url).alias("url_norm"),
+        url_host(url).alias("host"),
+        registered_domain(url_host(url)).alias("domain"),
+    )
+    ranked = domain_rank(derived, domain_col="domain", url_col="url_norm")
+    return ranked.select(
+        "doc_id",
+        "url_norm",
+        "host",
+        "domain",
+        F.col("domain_rank").cast("long").alias("domain_rank"),
+        (F.col("domain_rank") <= 25).alias("kept"),
+        F.length("clean").cast("long").alias("n_chars_clean"),
+        F.md5("clean").alias("clean_md5"),
     )
 
 

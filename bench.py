@@ -32,8 +32,7 @@ HEADLINE = [
     "wind_cosine_fit",
     "wind_variants",  # merged wind_equal + wind_cosine
     "wind_random",
-    "humidity_minimal",
-    "humidity_minmax",
+    "humidity_variants",  # merged humidity_minimal + humidity_minmax
     "radiation_ssd",
     "radiation_course",
     "temp_sine_sunshift",
@@ -58,6 +57,7 @@ HEADLINE = [
     "smet_roundtrip",
     # training-data pipeline
     "text_features",
+    "web_curation",
     "text_curation",  # merged text_clean + quality_flags single-scan audit
     "pmi_collocations",
     "repetition_stats",

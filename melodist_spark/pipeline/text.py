@@ -353,6 +353,57 @@ def clean_text(text: Column) -> Column:
     return F.trim(F.regexp_replace(t, r"\s+", " "))
 
 
+#: elements whose CONTENT is never prose — dropped wholesale
+_HTML_DROP_CONTENT_TAGS = ("script", "style", "noscript", "template", "svg")
+#: block-level elements — their boundaries become line breaks so list
+#: items / paragraphs don't fuse into one run-on token stream
+_HTML_BLOCK_TAG_RE = (
+    r"(?i)</?(?:p|div|br|li|ul|ol|h[1-6]|tr|table|thead|tbody|td|th|"
+    r"section|article|header|footer|blockquote|pre|form)\b[^>]*/?>"
+)
+#: the named entities that actually occur at volume in crawl text;
+#: anything rarer passes through literally (deterministic, documented)
+_HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),  # last, so '&amp;lt;' decodes to '&lt;' not '<'
+)
+
+
+def html_to_text(html: Column) -> Column:
+    """Markup-to-text for crawl pages: drop comments and
+    script/style/noscript/template/svg blocks, turn block-element
+    boundaries into line breaks, strip the remaining tags, decode the
+    high-frequency entities, and normalize whitespace (runs of
+    spaces/tabs collapse to one space, blank space around line breaks
+    collapses to one newline).
+
+    This is the naive-extractor tier — regex over well-formed-enough
+    markup, entirely JVM codegen, so at crawl scale it's a scan-speed
+    pass with zero Python. Boilerplate-aware extraction
+    (readability/trafilatura-class DOM scoring) needs a real HTML
+    parser and is a production seam, exactly like
+    ``multimodal.decode_features(real_decoder=)``. All patterns are
+    Java-regex/RE2 compatible (no backreferences: each drop-content
+    tag gets its own non-greedy block pattern).
+    """
+    t = F.regexp_replace(html, r"(?s)<!--.*?-->", " ")
+    for tag in _HTML_DROP_CONTENT_TAGS:
+        t = F.regexp_replace(t, rf"(?is)<{tag}\b[^>]*>.*?</{tag}\s*>", " ")
+    t = F.regexp_replace(t, _HTML_BLOCK_TAG_RE, "\n")
+    t = F.regexp_replace(t, r"<[^>]*>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = F.regexp_replace(t, r"[ \t]+", " ")
+    t = F.regexp_replace(t, r" ?\n[ \n]*", "\n")
+    # trim() strips spaces only; btrim also eats boundary line breaks
+    return F.btrim(t, F.lit(" \n"))
+
+
 def quality_flags(
     df: DataFrame,
     text_col: str = "text",

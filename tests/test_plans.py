@@ -127,6 +127,26 @@ def qs():
             ],
         ),
         (
+            # round-7 crawl-side curation: html_to_text + URL
+            # canonicalization are pure codegen over a pruned 4-column
+            # scan (n_chars must not be read); the ONLY exchange is
+            # the per-domain rank's hash partition — no Python
+            # evaluation, no join
+            "web_curation",
+            [
+                r"ReadSchema: struct<doc_id:bigint,text:string,lang:string,source:string>",
+                r"\(\d+\) Window",
+            ],
+            [
+                r"BatchEvalPython",
+                r"ArrowEvalPython",
+                r"MapInPandas",
+                r"Join",
+                r"CartesianProduct",
+                r"Generate",
+            ],
+        ),
+        (
             # round-6 apply-only scoring with pinned IRLS weights:
             # the per-document path is PURE codegen — sigmoid of a
             # literal-weighted sum over single-scan features; no

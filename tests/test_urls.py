@@ -1,0 +1,187 @@
+"""URL curation + HTML extraction operators (pipeline/urls.py,
+text.html_to_text) — crawl-side primitives beyond the reference.
+
+The web_curation registry row hash-checks the full derivation against
+a DuckDB replay; these tests pin the individual operators' semantics
+on hand-crafted edge cases (userinfo, default/explicit ports,
+multi-part TLDs, IPv4 hosts, scheme-less rows, nested/cased markup)
+and the skew-safe salted cap's equivalence to the exact one.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from melodist_spark.pipeline.text import html_to_text
+from melodist_spark.pipeline.urls import (
+    cap_per_domain,
+    domain_rank,
+    filter_url_blocklist,
+    normalize_url,
+    registered_domain,
+    url_host,
+    url_port,
+    url_query,
+    url_scheme,
+)
+
+
+@pytest.mark.parametrize(
+    "url, norm, domain",
+    [
+        (  # everything at once: case, userinfo, default port, dup
+           # slashes, trailing slash, tracking params, sorting, fragment
+            "HTTPS://bot:pw@WWW.Example.CO.UK:443/Docs//42/"
+            "?utm_source=x&ref=rss&b=2&a=1#frag",
+            "https://example.co.uk/Docs/42?a=1&b=2",
+            "example.co.uk",
+        ),
+        (  # http default port, empty tracking value, param sort
+            "http://example.com:80/a//b///c/?z=9&utm_campaign=&y=8",
+            "http://example.com/a/b/c?y=8&z=9",
+            "example.com",
+        ),
+        (  # multi-part TLD with subdomains
+            "https://sub.shop.example.com.au/path/",
+            "https://sub.shop.example.com.au/path",
+            "example.com.au",
+        ),
+        (  # IPv4 host: non-default port kept, domain = the address
+            "http://user@192.168.0.1:8080/x?a=1",
+            "http://192.168.0.1:8080/x?a=1",
+            "192.168.0.1",
+        ),
+        (  # no path at all -> '/'
+            "http://example.com",
+            "http://example.com/",
+            "example.com",
+        ),
+        (  # only tracking params -> bare
+            "https://a.b.co/?fbclid=abc",
+            "https://a.b.co/",
+            "b.co",
+        ),
+        (  # single-label host passes through registered_domain
+            "https://localhost/",
+            "https://localhost/",
+            "localhost",
+        ),
+    ],
+)
+def test_normalize_and_registered_domain(spark, url, norm, domain):
+    row = (
+        spark.range(1)
+        .select(
+            normalize_url(F.lit(url)).alias("n"),
+            registered_domain(url_host(F.lit(url))).alias("d"),
+        )
+        .first()
+    )
+    assert row["n"] == norm
+    assert row["d"] == domain
+
+
+def test_url_parts_and_schemeless_fallback(spark):
+    u = F.lit("HTTPS://u@Host.Example.org:8443/p?q=1#f")
+    row = spark.range(1).select(
+        url_scheme(u).alias("s"),
+        url_host(u).alias("h"),
+        url_port(u).alias("p"),
+        url_query(u).alias("q"),
+        normalize_url(F.lit("  no-scheme/page?x=1 ")).alias("fb"),
+    ).first()
+    assert row["s"] == "https"
+    assert row["h"] == "host.example.org"
+    assert row["p"] == "8443"
+    assert row["q"] == "q=1"
+    # malformed crawl rows degrade deterministically, never fail
+    assert row["fb"] == "no-scheme/page?x=1"
+
+
+def test_html_to_text_edge_cases(spark):
+    cases = {
+        # comments, script/style content dropped; entities decoded;
+        # block tags become line breaks; &amp; decoded LAST
+        '<html><head><title>T &amp; U</title><style>p{x:1}</style>'
+        '</head><body><!-- c --><script a="b">var x=1&&2;</script>'
+        "<h1>Head</h1><p>one  two</p><ul><li>a</li><li>b</li></ul>"
+        "<div>tail &lt;tag&gt; &#39;q&#39;&nbsp;end</div></body></html>":
+            "T & U\nHead\none two\na\nb\ntail <tag> 'q' end",
+        "plain text, no markup": "plain text, no markup",
+        "<p>nested <b>bold <i>ital</i></b> done</p><br/><P C='x'>Next</P>":
+            "nested bold ital done\nNext",
+        # cased drop-content tags, self-closing svg member
+        "<SCRIPT>s</SCRIPT>pre<STYLE a=b>s{}</STYLE>post<svg><c/></svg>":
+            "pre post",
+        # double-escaped entity does NOT double-decode
+        "a &amp;lt; b": "a &lt; b",
+        "": "",
+    }
+    pdf = pd.DataFrame(
+        {"i": range(len(cases)), "html": list(cases.keys())}
+    )
+    got = (
+        spark.createDataFrame(pdf)
+        .select("i", html_to_text(F.col("html")).alias("t"))
+        .orderBy("i")
+        .toPandas()
+    )
+    for i, want in enumerate(cases.values()):
+        assert got["t"][i] == want, f"case {i}: {got['t'][i]!r}"
+
+
+def _domains_df(spark, n=400):
+    # 4 domains with very different sizes (one 'mega' domain holding
+    # more than half the rows) to exercise the cap under skew
+    return spark.range(n).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 < 6, F.lit("mega.com"))
+        .when(F.col("id") % 10 < 8, F.lit("mid.org"))
+        .when(F.col("id") % 10 == 8, F.lit("small.net"))
+        .otherwise(F.lit("tiny.io"))
+        .alias("domain"),
+        F.concat(F.lit("https://x/"), F.col("id")).alias("url"),
+    )
+
+
+def test_cap_per_domain_exact_and_salted_agree(spark):
+    df = _domains_df(spark)
+    exact = cap_per_domain(df, 7, "domain", "url")
+    salted = cap_per_domain(df, 7, "domain", "url", salt=8)
+    a = sorted((r["domain"], r["id"], r["domain_rank"])
+               for r in exact.collect())
+    b = sorted((r["domain"], r["id"], r["domain_rank"])
+               for r in salted.collect())
+    assert a == b
+    # every domain capped at 7, ranks are 1..7
+    per = {}
+    for d, _, rk in a:
+        per.setdefault(d, []).append(rk)
+    assert set(per) == {"mega.com", "mid.org", "small.net", "tiny.io"}
+    for d, ranks in per.items():
+        assert sorted(ranks) == list(range(1, min(7, len(ranks)) + 1))
+
+
+def test_domain_rank_is_md5_deterministic(spark):
+    df = _domains_df(spark, n=50)
+    r1 = {r["id"]: r["domain_rank"] for r in domain_rank(df).collect()}
+    r2 = {r["id"]: r["domain_rank"]
+          for r in domain_rank(df.repartition(7)).collect()}
+    assert r1 == r2  # rank never depends on physical layout
+
+
+def test_filter_url_blocklist(spark):
+    pdf = pd.DataFrame({
+        "host": [
+            "ads.example.com", "example.com", "sub.deep.spam.net",
+            "spam.net", "notspam.net", "fine.org",
+        ]
+    })
+    kept = filter_url_blocklist(
+        spark.createDataFrame(pdf), ["example.com", "spam.net"]
+    )
+    assert sorted(r["host"] for r in kept.collect()) == [
+        "fine.org", "notspam.net",
+    ]

@@ -61,7 +61,7 @@ def main():
             [r"SortMergeJoin", r"CartesianProduct", r"BroadcastNestedLoopJoin"],
         ),
         (
-            "humidity_minmax",
+            "humidity_variants",
             [],
             [r"SortMergeJoin", r"CartesianProduct", r"BroadcastNestedLoopJoin"],
         ),
