@@ -3289,26 +3289,33 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from melodist_spark.pipeline.dedup import (
         lsh_bands,
         lsh_candidate_pairs,
-        minhash_index,
         minhash_signature,
         neardup_against,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    bands = lsh_bands(
-        minhash_signature(docs, num_hashes=16, shingle=3),
-        num_hashes=16,
-        band_size=4,
-    )
+    # ONE signature frame feeds all three consumers (self-join bands,
+    # stored-index half, batch half) — signatures are per-doc, so the
+    # index/batch sides are filters over it, exactly the subplan a
+    # pipeline materializes once as its durable state (bench persists
+    # it in warmup; CacheManager substitutes it into each consumer).
+    # Computing them thrice from text tripled the shingle→md5 scan.
+    sig = minhash_signature(docs, num_hashes=16, shingle=3)
+    bands = lsh_bands(sig, num_hashes=16, band_size=4)
     pairs = lsh_candidate_pairs(bands).select(
         F.lit("pair").alias("kind"), "id_a", "id_b"
     )
+    sig_cols = ["doc_id"] + [f"sig_{i}" for i in range(16)]
+    index = sig.filter(F.col("doc_id") % 10 != 0).select(*sig_cols)
     batch = docs.filter(F.col("doc_id") % 10 == 0)
-    index = minhash_index(
-        docs.filter(F.col("doc_id") % 10 != 0), num_hashes=16, shingle=3
-    )
     survivors = neardup_against(
-        batch, index, num_hashes=16, band_size=4, shingle=3, threshold=0.8
+        batch,
+        index,
+        num_hashes=16,
+        band_size=4,
+        shingle=3,
+        threshold=0.8,
+        batch_sig=sig.filter(F.col("doc_id") % 10 == 0),
     ).select(
         F.lit("incr_survivor").alias("kind"),
         F.col("doc_id").alias("id_a"),

@@ -575,6 +575,7 @@ def neardup_against(
     band_size: int = 4,
     shingle: int | None = None,
     threshold: float = 0.8,
+    batch_sig: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental NEAR-dup: drop batch documents whose estimated
     Jaccard against any previously-indexed document reaches
@@ -597,7 +598,16 @@ def neardup_against(
     (:func:`dedup_against`) composes in front; union the survivors'
     :func:`minhash_index` into the stored index afterwards."""
     names = [f"sig_{i}" for i in range(num_hashes)]
-    bsig = minhash_signature(batch, text_col, num_hashes, shingle)
+    # batch_sig: pass the batch's signatures when they are already in
+    # hand (computed for the index advance, or shared with a same-run
+    # self-join LSH pass) — the shingle→md5→minhash projection is the
+    # expensive part of this operator, and recomputing it from text
+    # doubles the batch-side scan work for nothing
+    bsig = (
+        batch_sig
+        if batch_sig is not None
+        else minhash_signature(batch, text_col, num_hashes, shingle)
+    )
     bband = lsh_bands(bsig, id_col, num_hashes, band_size).select(
         F.col(id_col).alias("__bid"), "band_idx", "band_hash"
     )
