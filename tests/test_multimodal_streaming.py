@@ -1030,3 +1030,163 @@ def test_sample_frames_real_gif_animation(spark):
     err_rows = got[got["err"].notna()]
     assert len(err_rows) == 1 and err_rows["media_id"].iloc[0] == 2
     assert int((got["media_id"] == 3).sum()) == 0
+
+
+# -- image dHash near-dup (round 7) -------------------------------------
+
+
+def _seed_image(seed: int, h: int = 40, w: int = 40) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def _one_bit_edit(img: np.ndarray) -> np.ndarray:
+    """Flip EXACTLY one dHash bit: the 9x8 nearest grid samples pixel
+    (2, 2) into small[0, 0], which feeds only bit (0, 0) =
+    small[0,1] > small[0,0] — drive that comparison to its other
+    outcome by saturating the one sampled pixel."""
+    gray = img.mean(axis=2)
+    edited = img.copy()
+    edited[2, 2] = 255 if gray[2, 6] > gray[2, 2] else 0
+    return edited
+
+
+def test_dhash64_kernel_properties():
+    """dHash is stable under re-encoding (PNG vs PPM of the same
+    pixels), moves only a few bits under a small local edit, far for
+    unrelated images, and null for audio/corrupt payloads."""
+    from melodist_spark.pipeline.multimodal import (
+        dhash64,
+        encode_png,
+        encode_ppm,
+    )
+
+    img = _seed_image(1)
+    h_png = dhash64(encode_png(img))
+    h_ppm = dhash64(encode_ppm(img))
+    assert h_png is not None and h_png == h_ppm  # container-invariant
+
+    # a deterministic one-sampled-pixel edit moves exactly one bit
+    h_edit = dhash64(encode_png(_one_bit_edit(img)))
+    assert bin((h_png ^ h_edit) & (2**64 - 1)).count("1") == 1
+
+    other = _seed_image(2)
+    h_other = dhash64(encode_png(other))
+    assert bin((h_png ^ h_other) & (2**64 - 1)).count("1") > 10
+
+    assert dhash64(b"RIFF....WAVE") is None  # audio-shaped: no dHash
+    assert dhash64(b"\x89PNG\r\n\x1a\ntruncated") is None  # corrupt
+    # signed packing round-trips a hash with the top bit set
+    assert isinstance(h_png, int) and -(2**63) <= h_png < 2**63
+
+
+def test_image_dhash_and_neardup_pairs(spark):
+    """End-to-end: PNG payloads -> Arrow-batched dHash ingest -> the
+    banded (skew-guarded) candidate join -> codegen bit_count verify.
+    Planted: 10<->11 near-dup (small edit), 12 is 10's exact
+    re-encode via PPM (distance 0); seeds 1-3 mutually unrelated;
+    one audio row and one null payload produce null hashes and never
+    reach the join."""
+    from melodist_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        dhash_neardup_pairs,
+        encode_png,
+        encode_ppm,
+        image_dhash,
+    )
+
+    base = _seed_image(1)
+    edited = _one_bit_edit(base)
+    rows = [
+        (10, "image", encode_png(base), 40, 40, None),
+        (11, "image", encode_png(edited), 40, 40, None),
+        (12, "image", encode_ppm(base), 40, 40, None),
+        (20, "image", encode_png(_seed_image(2)), 40, 40, None),
+        (30, "image", encode_png(_seed_image(3)), 40, 40, None),
+        (40, "audio", b"\x01\x02" * 500, None, None, 2000),
+        (50, "image", None, None, None, None),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+    hashes = image_dhash(media)
+    got = {r["media_id"]: r["dhash"] for r in hashes.collect()}
+    assert got[40] is None and got[50] is None
+    assert got[10] == got[12]  # exact pixels, different container
+
+    pairs = dhash_neardup_pairs(hashes, max_distance=3, num_bands=6)
+    found = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in pairs.collect()
+    }
+    assert found[(10, 12)] == 0
+    assert (10, 11) in found and 0 < found[(10, 11)] <= 3
+    assert (11, 12) in found  # transitively near 10's re-encode
+    assert not any(20 in p or 30 in p or 40 in p or 50 in p for p in found)
+
+
+def test_dhash_neardup_pairs_guards_recall():
+    from melodist_spark.pipeline.multimodal import dhash_neardup_pairs
+
+    with pytest.raises(ValueError, match="num_bands"):
+        dhash_neardup_pairs(None, max_distance=4, num_bands=4)
+
+
+def test_audio_fingerprint_invariances(spark):
+    """The audio fingerprint is level-invariant (half-gain copy hashes
+    identically), container-invariant (same signal via WAV and FLAC),
+    near for a lightly-perturbed copy, far for a different signal,
+    and null for images; the same banded join finds the planted pair
+    via hash_col='afp'."""
+    from melodist_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        audio_fingerprint,
+        audio_fingerprint64,
+        dhash_neardup_pairs,
+        encode_png,
+    )
+    from melodist_spark.pipeline.flac import encode_flac
+
+    rng = np.random.default_rng(7)
+    t = np.arange(16000) / 8000.0
+    sig = 0.4 * np.sin(2 * np.pi * 440 * t) * (
+        0.2 + np.abs(np.sin(2 * np.pi * 1.3 * t))
+    )
+    h_wav = audio_fingerprint64(_wav_bytes(sig))
+    assert h_wav is not None
+
+    # level invariance: -6 dB copy, identical fingerprint
+    assert audio_fingerprint64(_wav_bytes(0.5 * sig)) == h_wav
+
+    # container invariance: identical int16 samples through FLAC
+    pcm = (np.clip(sig, -1, 1) * 32767).astype(np.int64)
+    h_flac = audio_fingerprint64(encode_flac(pcm, rate=8000, bps=16))
+    assert h_flac == h_wav
+
+    # mild noise moves few bits; a different signal moves many
+    noisy = sig + rng.normal(0, 0.002, len(sig))
+    d_noise = bin(
+        (h_wav ^ audio_fingerprint64(_wav_bytes(noisy))) & (2**64 - 1)
+    ).count("1")
+    other = 0.4 * np.sin(2 * np.pi * 997 * t) * np.hanning(len(t))
+    d_other = bin(
+        (h_wav ^ audio_fingerprint64(_wav_bytes(other))) & (2**64 - 1)
+    ).count("1")
+    assert d_noise <= 3 < d_other
+
+    # not audio -> None
+    assert audio_fingerprint64(encode_png(_seed_image(1))) is None
+
+    rows = [
+        (1, "audio", _wav_bytes(sig), None, None, 2000),
+        (2, "audio", _wav_bytes(noisy), None, None, 2000),
+        (3, "audio", _wav_bytes(other), None, None, 2000),
+        (4, "image", encode_png(_seed_image(1)), 40, 40, None),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    fps = audio_fingerprint(media)
+    assert {r["media_id"]: r["afp"] for r in fps.collect()}[4] is None
+    pairs = dhash_neardup_pairs(
+        fps, hash_col="afp", max_distance=3, num_bands=6
+    )
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert found == {(1, 2)}

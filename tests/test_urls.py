@@ -185,3 +185,31 @@ def test_filter_url_blocklist(spark):
     assert sorted(r["host"] for r in kept.collect()) == [
         "fine.org", "notspam.net",
     ]
+
+
+def test_compression_ratio_signal(spark):
+    """zlib compressibility separates template spam from prose-like
+    text; null/empty rows degrade to null ratios, and the raw byte
+    count is UTF-8 (multi-byte chars counted as encoded)."""
+    import pandas as pd
+
+    from melodist_spark.pipeline.text import compression_ratio
+
+    rng_text = " ".join(f"w{i * 7919 % 5003}" for i in range(200))
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["spam " * 200, rng_text, None, ""],
+    })
+    got = {
+        r["doc_id"]: r
+        for r in compression_ratio(spark.createDataFrame(pdf)).collect()
+    }
+    assert got[0]["ratio"] < 0.05 < got[1]["ratio"]
+    assert got[2]["ratio"] is None and got[2]["n_bytes"] is None
+    assert got[3]["ratio"] is None and got[3]["n_bytes"] == 0
+    assert got[0]["n_bytes"] == 1000
+
+    uni = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [9], "text": ["héllo"]})
+    )
+    assert compression_ratio(uni).first()["n_bytes"] == 6
