@@ -431,3 +431,77 @@ def test_gif_animation_roundtrip_property(h, w, k, levels, seed):
     assert [g[1] for g in got] == delays
     for (_, _, canvas), f in zip(got, frames):
         assert (canvas == f).all()
+
+
+def test_normalize_url_idempotent_and_total(spark):
+    """Canonicalization must be IDEMPOTENT (a canonical form that
+    changes on re-canonicalization isn't canonical — and incremental
+    pipelines re-normalize on every ingest) and TOTAL (junk crawl
+    rows degrade deterministically, never throw). Exhaustive-ish
+    component grid + adversarial junk, batched into one spark job."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from melodist_spark.pipeline.urls import normalize_url
+
+    schemes = ["http", "HTTPS", "ftp", ""]
+    users = ["", "bot@", "a:b@"]
+    hosts = ["WWW.Example.COM", "sub.x.CO.UK", "a.b", "localhost",
+             "192.168.0.1", ""]
+    ports = ["", ":80", ":443", ":8080", ":0"]
+    paths = ["", "/", "/a//b/", "/a/./b", "/%20x", "//", "/a b"]
+    queries = ["", "?a=1&b=2", "?utm_source=x", "?b=2&a=1&ref=x",
+               "?=", "?a=1&a=1", "?&&"]
+    frags = ["", "#f", "#a#b"]
+    urls = []
+    for s, u, h, p, pa, q, f in itertools.islice(
+        itertools.product(schemes, users, hosts, ports, paths,
+                          queries, frags),
+        0, None, 7,  # every 7th combo: ~2.7k cases, one job
+    ):
+        urls.append((f"{s}://{u}{h}{p}" if s else h) + pa + q + f)
+    urls += ["", "   ", "###", "://", "http://", "9http://x",
+             "héllo://x", "a b c://d", "http:///", "http://:80/x"]
+
+    pdf = pd.DataFrame({"i": range(len(urls)), "url": urls})
+    out = (
+        spark.createDataFrame(pdf)
+        .select("i", "url", normalize_url(F.col("url")).alias("n1"))
+        .select("i", "url", "n1", normalize_url(F.col("n1")).alias("n2"))
+        .collect()
+    )
+    assert len(out) == len(urls)
+    for r in out:
+        assert r["n1"] is not None, r["url"]
+        assert r["n2"] == r["n1"], (
+            f"not idempotent: {r['url']!r} -> {r['n1']!r} -> {r['n2']!r}"
+        )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    h=st.integers(min_value=9, max_value=24),
+    w=st.integers(min_value=9, max_value=24),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+def test_dhash_container_invariance_property(h, w, seed):
+    """dHash depends on pixels, not bytes: the same image through the
+    PNG and PPM encoders (entirely different byte streams) must hash
+    identically, for arbitrary sizes down past the 9x8 sample grid."""
+    from melodist_spark.pipeline.multimodal import (
+        dhash64,
+        encode_png,
+        encode_ppm,
+    )
+
+    img = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+    hp = dhash64(encode_png(img))
+    assert hp is not None
+    assert hp == dhash64(encode_ppm(img))

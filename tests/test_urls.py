@@ -213,3 +213,28 @@ def test_compression_ratio_signal(spark):
         pd.DataFrame({"doc_id": [9], "text": ["héllo"]})
     )
     assert compression_ratio(uni).first()["n_bytes"] == 6
+
+
+def test_redact_pii_spans(spark):
+    """Emails are redacted before phones (digits inside an email must
+    not be half-eaten), IPv4 quads get their own token, and clean
+    prose passes through byte-identical."""
+    from melodist_spark.pipeline.text import redact_pii
+
+    pdf = pd.DataFrame({
+        "i": [0, 1, 2],
+        "text": [
+            "mail bob12345678@ex.com or call +1 (555) 123-4567 now",
+            "server at 10.0.0.1 and 192.168.1.100:8080",
+            "no pii in this sentence at all",
+        ],
+    })
+    got = (
+        spark.createDataFrame(pdf)
+        .select("i", redact_pii(F.col("text")).alias("t"))
+        .orderBy("i")
+        .collect()
+    )
+    assert got[0]["t"] == "mail <EMAIL> or call <PHONE> now"
+    assert got[1]["t"] == "server at <IP> and <IP>:8080"
+    assert got[2]["t"] == "no pii in this sentence at all"

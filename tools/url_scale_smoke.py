@@ -41,15 +41,17 @@ def main():
         url_host,
     )
 
-    # 60% of rows on one mega-domain, the rest over a 100k-domain
-    # zipf-ish tail (id^2 fold concentrates mass on low domain ids)
+    # 60% of rows on one mega-domain, the rest uniform over a
+    # 100k-domain tail — the mega-domain is the skew under test. The
+    # tail label sits IN the registrable part ("siteN-example.co.uk");
+    # "siteN.example.co.uk" would collapse to one registered domain
     dom = F.when(
         F.pmod("id", 10) < 6, F.lit("mega-site.com")
     ).otherwise(
         F.concat(
             F.lit("site"),
-            F.pmod(F.xxhash64("id") * F.xxhash64("id"), F.lit(100_000)),
-            F.lit(".example.co.uk"),
+            F.pmod(F.xxhash64("id"), F.lit(100_000)),
+            F.lit("-example.co.uk"),
         )
     )
     urls = spark.range(n_rows).select(
