@@ -1136,7 +1136,19 @@ def dhash_neardup_pairs(
     Recall is EXACT for ``max_distance < num_bands`` (pigeonhole: k
     differing bits leave ≥ 1 of k+1 bands untouched); beyond that the
     banding is a heuristic prefilter — raise ``num_bands`` instead of
-    accepting that."""
+    accepting that.
+
+    Sizing: candidate volume per band bucket is ~``n / 2^(64/num_bands)``,
+    so MORE bands means exponentially COARSER buckets — at n=100k,
+    ``num_bands=8`` (8-bit buckets, 256 values) floods the join with
+    ~n²/256 candidates while the default 4×16-bit keeps buckets
+    near-singleton up to n≈10⁶. For corpora far beyond 2^16 items
+    needing d≤2, band on concatenated PAIRS of 16-bit pieces instead
+    (C(4,2)=6 composite 32-bit bands; d errors touch ≤d pieces, and
+    4−d ≥ 2 clean pieces still form an untouched pair) — same
+    pigeonhole, 2^32 bucket values. ``num_bands`` need not divide 64
+    — the ``64 mod num_bands`` leftover high bits are simply never
+    banded, which only widens buckets (recall is unaffected)."""
     if max_distance >= num_bands:
         raise ValueError(
             f"max_distance={max_distance} needs num_bands > max_distance "

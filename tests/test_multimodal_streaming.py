@@ -1190,3 +1190,52 @@ def test_audio_fingerprint_invariances(spark):
     )
     found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert found == {(1, 2)}
+
+
+def test_image_dedup_composition_keep_one(spark):
+    """The families compose: dHash near-dup pairs feed the SAME
+    connected-components clustering as text dedup, and keep-one-per-
+    cluster drops every re-encode/near-copy while unique images
+    survive. 12 images: 4 originals, one with a PPM re-encode AND a
+    one-bit edit (3-member cluster), one with a re-encode (2-member),
+    plus 6 unrelated."""
+    from melodist_spark.pipeline.dedup import duplicate_clusters
+    from melodist_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        dhash_neardup_pairs,
+        encode_png,
+        encode_ppm,
+        image_dhash,
+    )
+
+    base0, base1 = _seed_image(100), _seed_image(101)
+    rows = [
+        (0, "image", encode_png(base0), 40, 40, None),
+        (1, "image", encode_ppm(base0), 40, 40, None),        # re-encode
+        (2, "image", encode_png(_one_bit_edit(base0)), 40, 40, None),
+        (3, "image", encode_png(base1), 40, 40, None),
+        (4, "image", encode_ppm(base1), 40, 40, None),        # re-encode
+    ] + [
+        (10 + i, "image", encode_png(_seed_image(200 + i)), 40, 40, None)
+        for i in range(6)
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    hashes = image_dhash(media).persist()
+    pairs = dhash_neardup_pairs(hashes, max_distance=3, num_bands=6)
+    clusters = duplicate_clusters(
+        pairs.select("id_a", "id_b"), id_a="id_a", id_b="id_b"
+    )
+    got = {r["id"]: r["cluster_id"] for r in clusters.collect()}
+    assert got[0] == got[1] == got[2]
+    assert got[3] == got[4] != got[0]
+    assert all(i not in got for i in range(10, 16))  # uniques untouched
+
+    # keep-one: representative = cluster min, survivors = all - dropped
+    keep = hashes.join(
+        clusters.filter(F.col("id") != F.col("cluster_id")),
+        hashes["media_id"] == F.col("id"),
+        "left_anti",
+    )
+    kept = sorted(r["media_id"] for r in keep.collect())
+    assert kept == [0, 3] + list(range(10, 16))
+    hashes.unpersist()
