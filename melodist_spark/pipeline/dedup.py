@@ -646,6 +646,8 @@ def line_dedup(
     id_col: str = "doc_id",
     min_chars: int = 10,
     out_col: str = "text_deduped",
+    sep_re: str = "\n",
+    join_sep: str = "\n",
 ) -> DataFrame:
     """Corpus-wide line-level deduplication (the C4/RefinedWeb pass):
     every line that appears anywhere else in the corpus is kept only
@@ -666,13 +668,19 @@ def line_dedup(
 
     Returns the input frame with ``out_col`` added (empty string if
     every line of a document was dropped; null text stays null).
+
+    ``sep_re``/``join_sep`` generalize the unit: the default is
+    line-level; ``sep_re=r"\\n{2,}", join_sep="\\n\\n"`` is
+    PARAGRAPH-level dedup (the unit most template boilerplate
+    repeats at), with blank-run separators normalized to one blank
+    line on reassembly. Same plan either way.
     """
     # first-occurrence key: a (doc_id, pos) struct ordered
     # lexicographically — no packed-bigint id-range limit, min() over
     # structs is still map-side combinable
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+        F.posexplode(F.split(F.col(text_col), sep_re)).alias("__pos", "__line"),
     ).withColumn(
         "__at", F.struct(F.col(id_col).alias("d"), F.col("__pos").alias("p"))
     )
@@ -692,7 +700,7 @@ def line_dedup(
                 F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
                 lambda s: s["__line"],
             ),
-            "\n",
+            join_sep,
         ).alias(out_col)
     )
     return df.join(rebuilt, id_col, "left").withColumn(

@@ -238,3 +238,33 @@ def test_redact_pii_spans(spark):
     assert got[0]["t"] == "mail <EMAIL> or call <PHONE> now"
     assert got[1]["t"] == "server at <IP> and <IP>:8080"
     assert got[2]["t"] == "no pii in this sentence at all"
+
+
+def test_paragraph_dedup_via_sep_params(spark):
+    """line_dedup generalizes to paragraph-level dedup: a boilerplate
+    paragraph shared across documents survives only at its first
+    occurrence; single-newline lines inside a paragraph are NOT
+    units; blank-run separators normalize to one blank line."""
+    import pandas as pd
+
+    from melodist_spark.pipeline.dedup import line_dedup
+
+    boiler = "subscribe to our\nnewsletter for more"
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": [
+            f"unique first para\n\n{boiler}\n\n\nunique tail one",
+            f"{boiler}\n\nanother unique para",
+        ],
+    })
+    out = {
+        r["doc_id"]: r["text_deduped"]
+        for r in line_dedup(
+            spark.createDataFrame(pdf),
+            sep_re=r"\n{2,}",
+            join_sep="\n\n",
+        ).collect()
+    }
+    # doc 1 wins the first occurrence (smallest (doc_id, pos))
+    assert out[1] == f"unique first para\n\n{boiler}\n\nunique tail one"
+    assert out[2] == "another unique para"
