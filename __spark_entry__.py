@@ -2865,9 +2865,34 @@ def oracle_sql() -> dict[str, str]:
               FROM ragged r JOIN bounds o ON r.user_id = o.user_id
               WHERE r.ts BETWEEN o.lo AND o.hi
               GROUP BY 1
+            ),
+            sess AS (
+              SELECT user_id,
+                     sum(CASE WHEN prev_ts IS NULL
+                              OR date_diff('microsecond', prev_ts, ts) < 7200000000
+                              THEN 0 ELSE 1 END)
+                       OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+              FROM (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+                FROM events
+              )
+            ),
+            sstats AS (
+              SELECT user_id,
+                     CAST(max(sid) + 1 AS BIGINT) AS n_sessions,
+                     CAST(max(cnt) AS BIGINT) AS max_session_rows
+              FROM (
+                SELECT user_id, sid, count(*) AS cnt
+                FROM sess GROUP BY 1, 2
+              ) GROUP BY 1
             )
-            SELECT g.user_id, g.n_gaps, k.n_kept, k.precip_kept
-            FROM gaps g JOIN kept k ON g.user_id = k.user_id
+            SELECT g.user_id, g.n_gaps, s.n_sessions, s.max_session_rows,
+                   k.n_kept, k.precip_kept
+            FROM gaps g
+            JOIN kept k ON g.user_id = k.user_id
+            JOIN sstats s ON g.user_id = s.user_id
         """,
         "complete_days": """
             SELECT user_id, CAST(ts AS DATE) AS date,
@@ -4337,18 +4362,36 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_gap_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-station data-quality summary fusing the two gap utilities
+    """Per-station data-quality summary fusing the gap utilities
     (`util/util.py:249-297`, `300-352`): hourly-step gap count over the
     raw event series, joined with the surviving-hours count and precip
     mass after trimming a ragged grid back to complete midnight-aligned
-    days (the drop_incomplete_days chain)."""
+    days (the drop_incomplete_days chain). Round 7 additionally anchors
+    ``sessionize`` (util/gaps.py:88 — the batch twin of the streaming
+    session-window path): per-station session count and longest-session
+    row count at a 2-hour gap, hash-checked against DuckDB's running-sum
+    -of-breaks replay."""
     from melodist_spark.util.calendar import distribute_equally
-    from melodist_spark.util.gaps import detect_gaps, drop_incomplete_days
+    from melodist_spark.util.gaps import (
+        detect_gaps,
+        drop_incomplete_days,
+        sessionize,
+    )
     from pyspark.sql import Window
 
     e = _events(spark, sf_dir).select("user_id", "ts")
     gaps = detect_gaps(e, 3600, keys=["user_id"]).select(
         "user_id", F.col("n_gaps").cast("long").alias("n_gaps")
+    )
+    sess = sessionize(e, gap="2 hours", keys=["user_id"], ts_col="ts")
+    sstats = (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("__n"))
+        .groupBy("user_id")
+        .agg(
+            (F.max("session_id") + F.lit(1)).cast("long").alias("n_sessions"),
+            F.max("__n").cast("long").alias("max_session_rows"),
+        )
     )
 
     daily = _met_daily(spark, sf_dir).select("user_id", "date", "precip")
@@ -4371,8 +4414,17 @@ def q_gap_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("precip"), 4).alias("precip_kept"),
         )
     )
-    return gaps.join(kept, "user_id").select(
-        "user_id", "n_gaps", "n_kept", "precip_kept"
+    return (
+        gaps.join(kept, "user_id")
+        .join(sstats, "user_id")
+        .select(
+            "user_id",
+            "n_gaps",
+            "n_sessions",
+            "max_session_rows",
+            "n_kept",
+            "precip_kept",
+        )
     )
 
 
