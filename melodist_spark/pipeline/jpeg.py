@@ -375,6 +375,20 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
                 cid, tables = body[1 + c * 2 : 3 + c * 2]
                 scan[cid] = (tables >> 4, tables & 0xF)
                 order.append(cid)
+            # MJPEG convention (Microsoft MJPG / OpenDML): AVI frame
+            # streams may omit DHT entirely and assume the Annex K.3
+            # typical tables in slots 0 (luma) / 1 (chroma). A stream
+            # that carries ANY DHT is taken at its word — the fallback
+            # fills only the standard slots, and only when absent.
+            for (tc, th), std in (
+                ((0, 0), HUFF_DC_LUMA), ((0, 1), HUFF_DC_CHROMA),
+                ((1, 0), HUFF_AC_LUMA), ((1, 1), HUFF_AC_CHROMA),
+            ):
+                needed = any(
+                    scan[cid][0 if tc == 0 else 1] == th for cid in order
+                )
+                if needed and (tc, th) not in huff:
+                    huff[(tc, th)] = _HuffTable(*std)
             if not frame.get("progressive"):
                 return _decode_scan(
                     payload, i, frame, scan, qt, huff, restart_interval

@@ -13,8 +13,11 @@ LZW, interlacing, local/global palettes; per-frame delay/transparency/
 disposal compositing via ``decode_gif_frames`` — round 7), FLAC audio
 (pipeline/flac.py — Rice + fixed/
 LPC predictors + stereo decorrelation; all four added round 6,
-previously listed as env-blocked), PCM WAV audio — and images resize through a numpy nearest-neighbor
-kernel. The remaining compressed codecs (H.264,
+previously listed as env-blocked), PCM WAV audio, MJPEG video in AVI
+containers (pipeline/avi.py — RIFF chunk walk + per-frame baseline
+JPEG incl. the table-less MJPEG convention; round 7) — and images
+resize through a numpy nearest-neighbor kernel. The remaining
+compressed codecs (H.264,
 MP3) genuinely need PIL/ffmpeg, which this container does not have:
 those payloads fall back to the clearly-marked deterministic fake
 (`_fake_decode`) or raise, while every piece of Spark-side plumbing
@@ -25,6 +28,7 @@ tested either way.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -1241,18 +1245,23 @@ def sample_frames(
 ) -> DataFrame:
     """Frame sampling for video-typed payloads, Arrow-batched.
 
-    Animated GIF payloads — the one video-ish container the
-    pure-numpy codecs fully decode — are sampled for REAL: every
+    Two container formats are sampled for REAL. Animated GIF: every
     ``every_n``-th *composited* frame (full GIF89a animation
     semantics via :func:`decode_gif_frames`: per-frame disposal
     methods, transparency, local palettes, delays) is re-encoded as
-    a standalone single-frame GIF, so downstream image operators
-    (:func:`resize_images`, :func:`decode_features`) compose with
-    the output directly. Other video payloads keep fixed-size byte
-    framing (``codec='raw'``): real container parsing (H.264/MP4)
-    needs the absent ffmpeg — documented seam; the row shape and
-    partitioning are identical to the real path. Poison blobs become
-    error rows, never job failures.
+    a standalone single-frame GIF. MJPEG/AVI (round 7, pipeline/avi.py):
+    the RIFF chunk walk yields byte offsets, sampled ``00dc`` chunks
+    are emitted VERBATIM as ``codec='jpeg'`` rows (each is an
+    independent baseline JPEG; table-less MJPEG frames decode via the
+    decoder's Annex-K fallback) with h/w from a marker-walk-only SOF
+    read — no re-encode, no entropy decode of unsampled frames, so
+    1% sampling of an hour-long capture touches ~1% of the bytes.
+    Both real paths compose with the downstream image operators
+    (:func:`resize_images`, :func:`decode_features`) directly. Other
+    video payloads keep fixed-size byte framing (``codec='raw'``):
+    real H.264/MP4 parsing needs the absent ffmpeg — documented seam;
+    the row shape and partitioning are identical to the real path.
+    Poison blobs become error rows, never job failures.
 
     Returns (media_id, frame_idx, delay_cs, height, width, frame,
     codec, err) — one row per sampled frame, fanned out inside the
@@ -1303,6 +1312,38 @@ def sample_frames(
                             mid, fi, delay, canvas.shape[0],
                             canvas.shape[1], enc, codec, None,
                         ))
+                    continue
+                if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    from .avi import frame_dimensions, parse_avi
+
+                    try:
+                        meta = parse_avi(b)
+                    except (ValueError, struct.error) as e:
+                        rows.append((mid, None, None, None, None, None,
+                                     "avi", str(e)))
+                        continue
+                    delay = int(round((meta["usec_per_frame"] or 0) / 1e4))
+                    picked = list(range(0, len(meta["frames"]), every_n))
+                    if max_frames is not None:
+                        picked = picked[:max_frames]
+                    for fi in picked:
+                        off, size = meta["frames"][fi]
+                        fb = b[off : off + size]
+                        try:
+                            fh, fw = frame_dimensions(fb)
+                        except (ValueError, struct.error) as e:
+                            rows.append((mid, fi, delay, None, None, None,
+                                         "jpeg", str(e)))
+                            continue
+                        # the chunk IS a standalone baseline JPEG
+                        # (table-less MJPEG frames decode via the
+                        # Annex-K fallback in jpeg.py) — emit it
+                        # verbatim: zero re-encode cost, h/w from a
+                        # header walk, entropy decode deferred to
+                        # whichever downstream op actually needs
+                        # pixels
+                        rows.append((mid, fi, delay, fh, fw, fb,
+                                     "jpeg", None))
                     continue
                 n_frames = max(len(b) // frame_bytes, 1)
                 idxs = range(0, n_frames, every_n)

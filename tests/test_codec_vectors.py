@@ -539,3 +539,106 @@ def test_vector_bitflip_fuzz_gif_animation(flip):
         raise AssertionError(
             f"decode_gif_frames leaked {type(e).__name__} on bitflip: {e}"
         ) from e
+
+
+# -- AVI / MJPEG (round 7) ------------------------------------------------
+
+# A hand-assembled RIFF/AVI container (struct-built in this test,
+# fully independent of encode_avi_mjpeg's writer) wrapping two video
+# chunks: frame 0 is the JPEG_FLAT_GRAY external vector above; frame
+# 1 is a TABLE-LESS frame — DQT + SOF + SOS only, no DHT — whose
+# entropy bits were hand-coded against the Annex K.3 typical tables
+# (DC cat 5 code '110' + 16 = '10000', EOB '1010', 1-padded to
+# 0xD0AF). Real MJPEG hardware writes exactly this shape; decoding it
+# pins the decoder's standard-table fallback against the spec, not
+# against our own encoder. Frame 1 is delivered as a '00db'
+# (uncompressed-flagged) chunk inside a 'rec ' grouping LIST to cover
+# both chunk spellings and the interleave wrapper.
+JPEG_FLAT_GRAY_NO_DHT = bytes.fromhex(
+    "ffd8ffdb00430001010101010101010101010101010101010101010101010101"
+    "0101010101010101010101010101010101010101010101010101010101010101"
+    "01010101010101ffc0000b080008000801011100"
+    "ffda0008010100003f00d0afffd9"
+)
+
+
+def _avi_hand_assembled() -> bytes:
+    import struct
+
+    def chunk(fourcc, body):
+        return fourcc + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    avih = struct.pack(
+        "<14I", 100_000, 0, 0, 0x10, 2, 0, 1, 4096, 8, 8, 0, 0, 0, 0
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"MJPG", 0, 0, 0, 0, 100_000, 1_000_000, 0, 2,
+        4096, 0xFFFFFFFF, 0, 0, 0, 8, 8,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, 8, 8, 1, 24, b"MJPG", 4096, 0, 0, 0, 0
+    )
+    hdrl = chunk(
+        b"LIST",
+        b"hdrl" + chunk(b"avih", avih)
+        + chunk(b"LIST", b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    rec = chunk(b"LIST", b"rec " + chunk(b"00db", JPEG_FLAT_GRAY_NO_DHT))
+    movi = chunk(b"LIST", b"movi" + chunk(b"00dc", JPEG_FLAT_GRAY) + rec)
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def test_avi_external_vector_container_walk():
+    from melodist_spark.pipeline.avi import decode_avi_frames, parse_avi
+
+    avi = _avi_hand_assembled()
+    meta = parse_avi(avi)
+    assert (meta["width"], meta["height"]) == (8, 8)
+    assert meta["usec_per_frame"] == 100_000
+    assert meta["handler"] == "MJPG"
+    assert len(meta["frames"]) == 2
+    # offsets index the ORIGINAL payload — both chunk bodies must be
+    # byte-identical to the vectors they wrap
+    (o0, s0), (o1, s1) = meta["frames"]
+    assert avi[o0 : o0 + s0] == JPEG_FLAT_GRAY
+    assert avi[o1 : o1 + s1] == JPEG_FLAT_GRAY_NO_DHT
+
+    dec = decode_avi_frames(avi)
+    assert [i for i, _, _ in dec] == [0, 1]
+    assert all(d == 10 for _, d, _ in dec)  # 100 ms/frame
+    for _, _, rgb in dec:
+        assert rgb.shape == (8, 8, 3)
+        assert (rgb == 130).all()
+
+
+def test_jpeg_tableless_external_vector_standard_tables():
+    """The table-less frame decodes standalone — Annex K.3 fallback
+    reproduces the hand-coded bitstream's intent exactly."""
+    got = decode_jpeg(JPEG_FLAT_GRAY_NO_DHT)
+    assert got.shape == (8, 8)
+    assert (got == 130).all()
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(flip=st.integers(0, 10**9))
+def test_vector_bitflip_fuzz_avi(flip):
+    """Bitflips anywhere in the container (header, index, frame
+    bytes) must yield ValueError or a decode — never an unhandled
+    exception from the chunk walker or the JPEG fallback."""
+    from melodist_spark.pipeline.avi import decode_avi_frames
+
+    raw = bytearray(_avi_hand_assembled())
+    pos = 4 + flip % (len(raw) - 4)
+    raw[pos] ^= 1 + (flip % 255)
+    try:
+        out = decode_avi_frames(bytes(raw))
+        assert all(isinstance(c, np.ndarray) for _, _, c in out)
+    except ValueError:
+        pass
+    except Exception as e:
+        raise AssertionError(
+            f"decode_avi_frames leaked {type(e).__name__} on bitflip: {e}"
+        ) from e

@@ -1239,3 +1239,156 @@ def test_image_dedup_composition_keep_one(spark):
     kept = sorted(r["media_id"] for r in keep.collect())
     assert kept == [0, 3] + list(range(10, 16))
     hashes.unpersist()
+
+
+# -- MJPEG/AVI video (round 7) ------------------------------------------
+
+
+def _smooth_frames(n: int = 5, h: int = 24, w: int = 32):
+    yy, xx = np.mgrid[0:h, 0:w]
+    out = []
+    for t in range(n):
+        f = np.stack(
+            [
+                128 + 80 * np.sin(xx / 9 + t / 2),
+                128 + 80 * np.cos(yy / 8 - t / 2),
+                60 + 8 * t + 0 * xx,
+            ],
+            axis=2,
+        ).clip(0, 255).astype(np.uint8)
+        out.append(f)
+    return out
+
+
+def _strip_dht(jpeg: bytes) -> bytes:
+    """Remove every DHT segment — the Microsoft MJPEG convention."""
+    out = bytearray(jpeg[:2])
+    j, n = 2, len(jpeg)
+    while j + 4 <= n:
+        m = jpeg[j + 1]
+        if m == 0xDA:
+            out += jpeg[j:]
+            break
+        seglen = int.from_bytes(jpeg[j + 2 : j + 4], "big")
+        if m != 0xC4:
+            out += jpeg[j : j + 2 + seglen]
+        j += 2 + seglen
+    return bytes(out)
+
+
+def test_avi_mjpeg_roundtrip_and_sampling():
+    """encode_avi_mjpeg -> parse_avi/decode_avi_frames round-trip:
+    container metadata exact, sampled frames pixel-close (JPEG is
+    lossy), unsampled frames never touched, truncation rejected."""
+    from melodist_spark.pipeline.avi import (
+        decode_avi_frames,
+        encode_avi_mjpeg,
+        frame_dimensions,
+        parse_avi,
+    )
+
+    frames = _smooth_frames(7)
+    avi = encode_avi_mjpeg(frames, fps=25, quality=92)
+    meta = parse_avi(avi)
+    assert (meta["width"], meta["height"]) == (32, 24)
+    assert meta["usec_per_frame"] == 40000
+    assert meta["n_frames"] == 7 and len(meta["frames"]) == 7
+    assert meta["handler"] == "MJPG"
+
+    dec = decode_avi_frames(avi, every_n=3)
+    assert [i for i, _, _ in dec] == [0, 3, 6]
+    assert all(d == 4 for _, d, _ in dec)  # 40000 us = 4 cs
+    for i, _, rgb in dec:
+        assert rgb.shape == (24, 32, 3)
+        err = np.abs(rgb.astype(int) - frames[i].astype(int)).mean()
+        assert err < 12.0
+
+    off, size = meta["frames"][2]
+    assert frame_dimensions(avi[off : off + size]) == (24, 32)
+
+    with pytest.raises(ValueError):
+        parse_avi(avi[: len(avi) // 2])
+    dec2 = decode_avi_frames(avi, every_n=2, max_frames=2)
+    assert [i for i, _, _ in dec2] == [0, 2]
+
+
+def test_avi_tableless_mjpeg_frames_decode():
+    """DHT-stripped frames (what real MJPEG hardware writes) decode
+    identically to their table-carrying twins via the decoder's
+    Annex K.3 fallback."""
+    from melodist_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    f = _smooth_frames(1)[0]
+    full = encode_jpeg(f, quality=90)
+    stripped = _strip_dht(full)
+    assert len(stripped) < len(full)  # something was actually removed
+    assert np.array_equal(decode_jpeg(stripped), decode_jpeg(full))
+
+
+def test_sample_frames_real_avi(spark):
+    """sample_frames treats MJPEG/AVI as a REAL video container:
+    sampled 00dc chunks come back verbatim as standalone-decodable
+    codec='jpeg' rows (h/w from a header walk, delay from the
+    container clock) — including an archive whose frames omit DHT —
+    and a corrupt AVI becomes an error row, not a task failure."""
+    from melodist_spark.pipeline.avi import encode_avi_mjpeg, parse_avi
+    from melodist_spark.pipeline.jpeg import decode_jpeg
+    from melodist_spark.pipeline.multimodal import MEDIA_SCHEMA, sample_frames
+
+    frames = _smooth_frames(6)
+    avi = encode_avi_mjpeg(frames, fps=10, quality=92)
+
+    # rebuild the same container with table-less frames by surgical
+    # byte replacement (offsets shift, so rebuild via the encoder's
+    # chunk layout: strip each frame then re-wrap through parse)
+    meta = parse_avi(avi)
+    stripped_frames = [
+        _strip_dht(avi[o : o + s]) for o, s in meta["frames"]
+    ]
+    import struct as _struct
+
+    body = b"movi"
+    for j in stripped_frames:
+        pad = b"\x00" if len(j) & 1 else b""
+        body += b"00dc" + _struct.pack("<I", len(j)) + j + pad
+    movi = b"LIST" + _struct.pack("<I", len(body)) + body
+    # splice: everything before the old movi LIST + new movi (no idx1)
+    movi_pos = avi.find(b"movi") - 8
+    pre = avi[12:movi_pos]
+    riff_body = b"AVI " + pre + movi
+    tableless = (
+        b"RIFF" + _struct.pack("<I", len(riff_body)) + riff_body
+    )
+
+    rows = [
+        (0, "video", avi, None, None, None),
+        (1, "video", tableless, None, None, None),
+        (2, "video", b"RIFF\x10\x00\x00\x00AVI LIST", None, None, None),
+    ]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    got = (
+        sample_frames(df, every_n=2)
+        .orderBy("media_id", "frame_idx")
+        .toPandas()
+    )
+
+    ok = got[(got["media_id"] == 0) & got["err"].isna()]
+    assert ok["frame_idx"].tolist() == [0, 2, 4]
+    assert ok["codec"].tolist() == ["jpeg"] * 3
+    assert ok["delay_cs"].tolist() == [10] * 3  # 10 fps = 10 cs
+    assert set(ok["height"]) == {24} and set(ok["width"]) == {32}
+    for fi, fb in zip((0, 2, 4), ok["frame"]):
+        rgb = decode_jpeg(bytes(fb))
+        err = np.abs(rgb.astype(int) - frames[fi].astype(int)).mean()
+        assert err < 12.0
+
+    tl = got[(got["media_id"] == 1) & got["err"].isna()]
+    assert tl["frame_idx"].tolist() == [0, 2, 4]
+    for fi, fb in zip((0, 2, 4), tl["frame"]):
+        assert bytes(fb)[:2] == b"\xff\xd8"
+        rgb = decode_jpeg(bytes(fb))  # standalone despite missing DHT
+        assert rgb.shape == (24, 32, 3)
+
+    bad = got[got["media_id"] == 2]
+    assert len(bad) == 1 and bad["err"].notna().all()
+    assert bad["codec"].iloc[0] == "avi"
