@@ -1847,10 +1847,11 @@ def oracle_sql() -> dict[str, str]:
               FROM train t LEFT JOIN bench b USING (g)
               GROUP BY 1
             )
-            SELECT doc_id, n_ngrams, n_hits,
-                   round(n_hits * 1.0 / n_ngrams, 6) AS overlap,
-                   n_hits >= 1 AS contaminated
-            FROM agg
+            SELECT m.method, a.doc_id, a.n_ngrams, a.n_hits,
+                   round(a.n_hits * 1.0 / a.n_ngrams, 6) AS overlap,
+                   a.n_hits >= 1 AS contaminated
+            FROM agg a
+            CROSS JOIN (VALUES ('exact'), ('bloom')) AS m(method)
         """,
         "embedding_bucket": bucket_sql,
         "humidity_dewpoint": (f"""
@@ -4683,19 +4684,36 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``doc_id % 41 = 0`` slice of ``documents`` standing in for an eval
     suite; its deduplicated gram-hash set rides a broadcast join, so
     the corpus side is scanned once and never shuffled (the only wide
-    op is the map-side-combinable per-doc count)."""
+    op is the map-side-combinable per-doc count).
+
+    Round 7: method-tagged union with the two-phase Bloom path
+    (``pipeline/bloom.py::decontaminate_bloom`` — JVM-side Bloom
+    prefilter, exact verify on surviving grams only). Bloom filters
+    have no false negatives and the verify join strikes every false
+    positive, so the 'bloom' half must be BIT-IDENTICAL to 'exact' —
+    which is precisely what the shared oracle hash-checks."""
+    from melodist_spark.pipeline.bloom import decontaminate_bloom
     from melodist_spark.pipeline.decontamination import decontaminate
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     bench = docs.filter(F.col("doc_id") % 41 == 0)
     train = docs.filter(F.col("doc_id") % 41 != 0)
-    out = decontaminate(train, bench, ngram=5, threshold=1)
-    return out.select(
-        "doc_id",
-        F.col("n_ngrams").cast("long").alias("n_ngrams"),
-        F.col("n_hits").cast("long").alias("n_hits"),
-        F.round("overlap", 6).alias("overlap"),
-        "contaminated",
+
+    def shaped(method: str, out: DataFrame) -> DataFrame:
+        return out.select(
+            F.lit(method).alias("method"),
+            "doc_id",
+            F.col("n_ngrams").cast("long").alias("n_ngrams"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round("overlap", 6).alias("overlap"),
+            "contaminated",
+        )
+
+    return shaped("exact", decontaminate(train, bench, ngram=5, threshold=1)).unionByName(
+        shaped(
+            "bloom",
+            decontaminate_bloom(train, bench, ngram=5, threshold=1, fpr=0.01),
+        )
     )
 
 

@@ -1,0 +1,225 @@
+"""Distributed Bloom-filter membership, entirely in JVM-side
+DataFrame ops — the approximate-membership primitive a 100 TB
+curation pipeline needs wherever the reference set outgrows an exact
+broadcast (billion-URL blocklists, seen-before registries,
+cross-corpus leakage checks).
+
+Design (no Python in any hot path, no driver-side bitmap):
+
+- **Build**: each element hashes to ``k`` bit positions
+  (``xxhash64(value, seed_i) mod m``); positions map to (word_idx,
+  bit-mask) pairs and a single map-side-combinable
+  ``groupBy(word_idx).agg(bit_or(mask))`` produces the filter as a
+  DataFrame of NON-ZERO 64-bit words — the bitmap's sparse
+  representation. One shuffle over at most ``m/64`` uniformly-hashed
+  keys; the filter itself never touches the driver and can be
+  persisted as parquet like any other table (an incremental-state
+  twin of ``dedup.minhash_index``).
+- **Probe**: ``k`` *broadcast* left joins of the word table against
+  the probe column's k word indices — every join is narrow, Catalyst
+  reuses ONE BroadcastExchange for all k probes (plan-asserted in
+  tests), and the verdict is a pure-codegen AND of bit tests. No
+  explode, no per-row aggregation, no shuffle of the probed side.
+
+Sizing: the classic formulas (m = -n ln p / (ln 2)^2, k = m/n ln 2).
+At p = 1 %, ~9.6 bits/element: a 10^9-element blocklist costs a
+~1.2 GB word table (vs 8+ GB for its exact 8-byte-hash set), and a
+10^6-gram eval suite ~1.2 MB. The word table broadcast carries 16
+bytes per non-zero word; above a few GB pass ``broadcast_filter=
+False`` to fall back to k shuffle joins (or shard the filter).
+
+False-positive rate is the standard (1 - e^{-kn/m})^k; false
+negatives are impossible, which is what makes the two-phase
+``decontaminate_bloom`` (bloom prefilter -> exact verify on the
+surviving grams) EXACTLY equal to the exact join path — same rows,
+same numbers, same oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "bloom_parameters",
+    "bloom_build",
+    "bloom_probe",
+    "decontaminate_bloom",
+]
+
+
+def bloom_parameters(n_items: int, fpr: float = 0.01) -> tuple[int, int]:
+    """(m_bits, k) for a target false-positive rate; m is rounded up
+    to a multiple of 64 and k clamped to [1, 16]."""
+    if n_items < 1:
+        raise ValueError(f"n_items must be >= 1, got {n_items}")
+    if not (0.0 < fpr < 1.0):
+        raise ValueError(f"fpr must be in (0, 1), got {fpr}")
+    m = max(64, -n_items * math.log(fpr) / (math.log(2) ** 2))
+    m_bits = int(-(-m // 64)) * 64
+    k = max(1, min(16, round(m_bits / n_items * math.log(2))))
+    return m_bits, int(k)
+
+
+def _positions(col, m_bits: int, k: int):
+    """The k bit positions of a value: xxhash64 with k distinct salt
+    columns, pmod'd into the table. xxhash64 is JVM-side and
+    engine-stable across Spark versions."""
+    return [
+        F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits)) for i in range(k)
+    ]
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    m_bits: int,
+    k: int,
+) -> DataFrame:
+    """Build the filter over ``df[col]`` (any orderable type; hashed
+    by value). Returns the sparse word table ``(word_idx: long,
+    word: long)`` holding only non-zero words."""
+    if m_bits % 64 or m_bits <= 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    if not (1 <= k <= 64):
+        raise ValueError(f"k must be in [1, 64], got {k}")
+    pos = F.explode(F.array(*_positions(F.col(col), m_bits, k))).alias("__pos")
+    return (
+        df.select(pos)
+        .select(
+            F.shiftright(F.col("__pos"), 6).alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(__pos, 64) AS INT))"
+            ).alias("__m"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("__m").alias("word"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    col: str,
+    bloom: DataFrame,
+    m_bits: int,
+    k: int,
+    out_col: str = "bloom_maybe",
+    broadcast_filter: bool = True,
+) -> DataFrame:
+    """Add ``out_col`` (boolean): false ⇒ definitely NOT in the built
+    set; true ⇒ maybe (verify exactly if the use needs certainty).
+
+    k narrow broadcast joins against ONE shared broadcast of the word
+    table (Catalyst's ReuseExchange collapses the k copies); a word
+    index absent from the sparse table is an all-zero word, handled
+    by the coalesce. The probed side never shuffles and never
+    explodes — row count is preserved, so this composes with
+    streaming sources too.
+    """
+    if m_bits % 64 or m_bits <= 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    out = df
+    verdict = F.lit(True)
+    for i, pos in enumerate(_positions(F.col(col), m_bits, k)):
+        w = f"__bf_w{i}"
+        b = f"__bf_b{i}"
+        side = bloom.select(
+            F.col("word_idx").alias(w), F.col("word").alias(f"__bf_word{i}")
+        )
+        if broadcast_filter:
+            side = F.broadcast(side)
+        out = (
+            out.withColumn(w, F.shiftright(pos, 6))
+            .withColumn(b, F.pmod(pos, 64).cast("int"))
+            .join(side, w, "left")
+        )
+        verdict = verdict & (
+            F.expr(
+                f"(shiftright(coalesce(__bf_word{i}, CAST(0 AS BIGINT)),"
+                f" CAST({b} AS INT)) & 1) = 1"
+            )
+        )
+    out = out.withColumn(out_col, verdict)
+    drop = [c for i in range(k) for c in (f"__bf_w{i}", f"__bf_b{i}", f"__bf_word{i}")]
+    return out.drop(*drop)
+
+
+def decontaminate_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 5,
+    threshold: int = 1,
+    fpr: float = 0.01,
+    n_bench_grams: int | None = None,
+    broadcast_filter: bool = True,
+) -> DataFrame:
+    """Two-phase decontamination: Bloom prefilter on the corpus gram
+    stream, exact verification join on the survivors only.
+
+    Bit-for-bit the same contract and output as
+    :func:`decontamination.decontaminate` (Bloom filters have no
+    false negatives, and every false positive is struck by the exact
+    join) — but at scale it is the better plan twice over: the
+    benchmark set crosses the wire as a ~9.6-bits-per-gram word table
+    instead of 64, and the per-document count aggregation sees only
+    the matching grams (a ~0.1 % trickle for a clean corpus) instead
+    of every gram of every document.
+
+    ``n_bench_grams`` sizes the filter without an extra counting job
+    (pass the known benchmark gram count); by default one count()
+    action sizes it exactly.
+    """
+    from .decontamination import ngram_hashes
+
+    bench = (
+        ngram_hashes(benchmark, text_col, id_col, ngram)
+        .select(F.col("__g").alias("__bg"))
+        .distinct()
+    )
+    n = n_bench_grams if n_bench_grams is not None else max(bench.count(), 1)
+    m_bits, k = bloom_parameters(n, fpr)
+    bloom = bloom_build(bench, "__bg", m_bits, k)
+
+    from .dedup import _shingles
+    from .decontamination import _gram_hash
+
+    staged = docs.select(
+        F.col(id_col),
+        F.transform(_shingles(F.col(text_col), ngram), _gram_hash).alias("__grams"),
+    ).select(
+        id_col,
+        F.coalesce(F.size("__grams"), F.lit(0)).cast("long").alias("n_ngrams"),
+        F.col("__grams"),
+    ).filter(F.col("n_ngrams") > 0)
+
+    grams = staged.select(id_col, F.explode("__grams").alias("__g"))
+    candidates = bloom_probe(
+        grams, "__g", bloom, m_bits, k, broadcast_filter=broadcast_filter
+    ).filter(F.col("bloom_maybe"))
+
+    exact = F.broadcast(bench) if broadcast_filter else bench
+    hits = (
+        candidates.join(exact, candidates["__g"] == exact["__bg"], "inner")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+    return (
+        staged.select(id_col, "n_ngrams")
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_ngrams",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)) / F.col("n_ngrams")
+            ).alias("overlap"),
+            (
+                F.coalesce("n_hits", F.lit(0)) >= F.lit(threshold)
+            ).alias("contaminated"),
+        )
+    )

@@ -1,0 +1,150 @@
+"""Distributed Bloom filter (pipeline/bloom.py): membership
+guarantees, sizing math, runtime plan shape, and exact equivalence of
+the two-phase decontamination path."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from melodist_spark.pipeline.bloom import (
+    bloom_build,
+    bloom_parameters,
+    bloom_probe,
+    decontaminate_bloom,
+)
+
+
+def test_bloom_parameters_math():
+    m, k = bloom_parameters(1000, 0.01)
+    # classic sizing: ~9.585 bits/element, k = round(m/n ln2)
+    assert m % 64 == 0
+    assert abs(m - 9585) < 64 + 1
+    assert k == round(m / 1000 * math.log(2))
+    # degenerate inputs rejected
+    with pytest.raises(ValueError):
+        bloom_parameters(0)
+    with pytest.raises(ValueError):
+        bloom_parameters(10, 1.5)
+    # tiny sets still get a valid (64-multiple, k>=1) filter
+    m2, k2 = bloom_parameters(1, 0.5)
+    assert m2 >= 64 and 1 <= k2 <= 16
+
+
+def test_bloom_no_false_negatives_and_fpr(spark):
+    """The load-bearing guarantee: every inserted element probes
+    true (this is what makes decontaminate_bloom EXACT); the
+    false-positive rate on non-members lands near the target."""
+    n, fpr = 2000, 0.02
+    m, k = bloom_parameters(n, fpr)
+    members = spark.range(n).select((F.col("id") * 7919).alias("v"))
+    bloom = bloom_build(members, "v", m, k)
+
+    probed = bloom_probe(members, "v", bloom, m, k)
+    assert probed.filter(~F.col("bloom_maybe")).count() == 0
+    assert probed.count() == n  # row count preserved, no explode
+
+    others = spark.range(10**9, 10**9 + 20000).select(F.col("id").alias("v"))
+    fp = bloom_probe(others, "v", bloom, m, k).filter("bloom_maybe").count()
+    assert fp / 20000 < 5 * fpr  # generous: binomial noise at 20k draws
+
+    # the sparse word table never stores zero words
+    assert bloom.filter(F.col("word") == 0).count() == 0
+    assert bloom.count() <= min(m // 64, n * k)
+
+
+def test_bloom_probe_plan_is_shuffle_free_with_one_runtime_broadcast(spark):
+    """Plan contract: the probed side never shuffles (its only
+    exchanges are the k broadcasts of the word table), and at
+    runtime AQE's stage cache collapses those k broadcasts into ONE
+    built stage reused k-1 times — the property that makes a
+    billion-entry filter affordable to probe against."""
+    m, k = bloom_parameters(1000, 0.01)
+    members = spark.range(1000).select(F.col("id").alias("v"))
+    bloom = bloom_build(members, "v", m, k)
+    got = bloom_probe(
+        spark.range(500).select(F.col("id").alias("v")), "v", bloom, m, k
+    )
+    got.collect()  # finalize the adaptive plan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Reused") == k - 1
+    # every shuffle in the tree is a word-table BUILD (keyed on
+    # word_idx); the probed rows themselves never hash-partition
+    shuffle_lines = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert shuffle_lines and all("word_idx" in ln for ln in shuffle_lines)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_streaming_composes(spark):
+    """bloom_probe is narrow (no shuffle/state), so it must compose
+    with a streaming source — the seen-before/ blocklist filter an
+    ingest pipeline applies per micro-batch."""
+    import tempfile
+
+    m, k = bloom_parameters(100, 0.01)
+    block = spark.range(0, 200, 2).select(F.col("id").alias("v"))
+    bloom = bloom_build(block, "v", m, k).collect()
+    bloom_df = spark.createDataFrame(bloom, "word_idx long, word long")
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.range(100).select(F.col("id").alias("v")).write.parquet(
+            f"{d}/src"
+        )
+        stream = spark.readStream.schema("v long").parquet(f"{d}/src")
+        out = bloom_probe(stream, "v", bloom_df, m, k).filter(
+            ~F.col("bloom_maybe")
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("bloom_clean")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r["v"] for r in spark.sql("SELECT v FROM bloom_clean").collect()}
+    # survivors are a subset of the odds (evens are members; no false
+    # negatives ⇒ no even survives), and most odds survive
+    assert all(v % 2 == 1 for v in got)
+    assert len(got) >= 40
+
+
+def test_decontaminate_bloom_exactly_matches_exact_path(spark):
+    """Two-phase bloom prefilter + exact verify == the exact join
+    path, row for row and number for number — including fpr settings
+    loose enough to let many false positives through to the verify
+    stage."""
+    from melodist_spark.pipeline.decontamination import decontaminate
+
+    random.seed(11)
+    words = [f"w{i}" for i in range(80)]
+    rows = [
+        (i, " ".join(random.choices(words, k=random.randint(1, 40))))
+        for i in range(400)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = docs.filter(F.col("doc_id") % 9 == 0)
+    train = docs.filter(F.col("doc_id") % 9 != 0)
+
+    exact = decontaminate(train, bench, ngram=3, threshold=2).orderBy("doc_id")
+    for fpr in (0.01, 0.5):  # 0.5: flood the verifier with FPs
+        two_phase = decontaminate_bloom(
+            train, bench, ngram=3, threshold=2, fpr=fpr
+        ).orderBy("doc_id")
+        a, b = exact.collect(), two_phase.collect()
+        assert len(a) == len(b) > 0
+        for x, y in zip(a, b):
+            assert x == y, (fpr, x, y)
+
+
+def test_bloom_build_rejects_bad_geometry(spark):
+    df = spark.range(4).select(F.col("id").alias("v"))
+    with pytest.raises(ValueError):
+        bloom_build(df, "v", 100, 3)  # not a multiple of 64
+    with pytest.raises(ValueError):
+        bloom_build(df, "v", 128, 0)
+    with pytest.raises(ValueError):
+        bloom_probe(df, "v", df, 0, 3)
