@@ -603,6 +603,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _pagerank_ctes(n_iter: int = 5, damping: float = 0.85) -> str:
+    """Unrolled PageRank iterations as DuckDB CTEs over an ``edges``
+    (src, dst) CTE — the oracle twin of ``pipeline/graph.py::
+    pagerank``. Every float op mirrors the Spark side exactly
+    (CAST(.. AS DOUBLE) everywhere a DuckDB literal would otherwise
+    parse as DECIMAL and change the arithmetic)."""
+    d = f"CAST({damping} AS DOUBLE)"
+    parts = [
+        """
+            gn AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+            gdeg AS (
+              SELECT n.node, coalesce(d.c, 0) AS deg
+              FROM gn n
+              LEFT JOIN (SELECT src, count(*) AS c FROM edges GROUP BY 1) d
+                ON d.src = n.node
+            ),
+            gcnt AS (SELECT count(*) AS nn FROM gn),
+            pr0 AS (
+              SELECT node, CAST(1 AS DOUBLE) / nn AS r
+              FROM gn CROSS JOIN gcnt
+            ),"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""
+            pr{i} AS (
+              SELECT g.node,
+                     (CAST(1 AS DOUBLE) - {d}) / c.nn
+                     + {d} * (coalesce(ct.contrib, 0)
+                              + dg.mass / CAST(c.nn AS DOUBLE)) AS r
+              FROM gn g
+              CROSS JOIN gcnt c
+              CROSS JOIN (SELECT coalesce(sum(p.r), 0) AS mass
+                          FROM pr{i - 1} p JOIN gdeg d ON d.node = p.node
+                          WHERE d.deg = 0) dg
+              LEFT JOIN (SELECT e.dst AS node, sum(p.r / d.deg) AS contrib
+                         FROM edges e
+                         JOIN pr{i - 1} p ON p.node = e.src
+                         JOIN gdeg d ON d.node = e.src
+                         GROUP BY 1) ct ON ct.node = g.node
+            ),""")
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     pi = "pi()"
     sun_common = f"""
@@ -1360,13 +1403,30 @@ def oracle_sql() -> dict[str, str]:
             r AS (
               SELECT *, row_number() OVER (PARTITION BY domain ORDER BY md5(url_norm), url_norm) AS rk
               FROM x
-            )
-            SELECT doc_id, url_norm, host, domain,
-                   CAST(rk AS BIGINT) AS domain_rank,
-                   rk <= 25 AS kept,
-                   CAST(length(extracted) AS BIGINT) AS n_chars_clean,
-                   md5(extracted) AS clean_md5
-            FROM r
+            ),
+            domrn AS (
+              SELECT domain, row_number() OVER (ORDER BY domain) AS rn
+              FROM (SELECT DISTINCT domain FROM u)
+            ),
+            ndom AS (SELECT count(*) AS n FROM domrn),
+            edges AS (
+              SELECT DISTINCT uu.domain AS src, d2.domain AS dst
+              FROM u uu
+              CROSS JOIN ndom
+              JOIN domrn d2
+                ON d2.rn = 1 + (('0x' || substr(md5(CAST(uu.doc_id AS VARCHAR)), 1, 15))::BIGINT % ndom.n)
+              WHERE uu.domain <> d2.domain
+            ),"""
+        + _pagerank_ctes(n_iter=5, damping=0.85)
+        + """
+            prf AS (SELECT node, r FROM pr5)
+            SELECT r.doc_id, r.url_norm, r.host, r.domain,
+                   CAST(r.rk AS BIGINT) AS domain_rank,
+                   r.rk <= 25 AS kept,
+                   round(p.r, 6) AS domain_pr,
+                   CAST(length(r.extracted) AS BIGINT) AS n_chars_clean,
+                   md5(r.extracted) AS clean_md5
+            FROM r LEFT JOIN prf p ON p.node = r.domain
         """,
         "repetition_stats": """
             WITH lists AS (
@@ -4825,7 +4885,17 @@ def q_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     returned as a ``kept`` flag so every row (survivor or not) stays
     hash-checked. All columns are JVM codegen expressions; the only
     exchange is the domain window's hash partition (skew-safe salted
-    variant: ``urls.cap_per_domain(salt=)``)."""
+    variant: ``urls.cap_per_domain(salt=)``).
+
+    Round 7 adds ``domain_pr``: PageRank over the registrable-domain
+    link graph (``pipeline/graph.py`` — the Common-Crawl-style host
+    ranking signal), 5 fixed power iterations so DuckDB replays it by
+    unrolling; the link targets are md5-derived from doc_id (both
+    engines compute the identical edge set), and domains outside the
+    edge set stay null on both sides."""
+    from pyspark.sql import Window
+
+    from melodist_spark.pipeline.graph import pagerank
     from melodist_spark.pipeline.text import html_to_text
     from melodist_spark.pipeline.urls import (
         domain_rank,
@@ -4869,13 +4939,42 @@ def q_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         registered_domain(url_host(url)).alias("domain"),
     )
     ranked = domain_rank(derived, domain_col="domain", url_col="url_norm")
-    return ranked.select(
+
+    dom_rn = derived.select("domain").distinct().select(
+        "domain", F.row_number().over(Window.orderBy("domain")).alias("rn")
+    )
+    n_dom = dom_rn.count()
+    edges = (
+        derived.select(
+            F.col("domain").alias("src"),
+            (
+                F.pmod(
+                    F.conv(
+                        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                        16, 10,
+                    ).cast("bigint"),
+                    F.lit(n_dom),
+                )
+                + 1
+            ).alias("rn"),
+        )
+        .join(F.broadcast(dom_rn), "rn")
+        .select("src", F.col("domain").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    pr = pagerank(edges, damping=0.85, n_iter=5).select(
+        F.col("node").alias("domain"), F.round("pagerank", 6).alias("domain_pr")
+    )
+
+    return ranked.join(F.broadcast(pr), "domain", "left").select(
         "doc_id",
         "url_norm",
         "host",
         "domain",
         F.col("domain_rank").cast("long").alias("domain_rank"),
         (F.col("domain_rank") <= 25).alias("kept"),
+        "domain_pr",
         F.length("clean").cast("long").alias("n_chars_clean"),
         F.md5("clean").alias("clean_md5"),
     )

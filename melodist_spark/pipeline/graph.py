@@ -1,0 +1,140 @@
+"""Link-graph analytics for crawl curation: PageRank over host/domain
+graphs — the ranking signal web-scale corpora use as a quality prior
+(Common Crawl publishes exactly this as its host-level ranks).
+
+Spark-first shape: one iteration = one shuffle join (ranks ⨝ edges
+on src) + one map-side-combinable aggregation on dst. The iteration
+count is FIXED (power iteration converges geometrically at rate
+``damping``; 10-20 iterations is the industry default), which keeps
+the operator deterministic — given the edge set, every rank is a
+pure function DuckDB can replay by unrolling the iterations, so
+PageRank can sit under a value oracle unlike tolerance-terminated
+variants.
+
+Scale notes (a web host graph is ~10^8 nodes / ~10^9 edges):
+
+- Edges are the big side and are touched once per iteration by a
+  shuffle hash join keyed on ``src``; pre-partitioning edges once by
+  ``src`` (or bucketing them at rest) makes every iteration reuse
+  that layout instead of re-shuffling — pass ``prepartition=True``.
+- Ranks (one row per node) are persisted each iteration and the
+  previous iteration is unpersisted: without that, iteration k's
+  plan contains k copies of the join tree and the driver's lineage
+  (and Catalyst's optimizer time) grows quadratically.
+- The dangling-mass correction is a 1-row aggregate CROSS-JOINED
+  back in (broadcast-nested-loop of a single row — free), NOT a
+  driver ``collect``: the whole computation stays one lazy plan per
+  iteration and composes with whatever triggers it.
+- Skewed in-degree (everyone links to google.com) is an *aggregation*
+  hot key, absorbed by partial aggregation; the join side hashes on
+  ``src`` where fan-out skew lives — AQE skew-join splits it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["out_degrees", "pagerank"]
+
+
+def out_degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """(node, out_deg) for every node appearing anywhere in ``edges``
+    (nodes with no outgoing edges carry ``out_deg = 0``)."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    deg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count("*").alias("out_deg")
+    )
+    return nodes.join(deg, "node", "left").select(
+        "node", F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    prepartition: bool = False,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """PageRank by fixed-iteration power method.
+
+    ``edges`` is a (src, dst) edge list (duplicates count as
+    parallel edges — dedupe upstream if that is not intended).
+    Returns ``(node, pagerank)`` over every node that appears as a
+    source or destination; ranks sum to 1. Dangling nodes (no
+    out-edges) redistribute their mass uniformly, the standard
+    normalization.
+
+    ``prepartition`` repartitions the edge list by ``src`` once so
+    every iteration's join reuses the layout. ``checkpoint_every``
+    (default 1) ``localCheckpoint``s the rank table every that many
+    iterations: each iteration's plan references the previous rank
+    table THREE times (contribution join, dangling mass, node
+    reindex), so an uncut lineage grows as 3^k — past ~8 iterations
+    the driver dies building the plan tree, long before any data
+    moves. Checkpointing every iteration keeps plan depth O(1) per
+    iteration (the same reliable-cut discipline
+    ``duplicate_clusters`` applies to its propagation rounds); raise
+    the interval only with small ``n_iter``.
+    """
+    if not (0.0 < damping < 1.0):
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if prepartition:
+        e = e.repartition("src")
+    deg = out_degrees(e).persist()
+    n_nodes = deg.count()  # one action; also materializes deg
+    if n_nodes == 0:
+        return deg.select("node", F.lit(0.0).alias("pagerank"))
+
+    base = (1.0 - damping) / n_nodes
+    ranks = deg.select("node", F.lit(1.0 / n_nodes).alias("r"))
+    for it in range(n_iter):
+        with_deg = ranks.join(deg, "node")
+        contrib = (
+            e.join(
+                with_deg.filter(F.col("out_deg") > 0).select(
+                    F.col("node").alias("src"),
+                    (F.col("r") / F.col("out_deg")).alias("__share"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("__share").alias("__contrib"))
+        )
+        dangling = with_deg.filter(F.col("out_deg") == 0).agg(
+            F.coalesce(F.sum("r"), F.lit(0.0)).alias("__dm")
+        )
+        ranks = (
+            deg.select("node")
+            .join(contrib, "node", "left")
+            .crossJoin(dangling)
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("__contrib", F.lit(0.0))
+                        + F.col("__dm") / F.lit(float(n_nodes))
+                    )
+                ).alias("r"),
+            )
+        )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            # cut lineage: materializes this iteration's ranks and
+            # frees the previous checkpoint to the ContextCleaner
+            ranks = ranks.localCheckpoint(eager=True)
+    out = ranks.select("node", F.col("r").alias("pagerank"))
+    deg.unpersist()
+    return out
