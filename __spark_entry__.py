@@ -4963,7 +4963,11 @@ def q_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    pr = pagerank(edges, damping=0.85, n_iter=5).select(
+    # driver_below: the registrable-domain graph is parameter-sized
+    # (|sources| x 3 nodes); the numpy twin runs the identical update
+    # rule (test_graph pins the paths equal to 1e-12) without the
+    # distributed loop's per-iteration scheduler fixed costs
+    pr = pagerank(edges, damping=0.85, n_iter=5, driver_below=100_000).select(
         F.col("node").alias("domain"), F.round("pagerank", 6).alias("domain_pr")
     )
 

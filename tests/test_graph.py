@@ -89,3 +89,34 @@ def test_pagerank_prepartition_same_result(spark):
     assert a.keys() == b.keys()
     for v in a:
         assert abs(a[v] - b[v]) < 1e-12
+
+
+def test_pagerank_driver_path_matches_distributed(spark):
+    """driver_below engages the numpy twin; its ranks must equal the
+    distributed loop's to float round-off — this equality is what
+    lets the oracle-checked registry row (web_curation.domain_pr,
+    driver path) vouch for the distributed operator too."""
+    rng = np.random.default_rng(9)
+    edges = sorted(
+        {
+            (int(a), int(b))
+            for a, b in rng.integers(0, 20, (80, 2))
+            if a != b and a != 19
+        }
+    )
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    dist = {r["node"]: r["pagerank"] for r in pagerank(df, 0.85, 5).collect()}
+    drv = {
+        r["node"]: r["pagerank"]
+        for r in pagerank(df, 0.85, 5, driver_below=1000).collect()
+    }
+    assert dist.keys() == drv.keys()
+    for v in dist:
+        assert abs(dist[v] - drv[v]) < 1e-12, (v, dist[v], drv[v])
+    # threshold respected: a graph larger than driver_below stays
+    # distributed (observable via the checkpointed lineage: the
+    # driver path returns a local-relation plan)
+    local_plan = pagerank(df, 0.85, 2, driver_below=1000)._jdf.queryExecution().analyzed().toString()
+    assert "LocalRelation" in local_plan or "LogicalRDD" in local_plan
+    dist_plan = pagerank(df, 0.85, 2, driver_below=2)._jdf.queryExecution().analyzed().toString()
+    assert "LocalRelation" not in dist_plan
