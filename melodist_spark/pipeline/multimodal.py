@@ -762,12 +762,14 @@ def encode_gif_frames(
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """Decode PCM WAV to (samples ndarray of shape (n, channels),
-    sample_rate). 16-bit and 8-bit PCM; compressed formats raise."""
+    """Decode WAV to (samples ndarray of shape (n, channels),
+    sample_rate). 16-bit and 8-bit PCM, G.711 mu-law/A-law, and IMA
+    ADPCM (format 0x0011 — the 4-bit DVI/IMA codec of telephony and
+    game audio; round 7); other compressed formats raise."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     i, n = 12, len(payload)
-    fmt = data = None
+    fmt = data = fact = None
     while i + 8 <= n:
         cid = payload[i : i + 4]
         size = int.from_bytes(payload[i + 4 : i + 8], "little")
@@ -776,18 +778,31 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             fmt = body
         elif cid == b"data":
             data = body
+        elif cid == b"fact":
+            fact = body
         i += 8 + size + (size & 1)  # chunks pad to even offsets
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format = int.from_bytes(fmt[0:2], "little")
     channels = int.from_bytes(fmt[2:4], "little")
     rate = int.from_bytes(fmt[4:8], "little")
+    block_align = int.from_bytes(fmt[12:14], "little")
     bits = int.from_bytes(fmt[14:16], "little")
     if audio_format in (6, 7):  # ITU-T G.711 A-law / mu-law telephony
         u = np.frombuffer(data, dtype=np.uint8)
         samples = (_alaw_decode(u) if audio_format == 6 else _ulaw_decode(u)) / 32768.0
+    elif audio_format == 0x11:  # IMA/DVI ADPCM
+        n_samples = (
+            int.from_bytes(fact[0:4], "little") if fact is not None else None
+        )
+        pcm = _ima_adpcm_decode(data, channels, block_align)
+        if n_samples is not None:
+            pcm = pcm[: n_samples * channels]
+        return (pcm.astype(np.float64) / 32768.0).reshape(-1, channels), rate
     elif audio_format != 1:
-        raise ValueError(f"only PCM/G.711 WAV supported (format={audio_format})")
+        raise ValueError(
+            f"only PCM/G.711/IMA-ADPCM WAV supported (format={audio_format})"
+        )
     elif bits == 16:
         samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
     elif bits == 8:
@@ -795,6 +810,175 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     else:
         raise ValueError(f"unsupported PCM width: {bits}")
     return samples.reshape(-1, channels), rate
+
+
+# IMA/DVI ADPCM (the IMA Digital Audio compatibility standard, as
+# carried in WAV format tag 0x0011): 4-bit differential coding with
+# an 89-entry step table and a 3-bit magnitude + sign nibble.
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+], dtype=np.int64)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _ima_step(pred, idx, nib):
+    """One IMA ADPCM update, vectorized over a batch of independent
+    streams: (pred, idx, nibble) -> (new_pred, new_idx, diff applied).
+    The reconstruction diff is step/8 + step/4*b0 + step/2*b1 +
+    step*b2 (integer shifts), negated when the sign bit (8) is set."""
+    step = _IMA_STEPS[idx]
+    diff = (
+        (step >> 3)
+        + np.where(nib & 1, step >> 2, 0)
+        + np.where(nib & 2, step >> 1, 0)
+        + np.where(nib & 4, step, 0)
+    )
+    pred = np.clip(
+        pred + np.where(nib & 8, -diff, diff), -32768, 32767
+    )
+    idx = np.clip(idx + _IMA_INDEX[nib & 7], 0, 88)
+    return pred, idx
+
+
+def _ima_adpcm_decode(
+    data: bytes, channels: int, block_align: int
+) -> np.ndarray:
+    """IMA ADPCM 'data' chunk -> interleaved int16 samples (flat).
+
+    Blocks are independent (each starts with a 4-byte per-channel
+    header carrying the int16 predictor — which IS the block's first
+    output sample — and the step index), so the sequential nibble
+    recursion vectorizes ACROSS blocks: the python loop runs
+    samples-per-block times regardless of how many blocks (hence how
+    many seconds of audio) the payload holds. Stereo interleaves
+    4-byte (8-nibble) channel groups after the headers.
+    """
+    if channels not in (1, 2):
+        raise ValueError(f"IMA ADPCM supports 1-2 channels, got {channels}")
+    if block_align < 4 * channels or block_align % (4 * channels):
+        raise ValueError(f"bad IMA ADPCM block align {block_align}")
+    n_blocks = len(data) // block_align
+    if n_blocks == 0:
+        return np.zeros(0, dtype=np.int64)
+    raw = np.frombuffer(
+        data[: n_blocks * block_align], dtype=np.uint8
+    ).reshape(n_blocks, block_align)
+
+    spb = (block_align - 4 * channels) * 2 // channels + 1  # per channel
+    out = np.empty((n_blocks, spb, channels), dtype=np.int64)
+    for c in range(channels):
+        hdr = raw[:, c * 4 : c * 4 + 4].astype(np.int64)
+        pred = (hdr[:, 0] | (hdr[:, 1] << 8)).astype(np.int64)
+        pred = np.where(pred >= 32768, pred - 65536, pred)  # int16
+        idx = np.clip(hdr[:, 2], 0, 88)
+        out[:, 0, c] = pred
+        body = raw[:, 4 * channels :]
+        if channels == 1:
+            ch_bytes = body
+        else:
+            # groups of 4 bytes alternate channels: words 0,2,4.. are
+            # ch0; 1,3,5.. are ch1
+            ch_bytes = body.reshape(n_blocks, -1, 2, 4)[:, :, c, :].reshape(
+                n_blocks, -1
+            )
+        nibbles = np.empty((n_blocks, ch_bytes.shape[1] * 2), dtype=np.int64)
+        nibbles[:, 0::2] = ch_bytes & 0x0F  # low nibble first
+        nibbles[:, 1::2] = ch_bytes >> 4
+        for s in range(1, spb):
+            pred, idx = _ima_step(pred, idx, nibbles[:, s - 1])
+            out[:, s, c] = pred
+    return out.reshape(-1)
+
+
+def encode_wav_adpcm(
+    samples: np.ndarray, rate: int, block_align: int = 1024
+) -> bytes:
+    """IMA ADPCM WAV writer — the round-trip partner of the 0x0011
+    decode branch. ``samples`` is float in [-1, 1), shape (n,) or
+    (n, channels); the greedy nibble chooser is the reference IMA
+    quantizer (successive step/2^i subtraction), vectorized across
+    blocks like the decoder. Trailing samples short of a block are
+    padded by repetition and trimmed on read via the 'fact' chunk."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n, channels = x.shape
+    if channels not in (1, 2):
+        raise ValueError(f"IMA ADPCM supports 1-2 channels, got {channels}")
+    if block_align < 4 * channels or block_align % (4 * channels):
+        raise ValueError(f"bad IMA ADPCM block align {block_align}")
+    pcm = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int64)
+    spb = (block_align - 4 * channels) * 2 // channels + 1
+    n_blocks = -(-n // spb)
+    pad = n_blocks * spb - n
+    if pad:
+        pcm = np.vstack([pcm, np.repeat(pcm[-1:], pad, axis=0)])
+    blocks = pcm.reshape(n_blocks, spb, channels)
+
+    out_blocks = np.zeros((n_blocks, block_align), dtype=np.uint8)
+    body = out_blocks[:, 4 * channels :]
+    grouped = body.reshape(n_blocks, -1, channels, 4)  # view into out_blocks
+    for c in range(channels):
+        pred = blocks[:, 0, c]
+        # per-block initial step index from the block's median
+        # per-sample delta: blocks stay independent (the whole encode
+        # vectorizes across them) yet avoid the slope-overload of a
+        # cold idx=0 start — without this a loud 440 Hz tone needs
+        # ~15 samples of index ramp at every block boundary
+        d_med = np.median(
+            np.abs(np.diff(blocks[:, :, c], axis=1)), axis=1
+        ).astype(np.int64)
+        idx = np.clip(np.searchsorted(_IMA_STEPS, d_med), 0, 88)
+        out_blocks[:, c * 4] = pred & 0xFF
+        out_blocks[:, c * 4 + 1] = (pred >> 8) & 0xFF
+        out_blocks[:, c * 4 + 2] = idx
+        nibs = np.empty((n_blocks, spb - 1), dtype=np.int64)
+        for s in range(1, spb):
+            step = _IMA_STEPS[idx]
+            delta = blocks[:, s, c] - pred
+            sign = delta < 0
+            diff = np.abs(delta)
+            b = np.where(sign, 8, 0)
+            ge = diff >= step
+            b = b | np.where(ge, 4, 0)
+            diff = diff - np.where(ge, step, 0)
+            h = step >> 1
+            ge = diff >= h
+            b = b | np.where(ge, 2, 0)
+            diff = diff - np.where(ge, h, 0)
+            q = step >> 2
+            b = b | np.where(diff >= q, 1, 0)
+            nibs[:, s - 1] = b
+            pred, idx = _ima_step(pred, idx, b)
+        packed = (nibs[:, 0::2] | (nibs[:, 1::2] << 4)).astype(np.uint8)
+        grouped[:, :, c, :] = packed.reshape(n_blocks, -1, 4)
+
+    data = out_blocks.tobytes()
+    fmt = (
+        (0x11).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * block_align // spb).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + (4).to_bytes(2, "little")
+        + (2).to_bytes(2, "little")
+        + spb.to_bytes(2, "little")
+    )
+    fact = n.to_bytes(4, "little")
+
+    def chunk(cid, body):
+        p = b"\x00" if len(body) & 1 else b""
+        return cid + len(body).to_bytes(4, "little") + body + p
+
+    riff = b"WAVE" + chunk(b"fmt ", fmt) + chunk(b"fact", fact) + chunk(b"data", data)
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff
 
 
 def _ulaw_decode(u: np.ndarray) -> np.ndarray:

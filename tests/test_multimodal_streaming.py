@@ -1392,3 +1392,102 @@ def test_sample_frames_real_avi(spark):
     bad = got[got["media_id"] == 2]
     assert len(bad) == 1 and bad["err"].notna().all()
     assert bad["codec"].iloc[0] == "avi"
+
+
+def test_wav_ima_adpcm_roundtrip_and_spec_vector():
+    """IMA/DVI ADPCM WAV (format 0x0011, round 7): a hand-walked spec
+    vector pins the nibble reconstruction and table updates
+    independently of the encoder; mono + stereo round-trips stay
+    within 4-bit-ADPCM error; the fact chunk trims encoder padding."""
+    from melodist_spark.pipeline.multimodal import (
+        _IMA_INDEX,
+        _IMA_STEPS,
+        decode_wav,
+        encode_wav_adpcm,
+    )
+
+    # spec table anchors (IMA ADPCM reference tables)
+    assert _IMA_STEPS[0] == 7 and _IMA_STEPS[88] == 32767
+    assert len(_IMA_STEPS) == 89
+    assert _IMA_INDEX.tolist() == [-1, -1, -1, -1, 2, 4, 6, 8]
+
+    # hand-walked vector: pred=0, idx=0 (step 7), nibbles 3,8,15,4:
+    #  n=3:  diff = 0+1+3      = 4  -> pred 4;   idx -1 -> 0 (clamp)
+    #  n=8:  diff = 0 (sign)        -> pred 4;   idx -1 -> 0
+    #  n=15: diff = 0+1+3+7    = 11 -> pred -7;  idx +8 -> 8 (step 16)
+    #  n=4:  diff = 2+16       = 18 -> pred 11;  idx +2 -> 10
+    raw_block = bytes([0, 0, 0, 0, 0x83, 0x4F, 0x00, 0x00])
+    fmt = (
+        (0x11).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (4000).to_bytes(4, "little")
+        + (8).to_bytes(2, "little") + (4).to_bytes(2, "little")
+    )
+
+    def chunk(cid, body):
+        return (
+            cid + len(body).to_bytes(4, "little") + body
+            + (b"\x00" if len(body) & 1 else b"")
+        )
+
+    payload = (
+        b"WAVE" + chunk(b"fmt ", fmt)
+        + chunk(b"fact", (5).to_bytes(4, "little"))
+        + chunk(b"data", raw_block)
+    )
+    wav = b"RIFF" + len(payload).to_bytes(4, "little") + payload
+    dec, rate = decode_wav(wav)
+    assert rate == 8000
+    assert (dec[:, 0] * 32768).round().astype(int).tolist() == [0, 4, 4, -7, 11]
+
+    # round-trips: 4-bit differential coding of a loud sine stays
+    # within a few percent of full scale, at ~3.9x compression
+    t = np.arange(8000) / 8000.0
+    x = 0.6 * np.sin(2 * np.pi * 440 * t)
+    enc = encode_wav_adpcm(x, 8000, block_align=256)
+    got, r = decode_wav(enc)
+    assert r == 8000 and got.shape == (8000, 1)  # fact trims padding
+    assert np.abs(got[:, 0] - x).max() < 0.05
+    assert len(enc) < len(x) * 2 / 3.5
+
+    y = np.stack([x, 0.3 * np.cos(2 * np.pi * 220 * t)], axis=1)
+    got2, _ = decode_wav(encode_wav_adpcm(y, 16000, block_align=512))
+    assert got2.shape == (8000, 2)
+    assert np.abs(got2 - y).max() < 0.05
+
+    with pytest.raises(ValueError):
+        encode_wav_adpcm(x, 8000, block_align=6)  # not 4-aligned
+    with pytest.raises(ValueError):
+        encode_wav_adpcm(np.zeros((10, 3)), 8000)  # >2 channels
+
+
+def test_audio_fingerprint_invariant_across_adpcm():
+    """The RMS-envelope fingerprint of a signal must survive an IMA-
+    ADPCM re-encode nearly unchanged (small Hamming distance) — the
+    codec invariance that lets perceptual audio dedup catch 4-bit
+    re-encoded duplicates of a PCM original."""
+    from melodist_spark.pipeline.multimodal import (
+        audio_fingerprint64,
+        encode_wav_adpcm,
+    )
+
+    t = np.arange(16000) / 8000.0
+    x = 0.5 * np.sin(2 * np.pi * 330 * t) * np.sin(2 * np.pi * 1.5 * t)
+    pcm = np.clip(np.round(x * 32768), -32768, 32767).astype("<i2")
+    fmt = (
+        (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    body = pcm.tobytes()
+    wav_pcm = (
+        b"RIFF" + (4 + 8 + len(fmt) + 8 + len(body)).to_bytes(4, "little")
+        + b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(body).to_bytes(4, "little") + body
+    )
+    wav_adpcm = encode_wav_adpcm(x, 8000, block_align=256)
+
+    fp_pcm = audio_fingerprint64(wav_pcm)
+    fp_adpcm = audio_fingerprint64(wav_adpcm)
+    assert fp_pcm is not None and fp_adpcm is not None
+    dist = bin((fp_pcm ^ fp_adpcm) & ((1 << 64) - 1)).count("1")
+    assert dist <= 6, dist  # well under the dedup join's band radius
