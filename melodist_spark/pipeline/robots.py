@@ -1,0 +1,209 @@
+"""robots.txt compliance (RFC 9309, the Robots Exclusion Protocol)
+for crawl-corpus curation: which archived URLs were crawlable, as a
+relational operator.
+
+A crawl-data pipeline needs this twice: respecting publisher intent
+when building corpora (filter rows whose URL was disallowed for the
+crawler that fetched them), and auditing an existing crawl. The
+protocol itself is tiny but precedence-laden — RFC 9309 §2.2:
+the group is chosen by the MOST SPECIFIC matching user-agent line
+(longest agent token match, ``*`` as fallback); within the group the
+rule with the LONGEST matched pattern wins, and on a tie ALLOW wins.
+``*`` matches any octet sequence inside patterns; ``$`` anchors the
+end; empty ``Disallow:`` means allow-all.
+
+Scale shape: robots bodies are per-domain (one small text per host —
+the reference set side), parsed once into a ``(key, pattern, allow,
+specificity)`` rule table by an Arrow-batched kernel; URL evaluation
+is then a broadcast join domain→rules plus a regex match and a
+``max_by`` over (specificity, allow) per URL — all JVM-side, no
+Python in the per-URL path, no shuffle of the URL side beyond the
+per-URL aggregation, which is map-side combinable. A crawl's robots
+table is ~10^8 rows of a few KB; its RULES table is smaller still
+and hash-partitions or broadcasts cleanly.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = ["parse_robots_text", "parse_robots", "apply_robots"]
+
+
+def parse_robots_text(text: str, agent: str = "*") -> list[tuple[str, bool, int]]:
+    """Parse one robots.txt body into the rule list for ``agent``:
+    ``[(path_pattern, allow, specificity), ...]``.
+
+    Group selection per RFC 9309 §2.2.1: collect every group whose
+    ``User-agent`` line matches ``agent`` (case-insensitive token
+    prefix match); if any non-``*`` group matches, the longest agent
+    match wins and ``*`` groups are ignored; otherwise the ``*``
+    groups apply. Multiple groups for the same chosen agent merge.
+    Specificity is the pattern's length in octets (the longest-match
+    tiebreak key used by the reference implementations).
+    """
+    agent = agent.lower()
+    groups: list[tuple[str, list[tuple[str, bool]]]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[str, bool]] = []
+    in_group_body = False
+
+    def flush():
+        nonlocal cur_agents, cur_rules, in_group_body
+        if cur_agents:
+            for a in cur_agents:
+                groups.append((a, cur_rules))
+        cur_agents, cur_rules, in_group_body = [], [], False
+
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if in_group_body:
+                flush()
+            cur_agents.append(value.lower())
+        elif field in ("allow", "disallow"):
+            in_group_body = True
+            if field == "disallow" and value == "":
+                continue  # empty Disallow = allow everything (no rule)
+            if value:
+                cur_rules.append((value, field == "allow"))
+        elif field in ("sitemap", "crawl-delay"):
+            # non-group records; sitemap lines don't break a group
+            continue
+    flush()
+
+    # choose the most specific matching agent token
+    best_len = -1
+    star = []
+    chosen: list[tuple[str, bool]] = []
+    for a, rules in groups:
+        if a == "*":
+            star.extend(rules)
+        elif agent.startswith(a):
+            # the group's agent value must be a prefix of the
+            # crawler's product token ('googlebot' applies to
+            # googlebot-news, never the reverse); longest such
+            # value = most specific group
+            if len(a) > best_len:
+                best_len = len(a)
+                chosen = list(rules)
+            elif len(a) == best_len:
+                chosen.extend(rules)
+    if best_len < 0:
+        chosen = star
+    return [(p, allow, len(p)) for p, allow in chosen]
+
+
+def _pattern_to_regex(pattern: str) -> str:
+    """RFC 9309 path pattern -> anchored regex: ``*`` is any octet
+    run, a trailing ``$`` anchors the end, everything else literal."""
+    anchor_end = pattern.endswith("$")
+    if anchor_end:
+        pattern = pattern[:-1]
+    parts = [re.escape(p) for p in pattern.split("*")]
+    return "^" + ".*".join(parts) + ("$" if anchor_end else "")
+
+
+def parse_robots(
+    df: DataFrame,
+    text_col: str = "robots_txt",
+    key_col: str = "domain",
+    agent: str = "*",
+) -> DataFrame:
+    """robots bodies -> rule table ``(key, pattern (regex), allow,
+    specificity)``; one Arrow-batched pass, no shuffle."""
+    schema = StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField("pattern", StringType()),
+            StructField("allow", BooleanType()),
+            StructField("specificity", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for key, txt in zip(pdf[key_col], pdf[text_col]):
+                if txt is None:
+                    continue
+                for pat, allow, spec in parse_robots_text(str(txt), agent):
+                    rows.append((key, _pattern_to_regex(pat), allow, spec))
+            yield pd.DataFrame(
+                rows, columns=[key_col, "pattern", "allow", "specificity"]
+            )
+
+    return df.select(key_col, text_col).mapInPandas(run, schema=schema)
+
+
+def apply_robots(
+    urls: DataFrame,
+    rules: DataFrame,
+    path_col: str = "path",
+    key_col: str = "domain",
+    out_col: str = "crawlable",
+    broadcast_rules: bool = True,
+) -> DataFrame:
+    """Evaluate RFC 9309 precedence for every URL row: longest
+    matching pattern wins, allow wins ties, no matching rule (or no
+    robots at all) means crawlable.
+
+    Relational shape: left join rules on the domain key, keep rows
+    whose pattern matches the path, take ``max_by`` over the
+    (specificity, allow) precedence pair per input row — Catalyst
+    keeps the regex match and the precedence struct comparison
+    JVM-side. Row identity is preserved via an input ordinal, so
+    duplicate (domain, path) pairs stay distinct rows.
+    """
+    marked = urls.withColumn("__rid", F.monotonically_increasing_id())
+    r = rules.select(
+        F.col(key_col).alias("__rk"),
+        F.col("pattern").alias("__pat"),
+        F.col("allow").alias("__allow"),
+        F.col("specificity").alias("__spec"),
+    )
+    if broadcast_rules:
+        r = F.broadcast(r)
+    joined = marked.join(
+        r, marked[key_col] == F.col("__rk"), "left"
+    ).withColumn(
+        "__hit",
+        F.col("__pat").isNotNull() & F.expr(f"{path_col} rlike __pat"),
+    )
+    verdict = (
+        joined.groupBy("__rid")
+        .agg(
+            F.max_by(
+                "__allow",
+                F.when(
+                    F.col("__hit"),
+                    F.struct(
+                        F.col("__spec").alias("s"),
+                        F.col("__allow").cast("int").alias("a"),
+                    ),
+                ),
+            ).alias("__best")
+        )
+        .select("__rid", F.coalesce("__best", F.lit(True)).alias(out_col))
+    )
+    return (
+        marked.join(verdict, "__rid")
+        .drop("__rid")
+    )
