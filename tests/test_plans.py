@@ -132,16 +132,22 @@ def qs():
             # scan (n_chars must not be read); the ONLY exchange is
             # the per-domain rank's hash partition — no Python
             # evaluation, no join
+            # round 7: domain_pr joined the frame, so the contract
+            # allows BROADCAST joins (the rank table is
+            # parameter-sized) but still forbids any shuffle-side
+            # join, Python eval, or explode on the corpus scan
             "web_curation",
             [
                 r"ReadSchema: struct<doc_id:bigint,text:string,lang:string,source:string>",
                 r"\(\d+\) Window",
+                r"BroadcastHashJoin",
             ],
             [
                 r"BatchEvalPython",
                 r"ArrowEvalPython",
                 r"MapInPandas",
-                r"Join",
+                r"SortMergeJoin",
+                r"ShuffledHashJoin",
                 r"CartesianProduct",
                 r"Generate",
             ],
