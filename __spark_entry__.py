@@ -4751,7 +4751,15 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefilter, exact verify on surviving grams only). Bloom filters
     have no false negatives and the verify join strikes every false
     positive, so the 'bloom' half must be BIT-IDENTICAL to 'exact' —
-    which is precisely what the shared oracle hash-checks."""
+    which is precisely what the shared oracle hash-checks.
+
+    The filter is sized by CAPACITY (``n_bench_grams=1<<17``), not by
+    pre-counting the benchmark's distinct grams — the standard
+    production sizing (you provision a Bloom filter for the eval
+    suite's capacity; counting first costs an extra full action and
+    the output is identical for any m/k, only the prefilter's FP
+    trickle changes). 2^17 covers the gram count at every tested SF
+    with the word table still ~150 KB — broadcast noise."""
     from melodist_spark.pipeline.bloom import decontaminate_bloom
     from melodist_spark.pipeline.decontamination import decontaminate
 
@@ -4772,7 +4780,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shaped("exact", decontaminate(train, bench, ngram=5, threshold=1)).unionByName(
         shaped(
             "bloom",
-            decontaminate_bloom(train, bench, ngram=5, threshold=1, fpr=0.01),
+            decontaminate_bloom(
+                train, bench, ngram=5, threshold=1, fpr=0.01, n_bench_grams=1 << 17
+            ),
         )
     )
 

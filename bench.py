@@ -185,7 +185,35 @@ def main():
                         "watermark agg, not the source write — "
                         "rounds <=5 included a per-run source write "
                         "in this query's number"
-                    )
+                    ),
+                    "decontaminate": (
+                        "round 7: row is now an exact+bloom "
+                        "method-tagged union, both halves "
+                        "hash-checked — expect ~2-4x the round-6 "
+                        "number by construction, not regression "
+                        "(the bloom half deliberately scans corpus "
+                        "grams twice so the count agg sees only the "
+                        "matching-gram trickle — the shape that "
+                        "wins at scale, paid for in sf0.1 wall; "
+                        "filter sized by capacity, no pre-count "
+                        "action)"
+                    ),
+                    "web_curation": (
+                        "round 7: +domain_pr (PageRank over the "
+                        "domain graph, edges derived + 5 iterations "
+                        "via the driver numpy twin) — added work vs "
+                        "round 6's row"
+                    ),
+                    "gap_analysis": (
+                        "round 7: +n_sessions/max_session_rows "
+                        "(sessionize window + two aggs) vs round 6"
+                    ),
+                    "minhash_pairs": (
+                        "round 7: +incremental-ingest half "
+                        "(neardup_against a stored signature "
+                        "index, hash-checked in the same row) — "
+                        "added work vs round 6's pairs-only row"
+                    ),
                 },
             }
         )
