@@ -14,13 +14,15 @@ end; empty ``Disallow:`` means allow-all.
 
 Scale shape: robots bodies are per-domain (one small text per host —
 the reference set side), parsed once into a ``(key, pattern, allow,
-specificity)`` rule table by an Arrow-batched kernel; URL evaluation
-is then a broadcast join domain→rules plus a regex match and a
-``max_by`` over (specificity, allow) per URL — all JVM-side, no
-Python in the per-URL path, no shuffle of the URL side beyond the
-per-URL aggregation, which is map-side combinable. A crawl's robots
-table is ~10^8 rows of a few KB; its RULES table is smaller still
-and hash-partitions or broadcasts cleanly.
+specificity)`` rule table by an Arrow-batched kernel, then packed to
+ONE array-of-structs row per domain; URL evaluation is a single
+broadcast left join plus a pure-codegen higher-order fold
+(``filter`` by ``regexp_like``, ``aggregate`` with the RFC
+precedence comparison) — all JVM-side, no Python in the per-URL
+path, ZERO shuffle and zero row-multiplication on the URL side. A
+crawl's robots table is ~10^8 rows of a few KB; its packed RULES
+table is one row per domain and hash-partitions or broadcasts
+cleanly.
 """
 
 from __future__ import annotations
@@ -127,12 +129,23 @@ def parse_robots(
     key_col: str = "domain",
     agent: str = "*",
 ) -> DataFrame:
-    """robots bodies -> rule table ``(key, pattern (regex), allow,
-    specificity)``; one Arrow-batched pass, no shuffle."""
+    """robots bodies -> rule table ``(key, pattern (regex), prefix,
+    allow, specificity)``; one Arrow-batched pass, no shuffle.
+
+    ``prefix`` is the raw path pattern when it is a pure prefix (no
+    ``*``, no trailing ``$``) — the overwhelmingly common shape in
+    real robots files — and null otherwise. ``apply_robots`` matches
+    prefix rules with codegen ``startswith`` (a memcmp) instead of
+    ``regexp_like``: measured at parity on short synthetic paths (the
+    JVM caches the last-compiled pattern), but the memcmp bounds
+    per-rule cost by the prefix length regardless of pattern
+    complexity or path length, where a regex engine's does grow with
+    both (tools/robots_scale_smoke.py)."""
     schema = StructType(
         [
             StructField(key_col, StringType()),
             StructField("pattern", StringType()),
+            StructField("prefix", StringType()),
             StructField("allow", BooleanType()),
             StructField("specificity", LongType()),
         ]
@@ -145,9 +158,11 @@ def parse_robots(
                 if txt is None:
                     continue
                 for pat, allow, spec in parse_robots_text(str(txt), agent):
-                    rows.append((key, _pattern_to_regex(pat), allow, spec))
+                    prefix = pat if "*" not in pat and not pat.endswith("$") else None
+                    rows.append((key, _pattern_to_regex(pat), prefix, allow, spec))
             yield pd.DataFrame(
-                rows, columns=[key_col, "pattern", "allow", "specificity"]
+                rows,
+                columns=[key_col, "pattern", "prefix", "allow", "specificity"],
             )
 
     return df.select(key_col, text_col).mapInPandas(run, schema=schema)
@@ -165,45 +180,53 @@ def apply_robots(
     matching pattern wins, allow wins ties, no matching rule (or no
     robots at all) means crawlable.
 
-    Relational shape: left join rules on the domain key, keep rows
-    whose pattern matches the path, take ``max_by`` over the
-    (specificity, allow) precedence pair per input row — Catalyst
-    keeps the regex match and the precedence struct comparison
-    JVM-side. Row identity is preserved via an input ordinal, so
-    duplicate (domain, path) pairs stay distinct rows.
+    Relational shape (round 7 rework): the per-domain rule lists are
+    packed into ONE array-of-structs row per domain (a groupBy over
+    the SMALL side only), so URL evaluation is a single broadcast
+    left join plus a pure-codegen higher-order fold — ``filter`` the
+    array by ``regexp_like(path, pattern)``, ``aggregate`` the
+    survivors with the RFC precedence comparison (longest pattern
+    wins, allow wins ties). The URL side never shuffles, never
+    row-multiplies, and needs no row ordinal; the previous shape
+    (rule-level join + groupBy(row_id) + rejoin) shuffled the 100 TB
+    side twice to compute the same verdict. Rows with no rules (or no
+    robots.txt at all) fall out of the left join as null arrays →
+    crawlable.
     """
-    marked = urls.withColumn("__rid", F.monotonically_increasing_id())
-    r = rules.select(
-        F.col(key_col).alias("__rk"),
-        F.col("pattern").alias("__pat"),
-        F.col("allow").alias("__allow"),
-        F.col("specificity").alias("__spec"),
-    )
+    if "prefix" not in rules.columns:
+        # hand-built regex-only rule tables stay valid
+        rules = rules.withColumn("prefix", F.lit(None).cast("string"))
+    packed = rules.groupBy(key_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("pattern"),
+                F.col("prefix"),
+                F.col("allow"),
+                F.col("specificity").cast("long").alias("specificity"),
+            )
+        ).alias("__rules")
+    ).select(F.col(key_col).alias("__rk"), "__rules")
     if broadcast_rules:
-        r = F.broadcast(r)
-    joined = marked.join(
-        r, marked[key_col] == F.col("__rk"), "left"
-    ).withColumn(
-        "__hit",
-        F.col("__pat").isNotNull() & F.expr(f"{path_col} rlike __pat"),
-    )
-    verdict = (
-        joined.groupBy("__rid")
-        .agg(
-            F.max_by(
-                "__allow",
-                F.when(
-                    F.col("__hit"),
-                    F.struct(
-                        F.col("__spec").alias("s"),
-                        F.col("__allow").cast("int").alias("a"),
-                    ),
-                ),
-            ).alias("__best")
+        packed = F.broadcast(packed)
+    best = F.expr(
+        f"""
+        aggregate(
+          filter(__rules, r -> case
+            when r.prefix is not null then startswith({path_col}, r.prefix)
+            else regexp_like({path_col}, r.pattern) end),
+          cast(null as struct<s: bigint, a: boolean>),
+          (acc, r) -> case
+            when acc is null
+              or r.specificity > acc.s
+              or (r.specificity = acc.s and r.allow and not acc.a)
+            then named_struct('s', r.specificity, 'a', r.allow)
+            else acc
+          end
         )
-        .select("__rid", F.coalesce("__best", F.lit(True)).alias(out_col))
+        """
     )
     return (
-        marked.join(verdict, "__rid")
-        .drop("__rid")
+        urls.join(packed, urls[key_col] == F.col("__rk"), "left")
+        .withColumn(out_col, F.coalesce(best["a"], F.lit(True)))
+        .drop("__rk", "__rules")
     )

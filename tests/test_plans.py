@@ -369,3 +369,29 @@ def test_plan_contract_read_warc_no_shuffle(spark, tmp_path):
     assert re.search(r"MapInPandas", plan)
     for pat in (r"Exchange", r"Join", r"CartesianProduct"):
         assert not re.search(pat, plan), f"found forbidden /{pat}/"
+
+
+def test_plan_contract_apply_robots_zero_url_shuffle(spark):
+    """URL-side robots evaluation is a single broadcast join + codegen
+    fold: the only Exchanges allowed are on the RULES side (the
+    per-domain packing shuffle + its broadcast). The URL side must not
+    shuffle, aggregate, or row-multiply — the round-6 shape (rule-level
+    join + groupBy(row_id) + rejoin) shuffled the corpus side twice."""
+    from melodist_spark.pipeline.robots import apply_robots
+
+    urls = spark.createDataFrame(
+        [("a.com", "/x"), ("b.com", "/y")], "domain string, path string"
+    )
+    rules = spark.createDataFrame(
+        [("a.com", "^/x", False, 2)],
+        "domain string, pattern string, allow boolean, specificity long",
+    )
+    plan = _plan(apply_robots(urls, rules))
+    assert re.search(r"BroadcastHashJoin", plan)
+    # exactly the two rules-side exchanges: hashpartitioning(domain)
+    # for the packing agg, then the broadcast of the packed table
+    # (formatted explain prints each node twice: tree + detail)
+    assert len(re.findall(r"\bExchange\b", plan)) <= 2, plan
+    assert len(re.findall(r"BroadcastExchange", plan)) == 2, plan
+    for pat in (r"SortMergeJoin", r"CartesianProduct", r"monotonically"):
+        assert not re.search(pat, plan), f"found forbidden /{pat}/"
