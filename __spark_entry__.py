@@ -1290,7 +1290,8 @@ def oracle_sql() -> dict[str, str]:
                            regexp_replace(text, '<[^>]+>', ' ', 'g'),
                            'https?://\\S+', ' ', 'g'),
                          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', ' ', 'g'),
-                       '\\s+', ' ', 'g')) AS clean
+                       '\\s+', ' ', 'g')) AS clean,
+                     {_fixed_sql()} AS fx
               FROM documents
             ),
             t AS (
@@ -1327,6 +1328,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c.n_ipv4 AS BIGINT) AS n_ipv4,
                    CAST(length(c.clean) AS BIGINT) AS clean_len,
                    md5(c.clean) AS clean_md5,
+                   CAST(length(c.fx) AS BIGINT) AS fixed_len,
+                   md5(c.fx) AS fixed_md5,
                    CAST(f.n_tokens AS BIGINT) AS n_tokens,
                    ok_length, ok_word_len, ok_stopwords, ok_punct,
                    ok_length AND ok_word_len AND ok_stopwords AND ok_punct AS keep
@@ -4848,6 +4851,43 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: deterministic mojibake suffix for the text_curation fix_text
+#: differential: cp1252 smart quote / double quotes (incl. the
+#: C1-control 0x9D right-quote), em dash, Ã-accent, a zero-width
+#: space, Â-guillemets, and a C0 control — one of every repair class.
+_MOJI_SNIPPET = (
+    " itâ€™s â€œcafÃ©â€"
+    " â€” naÃ¯ ve​Â«qÂ»"
+)
+
+
+def _sql_str(s: str) -> str:
+    """A DuckDB string expression for ``s`` with control/zero-width
+    characters riding chr() so the SQL text stays printable."""
+    parts: list[str] = []
+    buf = ""
+    for ch in s:
+        o = ord(ch)
+        if o < 0x20 or 0x7F <= o < 0xA0 or o in (0x200B, 0x200C, 0x200D, 0xFEFF):
+            if buf:
+                parts.append("'" + buf.replace("'", "''") + "'")
+                buf = ""
+            parts.append(f"chr({o})")
+        else:
+            buf += ch
+    if buf:
+        parts.append("'" + buf.replace("'", "''") + "'")
+    return "||".join(parts) if parts else "''"
+
+
+def _fixed_sql() -> str:
+    """DuckDB expression replaying fix_text over the mojibake'd text
+    — generated from the same repair tables as the Spark side."""
+    from melodist_spark.pipeline.text import fix_text_sql
+
+    return fix_text_sql("(text || " + _sql_str(_MOJI_SNIPPET) + ")")
+
+
 def q_text_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full single-scan curation audit (merges the former
     ``text_clean`` and ``quality_flags`` rows — in a production
@@ -4858,6 +4898,7 @@ def q_text_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is the only aggregation, map-side combinable)."""
     from melodist_spark.pipeline.text import (
         clean_text,
+        fix_text,
         pii_counts,
         quality_flags,
     )
@@ -4865,6 +4906,12 @@ def q_text_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     counts = pii_counts(F.col("text"))
     cleaned = clean_text(F.col("text"))
+    # round 7: ftfy-style encoding repair, hash-checked. The corpus is
+    # synthetic clean ASCII, so a deterministic mojibake'd suffix is
+    # appended first — every class the fixer handles (cp1252 smart
+    # quotes/dash, Ã-accents, zero-width, C1 + C0 controls, NBSP) —
+    # making fixed_md5 a real differential, not an identity check.
+    fixed = fix_text(F.concat(F.col("text"), F.lit(_MOJI_SNIPPET)))
     out = quality_flags(docs)
     return out.select(
         "doc_id",
@@ -4873,6 +4920,8 @@ def q_text_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["n_ipv4"].cast("long").alias("n_ipv4"),
         F.length(cleaned).cast("long").alias("clean_len"),
         F.md5(cleaned).alias("clean_md5"),
+        F.length(fixed).cast("long").alias("fixed_len"),
+        F.md5(fixed).alias("fixed_md5"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
         "ok_length",
         "ok_word_len",

@@ -362,6 +362,90 @@ def redact_pii(
     return F.regexp_replace(t, IPV4_RE, ip_token)
 
 
+def _sloppy_cp1252(ch: str) -> str:
+    """What ``ch`` becomes when its UTF-8 bytes are mis-decoded as
+    Windows-1252 with the five undefined bytes passed through as C1
+    controls — the "sloppy cp1252" convention every real-world
+    mojibake fixer uses (browsers and Windows editors never reject
+    those bytes, they pass them through)."""
+    out = []
+    for b in ch.encode("utf-8"):
+        if b < 0x80:
+            out.append(chr(b))
+        else:
+            try:
+                out.append(bytes([b]).decode("cp1252"))
+            except UnicodeDecodeError:
+                out.append(chr(b))
+    return "".join(out)
+
+
+#: characters whose UTF-8-read-as-cp1252 corruption we repair: the
+#: punctuation/symbol set where mojibake is overwhelmingly observed
+#: (smart quotes, dashes, ellipsis, bullet, currency/marks) plus the
+#: Latin-1 letter block. The (bad, good) table is DERIVED, not
+#: transcribed — so the Spark chain and the DuckDB oracle chain are
+#: generated from one source of truth. Longest sequences first so a
+#: 3-byte repair is never half-eaten by a 2-byte one.
+_MOJIBAKE_CHARS = (
+    "’‘“”„–—…•€™©®°«» "
+    "àáâãäåçèéêëìíîïñòóôõöøùúûüýÿ"
+    "ÀÁÂÃÄÅÇÈÉÊËÌÍÎÏÑÒÓÔÕÖØÙÚÛÜß"
+)
+MOJIBAKE_TABLE: list[tuple[str, str]] = sorted(
+    ((_sloppy_cp1252(c), c) for c in _MOJIBAKE_CHARS),
+    key=lambda e: -len(e[0]),
+)
+
+#: exotic spaces normalized to ASCII space (NBSP, ogham, en/em/thin
+#: spaces, narrow NBSP, math space, ideographic space)
+SPACE_CHARS = "  " + "".join(map(chr, range(0x2000, 0x200B))) + "  　"
+#: dropped outright: zero-widths + BOM, C0 controls except \t\n\r, DEL
+DROP_CHARS = "​‌‍﻿" + "".join(
+    chr(c) for c in range(0x20) if chr(c) not in "\t\n\r"
+) + "\x7f"
+
+
+def fix_text(text: Column) -> Column:
+    """ftfy-style encoding repair, entirely in codegen expressions:
+    un-mojibake the standard UTF-8-read-as-cp1252 corruptions
+    (``â€™`` → ``’``, ``Ã©`` → ``é``, …), normalize exotic Unicode
+    spaces to ASCII space, and drop zero-widths/BOM and C0 controls
+    (keeping tab/newline/CR) — the pass that runs BEFORE cleaning,
+    dedup, or tokenization in every serious curation pipeline (a
+    mojibake'd duplicate otherwise hashes differently from its clean
+    twin and sails through exact dedup).
+
+    Single-pass: doubly-mis-encoded text (two encode/decode round
+    trips) needs the recursive fixer — that is the documented
+    production seam, same tier as full-ftfy. NULL stays NULL."""
+    t = text
+    for bad, good in MOJIBAKE_TABLE:
+        t = F.replace(t, F.lit(bad), F.lit(good))
+    return F.translate(t, SPACE_CHARS + DROP_CHARS, " " * len(SPACE_CHARS))
+
+
+def fix_text_sql(expr: str) -> str:
+    """The identical repair as an ANSI-SQL expression over ``expr``
+    (DuckDB-ready), generated from the same tables as
+    :func:`fix_text` — the correctness oracle's side of the
+    differential. Control/zero-width characters ride ``chr()`` calls
+    so the SQL text itself stays printable."""
+    sql = expr
+    for bad, good in MOJIBAKE_TABLE:
+        b = "'" + bad.replace("'", "''") + "'"
+        g = "'" + good.replace("'", "''") + "'"
+        if any(ord(ch) >= 0x7F and ord(ch) < 0xA0 for ch in bad):
+            b = "||".join(
+                f"chr({ord(ch)})" if 0x7F <= ord(ch) < 0xA0 else "'" + ch.replace("'", "''") + "'"
+                for ch in bad
+            )
+        sql = f"replace({sql}, {b}, {g})"
+    frm = "||".join(f"chr({ord(c)})" for c in SPACE_CHARS + DROP_CHARS)
+    to = "'" + " " * len(SPACE_CHARS) + "'"
+    return f"translate({sql}, {frm}, {to})"
+
+
 def clean_text(text: Column) -> Column:
     """Boilerplate scrub: drop HTML-ish tags, URLs and emails, then
     collapse whitespace — the C4-style normalization pass before

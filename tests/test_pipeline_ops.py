@@ -1594,3 +1594,50 @@ def test_neardup_against_incremental_index(spark):
         .select("doc_id").collect()
     }
     assert ids_b == ids
+
+
+def test_fix_text_encoding_repair(spark):
+    """fix_text vs ground truth: mojibake is GENERATED by really
+    mis-decoding UTF-8 bytes as sloppy cp1252 (the independent
+    direction — the repair table never sees this code path), then the
+    repaired text must equal the original. Plus ASCII identity,
+    whitespace/control normalization, and idempotence."""
+    from melodist_spark.pipeline.text import (
+        DROP_CHARS,
+        SPACE_CHARS,
+        _MOJIBAKE_CHARS,
+        fix_text,
+    )
+
+    def corrupt(s: str) -> str:
+        out = []
+        for b in s.encode("utf-8"):
+            if b < 0x80:
+                out.append(chr(b))
+            else:
+                try:
+                    out.append(bytes([b]).decode("cp1252"))
+                except UnicodeDecodeError:
+                    out.append(chr(b))
+        return "".join(out)
+
+    originals = [
+        "it\u2019s a \u201cquoted\u201d caf\u00e9 \u2014 na\u00efve r\u00e9sum\u00e9\u2026",
+        "\u00ab50\u00b0\u00bb \u20ac9 \u2022 Gro\u00dfe STRA\u00dcE",
+        "every repairable char: " + _MOJIBAKE_CHARS.replace("\xa0", ""),
+    ]
+    cases = [(corrupt(s), s) for s in originals] + [
+        ("plain ascii, untouched.", "plain ascii, untouched."),
+        ("tab\tlf\ncr\r kept", "tab\tlf\ncr\r kept"),
+        ("a\u00a0b\u2003c\u3000d", "a b c d"),          # exotic spaces
+        ("x\u200by\ufeffz\x01\x7fw", "xyzw"),           # zero-width + control drops
+    ]
+    df = spark.createDataFrame([(m,) for m, _ in cases], ["t"])
+    got = [r[0] for r in df.select(fix_text(F.col("t"))).collect()]
+    for (moji, want), g in zip(cases, got):
+        assert g == want, (repr(moji), repr(g), repr(want))
+
+    # idempotence: repaired text passes through unchanged
+    df2 = spark.createDataFrame([(g,) for g in got], ["t"])
+    again = [r[0] for r in df2.select(fix_text(F.col("t"))).collect()]
+    assert again == got
