@@ -381,17 +381,22 @@ def _sloppy_cp1252(ch: str) -> str:
 
 
 #: characters whose UTF-8-read-as-cp1252 corruption we repair: the
-#: punctuation/symbol set where mojibake is overwhelmingly observed
-#: (smart quotes, dashes, ellipsis, bullet, currency/marks) plus the
-#: Latin-1 letter block. The (bad, good) table is DERIVED, not
-#: transcribed — so the Spark chain and the DuckDB oracle chain are
-#: generated from one source of truth. Longest sequences first so a
-#: 3-byte repair is never half-eaten by a 2-byte one.
-_MOJIBAKE_CHARS = (
-    "’‘“”„–—…•€™©®°«» "
-    "àáâãäåçèéêëìíîïñòóôõöøùúûüýÿ"
-    "ÀÁÂÃÄÅÇÈÉÊËÌÍÎÏÑÒÓÔÕÖØÙÚÛÜß"
-)
+#: ENTIRE sloppy-cp1252 image of bytes 0x80-0xFF (smart punctuation,
+#: currency/marks, the full Latin-1 block, and the five C1-control
+#: passthroughs) plus the BOM. Covering the whole image, not just the
+#: chars where mojibake is commonly noticed, is what makes the table
+#: CLOSED UNDER COMPOSITION: every character of a corrupted sequence
+#: is itself in the repair set, so k-times-double-encoded text
+#: repairs with ``passes=k``. The (bad, good) table is DERIVED, not
+#: transcribed, so the Spark chain and the DuckDB oracle chain come
+#: from one source of truth. Longest sequences first so a 3-byte
+#: repair is never half-eaten by a 2-byte one.
+_MOJIBAKE_CHARS = "".join(
+    bytes([b]).decode("cp1252")
+    if b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+    else chr(b)
+    for b in range(0x80, 0x100)
+) + "\ufeff"
 MOJIBAKE_TABLE: list[tuple[str, str]] = sorted(
     ((_sloppy_cp1252(c), c) for c in _MOJIBAKE_CHARS),
     key=lambda e: -len(e[0]),
@@ -400,13 +405,18 @@ MOJIBAKE_TABLE: list[tuple[str, str]] = sorted(
 #: exotic spaces normalized to ASCII space (NBSP, ogham, en/em/thin
 #: spaces, narrow NBSP, math space, ideographic space)
 SPACE_CHARS = "  " + "".join(map(chr, range(0x2000, 0x200B))) + "  　"
-#: dropped outright: zero-widths + BOM, C0 controls except \t\n\r, DEL
-DROP_CHARS = "​‌‍﻿" + "".join(
-    chr(c) for c in range(0x20) if chr(c) not in "\t\n\r"
-) + "\x7f"
+#: dropped outright: zero-widths + BOM, C0 controls except \t\n\r,
+#: DEL, the C1 block (bare mojibake residue is junk), soft hyphen
+DROP_CHARS = (
+    "\u200b\u200c\u200d\ufeff"
+    + "".join(chr(c) for c in range(0x20) if chr(c) not in "\t\n\r")
+    + "\x7f"
+    + "".join(map(chr, range(0x80, 0xA0)))
+    + "\xad"
+)
 
 
-def fix_text(text: Column) -> Column:
+def fix_text(text: Column, passes: int = 1) -> Column:
     """ftfy-style encoding repair, entirely in codegen expressions:
     un-mojibake the standard UTF-8-read-as-cp1252 corruptions
     (``â€™`` → ``’``, ``Ã©`` → ``é``, …), normalize exotic Unicode
@@ -416,34 +426,61 @@ def fix_text(text: Column) -> Column:
     mojibake'd duplicate otherwise hashes differently from its clean
     twin and sails through exact dedup).
 
-    Single-pass: doubly-mis-encoded text (two encode/decode round
-    trips) needs the recursive fixer — that is the documented
-    production seam, same tier as full-ftfy. NULL stays NULL."""
+    One chain application un-does ONE mis-decode; k-times
+    double-encoded text (each extra web-pipeline hop adds one) needs
+    ``passes=k`` — the repair table is closed under composition
+    because every intermediate character (â, €, ™, …) is itself in
+    the repair set, so pass i exposes exactly the layer pass i+1
+    fixes. Repaired text is a fixed point (idempotence is tested), so
+    overshooting ``passes`` is harmless on already-clean rows.
+    Heuristic per-row depth detection (full ftfy) stays the
+    documented production seam. NULL stays NULL."""
     t = text
-    for bad, good in MOJIBAKE_TABLE:
-        t = F.replace(t, F.lit(bad), F.lit(good))
+    for _ in range(passes):
+        for bad, good in MOJIBAKE_TABLE:
+            t = F.replace(t, F.lit(bad), F.lit(good))
     return F.translate(t, SPACE_CHARS + DROP_CHARS, " " * len(SPACE_CHARS))
 
 
-def fix_text_sql(expr: str) -> str:
-    """The identical repair as an ANSI-SQL expression over ``expr``
-    (DuckDB-ready), generated from the same tables as
-    :func:`fix_text` — the correctness oracle's side of the
-    differential. Control/zero-width characters ride ``chr()`` calls
-    so the SQL text itself stays printable."""
-    sql = expr
-    for bad, good in MOJIBAKE_TABLE:
-        b = "'" + bad.replace("'", "''") + "'"
-        g = "'" + good.replace("'", "''") + "'"
-        if any(ord(ch) >= 0x7F and ord(ch) < 0xA0 for ch in bad):
-            b = "||".join(
-                f"chr({ord(ch)})" if 0x7F <= ord(ch) < 0xA0 else "'" + ch.replace("'", "''") + "'"
-                for ch in bad
-            )
-        sql = f"replace({sql}, {b}, {g})"
+def fix_text_sql(expr: str, chunk: int = 56) -> str:
+    """The identical repair as a DuckDB-ready SQL expression over
+    ``expr``, generated from the same tables as :func:`fix_text` —
+    the correctness oracle's side of the differential.
+
+    The 129-entry chain exceeds DuckDB's expression-binder recursion
+    limit (128) as one nested call tree, so the chain is emitted as a
+    correlated scalar subquery with one stacked derived table per
+    ``chunk`` replaces — binder depth resets at each subquery level.
+    Control/zero-width characters ride ``chr()`` calls so the SQL
+    text itself stays printable."""
+
+    def lit(s: str) -> str:
+        parts: list[str] = []
+        buf = ""
+        for ch in s:
+            o = ord(ch)
+            if o < 0x20 or 0x7F <= o < 0xA0:
+                if buf:
+                    parts.append("'" + buf.replace("'", "''") + "'")
+                    buf = ""
+                parts.append(f"chr({o})")
+            else:
+                buf += ch
+        if buf:
+            parts.append("'" + buf.replace("'", "''") + "'")
+        return "||".join(parts) if parts else "''"
+
+    inner = f"(select {expr} as f0)"
+    name = "f0"
+    for li in range(0, len(MOJIBAKE_TABLE), chunk):
+        sql = name
+        for bad, good in MOJIBAKE_TABLE[li : li + chunk]:
+            sql = f"replace({sql}, {lit(bad)}, {lit(good)})"
+        name = f"f{li // chunk + 1}"
+        inner = f"(select {sql} as {name} from {inner})"
     frm = "||".join(f"chr({ord(c)})" for c in SPACE_CHARS + DROP_CHARS)
     to = "'" + " " * len(SPACE_CHARS) + "'"
-    return f"translate({sql}, {frm}, {to})"
+    return f"(select translate({name}, {frm}, {to}) from {inner})"
 
 
 def clean_text(text: Column) -> Column:

@@ -1624,7 +1624,10 @@ def test_fix_text_encoding_repair(spark):
     originals = [
         "it\u2019s a \u201cquoted\u201d caf\u00e9 \u2014 na\u00efve r\u00e9sum\u00e9\u2026",
         "\u00ab50\u00b0\u00bb \u20ac9 \u2022 Gro\u00dfe STRA\u00dcE",
-        "every repairable char: " + _MOJIBAKE_CHARS.replace("\xa0", ""),
+        "every repairable char: " + "".join(
+            c for c in _MOJIBAKE_CHARS
+            if c not in SPACE_CHARS and c not in DROP_CHARS
+        ),
     ]
     cases = [(corrupt(s), s) for s in originals] + [
         ("plain ascii, untouched.", "plain ascii, untouched."),
@@ -1641,3 +1644,33 @@ def test_fix_text_encoding_repair(spark):
     df2 = spark.createDataFrame([(g,) for g in got], ["t"])
     again = [r[0] for r in df2.select(fix_text(F.col("t"))).collect()]
     assert again == got
+
+
+def test_fix_text_double_mojibake_passes(spark):
+    """The repair table is closed under composition: text corrupted by
+    TWO encode/decode round trips repairs with passes=2 (and the
+    second pass is a no-op on singly-corrupted or clean text)."""
+    from melodist_spark.pipeline.text import fix_text
+
+    def corrupt(s: str) -> str:
+        out = []
+        for b in s.encode("utf-8"):
+            if b < 0x80:
+                out.append(chr(b))
+            else:
+                try:
+                    out.append(bytes([b]).decode("cp1252"))
+                except UnicodeDecodeError:
+                    out.append(chr(b))
+        return "".join(out)
+
+    originals = [
+        "it\u2019s a \u201cquoted\u201d caf\u00e9 \u2014 na\u00efve\u2026",
+        "\u00bc + \u00bd = \u00be \u00d7 1 \u00f7 1 \u2022 \u20ac5",
+        "already clean ascii",
+    ]
+    cases = [(corrupt(corrupt(s)), s) for s in originals]
+    df = spark.createDataFrame([(m,) for m, _ in cases], ["t"])
+    got = [r[0] for r in df.select(fix_text(F.col("t"), passes=2)).collect()]
+    for (moji2, want), g in zip(cases, got):
+        assert g == want, (repr(moji2), repr(g), repr(want))
