@@ -41,7 +41,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["parse_robots_text", "parse_robots", "apply_robots"]
+__all__ = [
+    "parse_robots_text",
+    "parse_robots",
+    "apply_robots",
+    "extract_sitemaps",
+]
 
 
 def parse_robots_text(text: str, agent: str = "*") -> list[tuple[str, bool, int]]:
@@ -166,6 +171,33 @@ def parse_robots(
             )
 
     return df.select(key_col, text_col).mapInPandas(run, schema=schema)
+
+
+def extract_sitemaps(
+    df: DataFrame,
+    text_col: str = "robots_txt",
+    key_col: str = "domain",
+) -> DataFrame:
+    """``(key, sitemap_url)`` rows from robots bodies — the crawl
+    frontier's seed list. RFC 9309 §2.3 makes ``Sitemap:`` a
+    standalone record: agent-group-independent, legal anywhere in the
+    file (including mid-group), case-insensitive field name, one URL
+    per line, ``#`` starts a comment. Pure codegen (split lines →
+    strip comments → anchored extract → explode); the explode
+    multiplies only the small robots table, never a corpus."""
+    lines = F.split(F.col(text_col), "\r?\n")
+    urls = F.filter(
+        F.transform(
+            lines,
+            lambda l: F.regexp_extract(
+                F.regexp_replace(l, "#.*", ""),
+                r"(?i)^\s*sitemap\s*:\s*(\S+)\s*$",
+                1,
+            ),
+        ),
+        lambda u: u != "",
+    )
+    return df.select(F.col(key_col), F.explode(urls).alias("sitemap_url"))
 
 
 def apply_robots(

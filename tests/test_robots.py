@@ -163,3 +163,36 @@ def test_apply_robots_composes_with_url_curation(spark):
     )
     got = {r["id"]: r["crawlable"] for r in apply_robots(urls, rules).collect()}
     assert got == {1: False, 2: True}
+
+
+def test_extract_sitemaps(spark):
+    """Sitemap records per RFC 9309 §2.3: standalone (group-independent,
+    legal mid-group), case-insensitive field, comments stripped, one
+    URL per line; non-sitemap lines and commented-out lines ignored."""
+    from melodist_spark.pipeline.robots import extract_sitemaps
+
+    body = (
+        "Sitemap: https://a.example/s1.xml\n"
+        "User-agent: *\n"
+        "Disallow: /x\n"
+        "SITEMAP:https://a.example/s2.xml   # trailing comment\n"
+        "# Sitemap: https://a.example/commented-out.xml\n"
+        "  sitemap :https://a.example/space-before-colon.xml\n"
+        "Crawl-delay: 5\n"
+    )
+    df = spark.createDataFrame(
+        [("a.example", body), ("b.example", "User-agent: *\nAllow: /\n"),
+         ("c.example", None)],
+        "domain string, robots_txt string",
+    )
+    got = sorted(
+        (r["domain"], r["sitemap_url"])
+        for r in extract_sitemaps(df).collect()
+    )
+    # "sitemap :" (space before colon) is tolerated, matching the rule
+    # parser, which strips whitespace around the field name too
+    assert got == [
+        ("a.example", "https://a.example/space-before-colon.xml"),
+        ("a.example", "https://a.example/s1.xml"),
+        ("a.example", "https://a.example/s2.xml"),
+    ], got
