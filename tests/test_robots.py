@@ -192,7 +192,7 @@ def test_extract_sitemaps(spark):
     # "sitemap :" (space before colon) is tolerated, matching the rule
     # parser, which strips whitespace around the field name too
     assert got == [
-        ("a.example", "https://a.example/space-before-colon.xml"),
         ("a.example", "https://a.example/s1.xml"),
         ("a.example", "https://a.example/s2.xml"),
+        ("a.example", "https://a.example/space-before-colon.xml"),
     ], got
