@@ -132,6 +132,43 @@ def normalize_url(
     return F.when(scheme == "", F.lower(F.trim(url))).otherwise(built)
 
 
+def surt(url: Column, strip_www: bool = True) -> Column:
+    """SURT-form sort key ("com,example)/path?a=1") — the urlkey
+    convention of CDX crawl indexes: host labels reversed and
+    comma-joined (so one domain's pages sort contiguously and a
+    domain-prefix range scan replaces a wildcard match), then ")" and
+    the lowercased path with sorted query. Same canonicalization
+    choices as :func:`normalize_url` (www/userinfo/default-port
+    dropped, fragment cut, params sorted — tracking params KEPT here:
+    an index key must reproduce what was crawled, not what dedup
+    wants). IDN punycode and per-site session-id rules are the
+    documented production seam. Scheme-less rows degrade to
+    ``lower(trim(url))`` like normalize_url; pure codegen."""
+    host = url_host(url, strip_www=strip_www)
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    scheme = url_scheme(url)
+    port = url_port(url)
+    default_port = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    portpart = (
+        F.when((port == "") | default_port, F.lit(""))
+        .otherwise(F.concat(F.lit(":"), port))
+    )
+    path = F.lower(url_path(url))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    params = F.filter(F.split(url_query(url), "&"), lambda p: p != "")
+    qn = F.array_join(F.array_sort(params), "&")
+    built = F.concat(
+        rev,
+        portpart,
+        F.lit(")"),
+        path,
+        F.when(qn == "", F.lit("")).otherwise(F.concat(F.lit("?"), F.lower(qn))),
+    )
+    return F.when(url_scheme(url) == "", F.lower(F.trim(url))).otherwise(built)
+
+
 def registered_domain(host: Column) -> Column:
     """Registrable domain of a host: ``a.b.example.co.uk`` →
     ``example.co.uk``, ``x.example.com`` → ``example.com``. IPv4

@@ -293,3 +293,61 @@ def read_wat(
         F.col("warc_date").alias("date"),
         F.make_valid_utf8(F.col("payload").cast("string")).alias("meta_json"),
     )
+
+
+def read_cdx(
+    spark: SparkSession,
+    path: str,
+) -> DataFrame:
+    """Read CDXJ crawl-index files (Common Crawl's ``cc-index``:
+    one line per capture — ``<urlkey> <timestamp> <json>``) into
+    ``(source_file, urlkey, ts, url, mime, status, digest, length,
+    offset, warc_filename)`` rows.
+
+    The index is how a 100 TB pipeline AVOIDS reading 100 TB: filter
+    captures by domain/mime/status here (the index is ~1% the size of
+    the crawl), then fetch only the matching ``(warc_filename,
+    offset, length)`` byte ranges from the archives. ``urlkey`` is
+    SURT-form (see ``pipeline/urls.py::surt``), so a domain's
+    captures are a contiguous ``startswith`` range — a pushed-down
+    prefix filter, not a full-index regex.
+
+    Scale shape: ``spark.read.text`` over the shard glob — per-file
+    parallelism (CC publishes ~300 gzip shards per crawl; gzip is not
+    splittable, same per-archive discipline as :func:`read_warc`),
+    then pure-codegen splitting and one ``from_json``. All JSON
+    values arrive as strings (that is the CDXJ convention) and the
+    numeric ones are cast; a malformed JSON tail yields nulls in
+    those columns, never a task failure, and the raw line survives in
+    ``urlkey``/``ts`` for quarantine queries.
+    """
+    from pyspark.sql import functions as F
+
+    json_schema = (
+        "url string, mime string, `mime-detected` string, status string, "
+        "digest string, length string, offset string, filename string, "
+        "languages string, encoding string, `redirect` string"
+    )
+    lines = spark.read.text(path).select(
+        F.input_file_name().alias("source_file"),
+        F.col("value"),
+    )
+    parts = F.split(F.col("value"), " ", 3)
+    parsed = lines.select(
+        "source_file",
+        F.element_at(parts, 1).alias("urlkey"),
+        F.to_timestamp(F.element_at(parts, 2), "yyyyMMddHHmmss").alias("ts"),
+        F.from_json(F.element_at(parts, 3), json_schema).alias("j"),
+    )
+    return parsed.select(
+        "source_file",
+        "urlkey",
+        "ts",
+        F.col("j.url").alias("url"),
+        F.coalesce(F.col("j.mime-detected"), F.col("j.mime")).alias("mime"),
+        F.col("j.status").cast("int").alias("status"),
+        F.col("j.digest").alias("digest"),
+        F.col("j.length").cast("long").alias("length"),
+        F.col("j.offset").cast("long").alias("offset"),
+        F.col("j.filename").alias("warc_filename"),
+    )

@@ -502,3 +502,39 @@ def test_read_wet_and_wat_sidecars(spark, tmp_path):
         F.get_json_object("meta_json", "$.Envelope.WARC-Header-Length")
     ).first()[0]
     assert hdr_len == "257"
+
+
+def test_read_cdx_index(spark, tmp_path):
+    """CDXJ crawl-index lines parse to typed capture rows; a malformed
+    JSON tail yields null fields (never a task failure) with the raw
+    urlkey kept for quarantine."""
+    import gzip
+
+    from melodist_spark.sources.warc import read_cdx
+
+    lines = (
+        'com,example)/a 20240115123045 {"url": "https://example.com/a", '
+        '"mime": "text/html", "mime-detected": "text/html", "status": "200", '
+        '"digest": "AAAB", "length": "1234", "offset": "5678", '
+        '"filename": "crawl-data/CC-MAIN-2024/seg/warc/x.warc.gz"}\n'
+        'com,example)/b 20240115123046 {"url": "https://example.com/b", '
+        '"mime": "application/pdf", "status": "404", "length": "9", '
+        '"offset": "0", "filename": "y.warc.gz"}\n'
+        "com,example)/broken 20240115123047 {not json at all\n"
+    )
+    p = tmp_path / "cdx-00000.gz"
+    p.write_bytes(gzip.compress(lines.encode()))
+
+    out = {r["urlkey"]: r for r in read_cdx(spark, str(p)).collect()}
+    assert len(out) == 3
+    a = out["com,example)/a"]
+    assert (a["url"], a["mime"], a["status"], a["length"], a["offset"]) == (
+        "https://example.com/a", "text/html", 200, 1234, 5678,
+    )
+    assert a["warc_filename"].endswith("x.warc.gz")
+    assert str(a["ts"]).startswith("2024-01-15 12:30:45")
+    b = out["com,example)/b"]
+    assert (b["mime"], b["status"]) == ("application/pdf", 404)  # mime fallback
+    broken = out["com,example)/broken"]
+    assert broken["url"] is None and broken["status"] is None
+    assert str(broken["ts"]).startswith("2024-01-15 12:30:47")

@@ -268,3 +268,22 @@ def test_paragraph_dedup_via_sep_params(spark):
     # doc 1 wins the first occurrence (smallest (doc_id, pos))
     assert out[1] == f"unique first para\n\n{boiler}\n\nunique tail one"
     assert out[2] == "another unique para"
+
+
+def test_surt_urlkey(spark):
+    """SURT sort keys match the CDX urlkey convention: reversed
+    comma-joined host, non-default port kept, lowercased path, sorted
+    query, www/fragment/default-port dropped; scheme-less rows
+    degrade like normalize_url."""
+    from melodist_spark.pipeline.urls import surt
+
+    cases = [
+        ("https://www.Example.com/Path/x?b=2&a=1#f", "com,example)/path/x?a=1&b=2"),
+        ("http://sub.test.co.uk:8080/", "uk,co,test,sub:8080)/"),
+        ("https://example.com:443/a", "com,example)/a"),
+        ("https://example.com", "com,example)/"),
+        ("no-scheme-here", "no-scheme-here"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["u"])
+    got = [r[0] for r in df.select(surt(F.col("u"))).collect()]
+    assert got == [k for _, k in cases], got
