@@ -538,3 +538,59 @@ def test_read_cdx_index(spark, tmp_path):
     broken = out["com,example)/broken"]
     assert broken["url"] is None and broken["status"] is None
     assert str(broken["ts"]).startswith("2024-01-15 12:30:47")
+
+
+def test_read_warc_ranges_index_first_fetch(spark, tmp_path):
+    """The CDX -> byte-range contract end to end: build a CC-style
+    archive (one gzip member per record), index it with (offset,
+    length) while writing, fetch a SUBSET of ranges and get exactly
+    those records back; a bogus range yields one __error__ row."""
+    import gzip
+
+    from melodist_spark.sources.warc import read_warc_ranges
+
+    def record(uri, body):
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        )
+        head = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            b"WARC-Record-ID: <urn:uuid:" + uri.encode() + b">\r\n"
+            b"WARC-Target-URI: https://" + uri.encode() + b"\r\n"
+            b"Content-Type: application/http; msgtype=response\r\n"
+            b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n"
+        )
+        return head + payload + b"\r\n\r\n"
+
+    members, index = [], []
+    pos = 0
+    for i in range(5):
+        m = gzip.compress(record(f"ex.com/p{i}", b"body-%d" % i))
+        index.append((pos, len(m)))
+        members.append(m)
+        pos += len(m)
+    arc = tmp_path / "x.warc.gz"
+    arc.write_bytes(b"".join(members))
+
+    # fetch records 1 and 3 only, plus one bogus range
+    ranges = spark.createDataFrame(
+        [
+            (str(arc), index[1][0], index[1][1]),
+            (str(arc), index[3][0], index[3][1]),
+            (str(arc), pos + 100, 50),
+        ],
+        "warc_filename string, offset long, length long",
+    )
+    out = read_warc_ranges(spark, ranges).collect()
+    good = sorted(
+        r["target_uri"] for r in out if r["warc_type"] == "response"
+    )
+    assert good == ["https://ex.com/p1", "https://ex.com/p3"]
+    bodies = sorted(
+        bytes(r["http_body"]) for r in out if r["warc_type"] == "response"
+    )
+    assert bodies == [b"body-1", b"body-3"]
+    errs = [r for r in out if r["warc_type"] == "__error__"]
+    assert len(errs) == 1 and "EOF" in errs[0]["target_uri"]
+    assert len(out) == 3
