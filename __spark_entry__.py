@@ -4885,7 +4885,11 @@ def _fixed_sql() -> str:
     — generated from the same repair tables as the Spark side."""
     from melodist_spark.pipeline.text import fix_text_sql
 
-    return fix_text_sql("(text || " + _sql_str(_MOJI_SNIPPET) + ")")
+    return fix_text_sql(
+        "(CASE WHEN doc_id % 3 = 0 THEN text || "
+        + _sql_str(_MOJI_SNIPPET)
+        + " ELSE text END)"
+    )
 
 
 def q_text_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4908,10 +4912,16 @@ def q_text_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleaned = clean_text(F.col("text"))
     # round 7: ftfy-style encoding repair, hash-checked. The corpus is
     # synthetic clean ASCII, so a deterministic mojibake'd suffix is
-    # appended first — every class the fixer handles (cp1252 smart
-    # quotes/dash, Ã-accents, zero-width, C1 + C0 controls, NBSP) —
-    # making fixed_md5 a real differential, not an identity check.
-    fixed = fix_text(F.concat(F.col("text"), F.lit(_MOJI_SNIPPET)))
+    # appended to every THIRD doc — every class the fixer handles
+    # (cp1252 smart quotes/dash, Ã-accents, zero-width, C1 + C0
+    # controls, NBSP) — so fixed_md5 hash-checks BOTH paths of the
+    # clean-row guard: repaired rows and provably-clean skip rows.
+    fixed = fix_text(
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(_MOJI_SNIPPET)),
+        ).otherwise(F.col("text"))
+    )
     out = quality_flags(docs)
     return out.select(
         "doc_id",
