@@ -208,6 +208,15 @@ def main():
                         "round 7: +n_sessions/max_session_rows "
                         "(sessionize window + two aggs) vs round 6"
                     ),
+                    "dup_clusters": (
+                        "round 7: MinHash signatures are now "
+                        "double-hashed (zip_with shingles), so the "
+                        "LSH candidate set feeding CC differs from "
+                        "round 6 (14.3k pairs at sf0.1) — changed "
+                        "work, same contract; CC rounds are "
+                        "driver-action-paced, the noisiest row on a "
+                        "contended box"
+                    ),
                     "minhash_pairs": (
                         "round 7: +incremental-ingest half "
                         "(neardup_against a stored signature "
