@@ -763,9 +763,10 @@ def encode_gif_frames(
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """Decode WAV to (samples ndarray of shape (n, channels),
-    sample_rate). 16-bit and 8-bit PCM, G.711 mu-law/A-law, and IMA
-    ADPCM (format 0x0011 — the 4-bit DVI/IMA codec of telephony and
-    game audio; round 7); other compressed formats raise."""
+    sample_rate). PCM at 8/16/24/32 bits, IEEE float (format 3,
+    32/64-bit), G.711 mu-law/A-law, and IMA ADPCM (format 0x0011 —
+    the 4-bit DVI/IMA codec of telephony and game audio; round 7);
+    other compressed formats raise."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     i, n = 12, len(payload)
@@ -799,14 +800,30 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         if n_samples is not None:
             pcm = pcm[: n_samples * channels]
         return (pcm.astype(np.float64) / 32768.0).reshape(-1, channels), rate
+    elif audio_format == 3:  # IEEE float PCM
+        if bits == 32:
+            samples = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            samples = np.frombuffer(data, dtype="<f8").astype(np.float64)
+        else:
+            raise ValueError(f"unsupported float-PCM width: {bits}")
     elif audio_format != 1:
         raise ValueError(
-            f"only PCM/G.711/IMA-ADPCM WAV supported (format={audio_format})"
+            f"only PCM/float/G.711/IMA-ADPCM WAV supported (format={audio_format})"
         )
     elif bits == 16:
         samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
     elif bits == 8:
         samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif bits == 24:
+        # 3-byte little-endian signed: assemble then sign-extend
+        u = np.frombuffer(data, dtype=np.uint8)
+        u = u[: (len(u) // 3) * 3].reshape(-1, 3).astype(np.int64)
+        v = u[:, 0] | (u[:, 1] << 8) | (u[:, 2] << 16)
+        v -= (v & 0x800000) << 1
+        samples = v.astype(np.float64) / 8388608.0
+    elif bits == 32:
+        samples = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
     else:
         raise ValueError(f"unsupported PCM width: {bits}")
     return samples.reshape(-1, channels), rate

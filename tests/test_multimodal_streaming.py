@@ -1491,3 +1491,54 @@ def test_audio_fingerprint_invariant_across_adpcm():
     assert fp_pcm is not None and fp_adpcm is not None
     dist = bin((fp_pcm ^ fp_adpcm) & ((1 << 64) - 1)).count("1")
     assert dist <= 6, dist  # well under the dedup join's band radius
+
+
+def test_decode_wav_24_32_and_float():
+    """24-bit (3-byte sign-extended), 32-bit int, and IEEE-float
+    (format 3) PCM decode against hand-built containers with known
+    sample values — incl. full-scale negatives exercising the
+    sign-extension path."""
+    import struct
+
+    import numpy as np
+
+    from melodist_spark.pipeline.multimodal import decode_wav
+
+    def wav(fmt, bits, payload, channels=1, rate=8000):
+        block = channels * bits // 8
+        fmt_chunk = struct.pack(
+            "<HHIIHH", fmt, channels, rate, rate * block, block, bits
+        )
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+            + b"data" + struct.pack("<I", len(payload)) + payload
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    # 24-bit: 0, +1 LSB, full-scale pos, -1 LSB, full-scale neg
+    vals24 = [0, 1, 0x7FFFFF, -1, -0x800000]
+    p24 = b"".join(v.to_bytes(3, "little", signed=True) for v in vals24)
+    s, rate = decode_wav(wav(1, 24, p24))
+    assert rate == 8000 and s.shape == (5, 1)
+    np.testing.assert_allclose(
+        s[:, 0], np.array(vals24) / 8388608.0, atol=0
+    )
+
+    # 32-bit int, stereo (interleave check)
+    vals32 = [0, 2**31 - 1, -(2**31), 123456789]
+    p32 = struct.pack("<4i", *vals32)
+    s, _ = decode_wav(wav(1, 32, p32, channels=2))
+    assert s.shape == (2, 2)
+    np.testing.assert_allclose(
+        s.ravel(), np.array(vals32) / 2147483648.0
+    )
+
+    # IEEE float32 passes through exactly
+    f32 = [0.0, 0.5, -1.0, 0.25]
+    s, _ = decode_wav(wav(3, 32, struct.pack("<4f", *f32)))
+    np.testing.assert_array_equal(s[:, 0], np.array(f32, dtype=np.float32))
+
+    # float64
+    s, _ = decode_wav(wav(3, 64, struct.pack("<2d", 0.125, -0.75)))
+    np.testing.assert_array_equal(s[:, 0], [0.125, -0.75])
