@@ -150,6 +150,160 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
+def _tiff_packbits(src: bytes, expected: int) -> bytes:
+    """PackBits (TIFF compression 32773): n in [0,127] copies n+1
+    literal bytes, n in [129,255] repeats the next byte 257-n times,
+    128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(src) and len(out) < expected:
+        n = src[i]
+        i += 1
+        if n < 128:
+            out += src[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += src[i : i + 1] * (257 - n)
+            i += 1
+    return bytes(out)
+
+
+def _tiff_lzw(src: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW (compression 5): MSB-first bit packing, codes
+    start at 9 bits, Clear=256 / EOI=257, and the "early change" rule
+    — code width bumps when the NEXT table slot is 2^width - 1 (one
+    code earlier than GIF's LSB-first variant in _gif_lzw_decode)."""
+    CLEAR, EOI = 256, 257
+
+    def fresh():
+        return {i: bytes([i]) for i in range(256)}, 258, 9
+
+    table, nxt, width = fresh()
+    out = bytearray()
+    buf = nbits = 0
+    prev = None
+    for byte in src:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (buf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == CLEAR:
+                table, nxt, width = fresh()
+                prev = None
+                continue
+            if code == EOI:
+                return bytes(out)
+            if prev is None:
+                entry = table.get(code)
+                if entry is None:
+                    raise ValueError("bad TIFF LZW start code")
+            elif code in table:
+                entry = table[code]
+                table[nxt] = prev + entry[:1]
+                nxt += 1
+            elif code == nxt:
+                entry = prev + prev[:1]
+                table[nxt] = entry
+                nxt += 1
+            else:
+                raise ValueError("bad TIFF LZW code")
+            # early change, decoder side: the decoder's table lags the
+            # encoder's by one entry (the encoder adds as it emits, the
+            # decoder one code later), so the width bump lands at
+            # 2^w - 2 where the encoder's lands at 2^w - 1 — the
+            # boundary the hypothesis differential pins.
+            if nxt == (1 << width) - 2 and width < 12:
+                width += 1
+            out += entry
+            prev = entry
+            if len(out) >= expected:
+                return bytes(out)
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """Decode a baseline TIFF (the scan/document-corpus staple) to
+    uint8 gray (h, w) or (h, w, 3|4) RGB(A): both byte orders, strip
+    layout, 8-bit samples, compression none / PackBits / TIFF-LZW,
+    horizontal-differencing predictor, WhiteIsZero inversion. Tiled,
+    planar, and sub/super-8-bit TIFFs raise ValueError (poison-blob
+    contract, same as every codec here)."""
+    if payload[:4] == b"II*\x00":
+        endian = "little"
+    elif payload[:4] == b"MM\x00*":
+        endian = "big"
+    else:
+        raise ValueError("not a TIFF payload")
+
+    def u(o: int, size: int) -> int:
+        return int.from_bytes(payload[o : o + size], endian)
+
+    ifd = u(4, 4)
+    n_entries = u(ifd, 2)
+    sizes = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+    tags: dict[int, list[int]] = {}
+    for k in range(n_entries):
+        e = ifd + 2 + 12 * k
+        tag, typ, cnt = u(e, 2), u(e + 2, 2), u(e + 4, 4)
+        size = sizes.get(typ)
+        if size is None:
+            continue  # RATIONAL/ASCII metadata — not needed
+        vo = e + 8 if size * cnt <= 4 else u(e + 8, 4)
+        tags[tag] = [u(vo + j * size, size) for j in range(cnt)]
+
+    try:
+        w, h = tags[256][0], tags[257][0]
+        offsets, counts = tags[273], tags[279]
+    except KeyError as e:
+        raise ValueError(f"TIFF missing required tag {e}") from e
+    spp = tags.get(277, [1])[0]
+    if spp not in (1, 3, 4):
+        raise ValueError(f"unsupported TIFF samples/pixel: {spp}")
+    if any(b != 8 for b in tags.get(258, [8] * spp)):
+        raise ValueError("only 8-bit TIFF samples supported")
+    if tags.get(284, [1])[0] != 1:
+        raise ValueError("planar TIFF unsupported")
+    if 322 in tags or 323 in tags:
+        raise ValueError("tiled TIFF unsupported")
+    comp = tags.get(259, [1])[0]
+    photo = tags.get(262, [1])[0]
+    rps = tags.get(278, [h])[0] or h
+    pred = tags.get(317, [1])[0]
+
+    rowbytes = w * spp
+    out = bytearray()
+    row0 = 0
+    for so, sc in zip(offsets, counts):
+        nrows = min(rps, h - row0)
+        row0 += nrows
+        expected = nrows * rowbytes
+        chunk = payload[so : so + sc]
+        if comp == 1:
+            raw = chunk
+        elif comp == 32773:
+            raw = _tiff_packbits(chunk, expected)
+        elif comp == 5:
+            raw = _tiff_lzw(chunk, expected)
+        else:
+            raise ValueError(f"unsupported TIFF compression {comp}")
+        if len(raw) < expected:
+            raise ValueError("short TIFF strip")
+        out += raw[:expected]
+    if row0 < h:
+        raise ValueError("TIFF strips cover fewer rows than ImageLength")
+
+    img = np.frombuffer(bytes(out), np.uint8).reshape(h, w, spp)
+    if pred == 2:
+        # horizontal differencing: samples are row deltas per channel
+        img = (np.cumsum(img.astype(np.int64), axis=1) % 256).astype(np.uint8)
+    elif pred != 1:
+        raise ValueError(f"unsupported TIFF predictor {pred}")
+    if photo == 0:  # WhiteIsZero
+        img = 255 - img
+    return img[:, :, 0] if spp == 1 else img
+
+
 def _png_chunks(payload: bytes):
     i, n = len(_PNG_SIG), len(payload)
     while i + 8 <= n:
@@ -1088,9 +1242,9 @@ def numpy_media_decoder(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 def _decode_image(payload: bytes) -> np.ndarray | None:
     """Sniff + decode the still-image formats the pure-numpy codecs
     cover (PPM/PGM, PNG with alpha dropped, baseline/progressive
-    JPEG, GIF first frame, BMP). ``None`` when the magic bytes match
-    none of them — audio and compressed-video payloads are not
-    images, and the caller decides the fallback."""
+    JPEG, GIF first frame, BMP, baseline TIFF). ``None`` when the
+    magic bytes match none of them — audio and compressed-video
+    payloads are not images, and the caller decides the fallback."""
     if payload[:2] in (b"P6", b"P5"):
         return decode_ppm(payload)
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
@@ -1106,6 +1260,11 @@ def _decode_image(payload: bytes) -> np.ndarray | None:
         return decode_gif(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        img = decode_tiff(payload)
+        if img.ndim == 3 and img.shape[2] == 4:
+            img = img[:, :, :3]  # drop alpha before the gray mean
+        return img
     return None
 
 

@@ -1542,3 +1542,249 @@ def test_decode_wav_24_32_and_float():
     # float64
     s, _ = decode_wav(wav(3, 64, struct.pack("<2d", 0.125, -0.75)))
     np.testing.assert_array_equal(s[:, 0], [0.125, -0.75])
+
+
+def _build_tiff(img, compression=1, predictor=1, rows_per_strip=None,
+                endian="little", photometric=None):
+    """Test-side TIFF writer (independent of the decoder): strip
+    layout, PackBits/LZW compressors implemented from the spec text,
+    both byte orders."""
+    import numpy as np
+
+    e = "<" if endian == "little" else ">"
+    bo = endian
+    h, w = img.shape[:2]
+    spp = 1 if img.ndim == 2 else img.shape[2]
+    if photometric is None:
+        photometric = 1 if spp == 1 else 2
+    px = img.reshape(h, w * spp)
+    if predictor == 2:
+        d = px.reshape(h, w, spp).astype(np.int64)
+        d = np.concatenate([d[:, :1], (d[:, 1:] - d[:, :-1]) % 256], axis=1)
+        px = d.astype(np.uint8).reshape(h, w * spp)
+    rps = rows_per_strip or h
+
+    def packbits(row: bytes) -> bytes:
+        out = bytearray()
+        i = 0
+        while i < len(row):
+            run = 1
+            while i + run < len(row) and run < 128 and row[i + run] == row[i]:
+                run += 1
+            if run >= 2:
+                out += bytes([257 - run, row[i]])
+                i += run
+            else:
+                j = i + 1
+                while (
+                    j < len(row)
+                    and j - i < 128
+                    and not (j + 1 < len(row) and row[j + 1] == row[j])
+                ):
+                    j += 1
+                out += bytes([j - i - 1]) + row[i:j]
+                i = j
+        return bytes(out)
+
+    def lzw(data: bytes) -> bytes:
+        # spec-text reference: MSB-first, early change, Clear first
+        table = {bytes([i]): i for i in range(256)}
+        nxt, width = 258, 9
+        bits = []
+
+        def emit(code):
+            bits.append(format(code, f"0{width}b"))
+
+        emit(256)
+        cur = b""
+        for b in data:
+            nxt_s = cur + bytes([b])
+            if nxt_s in table:
+                cur = nxt_s
+                continue
+            emit(table[cur])
+            table[nxt_s] = nxt
+            nxt += 1
+            if nxt == (1 << width) - 1 and width < 12:
+                width += 1
+            if nxt == 4094:  # table full: spec says emit Clear, reset
+                emit(256)
+                table = {bytes([i]): i for i in range(256)}
+                nxt, width = 258, 9
+            cur = bytes([b])
+        if cur:
+            emit(table[cur])
+        emit(257)
+        s = "".join(bits)
+        s += "0" * (-len(s) % 8)
+        return bytes(int(s[k : k + 8], 2) for k in range(0, len(s), 8))
+
+    strips = []
+    for r0 in range(0, h, rps):
+        raw = px[r0 : r0 + rps].tobytes()
+        if compression == 32773:
+            strips.append(packbits(raw))
+        elif compression == 5:
+            strips.append(lzw(raw))
+        else:
+            strips.append(raw)
+
+    import struct
+
+    def entry(tag, typ, vals):
+        size = {1: 1, 3: 2, 4: 4}[typ]
+        packed = b"".join(v.to_bytes(size, bo) for v in vals)
+        if len(packed) <= 4:
+            return struct.pack(f"{e}HHI", tag, typ, len(vals)) + packed.ljust(4, b"\x00"), b""
+        return None, packed  # caller patches offset
+
+    # layout: header(8) + IFD + value-overflow area + strip data
+    tags = [
+        (256, 3, [w]),
+        (257, 3, [h]),
+        (258, 3, [8] * spp),
+        (259, 3, [compression]),
+        (262, 3, [photometric]),
+        (277, 3, [spp]),
+        (278, 3, [rps]),
+        (317, 3, [predictor]),
+    ]
+    n_strips = len(strips)
+    ifd_off = 8
+    ifd_size = 2 + 12 * (len(tags) + 2) + 4
+    overflow = bytearray()
+    entries = []
+    ov_base = ifd_off + ifd_size
+
+    def add(tag, typ, vals):
+        size = {1: 1, 3: 2, 4: 4}[typ]
+        packed = b"".join(v.to_bytes(size, bo) for v in vals)
+        if len(packed) <= 4:
+            entries.append(struct.pack(f"{e}HHI", tag, typ, len(vals)) + packed.ljust(4, b"\x00"))
+        else:
+            off = ov_base + len(overflow)
+            entries.append(struct.pack(f"{e}HHII", tag, typ, len(vals), off))
+            overflow.extend(packed)
+
+    strip_area = ov_base  # patched after overflow known
+    # two passes: first compute overflow from non-strip tags
+    for t in tags:
+        add(*t)
+    # strip offsets/counts go AFTER remaining overflow; reserve
+    counts = [len(s) for s in strips]
+    # place offsets/counts arrays in overflow too
+    data_start = ov_base + len(overflow) + (8 * n_strips if n_strips > 1 else 0)
+    offs = []
+    pos = data_start
+    for c in counts:
+        offs.append(pos)
+        pos += c
+    add(273, 4, offs)
+    add(279, 4, counts)
+    ifd = struct.pack(f"{e}H", len(entries)) + b"".join(sorted(entries, key=lambda x: int.from_bytes(x[:2], bo))) + struct.pack(f"{e}I", 0)
+    assert len(ifd) == ifd_size
+    head = (b"II" if bo == "little" else b"MM") + struct.pack(f"{e}HI", 42, ifd_off)
+    return head + ifd + bytes(overflow) + b"".join(strips)
+
+
+def test_decode_tiff_baseline():
+    """Baseline TIFF against an independent test-side writer: gray and
+    RGB, uncompressed / PackBits / TIFF-LZW (MSB-first, early change),
+    multi-strip, horizontal predictor, WhiteIsZero, big-endian."""
+    import numpy as np
+
+    from melodist_spark.pipeline.multimodal import decode_tiff
+
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, (5, 7), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (6, 4, 3), dtype=np.uint8)
+    flat = np.tile(np.arange(16, dtype=np.uint8), (4, 8))  # runs for packbits/lzw
+
+    for img in (gray, rgb, flat):
+        for comp in (1, 32773, 5):
+            for pred in (1, 2) if comp == 5 else (1,):
+                for rps in (None, 2):
+                    t = _build_tiff(img, compression=comp, predictor=pred,
+                                    rows_per_strip=rps)
+                    np.testing.assert_array_equal(decode_tiff(t), img, err_msg=f"{img.shape} comp={comp} pred={pred} rps={rps}")
+
+    # big-endian
+    np.testing.assert_array_equal(
+        decode_tiff(_build_tiff(gray, endian="big")), gray
+    )
+    # WhiteIsZero inverts
+    np.testing.assert_array_equal(
+        decode_tiff(_build_tiff(gray, photometric=0)), 255 - gray
+    )
+    # poison: truncated strip raises, never returns garbage
+    t = _build_tiff(gray)
+    try:
+        decode_tiff(t[:-10])
+        assert False, "should raise"
+    except ValueError:
+        pass
+
+    # dispatch: a TIFF payload rides the real image feature path and
+    # yields the same thumbprint as the same pixels in PPM form
+    from melodist_spark.pipeline.multimodal import (
+        encode_ppm,
+        numpy_media_decoder,
+    )
+
+    np.testing.assert_array_equal(
+        numpy_media_decoder(_build_tiff(rgb)),
+        numpy_media_decoder(encode_ppm(rgb)),
+    )
+
+
+def test_tiff_lzw_differential():
+    """Decoder inverts a spec-text reference compressor on arbitrary
+    byte strings (hypothesis), including table-growth past the 9->10
+    bit early-change boundary."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from melodist_spark.pipeline.multimodal import _tiff_lzw
+
+    def ref_lzw(data: bytes) -> bytes:
+        table = {bytes([i]): i for i in range(256)}
+        nxt, width = 258, 9
+        bits = []
+
+        def emit(code):
+            bits.append(format(code, f"0{width}b"))
+
+        emit(256)
+        cur = b""
+        for b in data:
+            s = cur + bytes([b])
+            if s in table:
+                cur = s
+                continue
+            emit(table[cur])
+            table[s] = nxt
+            nxt += 1
+            if nxt == (1 << width) - 1 and width < 12:
+                width += 1
+            if nxt == 4094:  # table full: spec says emit Clear, reset
+                emit(256)
+                table = {bytes([i]): i for i in range(256)}
+                nxt, width = 258, 9
+            cur = bytes([b])
+        if cur:
+            emit(table[cur])
+        emit(257)
+        s = "".join(bits)
+        s += "0" * (-len(s) % 8)
+        return bytes(int(s[k : k + 8], 2) for k in range(0, len(s), 8))
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.binary(min_size=0, max_size=2000))
+    def case(data):
+        assert _tiff_lzw(ref_lzw(data), len(data)) == data
+
+    case()
+    # deterministic boundary push: low-entropy long input grows the
+    # table well past 511 entries
+    big = bytes(np.random.default_rng(3).integers(0, 4, 30000, dtype=np.uint8))
+    assert _tiff_lzw(ref_lzw(big), len(big)) == big
