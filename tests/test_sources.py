@@ -594,3 +594,86 @@ def test_read_warc_ranges_index_first_fetch(spark, tmp_path):
     errs = [r for r in out if r["warc_type"] == "__error__"]
     assert len(errs) == 1 and "EOF" in errs[0]["target_uri"]
     assert len(out) == 3
+
+
+def test_cdx_to_ranges_composition(spark, tmp_path):
+    """The full index-first story in one test: an archive of pages
+    from two domains, a CDX index built AT WRITE TIME (urlkey via the
+    surt() expression), a relational filter (one domain's prefix +
+    status 200), and a range fetch returning exactly the matching
+    records — the archive bytes for the other domain are never
+    parsed."""
+    import gzip
+    import json
+
+    from pyspark.sql import functions as F
+
+    from melodist_spark.pipeline.urls import surt
+    from melodist_spark.sources.warc import read_cdx, read_warc_ranges
+
+    def record(url, body, status=200):
+        payload = (
+            f"HTTP/1.1 {status} X\r\nContent-Type: text/html\r\n\r\n".encode()
+            + body
+        )
+        head = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: " + url.encode() + b"\r\n"
+            b"Content-Type: application/http; msgtype=response\r\n"
+            b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n"
+        )
+        return head + payload + b"\r\n\r\n"
+
+    pages = [
+        ("https://keep.example/a", b"keep-a", 200),
+        ("https://drop.example/x", b"drop-x", 200),
+        ("https://keep.example/b", b"keep-b", 404),
+        ("https://keep.example/c", b"keep-c", 200),
+    ]
+    arc = tmp_path / "crawl.warc.gz"
+    index_lines, pos, members = [], 0, []
+    for url, body, status in pages:
+        m = gzip.compress(record(url, body, status))
+        members.append(m)
+        index_lines.append((url, status, pos, len(m)))
+        pos += len(m)
+    arc.write_bytes(b"".join(members))
+
+    # build the CDXJ shard with surt() producing the urlkey column
+    idx_df = spark.createDataFrame(
+        [(u, s, o, l) for u, s, o, l in index_lines],
+        "url string, status int, off long, len long",
+    ).select(
+        F.concat_ws(
+            " ",
+            surt(F.col("url")),
+            F.lit("20240101000000"),
+            F.to_json(
+                F.struct(
+                    F.col("url"),
+                    F.col("status").cast("string").alias("status"),
+                    F.col("len").cast("string").alias("length"),
+                    F.col("off").cast("string").alias("offset"),
+                    F.lit(str(arc)).alias("filename"),
+                )
+            ),
+        ).alias("line")
+    )
+    shard = tmp_path / "cdx-00000.gz"
+    shard.write_bytes(
+        gzip.compress(
+            ("\n".join(r["line"] for r in idx_df.collect()) + "\n").encode()
+        )
+    )
+
+    cdx = read_cdx(spark, str(shard))
+    picked = cdx.filter(
+        F.col("urlkey").startswith("example,keep)") & (F.col("status") == 200)
+    ).select("warc_filename", "offset", "length")
+    out = read_warc_ranges(spark, picked).collect()
+    assert sorted(r["target_uri"] for r in out) == [
+        "https://keep.example/a",
+        "https://keep.example/c",
+    ]
+    assert all(r["http_status"] == 200 for r in out)
+    assert sorted(bytes(r["http_body"]) for r in out) == [b"keep-a", b"keep-c"]
