@@ -407,18 +407,86 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: deterministic non-Latin probes for the script-ID differential (the
+#: corpus is ASCII, so rows doc_id % 5 == 0 are swapped for one of
+#: these, rotating by doc_id % 3 — script_pred then genuinely varies)
+_SCRIPT_PROBES = (
+    "Привет мир это тест",
+    "你好世界这是测试",
+    "مرحبا بالعالم هذا اختبار",
+)
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-based language-ID scores (en/de/es)."""
-    from melodist_spark.pipeline.text import language_scores
+    """Stopword-based language-ID scores (en/de/es) PLUS Unicode
+    script-range detection (round 7): per-script character counts and
+    the argmax ``script_pred`` over a probe column where every fifth
+    doc is swapped for a rotating Cyrillic/CJK/Arabic snippet — the
+    writing-system signal stopword lists cannot give. Script classes
+    are literal-char ranges that parse identically in Java regex and
+    RE2, so the DuckDB oracle runs the very same class strings."""
+    from melodist_spark.pipeline.text import detect_script, language_scores
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probe = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_SCRIPT_PROBES[0]))
+        .when(F.col("doc_id") % 3 == 1, F.lit(_SCRIPT_PROBES[1]))
+        .otherwise(F.lit(_SCRIPT_PROBES[2])),
+    ).otherwise(F.col("text"))
     scores = language_scores(F.col("text"))
-    return docs.select(
+    out = detect_script(docs.withColumn("__probe", probe), "__probe")
+    return out.select(
         "doc_id",
         scores["score_en"].cast("long").alias("score_en"),
         scores["score_de"].cast("long").alias("score_de"),
         scores["score_es"].cast("long").alias("score_es"),
+        F.col("n_latin").cast("long").alias("n_latin"),
+        F.col("n_cyrillic").cast("long").alias("n_cyrillic"),
+        F.col("n_cjk").cast("long").alias("n_cjk"),
+        F.col("n_arabic").cast("long").alias("n_arabic"),
+        F.col("n_kana").cast("long").alias("n_kana"),
+        F.col("n_hangul").cast("long").alias("n_hangul"),
+        "script_pred",
     )
+
+
+def _script_probe_sql() -> str:
+    """The lang_id probe column as DuckDB SQL (mirror of the Spark
+    CASE in q_lang_id)."""
+    p = _SCRIPT_PROBES
+    return (
+        "CASE WHEN doc_id % 5 = 0 THEN "
+        f"(CASE WHEN doc_id % 3 = 0 THEN '{p[0]}' "
+        f"WHEN doc_id % 3 = 1 THEN '{p[1]}' ELSE '{p[2]}' END) "
+        "ELSE text END"
+    )
+
+
+def _script_count_sql() -> str:
+    """Per-script count expressions over ``probe`` — the SAME literal
+    character classes the Spark side uses (Java regex and RE2 parse
+    them identically)."""
+    from melodist_spark.pipeline.text import SCRIPT_RANGES, script_class
+
+    return ",\n                     ".join(
+        f"CAST(length(probe) - length(regexp_replace(probe, "
+        f"'{script_class(s)}', '', 'g')) AS BIGINT) AS n_{s}"
+        for s in SCRIPT_RANGES
+    )
+
+
+def _script_pred_sql() -> str:
+    """Argmax script with the Spark tie rule (highest count, then
+    alphabetically LAST): greatest() + a reverse-alphabetical CASE."""
+    from melodist_spark.pipeline.text import SCRIPT_RANGES
+
+    scripts = sorted(SCRIPT_RANGES)
+    g = "greatest(" + ", ".join(f"sc.n_{s}" for s in scripts) + ")"
+    arms = " ".join(
+        f"WHEN sc.n_{s} = {g} THEN '{s}'" for s in reversed(scripts)
+    )
+    return f"CASE WHEN {g} <= 0 THEN 'und' {arms} END"
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3070,12 +3138,23 @@ def oracle_sql() -> dict[str, str]:
             WITH w AS (
               SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
               FROM documents
+            ),
+            sw AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN w = ANY({stop_en}) THEN 1 ELSE 0 END) AS BIGINT) AS score_en,
+                     CAST(sum(CASE WHEN w = ANY({stop_de}) THEN 1 ELSE 0 END) AS BIGINT) AS score_de,
+                     CAST(sum(CASE WHEN w = ANY({stop_es}) THEN 1 ELSE 0 END) AS BIGINT) AS score_es
+              FROM w GROUP BY doc_id
+            ),
+            sc AS (
+              SELECT doc_id, {_script_count_sql()}
+              FROM (SELECT doc_id, {_script_probe_sql()} AS probe FROM documents)
             )
-            SELECT doc_id,
-                   CAST(sum(CASE WHEN w = ANY({stop_en}) THEN 1 ELSE 0 END) AS BIGINT) AS score_en,
-                   CAST(sum(CASE WHEN w = ANY({stop_de}) THEN 1 ELSE 0 END) AS BIGINT) AS score_de,
-                   CAST(sum(CASE WHEN w = ANY({stop_es}) THEN 1 ELSE 0 END) AS BIGINT) AS score_es
-            FROM w GROUP BY doc_id
+            SELECT sw.doc_id, sw.score_en, sw.score_de, sw.score_es,
+                   sc.n_latin, sc.n_cyrillic, sc.n_cjk, sc.n_arabic,
+                   sc.n_kana, sc.n_hangul,
+                   {_script_pred_sql()} AS script_pred
+            FROM sw JOIN sc ON sw.doc_id = sc.doc_id
         """,
         "simhash": simhash_sql,
         "minhash_bands": minhash_sql,

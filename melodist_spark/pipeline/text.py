@@ -109,6 +109,62 @@ def language_scores(text: Column) -> dict[str, Column]:
     return out
 
 
+#: Unicode script blocks for script-level language ID — (lo, hi)
+#: codepoint ranges; class strings are built with LITERAL characters,
+#: which parse identically in Java regex (Spark) and RE2 (DuckDB), so
+#: one expression serves both engines.
+SCRIPT_RANGES: dict[str, list[tuple[int, int]]] = {
+    "latin": [(0x41, 0x5A), (0x61, 0x7A), (0xC0, 0x24F)],
+    "cyrillic": [(0x400, 0x4FF)],
+    "greek": [(0x370, 0x3FF)],
+    "arabic": [(0x600, 0x6FF)],
+    "hebrew": [(0x590, 0x5FF)],
+    "devanagari": [(0x900, 0x97F)],
+    "thai": [(0xE00, 0xE7F)],
+    "kana": [(0x3040, 0x30FF)],
+    "hangul": [(0x1100, 0x11FF), (0xAC00, 0xD7AF)],
+    "cjk": [(0x3400, 0x4DBF), (0x4E00, 0x9FFF)],
+}
+
+
+def script_class(script: str) -> str:
+    """Character-class regex for one script, literal-char form
+    (engine-portable: Java regex and RE2 parse it identically)."""
+    return "[" + "".join(
+        f"{chr(lo)}-{chr(hi)}" for lo, hi in SCRIPT_RANGES[script]
+    ) + "]"
+
+
+def script_counts(text: Column) -> dict[str, Column]:
+    """Per-script character counts (``n_latin``, ``n_cjk``, …) via the
+    regexp_replace length-diff trick — one codegen pass per script,
+    no tokenization. The writing-system signal stopword lists cannot
+    give: a Russian or Chinese document scores zero on every Latin
+    stoplist but lights up its script range."""
+    return {
+        f"n_{s}": F.length(text)
+        - F.length(F.regexp_replace(text, script_class(s), ""))
+        for s in SCRIPT_RANGES
+    }
+
+
+def detect_script(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Argmax script per document (``script_pred``): highest character
+    count, ties to the alphabetically last script name (same
+    deterministic rule as :func:`detect_language`), 'und' when no
+    script character occurs at all."""
+    counts = script_counts(F.col(text_col))
+    df = df.withColumns(counts)
+    pairs = F.array(
+        *[
+            F.struct(F.col(f"n_{s}").alias("s"), F.lit(s).alias("l"))
+            for s in sorted(SCRIPT_RANGES)
+        ]
+    )
+    best = F.array_max(F.filter(pairs, lambda p: p["s"] > 0))
+    return df.withColumn("script_pred", F.coalesce(best["l"], F.lit("und")))
+
+
 def detect_language(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Argmax of language stopword scores with deterministic
     (alphabetical) tie-break; 'und' (undetermined) when no hits."""

@@ -1674,3 +1674,35 @@ def test_fix_text_double_mojibake_passes(spark):
     got = [r[0] for r in df.select(fix_text(F.col("t"), passes=2)).collect()]
     for (moji2, want), g in zip(cases, got):
         assert g == want, (repr(moji2), repr(g), repr(want))
+
+
+def test_detect_script(spark):
+    """Script-range detection: per-script counts and the argmax with
+    the documented tie rule; literal-char classes behave the same on
+    mixed-script text."""
+    from melodist_spark.pipeline.text import detect_script
+
+    rows = [
+        (1, "Привет мир"),                  # cyrillic
+        (2, "你好世界"),                      # cjk
+        (3, "こんにちは"),                    # kana
+        (4, "안녕하세요"),                    # hangul
+        (5, "مرحبا بالعالم"),               # arabic
+        (6, "plain english text"),          # latin
+        (7, "mixed Привет text here"),      # latin chars outnumber cyrillic
+        (8, "1234 !!! ???"),                # no script at all
+        (9, None),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    out = {
+        r["id"]: r for r in detect_script(df, "t").collect()
+    }
+    assert out[1]["script_pred"] == "cyrillic" and out[1]["n_cyrillic"] == 9
+    assert out[2]["script_pred"] == "cjk" and out[2]["n_cjk"] == 4
+    assert out[3]["script_pred"] == "kana"
+    assert out[4]["script_pred"] == "hangul"
+    assert out[5]["script_pred"] == "arabic"
+    assert out[6]["script_pred"] == "latin"
+    assert out[7]["script_pred"] == "latin" and out[7]["n_cyrillic"] == 6
+    assert out[8]["script_pred"] == "und"
+    assert out[9]["script_pred"] == "und"
