@@ -1316,6 +1316,10 @@ def oracle_sql() -> dict[str, str]:
                      CAST(sum(CASE WHEN sg > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
               FROM contrib GROUP BY doc_id
             )
+            , sc AS (
+              SELECT doc_id, {_script_count_sql()}
+              FROM (SELECT doc_id, {_script_probe_sql()} AS probe FROM documents)
+            )
             SELECT t.doc_id, t.fp,
                    CAST(t.n_tokens AS BIGINT) AS n_tokens,
                    round(CASE WHEN t.n_tokens > 0 THEN
@@ -1326,10 +1330,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(s.score_en AS BIGINT) AS score_en,
                    CAST(s.score_de AS BIGINT) AS score_de,
                    CAST(s.score_es AS BIGINT) AS score_es,
+                   sc.n_latin, sc.n_cyrillic, sc.n_cjk, sc.n_arabic,
+                   sc.n_kana, sc.n_hangul,
+                   {_script_pred_sql()} AS script_pred,
                    sh.simhash
             FROM t
             JOIN s ON t.doc_id = s.doc_id
             JOIN sh ON t.doc_id = sh.doc_id
+            JOIN sc ON t.doc_id = sc.doc_id
         """,
         "asof_attribution": """
             WITH c AS (
@@ -4477,10 +4485,16 @@ def q_dyadic_calendars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full text-analysis feature set in one narrow projection —
-    fingerprint, token/quality stats, language-ID scores and the
-    16-bit SimHash are all JVM column expressions over ``documents``,
-    so the compound is join-free and single-scan."""
+    fingerprint, token/quality stats, language-ID scores, Unicode
+    script detection (round 7) and the 16-bit SimHash are all JVM
+    column expressions over ``documents``, so the compound is
+    join-free and single-scan. Script counts + ``script_pred`` run
+    over a probe column where every fifth doc is swapped for a
+    rotating Cyrillic/CJK/Arabic snippet (the corpus is ASCII) — the
+    literal-char script classes parse identically in Java regex and
+    RE2, so the oracle runs the very same strings."""
     from melodist_spark.pipeline.text import (
+        detect_script,
         fingerprint,
         language_scores,
         quality_features,
@@ -4488,7 +4502,16 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    staged = simhash(quality_features(docs))
+    probe = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_SCRIPT_PROBES[0]))
+        .when(F.col("doc_id") % 3 == 1, F.lit(_SCRIPT_PROBES[1]))
+        .otherwise(F.lit(_SCRIPT_PROBES[2])),
+    ).otherwise(F.col("text"))
+    staged = detect_script(
+        simhash(quality_features(docs)).withColumn("__probe", probe),
+        "__probe",
+    )
     scores = language_scores(F.col("text"))
     return staged.select(
         "doc_id",
@@ -4500,6 +4523,13 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         scores["score_en"].cast("long").alias("score_en"),
         scores["score_de"].cast("long").alias("score_de"),
         scores["score_es"].cast("long").alias("score_es"),
+        F.col("n_latin").cast("long").alias("n_latin"),
+        F.col("n_cyrillic").cast("long").alias("n_cyrillic"),
+        F.col("n_cjk").cast("long").alias("n_cjk"),
+        F.col("n_arabic").cast("long").alias("n_arabic"),
+        F.col("n_kana").cast("long").alias("n_kana"),
+        F.col("n_hangul").cast("long").alias("n_hangul"),
+        "script_pred",
         F.col("simhash").cast("long").alias("simhash"),
     )
 
