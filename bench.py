@@ -208,6 +208,18 @@ def main():
                         "round 7: +n_sessions/max_session_rows "
                         "(sessionize window + two aggs) vs round 6"
                     ),
+                    "text_features": (
+                        "round 7: +Unicode script detection (10 "
+                        "script-count regex passes + script_pred "
+                        "argmax, hash-checked) — added work vs "
+                        "round 6's row"
+                    ),
+                    "text_curation": (
+                        "round 7: +fix_text encoding repair "
+                        "(fixed_len/fixed_md5, guarded 129-replace "
+                        "chain, both guard paths hash-checked) — "
+                        "added work vs round 6's row"
+                    ),
                     "dup_clusters": (
                         "round 7: MinHash signatures are now "
                         "double-hashed (zip_with shingles), so the "

@@ -332,12 +332,18 @@ def read_cdx(
         F.input_file_name().alias("source_file"),
         F.col("value"),
     )
+    # try_* variants: a junk line (too few tokens, unparseable date)
+    # must yield nulls in those fields, never an
+    # ArrayIndexOutOfBounds/ANSI task failure — pinned by
+    # test_read_cdx_fuzz_never_fails
     parts = F.split(F.col("value"), " ", 3)
     parsed = lines.select(
         "source_file",
-        F.element_at(parts, 1).alias("urlkey"),
-        F.to_timestamp(F.element_at(parts, 2), "yyyyMMddHHmmss").alias("ts"),
-        F.from_json(F.element_at(parts, 3), json_schema).alias("j"),
+        F.try_element_at(parts, F.lit(1)).alias("urlkey"),
+        F.try_to_timestamp(
+            F.try_element_at(parts, F.lit(2)), F.lit("yyyyMMddHHmmss")
+        ).alias("ts"),
+        F.from_json(F.try_element_at(parts, F.lit(3)), json_schema).alias("j"),
     )
     return parsed.select(
         "source_file",
@@ -345,10 +351,10 @@ def read_cdx(
         "ts",
         F.col("j.url").alias("url"),
         F.coalesce(F.col("j.mime-detected"), F.col("j.mime")).alias("mime"),
-        F.col("j.status").cast("int").alias("status"),
+        F.col("j.status").try_cast("int").alias("status"),
         F.col("j.digest").alias("digest"),
-        F.col("j.length").cast("long").alias("length"),
-        F.col("j.offset").cast("long").alias("offset"),
+        F.col("j.length").try_cast("long").alias("length"),
+        F.col("j.offset").try_cast("long").alias("offset"),
         F.col("j.filename").alias("warc_filename"),
     )
 

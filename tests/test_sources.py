@@ -677,3 +677,32 @@ def test_cdx_to_ranges_composition(spark, tmp_path):
     ]
     assert all(r["http_status"] == 200 for r in out)
     assert sorted(bytes(r["http_body"]) for r in out) == [b"keep-a", b"keep-c"]
+
+
+def test_read_cdx_fuzz_never_fails(spark, tmp_path):
+    """Arbitrary junk lines in a CDX shard yield rows with null
+    fields, never task failures — the quarantine contract."""
+    import gzip
+
+    lines = (
+        "\n"
+        "just-one-token\n"
+        "two tokens\n"
+        "key 20240101000000 \n"
+        "key notadate {\"url\": \"x\"}\n"
+        "key 20240101000000 [1,2,3]\n"
+        "key 20240101000000 {\"length\": \"not-a-number\"}\n"
+        "\x00\x01binary garbage here\n"
+        "ok,key)/p 20240101000000 {\"url\": \"https://k/p\", \"status\": \"200\"}\n"
+    )
+    p = tmp_path / "junk-cdx.gz"
+    p.write_bytes(gzip.compress(lines.encode()))
+    from melodist_spark.sources.warc import read_cdx
+
+    rows = read_cdx(spark, str(p)).collect()
+    assert len(rows) == 9  # every line (even the empty one) is a row
+    good = [r for r in rows if r["url"] == "https://k/p"]
+    assert len(good) == 1 and good[0]["status"] == 200
+    # the not-a-number length degrades to null, not an error
+    bad_len = [r for r in rows if r["urlkey"] == "key" and r["length"] is None]
+    assert bad_len

@@ -287,3 +287,24 @@ def test_surt_urlkey(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], ["u"])
     got = [r[0] for r in df.select(surt(F.col("u"))).collect()]
     assert got == [k for _, k in cases], got
+
+
+def test_surt_and_normalize_never_raise(spark):
+    """surt() and normalize_url() are total functions over junk input
+    (hypothesis): no exception for any printable string — malformed
+    crawl rows must degrade, not kill a task."""
+    from hypothesis import given, settings, strategies as st
+
+    from melodist_spark.pipeline.urls import normalize_url, surt
+
+    collected = []
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.text(min_size=0, max_size=60))
+    def case(s):
+        collected.append(s)
+
+    case()
+    df = spark.createDataFrame([(s,) for s in set(collected) if s is not None] or [("x",)], ["u"])
+    out = df.select(surt(F.col("u")).alias("k"), normalize_url(F.col("u")).alias("n")).collect()
+    assert len(out) >= 1  # the job completing IS the assertion
