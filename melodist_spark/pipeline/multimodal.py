@@ -247,8 +247,11 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         e = ifd + 2 + 12 * k
         tag, typ, cnt = u(e, 2), u(e + 2, 2), u(e + 4, 4)
         size = sizes.get(typ)
-        if size is None:
-            continue  # RATIONAL/ASCII metadata — not needed
+        if size is None or cnt == 0:
+            continue  # RATIONAL/ASCII metadata or corrupt zero-count
+        if size * cnt > len(payload):
+            # corrupt count: the value array cannot exceed the file
+            raise ValueError("TIFF tag value array larger than file")
         vo = e + 8 if size * cnt <= 4 else u(e + 8, 4)
         tags[tag] = [u(vo + j * size, size) for j in range(cnt)]
 

@@ -1788,3 +1788,26 @@ def test_tiff_lzw_differential():
     # table well past 511 entries
     big = bytes(np.random.default_rng(3).integers(0, 4, 30000, dtype=np.uint8))
     assert _tiff_lzw(ref_lzw(big), len(big)) == big
+
+
+def test_decode_tiff_bitflip_fuzz():
+    """Bitflipped TIFFs either decode or raise ValueError — never an
+    uncontrolled exception class (the poison-blob contract that lets
+    the mapInPandas wrappers quarantine instead of die)."""
+    import numpy as np
+
+    from melodist_spark.pipeline.multimodal import decode_tiff
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    for comp in (1, 32773, 5):
+        base = bytearray(_build_tiff(img, compression=comp))
+        for trial in range(300):
+            buf = bytearray(base)
+            for _ in range(rng.integers(1, 4)):
+                buf[rng.integers(0, len(buf))] ^= 1 << rng.integers(0, 8)
+            try:
+                out = decode_tiff(bytes(buf))
+                assert out.dtype == np.uint8
+            except ValueError:
+                pass

@@ -196,3 +196,24 @@ def test_extract_sitemaps(spark):
         ("a.example", "https://a.example/s2.xml"),
         ("a.example", "https://a.example/space-before-colon.xml"),
     ], got
+
+
+def test_parse_robots_text_fuzz_total():
+    """parse_robots_text is a total function over arbitrary text
+    (hypothesis): any input yields a (pattern, allow, specificity)
+    list, never an exception — robots.txt in the wild is unparseable
+    garbage surprisingly often."""
+    from hypothesis import given, settings, strategies as st
+
+    from melodist_spark.pipeline.robots import parse_robots_text
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.text(max_size=300), st.sampled_from(["*", "mybot", ""]))
+    def case(text, agent):
+        rules = parse_robots_text(text, agent)
+        assert isinstance(rules, list)
+        for pat, allow, spec in rules:
+            assert isinstance(pat, str) and isinstance(allow, bool)
+            assert spec == len(pat)
+
+    case()
