@@ -2,11 +2,12 @@
 wired into one continuously-running intake pipeline.
 
 A crawl lands as a stream; by the time documents reach storage they
-should already be cleaned, quality-gated, decontaminated and
-first-occurrence deduplicated — running curation at ingest avoids a
-second full pass over the corpus later. Every stage here is the SAME
-operator the batch pipeline uses, which is the point: the stateless
-stages (cleaning, quality rules, Arrow-kernel decontamination) are
+should already be encoding-repaired, cleaned, quality-gated,
+decontaminated and first-occurrence deduplicated — running curation
+at ingest avoids a second full pass over the corpus later. Every
+stage here is the SAME operator the batch pipeline uses, which is the
+point: the stateless stages (fix_text repair, cleaning, quality
+rules, Arrow-kernel decontamination) are
 narrow projections that are streaming-safe by construction, and the
 one stateful stage (exact dedup) keys on the same md5 digest as the
 batch `exact_duplicates`, so a streaming-then-batch pipeline agrees
@@ -46,12 +47,19 @@ def streaming_curate(
     from ..pipeline.text import clean_text, quality_flags
     from .dedup import streaming_dedup_exact
 
-    # every gate operates on the CLEANED text: two re-crawls that
-    # differ only in boilerplate (tracking URL, tag churn) must hash
-    # to the same dedup digest, markup tokens must not pad a document
-    # past the quality gate, and benchmark text wrapped in tags must
-    # not evade the n-gram match
-    staged = stream.withColumn("text_clean", clean_text(F.col(text_col)))
+    # every gate operates on the REPAIRED, cleaned text: a mojibake'd
+    # re-crawl must hash to the same dedup digest as its clean twin
+    # (fix_text runs first — it is stateless codegen, so it is
+    # streaming-safe like the rest), two re-crawls that differ only
+    # in boilerplate (tracking URL, tag churn) must collide too,
+    # markup tokens must not pad a document past the quality gate,
+    # and benchmark text wrapped in tags must not evade the n-gram
+    # match
+    from ..pipeline.text import fix_text
+
+    staged = stream.withColumn(
+        "text_clean", clean_text(fix_text(F.col(text_col)))
+    )
     gated = quality_flags(
         staged,
         text_col="text_clean",

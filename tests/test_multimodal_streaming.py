@@ -324,6 +324,14 @@ def test_streaming_curate_end_to_end(spark, tmp_path):
     rows.append((103, rows[1][1] + " https://t.example/track?id=9"))
     rows.append((101, "tiny"))              # fails min_tokens gate
     rows.append((102, rows[5][1] + " x"))   # shares 5-grams with bench doc 5
+    # round 7: a mojibake'd re-crawl (UTF-8 read as cp1252) of a doc
+    # with non-ASCII content must dedup against its clean twin — the
+    # fix_text stage runs before the digest
+    accented = rows[2][1] + " caf\u00e9 \u2014 na\u00efve"
+    rows[2] = (rows[2][0], accented)
+    rows.append(
+        (104, rows[2][1].encode("utf-8").decode("cp1252", errors="replace"))
+    )
     docs = spark.createDataFrame(rows, "doc_id long, text string")
 
     bench = docs.filter(F.col("doc_id") == 5)
@@ -346,8 +354,11 @@ def test_streaming_curate_end_to_end(spark, tmp_path):
     }
 
     # batch reference: same operators composed the same way, all
-    # gates on the cleaned text
-    cleaned = docs.withColumn("text_clean", clean_text(F.col("text")))
+    # gates on the repaired + cleaned text (streaming_curate runs
+    # fix_text first)
+    from melodist_spark.pipeline.text import fix_text
+
+    cleaned = docs.withColumn("text_clean", clean_text(fix_text(F.col("text"))))
     gated = quality_flags(cleaned, text_col="text_clean", min_tokens=20).filter("keep")
     decon = decontaminate_stateless(
         gated, grams, text_col="text_clean", ngram=5, keep_payload=True
@@ -367,6 +378,7 @@ def test_streaming_curate_end_to_end(spark, tmp_path):
     }
     assert got_digests == want_digests
     # gates actually fired
+    assert not ({2, 104} <= got)   # mojibake'd re-crawl deduped vs twin
     assert 101 not in got          # quality gate
     assert 5 not in got and 102 not in got  # decontamination (5 ⊆ bench)
     assert not {1, 103} <= got     # boilerplate-only re-crawl deduped
