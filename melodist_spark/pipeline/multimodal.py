@@ -1655,6 +1655,105 @@ def byte_histogram(
     return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
 
 
+def video_phash(
+    df: DataFrame,
+    every_n: int = 10,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_frames: int | None = None,
+) -> DataFrame:
+    """Per-sampled-frame pHash signatures for video payloads:
+    ``(media_id, frame_idx, phash)`` — the standard frame-fingerprint
+    basis for video near-dup (a re-encoded/rescaled copy of a video
+    shares most of its frame hashes even when no two FILES share a
+    byte). Composes :func:`sample_frames` (offset-walk sampling — the
+    unsampled 90%+ of each container is never entropy-decoded) with
+    :func:`phash64` over the decodable sampled frames; ``codec='raw'``
+    rows (the H.264 seam) and error rows drop out here, so the
+    signature is exactly the frames we can actually see."""
+    frames = sample_frames(
+        df,
+        every_n=every_n,
+        payload_col=payload_col,
+        id_col=id_col,
+        max_frames=max_frames,
+    ).filter(F.col("err").isNull() & F.col("codec").isin("jpeg", "gif"))
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("frame_idx", LongType()),
+            StructField("phash", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hs = [
+                phash64(bytes(f)) if f is not None else None
+                for f in pdf["frame"]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "frame_idx": pdf["frame_idx"],
+                    "phash": hs,
+                }
+            )
+
+    return frames.select(id_col, "frame_idx", "frame").mapInPandas(
+        run, schema=schema
+    )
+
+
+def video_neardup_pairs(
+    frame_hashes: DataFrame,
+    id_col: str = "media_id",
+    min_shared: int = 2,
+    max_distance: int = 6,
+    num_bands: int = 7,
+) -> DataFrame:
+    """Video near-dup from :func:`video_phash` signatures: frames ride
+    the SAME banded LSH join as still images (each frame gets a
+    synthetic id ``media_id * 2^20 + frame_idx``), frame matches map
+    back to video pairs, and a video pair survives when at least
+    ``min_shared`` sampled frames match within ``max_distance`` bits —
+    one flickering intro frame doesn't pair two unrelated videos.
+    Defaults are wider than the still-image ones (6 bits / 7 bands):
+    a strong re-encode moves more pHash bits on small video frames
+    (measured 4-12 at q92→q70 on 48px frames) than on stills, and the
+    coarser 9-bit band buckets this costs are paid back by the
+    min_shared verification — a candidate video pair needs REPEATED
+    frame collisions to survive.
+    Returns ``(id_a, id_b, shared_frames)`` with ``id_a < id_b``.
+    Everything after the per-frame ingest hash is JVM codegen; frame
+    counts are bounded by the sampling rate, so the banded join's
+    state is ~8 bytes per SAMPLED frame, not per video byte."""
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    fid = (F.col(id_col) * F.lit(1 << 20) + F.col("frame_idx")).alias(
+        "media_id"
+    )
+    frame_pairs = dhash_neardup_pairs(
+        frame_hashes.filter(
+            F.col("phash").isNotNull() & (F.col("frame_idx") < (1 << 20))
+        ).select(fid, "phash"),
+        hash_col="phash",
+        max_distance=max_distance,
+        num_bands=num_bands,
+    )
+    va = F.shiftrightunsigned(F.col("id_a"), 20)
+    vb = F.shiftrightunsigned(F.col("id_b"), 20)
+    return (
+        frame_pairs.select(
+            F.least(va, vb).alias("id_a"), F.greatest(va, vb).alias("id_b")
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_frames"))
+        .filter(F.col("shared_frames") >= min_shared)
+    )
+
+
 def sample_frames(
     df: DataFrame,
     every_n: int = 10,

@@ -1883,3 +1883,52 @@ def test_phash_properties_and_neardup(spark):
         max_distance=3,
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_video_neardup_via_frame_phash(spark):
+    """Video near-dup end to end: a quality-70 re-encode of an MJPEG
+    clip pairs with its original through shared frame pHashes (no two
+    FILES share a byte), an unrelated clip doesn't, and a single
+    coincidentally-similar frame can't pair videos (min_shared)."""
+    import numpy as np
+
+    from melodist_spark.pipeline.avi import encode_avi_mjpeg
+    from melodist_spark.pipeline.multimodal import (
+        video_neardup_pairs,
+        video_phash,
+    )
+
+    rng = np.random.default_rng(9)
+    y, x = np.mgrid[0:48, 0:48]
+
+    def scene(t):
+        return (
+            (
+                110
+                + 70 * np.sin(x / 7.0 + t)
+                + 50 * np.cos(y / 9.0 - t / 2.0)
+            )
+            .clip(0, 255)
+            .astype(np.uint8)[:, :, None]
+            .repeat(3, axis=2)
+        )
+
+    clip = [scene(t / 3.0) for t in range(12)]
+    noise = [
+        rng.integers(0, 256, (48, 48, 3), dtype=np.uint8) for _ in range(12)
+    ]
+    rows = [
+        (1, "video", bytearray(encode_avi_mjpeg(clip, quality=92))),
+        (2, "video", bytearray(encode_avi_mjpeg(clip, quality=70))),
+        (3, "video", bytearray(encode_avi_mjpeg(noise, quality=92))),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary"
+    )
+    sig = video_phash(df, every_n=3)  # 4 sampled frames per clip
+    assert sig.filter(F.col("phash").isNull()).count() == 0
+    pairs = video_neardup_pairs(sig, min_shared=2).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    # measured hammings 4/4/6/12 at q92 vs q70 — three of the four
+    # sampled frames sit within the 6-bit default
+    assert pairs[0]["shared_frames"] >= 2
