@@ -104,6 +104,7 @@ def main():
         audio_fingerprint,
         dhash_neardup_pairs,
         image_dhash,
+        image_phash,
     )
 
     t0 = time.perf_counter()
@@ -126,6 +127,16 @@ def main():
         f"image_dhash (decode+hash): {t2 - t1:.1f}s "
         f"({n_images / (t2 - t1):,.0f} imgs/s)", flush=True,
     )
+
+    phashes = image_phash(imgs).persist()
+    phashes.count()
+    t1b = time.perf_counter()
+    print(
+        f"image_phash (decode+DCT hash): {t1b - t2:.1f}s "
+        f"({n_images / (t1b - t2):,.0f} imgs/s)", flush=True,
+    )
+    phashes.unpersist()
+    t2 = t1b
 
     pairs = dhash_neardup_pairs(hashes, max_distance=3, num_bands=4)
     n_pairs = pairs.count()
