@@ -65,18 +65,43 @@ def main():
                 if i == 0:
                     rows.append((i, "video", b"RIFF\x20\x00\x00\x00AVI LIST"))
                     continue  # one poison clip
-                frames = [
-                    np.stack(
-                        [
-                            128 + 90 * np.sin(xx / 7 + t / 3 + i),
-                            128 + 90 * np.cos(yy / 6 - t / 3),
-                            (40 + 4 * t + i) % 256 + 0 * xx,
-                        ],
-                        axis=2,
+                # every 10th clip is a q70 RE-ENCODE of its
+                # predecessor's content — the planted video near-dup
+                base = i - 1 if i % 10 == 9 else i
+                q = 70 if i % 10 == 9 else 85
+                # natural-image-like spectra (multi-frequency +
+                # moving blob): a pure 2-tone sinusoid leaves ~60 of
+                # pHash's 64 low-freq coefficients AT the median,
+                # where they flip randomly under requantization
+                # per-clip rng-drawn spatial parameters: a shared
+                # parametric family would let clip i at frame t alias
+                # clip j at frame u (phase base + t/3 is one axis),
+                # which reads as near-dup because it IS near-dup —
+                # distinct clips must be genuinely unrelated
+                crng = np.random.default_rng(base)
+                fx, fy = crng.uniform(5, 14, 2)
+                p1, p2, p3 = crng.uniform(0, 6.28, 3)
+                bx, by = crng.integers(5, 55), crng.integers(5, 40)
+
+                def _frame(t):
+                    g = (
+                        90
+                        + 55 * np.sin(xx / fx + t / 3.0 + p1)
+                        + 35 * np.cos(yy / fy - t / 4.0 + p2)
+                        + 60
+                        * (
+                            ((xx - (bx + 3 * t) % 64) ** 2
+                             + (yy - by) ** 2)
+                            < 140
+                        )
+                        + 25 * np.sin(xx * yy / 180.0 + p3)
                     ).clip(0, 255).astype(np.uint8)
-                    for t in range(fpc)
-                ]
-                rows.append((i, "video", encode_avi_mjpeg(frames, fps=25)))
+                    return np.repeat(g[:, :, None], 3, axis=2)
+
+                frames = [_frame(t) for t in range(fpc)]
+                rows.append(
+                    (i, "video", encode_avi_mjpeg(frames, fps=25, quality=q))
+                )
             yield pd.DataFrame(rows, columns=["media_id", "media_type", "payload"])
 
     t0 = time.perf_counter()
@@ -131,7 +156,35 @@ def main():
         f"({agg['n'] / (t3 - t2):,.0f} frames decoded/s, mean {agg['mu']:.1f})",
         flush=True,
     )
-    print(f"TOTAL {t3 - t0:.1f}s", flush=True)
+    # video near-dup: per-sampled-frame pHash -> banded frame join ->
+    # pairs surviving >= min_shared matches; planted floor = the
+    # re-encoded every-10th clips
+    from melodist_spark.pipeline.multimodal import (
+        video_neardup_pairs,
+        video_phash,
+    )
+
+    sig = video_phash(clips, every_n=every_n).persist()
+    n_sig = sig.count()
+    t4 = time.perf_counter()
+    print(
+        f"video_phash: {t4 - t3:.1f}s ({n_sig:,} frame hashes, "
+        f"{n / (t4 - t3):,.0f} clips fingerprinted/s)",
+        flush=True,
+    )
+    vpairs = video_neardup_pairs(sig, min_shared=2)
+    planted = {(i - 1, i) for i in range(1, n_clips) if i % 10 == 9}
+    got = {(r["id_a"], r["id_b"]) for r in vpairs.collect()}
+    t5 = time.perf_counter()
+    print(
+        f"video_neardup_pairs: {t5 - t4:.1f}s ({len(got):,} pairs; "
+        f"planted {len(planted)}, recalled "
+        f"{len(planted & got)}/{len(planted)})",
+        flush=True,
+    )
+    assert planted <= got, "planted re-encodes must all be recalled"
+    print(f"TOTAL {t5 - t0:.1f}s", flush=True)
+    sig.unpersist()
     sampled.unpersist()
     clips.unpersist()
 
