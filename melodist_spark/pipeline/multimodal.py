@@ -1319,6 +1319,10 @@ def resize_images(
                         img = decode_gif(b)
                     elif b[:2] == b"BM":
                         img = decode_bmp(b)
+                    elif b[:4] in (b"II*\x00", b"MM\x00*"):
+                        img = decode_tiff(b)
+                        if img.ndim == 3 and img.shape[2] == 4:
+                            img = img[:, :, :3]
                     else:
                         img = decode_ppm(b)
                     small = resize_nearest(img, out_h, out_w)

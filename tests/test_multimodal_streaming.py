@@ -1699,7 +1699,7 @@ def _build_tiff(img, compression=1, predictor=1, rows_per_strip=None,
     return head + ifd + bytes(overflow) + b"".join(strips)
 
 
-def test_decode_tiff_baseline():
+def test_decode_tiff_baseline(spark):
     """Baseline TIFF against an independent test-side writer: gray and
     RGB, uncompressed / PackBits / TIFF-LZW (MSB-first, early change),
     multi-strip, horizontal predictor, WhiteIsZero, big-endian."""
@@ -1747,6 +1747,19 @@ def test_decode_tiff_baseline():
         numpy_media_decoder(_build_tiff(rgb)),
         numpy_media_decoder(encode_ppm(rgb)),
     )
+
+    # and through the distributed resize path (re-encoded as PPM)
+    import pyspark.sql.functions as SF
+
+    from melodist_spark.pipeline.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_build_tiff(rgb, compression=5)))],
+        "media_id long, payload binary",
+    )
+    out = resize_images(df, 3, 2).collect()[0]
+    assert out["err"] is None and (out["height"], out["width"]) == (3, 2)
+    assert bytes(out["payload"])[:2] == b"P6"
 
 
 def test_tiff_lzw_differential():
