@@ -395,3 +395,28 @@ def test_plan_contract_apply_robots_zero_url_shuffle(spark):
     assert len(re.findall(r"BroadcastExchange", plan)) == 2, plan
     for pat in (r"SortMergeJoin", r"CartesianProduct", r"monotonically"):
         assert not re.search(pat, plan), f"found forbidden /{pat}/"
+
+
+def test_plan_contract_perceptual_neardup_no_cartesian(spark):
+    """The banded perceptual-hash self-join (images AND the video
+    frame variant) must stay an equi-join on (band_idx, band_hash) —
+    no CartesianProduct / BroadcastNestedLoopJoin, and the Hamming
+    verify must be codegen bit_count, not a Python stage."""
+    from melodist_spark.pipeline.multimodal import (
+        dhash_neardup_pairs,
+        video_neardup_pairs,
+    )
+
+    hashes = spark.createDataFrame(
+        [(1, 7), (2, 8)], "media_id long, dhash long"
+    )
+    plan = _plan(dhash_neardup_pairs(hashes))
+    assert re.search(r"bit_count", plan)
+    frame_hashes = spark.createDataFrame(
+        [(1, 0, 7), (2, 0, 8)], "media_id long, frame_idx long, phash long"
+    )
+    vplan = _plan(video_neardup_pairs(frame_hashes))
+    for p in (plan, vplan):
+        for pat in (r"CartesianProduct", r"BroadcastNestedLoopJoin",
+                    r"BatchEvalPython", r"ArrowEvalPython"):
+            assert not re.search(pat, p), f"found forbidden /{pat}/"
