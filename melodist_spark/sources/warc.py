@@ -387,7 +387,14 @@ def read_warc_ranges(
 
     from pyspark.sql import functions as F
 
-    picked = ranges.groupBy("warc_filename").agg(
+    # a CDX quarantine row (null filename/offset/length) cannot be
+    # fetched — drop it here rather than TypeError-ing a task; the
+    # nulls are already visible in the index for auditing
+    picked = ranges.filter(
+        F.col("warc_filename").isNotNull()
+        & F.col("offset").isNotNull()
+        & F.col("length").isNotNull()
+    ).groupBy("warc_filename").agg(
         F.sort_array(
             F.collect_list(F.struct(F.col("offset"), F.col("length")))
         ).alias("__ranges")

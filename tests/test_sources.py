@@ -579,6 +579,8 @@ def test_read_warc_ranges_index_first_fetch(spark, tmp_path):
             (str(arc), index[1][0], index[1][1]),
             (str(arc), index[3][0], index[3][1]),
             (str(arc), pos + 100, 50),
+            (str(arc), None, 10),    # quarantine row: dropped, not a crash
+            (None, 0, 10),
         ],
         "warc_filename string, offset long, length long",
     )
