@@ -551,6 +551,65 @@ def fix_text_sql(expr: str, chunk: int = 56) -> str:
     return f"(select translate({name}, {frm}, {to}) from {inner})"
 
 
+def chunk_documents(
+    df: DataFrame,
+    size: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping character windows — the
+    embedding/RAG front door (a 100 TB corpus is embedded in chunks,
+    never whole docs): one row per chunk with exact provenance
+    ``(id, chunk_idx, char_start, chunk)``, so any downstream match
+    maps back to a byte range of its source document.
+
+    Stride is ``size - overlap``; the final window is whatever
+    remains (never padded, never dropped — a 1-char tail is still
+    retrievable text). Pure codegen: ``sequence`` over the window
+    count, ``transform`` to (offset, substring), one ``explode`` —
+    the only row multiplication is the intended ~len/stride fan-out,
+    there is no shuffle, and empty/NULL docs produce no rows.
+    Token-boundary snapping is deliberately absent: char offsets stay
+    exact and engine-portable (the DuckDB twin is the same
+    arithmetic); snap downstream if a tokenizer needs it."""
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    if not (0 <= overlap < size):
+        raise ValueError(f"overlap must be in [0, size), got {overlap}")
+    stride = size - overlap
+    n = F.length(F.col(text_col))
+    # windows start at 0, stride, 2*stride, ... while start < len;
+    # a start inside the last `overlap` chars would duplicate the
+    # previous window's tail, so only starts with NEW content count:
+    # n_windows = 1 + floor(max(len - size, 0) / stride), but when
+    # len > size the last window may be short — ceil semantics via
+    # integer arithmetic on (len - overlap)
+    n_win = F.when(n <= size, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int")
+    )
+    windows = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            (i * stride).cast("long").alias("char_start"),
+            F.substring(
+                F.col(text_col), (i * stride + 1).cast("int"), size
+            ).alias("chunk"),
+        ),
+    )
+    return (
+        df.filter(F.col(text_col).isNotNull() & (n > 0))
+        .select(F.col(id_col), F.explode(windows).alias("__w"))
+        .select(
+            id_col,
+            F.col("__w.chunk_idx").alias("chunk_idx"),
+            F.col("__w.char_start").alias("char_start"),
+            F.col("__w.chunk").alias("chunk"),
+        )
+    )
+
+
 def clean_text(text: Column) -> Column:
     """Boilerplate scrub: drop HTML-ish tags, URLs and emails, then
     collapse whitespace — the C4-style normalization pass before

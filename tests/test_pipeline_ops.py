@@ -1706,3 +1706,52 @@ def test_detect_script(spark):
     assert out[7]["script_pred"] == "latin" and out[7]["n_cyrillic"] == 6
     assert out[8]["script_pred"] == "und"
     assert out[9]["script_pred"] == "und"
+
+
+def test_chunk_documents(spark):
+    """Chunk reconstruction properties: concatenating chunks with the
+    overlap removed reproduces the document exactly; offsets are
+    exact; short docs yield one chunk; empty/NULL docs yield none."""
+    import random
+
+    from melodist_spark.pipeline.text import chunk_documents
+
+    rng = random.Random(7)
+    docs = [
+        (1, "".join(rng.choice("abcdef ") for _ in range(1237))),
+        (2, "short"),
+        (3, "x" * 512),           # exactly one window
+        (4, "y" * 513),           # one full + one 1-char tail
+        (5, ""),
+        (6, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = chunk_documents(df, size=512, overlap=64)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_idx"], r["char_start"], r["chunk"])
+         for r in out.collect())
+    )
+    by_doc = {}
+    for d, i, s, c in rows:
+        by_doc.setdefault(d, []).append((i, s, c))
+
+    assert set(by_doc) == {1, 2, 3, 4}
+    assert len(by_doc[2]) == 1 and by_doc[2][0] == (0, 0, "short")
+    assert len(by_doc[3]) == 1
+    assert len(by_doc[4]) == 2 and by_doc[4][1] == (1, 448, "y" * 65)
+
+    text1 = docs[0][1]
+    chunks1 = by_doc[1]
+    # offsets exact + every byte covered: reconstruct by stripping
+    # each subsequent chunk's 64-char overlap
+    rebuilt = chunks1[0][2] + "".join(c[64:] for _, _, c in chunks1[1:])
+    assert rebuilt == text1
+    for i, s, c in chunks1:
+        assert s == i * 448
+        assert text1[s : s + len(c)] == c
+        assert len(c) == 512 or (i == len(chunks1) - 1 and len(c) >= 1)
+    # no window starts past the end; the ceil((len-overlap)/stride)
+    # count guarantees every window carries >overlap NEW characters,
+    # so no chunk is a pure duplicate of its predecessor's tail
+    assert chunks1[-1][1] < len(text1)
+    assert all(len(c) > 64 for _, _, c in chunks1[1:])
