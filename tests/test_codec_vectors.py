@@ -642,3 +642,29 @@ def test_vector_bitflip_fuzz_avi(flip):
         raise AssertionError(
             f"decode_avi_frames leaked {type(e).__name__} on bitflip: {e}"
         ) from e
+
+
+def test_tiff_external_vectors():
+    """Hand-assembled known-good TIFF byte streams (struct-packed
+    directly from the TIFF 6.0 spec layout, independent of both the
+    repo decoder and the test-suite TIFF writer): a little-endian
+    uncompressed 2x2 gray, and a big-endian PackBits 2x2 gray with
+    WhiteIsZero inversion. Byte-exact pixel assertions."""
+    from melodist_spark.pipeline.multimodal import decode_tiff
+
+    t1 = bytes.fromhex(
+        "49492a00080000000800000103000100000002000000010103000100000002"
+        "00000002010300010000000800000003010300010000000100000006010300"
+        "010000000100000011010400010000006e0000001501030001000000010000"
+        "00170104000100000004000000000000000a141e28"
+    )
+    assert decode_tiff(t1).tolist() == [[10, 20], [30, 40]]
+
+    t2 = bytes.fromhex(
+        "4d4d002a000000080008010000030000000100020000010100030000000100"
+        "02000001020003000000010008000001030003000000018005000001060003"
+        "000000010000000001110004000000010000006e0115000300000001000100"
+        "0001170004000000010000000400000000fec80007"
+    )
+    # PackBits run(3 x 200) + literal 7; WhiteIsZero: 255-200 / 255-7
+    assert decode_tiff(t2).tolist() == [[55, 55], [55, 248]]

@@ -672,13 +672,35 @@ def test_cdx_to_ranges_composition(spark, tmp_path):
     picked = cdx.filter(
         F.col("urlkey").startswith("example,keep)") & (F.col("status") == 200)
     ).select("warc_filename", "offset", "length")
-    out = read_warc_ranges(spark, picked).collect()
+    fetched = read_warc_ranges(spark, picked)
+    out = fetched.collect()
     assert sorted(r["target_uri"] for r in out) == [
         "https://keep.example/a",
         "https://keep.example/c",
     ]
     assert all(r["http_status"] == 200 for r in out)
     assert sorted(bytes(r["http_body"]) for r in out) == [b"keep-a", b"keep-c"]
+
+    # ...and on to training data: html-strip + encoding-repair the
+    # fetched bodies, chunk with provenance — the complete
+    # index->fetch->curate->chunk story in one lineage
+    from melodist_spark.pipeline.text import (
+        chunk_documents,
+        clean_text,
+        fix_text,
+    )
+
+    docs = fetched.select(
+        F.xxhash64("target_uri").alias("doc_id"),
+        clean_text(
+            fix_text(F.make_valid_utf8(F.col("http_body").cast("string")))
+        ).alias("text"),
+    )
+    chunks = chunk_documents(docs, size=4, overlap=1).collect()
+    got_chunks = {(r["doc_id"], r["chunk_idx"], r["char_start"], r["chunk"])
+                  for r in chunks}
+    # 'keep-a' -> chunks of size 4 stride 3: 'keep', 'p-a'
+    assert {c[3] for c in got_chunks} == {"keep", "p-a", "p-c"}
 
 
 def test_read_cdx_fuzz_never_fails(spark, tmp_path):
