@@ -1718,8 +1718,10 @@ def video_neardup_pairs(
 ) -> DataFrame:
     """Video near-dup from :func:`video_phash` signatures: frames ride
     the SAME banded LSH join as still images (each frame gets a
-    synthetic id ``media_id * 2^20 + frame_idx``), frame matches map
-    back to video pairs, and a video pair survives when at least
+    synthetic id ``media_id * 2^20 + frame_idx`` — ids must fit 43
+    bits, which any per-corpus numbering does; beyond that, re-key
+    upstream), frame matches map back to video pairs, and a video
+    pair survives when at least
     ``min_shared`` sampled frames match within ``max_distance`` bits —
     one flickering intro frame doesn't pair two unrelated videos.
     Defaults are wider than the still-image ones (6 bits / 7 bands):
