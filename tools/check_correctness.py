@@ -75,6 +75,13 @@ def main():
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a name outside the registry would silently check NOTHING and
+        # print "all green" — the dormant merged-away compounds (e.g.
+        # lang_id) still have q_* functions, so the typo is easy
+        print(f"[FAIL] not in queries(): {sorted(unknown)}")
+        sys.exit(2)
     failed = []
     for name, fn in qs.items():
         if only and name not in only:
