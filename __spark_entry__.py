@@ -5109,12 +5109,22 @@ def q_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(":443/Crawl//"), F.col("lang"), F.lit("/"), sid,
         F.lit("/?utm_source=feed&ref=rss&id="), sid, F.lit("&b=2&a=1#frag"),
     )
-    derived = docs.select(
-        "doc_id",
-        html_to_text(html).alias("clean"),
-        normalize_url(url).alias("url_norm"),
-        url_host(url).alias("host"),
-        registered_domain(url_host(url)).alias("domain"),
+    # domain via the PSL path (round 8): K chained broadcast-hash
+    # probes against the packaged public-suffix table — on these
+    # synthetic TLDs (co.uk/com/net, all in the regex head) it is
+    # value-identical to registered_domain(), which the DuckDB twin
+    # replays, so the gate hash-checks the PSL join machinery too
+    from melodist_spark.pipeline.psl import registered_domain_psl
+
+    derived = registered_domain_psl(
+        docs.select(
+            "doc_id",
+            html_to_text(html).alias("clean"),
+            normalize_url(url).alias("url_norm"),
+            url_host(url).alias("host"),
+        ),
+        host_col="host",
+        out_col="domain",
     )
     ranked = domain_rank(derived, domain_col="domain", url_col="url_norm")
 

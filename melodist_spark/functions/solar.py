@@ -79,6 +79,10 @@ def sun_times_exprs(date_col, lon, lat, timezone) -> dict[str, Column]:
         key = (app_id, date_col, float(lon), float(lat), float(timezone))
         got = _SUN_TIMES_MEMO.get(key)
         if got is not None:
+            # move-to-end on hit so eviction is actually LRU (not
+            # FIFO): a hot geometry inserted first must survive
+            del _SUN_TIMES_MEMO[key]
+            _SUN_TIMES_MEMO[key] = got
             return got
         out = _sun_times_exprs_build(date_col, lon, lat, timezone)
         if len(_SUN_TIMES_MEMO) >= 256:  # bound: evict oldest geometry

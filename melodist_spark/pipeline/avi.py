@@ -131,6 +131,12 @@ def frame_dimensions(jpeg_bytes: bytes) -> tuple[int, int]:
     while i + 4 <= n:
         if jpeg_bytes[i] != 0xFF:
             raise ValueError("bad marker alignment in frame")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker byte — skip them (matches _decode_jpeg_inner)
+        while i + 1 < n and jpeg_bytes[i + 1] == 0xFF:
+            i += 1
+        if i + 4 > n:
+            break
         marker = jpeg_bytes[i + 1]
         i += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:

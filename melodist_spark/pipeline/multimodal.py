@@ -1681,7 +1681,13 @@ def video_phash(
         payload_col=payload_col,
         id_col=id_col,
         max_frames=max_frames,
-    ).filter(F.col("err").isNull() & F.col("codec").isin("jpeg", "gif"))
+    ).filter(
+        # 'png' included: sample_frames emits codec='png' for composited
+        # GIF canvases that exceed 256 colors — fully decodable frames
+        # that must not vanish from color-rich animation signatures
+        F.col("err").isNull()
+        & F.col("codec").isin("jpeg", "gif", "png")
+    )
     schema = StructType(
         [
             StructField(id_col, LongType()),

@@ -1,0 +1,165 @@
+"""Public-Suffix-List registrable domains as a scan-speed Spark op.
+
+Closes the ``registered_domain`` long-tail gap (VERDICT r7 item 2):
+the regex head in ``urls.py`` only knows ``{co,com,...}.<cc>``, so
+``github.io`` pages all grouped as one domain and ``gouv.fr`` split
+wrong — silently mis-bucketing the per-domain diversity cap and the
+domain PageRank.  This module evaluates the real PSL algorithm
+(https://publicsuffix.org/list/ — longest matching rule wins,
+``*`` matches one label, ``!`` exceptions beat wildcards, unlisted
+TLDs fall back to the default ``*`` rule) against the packaged rule
+table in :mod:`psl_data`.
+
+Scale design — NO shuffle, NO Python workers, NO explode+agg:
+
+* Parse-time (driver, microseconds): rules resolve to one row per
+  distinct suffix key ``(suffix, ps_labels, is_exception)`` where a
+  wildcard ``*.ck`` is keyed by its base ``ck`` with
+  ``ps_labels = labels(base)+1`` and an exception ``!www.ck`` by
+  ``www.ck`` with ``ps_labels = labels-1``.
+* Run-time: one chained LEFT **broadcast** hash join per candidate
+  label count ``k = 1..K`` (``K`` = deepest key in the table, 4 for
+  the packaged subset, 5 for the full upstream list), probing
+  ``substring_index(host, '.', -k)``.  Broadcast hash joins stay
+  inside whole-stage codegen and add zero exchanges, so at 100 TB
+  this is K hash probes per row on the scan — the same cost class
+  as the regex it replaces.  The winner is picked by a pure column
+  expression (exceptions first, then the longest match, then the
+  default rule), and the registrable domain is
+  ``substring_index(host, '.', -(ps+1))``.
+
+A suffix can be reached by at most ONE candidate ``k`` (a k-label
+string only ever equals the k-label candidate), so the K probe
+columns are mutually exclusive per rule — no dedup needed.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def parse_psl(text: str) -> dict[str, tuple[int, bool]]:
+    """Resolve PSL rule lines into ``{suffix_key: (ps_labels,
+    is_exception)}`` (full upstream grammar: comments, blanks,
+    exact / ``*.`` wildcard / ``!`` exception rules).
+
+    Key collisions (e.g. an exact ``ck`` TLD rule plus wildcard
+    ``*.ck`` both keyed ``ck``) keep the larger ``ps_labels`` —
+    longest-match semantics applied at build time; an exception
+    always wins its key outright."""
+    out: dict[str, tuple[int, bool]] = {}
+    for raw in text.splitlines():
+        line = raw.strip().lower()
+        if not line or line.startswith("//"):
+            continue
+        line = line.split()[0]  # upstream allows trailing comments
+        if line.startswith("!"):
+            suffix = line[1:]
+            ps = suffix.count(".")  # labels - 1
+            out[suffix] = (max(ps, 1), True)
+        elif line.startswith("*."):
+            base = line[2:]
+            ps = base.count(".") + 2  # labels(base) + 1
+            prev = out.get(base)
+            if prev is None or (not prev[1] and prev[0] < ps):
+                out[base] = (ps, False)
+        else:
+            ps = line.count(".") + 1
+            prev = out.get(line)
+            if prev is None or (not prev[1] and prev[0] < ps):
+                out[line] = (ps, False)
+    return out
+
+
+@lru_cache(maxsize=4)
+def _resolved_rules(text: str | None = None) -> dict[str, tuple[int, bool]]:
+    if text is None:
+        from melodist_spark.pipeline.psl_data import PSL_TEXT
+
+        text = PSL_TEXT
+    return parse_psl(text)
+
+
+def psl_rules_df(spark: SparkSession, text: str | None = None) -> DataFrame:
+    """The resolved rule table as a DataFrame
+    ``(suffix, n_labels, ps_labels, is_exc)`` — a few hundred rows
+    for the packaged subset, ~10k for the full upstream list; always
+    broadcast-sized."""
+    rules = _resolved_rules(text)
+    rows = [
+        (s, s.count(".") + 1, ps, exc) for s, (ps, exc) in rules.items()
+    ]
+    return spark.createDataFrame(
+        rows, "suffix string, n_labels int, ps_labels int, is_exc boolean"
+    )
+
+
+def registered_domain_psl(
+    df: DataFrame,
+    host_col: str = "host",
+    out_col: str = "domain",
+    psl_text: str | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = PSL registrable domain of ``host_col``.
+
+    ``a.b.example.co.uk`` → ``example.co.uk``; ``user.github.io`` →
+    ``user.github.io`` (private suffix); ``x.gouv.fr`` → ``x.gouv.fr``
+    wait — ``gouv.fr`` is itself the public suffix, so the registrable
+    domain of ``ville.gouv.fr`` is ``ville.gouv.fr``.  IPv4 literals
+    and hosts at/below their public suffix pass through unchanged
+    (same contract as ``urls.py::registered_domain``, which remains
+    the zero-data fallback head)."""
+    spark = df.sparkSession
+    rules = _resolved_rules(psl_text)
+    kmax = max(s.count(".") + 1 for s in rules)
+    host = F.col(host_col)
+
+    out = df
+    for k in range(1, kmax + 1):
+        rk = (
+            psl_rules_df(spark, psl_text)
+            .filter(F.col("n_labels") == k)
+            .select(
+                F.col("suffix").alias(f"_psl_s{k}"),
+                F.col("ps_labels").alias(f"_psl_p{k}"),
+                F.col("is_exc").alias(f"_psl_e{k}"),
+            )
+        )
+        # substring_index returns the whole host when it has < k
+        # labels — a (k-1)-label string can never equal a k-label
+        # suffix, so no label-count guard is needed
+        out = out.join(
+            F.broadcast(rk),
+            F.substring_index(host, ".", -k) == F.col(f"_psl_s{k}"),
+            "left",
+        )
+
+    exc_ps = F.greatest(
+        *[
+            F.when(F.col(f"_psl_e{k}"), F.col(f"_psl_p{k}"))
+            for k in range(1, kmax + 1)
+        ]
+    ) if kmax > 1 else F.when(F.col("_psl_e1"), F.col("_psl_p1"))
+    match_ps = F.greatest(
+        *[
+            F.when(~F.col(f"_psl_e{k}"), F.col(f"_psl_p{k}"))
+            for k in range(1, kmax + 1)
+        ]
+    ) if kmax > 1 else F.when(~F.col("_psl_e1"), F.col("_psl_p1"))
+    # exceptions beat any longer wildcard match; default rule: ps=1
+    ps = F.coalesce(exc_ps, match_ps, F.lit(1))
+
+    # substring_index with a COLUMN count needs expr(); stage the
+    # selected ps in a temp column so the expr stays readable
+    out = out.withColumn("_psl_ps", ps)
+    domain = F.when(host.rlike(r"^[0-9.]+$"), host).otherwise(
+        F.expr(f"substring_index(`{host_col}`, '.', -(_psl_ps + 1))")
+    )
+    out = out.withColumn(out_col, domain)
+    drop = ["_psl_ps"] + [
+        f"_psl_{c}{k}" for k in range(1, kmax + 1) for c in ("s", "p", "e")
+    ]
+    return out.drop(*drop)

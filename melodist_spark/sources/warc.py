@@ -61,13 +61,17 @@ WARC_SCHEMA = StructType(
 )
 
 
-def parse_warc_stream(fh):
+def parse_warc_stream(fh, max_payload: int | None = None):
     """Yield dicts of parsed records incrementally from a binary
     file-like object (plain or a ``gzip.GzipFile``). At most one
     record's payload is resident at a time — this is what lets a
     1 GB-compressed archive parse without materializing the ~4 GB
-    decompressed blob. Pure function — shared by the Spark reader,
-    :func:`parse_warc_records`, and tests."""
+    decompressed blob. When ``max_payload`` is set, a record whose
+    declared Content-Length exceeds it is skipped by reading the
+    body in bounded chunks (never allocated whole — a gzip-bomb
+    member with a huge Content-Length cannot OOM the worker) and
+    yielded with ``payload=None``. Pure function — shared by the
+    Spark reader, :func:`parse_warc_records`, and tests."""
     while True:
         # skip inter-record CRLF separators, find the version line
         line = fh.readline()
@@ -95,9 +99,20 @@ def parse_warc_stream(fh):
             clen = int(headers.get("content-length", "0"))
         except ValueError as e:
             raise ValueError("bad WARC Content-Length") from e
-        payload = fh.read(clen)
-        if len(payload) < clen:
-            raise ValueError("WARC payload exceeds file size")
+        if max_payload is not None and clen > max_payload:
+            # discard the oversized body in bounded chunks: the cap
+            # is checked BEFORE any allocation of clen bytes
+            left = clen
+            while left > 0:
+                got = fh.read(min(left, 1 << 20))
+                if not got:
+                    raise ValueError("WARC payload exceeds file size")
+                left -= len(got)
+            payload = None
+        else:
+            payload = fh.read(clen)
+            if len(payload) < clen:
+                raise ValueError("WARC payload exceeds file size")
         yield {
             "record_id": headers.get("warc-record-id"),
             "warc_type": headers.get("warc-type"),
@@ -180,9 +195,8 @@ def read_warc(
                         fh = gzip.GzipFile(fileobj=io.BytesIO(data))
                     else:
                         fh = io.BytesIO(data)
-                    for rec in parse_warc_stream(fh):
-                        if len(rec["payload"]) > max_payload:
-                            rec["payload"] = None
+                    for rec in parse_warc_stream(fh, max_payload=max_payload):
+                        if rec["payload"] is None:
                             rec["warc_type"] = "__oversized__"
                         status = ctype = body = None
                         if rec["payload"] is not None and (
@@ -445,9 +459,10 @@ def read_warc_ranges(
                                 )
                             if chunk[:2] == b"\x1f\x8b":
                                 chunk = gzip.decompress(chunk)
-                            for rec in parse_warc_stream(io.BytesIO(chunk)):
-                                if len(rec["payload"]) > max_payload:
-                                    rec["payload"] = None
+                            for rec in parse_warc_stream(
+                                io.BytesIO(chunk), max_payload=max_payload
+                            ):
+                                if rec["payload"] is None:
                                     rec["warc_type"] = "__oversized__"
                                 status = ctype = body = None
                                 if rec["payload"] is not None and (

@@ -1945,3 +1945,34 @@ def test_video_neardup_via_frame_phash(spark):
     # measured hammings 4/4/6/12 at q92 vs q70 — three of the four
     # sampled frames sit within the 6-bit default
     assert pairs[0]["shared_frames"] >= 2
+
+
+def test_frame_dimensions_tolerates_fill_bytes():
+    """T.81 B.1.1.2: 0xFF fill bytes may pad before any marker —
+    frame_dimensions must walk past them instead of misparsing the
+    segment length (ADVICE r7)."""
+    import struct
+
+    from melodist_spark.pipeline.avi import frame_dimensions
+
+    sof = b"\xff\xff\xff\xc0" + struct.pack(">HBHHB", 11, 8, 24, 32, 1) + b"\x01\x11\x00"
+    jpg = b"\xff\xd8" + b"\xff\xff" + b"\xff\xfe" + struct.pack(">H", 4) + b"ok" + sof
+    assert frame_dimensions(jpg) == (24, 32)
+
+
+def test_sun_times_memo_is_lru_not_fifo(spark):
+    """ADVICE r7: a cache hit must refresh recency, so a hot geometry
+    inserted FIRST but touched between every cold insertion survives
+    300 distinct geometries; under the old FIFO eviction it would be
+    the first entry dropped at capacity."""
+    from melodist_spark.functions import solar
+
+    solar._SUN_TIMES_MEMO.clear()
+    hot_exprs = solar.sun_times_exprs("date", 11.0, 47.0, 1.0)
+    for i in range(300):
+        # touch the hot geometry, then insert a cold one
+        again = solar.sun_times_exprs("date", 11.0, 47.0, 1.0)
+        assert again is hot_exprs  # still cached (never rebuilt)
+        solar.sun_times_exprs("date", float(i), 0.0, 0.0)
+    assert len(solar._SUN_TIMES_MEMO) <= 256
+    solar._SUN_TIMES_MEMO.clear()

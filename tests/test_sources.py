@@ -730,3 +730,32 @@ def test_read_cdx_fuzz_never_fails(spark, tmp_path):
     # the not-a-number length degrades to null, not an error
     bad_len = [r for r in rows if r["urlkey"] == "key" and r["length"] is None]
     assert bad_len
+
+
+def test_parse_warc_stream_gzip_bomb_guard():
+    """ADVICE r7: a record with a huge Content-Length must be skipped
+    by bounded-chunk reads BEFORE allocation — the cap applies to the
+    declared length, and the stream stays aligned for the records
+    after the oversized one."""
+    import io
+
+    from melodist_spark.sources.warc import parse_warc_stream
+
+    def rec(uri, payload):
+        return (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            b"WARC-Record-ID: <urn:uuid:" + uri + b">\r\n"
+            b"WARC-Target-URI: http://" + uri + b"/\r\n"
+            b"Content-Length: " + str(len(payload)).encode() + b"\r\n"
+            b"\r\n" + payload + b"\r\n\r\n"
+        )
+
+    big = b"A" * (3 << 20)  # 3 MiB body, cap at 1 MiB
+    blob = rec(b"ok1", b"hello") + rec(b"huge", big) + rec(b"ok2", b"world")
+    got = list(parse_warc_stream(io.BytesIO(blob), max_payload=1 << 20))
+    assert [r["payload"] for r in got] == [b"hello", None, b"world"]
+    assert got[1]["content_length"] == len(big)
+    # uncapped still materializes (back-compat)
+    got2 = list(parse_warc_stream(io.BytesIO(blob)))
+    assert got2[1]["payload"] == big

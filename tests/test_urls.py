@@ -308,3 +308,113 @@ def test_surt_and_normalize_never_raise(spark):
     df = spark.createDataFrame([(s,) for s in set(collected) if s is not None] or [("x",)], ["u"])
     out = df.select(surt(F.col("u")).alias("k"), normalize_url(F.col("u")).alias("n")).collect()
     assert len(out) >= 1  # the job completing IS the assertion
+
+
+# ---------------------------------------------------------------- PSL
+
+
+PSL_CASES = [
+    # (host, registrable) — PSL algorithm cases the regex head gets
+    # wrong or cannot see (VERDICT r7 item 2)
+    ("a.b.example.co.uk", "example.co.uk"),
+    ("x.example.com", "example.com"),
+    ("example.com", "example.com"),
+    ("ville.gouv.fr", "ville.gouv.fr"),  # gouv.fr IS the suffix
+    ("site.example.gouv.fr", "example.gouv.fr"),
+    ("shop.example.or.jp", "example.or.jp"),
+    ("user.github.io", "user.github.io"),  # private suffix
+    ("deep.user.github.io", "user.github.io"),
+    ("myblog.blogspot.com", "myblog.blogspot.com"),
+    ("a.myblog.blogspot.com", "myblog.blogspot.com"),
+    ("app.herokuapp.com", "app.herokuapp.com"),
+    ("b.ck", "b.ck"),  # *.ck wildcard: b.ck is a public suffix
+    ("a.b.ck", "a.b.ck"),
+    ("x.a.b.ck", "a.b.ck"),
+    ("www.ck", "www.ck"),  # !www.ck exception
+    ("foo.www.ck", "www.ck"),  # exception beats wildcard
+    ("www.city.kawasaki.jp", "city.kawasaki.jp"),  # jp exception
+    ("shop.foo.kawasaki.jp", "shop.foo.kawasaki.jp"),  # jp wildcard ps
+    ("x.shop.foo.kawasaki.jp", "shop.foo.kawasaki.jp"),
+    ("school.district.k12.wa.us", "district.k12.wa.us"),
+    ("10.1.2.3", "10.1.2.3"),  # IPv4 passthrough
+    ("localhost", "localhost"),  # single label passthrough
+    ("foo.unknowntld", "foo.unknowntld"),  # default * rule
+    ("a.foo.unknowntld", "foo.unknowntld"),
+    ("bucket.s3.amazonaws.com", "bucket.s3.amazonaws.com"),
+    ("vm.us-east-1.compute.amazonaws.com", "vm.us-east-1.compute.amazonaws.com"),
+]
+
+
+def test_registered_domain_psl_cases(spark):
+    from melodist_spark.pipeline.psl import registered_domain_psl
+
+    df = spark.createDataFrame([(h,) for h, _ in PSL_CASES], ["host"])
+    got = {
+        r["host"]: r["domain"]
+        for r in registered_domain_psl(df).collect()
+    }
+    want = dict(PSL_CASES)
+    assert got == want
+
+
+def test_registered_domain_psl_plan_no_shuffle(spark):
+    """Scale contract: the PSL lookup is K chained BROADCAST hash
+    joins on the scan — zero exchanges on the host side, no Python
+    workers, no explode (a shuffle here would re-partition the whole
+    corpus just to label domains)."""
+    from melodist_spark.pipeline.psl import registered_domain_psl
+
+    df = spark.createDataFrame([("x.example.co.uk",)], ["host"])
+    plan = (
+        registered_domain_psl(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_psl_parser_full_grammar():
+    """parse_psl accepts the upstream file's grammar (comments,
+    trailing-comment lines, wildcards, exceptions) and resolves
+    key collisions longest-first."""
+    from melodist_spark.pipeline.psl import parse_psl
+
+    rules = parse_psl(
+        """
+// comment
+com
+*.ck
+!www.ck
+co.uk
+uk
+"""
+    )
+    assert rules["com"] == (1, False)
+    assert rules["ck"] == (2, False)  # wildcard base, ps = 2
+    assert rules["www.ck"] == (1, True)
+    assert rules["co.uk"] == (2, False)
+    assert rules["uk"] == (1, False)
+
+
+def test_psl_agrees_with_regex_head_on_its_own_turf(spark):
+    """On hosts the regex head handles (plain two-label and the
+    hardcoded {co,com,...}.<cc> suffixes), the PSL path returns the
+    identical registrable domain — the fallback and the data path
+    can be swapped without moving any existing grouping."""
+    from melodist_spark.pipeline.psl import registered_domain_psl
+    from melodist_spark.pipeline.urls import registered_domain
+
+    hosts = [
+        "a.example.com", "example.com", "b.example.co.uk",
+        "x.y.example.com.au", "sub.example.org", "192.168.0.1",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], ["host"])
+    both = registered_domain_psl(df, out_col="psl").select(
+        "host", "psl", registered_domain(F.col("host")).alias("rex")
+    )
+    for r in both.collect():
+        assert r["psl"] == r["rex"], r["host"]
