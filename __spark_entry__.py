@@ -601,9 +601,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "humidity_variants": q_humidity_variants,
         "humidity_dewpoint": q_humidity_dewpoint,
         "humidity_mhpm": q_humidity_mhpm,
-        # radiation family
-        "radiation_ssd": q_radiation_ssd,
-        "radiation_bc": q_radiation_bc,
+        # radiation family — round 8: radiation_ssd + radiation_bc
+        # merged into a method-tagged union (same schema), freeing a
+        # checked-window slot for robots_eval; both halves stay
+        # hash-checked inside the union
+        "radiation_proxy_variants": q_radiation_proxy_variants,
         "radiation_course": q_radiation_course,
         "radiation_potrad": q_radiation_potrad,
         "angstroem_fit": q_angstroem_fit,
@@ -642,6 +644,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 7: crawl-side curation (html_to_text + URL
         # canonicalization / registered domains / per-domain cap)
         "web_curation": q_web_curation,
+        # round 8: RFC 9309 robots evaluation, oracle-green via the
+        # generate-the-SQL-twin approach (bodies derived from parquet
+        # columns in-query; DuckDB replays the rule derivation +
+        # precedence fold relationally)
+        "robots_eval": q_robots_eval,
         "repetition_stats": q_repetition_stats,
         # aggregation / calendar / util family
         "window_primitives": q_window_primitives,
@@ -712,6 +719,76 @@ def _pagerank_ctes(n_iter: int = 5, damping: float = 0.85) -> str:
                          GROUP BY 1) ct ON ct.node = g.node
             ),""")
     return "".join(parts)
+
+
+#: DuckDB twin of q_robots_eval — derives the rule table the robots
+#: parser must produce (per-domain, per-agent) RELATIONALLY from the
+#: same parquet columns, then replays the RFC 9309 precedence fold
+#: (longest match wins, allow wins ties) with a window. Patterns are
+#: encoded by matcher kind: 'prefix' → starts_with (the pure-prefix
+#: rules, incl. '/tie*' whose regex '^/tie.*' is exactly a prefix
+#: test), 're' → regexp_matches (the '*'/'$' patterns).
+_ROBOTS_EVAL_SQL = r"""
+    WITH doms AS (
+      SELECT DISTINCT source, CAST(substr(source, 4) AS INT) AS h
+      FROM documents
+    ),
+    rdoms AS (SELECT * FROM doms WHERE h % 5 <> 4),
+    rules AS (
+      SELECT d.source, 'othercrawler' AS agent,
+             s.kind, s.arg, s.allow, CAST(s.spec AS BIGINT) AS spec
+      FROM rdoms d CROSS JOIN (VALUES
+        ('prefix', '/private/',    false,  9),
+        ('prefix', '/private/pub', true,  12),
+        ('re',     '^/.*\.tmp$',   false,  7),
+        ('prefix', '/tie/',        true,   5),
+        ('prefix', '/tie',         false,  5)
+      ) s(kind, arg, allow, spec)
+      UNION ALL
+      SELECT source, 'melobot', 'prefix', '/sec' || h || '/', false,
+             CAST(length('/sec' || h || '/') AS BIGINT)
+      FROM rdoms
+      UNION ALL
+      SELECT source, 'melobot', 'prefix', '/sec' || h || '/ok', true,
+             CAST(length('/sec' || h || '/ok') AS BIGINT)
+      FROM rdoms
+      UNION ALL
+      SELECT source, 'melobot', 're', '^/t/.*\.log$', false, 9 FROM rdoms
+    ),
+    probe AS (
+      SELECT a.agent, d.doc_id, d.source AS domain,
+             CASE d.doc_id % 7
+               WHEN 0 THEN '/private/doc' || d.doc_id
+               WHEN 1 THEN '/private/pub' || d.doc_id
+               WHEN 2 THEN '/f' || d.doc_id || '.tmp'
+               WHEN 3 THEN '/f' || d.doc_id || '.tmp.bak'
+               WHEN 4 THEN '/sec' || substr(d.source, 4) || '/p' || d.doc_id
+               WHEN 5 THEN '/sec' || substr(d.source, 4) || '/ok' || d.doc_id
+               ELSE '/tie/x' || d.doc_id
+             END AS path
+      FROM documents d
+      CROSS JOIN (VALUES ('melobot'), ('othercrawler')) a(agent)
+    ),
+    matched AS (
+      SELECT p.agent, p.doc_id, r.allow,
+             row_number() OVER (PARTITION BY p.agent, p.doc_id
+                                ORDER BY r.spec DESC, r.allow DESC) AS rn
+      FROM probe p
+      JOIN rules r ON r.source = p.domain AND r.agent = p.agent
+      WHERE (r.kind = 'prefix' AND starts_with(p.path, r.arg))
+         OR (r.kind = 're' AND regexp_matches(p.path, r.arg))
+    ),
+    best AS (SELECT agent, doc_id, allow FROM matched WHERE rn = 1),
+    nmaps AS (
+      SELECT source, CAST(1 + h % 2 AS BIGINT) AS n_sitemaps FROM rdoms
+    )
+    SELECT p.agent, p.doc_id, p.domain, p.path,
+           coalesce(b.allow, true) AS crawlable,
+           n.n_sitemaps
+    FROM probe p
+    LEFT JOIN best b ON b.agent = p.agent AND b.doc_id = p.doc_id
+    LEFT JOIN nmaps n ON n.source = p.domain
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2914,7 +2991,7 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
 
-    return {
+    sqls = {
         **extended,
         "temp_sine_disagg": temp_sine_sql,
         "daily_from_hourly": f"""
@@ -3303,6 +3380,18 @@ def oracle_sql() -> dict[str, str]:
             FROM f
         """,
     }
+
+    # round 8: radiation_ssd + radiation_bc merged into ONE
+    # method-tagged registry row (the freed checked-window slot went
+    # to robots_eval); the twin is the same union of the two original
+    # oracles, so both methods stay hash-checked
+    sqls["radiation_proxy_variants"] = f"""
+        SELECT 'ssd' AS method, * FROM ({sqls.pop("radiation_ssd")})
+        UNION ALL
+        SELECT 'bc' AS method, * FROM ({sqls.pop("radiation_bc")})
+    """
+    sqls["robots_eval"] = _ROBOTS_EVAL_SQL
+    return sqls
 
 
 # ---------------------------------------------------------------------------
@@ -5170,6 +5259,125 @@ def q_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("clean").cast("long").alias("n_chars_clean"),
         F.md5("clean").alias("clean_md5"),
     )
+
+
+def q_robots_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots.txt compliance, oracle-green (round 8, VERDICT
+    item 4): deterministic robots BODIES are generated per domain from
+    parquet columns in-query, pushed through the REAL text parser
+    (``parse_robots``, Arrow-batched) and the packed-rule broadcast
+    fold (``apply_robots``), for TWO crawler agents — ``melobot``
+    (matches the specific ``User-agent: meloBot`` group, so the ``*``
+    group must be ignored) and ``othercrawler`` (no specific group →
+    falls back to ``*``).  The DuckDB twin never parses text: it
+    derives the RULE TABLE the parser must produce relationally from
+    the same columns (the fix_text_sql generate-the-twin approach)
+    and replays the precedence fold with a window — so a bug in group
+    selection, specificity, tie-breaks, wildcard/``$`` translation,
+    or the packed-fold SQL flips the hash.
+
+    Covered semantics: longest-match precedence (``/private/pub``
+    allow beats ``/private/`` disallow), allow-wins-ties
+    (``/tie/`` allow vs ``/tie*`` disallow, both spec 5), ``*`` +
+    ``$`` patterns (``/*.tmp$`` hits ``.tmp`` but not ``.tmp.bak``),
+    per-domain parameterized rules (``/sec<h>/``), domains with no
+    robots at all (left-join null → crawlable), decoy group
+    (``ignorebot: Disallow /`` must not leak), and ``Sitemap:``
+    records via ``extract_sitemaps`` (h%2+1 lines per body,
+    group-independent)."""
+    from melodist_spark.pipeline.robots import (
+        apply_robots,
+        extract_sitemaps,
+        parse_robots,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    doms = (
+        docs.select("source")
+        .distinct()
+        .withColumn("h", F.substring("source", 4, 10).cast("int"))
+    )
+    h = F.col("h").cast("string")
+    body = F.concat(
+        F.lit("# robots for "), F.col("source"),
+        F.lit(
+            "\nUser-agent: ignorebot\nDisallow: /\n\n"
+            "User-agent: *\nDisallow: /private/\nAllow: /private/pub\n"
+            "Disallow: /*.tmp$\nAllow: /tie/\nDisallow: /tie*\n"
+            "Sitemap: https://"
+        ),
+        F.col("source"), F.lit("/sitemap.xml\n\nUser-agent: meloBot\nDisallow: /sec"),
+        h, F.lit("/\nAllow: /sec"), h, F.lit("/ok\nDisallow: /t/*.log$\n"),
+        # h%2==1 domains carry a second sitemap record, legal mid-file
+        F.when(
+            F.pmod("h", 2) == 1,
+            F.concat(F.lit("Sitemap: https://"), F.col("source"), F.lit("/s2.xml\n")),
+        ).otherwise(F.lit("")),
+    )
+    robots = doms.filter(F.pmod("h", 5) != 4).select(
+        F.col("source").alias("domain"), body.alias("robots_txt"), "h"
+    )
+
+    k = F.col("doc_id").cast("string")
+    hdoc = F.substring("source", 4, 10)  # this doc's domain parameter
+    m = F.pmod("doc_id", 7)
+    path = (
+        F.when(m == 0, F.concat(F.lit("/private/doc"), k))
+        .when(m == 1, F.concat(F.lit("/private/pub"), k))
+        .when(m == 2, F.concat(F.lit("/f"), k, F.lit(".tmp")))
+        .when(m == 3, F.concat(F.lit("/f"), k, F.lit(".tmp.bak")))
+        .when(m == 4, F.concat(F.lit("/sec"), hdoc, F.lit("/p"), k))
+        .when(m == 5, F.concat(F.lit("/sec"), hdoc, F.lit("/ok"), k))
+        .otherwise(F.concat(F.lit("/tie/x"), k))
+    )
+    probe = docs.select(
+        "doc_id", F.col("source").alias("domain"), path.alias("path")
+    )
+
+    halves = []
+    for agent in ("melobot", "othercrawler"):
+        rules = parse_robots(robots, agent=agent)
+        halves.append(
+            apply_robots(probe, rules).select(
+                F.lit(agent).alias("agent"),
+                "doc_id",
+                "domain",
+                "path",
+                "crawlable",
+            )
+        )
+    verdicts = halves[0].unionByName(halves[1])
+
+    n_maps = (
+        extract_sitemaps(robots)
+        .groupBy("domain")
+        .agg(F.count("*").cast("long").alias("n_sitemaps"))
+    )
+    return verdicts.join(F.broadcast(n_maps), "domain", "left").select(
+        "agent", "doc_id", "domain", "path", "crawlable", "n_sitemaps"
+    )
+
+
+def q_radiation_proxy_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH radiation-from-proxy disaggregation methods in one frame,
+    tagged by ``method`` (round-8 merge of the former
+    ``radiation_ssd`` + ``radiation_bc`` registry rows — same
+    96144-row (user_id, ts, glob_h) schema; the merge frees a checked
+    window slot for ``robots_eval`` while keeping both methods
+    hash-checked inside the union):
+
+    - ``ssd``: Angstroem sunshine-duration scaling
+      (`radiation.py:74-87` + `283-311`)
+    - ``bc``: Bristow-Campbell temperature-range transmissivity
+      (`radiation.py:89-92` + `207-248`)
+    """
+    a = q_radiation_ssd(spark, sf_dir).select(
+        F.lit("ssd").alias("method"), "user_id", "ts", "glob_h"
+    )
+    b = q_radiation_bc(spark, sf_dir).select(
+        F.lit("bc").alias("method"), "user_id", "ts", "glob_h"
+    )
+    return a.unionByName(b)
 
 
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

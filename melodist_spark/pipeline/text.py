@@ -551,7 +551,7 @@ def fix_text_sql(expr: str, chunk: int = 56) -> str:
     return f"(select translate({name}, {frm}, {to}) from {inner})"
 
 
-def chunk_documents(
+def chunk_chars(
     df: DataFrame,
     size: int = 512,
     overlap: int = 64,
@@ -609,6 +609,12 @@ def chunk_documents(
         )
     )
 
+
+
+#: Deprecated round-8 alias — ``chunk_documents`` collided with the
+#: token-window variant in ``packing.py`` (VERDICT r7 item 5); use
+#: :func:`chunk_chars`. Removed next round.
+chunk_documents = chunk_chars
 
 def clean_text(text: Column) -> Column:
     """Boilerplate scrub: drop HTML-ish tags, URLs and emails, then

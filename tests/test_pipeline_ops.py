@@ -925,7 +925,7 @@ def test_mixture_sample_hits_target_proportions(spark):
 
 
 def test_chunk_documents_reconstruction(spark):
-    from melodist_spark.pipeline.packing import chunk_documents
+    from melodist_spark.pipeline.packing import chunk_tokens
 
     rows = [
         (1, " ".join(f"t{i}" for i in range(25))),  # 25 tokens
@@ -934,7 +934,7 @@ def test_chunk_documents_reconstruction(spark):
         (4, " ".join(f"u{i}" for i in range(10))),  # exact multiple
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    out = chunk_documents(df, max_tokens=10, overlap=0).toPandas()
+    out = chunk_tokens(df, max_tokens=10, overlap=0).toPandas()
 
     assert set(out[out.doc_id == 3].chunk_id) == set()
     d1 = out[out.doc_id == 1].sort_values("chunk_id")
@@ -946,7 +946,7 @@ def test_chunk_documents_reconstruction(spark):
 
     # with overlap: starts advance by step, every chunk except the
     # first repeats `overlap` tokens of left context
-    ov = chunk_documents(df.filter("doc_id = 1"), max_tokens=10, overlap=3)
+    ov = chunk_tokens(df.filter("doc_id = 1"), max_tokens=10, overlap=3)
     d = ov.toPandas().sort_values("chunk_id")
     toks = rows[0][1].split()
     for _, r in d.iterrows():
@@ -1714,7 +1714,7 @@ def test_chunk_documents(spark):
     exact; short docs yield one chunk; empty/NULL docs yield none."""
     import random
 
-    from melodist_spark.pipeline.text import chunk_documents
+    from melodist_spark.pipeline.text import chunk_chars
 
     rng = random.Random(7)
     docs = [
@@ -1726,7 +1726,7 @@ def test_chunk_documents(spark):
         (6, None),
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
-    out = chunk_documents(df, size=512, overlap=64)
+    out = chunk_chars(df, size=512, overlap=64)
     rows = sorted(
         ((r["doc_id"], r["chunk_idx"], r["char_start"], r["chunk"])
          for r in out.collect())

@@ -231,7 +231,7 @@ def test_chunk_documents_never_redundant(spark):
     the first contributes at least one new token, all tokens are
     covered, and concatenating the step-prefixes reconstructs the
     document."""
-    from melodist_spark.pipeline.packing import chunk_documents
+    from melodist_spark.pipeline.packing import chunk_tokens
 
     cases = []
     did = 0
@@ -243,7 +243,7 @@ def test_chunk_documents_never_redundant(spark):
     )
     for max_tokens, overlap in ((10, 0), (10, 3), (10, 9), (7, 2)):
         step = max_tokens - overlap
-        out = chunk_documents(df, max_tokens=max_tokens, overlap=overlap).toPandas()
+        out = chunk_tokens(df, max_tokens=max_tokens, overlap=overlap).toPandas()
         for did, text, n in cases:
             d = out[out.doc_id == did].sort_values("chunk_id")
             toks = text.split()

@@ -685,7 +685,7 @@ def test_cdx_to_ranges_composition(spark, tmp_path):
     # fetched bodies, chunk with provenance — the complete
     # index->fetch->curate->chunk story in one lineage
     from melodist_spark.pipeline.text import (
-        chunk_documents,
+        chunk_chars,
         clean_text,
         fix_text,
     )
@@ -696,7 +696,7 @@ def test_cdx_to_ranges_composition(spark, tmp_path):
             fix_text(F.make_valid_utf8(F.col("http_body").cast("string")))
         ).alias("text"),
     )
-    chunks = chunk_documents(docs, size=4, overlap=1).collect()
+    chunks = chunk_chars(docs, size=4, overlap=1).collect()
     got_chunks = {(r["doc_id"], r["chunk_idx"], r["char_start"], r["chunk"])
                   for r in chunks}
     # 'keep-a' -> chunks of size 4 stride 3: 'keep', 'p-a'

@@ -29,7 +29,7 @@ def main():
     spark = get_spark("chunk_scale_smoke", shuffle_partitions=64)
     spark.sparkContext.setLogLevel("ERROR")
 
-    from melodist_spark.pipeline.text import chunk_documents
+    from melodist_spark.pipeline.text import chunk_chars
 
     filler = "the quick brown fox jumps over the lazy dog 0123456789 "
     reps = doc_chars // len(filler) + 1
@@ -41,7 +41,7 @@ def main():
     )
 
     t0 = time.perf_counter()
-    out = chunk_documents(docs, size=size, overlap=overlap)
+    out = chunk_chars(docs, size=size, overlap=overlap)
     agg = out.agg(
         F.count("*").alias("n"), F.sum(F.length("chunk")).alias("chars")
     ).first()
