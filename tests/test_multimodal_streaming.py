@@ -1976,3 +1976,48 @@ def test_sun_times_memo_is_lru_not_fifo(spark):
         solar.sun_times_exprs("date", float(i), 0.0, 0.0)
     assert len(solar._SUN_TIMES_MEMO) <= 256
     solar._SUN_TIMES_MEMO.clear()
+
+
+def test_video_neardup_temporal_alignment(spark):
+    """Round 8 (VERDICT item 7): order-awareness. A TRIMMED copy
+    (same frames, indices shifted by a constant) keeps one dominant
+    offset — aligned_frames == shared_frames and `offset` localizes
+    the trim; a SHUFFLED bag of the same frames shares just as many
+    frames but its offsets scatter, so min_aligned demotes it while
+    the trimmed copy survives. min_aligned=0 preserves the round-7
+    unordered contract."""
+    import numpy as np
+
+    from melodist_spark.pipeline.multimodal import video_neardup_pairs
+
+    rng = np.random.default_rng(17)
+    hashes = [int(h) >> 2 for h in rng.integers(0, 2**63, size=10, dtype=np.int64)]
+    rows = []
+    # video 1: the original, frames 0..9
+    rows += [(1, i, hashes[i]) for i in range(10)]
+    # video 2: trimmed copy — first 3 frames cut, indices restart at 0
+    rows += [(2, i, hashes[i + 3]) for i in range(7)]
+    # video 3: shuffled bag of the same frames (no temporal structure)
+    perm = [7, 0, 9, 2, 5, 8, 1, 4, 6, 3]
+    rows += [(3, i, hashes[perm[i]]) for i in range(10)]
+    sig = spark.createDataFrame(
+        rows, "media_id long, frame_idx long, phash long"
+    )
+
+    loose = {
+        (r["id_a"], r["id_b"]): r
+        for r in video_neardup_pairs(sig, min_shared=2).collect()
+    }
+    # unordered contract: all three pairings share plenty of frames
+    assert set(loose) == {(1, 2), (1, 3), (2, 3)}
+    assert loose[(1, 2)]["shared_frames"] == 7
+    assert loose[(1, 2)]["aligned_frames"] == 7  # one dominant offset
+    assert loose[(1, 2)]["offset"] == -3  # localizes the trim
+    assert loose[(1, 3)]["shared_frames"] == 10
+    assert loose[(1, 3)]["aligned_frames"] <= 2  # scattered
+
+    strict = {
+        (r["id_a"], r["id_b"]): r
+        for r in video_neardup_pairs(sig, min_shared=2, min_aligned=4).collect()
+    }
+    assert set(strict) == {(1, 2)}  # trimmed copy recalled, bag demoted
