@@ -5198,22 +5198,23 @@ def q_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(":443/Crawl//"), F.col("lang"), F.lit("/"), sid,
         F.lit("/?utm_source=feed&ref=rss&id="), sid, F.lit("&b=2&a=1#frag"),
     )
-    # domain via the PSL path (round 8): K chained broadcast-hash
-    # probes against the packaged public-suffix table — on these
-    # synthetic TLDs (co.uk/com/net, all in the regex head) it is
-    # value-identical to registered_domain(), which the DuckDB twin
-    # replays, so the gate hash-checks the PSL join machinery too
-    from melodist_spark.pipeline.psl import registered_domain_psl
-
-    derived = registered_domain_psl(
-        docs.select(
-            "doc_id",
-            html_to_text(html).alias("clean"),
-            normalize_url(url).alias("url_norm"),
-            url_host(url).alias("host"),
-        ),
-        host_col="host",
-        out_col="domain",
+    # domain via the regex head ON PURPOSE: this plan re-references
+    # `derived` ~6 times (domain window, distinct-domain CTE + count
+    # action, edges + PageRank collect, final join), and Catalyst
+    # INLINES the domain expression into every window/join/distinct
+    # key — measured: the PSL broadcast-join path pays ~0.7 s of
+    # broadcast build per materialization (2.6 s -> 7.3 s row) and
+    # the PSL literal-map path re-runs its linear rule scan in every
+    # duplicated key (-> 11.9 s). The PSL operators are the corpus
+    # tools (crawl_corpus_smoke runs the join path at 1.27M rows;
+    # both pinned value-identical to this head on its suffixes in
+    # test_urls), and this query's synthetic TLDs live in the head.
+    derived = docs.select(
+        "doc_id",
+        html_to_text(html).alias("clean"),
+        normalize_url(url).alias("url_norm"),
+        url_host(url).alias("host"),
+        registered_domain(url_host(url)).alias("domain"),
     )
     ranked = domain_rank(derived, domain_col="domain", url_col="url_norm")
 

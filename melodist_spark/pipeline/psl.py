@@ -97,6 +97,63 @@ def psl_rules_df(spark: SparkSession, text: str | None = None) -> DataFrame:
     )
 
 
+def registered_domain_psl_expr(
+    host, psl_text: str | None = None
+):
+    """:func:`registered_domain_psl` as a pure COLUMN expression —
+    the same PSL algorithm against the same rule table, but the
+    table rides a constant-folded literal map instead of broadcast
+    joins.
+
+    Trade-off (measured): the join path pays ~0.7 s of fixed
+    broadcast-build wall per query materialization (3 exchanges) and
+    ~nothing per row; this path pays ZERO fixed cost but a linear
+    scan of the map literal per probe (K * |rules| string compares
+    per row).  Use the expression in SINGLE projections (one
+    evaluation per row — a scan-stage labelling pass); use the joins
+    for corpus scans with the full ~10k-rule upstream list.  CAUTION:
+    Catalyst inlines column expressions into every downstream
+    window/join/distinct KEY that references them — if the output
+    feeds several such keys, each copy re-runs the linear scan
+    (measured 4x the whole-query wall in web_curation's 6-reference
+    plan); materialize the column first (persist or an exchange
+    boundary) or use the join variant there.  Both paths are pinned
+    value-identical in tests.
+
+    ``host`` may be a Column or a column name."""
+    if isinstance(host, str):
+        host = F.col(host)
+    rules = _resolved_rules(psl_text)
+    kmax = max(s.count(".") + 1 for s in rules)
+    # one literal map suffix -> ps_labels, exceptions carried as the
+    # NEGATED label count so a single int encodes both facts.
+    # CONSTRUCTION MATTERS: str_to_map over a literal string is
+    # foldable, so ConstantFolding turns it into ONE map Literal at
+    # plan time; a create_map of 2*|rules| literal children is NOT
+    # removable when probed with a non-literal key and re-evaluates
+    # all children per row (measured 2 orders of magnitude slower)
+    packed = ",".join(
+        f"{s}:{-ps if exc else ps}" for s, (ps, exc) in rules.items()
+    )
+    m = F.str_to_map(F.lit(packed), F.lit(","), F.lit(":"))
+    vals = [
+        F.element_at(m, F.substring_index(host, ".", -k)).cast("int")
+        for k in range(1, kmax + 1)
+    ]
+
+    def best(cols):
+        return cols[0] if len(cols) == 1 else F.greatest(*cols)
+
+    exc_ps = best([F.when(v < 0, -v) for v in vals])
+    match_ps = best([F.when(v > 0, v) for v in vals])
+    ps = F.coalesce(exc_ps, match_ps, F.lit(1))
+    parts = F.split(host, r"\.")
+    take = F.least(ps + 1, F.size(parts))
+    return F.when(host.rlike(r"^[0-9.]+$"), host).otherwise(
+        F.array_join(F.slice(parts, -take, take), ".")
+    )
+
+
 def registered_domain_psl(
     df: DataFrame,
     host_col: str = "host",
@@ -137,18 +194,22 @@ def registered_domain_psl(
             "left",
         )
 
-    exc_ps = F.greatest(
-        *[
+    def best(cols):
+        return cols[0] if len(cols) == 1 else F.greatest(*cols)
+
+    # greatest() ignores NULLs, so unmatched probe columns drop out
+    exc_ps = best(
+        [
             F.when(F.col(f"_psl_e{k}"), F.col(f"_psl_p{k}"))
             for k in range(1, kmax + 1)
         ]
-    ) if kmax > 1 else F.when(F.col("_psl_e1"), F.col("_psl_p1"))
-    match_ps = F.greatest(
-        *[
+    )
+    match_ps = best(
+        [
             F.when(~F.col(f"_psl_e{k}"), F.col(f"_psl_p{k}"))
             for k in range(1, kmax + 1)
         ]
-    ) if kmax > 1 else F.when(~F.col("_psl_e1"), F.col("_psl_p1"))
+    )
     # exceptions beat any longer wildcard match; default rule: ps=1
     ps = F.coalesce(exc_ps, match_ps, F.lit(1))
 

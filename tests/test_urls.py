@@ -418,3 +418,133 @@ def test_psl_agrees_with_regex_head_on_its_own_turf(spark):
     )
     for r in both.collect():
         assert r["psl"] == r["rex"], r["host"]
+
+
+# ------------------------------------------------- main-content extraction
+
+
+NAV = (
+    '<header><ul><li><a href="/">Home</a></li><li><a href="/a">News</a>'
+    '</li><li><a href="/b">Contact</a></li></ul></header>'
+)
+ARTICLE_P1 = (
+    "The migration of the eastern monarch butterfly spans four "
+    "generations and more than four thousand kilometres every year."
+)
+ARTICLE_P2 = (
+    "Researchers tracked the 2025 cohort with citizen-science tags and "
+    "found the overwintering colonies shifted north by eighty km."
+)
+SIDEBAR = (
+    '<div><a href="/x">Related story one</a> <a href="/y">Related story '
+    'two</a> <a href="/z">Related story three</a></div>'
+)
+FOOTER = "<footer>&copy; 2026 Example Media. All rights reserved.</footer>"
+PAGE = (
+    "<html><head><title>Monarchs</title><style>p{}</style></head><body>"
+    + NAV
+    + f"<article><h1>Monarch migration</h1><p>{ARTICLE_P1}</p>"
+    + f"<p>{ARTICLE_P2} See <a href='/map'>the map</a>.</p></article>"
+    + SIDEBAR
+    + FOOTER
+    + "</body></html>"
+)
+
+
+def test_extract_main_content_drops_boilerplate(spark):
+    """The density scorer keeps the article paragraphs (long,
+    low-link-density) and drops nav / link-box sidebar / footer /
+    short headings — while html_to_text keeps everything."""
+    from melodist_spark.pipeline.text import extract_main_content, html_to_text
+
+    row = (
+        spark.range(1)
+        .select(
+            extract_main_content(F.lit(PAGE)).alias("main"),
+            html_to_text(F.lit(PAGE)).alias("naive"),
+        )
+        .first()
+    )
+    assert ARTICLE_P1 in row["main"]
+    assert ARTICLE_P2 in row["main"]
+    # an inline link INSIDE a content paragraph survives (low density)
+    assert "the map" in row["main"]
+    for boiler in ("Home", "News", "Contact", "Related story",
+                   "All rights reserved", "Monarchs"):
+        assert boiler not in row["main"], boiler
+    # the naive tier keeps the boilerplate — that's the difference
+    assert "Home" in row["naive"] and "Related story one" in row["naive"]
+
+
+def test_extract_main_content_edges(spark):
+    """Link-dominated long blocks drop (density cap); a page with no
+    qualifying block yields '' and composes with the documented
+    html_to_text fallback; plain text over min_chars passes through."""
+    from melodist_spark.pipeline.text import extract_main_content, html_to_text
+
+    linky = "<p>" + " ".join(
+        f'<a href="/{i}">crumb trail part number {i}</a>' for i in range(12)
+    ) + "</p>"
+    plain = "Just a plain paragraph of honest prose " * 3
+    rows = spark.createDataFrame(
+        [(linky,), ("<p>short</p>",), (plain,), ("",)], ["h"]
+    ).select(
+        extract_main_content(F.col("h")).alias("m"),
+        F.coalesce(
+            F.nullif(extract_main_content(F.col("h")), F.lit("")),
+            html_to_text(F.col("h")),
+        ).alias("with_fallback"),
+        "h",
+    ).collect()
+    by = {r["h"][:12]: r for r in rows}
+    assert by[linky[:12]]["m"] == ""  # link-dense: dropped
+    assert by["<p>short</p>"[:12]]["m"] == ""  # under min_chars
+    assert by["<p>short</p>"[:12]]["with_fallback"] == "short"
+    assert plain.strip() == by[plain[:12]]["m"]  # plain text passes
+    assert by[""[:12]]["m"] == ""
+
+
+def test_extract_main_content_plan_pure_codegen(spark):
+    """Scale contract: the block scorer is split + nested
+    higher-order transform/filter/aggregate — no Python stage, no
+    explode, no shuffle."""
+    from melodist_spark.pipeline.text import extract_main_content
+
+    df = spark.createDataFrame([(PAGE,)], ["h"]).select(
+        extract_main_content(F.col("h")).alias("m")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "Exchange", "Generate"):
+        assert bad not in plan, bad
+
+
+def test_registered_domain_psl_expr_matches_join_path(spark):
+    """The literal-map expression variant and the broadcast-join
+    variant must give identical registrable domains on every PSL
+    algorithm case, and the expression must constant-fold the rule
+    table (no per-row map construction) with zero exchanges and no
+    Python stage."""
+    from melodist_spark.pipeline.psl import (
+        registered_domain_psl,
+        registered_domain_psl_expr,
+    )
+
+    df = spark.createDataFrame([(h,) for h, _ in PSL_CASES], ["host"])
+    joined = registered_domain_psl(df, out_col="dj")
+    both = joined.withColumn(
+        "de", registered_domain_psl_expr(F.col("host"))
+    )
+    for r in both.collect():
+        assert r["de"] == r["dj"] == dict(PSL_CASES)[r["host"]], r["host"]
+
+    plan = (
+        df.select(registered_domain_psl_expr(F.col("host")).alias("d"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    # folded: the str_to_map call is gone from the plan, leaving a
+    # map LITERAL (which prints as map(keys: [...]))
+    assert "str_to_map" not in plan
