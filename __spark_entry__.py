@@ -1491,7 +1491,13 @@ def oracle_sql() -> dict[str, str]:
         "web_curation": """
             WITH src AS (
               SELECT doc_id,
-                     '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' &amp; notes</title><style>p{margin:0}</style></head><body><!-- header --><script type="text/javascript">var t=1&&0;</script><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || '</p><ul><li>lang: ' || lang || '</li><li>source: ' || source || '</li></ul><div>&copy; crawl &nbsp;&lt;archive&gt;</div></body></html>' AS html,
+                     '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' &amp; notes</title><style>p{margin:0}</style></head><body><!-- header --><script type="text/javascript">var t=1&&0;</script><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' ||
+                       CASE WHEN doc_id % 9 = 0 THEN array_to_string(string_split(text, ' ')[1:5], ' ')
+                            WHEN doc_id % 9 = 1 THEN '<a href="/x">' || text || '</a>'
+                            ELSE text END
+                     || '</p><ul><li>lang: ' || lang || '</li><li>source: ' || source || '</li></ul><div>&copy; crawl &nbsp;&lt;archive&gt;</div></body></html>' AS html,
+                     CASE WHEN doc_id % 9 IN (0, 1) THEN ''
+                          ELSE trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) END AS para_clean,
                      'HTTPS://bot@WWW.' || source || '-Site' ||
                        CASE WHEN doc_id % 3 = 0 THEN '.CO.UK'
                             WHEN doc_id % 3 = 1 THEN '.Com'
@@ -1501,7 +1507,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ),
             p AS (
-              SELECT doc_id, url, html,
+              SELECT doc_id, url, html, para_clean,
                      lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
                      regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), '^[^@]*@', '') AS hostport
               FROM src
@@ -1527,7 +1533,7 @@ def oracle_sql() -> dict[str, str]:
               FROM h
             ),
             u AS (
-              SELECT doc_id, html, host,
+              SELECT doc_id, html, host, para_clean,
                      CASE WHEN scheme = '' THEN lower(trim(url))
                           ELSE scheme || '://' || host || portpart || path_n ||
                                CASE WHEN qn = '' THEN '' ELSE '?' || qn END END AS url_norm,
@@ -1538,6 +1544,13 @@ def oracle_sql() -> dict[str, str]:
             ),
             x AS (
               SELECT doc_id, url_norm, host, domain,
+                     -- main content: the kept paragraph iff it clears
+                     -- the extractor's length + word floors (the
+                     -- m9 0/1 slices already collapsed to '' in src —
+                     -- word floor and link-density cap respectively)
+                     CASE WHEN length(para_clean) >= 40
+                           AND len(string_split(para_clean, ' ')) >= 10
+                          THEN para_clean ELSE '' END AS main,
                      trim(regexp_replace(regexp_replace(
                        replace(replace(replace(replace(replace(replace(replace(
                          regexp_replace(
@@ -1581,7 +1594,9 @@ def oracle_sql() -> dict[str, str]:
                    r.rk <= 25 AS kept,
                    round(p.r, 6) AS domain_pr,
                    CAST(length(r.extracted) AS BIGINT) AS n_chars_clean,
-                   md5(r.extracted) AS clean_md5
+                   md5(r.extracted) AS clean_md5,
+                   CAST(length(r.main) AS BIGINT) AS n_chars_main,
+                   md5(r.main) AS main_md5
             FROM r LEFT JOIN prf p ON p.node = r.domain
         """,
         "repetition_stats": """
@@ -5173,6 +5188,20 @@ def q_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sid = F.col("doc_id").cast("string")
+    # round 8: the paragraph trips each extract_main_content failure
+    # mode on a deterministic doc slice, so main_md5 hash-checks the
+    # block scorer's DECISIONS, not just its happy path — doc_id%9==0
+    # gets a 5-word stub (word floor), %9==1 gets its text
+    # link-wrapped (link-density cap), the rest keep the paragraph
+    m9 = F.pmod("doc_id", 9)
+    para = (
+        F.when(m9 == 0, F.array_join(F.slice(F.split("text", " "), 1, 5), " "))
+        .when(
+            m9 == 1,
+            F.concat(F.lit('<a href="/x">'), F.col("text"), F.lit("</a>")),
+        )
+        .otherwise(F.col("text"))
+    )
     html = F.concat(
         F.lit("<html><head><title>Doc "), sid,
         F.lit(
@@ -5180,7 +5209,7 @@ def q_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             '<body><!-- header --><script type="text/javascript">'
             "var t=1&&0;</script><h1>Doc "
         ),
-        sid, F.lit("</h1><p>"), F.col("text"),
+        sid, F.lit("</h1><p>"), para,
         F.lit("</p><ul><li>lang: "), F.col("lang"),
         F.lit("</li><li>source: "), F.col("source"),
         F.lit(
@@ -5249,16 +5278,35 @@ def q_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("domain"), F.round("pagerank", 6).alias("domain_pr")
     )
 
-    return ranked.join(F.broadcast(pr), "domain", "left").select(
+    # main-content columns ride their own documents scan + broadcast
+    # join (evaluated ONCE), deliberately NOT inside `derived`: this
+    # plan re-references `derived` ~6 times and Catalyst would inline
+    # the whole nested-HOF extractor into each copy (the same
+    # duplication hazard psl.py documents)
+    from melodist_spark.pipeline.text import extract_main_content
+
+    main = extract_main_content(html)
+    main_cols = docs.select(
         "doc_id",
-        "url_norm",
-        "host",
-        "domain",
-        F.col("domain_rank").cast("long").alias("domain_rank"),
-        (F.col("domain_rank") <= 25).alias("kept"),
-        "domain_pr",
-        F.length("clean").cast("long").alias("n_chars_clean"),
-        F.md5("clean").alias("clean_md5"),
+        F.length(main).cast("long").alias("n_chars_main"),
+        F.md5(main).alias("main_md5"),
+    )
+    return (
+        ranked.join(F.broadcast(pr), "domain", "left")
+        .join(F.broadcast(main_cols), "doc_id")
+        .select(
+            "doc_id",
+            "url_norm",
+            "host",
+            "domain",
+            F.col("domain_rank").cast("long").alias("domain_rank"),
+            (F.col("domain_rank") <= 25).alias("kept"),
+            "domain_pr",
+            F.length("clean").cast("long").alias("n_chars_clean"),
+            F.md5("clean").alias("clean_md5"),
+            "n_chars_main",
+            "main_md5",
+        )
     )
 
 
