@@ -138,7 +138,12 @@ def main():
     from melodist_spark.pipeline.packing import pack_sequences
     from melodist_spark.pipeline.psl import registered_domain_psl
     from melodist_spark.pipeline.robots import apply_robots, parse_robots
-    from melodist_spark.pipeline.text import clean_text, fix_text, html_to_text
+    from melodist_spark.pipeline.text import (
+        clean_text,
+        extract_main_content,
+        fix_text,
+        html_to_text,
+    )
     from melodist_spark.pipeline.urls import cap_per_domain, url_host, url_path
     from melodist_spark.session import get_spark
     from melodist_spark.sources.warc import read_cdx, read_warc_ranges
@@ -211,10 +216,18 @@ def main():
     )
 
     # -- 3: text extraction + repair --------------------------------------
+    # boilerplate-aware main-content extraction first (round 8), with
+    # the documented html_to_text fallback for pages where no block
+    # qualifies — dropping nav/footer here is what keeps short-gram
+    # decontamination meaningful downstream (see SCALE.md finding)
+    main = F.coalesce(
+        F.nullif(extract_main_content(F.col("html")), F.lit("")),
+        html_to_text(F.col("html")),
+    )
     docs = fetched.select(
         "doc_id",
         "url",
-        clean_text(fix_text(html_to_text(F.col("html")))).alias("text"),
+        clean_text(fix_text(main)).alias("text"),
     ).persist()
     n_chars = docs.agg(F.sum(F.length("text"))).collect()[0][0]
     t4 = time.perf_counter()
