@@ -1620,11 +1620,101 @@ def oracle_sql() -> dict[str, str]:
             bs AS (
               SELECT doc_id, max(c) * 1.0 / sum(c) AS top_bigram_frac
               FROM bc2 GROUP BY 1
-            )
-            SELECT u.doc_id,
+            ),
+            t0 AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+aug AS MATERIALIZED (
+  SELECT doc_id, list_concat(t, t[1 : CAST(doc_id % 13 AS BIGINT)]) AS t FROM t0
+),
+base AS (
+  SELECT doc_id, t,
+         length(array_to_string(t, ' ')) AS norm_len,
+         length(array_to_string(t, '')) AS char_len
+  FROM aug
+),
+lines AS MATERIALIZED (
+  SELECT doc_id, i AS li,
+         array_to_string(t[(i-1)*4+1 : i*4], ' ') AS u
+  FROM aug, unnest(generate_series(1, (len(t)+3)//4)) AS s(i)
+),
+lstat AS (
+  SELECT doc_id,
+         sum(CASE WHEN c>1 THEN c-1 ELSE 0 END)*1.0/sum(c) AS dup_line_frac,
+         sum(CASE WHEN c>1 THEN (c-1)*ln ELSE 0 END)*1.0/sum(c*ln) AS dup_line_char_frac
+  FROM (SELECT doc_id, u, count(*) AS c, length(u) AS ln FROM lines GROUP BY doc_id, u)
+  GROUP BY 1
+),
+paras AS (
+  SELECT doc_id, (li-1)//4 AS pi, string_agg(u, chr(10) ORDER BY li) AS u
+  FROM lines GROUP BY 1,2
+),
+pstat AS (
+  SELECT doc_id,
+         sum(CASE WHEN c>1 THEN c-1 ELSE 0 END)*1.0/sum(c) AS dup_para_frac,
+         sum(CASE WHEN c>1 THEN (c-1)*ln ELSE 0 END)*1.0/sum(c*ln) AS dup_para_char_frac
+  FROM (SELECT doc_id, u, count(*) AS c, length(u) AS ln FROM paras GROUP BY doc_id, u)
+  GROUP BY 1
+),
+grams AS MATERIALIZED (
+  SELECT a.doc_id, nn.n, s.i, array_to_string(a.t[s.i : s.i+nn.n-1], ' ') AS g
+  FROM aug a,
+       unnest([2,3,4,5,6,7,8,9,10]) AS nn(n),
+       unnest(generate_series(1, len(a.t)-nn.n+1)) AS s(i)
+),
+gc AS (SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY 1,2,3),
+tops AS (
+  SELECT doc_id,
+         max(CASE WHEN n=2 THEN c*length(g) END) AS t2,
+         max(CASE WHEN n=3 THEN c*length(g) END) AS t3,
+         max(CASE WHEN n=4 THEN c*length(g) END) AS t4
+  FROM gc GROUP BY 1
+),
+dupocc AS (
+  SELECT gr.doc_id, gr.n, gr.i, gr.g
+  FROM grams gr JOIN gc ON gr.doc_id=gc.doc_id AND gr.n=gc.n AND gr.g=gc.g
+  WHERE gc.c > 1 AND gr.n >= 5
+),
+cover AS (
+  SELECT DISTINCT doc_id, n, i + o.off AS p
+  FROM dupocc, unnest(generate_series(0, n-1)) AS o(off)
+),
+covlen AS (
+  SELECT c.doc_id,
+         sum(CASE WHEN c.n=5 THEN length(a.t[c.p]) END) AS d5,
+         sum(CASE WHEN c.n=6 THEN length(a.t[c.p]) END) AS d6,
+         sum(CASE WHEN c.n=7 THEN length(a.t[c.p]) END) AS d7,
+         sum(CASE WHEN c.n=8 THEN length(a.t[c.p]) END) AS d8,
+         sum(CASE WHEN c.n=9 THEN length(a.t[c.p]) END) AS d9,
+         sum(CASE WHEN c.n=10 THEN length(a.t[c.p]) END) AS d10
+  FROM cover c JOIN aug a ON c.doc_id = a.doc_id
+  GROUP BY 1
+)
+            SELECT b.doc_id,
                    round(u.top_unigram_frac, 6) AS top_unigram_frac,
-                   round(b.top_bigram_frac, 6) AS top_bigram_frac
-            FROM us u JOIN bs b ON u.doc_id = b.doc_id
+                   round(bg.top_bigram_frac, 6) AS top_bigram_frac,
+       round(l.dup_line_frac, 6) AS dup_line_frac,
+       round(l.dup_line_char_frac, 6) AS dup_line_char_frac,
+       round(p.dup_para_frac, 6) AS dup_para_frac,
+       round(p.dup_para_char_frac, 6) AS dup_para_char_frac,
+       round(COALESCE(t.t2, 0) * 1.0 / b.norm_len, 6) AS top_2gram_char_frac,
+       round(COALESCE(t.t3, 0) * 1.0 / b.norm_len, 6) AS top_3gram_char_frac,
+       round(COALESCE(t.t4, 0) * 1.0 / b.norm_len, 6) AS top_4gram_char_frac,
+       round(COALESCE(cv.d5, 0) * 1.0 / b.char_len, 6) AS dup_5gram_char_frac,
+       round(COALESCE(cv.d6, 0) * 1.0 / b.char_len, 6) AS dup_6gram_char_frac,
+       round(COALESCE(cv.d7, 0) * 1.0 / b.char_len, 6) AS dup_7gram_char_frac,
+       round(COALESCE(cv.d8, 0) * 1.0 / b.char_len, 6) AS dup_8gram_char_frac,
+       round(COALESCE(cv.d9, 0) * 1.0 / b.char_len, 6) AS dup_9gram_char_frac,
+       round(COALESCE(cv.d10, 0) * 1.0 / b.char_len, 6) AS dup_10gram_char_frac
+            FROM base b
+            JOIN us u ON b.doc_id = u.doc_id
+            JOIN bs bg ON b.doc_id = bg.doc_id
+            LEFT JOIN lstat l ON b.doc_id = l.doc_id
+LEFT JOIN pstat p ON b.doc_id = p.doc_id
+LEFT JOIN tops t ON b.doc_id = t.doc_id
+LEFT JOIN covlen cv ON b.doc_id = cv.doc_id
         """,
         "humidity_equal": f"""
             WITH daily AS ({_MET_DAILY_SQL})
@@ -5430,17 +5520,55 @@ def q_radiation_proxy_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Repetition signals (Gopher A1.3): fraction of each document
-    covered by its most frequent unigram / bigram — two-level hash
-    aggregates over the exploded gram streams."""
-    from melodist_spark.pipeline.text import repetition_stats
+    """Repetition signals: the original top-unigram/bigram fractions
+    (Gopher A1.3) plus the FULL Gopher repetition-filter family
+    (Rae et al. 2021 table A1) — dup line/paragraph occurrence and
+    character fractions, top-2/3/4-gram character fractions, and
+    positional-coverage dup-5..10-gram character fractions.
+
+    The corpus texts are single-line, so the Gopher family runs over
+    a deterministically reconstructed multiline view (the
+    ``_multiline_docs`` pattern): tokens regrouped into 4-token
+    lines / 4-line paragraphs, with the document's own first
+    ``doc_id % 13`` tokens appended first — a planted self-echo whose
+    length varies per document, so dup-gram coverage is nonzero
+    exactly where the echo is long enough to form a duplicate n-gram
+    (and zero for n above the echo length). Same construction in the
+    DuckDB oracle."""
+    from melodist_spark.pipeline.text import (
+        gopher_repetition,
+        repetition_stats,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = repetition_stats(docs)
+
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda w: w != "",
+    )
+    aug = F.concat(toks, F.slice(toks, 1, F.col("doc_id") % 13))
+    n_lines = F.ceil(F.size(aug) / F.lit(4)).cast("int")
+    lines_arr = F.transform(
+        F.sequence(F.lit(1), n_lines),
+        lambda i: F.array_join(F.slice(aug, (i - 1) * 4 + 1, 4), " "),
+    )
+    n_paras = F.ceil(F.size(lines_arr) / F.lit(4)).cast("int")
+    paras_arr = F.transform(
+        F.sequence(F.lit(1), n_paras),
+        lambda j: F.array_join(
+            F.slice(lines_arr, (j - 1) * 4 + 1, 4), "\n"
+        ),
+    )
+    multi = docs.select(
+        "doc_id", F.array_join(paras_arr, "\n\n").alias("text")
+    )
+
+    out = repetition_stats(docs).join(gopher_repetition(multi), "doc_id")
+    metric_cols = [
+        c for c in out.columns if c != "doc_id"
+    ]
     return out.select(
-        "doc_id",
-        F.round("top_unigram_frac", 6).alias("top_unigram_frac"),
-        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+        "doc_id", *[F.round(c, 6).alias(c) for c in metric_cols]
     )
 
 

@@ -894,6 +894,182 @@ def repetition_stats(
     return us.join(bs, id_col)
 
 
+def gopher_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = r"\n",
+    para_sep: str = r"\n{2,}",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """The full Gopher repetition-filter signal family (Rae et al.
+    2021, table A1), one row per document:
+
+    - ``dup_line_frac`` / ``dup_line_char_frac``: fraction of line
+      *occurrences* (resp. line characters) beyond the first
+      occurrence of each distinct line value. Lines are the trimmed
+      non-empty ``line_sep`` splits; paragraphs (``dup_para_*``) the
+      ``para_sep`` splits.
+    - ``top_{n}gram_char_frac`` for n in ``top_ns``: characters in
+      all occurrences of the single most frequent word n-gram
+      (count x gram string length, single-space joined) over the
+      length of the whitespace-normalized text.
+    - ``dup_{n}gram_char_frac`` for n in ``dup_ns``: characters of
+      token *positions covered by* any n-gram value occurring more
+      than once, over total token characters. Positional coverage
+      (each position counted once however many duplicated grams span
+      it) — the paper's accounting, not the occurrence-sum
+      overestimate; it makes the family monotone non-increasing in n.
+
+    Tokens are the whitespace splits of the text as given — callers
+    case-fold first if they want case-insensitive repetition.
+    Missing-denominator edge cases (no tokens / no grams of size n)
+    yield 0.0, not null.
+
+    Scale shape: one explode per granularity (lines, paras, one
+    combined (n, pos, gram) stream for all n) feeding map-side-
+    combined hash aggregates keyed by (doc, value); the dup-coverage
+    path re-explodes only the *duplicated* gram occurrences (a small
+    join against the c>1 counts) into (doc, n, position) and
+    distincts before summing — the same candidate-pruned shape as
+    decontamination. Nothing touches the driver.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != ""
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        toks.alias("toks"),
+        F.length(F.array_join(toks, " ")).alias("norm_len"),
+        F.length(F.array_join(toks, "")).alias("char_len"),
+    )
+
+    def _unit_stats(sep: str, prefix: str) -> DataFrame:
+        units = F.filter(
+            F.transform(
+                F.split(F.col(text_col), sep), lambda u: F.trim(u)
+            ),
+            lambda u: u != "",
+        )
+        occ = df.select(
+            F.col(id_col).alias("_id"), F.explode(units).alias("u")
+        )
+        per_val = occ.groupBy("_id", "u").agg(
+            F.count("*").alias("c"), F.length(F.first("u")).alias("ln")
+        )
+        dup_c = F.sum(
+            F.when(F.col("c") > 1, F.col("c") - 1).otherwise(0)
+        )
+        dup_ch = F.sum(
+            F.when(
+                F.col("c") > 1, (F.col("c") - 1) * F.col("ln")
+            ).otherwise(0)
+        )
+        return per_val.groupBy("_id").agg(
+            (dup_c / F.sum("c")).alias(f"dup_{prefix}_frac"),
+            (dup_ch / F.sum(F.col("c") * F.col("ln"))).alias(
+                f"dup_{prefix}_char_frac"
+            ),
+        )
+
+    lines = _unit_stats(line_sep, "line")
+    paras = _unit_stats(para_sep, "para")
+
+    # one (n, pos, gram) stream for every requested n; 0-based pos
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+
+    def _gram_structs(n: int):
+        starts = F.when(
+            F.size(F.col("toks")) >= n,
+            F.sequence(F.lit(0), F.size(F.col("toks")) - n),
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            starts,
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                i.alias("pos"),
+                F.array_join(F.slice(F.col("toks"), i + 1, n), " ").alias(
+                    "g"
+                ),
+            ),
+        )
+
+    occ = base.select(
+        "_id", F.explode(F.concat(*[_gram_structs(n) for n in all_ns])).alias("o")
+    ).select("_id", "o.n", "o.pos", "o.g")
+    counts = occ.groupBy("_id", "n", "g").agg(F.count("*").alias("c"))
+
+    tops = (
+        counts.filter(F.col("n").isin(*top_ns))
+        .groupBy("_id")
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("n") == n, F.col("c") * F.length("g"))
+                ).alias(f"_top{n}")
+                for n in top_ns
+            ]
+        )
+    )
+
+    dup_occ = occ.filter(F.col("n").isin(*dup_ns)).join(
+        counts.filter((F.col("c") > 1) & F.col("n").isin(*dup_ns)),
+        ["_id", "n", "g"],
+    )
+    cover = (
+        dup_occ.select(
+            "_id",
+            "n",
+            F.explode(
+                F.zip_with(
+                    F.sequence(F.col("pos"), F.col("pos") + F.col("n") - 1),
+                    F.split(F.col("g"), " "),
+                    lambda p, t: F.struct(
+                        p.alias("p"), F.length(t).alias("tl")
+                    ),
+                )
+            ).alias("pt"),
+        )
+        .select("_id", "n", "pt.p", "pt.tl")
+        .distinct()
+        .groupBy("_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("n") == n, F.col("tl"))).alias(
+                    f"_dup{n}"
+                )
+                for n in dup_ns
+            ]
+        )
+    )
+
+    out = (
+        base.select("_id", "norm_len", "char_len")
+        .join(lines, "_id", "left")
+        .join(paras, "_id", "left")
+        .join(tops, "_id", "left")
+        .join(cover, "_id", "left")
+    )
+    cols = [F.col("_id").alias(id_col)]
+    for p in ("line", "para"):
+        for c in (f"dup_{p}_frac", f"dup_{p}_char_frac"):
+            cols.append(F.coalesce(F.col(c), F.lit(0.0)).alias(c))
+    for n in top_ns:
+        cols.append(
+            F.coalesce(
+                F.col(f"_top{n}") / F.col("norm_len"), F.lit(0.0)
+            ).alias(f"top_{n}gram_char_frac")
+        )
+    for n in dup_ns:
+        cols.append(
+            F.coalesce(
+                F.col(f"_dup{n}") / F.col("char_len"), F.lit(0.0)
+            ).alias(f"dup_{n}gram_char_frac")
+        )
+    return out.select(*cols)
+
+
 def tfidf_top_terms(
     df: DataFrame,
     k: int = 5,

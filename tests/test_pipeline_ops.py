@@ -473,6 +473,75 @@ def test_repetition_stats(spark):
     np.testing.assert_allclose(out.loc[2, "top_bigram_frac"], 1 / 3)
 
 
+def test_gopher_repetition_hand_computed(spark):
+    """The full Gopher table-A1 family against hand-worked examples."""
+    from melodist_spark.pipeline.text import gopher_repetition
+
+    df = spark.createDataFrame(
+        [
+            # lines: [x y, x y, z w q]; paras: [x y\nx y, z w q]
+            (1, "x y\nx y\n\nz w q"),
+            # tokens a b c d e a b c d e: "a b c d e" 5-gram dup at
+            # pos 0 and 5 -> full coverage at n=5, zero at n=6
+            (2, "a b c d e\na b c d e"),
+            # duplicate PARAGRAPH (two identical 2-line paras)
+            (3, "p q\nr s\n\np q\nr s"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = gopher_repetition(df).toPandas().set_index("doc_id")
+    np.testing.assert_allclose(out.loc[1, "dup_line_frac"], 1 / 3)
+    np.testing.assert_allclose(out.loc[1, "dup_line_char_frac"], 3 / 11)
+    np.testing.assert_allclose(out.loc[1, "dup_para_frac"], 0.0)
+    # top 2-gram "x y" c=2 len=3; norm text "x y x y z w q" = 13 chars
+    np.testing.assert_allclose(out.loc[1, "top_2gram_char_frac"], 6 / 13)
+    np.testing.assert_allclose(out.loc[1, "dup_5gram_char_frac"], 0.0)
+
+    np.testing.assert_allclose(out.loc[2, "dup_line_frac"], 1 / 2)
+    np.testing.assert_allclose(out.loc[2, "dup_5gram_char_frac"], 1.0)
+    np.testing.assert_allclose(out.loc[2, "dup_6gram_char_frac"], 0.0)
+    # top 3-gram "a b c" c=2 len=5 over 19 norm chars
+    np.testing.assert_allclose(out.loc[2, "top_3gram_char_frac"], 10 / 19)
+
+    # doc 3: paras ["p q\nr s"] x2 -> dup_para_frac 1/2; lines p q /
+    # r s each occur twice -> dup_line_frac 2/4
+    np.testing.assert_allclose(out.loc[3, "dup_para_frac"], 1 / 2)
+    np.testing.assert_allclose(out.loc[3, "dup_para_char_frac"], 1 / 2)
+    np.testing.assert_allclose(out.loc[3, "dup_line_frac"], 1 / 2)
+    # tokens p q r s p q r s: 4-gram "p q r s" dup (pos 0, 4) ->
+    # coverage 1.0 at n<=4... but 4 is a top_n; dup starts at 5:
+    # 5-grams p q r s p / q r s p q / r s p q r / s p q r s: all
+    # distinct -> 0
+    np.testing.assert_allclose(out.loc[3, "dup_5gram_char_frac"], 0.0)
+
+
+def test_gopher_repetition_coverage_monotone(spark):
+    """Positional-coverage accounting makes dup_{n}gram_char_frac
+    monotone non-increasing in n (a duplicated (n+1)-gram's two
+    constituent n-grams are themselves duplicated and span the same
+    positions) — and never exceed 1.0, which the occurrence-sum
+    approximation would."""
+    from melodist_spark.pipeline.text import gopher_repetition
+
+    rng = np.random.default_rng(7)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    rows = []
+    for i in range(40):
+        toks = list(rng.choice(vocab, size=rng.integers(8, 40)))
+        if i % 3 == 0:  # plant an echo of the prefix
+            toks += toks[: rng.integers(4, 12)]
+        rows.append((i, " ".join(toks)))
+    out = gopher_repetition(
+        spark.createDataFrame(rows, ["doc_id", "text"])
+    ).toPandas()
+    cols = [f"dup_{n}gram_char_frac" for n in range(5, 11)]
+    vals = out[cols].to_numpy()
+    assert (vals <= 1.0 + 1e-12).all() and (vals >= 0.0).all()
+    assert (np.diff(vals, axis=1) <= 1e-12).all()
+    # the planting makes the family non-vacuous
+    assert (vals[:, 0] > 0).any()
+
+
 def test_kmeans_ivf_end_to_end(spark):
     """Trained coarse quantizer separates planted gaussian blobs and
     multi-probe IVF recall dominates single-probe."""
