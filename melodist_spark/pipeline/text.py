@@ -1025,6 +1025,62 @@ def gopher_repetition(
     ).select(id_col, "_g.*")
 
 
+#: Published Gopher repetition-filter thresholds (Rae et al. 2021,
+#: table A1): a document is dropped when the signal EXCEEDS the value.
+GOPHER_REPETITION_THRESHOLDS: dict[str, float] = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def repetition_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    thresholds: dict[str, float] | None = None,
+    **gopher_kwargs,
+) -> DataFrame:
+    """Gopher repetition keep/drop rules over
+    :func:`gopher_repetition`, in the :func:`quality_flags` audit
+    style: one boolean ``ok_<signal>`` per table-A1 threshold
+    (true = signal at or under the paper's published cutoff) plus
+    the conjunction ``keep`` — drop *reasons* retained for auditing
+    rather than filtering in place. ``thresholds`` overrides any
+    subset of :data:`GOPHER_REPETITION_THRESHOLDS`; the filter stays
+    a column predicate on the single Arrow-kernel pass.
+    """
+    th = dict(GOPHER_REPETITION_THRESHOLDS)
+    if thresholds:
+        unknown = set(thresholds) - set(th)
+        if unknown:
+            raise ValueError(f"unknown repetition signals: {sorted(unknown)}")
+        th.update(thresholds)
+    out = gopher_repetition(
+        df, text_col=text_col, id_col=id_col, **gopher_kwargs
+    )
+    flags = {
+        f"ok_{sig}": F.col(sig) <= F.lit(cut)
+        for sig, cut in th.items()
+        if sig in out.columns
+    }
+    out = out.withColumns(flags)
+    keep = None
+    for name in flags:
+        keep = F.col(name) if keep is None else keep & F.col(name)
+    return out.withColumn("keep", keep)
+
+
 def tfidf_top_terms(
     df: DataFrame,
     k: int = 5,

@@ -542,6 +542,54 @@ def test_gopher_repetition_coverage_monotone(spark):
     assert (vals[:, 0] > 0).any()
 
 
+def test_repetition_flags_published_thresholds(spark):
+    """Table-A1 keep/drop rules: a clean doc keeps, a doc over one
+    threshold trips exactly that rule, overrides apply, unknown
+    signal names are rejected."""
+    import pytest
+
+    from melodist_spark.pipeline.text import repetition_flags
+
+    clean = " ".join(f"w{i} x{i} y{i}" for i in range(20))
+    # >30% duplicate lines
+    dup_lines = "\n".join(["same line here"] * 5 + [f"u{i} v{i}" for i in range(5)])
+    df = spark.createDataFrame(
+        [(1, clean), (2, dup_lines)], ["doc_id", "text"]
+    )
+    out = repetition_flags(df).toPandas().set_index("doc_id")
+    assert bool(out.loc[1, "keep"])
+    assert not bool(out.loc[2, "ok_dup_line_frac"])
+    assert not bool(out.loc[2, "keep"])
+    # the clean doc trips nothing
+    assert all(out.loc[1, c] for c in out.columns if c.startswith("ok_"))
+
+    # override: make the line rule lenient enough to keep doc 2
+    out2 = (
+        repetition_flags(
+            df,
+            thresholds={
+                "dup_line_frac": 1.0,
+                "dup_line_char_frac": 1.0,
+                "dup_5gram_char_frac": 1.0,
+                "dup_6gram_char_frac": 1.0,
+                "dup_7gram_char_frac": 1.0,
+                "dup_8gram_char_frac": 1.0,
+                "dup_9gram_char_frac": 1.0,
+                "dup_10gram_char_frac": 1.0,
+                "top_2gram_char_frac": 1.0,
+                "top_3gram_char_frac": 1.0,
+                "top_4gram_char_frac": 1.0,
+            },
+        )
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert bool(out2.loc[2, "keep"])
+
+    with pytest.raises(ValueError, match="unknown repetition signals"):
+        repetition_flags(df, thresholds={"dup_42gram_char_frac": 0.5})
+
+
 def test_kmeans_ivf_end_to_end(spark):
     """Trained coarse quantizer separates planted gaussian blobs and
     multi-probe IVF recall dominates single-probe."""
