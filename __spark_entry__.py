@@ -1665,12 +1665,24 @@ grams AS MATERIALIZED (
        unnest(generate_series(1, len(a.t)-nn.n+1)) AS s(i)
 ),
 gc AS (SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY 1,2,3),
+cmx AS (
+  SELECT doc_id, n, max(c) AS cm FROM gc WHERE n IN (2, 3, 4)
+  GROUP BY 1, 2
+),
+-- the MOST FREQUENT gram's chars (count ties -> longest gram), not
+-- max(c*length): mirrors _gopher_row's table-A1 reading exactly
+tops0 AS (
+  SELECT gc.doc_id, gc.n, cmx.cm * max(length(gc.g)) AS t
+  FROM gc JOIN cmx
+    ON gc.doc_id = cmx.doc_id AND gc.n = cmx.n AND gc.c = cmx.cm
+  GROUP BY gc.doc_id, gc.n, cmx.cm
+),
 tops AS (
   SELECT doc_id,
-         max(CASE WHEN n=2 THEN c*length(g) END) AS t2,
-         max(CASE WHEN n=3 THEN c*length(g) END) AS t3,
-         max(CASE WHEN n=4 THEN c*length(g) END) AS t4
-  FROM gc GROUP BY 1
+         max(CASE WHEN n=2 THEN t END) AS t2,
+         max(CASE WHEN n=3 THEN t END) AS t3,
+         max(CASE WHEN n=4 THEN t END) AS t4
+  FROM tops0 GROUP BY 1
 ),
 dupocc AS (
   SELECT gr.doc_id, gr.n, gr.i, gr.g

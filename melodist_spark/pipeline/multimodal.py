@@ -1770,9 +1770,12 @@ def video_neardup_pairs(
 ) -> DataFrame:
     """Video near-dup from :func:`video_phash` signatures: frames ride
     the SAME banded LSH join as still images (each frame gets a
-    synthetic id ``media_id * 2^20 + frame_idx`` — ids must fit 43
-    bits, which any per-corpus numbering does; beyond that, re-key
-    upstream), frame matches map back to video pairs, and a video
+    synthetic id ``media_id * 2^20 + frame_idx`` — ids must lie in
+    [0, 2^43), which any per-corpus numbering does; rows outside the
+    domain are EXCLUDED by the ingest filter like null hashes, since
+    the packing would otherwise mangle them — re-key upstream, e.g.
+    hashed ids via ``pmod``), frame matches map back to video pairs,
+    and a video
     pair survives when at least
     ``min_shared`` sampled frames match within ``max_distance`` bits —
     one flickering intro frame doesn't pair two unrelated videos.
@@ -1808,9 +1811,19 @@ def video_neardup_pairs(
     fid = (F.col(id_col) * F.lit(1 << 20) + F.col("frame_idx")).alias(
         "media_id"
     )
+    # enforce the documented id domain alongside the frame_idx guard:
+    # a negative or >= 2^43 media_id would be mangled by the packing
+    # (shiftrightunsigned maps a negative composite to a huge positive
+    # "video id" and breaks the id_a < id_b output contract), so
+    # out-of-contract rows are excluded exactly like null hashes —
+    # re-key upstream to use them
     frame_pairs = dhash_neardup_pairs(
         frame_hashes.filter(
-            F.col("phash").isNotNull() & (F.col("frame_idx") < (1 << 20))
+            F.col("phash").isNotNull()
+            & (F.col("frame_idx") >= 0)
+            & (F.col("frame_idx") < (1 << 20))
+            & (F.col(id_col) >= 0)
+            & (F.col(id_col) < (1 << 43))
         ).select(fid, "phash"),
         hash_col="phash",
         max_distance=max_distance,

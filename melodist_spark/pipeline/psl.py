@@ -18,8 +18,9 @@ Scale design — NO shuffle, NO Python workers, NO explode+agg:
   ``ps_labels = labels(base)+1`` and an exception ``!www.ck`` by
   ``www.ck`` with ``ps_labels = labels-1``.
 * Run-time: one chained LEFT **broadcast** hash join per candidate
-  label count ``k = 1..K`` (``K`` = deepest key in the table, 4 for
-  the packaged subset, 5 for the full upstream list), probing
+  label count ``k = 1..K`` (``K`` = deepest key in the table, 3 for
+  the packaged subset — the ``*.compute.amazonaws.com`` wildcard is
+  keyed by its 3-label base — 5 for the full upstream list), probing
   ``substring_index(host, '.', -k)``.  Broadcast hash joins stay
   inside whole-stage codegen and add zero exchanges, so at 100 TB
   this is K hash probes per row on the scan — the same cost class
@@ -174,10 +175,13 @@ def registered_domain_psl(
     kmax = max(s.count(".") + 1 for s in rules)
     host = F.col(host_col)
 
+    # build the rule table ONCE and slice per label count — the k
+    # probes differ only in their filter
+    rules_df = psl_rules_df(spark, psl_text)
     out = df
     for k in range(1, kmax + 1):
         rk = (
-            psl_rules_df(spark, psl_text)
+            rules_df
             .filter(F.col("n_labels") == k)
             .select(
                 F.col("suffix").alias(f"_psl_s{k}"),

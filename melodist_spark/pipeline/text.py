@@ -923,10 +923,17 @@ def _gopher_row(t, line_re, para_re, top_ns, dup_ns):
     for n in top_ns:
         if T >= n and norm_len:
             c = Counter(tuple(toks[i : i + n]) for i in range(T - n + 1))
-            top = max(
-                v * (sum(map(len, k)) + n - 1) for k, v in c.items()
+            # the MOST FREQUENT gram's characters (count ties broken
+            # by the longest gram — value-determining, since equal
+            # counts x equal lengths give equal fractions), NOT
+            # max(count*len): a rarer-but-longer gram must not win
+            cmax = max(c.values())
+            top_len = max(
+                sum(map(len, k)) + n - 1
+                for k, v in c.items()
+                if v == cmax
             )
-            out.append(top / norm_len)
+            out.append(cmax * top_len / norm_len)
         else:
             out.append(0.0)
     for n in dup_ns:
@@ -961,9 +968,12 @@ def gopher_repetition(
       non-empty ``line_sep`` splits; paragraphs (``dup_para_*``) the
       ``para_sep`` splits.
     - ``top_{n}gram_char_frac`` for n in ``top_ns``: characters in
-      all occurrences of the single most frequent word n-gram
-      (count x gram string length, single-space joined) over the
-      length of the whitespace-normalized text.
+      all occurrences of the single MOST FREQUENT word n-gram
+      (count x gram string length, single-space joined; count ties
+      broken by the longest gram, which fixes the value) over the
+      length of the whitespace-normalized text. A rarer-but-longer
+      gram never wins: the signal is the paper's "most
+      frequently-occurring n-gram", not max(count x length).
     - ``dup_{n}gram_char_frac`` for n in ``dup_ns``: characters of
       token *positions covered by* any n-gram value occurring more
       than once, over total token characters. Positional coverage

@@ -2021,3 +2021,28 @@ def test_video_neardup_temporal_alignment(spark):
         for r in video_neardup_pairs(sig, min_shared=2, min_aligned=4).collect()
     }
     assert set(strict) == {(1, 2)}  # trimmed copy recalled, bag demoted
+
+
+def test_video_neardup_out_of_domain_ids_excluded(spark):
+    """Ids outside [0, 2^43) would be mangled by the media_id*2^20 +
+    frame_idx packing (a negative composite under shiftrightunsigned
+    becomes a huge positive "video id", breaking the id_a < id_b
+    contract) — the ingest filter must EXCLUDE them like null hashes,
+    never emit garbage ids."""
+    from melodist_spark.pipeline.multimodal import video_neardup_pairs
+
+    h = 0x5A5A5A5A
+    rows = (
+        [(7, i, h + 0) for i in range(4)]
+        + [(9, i, h + 0) for i in range(4)]      # true dup of 7
+        + [(-5, i, h + 0) for i in range(4)]     # negative id: excluded
+        + [(1 << 43, i, h + 0) for i in range(4)]  # too wide: excluded
+    )
+    sig = spark.createDataFrame(
+        rows, "media_id long, frame_idx long, phash long"
+    )
+    pairs = video_neardup_pairs(sig, min_shared=2).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert ids == {(7, 9)}
+    for r in pairs:
+        assert 0 <= r["id_a"] < r["id_b"] < (1 << 43)

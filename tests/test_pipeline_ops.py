@@ -486,6 +486,11 @@ def test_gopher_repetition_hand_computed(spark):
             (2, "a b c d e\na b c d e"),
             # duplicate PARAGRAPH (two identical 2-line paras)
             (3, "p q\nr s\n\np q\nr s"),
+            # top-gram discriminator: most frequent 2-gram "aa bb"
+            # (c=3, 5 chars -> 15) must beat the rarer-but-longer
+            # "x1234567 y1234567" (c=2, 17 chars -> 34): the signal
+            # is the most FREQUENT gram's chars, not max(c*len)
+            (4, "aa bb aa bb aa bb x1234567 y1234567 x1234567 y1234567"),
         ],
         ["doc_id", "text"],
     )
@@ -513,6 +518,9 @@ def test_gopher_repetition_hand_computed(spark):
     # 5-grams p q r s p / q r s p q / r s p q r / s p q r s: all
     # distinct -> 0
     np.testing.assert_allclose(out.loc[3, "dup_5gram_char_frac"], 0.0)
+
+    # doc 4: norm text = 44 token chars + 9 spaces = 53
+    np.testing.assert_allclose(out.loc[4, "top_2gram_char_frac"], 15 / 53)
 
 
 def test_gopher_repetition_coverage_monotone(spark):

@@ -108,13 +108,17 @@ def main():
 
     from melodist_spark.pipeline.text import gopher_repetition
 
-    # full Gopher repetition family. Per-row sorted-array formulation:
-    # zero exchange, scales like a scan (the explode->groupBy(doc, n,
-    # gram) shape measured 413 s here — wide string keys shuffled 9x
-    # per token position, for a per-document metric). The corpus's
-    # planted dups are cross-doc, so append a per-doc-varying echo of
-    # the doc's own prefix (the registry row's construction) to give
-    # the within-doc dup-coverage path real work.
+    # full Gopher repetition family via the ARROW KERNEL: zero
+    # exchange, scales like a scan. Two rejected shapes are recorded
+    # in SCALE.md: explode->groupBy(doc, n, gram) measured 413 s here
+    # (wide string keys shuffled 9x per token position, for a
+    # per-document metric), and per-row array_sort/transform
+    # expressions were killed at 11+ min (HOFs are CodegenFallback —
+    # interpreted eval re-evaluates inlined children per lambda
+    # element). The corpus's planted dups are cross-doc, so append a
+    # per-doc-varying echo of the doc's own prefix (the registry
+    # row's construction) to give the within-doc dup-coverage path
+    # real work.
     echoed = docs.withColumn(
         "text",
         F.concat_ws(
