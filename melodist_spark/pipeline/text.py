@@ -1007,6 +1007,30 @@ def gopher_repetition(
        for. See ``simhash16_arrow_udf`` for the same
        expression-vs-Arrow tradeoff resolved the same way.
     """
+    return df.select(
+        F.col(id_col),
+        gopher_repetition_col(
+            F.col(text_col),
+            line_sep=line_sep,
+            para_sep=para_sep,
+            top_ns=top_ns,
+            dup_ns=dup_ns,
+        ).alias("_g"),
+    ).select(id_col, "_g.*")
+
+
+def gopher_repetition_col(
+    text: Column,
+    line_sep: str = r"\n",
+    para_sep: str = r"\n{2,}",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> Column:
+    """Column form of :func:`gopher_repetition`: the Arrow kernel as
+    a struct-typed expression (one field per signal), attachable with
+    ``withColumn`` — no join needed to keep the caller's payload
+    columns, which also makes it usable mid-stream (stateless, so
+    Structured-Streaming-safe; see ``streaming.ingest``)."""
     import re as _re
 
     import pandas as pd
@@ -1030,9 +1054,7 @@ def gopher_repetition(
             columns=cols,
         )
 
-    return df.select(
-        F.col(id_col), _kern(F.col(text_col)).alias("_g")
-    ).select(id_col, "_g.*")
+    return _kern(text)
 
 
 #: Published Gopher repetition-filter thresholds (Rae et al. 2021,

@@ -34,14 +34,21 @@ def streaming_curate(
     min_tokens: int = 20,
     max_tokens: int = 1000,
     ngram: int = 5,
+    repetition_thresholds: dict[str, float] | None = None,
 ) -> DataFrame:
-    """Clean → quality-gate → decontaminate → dedup, on a stream.
+    """Clean → quality-gate → [repetition-gate] → decontaminate →
+    dedup, on a stream.
 
     ``bench_grams`` is the sorted benchmark gram-hash array from
     :func:`melodist_spark.pipeline.decontamination.benchmark_gram_array`
-    (None skips the decontamination stage). Returns the curated
-    stream: original columns plus ``text_clean`` and the quality
-    columns, with dropped documents filtered out.
+    (None skips the decontamination stage). ``repetition_thresholds``
+    (e.g. ``text.GOPHER_REPETITION_THRESHOLDS``) enables the Gopher
+    table-A1 repetition gate on the cleaned text — the Arrow kernel
+    is a stateless scalar op, so it is streaming-safe and sits
+    between the cheap codegen quality gate and the decontamination
+    stage (None skips it). Returns the curated stream: original
+    columns plus ``text_clean`` and the quality columns, with
+    dropped documents filtered out.
     """
     from ..pipeline.decontamination import decontaminate_stateless
     from ..pipeline.text import clean_text, quality_flags
@@ -66,6 +73,26 @@ def streaming_curate(
         min_tokens=min_tokens,
         max_tokens=max_tokens,
     ).filter(F.col("keep"))
+    if repetition_thresholds:
+        from ..pipeline.text import (
+            GOPHER_REPETITION_THRESHOLDS,
+            gopher_repetition_col,
+        )
+
+        unknown = set(repetition_thresholds) - set(
+            GOPHER_REPETITION_THRESHOLDS
+        )
+        if unknown:
+            raise ValueError(
+                f"unknown repetition signals: {sorted(unknown)}"
+            )
+        rep = gopher_repetition_col(F.col("text_clean"))
+        gated = gated.withColumn("_rep", rep)
+        pred = None
+        for sig, cut in repetition_thresholds.items():
+            ok = F.col("_rep")[sig] <= F.lit(cut)
+            pred = ok if pred is None else pred & ok
+        gated = gated.filter(pred).drop("_rep")
     if bench_grams is not None:
         gated = decontaminate_stateless(
             gated,

@@ -2046,3 +2046,77 @@ def test_video_neardup_out_of_domain_ids_excluded(spark):
     assert ids == {(7, 9)}
     for r in pairs:
         assert 0 <= r["id_a"] < r["id_b"] < (1 << 43)
+
+
+def test_streaming_repetition_gate_matches_batch(spark, tmp_path):
+    """The Gopher repetition gate (Arrow kernel, stateless) inside
+    streaming_curate drops exactly the documents batch
+    repetition_flags drops on the same cleaned text."""
+    import numpy as np
+
+    from melodist_spark.pipeline.text import (
+        GOPHER_REPETITION_THRESHOLDS,
+        clean_text,
+        fix_text,
+        quality_flags,
+        repetition_flags,
+    )
+    from melodist_spark.streaming.ingest import streaming_curate
+
+    rng = np.random.default_rng(31)
+    vocab = [f"w{i}" for i in range(300)]
+    rows = []
+    for i in range(40):
+        toks = list(rng.choice(vocab, size=40))
+        if i % 4 == 0:
+            # heavy within-doc repetition: one 8-token phrase 4x ->
+            # trips the dup-5..10-gram coverage thresholds
+            toks = toks[:8] * 4 + toks[8:19]
+        # stopwords appended AFTER the repetition transform so every
+        # doc passes the quality stopword gate (>= 5%)
+        toks += ["the", "a", "is", "the"]
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    src = str(tmp_path / "rep_gate_src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        streaming_curate(
+            stream,
+            None,
+            min_tokens=20,
+            repetition_thresholds=GOPHER_REPETITION_THRESHOLDS,
+        )
+        .writeStream.format("memory")
+        .queryName("rep_gated")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"] for r in spark.sql("SELECT doc_id FROM rep_gated").collect()
+    }
+
+    cleaned = docs.withColumn(
+        "text_clean", clean_text(fix_text(F.col("text")))
+    )
+    gated = quality_flags(
+        cleaned, text_col="text_clean", min_tokens=20
+    ).filter("keep")
+    want = {
+        r["doc_id"]
+        for r in repetition_flags(gated, text_col="text_clean")
+        .filter("keep")
+        .collect()
+    }
+    assert got == want
+    # the gate fired: the planted repetitious docs are gone
+    assert got and all(i not in got for i in range(0, 40, 4))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown repetition signals"):
+        streaming_curate(
+            stream, None, repetition_thresholds={"nope": 0.5}
+        )
