@@ -5554,25 +5554,40 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
-    toks = F.filter(
-        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
-        lambda w: w != "",
-    )
-    aug = F.concat(toks, F.slice(toks, 1, F.col("doc_id") % 13))
-    n_lines = F.ceil(F.size(aug) / F.lit(4)).cast("int")
-    lines_arr = F.transform(
-        F.sequence(F.lit(1), n_lines),
-        lambda i: F.array_join(F.slice(aug, (i - 1) * 4 + 1, 4), " "),
-    )
-    n_paras = F.ceil(F.size(lines_arr) / F.lit(4)).cast("int")
-    paras_arr = F.transform(
-        F.sequence(F.lit(1), n_paras),
-        lambda j: F.array_join(
-            F.slice(lines_arr, (j - 1) * 4 + 1, 4), "\n"
-        ),
-    )
+    # The multiline reconstruction runs as a small Arrow UDF in the
+    # SAME ArrowEvalPython stage as the Gopher kernel. Two rejected
+    # expression forms, for the record: naively nested lines/paras
+    # transforms re-split the text per lambda element (HOFs are
+    # CodegenFallback; measured 14 s for this row at sf0.1), and the
+    # let-binding rewrite (element_at(transform(array(x), f), 1))
+    # collapses into the pandas-UDF argument, which Spark can neither
+    # codegen nor fall back on (INTERNAL_ERROR: Cannot generate code
+    # for expression: _kern(...)). The Python construction is
+    # mirrored statement-for-statement by the oracle's t0/aug/lines/
+    # paras CTEs.
+    import pandas as pd
+
+    # no annotations: `from __future__ import annotations` turns them
+    # into strings pyspark's hint inference can't resolve — the
+    # un-hinted form is the plain SCALAR pandas_udf
+    @F.pandas_udf("string")
+    def _mk_multi(text, doc_id):
+        out = []
+        for t, d in zip(text, doc_id):
+            toks = (t or "").strip().lower().split()
+            toks = toks + toks[: int(d) % 13]
+            lines = [
+                " ".join(toks[i : i + 4]) for i in range(0, len(toks), 4)
+            ]
+            paras = [
+                "\n".join(lines[j : j + 4])
+                for j in range(0, len(lines), 4)
+            ]
+            out.append("\n\n".join(paras))
+        return pd.Series(out)
+
     multi = docs.select(
-        "doc_id", F.array_join(paras_arr, "\n\n").alias("text")
+        "doc_id", _mk_multi(F.col("text"), F.col("doc_id")).alias("text")
     )
 
     out = repetition_stats(docs).join(gopher_repetition(multi), "doc_id")

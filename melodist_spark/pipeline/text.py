@@ -863,39 +863,48 @@ def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Repetition signals (Gopher §A1.3): the fraction of the document
-    occupied by its most frequent unigram and bigram. High values mark
-    boilerplate/spam for the quality filter.
+    occupied by its most frequent unigram and bigram (case-folded).
+    High values mark boilerplate/spam for the quality filter.
+    Documents shorter than 2 tokens have no bigram and are dropped,
+    mirroring the oracle's inner-join semantics.
+    Returns (id, top_unigram_frac, top_bigram_frac).
 
-    Scale shape: explode → count per (doc, gram) — a hash aggregate
-    with map-side combine keyed by high-cardinality (doc, gram), then
-    a per-doc max/sum. Documents shorter than 2 tokens have no bigram
-    and are dropped (inner join), mirroring the oracle semantics.
-    Returns (id, top_unigram_frac, top_bigram_frac)."""
-    t = F.lower(F.col(text_col))
-    toks = _tokens(t)
-    uni = df.select(F.col(id_col), F.explode(toks).alias("w")).filter(
-        F.col("w") != ""
+    Scale shape: per-document metric → Arrow kernel, zero exchange
+    (same reasoning as :func:`gopher_repetition`, which see for the
+    measured comparison; the original explode → groupBy(doc, gram)
+    formulation shuffled every token as a string key and its bigram
+    zip_with/slice tree was CodegenFallback-interpreted — 2.2 s warm
+    for 5,000 55-token docs vs ~0.3 s here)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("top_unigram_frac double, top_bigram_frac double")
+    def _kern(texts):
+        from collections import Counter
+
+        rows = []
+        for t in texts:
+            toks = (t or "").lower().split()
+            if len(toks) < 2:
+                rows.append((None, None))
+                continue
+            uc = Counter(toks)
+            bc = Counter(zip(toks, toks[1:]))
+            rows.append(
+                (
+                    max(uc.values()) / len(toks),
+                    max(bc.values()) / (len(toks) - 1),
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["top_unigram_frac", "top_bigram_frac"]
+        )
+
+    return (
+        df.select(F.col(id_col), _kern(F.col(text_col)).alias("_r"))
+        .select(id_col, "_r.*")
+        .filter(F.col("top_bigram_frac").isNotNull())
     )
-    us = (
-        uni.groupBy(id_col, "w")
-        .agg(F.count("*").alias("c"))
-        .groupBy(id_col)
-        .agg((F.max("c") / F.sum("c")).alias("top_unigram_frac"))
-    )
-    m = F.greatest(F.size(toks) - 1, F.lit(0))
-    grams = F.zip_with(
-        F.slice(toks, 1, m),
-        F.slice(toks, 2, m),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
-    big = df.select(F.col(id_col), F.explode(grams).alias("g"))
-    bs = (
-        big.groupBy(id_col, "g")
-        .agg(F.count("*").alias("c"))
-        .groupBy(id_col)
-        .agg((F.max("c") / F.sum("c")).alias("top_bigram_frac"))
-    )
-    return us.join(bs, id_col)
 
 
 def _gopher_row(t, line_re, para_re, top_ns, dup_ns):
