@@ -5572,9 +5572,14 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # un-hinted form is the plain SCALAR pandas_udf
     @F.pandas_udf("string")
     def _mk_multi(text, doc_id):
+        # ASCII tokenization (not str.split): the oracle's
+        # string_split_regex '\s+' is RE2/ASCII — Python's unicode
+        # split would diverge on NBSP / U+2028 corpora
+        from melodist_spark.pipeline.text import _ascii_ws_split
+
         out = []
         for t, d in zip(text, doc_id):
-            toks = (t or "").strip().lower().split()
+            toks = _ascii_ws_split((t or "").lower())
             toks = toks + toks[: int(d) % 13]
             lines = [
                 " ".join(toks[i : i + 4]) for i in range(0, len(toks), 4)
@@ -5590,7 +5595,9 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", _mk_multi(F.col("text"), F.col("doc_id")).alias("text")
     )
 
-    out = repetition_stats(docs).join(gopher_repetition(multi), "doc_id")
+    out = repetition_stats(docs).join(
+        gopher_repetition(multi, ascii_ws=True), "doc_id"
+    )
     metric_cols = [
         c for c in out.columns if c != "doc_id"
     ]

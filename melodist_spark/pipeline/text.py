@@ -6,15 +6,33 @@ documents table is one scan with map-side-only work. The exceptions
 are Arrow-batched kernels, never row-at-a-time Python:
 :func:`compression_ratio` (DEFLATE has no SQL expression),
 :func:`simhash16_arrow_udf` (replaces 16 per-row aggregate
-expressions), and :func:`gopher_repetition` (higher-order array
-expressions are CodegenFallback — see its docstring for the
-measured three-way comparison).
+expressions), and the per-document repetition metrics
+:func:`gopher_repetition` and :func:`repetition_stats` (higher-order
+array expressions are CodegenFallback — see gopher_repetition's
+docstring for the measured three-way comparison).
 """
 
 from __future__ import annotations
 
+import re as _re_mod
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+#: ASCII whitespace class — what Java regex and RE2 mean by ``\s``.
+#: Python's unicode-aware ``str.split``/``\s`` additionally splits on
+#: NBSP / U+2028 etc., which an engine-portable kernel must not.
+_ASCII_WS_RE = _re_mod.compile(r"[ \t\n\r\f\v]+")
+
+
+def _ascii_ws_split(t: str, keep_empty: bool = False) -> list[str]:
+    """Space-only trim + ASCII ``\\s+`` split — the exact
+    tokenization of the SQL twins (``trim`` in DuckDB strips spaces
+    only; ``string_split_regex '\\s+'`` is RE2/ASCII). ``keep_empty``
+    preserves the phantom leading empty token a tab/newline-initial
+    string produces, which the historical bigram SQL counts."""
+    parts = _ASCII_WS_RE.split(t.strip(" "))
+    return parts if keep_empty else [w for w in parts if w]
 
 #: tiny per-language stopword lists for the n-gram/stopword language-ID
 #: heuristic; deterministic and language-representative, not exhaustive
@@ -874,7 +892,15 @@ def repetition_stats(
     measured comparison; the original explode → groupBy(doc, gram)
     formulation shuffled every token as a string key and its bigram
     zip_with/slice tree was CodegenFallback-interpreted — 2.2 s warm
-    for 5,000 55-token docs vs ~0.3 s here)."""
+    for 5,000 55-token docs vs ~0.3 s here).
+
+    Tokenization mirrors the historical SQL twin exactly — NOT
+    Python ``str.split``: space-only trim, then an ASCII ``\\s+``
+    split (Python's unicode split would drop the leading empty token
+    a tab/newline-initial doc produces, and would split on NBSP /
+    U+2028 where the twin's RE2 regex does not). Unigrams skip empty
+    tokens; bigrams are built over the UNfiltered list, phantom
+    empty-token pairs included, as the twin always did."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -884,16 +910,17 @@ def repetition_stats(
 
         rows = []
         for t in texts:
-            toks = (t or "").lower().split()
-            if len(toks) < 2:
+            l = _ascii_ws_split((t or "").lower(), keep_empty=True)
+            toks = [w for w in l if w]
+            if not toks or len(l) < 2:
                 rows.append((None, None))
                 continue
             uc = Counter(toks)
-            bc = Counter(zip(toks, toks[1:]))
+            bc = Counter(zip(l, l[1:]))
             rows.append(
                 (
                     max(uc.values()) / len(toks),
-                    max(bc.values()) / (len(toks) - 1),
+                    max(bc.values()) / (len(l) - 1),
                 )
             )
         return pd.DataFrame(
@@ -907,9 +934,12 @@ def repetition_stats(
     )
 
 
-def _gopher_row(t, line_re, para_re, top_ns, dup_ns):
+def _gopher_row(t, line_re, para_re, top_ns, dup_ns, ascii_ws=False):
     """Pure-Python Gopher table-A1 metrics for one document (the
     Arrow kernel's per-row body; separated for direct unit testing).
+    ``ascii_ws`` tokenizes with the engine-portable ASCII whitespace
+    class instead of Python's unicode ``str.split`` — callers whose
+    results must hash-match an RE2/Java-regex twin need it.
     Returns the metric tuple in output-column order."""
     from collections import Counter
 
@@ -924,7 +954,7 @@ def _gopher_row(t, line_re, para_re, top_ns, dup_ns):
         dup_ch = sum((v - 1) * len(k) for k, v in c.items() if v > 1)
         out.append(dup / tot if tot else 0.0)
         out.append(dup_ch / tot_ch if tot_ch else 0.0)
-    toks = t.split()
+    toks = _ascii_ws_split(t) if ascii_ws else t.split()
     T = len(toks)
     lens = [len(w) for w in toks]
     char_len = sum(lens)
@@ -967,6 +997,7 @@ def gopher_repetition(
     para_sep: str = r"\n{2,}",
     top_ns: tuple[int, ...] = (2, 3, 4),
     dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+    ascii_ws: bool = False,
 ) -> DataFrame:
     """The full Gopher repetition-filter signal family (Rae et al.
     2021, table A1), one row per document:
@@ -1024,6 +1055,7 @@ def gopher_repetition(
             para_sep=para_sep,
             top_ns=top_ns,
             dup_ns=dup_ns,
+            ascii_ws=ascii_ws,
         ).alias("_g"),
     ).select(id_col, "_g.*")
 
@@ -1034,6 +1066,7 @@ def gopher_repetition_col(
     para_sep: str = r"\n{2,}",
     top_ns: tuple[int, ...] = (2, 3, 4),
     dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+    ascii_ws: bool = False,
 ) -> Column:
     """Column form of :func:`gopher_repetition`: the Arrow kernel as
     a struct-typed expression (one field per signal), attachable with
@@ -1055,11 +1088,15 @@ def gopher_repetition_col(
     line_re = _re.compile(line_sep)
     para_re = _re.compile(para_sep)
     tn, dn = tuple(top_ns), tuple(dup_ns)
+    aw = bool(ascii_ws)
 
     @pandas_udf(schema)
     def _kern(texts):
         return pd.DataFrame(
-            [_gopher_row(t, line_re, para_re, tn, dn) for t in texts],
+            [
+                _gopher_row(t, line_re, para_re, tn, dn, ascii_ws=aw)
+                for t in texts
+            ],
             columns=cols,
         )
 
@@ -1085,6 +1122,25 @@ GOPHER_REPETITION_THRESHOLDS: dict[str, float] = {
 }
 
 
+def resolve_repetition_thresholds(
+    overrides: dict[str, float] | None = None,
+) -> dict[str, float]:
+    """The full table-A1 threshold set with ``overrides`` applied on
+    top — the ONE resolution rule shared by :func:`repetition_flags`
+    and ``streaming.ingest.streaming_curate``, so a subset dict means
+    the same thing (override, never restrict) on both paths. Unknown
+    signal names raise."""
+    th = dict(GOPHER_REPETITION_THRESHOLDS)
+    if overrides:
+        unknown = set(overrides) - set(th)
+        if unknown:
+            raise ValueError(
+                f"unknown repetition signals: {sorted(unknown)}"
+            )
+        th.update(overrides)
+    return th
+
+
 def repetition_flags(
     df: DataFrame,
     text_col: str = "text",
@@ -1101,12 +1157,7 @@ def repetition_flags(
     subset of :data:`GOPHER_REPETITION_THRESHOLDS`; the filter stays
     a column predicate on the single Arrow-kernel pass.
     """
-    th = dict(GOPHER_REPETITION_THRESHOLDS)
-    if thresholds:
-        unknown = set(thresholds) - set(th)
-        if unknown:
-            raise ValueError(f"unknown repetition signals: {sorted(unknown)}")
-        th.update(thresholds)
+    th = resolve_repetition_thresholds(thresholds)
     out = gopher_repetition(
         df, text_col=text_col, id_col=id_col, **gopher_kwargs
     )

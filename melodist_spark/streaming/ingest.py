@@ -42,13 +42,18 @@ def streaming_curate(
     ``bench_grams`` is the sorted benchmark gram-hash array from
     :func:`melodist_spark.pipeline.decontamination.benchmark_gram_array`
     (None skips the decontamination stage). ``repetition_thresholds``
-    (e.g. ``text.GOPHER_REPETITION_THRESHOLDS``) enables the Gopher
-    table-A1 repetition gate on the cleaned text — the Arrow kernel
-    is a stateless scalar op, so it is streaming-safe and sits
-    between the cheap codegen quality gate and the decontamination
-    stage (None skips it). Returns the curated stream: original
-    columns plus ``text_clean`` and the quality columns, with
-    dropped documents filtered out.
+    enables the Gopher table-A1 repetition gate on the cleaned text —
+    the Arrow kernel is a stateless scalar op, so it is
+    streaming-safe and sits between the cheap codegen quality gate
+    and the decontamination stage. It follows the SAME semantics as
+    ``repetition_flags(thresholds=...)`` via the shared
+    :func:`~melodist_spark.pipeline.text.resolve_repetition_thresholds`:
+    the dict is overrides applied on top of the full published table
+    (``{}`` gates at the published defaults; a subset dict overrides
+    just those cutoffs while the other rules still apply); ``None``
+    disables the gate. Returns the curated stream: original columns
+    plus ``text_clean`` and the quality columns, with dropped
+    documents filtered out.
     """
     from ..pipeline.decontamination import decontaminate_stateless
     from ..pipeline.text import clean_text, quality_flags
@@ -73,26 +78,29 @@ def streaming_curate(
         min_tokens=min_tokens,
         max_tokens=max_tokens,
     ).filter(F.col("keep"))
-    if repetition_thresholds:
+    if repetition_thresholds is not None:
         from ..pipeline.text import (
-            GOPHER_REPETITION_THRESHOLDS,
             gopher_repetition_col,
+            resolve_repetition_thresholds,
         )
 
-        unknown = set(repetition_thresholds) - set(
-            GOPHER_REPETITION_THRESHOLDS
+        # SAME resolution rule as batch repetition_flags: the dict is
+        # overrides on top of the full table-A1 set, never a
+        # restriction to the listed signals ({} = published defaults)
+        th = resolve_repetition_thresholds(repetition_thresholds)
+        # collision-safe staging column — the contract returns the
+        # caller's original columns untouched
+        tmp = "_rep_gate"
+        while tmp in gated.columns:
+            tmp += "_"
+        gated = gated.withColumn(
+            tmp, gopher_repetition_col(F.col("text_clean"))
         )
-        if unknown:
-            raise ValueError(
-                f"unknown repetition signals: {sorted(unknown)}"
-            )
-        rep = gopher_repetition_col(F.col("text_clean"))
-        gated = gated.withColumn("_rep", rep)
         pred = None
-        for sig, cut in repetition_thresholds.items():
-            ok = F.col("_rep")[sig] <= F.lit(cut)
+        for sig, cut in th.items():
+            ok = F.col(tmp)[sig] <= F.lit(cut)
             pred = ok if pred is None else pred & ok
-        gated = gated.filter(pred).drop("_rep")
+        gated = gated.filter(pred).drop(tmp)
     if bench_grams is not None:
         gated = decontaminate_stateless(
             gated,

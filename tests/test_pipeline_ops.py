@@ -473,6 +473,53 @@ def test_repetition_stats(spark):
     np.testing.assert_allclose(out.loc[2, "top_bigram_frac"], 1 / 3)
 
 
+def test_repetition_stats_sql_twin_tokenization(spark):
+    """The Arrow kernel must mirror the SQL twin's tokenization, not
+    Python str.split: space-only trim keeps the phantom empty token a
+    tab-initial doc produces (counted by the twin's unfiltered bigram
+    list), and ASCII-only splitting keeps NBSP inside tokens."""
+    from melodist_spark.pipeline.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            # trim strips spaces only -> leading '\t' survives ->
+            # l = ['', 'a', 'b', 'a']: bigrams ('','a'),('a','b'),
+            # ('b','a') all distinct -> 1/3; unigrams a,b,a -> 2/3
+            (1, "\t a\n b  a "),
+            # NBSP is NOT a separator for the RE2 twin: one token
+            # 'x y' twice -> top_unigram 2/2, bigram 1/1
+            (2, "x y x y"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = repetition_stats(df).toPandas().set_index("doc_id")
+    np.testing.assert_allclose(out.loc[1, "top_unigram_frac"], 2 / 3)
+    np.testing.assert_allclose(out.loc[1, "top_bigram_frac"], 1 / 3)
+    np.testing.assert_allclose(out.loc[2, "top_unigram_frac"], 1.0)
+    np.testing.assert_allclose(out.loc[2, "top_bigram_frac"], 1.0)
+
+
+def test_resolve_repetition_thresholds_override_semantics():
+    """Shared batch/streaming resolution: a subset dict OVERRIDES the
+    published table (the other rules still apply), {} and None mean
+    the published defaults, unknown names raise."""
+    import pytest
+
+    from melodist_spark.pipeline.text import (
+        GOPHER_REPETITION_THRESHOLDS,
+        resolve_repetition_thresholds,
+    )
+
+    assert resolve_repetition_thresholds(None) == GOPHER_REPETITION_THRESHOLDS
+    assert resolve_repetition_thresholds({}) == GOPHER_REPETITION_THRESHOLDS
+    th = resolve_repetition_thresholds({"dup_line_frac": 0.9})
+    assert th["dup_line_frac"] == 0.9
+    assert th["top_2gram_char_frac"] == 0.20  # rest still present
+    assert len(th) == len(GOPHER_REPETITION_THRESHOLDS)
+    with pytest.raises(ValueError, match="unknown repetition signals"):
+        resolve_repetition_thresholds({"nope": 0.5})
+
+
 def test_gopher_repetition_hand_computed(spark):
     """The full Gopher table-A1 family against hand-worked examples."""
     from melodist_spark.pipeline.text import gopher_repetition
