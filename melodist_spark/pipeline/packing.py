@@ -116,12 +116,6 @@ def chunk_tokens(
     return out
 
 
-#: Deprecated round-8 alias — ``chunk_documents`` collided with the
-#: char-window variant in ``text.py`` (VERDICT r7 item 5); use
-#: :func:`chunk_tokens`. Removed next round.
-chunk_documents = chunk_tokens
-
-
 def pack_sequences(
     df: DataFrame,
     seq_len: int,

@@ -59,8 +59,13 @@ def parse_psl(text: str) -> dict[str, tuple[int, bool]]:
         line = line.split()[0]  # upstream allows trailing comments
         if line.startswith("!"):
             suffix = line[1:]
+            # strip-leading-label semantics: the public suffix of an
+            # exception match is the rule minus its leftmost label, so
+            # ps = labels - 1 — including ps = 0 for a (hypothetical
+            # but grammar-legal) single-label `!foo`, whose registrable
+            # domain is the last label itself
             ps = suffix.count(".")  # labels - 1
-            out[suffix] = (max(ps, 1), True)
+            out[suffix] = (ps, True)
         elif line.startswith("*."):
             base = line[2:]
             ps = base.count(".") + 2  # labels(base) + 1
@@ -126,15 +131,16 @@ def registered_domain_psl_expr(
         host = F.col(host)
     rules = _resolved_rules(psl_text)
     kmax = max(s.count(".") + 1 for s in rules)
-    # one literal map suffix -> ps_labels, exceptions carried as the
-    # NEGATED label count so a single int encodes both facts.
+    # one literal map suffix -> ps_labels+1, exceptions carried as the
+    # NEGATED value so a single int encodes both facts (the +1 offset
+    # keeps a ps=0 exception distinguishable from "no entry": -0 == 0).
     # CONSTRUCTION MATTERS: str_to_map over a literal string is
     # foldable, so ConstantFolding turns it into ONE map Literal at
     # plan time; a create_map of 2*|rules| literal children is NOT
     # removable when probed with a non-literal key and re-evaluates
     # all children per row (measured 2 orders of magnitude slower)
     packed = ",".join(
-        f"{s}:{-ps if exc else ps}" for s, (ps, exc) in rules.items()
+        f"{s}:{-(ps + 1) if exc else ps + 1}" for s, (ps, exc) in rules.items()
     )
     m = F.str_to_map(F.lit(packed), F.lit(","), F.lit(":"))
     vals = [
@@ -145,8 +151,8 @@ def registered_domain_psl_expr(
     def best(cols):
         return cols[0] if len(cols) == 1 else F.greatest(*cols)
 
-    exc_ps = best([F.when(v < 0, -v) for v in vals])
-    match_ps = best([F.when(v > 0, v) for v in vals])
+    exc_ps = best([F.when(v < 0, -v - 1) for v in vals])
+    match_ps = best([F.when(v > 0, v - 1) for v in vals])
     ps = F.coalesce(exc_ps, match_ps, F.lit(1))
     parts = F.split(host, r"\.")
     take = F.least(ps + 1, F.size(parts))
@@ -175,6 +181,13 @@ def registered_domain_psl(
     kmax = max(s.count(".") + 1 for s in rules)
     host = F.col(host_col)
 
+    # collision-proof temp prefix: a caller column literally named
+    # `_psl_s1` must survive the final drop() (same policy as
+    # streaming/ingest.py — extend until no input column shadows it)
+    tmp = "_psl"
+    while any(c.startswith(tmp) for c in df.columns):
+        tmp += "_"
+
     # build the rule table ONCE and slice per label count — the k
     # probes differ only in their filter
     rules_df = psl_rules_df(spark, psl_text)
@@ -184,9 +197,9 @@ def registered_domain_psl(
             rules_df
             .filter(F.col("n_labels") == k)
             .select(
-                F.col("suffix").alias(f"_psl_s{k}"),
-                F.col("ps_labels").alias(f"_psl_p{k}"),
-                F.col("is_exc").alias(f"_psl_e{k}"),
+                F.col("suffix").alias(f"{tmp}_s{k}"),
+                F.col("ps_labels").alias(f"{tmp}_p{k}"),
+                F.col("is_exc").alias(f"{tmp}_e{k}"),
             )
         )
         # substring_index returns the whole host when it has < k
@@ -194,7 +207,7 @@ def registered_domain_psl(
         # suffix, so no label-count guard is needed
         out = out.join(
             F.broadcast(rk),
-            F.substring_index(host, ".", -k) == F.col(f"_psl_s{k}"),
+            F.substring_index(host, ".", -k) == F.col(f"{tmp}_s{k}"),
             "left",
         )
 
@@ -204,27 +217,30 @@ def registered_domain_psl(
     # greatest() ignores NULLs, so unmatched probe columns drop out
     exc_ps = best(
         [
-            F.when(F.col(f"_psl_e{k}"), F.col(f"_psl_p{k}"))
+            F.when(F.col(f"{tmp}_e{k}"), F.col(f"{tmp}_p{k}"))
             for k in range(1, kmax + 1)
         ]
     )
     match_ps = best(
         [
-            F.when(~F.col(f"_psl_e{k}"), F.col(f"_psl_p{k}"))
+            F.when(~F.col(f"{tmp}_e{k}"), F.col(f"{tmp}_p{k}"))
             for k in range(1, kmax + 1)
         ]
     )
     # exceptions beat any longer wildcard match; default rule: ps=1
     ps = F.coalesce(exc_ps, match_ps, F.lit(1))
 
-    # substring_index with a COLUMN count needs expr(); stage the
-    # selected ps in a temp column so the expr stays readable
-    out = out.withColumn("_psl_ps", ps)
+    # final take is pure column algebra (split/slice/array_join, same
+    # shape as the expr variant) — no string-interpolated SQL, so a
+    # host column named with backticks or dots can't break or
+    # misresolve the expression
+    parts = F.split(host, r"\.")
+    take = F.least(ps + F.lit(1), F.size(parts))
     domain = F.when(host.rlike(r"^[0-9.]+$"), host).otherwise(
-        F.expr(f"substring_index(`{host_col}`, '.', -(_psl_ps + 1))")
+        F.array_join(F.slice(parts, -take, take), ".")
     )
     out = out.withColumn(out_col, domain)
-    drop = ["_psl_ps"] + [
-        f"_psl_{c}{k}" for k in range(1, kmax + 1) for c in ("s", "p", "e")
+    drop = [
+        f"{tmp}_{c}{k}" for k in range(1, kmax + 1) for c in ("s", "p", "e")
     ]
     return out.drop(*drop)

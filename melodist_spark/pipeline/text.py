@@ -633,11 +633,6 @@ def chunk_chars(
 
 
 
-#: Deprecated round-8 alias — ``chunk_documents`` collided with the
-#: token-window variant in ``packing.py`` (VERDICT r7 item 5); use
-#: :func:`chunk_chars`. Removed next round.
-chunk_documents = chunk_chars
-
 def clean_text(text: Column) -> Column:
     """Boilerplate scrub: drop HTML-ish tags, URLs and emails, then
     collapse whitespace — the C4-style normalization pass before

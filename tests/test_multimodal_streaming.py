@@ -1947,6 +1947,111 @@ def test_video_neardup_via_frame_phash(spark):
     assert pairs[0]["shared_frames"] >= 2
 
 
+def _gif_partial_anim(frames_spec, canvas_hw) -> bytes:
+    """Animated GIF89a with sub-rectangle frames (disposal=1, own
+    local palettes) — the real-world shape whose composited canvases
+    accumulate MORE than 256 distinct colors, which
+    ``encode_gif_frames`` (full-canvas frames only) cannot produce."""
+    from melodist_spark.pipeline.multimodal import (
+        _gif_lzw_encode,
+        _gif_palette,
+        _gif_sub_blocks,
+    )
+
+    h, w = canvas_hw
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x00, 0, 0])  # no global color table
+    for left, top, f in frames_spec:
+        pal, idx, bits, min_code = _gif_palette(f)
+        out += b"\x21\xf9\x04" + bytes([(1 & 0x07) << 2])  # disposal=1
+        out += (5).to_bytes(2, "little") + b"\x00\x00"
+        fh, fw = f.shape[:2]
+        out += (
+            b"\x2c"
+            + left.to_bytes(2, "little")
+            + top.to_bytes(2, "little")
+            + fw.to_bytes(2, "little")
+            + fh.to_bytes(2, "little")
+        )
+        out += bytes([0x80 | (bits - 1)])
+        out += pal.tobytes()
+        out += bytes([min_code])
+        out += _gif_sub_blocks(_gif_lzw_encode(idx, min_code))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _color_rich_clip(gshift: int) -> bytes:
+    """36x36 animation whose composites exceed 256 colors from frame 1
+    on: a 256-color full base frame plus three 216-new-color overlay
+    strips. ``gshift`` perturbs every green channel — a 'different
+    quantizer run' of the same scenes, byte-disjoint but pHash-near."""
+    import numpy as np
+
+    base = np.zeros((36, 36, 3), dtype=np.uint8)
+    ks = (np.arange(36 * 36) % 256).reshape(36, 36)
+    base[..., 0] = (ks // 16) * 16
+    base[..., 1] = ((ks % 16) * 16 + gshift) % 256
+    frames = [(0, 0, base)]
+    for i in (1, 2, 3):
+        j = np.arange(6 * 36)
+        strip = np.zeros((6, 36, 3), dtype=np.uint8)
+        strip[..., 0] = ((j % 8) * 4 + 2).reshape(6, 36)
+        strip[..., 1] = (i * 60 + gshift) % 256
+        strip[..., 2] = (255 - j // 8).reshape(6, 36)
+        frames.append((0, 6 * i, strip))
+    return _gif_partial_anim(frames, (36, 36))
+
+
+def test_video_phash_recalls_color_rich_gif_reencode(spark):
+    """VERDICT r8 item 1a: composited GIF canvases over 256 colors
+    come out of sample_frames as codec='png'; video_phash must keep
+    them (the old jpeg/gif-only filter silently dropped every frame
+    after the first, so color-rich animations vanished from near-dup
+    signatures). Planted recall: a re-quantized copy of a color-rich
+    animation pairs with its original THROUGH the png frames."""
+    import numpy as np
+
+    from melodist_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        sample_frames,
+        video_neardup_pairs,
+        video_phash,
+    )
+
+    rng = np.random.default_rng(17)
+    noise = [
+        rng.integers(0, 5, size=(36, 36, 3), dtype=np.uint8) * 50
+        for _ in range(4)
+    ]
+    from melodist_spark.pipeline.multimodal import encode_gif_frames
+
+    rows = [
+        (1, "video", _color_rich_clip(0), None, None, None),
+        (2, "video", _color_rich_clip(3), None, None, None),
+        (3, "video", encode_gif_frames(noise), None, None, None),
+    ]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+    # premise: the composited frames really are the png path
+    sampled = sample_frames(df, every_n=1).filter("media_id = 1").toPandas()
+    assert sampled["err"].isna().all()
+    assert (sampled["codec"] == "png").sum() == 3  # frames 1..3
+    assert (sampled["codec"] == "gif").sum() == 1  # base frame
+
+    sig = video_phash(df, every_n=1)
+    # the fix: png frames carry phashes instead of vanishing
+    per_clip = {
+        r["media_id"]: r["n"]
+        for r in sig.groupBy("media_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_clip[1] == 4 and per_clip[2] == 4
+    pairs = video_neardup_pairs(sig, min_shared=2).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    assert pairs[0]["shared_frames"] >= 3  # the three png composites
+
+
 def test_frame_dimensions_tolerates_fill_bytes():
     """T.81 B.1.1.2: 0xFF fill bytes may pad before any marker —
     frame_dimensions must walk past them instead of misparsing the

@@ -420,6 +420,61 @@ def test_psl_agrees_with_regex_head_on_its_own_turf(spark):
         assert r["psl"] == r["rex"], r["host"]
 
 
+def test_psl_single_label_exception_both_paths(spark):
+    """ADVICE r8: a grammar-legal single-label exception `!foo` is
+    strip-leading-label ps=0 (registrable domain = the last label
+    itself), not clamped to ps=1 — and the literal-map path's signed
+    encoding must keep ps=0 distinguishable from 'no entry' (-0 == 0
+    would silently fall through to the default rule)."""
+    from melodist_spark.pipeline.psl import (
+        parse_psl,
+        registered_domain_psl,
+        registered_domain_psl_expr,
+    )
+
+    text = "*.foo\n!foo\ncom\n"
+    assert parse_psl(text)["foo"] == (0, True)
+
+    hosts = ["foo", "x.foo", "a.x.foo", "a.example.com"]
+    want = {
+        "foo": "foo",            # exception: ps=0, last 1 label
+        "x.foo": "foo",          # exception beats the *.foo wildcard
+        "a.x.foo": "foo",
+        "a.example.com": "example.com",
+    }
+    df = spark.createDataFrame([(h,) for h in hosts], ["host"])
+    got_join = {
+        r["host"]: r["domain"]
+        for r in registered_domain_psl(df, psl_text=text).collect()
+    }
+    got_expr = {
+        r["host"]: r["d"]
+        for r in df.select(
+            "host",
+            registered_domain_psl_expr("host", psl_text=text).alias("d"),
+        ).collect()
+    }
+    assert got_join == want
+    assert got_expr == want
+
+
+def test_psl_temp_columns_survive_caller_collision(spark):
+    """ADVICE r8: the join variant's staging columns must not collide
+    with (or silently drop) caller columns that happen to share the
+    `_psl*` prefix."""
+    from melodist_spark.pipeline.psl import registered_domain_psl
+
+    df = spark.createDataFrame(
+        [("a.example.co.uk", "keep-me", 7)],
+        ["host", "_psl_s1", "_psl_ps"],
+    )
+    out = registered_domain_psl(df)
+    assert set(out.columns) == {"host", "_psl_s1", "_psl_ps", "domain"}
+    row = out.collect()[0]
+    assert row["domain"] == "example.co.uk"
+    assert row["_psl_s1"] == "keep-me" and row["_psl_ps"] == 7
+
+
 # ------------------------------------------------- main-content extraction
 
 
