@@ -18,9 +18,9 @@ Scale design — NO shuffle, NO Python workers, NO explode+agg:
   ``ps_labels = labels(base)+1`` and an exception ``!www.ck`` by
   ``www.ck`` with ``ps_labels = labels-1``.
 * Run-time: one chained LEFT **broadcast** hash join per candidate
-  label count ``k = 1..K`` (``K`` = deepest key in the table, 3 for
-  the packaged subset — the ``*.compute.amazonaws.com`` wildcard is
-  keyed by its 3-label base — 5 for the full upstream list), probing
+  label count ``k = 1..K`` (``K`` = deepest key in the table, 4 for
+  the packaged subset — ``blob.core.windows.net`` — 5 for the full
+  upstream list), probing
   ``substring_index(host, '.', -k)``.  Broadcast hash joins stay
   inside whole-stage codegen and add zero exchanges, so at 100 TB
   this is K hash probes per row on the scan — the same cost class

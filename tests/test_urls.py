@@ -420,6 +420,46 @@ def test_psl_agrees_with_regex_head_on_its_own_turf(spark):
         assert r["psl"] == r["rex"], r["host"]
 
 
+def test_psl_top_private_suffixes_present():
+    """VERDICT r8 item 2: the hosting platforms and CDN subtrees a
+    real crawl hits hardest must all be in the packaged rule table —
+    each of these groups MILLIONS of unrelated parties, so a miss
+    means one platform swallows a per-domain diversity cap."""
+    from melodist_spark.pipeline.psl import _resolved_rules
+
+    rules = _resolved_rules()
+    top_private = [
+        # code/pages hosting
+        "github.io", "gitlab.io", "bitbucket.io", "readthedocs.io",
+        "neocities.org",
+        # blogs / site builders
+        "blogspot.com", "wordpress.com", "wixsite.com", "webflow.io",
+        "notion.site", "hatenablog.com", "hatenablog.jp", "web.fc2.com",
+        "edublogs.org",
+        # clouds / paas
+        "appspot.com", "web.app", "firebaseapp.com", "run.app",
+        "herokuapp.com", "netlify.app", "vercel.app", "fly.dev",
+        "onrender.com", "pages.dev", "workers.dev", "deno.dev",
+        "up.railway.app", "replit.app", "csb.app", "streamlit.app",
+        "hf.space", "myshopify.com", "azurewebsites.net",
+        "azurestaticapps.net", "azurecontainer.io",
+        "blob.core.windows.net", "s3.amazonaws.com",
+        "elasticbeanstalk.com", "amplifyapp.com", "ondigitalocean.app",
+        # cdn subtrees
+        "cloudfront.net", "azureedge.net", "global.ssl.fastly.net",
+        "akamaized.net", "akamaihd.net", "edgekey.net", "edgesuite.net",
+        "b-cdn.net",
+        # tunnels / dynamic dns
+        "ngrok.io", "ngrok-free.app", "trycloudflare.com", "loca.lt",
+        "duckdns.org", "ddns.net", "dynv6.net",
+    ]
+    missing = [s for s in top_private if s not in rules]
+    assert not missing, f"missing private suffixes: {missing}"
+    # wildcard subtrees keyed by their base
+    assert rules["compute.amazonaws.com"][0] == 4  # *.compute.amazonaws.com
+    assert rules["elb.amazonaws.com"][0] == 4
+
+
 def test_psl_single_label_exception_both_paths(spark):
     """ADVICE r8: a grammar-legal single-label exception `!foo` is
     strip-leading-label ps=0 (registrable domain = the last label
