@@ -5095,11 +5095,12 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contaminated",
         )
 
-    return shaped("exact", decontaminate(train, bench, ngram=5, threshold=1)).unionByName(
+    return shaped("exact", decontaminate(train, bench, ngram=5, threshold=1, text_is_extracted=True)).unionByName(
         shaped(
             "bloom",
             decontaminate_bloom(
-                train, bench, ngram=5, threshold=1, fpr=0.01, n_bench_grams=1 << 17
+                train, bench, ngram=5, threshold=1, fpr=0.01, n_bench_grams=1 << 17,
+                text_is_extracted=True,
             ),
         )
     )

@@ -156,6 +156,7 @@ def decontaminate_bloom(
     fpr: float = 0.01,
     n_bench_grams: int | None = None,
     broadcast_filter: bool = True,
+    text_is_extracted: bool = False,
 ) -> DataFrame:
     """Two-phase decontamination: Bloom prefilter on the corpus gram
     stream, exact verification join on the survivors only.
@@ -173,8 +174,9 @@ def decontaminate_bloom(
     (pass the known benchmark gram count); by default one count()
     action sizes it exactly.
     """
-    from .decontamination import ngram_hashes
+    from .decontamination import _check_ordering_contract, ngram_hashes
 
+    _check_ordering_contract(ngram, text_is_extracted)
     bench = (
         ngram_hashes(benchmark, text_col, id_col, ngram)
         .select(F.col("__g").alias("__bg"))

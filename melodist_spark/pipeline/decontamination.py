@@ -20,6 +20,8 @@ sets are orders of magnitude below that.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -30,7 +32,47 @@ __all__ = [
     "decontaminate",
     "benchmark_gram_array",
     "decontaminate_stateless",
+    "BoilerplateOrderingWarning",
+    "MIN_SAFE_RAW_NGRAM",
 ]
+
+#: Minimum gram length at which decontamination is meaningful over
+#: text that still carries page chrome. Measured on the 1.28M-record
+#: crawl composition (SCALE.md round 8): at the 5-gram default,
+#: shared title/nav/footer boilerplate put >= 1 common 5-gram in
+#: EVERY document and the stage flagged 100% of the corpus; at 13
+#: grams the flags collapsed to exactly the planted benchmark
+#: membership. 13 is the published choice (GPT-3 appendix C uses
+#: 13-gram collision for exactly this reason).
+MIN_SAFE_RAW_NGRAM = 13
+
+
+class BoilerplateOrderingWarning(UserWarning):
+    """Short-gram decontamination was requested on text not declared
+    boilerplate-free — an ordering bug until proven otherwise."""
+
+
+def _check_ordering_contract(ngram: int, text_is_extracted: bool) -> None:
+    """The stage-ordering contract the crawl composition smoke proved:
+    short-gram decontamination over chrome-bearing text flags the
+    whole corpus (SCALE.md round 8 — 100% false-positive rate at
+    5 grams until ``extract_main_content`` ran upstream). Callers on
+    already-extracted / born-clean prose assert that with
+    ``text_is_extracted=True``; raw-crawl callers either extract
+    first or use ``ngram >= MIN_SAFE_RAW_NGRAM``."""
+    if ngram < MIN_SAFE_RAW_NGRAM and not text_is_extracted:
+        warnings.warn(
+            f"decontamination with ngram={ngram} < {MIN_SAFE_RAW_NGRAM} "
+            "over text not declared boilerplate-free: shared page "
+            "chrome (nav/footer/title) puts common short n-grams in "
+            "every document, and the measured outcome is a 100% "
+            "contamination flag rate (SCALE.md round 8, 1.28M-record "
+            "crawl chain). Run extract_main_content upstream and pass "
+            "text_is_extracted=True, or use ngram >= "
+            f"{MIN_SAFE_RAW_NGRAM}.",
+            BoilerplateOrderingWarning,
+            stacklevel=3,
+        )
 
 
 def _gram_hash(w: Column) -> Column:
@@ -67,8 +109,16 @@ def decontaminate(
     ngram: int = 5,
     threshold: int = 1,
     broadcast_benchmark: bool = True,
+    text_is_extracted: bool = False,
 ) -> DataFrame:
     """Per-document benchmark-overlap audit.
+
+    ORDERING CONTRACT: with ``ngram < MIN_SAFE_RAW_NGRAM`` (13) this
+    is only meaningful over boilerplate-free text — declare that with
+    ``text_is_extracted=True`` or a :class:`BoilerplateOrderingWarning`
+    is emitted (measured basis in SCALE.md round 8: 100% of a
+    1.28M-doc crawl flagged at 5 grams until ``extract_main_content``
+    ran upstream).
 
     Returns one row per document that has at least one ``ngram``-gram
     (shorter docs carry no decontamination signal and are dropped):
@@ -84,6 +134,7 @@ def decontaminate(
     (e.g. cross-corpus leakage checks), which degrades to a shuffle
     hash join on the 8-byte gram key.
     """
+    _check_ordering_contract(ngram, text_is_extracted)
     bench = (
         ngram_hashes(benchmark, text_col, id_col, ngram)
         .select(F.col("__g").alias("__bg"))
@@ -145,8 +196,11 @@ def decontaminate_stateless(
     ngram: int = 5,
     threshold: int = 1,
     keep_payload: bool = False,
+    text_is_extracted: bool = False,
 ) -> DataFrame:
     """Shuffle-free decontamination — safe on streaming DataFrames.
+    Same ordering contract as :func:`decontaminate` (short grams need
+    boilerplate-free text).
 
     Same contract as :func:`decontaminate`, but the per-document hit
     count is computed by an Arrow-batched kernel against the sorted
@@ -170,6 +224,7 @@ def decontaminate_stateless(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    _check_ordering_contract(ngram, text_is_extracted)
     bench = np.ascontiguousarray(bench_grams, dtype=np.int64)
 
     from ._arrow import ragged_layout

@@ -789,12 +789,15 @@ def extract_main_content(
 
     Scale shape: one ``split`` + nested higher-order
     ``transform``/``filter``/``aggregate`` over the block array —
-    entirely JVM codegen expressions, zero Python, zero shuffle, so
-    at 100 TB this stays a scan-speed pass exactly like
-    :func:`html_to_text`. DOM-tree scoring (readability/trafilatura
-    class) remains the production seam; on the straight-line
-    markup of real crawl pages the density score is the documented
-    80% answer.
+    JVM-side, zero Python, zero shuffle. NOTE the precise claim:
+    higher-order array functions are CodegenFallback, so this tree
+    runs in Catalyst's INTERPRETED eval, not whole-stage codegen
+    (the round-8 SCALE.md lesson, jstack-verified); it is still
+    scan-class — measured +21 s on the 1.28M-doc crawl chain — but
+    deep HOF trees forfeit codegen and subexpression elimination,
+    so keep per-block work shallow here. For nested-layout pages
+    (content inside table/div soup) see
+    :func:`extract_main_content_dom`, the ancestor-aware tier.
     """
     t = F.regexp_replace(html, r"(?s)<!--.*?-->", " ")
     for tag in _HTML_DROP_CONTENT_TAGS:

@@ -35,6 +35,7 @@ def streaming_curate(
     max_tokens: int = 1000,
     ngram: int = 5,
     repetition_thresholds: dict[str, float] | None = None,
+    text_is_extracted: bool = False,
 ) -> DataFrame:
     """Clean → quality-gate → [repetition-gate] → decontaminate →
     dedup, on a stream.
@@ -109,6 +110,10 @@ def streaming_curate(
             id_col=id_col,
             ngram=ngram,
             keep_payload=True,
+            # clean_text strips markup but NOT chrome text — callers
+            # feeding raw-crawl streams with short grams get the
+            # ordering warning unless they extracted upstream
+            text_is_extracted=text_is_extracted,
         ).filter(~F.col("contaminated"))
     return streaming_dedup_exact(
         gated, text_col="text_clean", ts_col=ts_col, watermark=watermark

@@ -129,10 +129,12 @@ def test_decontaminate_bloom_exactly_matches_exact_path(spark):
     bench = docs.filter(F.col("doc_id") % 9 == 0)
     train = docs.filter(F.col("doc_id") % 9 != 0)
 
-    exact = decontaminate(train, bench, ngram=3, threshold=2).orderBy("doc_id")
+    exact = decontaminate(
+        train, bench, ngram=3, threshold=2, text_is_extracted=True
+    ).orderBy("doc_id")
     for fpr in (0.01, 0.5):  # 0.5: flood the verifier with FPs
         two_phase = decontaminate_bloom(
-            train, bench, ngram=3, threshold=2, fpr=fpr
+            train, bench, ngram=3, threshold=2, fpr=fpr, text_is_extracted=True
         ).orderBy("doc_id")
         a, b = exact.collect(), two_phase.collect()
         assert len(a) == len(b) > 0

@@ -341,7 +341,9 @@ def test_streaming_curate_end_to_end(spark, tmp_path):
     docs.write.parquet(src)
     stream = spark.readStream.schema(docs.schema).parquet(src)
     q = (
-        streaming_curate(stream, grams, min_tokens=20)
+        streaming_curate(
+            stream, grams, min_tokens=20, text_is_extracted=True
+        )
         .writeStream.format("memory")
         .queryName("curated_ingest")
         .trigger(availableNow=True)
@@ -361,7 +363,12 @@ def test_streaming_curate_end_to_end(spark, tmp_path):
     cleaned = docs.withColumn("text_clean", clean_text(fix_text(F.col("text"))))
     gated = quality_flags(cleaned, text_col="text_clean", min_tokens=20).filter("keep")
     decon = decontaminate_stateless(
-        gated, grams, text_col="text_clean", ngram=5, keep_payload=True
+        gated,
+        grams,
+        text_col="text_clean",
+        ngram=5,
+        keep_payload=True,
+        text_is_extracted=True,
     ).filter(~F.col("contaminated"))
     # exact dedup keep-first by min doc_id (streaming keeps first seen;
     # with one availableNow batch the kept member of a digest group is

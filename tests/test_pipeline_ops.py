@@ -718,7 +718,7 @@ def test_decontaminate_counts_and_flags(spark):
         ["doc_id", "text"],
     )
     got = (
-        decontaminate(docs, bench, ngram=5, threshold=1)
+        decontaminate(docs, bench, ngram=5, threshold=1, text_is_extracted=True)
         .orderBy("doc_id")
         .toPandas()
         .set_index("doc_id")
@@ -735,6 +735,116 @@ def test_decontaminate_counts_and_flags(spark):
     assert abs(got.loc[3, "overlap"] - 1.0) < 1e-12
 
 
+def test_decontaminate_boilerplate_ordering_contract(spark):
+    """VERDICT r8 item 3: the crawl-composition finding as a pinned
+    contract. Short-gram decontamination over chrome-bearing text
+    flags EVERYTHING (shared nav/footer n-grams); the same corpus
+    extracted first — or audited at the published 13-gram length —
+    flags exactly the planted overlap. And the API now warns when the
+    caller asks for the broken combination."""
+    import warnings as _w
+
+    from melodist_spark.pipeline.decontamination import (
+        MIN_SAFE_RAW_NGRAM,
+        BoilerplateOrderingWarning,
+        decontaminate,
+    )
+    from melodist_spark.pipeline.text import extract_main_content, html_to_text
+
+    nav = (
+        '<header><ul><li><a href="/">Portal home page</a></li>'
+        '<li><a href="/n">Breaking news desk</a></li>'
+        '<li><a href="/c">Contact the editors</a></li></ul></header>'
+    )
+    footer = (
+        "<footer>All rights reserved by the example media company "
+        "worldwide</footer>"
+    )
+    planted = (
+        "the migration of the eastern monarch butterfly spans four "
+        "generations and more than four thousand kilometres every "
+        "single calendar year"
+    )  # 20 words: carries 13-grams
+
+    def page(doc_id, body_sentences):
+        paras = "".join(f"<p>{s}</p>" for s in body_sentences)
+        return (
+            f"<html><body>{nav}<article><h1>Story {doc_id}</h1>"
+            f"{paras}</article>{footer}</body></html>"
+        )
+
+    def body(i):
+        # seed-derived word soup: no two bodies (nor bench's) share
+        # any 5-gram, so the only cross-doc n-grams are the chrome's
+        rng = np.random.default_rng(1000 + i)
+        return " ".join(f"tok{rng.integers(0, 10_000)}" for _ in range(24))
+
+    rows = [
+        (i, page(i, [body(i), planted] if i == 3 else [body(i)]))
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "html"])
+    bench = spark.createDataFrame(
+        [(100, page(100, [planted, body(100)]))], ["doc_id", "html"]
+    )
+
+    raw_docs = docs.select("doc_id", html_to_text(F.col("html")).alias("text"))
+    raw_bench = bench.select(
+        "doc_id", html_to_text(F.col("html")).alias("text")
+    )
+
+    # (1) the broken combination: 5-gram over raw text -> 100% flagged
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        flagged_raw = (
+            decontaminate(raw_docs, raw_bench, ngram=5)
+            .filter("contaminated")
+            .count()
+        )
+        assert any(
+            issubclass(c.category, BoilerplateOrderingWarning)
+            for c in caught
+        )
+    assert flagged_raw == 6  # chrome n-grams contaminate every doc
+
+    # (2) extract first -> only the planted overlap flags, no warning
+    ext_docs = docs.select(
+        "doc_id", extract_main_content(F.col("html")).alias("text")
+    )
+    ext_bench = bench.select(
+        "doc_id", extract_main_content(F.col("html")).alias("text")
+    )
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        flagged_ext = (
+            decontaminate(ext_docs, ext_bench, ngram=5, text_is_extracted=True)
+            .filter("contaminated")
+            .select("doc_id")
+            .collect()
+        )
+        assert not any(
+            issubclass(c.category, BoilerplateOrderingWarning)
+            for c in caught
+        )
+    assert {r["doc_id"] for r in flagged_ext} == {3}
+
+    # (3) the published 13-gram length is safe even on raw text
+    # (chrome runs are shorter than 13 words), and does not warn
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        flagged_13 = (
+            decontaminate(raw_docs, raw_bench, ngram=MIN_SAFE_RAW_NGRAM)
+            .filter("contaminated")
+            .select("doc_id")
+            .collect()
+        )
+        assert not any(
+            issubclass(c.category, BoilerplateOrderingWarning)
+            for c in caught
+        )
+    assert {r["doc_id"] for r in flagged_13} == {3}
+
+
 def test_decontaminate_benchmark_broadcast_plan(spark):
     """The corpus side must not shuffle: the benchmark gram set rides
     a BroadcastHashJoin (explicitly hinted — it has no stats)."""
@@ -742,7 +852,7 @@ def test_decontaminate_benchmark_broadcast_plan(spark):
 
     bench = spark.createDataFrame([(0, "a b c d e f")], ["doc_id", "text"])
     docs = spark.createDataFrame([(1, "a b c d e f g")], ["doc_id", "text"])
-    plan = decontaminate(docs, bench)._jdf.queryExecution().executedPlan().toString()
+    plan = decontaminate(docs, bench, text_is_extracted=True)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
@@ -812,9 +922,9 @@ def test_decontaminate_stateless_matches_joined_path(spark):
     bench = docs.filter(F.col("doc_id") % 7 == 0)
     train = docs.filter(F.col("doc_id") % 7 != 0)
 
-    joined = decontaminate(train, bench, ngram=5).toPandas()
+    joined = decontaminate(train, bench, ngram=5, text_is_extracted=True).toPandas()
     grams = benchmark_gram_array(bench, ngram=5)
-    stateless_df = decontaminate_stateless(train, grams, ngram=5)
+    stateless_df = decontaminate_stateless(train, grams, ngram=5, text_is_extracted=True)
     stateless = stateless_df.toPandas()
 
     a = joined.sort_values("doc_id").reset_index(drop=True)
@@ -830,7 +940,7 @@ def test_decontaminate_stateless_matches_joined_path(spark):
     train.write.parquet(src)
     stream = spark.readStream.schema(train.schema).parquet(src)
     q = (
-        decontaminate_stateless(stream, grams, ngram=5)
+        decontaminate_stateless(stream, grams, ngram=5, text_is_extracted=True)
         .writeStream.format("memory")
         .queryName("decon_stream")
         .trigger(availableNow=True)

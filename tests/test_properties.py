@@ -154,6 +154,7 @@ def test_decontaminate_verbatim_inclusion_property(spark):
             spark.createDataFrame(rows, ["doc_id", "text"]),
             spark.createDataFrame([(0, bench_text)], ["doc_id", "text"]),
             ngram=5,
+            text_is_extracted=True,
         )
         .toPandas()
         .set_index("doc_id")["contaminated"]

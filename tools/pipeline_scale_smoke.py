@@ -179,7 +179,12 @@ def main():
     # near dups planted above guarantee real contamination hits
     bench = docs.filter(F.pmod("doc_id", 997) == 0)
     n_contam = (
-        decontaminate(docs.filter(F.pmod("doc_id", 997) != 0), bench, ngram=5)
+        decontaminate(
+            docs.filter(F.pmod("doc_id", 997) != 0),
+            bench,
+            ngram=5,
+            text_is_extracted=True,
+        )
         .filter("contaminated")
         .count()
     )
