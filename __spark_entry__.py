@@ -1491,11 +1491,15 @@ def oracle_sql() -> dict[str, str]:
         "web_curation": """
             WITH src AS (
               SELECT doc_id,
-                     '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' &amp; notes</title><style>p{margin:0}</style></head><body><!-- header --><script type="text/javascript">var t=1&&0;</script><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' ||
-                       CASE WHEN doc_id % 9 = 0 THEN array_to_string(string_split(text, ' ')[1:5], ' ')
-                            WHEN doc_id % 9 = 1 THEN '<a href="/x">' || text || '</a>'
-                            ELSE text END
-                     || '</p><ul><li>lang: ' || lang || '</li><li>source: ' || source || '</li></ul><div>&copy; crawl &nbsp;&lt;archive&gt;</div></body></html>' AS html,
+                     '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' &amp; notes</title><style>p{margin:0}</style></head><body><!-- header --><script type="text/javascript">var t=1&&0;</script><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' ||
+                       CASE WHEN doc_id % 9 = 2
+                            THEN '<table><tr><td><span>' || regexp_replace(text, '(\\S+)', '<b>\\1</b>', 'g') || '</span></td></tr></table>'
+                            ELSE '<p>' ||
+                              CASE WHEN doc_id % 9 = 0 THEN array_to_string(string_split(text, ' ')[1:5], ' ')
+                                   WHEN doc_id % 9 = 1 THEN '<a href="/x">' || text || '</a>'
+                                   ELSE text END
+                              || '</p>' END
+                     || '<ul><li>lang: ' || lang || '</li><li>source: ' || source || '</li></ul><div>&copy; crawl &nbsp;&lt;archive&gt;</div></body></html>' AS html,
                      CASE WHEN doc_id % 9 IN (0, 1) THEN ''
                           ELSE trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) END AS para_clean,
                      'HTTPS://bot@WWW.' || source || '-Site' ||
@@ -1547,10 +1551,21 @@ def oracle_sql() -> dict[str, str]:
                      -- main content: the kept paragraph iff it clears
                      -- the extractor's length + word floors (the
                      -- m9 0/1 slices already collapsed to '' in src —
-                     -- word floor and link-density cap respectively)
-                     CASE WHEN length(para_clean) >= 40
+                     -- word floor and link-density cap respectively).
+                     -- m9==2 is the nested table-soup slice: the FLAT
+                     -- scorer's text-to-markup floor deletes it (its
+                     -- miss is the pinned decision) ...
+                     CASE WHEN doc_id % 9 = 2 THEN ''
+                          WHEN length(para_clean) >= 40
                            AND len(string_split(para_clean, ' ')) >= 10
                           THEN para_clean ELSE '' END AS main,
+                     -- ... and the DOM tier recovers it: inline
+                     -- markup carries no penalty, so the td block is
+                     -- scored on its text alone (floors + link
+                     -- density only; m9 0/1 are '' via para_clean)
+                     CASE WHEN length(para_clean) >= 40
+                           AND len(string_split(para_clean, ' ')) >= 10
+                          THEN para_clean ELSE '' END AS dommain,
                      trim(regexp_replace(regexp_replace(
                        replace(replace(replace(replace(replace(replace(replace(
                          regexp_replace(
@@ -1596,7 +1611,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(r.extracted) AS BIGINT) AS n_chars_clean,
                    md5(r.extracted) AS clean_md5,
                    CAST(length(r.main) AS BIGINT) AS n_chars_main,
-                   md5(r.main) AS main_md5
+                   md5(r.main) AS main_md5,
+                   CAST(length(r.dommain) AS BIGINT) AS n_chars_dom,
+                   md5(r.dommain) AS dom_md5
             FROM r LEFT JOIN prf p ON p.node = r.domain
         """,
         "repetition_stats": """
@@ -5295,7 +5312,11 @@ def q_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mode on a deterministic doc slice, so main_md5 hash-checks the
     # block scorer's DECISIONS, not just its happy path — doc_id%9==0
     # gets a 5-word stub (word floor), %9==1 gets its text
-    # link-wrapped (link-density cap), the rest keep the paragraph
+    # link-wrapped (link-density cap), the rest keep the paragraph.
+    # Round 9: %9==2 wraps the paragraph in table soup with per-word
+    # inline tags — the nested-layout class where the FLAT scorer's
+    # text-to-markup floor deletes real content (main_md5 pins the
+    # miss) and the DOM tier recovers it (dom_md5 pins the save).
     m9 = F.pmod("doc_id", 9)
     para = (
         F.when(m9 == 0, F.array_join(F.slice(F.split("text", " "), 1, 5), " "))
@@ -5305,6 +5326,14 @@ def q_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.col("text"))
     )
+    para_html = F.when(
+        m9 == 2,
+        F.concat(
+            F.lit("<table><tr><td><span>"),
+            F.regexp_replace(F.col("text"), r"(\S+)", "<b>$1</b>"),
+            F.lit("</span></td></tr></table>"),
+        ),
+    ).otherwise(F.concat(F.lit("<p>"), para, F.lit("</p>")))
     html = F.concat(
         F.lit("<html><head><title>Doc "), sid,
         F.lit(
@@ -5312,8 +5341,8 @@ def q_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             '<body><!-- header --><script type="text/javascript">'
             "var t=1&&0;</script><h1>Doc "
         ),
-        sid, F.lit("</h1><p>"), para,
-        F.lit("</p><ul><li>lang: "), F.col("lang"),
+        sid, F.lit("</h1>"), para_html,
+        F.lit("<ul><li>lang: "), F.col("lang"),
         F.lit("</li><li>source: "), F.col("source"),
         F.lit(
             "</li></ul><div>&copy; crawl &nbsp;&lt;archive&gt;"
@@ -5386,13 +5415,19 @@ def q_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan re-references `derived` ~6 times and Catalyst would inline
     # the whole nested-HOF extractor into each copy (the same
     # duplication hazard psl.py documents)
-    from melodist_spark.pipeline.text import extract_main_content
+    from melodist_spark.pipeline.text import (
+        extract_main_content,
+        extract_main_content_dom,
+    )
 
     main = extract_main_content(html)
+    dom = extract_main_content_dom(html)
     main_cols = docs.select(
         "doc_id",
         F.length(main).cast("long").alias("n_chars_main"),
         F.md5(main).alias("main_md5"),
+        F.length(dom).cast("long").alias("n_chars_dom"),
+        F.md5(dom).alias("dom_md5"),
     )
     return (
         ranked.join(F.broadcast(pr), "domain", "left")
@@ -5409,6 +5444,8 @@ def q_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("clean").alias("clean_md5"),
             "n_chars_main",
             "main_md5",
+            "n_chars_dom",
+            "dom_md5",
         )
     )
 

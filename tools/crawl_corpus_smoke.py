@@ -219,9 +219,22 @@ def main():
     # boilerplate-aware main-content extraction first (round 8), with
     # the documented html_to_text fallback for pages where no block
     # qualifies — dropping nav/footer here is what keeps short-gram
-    # decontamination meaningful downstream (see SCALE.md finding)
+    # decontamination meaningful downstream (see SCALE.md finding).
+    # Round 9: the stack-based DOM tier (Arrow kernel) is the default
+    # — paired same-box runs measured it 2.2x FASTER in-chain than
+    # the interpreted-HOF flat scorer (14.4 s vs 31.5 s at 1.28M
+    # records) with byte-identical downstream results on this
+    # corpus's straight-line markup, and it is the more correct tier
+    # on nested layouts. CRAWL_SMOKE_EXTRACTOR=flat re-runs the
+    # round-8 configuration.
+    if os.environ.get("CRAWL_SMOKE_EXTRACTOR", "dom") == "dom":
+        from melodist_spark.pipeline.text import extract_main_content_dom
+
+        extractor = extract_main_content_dom(F.col("html"))
+    else:
+        extractor = extract_main_content(F.col("html"))
     main = F.coalesce(
-        F.nullif(extract_main_content(F.col("html")), F.lit("")),
+        F.nullif(extractor, F.lit("")),
         html_to_text(F.col("html")),
     )
     docs = fetched.select(
