@@ -36,9 +36,23 @@ def streaming_curate(
     ngram: int = 5,
     repetition_thresholds: dict[str, float] | None = None,
     text_is_extracted: bool = False,
+    extract_html: bool = False,
 ) -> DataFrame:
-    """Clean → quality-gate → [repetition-gate] → decontaminate →
-    dedup, on a stream.
+    """[Extract →] clean → quality-gate → [repetition-gate] →
+    decontaminate → dedup, on a stream.
+
+    ``extract_html=True`` declares the input column is raw crawl HTML
+    and prepends boilerplate-aware main-content extraction
+    (:func:`~melodist_spark.pipeline.text.extract_main_content_dom`,
+    a stateless Arrow kernel — streaming-safe — with the documented
+    ``html_to_text`` fallback for pages where no block qualifies).
+    This is the composed-API form of the ordering contract the crawl
+    composition smoke proved (SCALE.md round 8): short-gram
+    decontamination over chrome-bearing text flags everything, so
+    with the extractor in place the stream satisfies
+    ``text_is_extracted`` BY CONSTRUCTION and no
+    :class:`~melodist_spark.pipeline.decontamination.BoilerplateOrderingWarning`
+    fires.
 
     ``bench_grams`` is the sorted benchmark gram-hash array from
     :func:`melodist_spark.pipeline.decontamination.benchmark_gram_array`
@@ -70,9 +84,16 @@ def streaming_curate(
     # match
     from ..pipeline.text import fix_text
 
-    staged = stream.withColumn(
-        "text_clean", clean_text(fix_text(F.col(text_col)))
-    )
+    base = F.col(text_col)
+    if extract_html:
+        from ..pipeline.text import extract_main_content_dom, html_to_text
+
+        base = F.coalesce(
+            F.nullif(extract_main_content_dom(base), F.lit("")),
+            html_to_text(base),
+        )
+        text_is_extracted = True
+    staged = stream.withColumn("text_clean", clean_text(fix_text(base)))
     gated = quality_flags(
         staged,
         text_col="text_clean",

@@ -300,6 +300,119 @@ def test_streaming_dedup_exact(spark, tmp_path):
     assert sorted(got["text"]) == ["alpha", "beta", "gamma"]
 
 
+def test_streaming_curate_extract_html_ordering_contract(spark, tmp_path):
+    """Round 9: extract_html=True is the composed-API form of the
+    boilerplate->decontamination ordering contract — raw crawl HTML
+    with shared chrome streams through the DOM extractor first, so
+    short-gram decontamination flags exactly the planted overlap
+    (and NO BoilerplateOrderingWarning fires); the same stream raw
+    would have every document flagged through the chrome."""
+    import warnings as _w
+
+    import numpy as np
+
+    from melodist_spark.pipeline.decontamination import (
+        BoilerplateOrderingWarning,
+        benchmark_gram_array,
+    )
+    from melodist_spark.streaming.ingest import streaming_curate
+
+    nav = (
+        '<nav><a href="/">Portal home page</a> <a href="/n">Breaking '
+        'news desk</a> <a href="/c">Contact the editors</a></nav>'
+    )
+    planted = (
+        "the migration of the eastern monarch butterfly spans four "
+        "generations and more than four thousand kilometres every "
+        "single calendar year"
+    )
+    rng = np.random.default_rng(31)
+    vocab = [f"tok{i}" for i in range(500)]
+    stop = ["the", "and", "of", "to", "is"]
+
+    def body(i):
+        ws = [
+            stop[j % len(stop)] if j % 4 == 0 else str(rng.choice(vocab))
+            for j in range(30)
+        ]
+        return " ".join(ws)
+
+    def page(i, extra=""):
+        return (
+            f"<html><body>{nav}<article><p>{body(i)} {extra}</p>"
+            "</article><footer>All rights reserved by the example "
+            "media company</footer></body></html>"
+        )
+
+    rows = [(i, page(i, planted if i == 3 else "")) for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench_page = spark.createDataFrame(
+        [(100, page(100, planted))], "doc_id long, text string"
+    )
+    # worst case: the benchmark grams come from the RAW page (chrome
+    # included) — with extraction upstream the chrome grams have
+    # nothing to match against
+    from melodist_spark.pipeline.text import html_to_text
+
+    grams = benchmark_gram_array(
+        bench_page.select(
+            "doc_id", html_to_text(F.col("text")).alias("text")
+        ),
+        ngram=5,
+    )
+
+    src = str(tmp_path / "extract_src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        curated = streaming_curate(
+            stream, grams, min_tokens=20, ngram=5, extract_html=True
+        )
+        assert not any(
+            issubclass(c.category, BoilerplateOrderingWarning)
+            for c in caught
+        )
+    q = (
+        curated.writeStream.format("memory")
+        .queryName("extract_ingest")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql(
+        "SELECT doc_id, text_clean FROM extract_ingest"
+    ).collect()
+    got = {r["doc_id"] for r in out}
+    # only the planted overlap is contaminated; the shared chrome
+    # neither flags the other five nor survives into text_clean
+    assert got == {0, 1, 2, 4, 5}
+    for r in out:
+        assert "Portal home page" not in r["text_clean"]
+        assert "All rights reserved" not in r["text_clean"]
+
+    # the raw form of the same stream warns AND flags everything
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        raw = streaming_curate(stream, grams, min_tokens=20, ngram=5)
+        assert any(
+            issubclass(c.category, BoilerplateOrderingWarning)
+            for c in caught
+        )
+    q2 = (
+        raw.writeStream.format("memory")
+        .queryName("raw_ingest")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got_raw = {
+        r["doc_id"]
+        for r in spark.sql("SELECT doc_id FROM raw_ingest").collect()
+    }
+    assert got_raw == set()  # chrome 5-grams contaminate every doc
+
+
 def test_streaming_curate_end_to_end(spark, tmp_path):
     """The composed ingest pipeline (clean -> quality gate ->
     decontaminate -> dedup) on an availableNow stream keeps exactly

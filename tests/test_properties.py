@@ -506,3 +506,52 @@ def test_dhash_container_invariance_property(h, w, seed):
     hp = dhash64(encode_png(img))
     assert hp is not None
     assert hp == dhash64(encode_ppm(img))
+
+
+@settings(max_examples=200, deadline=None, derandomize=True)
+@given(html=st.text(min_size=0, max_size=400))
+def test_dom_extractor_totality(html):
+    """The DOM extractor is a hand-written parser over UNTRUSTED
+    crawl bytes: any unicode garbage — half-open tags, nested
+    '<<<>>>', stray entities, mis-nested closes — must yield a str
+    (never an exception, never None for non-None input). Same
+    totality contract as the robots parser."""
+    from melodist_spark.pipeline.text import _dom_extract_one
+
+    out = _dom_extract_one(html, 10, 2, 0.4)
+    assert isinstance(out, str)
+
+
+@settings(max_examples=80, deadline=None, derandomize=True)
+@given(seed=st.integers(0, 2**32 - 1))
+def test_dom_extractor_tag_soup_fuzz(seed):
+    """Structured tag-soup fuzz: random sequences of real open/close/
+    void/drop tags interleaved with text must parse totally, and any
+    emitted block text must come from the input's text runs (the
+    parser can drop, never invent)."""
+    import numpy as np
+
+    from melodist_spark.pipeline.text import _dom_extract_one
+
+    rng = np.random.default_rng(seed)
+    tags = ["p", "div", "td", "tr", "table", "a", "span", "b", "nav",
+            "footer", "script", "style", "br", "li", "ul"]
+    parts = []
+    words = []
+    for i in range(int(rng.integers(1, 60))):
+        r = rng.random()
+        t = tags[int(rng.integers(0, len(tags)))]
+        if r < 0.35:
+            parts.append(f"<{t}>")
+        elif r < 0.6:
+            parts.append(f"</{t}>")
+        elif r < 0.65:
+            parts.append(f"<{t}/>")
+        else:
+            w = f"word{int(rng.integers(0, 50))}"
+            words.append(w)
+            parts.append(f" {w} ")
+    out = _dom_extract_one("".join(parts), 1, 1, 1.0)
+    assert isinstance(out, str)
+    for tok in out.replace("\n", " ").split():
+        assert tok in words, tok
