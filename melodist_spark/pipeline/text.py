@@ -1119,12 +1119,112 @@ def repetition_stats(
 
 
 def _gopher_row(t, line_re, para_re, top_ns, dup_ns, ascii_ws=False):
-    """Pure-Python Gopher table-A1 metrics for one document (the
-    Arrow kernel's per-row body; separated for direct unit testing).
+    """Gopher table-A1 metrics for one document (the Arrow kernel's
+    per-row body) — numpy-vectorized (round 9).
+
+    Semantics are EXACT, not approximate: gram identity is a chain of
+    ``np.unique`` pair-compactions over integer token ids (gram-id of
+    length n = unique-ified (gram-id of n-1, next token id) pair), so
+    two windows get the same id iff their token tuples are equal — no
+    hashing, no collisions — and the count-tie/longest-gram rule is
+    the max window-char-length over tied POSITIONS, which equals the
+    rule over tied grams. ``_gopher_row_py`` keeps the original
+    Counter-based body as the differential-test reference
+    (hypothesis pins the two equal).
+
     ``ascii_ws`` tokenizes with the engine-portable ASCII whitespace
     class instead of Python's unicode ``str.split`` — callers whose
     results must hash-match an RE2/Java-regex twin need it.
     Returns the metric tuple in output-column order."""
+    t = t or ""
+    # length dispatch (measured, same box, same corpus shape):
+    # numpy wins 2x at 200 tokens and 3.5x at 2000, but per-row
+    # array setup loses ~1.8x to Counter under ~100 tokens — so
+    # short docs take the Counter body (identical outputs, pinned by
+    # the hypothesis differential). ~6 chars/token makes 600 chars a
+    # cheap pre-tokenization proxy for the ~100-token crossover.
+    if len(t) < 600:
+        return _gopher_row_py(
+            t, line_re, para_re, top_ns, dup_ns, ascii_ws=ascii_ws
+        )
+    return _gopher_row_np(
+        t, line_re, para_re, top_ns, dup_ns, ascii_ws=ascii_ws
+    )
+
+
+def _gopher_row_np(t, line_re, para_re, top_ns, dup_ns, ascii_ws=False):
+    """The vectorized body (see :func:`_gopher_row` for the dispatch
+    rationale and the exactness argument)."""
+    import numpy as np
+
+    out = []
+    for rx in (line_re, para_re):
+        units = [u for u in (s.strip() for s in rx.split(t)) if u]
+        tot = len(units)
+        if tot:
+            uniq, counts = np.unique(np.array(units), return_counts=True)
+            ulen = np.char.str_len(uniq).astype(np.int64)
+            rep = counts > 1
+            dup = int((counts[rep] - 1).sum())
+            dup_ch = int(((counts[rep] - 1) * ulen[rep]).sum())
+            tot_ch = int((counts * ulen).sum())
+            out.append(dup / tot)
+            out.append(dup_ch / tot_ch if tot_ch else 0.0)
+        else:
+            out.extend((0.0, 0.0))
+    toks = _ascii_ws_split(t) if ascii_ws else t.split()
+    T = len(toks)
+    if T == 0:
+        out.extend([0.0] * (len(top_ns) + len(dup_ns)))
+        return tuple(out)
+    arr = np.array(toks)
+    lens = np.char.str_len(arr).astype(np.int64)
+    char_len = int(lens.sum())
+    norm_len = char_len + T - 1
+    csum = np.concatenate(([0], np.cumsum(lens)))
+    _, inv = np.unique(arr, return_inverse=True)
+    inv = inv.astype(np.int64)
+    base = int(inv.max()) + 1
+    grams = {1: inv}
+    g = inv
+    for n in range(2, max([*top_ns, *dup_ns]) + 1):
+        # compacting each step keeps the pair key < distinct * base,
+        # far inside int64 for any real document length
+        pairs = g[:-1] * base + inv[n - 1 :]
+        _, g = np.unique(pairs, return_inverse=True)
+        grams[n] = g
+    for n in top_ns:
+        g = grams[n]
+        if T < n or len(g) == 0 or not norm_len:
+            out.append(0.0)
+            continue
+        cg = np.bincount(g)[g]  # occurrence count at each position
+        cmax = int(cg.max())
+        pos = np.nonzero(cg == cmax)[0]
+        top_len = int((csum[pos + n] - csum[pos]).max()) + (n - 1)
+        out.append(cmax * top_len / norm_len)
+    for n in dup_ns:
+        g = grams[n]
+        if T < n or len(g) == 0 or not char_len:
+            out.append(0.0)
+            continue
+        duppos = np.nonzero(np.bincount(g)[g] > 1)[0]
+        if len(duppos) == 0:
+            out.append(0.0)
+            continue
+        cover = np.zeros(T + 1, np.int32)
+        cover[duppos] += 1
+        cover[duppos + n] -= 1
+        covered = np.cumsum(cover[:T]) > 0
+        out.append(int(lens[covered].sum()) / char_len)
+    return tuple(out)
+
+
+def _gopher_row_py(t, line_re, para_re, top_ns, dup_ns, ascii_ws=False):
+    """The original Counter-based per-row body, kept as the
+    independent reference implementation for the vectorized kernel's
+    differential test (and as executable documentation of the
+    table-A1 semantics)."""
     from collections import Counter
 
     out = []

@@ -555,3 +555,39 @@ def test_dom_extractor_tag_soup_fuzz(seed):
     assert isinstance(out, str)
     for tok in out.replace("\n", " ").split():
         assert tok in words, tok
+
+
+@settings(max_examples=150, deadline=None, derandomize=True)
+@given(seed=st.integers(0, 10**9))
+def test_gopher_vectorized_matches_reference(seed):
+    """Round 9: the numpy-vectorized Gopher kernel must equal the
+    Counter-based reference (_gopher_row_py) to 1e-12 on arbitrary
+    token streams — small vocabularies force heavy gram repetition,
+    newline injection exercises the line/para half, and repeated-
+    token runs hit every tie-break path."""
+    import random
+    import re
+
+    from melodist_spark.pipeline.text import (
+        _gopher_row,
+        _gopher_row_np,
+        _gopher_row_py,
+    )
+
+    line_re, para_re = re.compile(r"\n"), re.compile(r"\n{2,}")
+    tn, dn = (2, 3, 4), (5, 6, 7, 8, 9, 10)
+    r = random.Random(seed)
+    V = r.choice([1, 2, 3, 5, 20, 100])
+    T = r.randint(0, 80)
+    toks = [f"w{r.randrange(V)}" * r.choice([1, 1, 2, 3]) for _ in range(T)]
+    txt = " ".join(toks)
+    for _ in range(r.randint(0, 6)):
+        txt = txt.replace(" ", "\n\n" if r.random() < 0.3 else "\n", 1)
+    for aw in (False, True):
+        # the numpy body directly (dispatch would route short docs to
+        # the reference and test nothing), plus the dispatching entry
+        a = _gopher_row_np(txt, line_re, para_re, tn, dn, ascii_ws=aw)
+        b = _gopher_row_py(txt, line_re, para_re, tn, dn, ascii_ws=aw)
+        c = _gopher_row(txt, line_re, para_re, tn, dn, ascii_ws=aw)
+        assert all(abs(x - y) < 1e-12 for x, y in zip(a, b)), (txt, a, b)
+        assert all(abs(x - y) < 1e-12 for x, y in zip(c, b)), (txt, c, b)
