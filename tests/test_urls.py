@@ -342,6 +342,10 @@ PSL_CASES = [
     ("a.foo.unknowntld", "foo.unknowntld"),
     ("bucket.s3.amazonaws.com", "bucket.s3.amazonaws.com"),
     ("vm.us-east-1.compute.amazonaws.com", "vm.us-east-1.compute.amazonaws.com"),
+    # round 9: the 4-label suffix that raised kmax to 4 — both
+    # execution shapes must probe the deepest key
+    ("acct.blob.core.windows.net", "acct.blob.core.windows.net"),
+    ("x.acct.blob.core.windows.net", "acct.blob.core.windows.net"),
 ]
 
 
