@@ -265,6 +265,10 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         w, h = tags[256][0], tags[257][0]
     except KeyError as e:
         raise ValueError(f"TIFF missing required tag {e}") from e
+    if w == 0 or h == 0:
+        # also guards the strips-per-plane division: rps defaults to
+        # h, so a zero ImageLength would otherwise divide by zero
+        raise ValueError("zero TIFF image dimensions")
     spp = tags.get(277, [1])[0]
     if spp not in (1, 3, 4):
         raise ValueError(f"unsupported TIFF samples/pixel: {spp}")

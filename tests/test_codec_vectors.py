@@ -670,6 +670,53 @@ def test_tiff_external_vectors():
     assert decode_tiff(t2).tolist() == [[55, 55], [55, 248]]
 
 
+def _build_tiff_ifd(endian, entries, blobs):
+    """entries: [(tag, typ, [values])] with 'OFF:i'/'LEN:i' sentinels
+    resolved to blob offsets/lengths; blobs appended after the IFD
+    and any externalized value arrays. Module-level so the bitflip
+    fuzz can reuse the planar/16-bit base streams."""
+    import struct
+
+    e = "<" if endian == "little" else ">"
+    magic = b"II*\x00" if endian == "little" else b"MM\x00*"
+    tsz = {3: 2, 4: 4}
+    fmt = {3: "H", 4: "I"}
+    ifd_size = 2 + 12 * len(entries) + 4
+    # first pass: which entries externalize, and total extern size
+    ext_pos = {}
+    pos = 8 + ifd_size
+    for i, (tag, typ, vals) in enumerate(entries):
+        if len(vals) * tsz[typ] > 4:
+            ext_pos[i] = pos
+            pos += len(vals) * tsz[typ]
+    offs = []
+    p = pos
+    for b in blobs:
+        offs.append(p)
+        p += len(b)
+
+    def resolve(v):
+        if isinstance(v, str) and v.startswith("OFF:"):
+            return offs[int(v[4:])]
+        if isinstance(v, str) and v.startswith("LEN:"):
+            return len(blobs[int(v[4:])])
+        return v
+
+    ifd = struct.pack(e + "H", len(entries))
+    ext = b""
+    for i, (tag, typ, vals) in enumerate(entries):
+        vals = [resolve(v) for v in vals]
+        if i in ext_pos:
+            ifd += struct.pack(e + "HHII", tag, typ, len(vals), ext_pos[i])
+            ext += struct.pack(e + str(len(vals)) + fmt[typ], *vals)
+        else:
+            packed = struct.pack(e + str(len(vals)) + fmt[typ], *vals)
+            ifd += struct.pack(e + "HHI", tag, typ, len(vals))
+            ifd += packed + b"\x00" * (4 - len(packed))
+    ifd += struct.pack(e + "I", 0)
+    return magic + struct.pack(e + "I", 8) + ifd + ext + b"".join(blobs)
+
+
 def test_tiff_planar_and_16bit_external_vectors():
     """Round 9 (VERDICT item 7): PLANAR-configuration and 16-bit
     TIFF vectors, struct-packed directly from the TIFF 6.0 layout
@@ -682,50 +729,7 @@ def test_tiff_planar_and_16bit_external_vectors():
 
     from melodist_spark.pipeline.multimodal import decode_tiff
 
-    def build(endian, entries, blobs):
-        """entries: [(tag, typ, [values])] with 'OFF:i'/'CNT' sentinels
-        resolved to blob offsets/lengths; blobs appended after the IFD
-        and any externalized value arrays."""
-        e = "<" if endian == "little" else ">"
-        magic = b"II*\x00" if endian == "little" else b"MM\x00*"
-        tsz = {3: 2, 4: 4}
-        fmt = {3: "H", 4: "I"}
-        ifd_size = 2 + 12 * len(entries) + 4
-        # first pass: which entries externalize, and total extern size
-        ext_off = 8 + ifd_size
-        ext_pos = {}
-        pos = ext_off
-        for i, (tag, typ, vals) in enumerate(entries):
-            if len(vals) * tsz[typ] > 4:
-                ext_pos[i] = pos
-                pos += len(vals) * tsz[typ]
-        data0 = pos
-        offs = []
-        p = data0
-        for b in blobs:
-            offs.append(p)
-            p += len(b)
-
-        def resolve(v):
-            if isinstance(v, str) and v.startswith("OFF:"):
-                return offs[int(v[4:])]
-            if isinstance(v, str) and v.startswith("LEN:"):
-                return len(blobs[int(v[4:])])
-            return v
-
-        ifd = struct.pack(e + "H", len(entries))
-        ext = b""
-        for i, (tag, typ, vals) in enumerate(entries):
-            vals = [resolve(v) for v in vals]
-            if i in ext_pos:
-                ifd += struct.pack(e + "HHII", tag, typ, len(vals), ext_pos[i])
-                ext += struct.pack(e + str(len(vals)) + fmt[typ], *vals)
-            else:
-                packed = struct.pack(e + str(len(vals)) + fmt[typ], *vals)
-                ifd += struct.pack(e + "HHI", tag, typ, len(vals))
-                ifd += packed + b"\x00" * (4 - len(packed))
-        ifd += struct.pack(e + "I", 0)
-        return magic + struct.pack(e + "I", 8) + ifd + ext + b"".join(blobs)
+    build = _build_tiff_ifd
 
     # vector 1: planar STRIPS — 2x2 RGB, one strip per plane,
     # plane-major offsets (TIFF 6.0 PlanarConfiguration=2)
@@ -883,3 +887,59 @@ def test_tiff_tiled_external_vectors():
     want = [[255 - v for v in row] for row in
             [[10, 20, 30], [40, 50, 60], [70, 80, 90]]]
     assert got.tolist() == want
+
+
+def test_tiff_planar_16bit_bitflip_fuzz():
+    """Round 9: the new planar and 16-bit decode paths inherit the
+    poison-blob contract — bitflipped planar-strip, planar-tile and
+    16-bit-predictor streams either decode to uint8 or raise
+    ValueError, never an uncontrolled exception class."""
+    import struct
+
+    import numpy as np
+
+    from melodist_spark.pipeline.multimodal import decode_tiff
+
+    planes = [bytes([1, 2, 3, 4]), bytes([5, 6, 7, 8]),
+              bytes([9, 10, 11, 12])]
+    bases = [
+        _build_tiff_ifd(
+            "little",
+            [(256, 3, [2]), (257, 3, [2]), (258, 3, [8, 8, 8]),
+             (259, 3, [1]), (262, 3, [1]),
+             (273, 4, ["OFF:0", "OFF:1", "OFF:2"]),
+             (277, 3, [3]), (278, 3, [2]),
+             (279, 4, ["LEN:0", "LEN:1", "LEN:2"]), (284, 3, [2])],
+            planes,
+        ),
+        _build_tiff_ifd(
+            "little",
+            [(256, 3, [2]), (257, 3, [2]), (258, 3, [8, 8, 8]),
+             (259, 3, [1]), (262, 3, [1]), (277, 3, [3]),
+             (284, 3, [2]), (322, 3, [2]), (323, 3, [2]),
+             (324, 4, ["OFF:0", "OFF:1", "OFF:2"]),
+             (325, 4, ["LEN:0", "LEN:1", "LEN:2"])],
+            planes,
+        ),
+        _build_tiff_ifd(
+            "big",
+            [(256, 3, [2]), (257, 3, [2]), (258, 3, [16]),
+             (259, 3, [1]), (262, 3, [0]), (273, 4, ["OFF:0"]),
+             (277, 3, [1]), (278, 3, [2]), (279, 4, ["LEN:0"]),
+             (317, 3, [2])],
+            [struct.pack(">4H", 0x1234, 0x0100, 0xFF00, 0x0101)],
+        ),
+    ]
+    rng = np.random.default_rng(17)
+    for base in bases:
+        for _ in range(300):
+            buf = bytearray(base)
+            for _ in range(int(rng.integers(1, 4))):
+                buf[int(rng.integers(0, len(buf)))] ^= 1 << int(
+                    rng.integers(0, 8)
+                )
+            try:
+                out = decode_tiff(bytes(buf))
+                assert out.dtype == np.uint8
+            except ValueError:
+                pass

@@ -749,3 +749,23 @@ def test_registered_domain_psl_expr_matches_join_path(spark):
     # folded: the str_to_map call is gone from the plan, leaving a
     # map LITERAL (which prints as map(keys: [...]))
     assert "str_to_map" not in plan
+
+
+def test_psl_parser_totality_fuzz():
+    """parse_psl over arbitrary text (the production upgrade path is
+    'drop in the upstream file verbatim', so the parser sees whatever
+    that file becomes): never raises, always returns a sane
+    {suffix: (ps >= 0, bool)} dict."""
+    import random
+
+    from melodist_spark.pipeline.psl import parse_psl
+
+    frag = ["com", "*.x", "!a.b", "//c", "*.", "!", ".", "..", "a..b",
+            " x y ", "\t", "UPPER.Case", "*.*.deep", "!*.odd", ""]
+    for seed in range(200):
+        r = random.Random(seed)
+        text = "\n".join(r.choice(frag) for _ in range(r.randint(0, 30)))
+        rules = parse_psl(text)
+        for k, (ps, exc) in rules.items():
+            assert isinstance(k, str) and k
+            assert ps >= 0 and isinstance(exc, bool)
