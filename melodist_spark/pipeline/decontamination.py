@@ -32,6 +32,7 @@ __all__ = [
     "decontaminate",
     "benchmark_gram_array",
     "decontaminate_stateless",
+    "remove_contaminated_spans",
     "BoilerplateOrderingWarning",
     "MIN_SAFE_RAW_NGRAM",
 ]
@@ -273,4 +274,104 @@ def decontaminate_stateless(
             (F.col("n_hits") / F.col("n_ngrams")).alias("overlap"),
             (F.col("n_hits") >= F.lit(threshold)).alias("contaminated"),
         )
+    )
+
+
+def remove_contaminated_spans(
+    docs: DataFrame,
+    bench_grams,
+    text_col: str = "text",
+    ngram: int = 13,
+    pad: int = 0,
+) -> DataFrame:
+    """SURGICAL decontamination: excise the benchmark-overlapping
+    token spans and keep the document, instead of dropping it whole
+    (the Llama-3-style treatment — a 2k-word page quoting one
+    benchmark sentence keeps its other 1,980 words).
+
+    A token position is removed when ANY ``ngram``-gram covering it
+    appears in ``bench_grams`` (the sorted int64 array from
+    :func:`benchmark_gram_array` — the same md5-prefix hashes, so
+    flag and surgery share one definition of overlap), extended by
+    ``pad`` tokens on each side of every contaminated span (quoted
+    text usually rides intro/attribution words the gram match
+    misses). Coverage is a positional union via the same diff-array
+    the Gopher dup-coverage kernel uses; overlapping matches never
+    double-remove.
+
+    Returns all input columns with ``text_col`` REPLACED by the
+    surviving tokens (single-space joined — the op is downstream of
+    cleaning, where runs of whitespace are already collapsed) plus
+    ``n_tokens_removed`` / ``n_tokens_kept`` audit columns. Docs
+    shorter than ``ngram`` tokens pass through untouched. Tokenization
+    mirrors ``ngram_hashes`` exactly (space-trim + ASCII ``\\s+``,
+    keeping the phantom leading empty token) so a gram flagged by
+    :func:`decontaminate` is the gram removed here.
+
+    Scale shape: one Arrow-batched kernel against the broadcast gram
+    array — scan-class, zero shuffle, stateless (streaming-safe).
+    Cost is one Python md5 per token position, so the intended use
+    is AFTER flagging, on the contaminated slice only:
+    ``flagged.filter("contaminated")`` is typically <0.1% of a clean
+    corpus.
+
+    ORDERING CONTRACT: same as :func:`decontaminate` — short grams
+    over chrome-bearing text would excise every document's chrome
+    AND its neighbors; the default here is the published 13.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from .text import _ascii_ws_split
+
+    bench = np.ascontiguousarray(bench_grams, dtype=np.int64)
+
+    def one(t):
+        if t is None:
+            return (None, 0, 0)
+        toks = _ascii_ws_split(t, keep_empty=True)
+        T = len(toks)
+        if T < ngram:
+            return (t, 0, T)
+        hashes = np.fromiter(
+            (
+                int(
+                    hashlib.md5(
+                        " ".join(toks[i : i + ngram]).encode("utf-8")
+                    ).hexdigest()[:15],
+                    16,
+                )
+                for i in range(T - ngram + 1)
+            ),
+            dtype=np.int64,
+            count=T - ngram + 1,
+        )
+        hit = np.nonzero(np.isin(hashes, bench))[0]
+        if len(hit) == 0:
+            return (t, 0, T)
+        lo = np.maximum(hit - pad, 0)
+        hi = np.minimum(hit + ngram + pad, T)
+        cover = np.zeros(T + 1, np.int32)
+        np.add.at(cover, lo, 1)
+        np.add.at(cover, hi, -1)
+        removed = np.cumsum(cover[:T]) > 0
+        kept = [w for w, r in zip(toks, removed) if not r and w]
+        return (" ".join(kept), int(removed.sum()), len(kept))
+
+    @pandas_udf(f"{text_col} string, n_tokens_removed long, n_tokens_kept long")
+    def _surgery(s):
+        return pd.DataFrame(
+            [one(t) for t in s],
+            columns=[text_col, "n_tokens_removed", "n_tokens_kept"],
+        )
+
+    others = [c for c in docs.columns if c != text_col]
+    return docs.withColumn("__sg", _surgery(F.col(text_col))).select(
+        *others,
+        F.col(f"__sg.{text_col}").alias(text_col),
+        F.col("__sg.n_tokens_removed").alias("n_tokens_removed"),
+        F.col("__sg.n_tokens_kept").alias("n_tokens_kept"),
     )

@@ -845,6 +845,78 @@ def test_decontaminate_boilerplate_ordering_contract(spark):
     assert {r["doc_id"] for r in flagged_13} == {3}
 
 
+def test_remove_contaminated_spans_surgery(spark):
+    """Round 9: span-level decontamination — the benchmark-quoting
+    span is excised (plus pad), the rest of the document survives,
+    re-auditing the cleaned corpus finds ZERO contamination, and the
+    flag/surgery pair share one overlap definition (same gram
+    hashes)."""
+    from melodist_spark.pipeline.decontamination import (
+        benchmark_gram_array,
+        decontaminate,
+        remove_contaminated_spans,
+    )
+
+    planted = ("alpha beta gamma delta epsilon zeta eta theta iota "
+               "kappa lam mu nu")  # 13 tokens = one 13-gram
+    a = " ".join(f"pre{i}" for i in range(20))
+    b = " ".join(f"post{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (0, f"{a} {planted} {b}"),       # quote in the middle
+            (1, f"{a} {b}"),                 # clean
+            (2, planted),                    # fully contaminated
+            (3, "short doc under ngram"),    # passthrough
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(100, planted)], ["doc_id", "text"])
+    grams = benchmark_gram_array(bench, ngram=13)
+
+    out = {
+        r["doc_id"]: r
+        for r in remove_contaminated_spans(
+            docs, grams, ngram=13
+        ).collect()
+    }
+    assert out[0]["text"] == f"{a} {b}"
+    assert out[0]["n_tokens_removed"] == 13
+    assert out[0]["n_tokens_kept"] == 40
+    assert out[1]["text"] == f"{a} {b}"
+    assert out[1]["n_tokens_removed"] == 0
+    assert out[2]["text"] == "" and out[2]["n_tokens_removed"] == 13
+    assert out[3]["text"] == "short doc under ngram"  # untouched
+
+    # pad widens the excision symmetrically (clamped at the edges)
+    padded = {
+        r["doc_id"]: r
+        for r in remove_contaminated_spans(
+            docs, grams, ngram=13, pad=2
+        ).collect()
+    }
+    assert padded[0]["n_tokens_removed"] == 17
+    assert padded[0]["text"].split()[17] == "pre17"  # pre18/19 gone
+    assert padded[0]["text"].split()[18] == "post2"  # post0/1 gone
+
+    # the audit closes: zero contamination left after surgery
+    cleaned = remove_contaminated_spans(docs, grams, ngram=13).select(
+        "doc_id", "text"
+    )
+    flags = decontaminate(cleaned, bench, ngram=13).collect()
+    assert all(not r["contaminated"] for r in flags)
+
+    # plan contract: one Arrow stage, no shuffle, no row-Python
+    plan = (
+        remove_contaminated_spans(docs, grams, ngram=13)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" in plan
+    for bad in ("BatchEvalPython", "Exchange", "Generate"):
+        assert bad not in plan, bad
+
+
 def test_decontaminate_benchmark_broadcast_plan(spark):
     """The corpus side must not shuffle: the benchmark gram set rides
     a BroadcastHashJoin (explicitly hinted — it has no stats)."""
