@@ -76,6 +76,24 @@ def _check_ordering_contract(ngram: int, text_is_extracted: bool) -> None:
         )
 
 
+def _sorted_isin(h, bench):
+    """Membership of ``h`` in the SORTED int64 ``bench`` array via
+    searchsorted — O(len(h) log len(bench)) per call. np.isin would
+    re-sort the concatenation on EVERY call, which deamortizes
+    catastrophically when the kernel runs per document (measured:
+    the 1.28M-doc chain's flag stage went 35.6 s with per-doc isin
+    vs ~5 s with searchsorted at a 41k-gram benchmark)."""
+    import numpy as np
+
+    if len(bench) == 0 or len(h) == 0:
+        return np.zeros(len(h), dtype=bool)
+    idx = np.searchsorted(bench, h)
+    inb = idx < len(bench)
+    out = np.zeros(len(h), dtype=bool)
+    out[inb] = bench[idx[inb]] == h[inb]
+    return out
+
+
 def _gram_hash(w: Column) -> Column:
     """60-bit bigint from the md5 prefix of an n-gram (engine-portable:
     DuckDB computes the identical value as ('0x' || substr(md5(w), 1,
@@ -203,15 +221,23 @@ def decontaminate_stateless(
     Same ordering contract as :func:`decontaminate` (short grams need
     boilerplate-free text).
 
-    Same contract as :func:`decontaminate`, but the per-document hit
-    count is computed by an Arrow-batched kernel against the sorted
-    benchmark gram array (``np.isin`` over the batch's concatenated
-    gram lists, one ``reduceat`` per batch — the
-    ``simhash16_arrow_udf`` pattern) instead of an explode + join +
-    aggregation. The plan is a single narrow projection: no exchange,
-    no state — which is exactly what a ``readStream`` ingest filter
-    needs (the joined :func:`decontaminate` needs a per-doc
-    aggregation that streaming would have to hold state for).
+    Same contract as :func:`decontaminate`, but tokenization, gram
+    hashing AND the hit count run in ONE Arrow-batched kernel against
+    the sorted benchmark gram array (round 9 — previously only the
+    ``np.isin`` hit count was Arrow while the gram strings came from
+    ``_shingles``'s n-1 nested ``zip_with``s, which are CodegenFallback:
+    at the published 13-gram length the interpreted HOF tree was
+    measured 16x slower than this kernel on a 30M-token corpus; see
+    SCALE.md round 9 and the Gopher bake-off for the pattern). The
+    kernel computes the SAME md5-prefix hashes over the SAME
+    space-trim + ASCII-``\\s+`` tokenization (phantom leading empty
+    token included), pinned equal to the joined path by
+    ``test_decontaminate_stateless_matches_joined_path``. The plan is
+    a single narrow projection: no exchange, no state — which is
+    exactly what a ``readStream`` ingest filter needs (the joined
+    :func:`decontaminate` needs a per-doc aggregation that streaming
+    would have to hold state for; it keeps the JVM-expression grams
+    for engine portability with the DuckDB twin).
 
     ``bench_grams`` is the array from :func:`benchmark_gram_array`.
 
@@ -221,38 +247,54 @@ def decontaminate_stateless(
     dropped — the shape an ingest filter pipeline needs. The default
     keeps the audit-projection contract of :func:`decontaminate`.
     """
+    import hashlib
+
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    from .text import _ascii_ws_split
+
     _check_ordering_contract(ngram, text_is_extracted)
-    bench = np.ascontiguousarray(bench_grams, dtype=np.int64)
+    # re-sorting is idempotent on benchmark_gram_array output and
+    # guards a caller-built unsorted array (searchsorted contract)
+    bench = np.sort(np.ascontiguousarray(bench_grams, dtype=np.int64))
 
-    from ._arrow import ragged_layout
-
-    @pandas_udf("long")
-    def _hits(grams):
-        out = np.zeros(len(grams), dtype=np.int64)
-        null, _, offsets, nz = ragged_layout(grams)
-        if nz.any():
-            flat = np.concatenate(
-                [np.asarray(g, dtype=np.int64) for g, n in zip(grams, null) if not n and len(g)]
-            )
-            hit = np.isin(flat, bench).astype(np.int64)
-            out[nz] = np.add.reduceat(hit, offsets[nz])
-        return pd.Series(out)
-
-    staged = docs.withColumn(
-        "__grams", F.transform(_shingles(F.col(text_col), ngram), _gram_hash)
-    ).withColumn("n_ngrams", F.coalesce(F.size("__grams"), F.lit(0)).cast("long"))
-    if keep_payload:
-        scored = staged.withColumn(
-            "n_hits",
-            F.when(F.col("n_ngrams") > 0, _hits(F.col("__grams"))).otherwise(
-                F.lit(0).cast("long")
+    def _audit_one(t):
+        if t is None:
+            return (0, 0)
+        toks = _ascii_ws_split(t, keep_empty=True)
+        T = len(toks)
+        if T < ngram:
+            return (0, 0)
+        if ngram == 1:
+            grams = set(toks)
+        else:
+            grams = {
+                " ".join(toks[i : i + ngram]) for i in range(T - ngram + 1)
+            }
+        h = np.fromiter(
+            (
+                int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                for g in grams
             ),
+            dtype=np.int64,
+            count=len(grams),
         )
-        return scored.select(
+        return (len(grams), int(_sorted_isin(h, bench).sum()))
+
+    @pandas_udf("n_ngrams long, n_hits long")
+    def _audit(s):
+        return pd.DataFrame(
+            [_audit_one(t) for t in s], columns=["n_ngrams", "n_hits"]
+        )
+
+    staged = docs.withColumn("__aud", _audit(F.col(text_col))).withColumn(
+        "n_ngrams", F.col("__aud.n_ngrams")
+    )
+    staged = staged.withColumn("n_hits", F.col("__aud.n_hits"))
+    if keep_payload:
+        return staged.select(
             *docs.columns,
             "n_ngrams",
             "n_hits",
@@ -266,7 +308,6 @@ def decontaminate_stateless(
         )
     return (
         staged.filter(F.col("n_ngrams") > 0)
-        .withColumn("n_hits", _hits(F.col("__grams")))
         .select(
             id_col,
             "n_ngrams",
@@ -327,7 +368,7 @@ def remove_contaminated_spans(
 
     from .text import _ascii_ws_split
 
-    bench = np.ascontiguousarray(bench_grams, dtype=np.int64)
+    bench = np.sort(np.ascontiguousarray(bench_grams, dtype=np.int64))
 
     def one(t):
         if t is None:
@@ -349,7 +390,7 @@ def remove_contaminated_spans(
             dtype=np.int64,
             count=T - ngram + 1,
         )
-        hit = np.nonzero(np.isin(hashes, bench))[0]
+        hit = np.nonzero(_sorted_isin(hashes, bench))[0]
         if len(hit) == 0:
             return (t, 0, T)
         lo = np.maximum(hit - pad, 0)

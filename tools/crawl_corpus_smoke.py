@@ -319,9 +319,27 @@ def main():
     # inside shared title/nav/footer boilerplate and flag EVERY doc
     # (observed in the sizing run — a finding in itself: short-gram
     # decontamination needs boilerplate removal first)
-    contam = decontaminate(
-        deduped.select("doc_id", "text"), bench, ngram=13, threshold=1
-    ).filter(F.col("contaminated"))
+    # Round 9: the flag pass defaults to the STATELESS Arrow kernel —
+    # at 13 grams the joined path's gram construction is a 12-level
+    # zip_with tree (CodegenFallback, the Gopher lesson again),
+    # measured 17-21 s here vs ~5 s for the kernel; identical flags
+    # (parity-pinned). CRAWL_SMOKE_DECONTAM=joined re-runs the
+    # round-8 configuration (the joined path remains the
+    # engine-portable oracle shape).
+    if os.environ.get("CRAWL_SMOKE_DECONTAM", "stateless") == "joined":
+        contam = decontaminate(
+            deduped.select("doc_id", "text"), bench, ngram=13, threshold=1
+        ).filter(F.col("contaminated"))
+    else:
+        from melodist_spark.pipeline.decontamination import (
+            benchmark_gram_array,
+            decontaminate_stateless,
+        )
+
+        bgrams = benchmark_gram_array(bench, ngram=13)
+        contam = decontaminate_stateless(
+            deduped.select("doc_id", "text"), bgrams, ngram=13, threshold=1
+        ).filter(F.col("contaminated"))
     n_contam = contam.count()
     t7 = time.perf_counter()
     stages.append(
