@@ -57,6 +57,8 @@ def parse_psl(text: str) -> dict[str, tuple[int, bool]]:
         if not line or line.startswith("//"):
             continue
         line = line.split()[0]  # upstream allows trailing comments
+        if line in ("!", "*.", "*"):  # bare prefixes carry no suffix
+            continue
         if line.startswith("!"):
             suffix = line[1:]
             # strip-leading-label semantics: the public suffix of an
