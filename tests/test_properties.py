@@ -591,3 +591,46 @@ def test_gopher_vectorized_matches_reference(seed):
         c = _gopher_row(txt, line_re, para_re, tn, dn, ascii_ws=aw)
         assert all(abs(x - y) < 1e-12 for x, y in zip(a, b)), (txt, a, b)
         assert all(abs(x - y) < 1e-12 for x, y in zip(c, b)), (txt, c, b)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(seed=st.integers(0, 10**9))
+def test_minhash_arrow_matches_expression_form(spark, seed):
+    """Round 9: minhash_signature_arrow must be BIT-identical to the
+    expression form — same md5 halves, same KM double hashing, same
+    tokenization — across null/empty/short docs, repeated tokens,
+    and whitespace-initial strings (the phantom-empty-token edge).
+    Also guards the pandas float64-coercion trap: a batch mixing
+    None rows with ints must not round 60-bit signatures."""
+    import random
+
+    from melodist_spark.pipeline.dedup import (
+        minhash_signature,
+        minhash_signature_arrow,
+    )
+
+    r = random.Random(seed)
+    rows = [(0, None), (1, ""), (2, "solo"), (3, "\tx y z")]
+    for i in range(4, 24):
+        rows.append(
+            (i, " ".join(f"w{r.randrange(30)}" for _ in range(r.randint(0, 20))))
+        )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = r.choice([None, 2, 3, 5])
+    k = r.choice([4, 16])
+    a = {
+        q["doc_id"]: tuple(q[f"sig_{i}"] for i in range(k))
+        for q in minhash_signature(df, num_hashes=k, shingle=sh).collect()
+    }
+    b = {
+        q["doc_id"]: tuple(q[f"sig_{i}"] for i in range(k))
+        for q in minhash_signature_arrow(
+            df, num_hashes=k, shingle=sh
+        ).collect()
+    }
+    assert a == b

@@ -291,9 +291,21 @@ def main():
     docs.unpersist()
 
     # -- 5: near-dup candidates -------------------------------------------
-    sig = minhash_signature(
-        capped.select("doc_id", "text"), num_hashes=16, shingle=3
-    )
+    # Round 9: signatures default to the Arrow kernel (bit-identical
+    # to the expression form, differential-pinned) — the staged
+    # transform/zip_with projection is CodegenFallback and measured
+    # ~11.3 s warm at 900k docs vs ~4.4 s for the kernel.
+    # CRAWL_SMOKE_MINHASH=jvm restores the round-8 shape.
+    if os.environ.get("CRAWL_SMOKE_MINHASH", "arrow") == "jvm":
+        sig = minhash_signature(
+            capped.select("doc_id", "text"), num_hashes=16, shingle=3
+        )
+    else:
+        from melodist_spark.pipeline.dedup import minhash_signature_arrow
+
+        sig = minhash_signature_arrow(
+            capped.select("doc_id", "text"), num_hashes=16, shingle=3
+        )
     pairs = lsh_candidate_pairs(
         lsh_bands(sig, num_hashes=16, band_size=4)
     ).persist()
