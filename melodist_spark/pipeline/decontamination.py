@@ -289,10 +289,14 @@ def decontaminate_stateless(
             [_audit_one(t) for t in s], columns=["n_ngrams", "n_hits"]
         )
 
-    staged = docs.withColumn("__aud", _audit(F.col(text_col))).withColumn(
-        "n_ngrams", F.col("__aud.n_ngrams")
+    # collision-proof staging name (same policy as psl.py round 9)
+    tmp = "__aud"
+    while tmp in docs.columns:
+        tmp += "_"
+    staged = docs.withColumn(tmp, _audit(F.col(text_col))).withColumn(
+        "n_ngrams", F.col(f"{tmp}.n_ngrams")
     )
-    staged = staged.withColumn("n_hits", F.col("__aud.n_hits"))
+    staged = staged.withColumn("n_hits", F.col(f"{tmp}.n_hits"))
     if keep_payload:
         return staged.select(
             *docs.columns,
@@ -410,9 +414,12 @@ def remove_contaminated_spans(
         )
 
     others = [c for c in docs.columns if c != text_col]
-    return docs.withColumn("__sg", _surgery(F.col(text_col))).select(
+    tmp = "__sg"
+    while tmp in docs.columns:
+        tmp += "_"
+    return docs.withColumn(tmp, _surgery(F.col(text_col))).select(
         *others,
-        F.col(f"__sg.{text_col}").alias(text_col),
-        F.col("__sg.n_tokens_removed").alias("n_tokens_removed"),
-        F.col("__sg.n_tokens_kept").alias("n_tokens_kept"),
+        F.col(f"{tmp}.{text_col}").alias(text_col),
+        F.col(f"{tmp}.n_tokens_removed").alias("n_tokens_removed"),
+        F.col(f"{tmp}.n_tokens_kept").alias("n_tokens_kept"),
     )

@@ -314,8 +314,11 @@ def minhash_signature_arrow(
             dtype=object,
         )
 
-    return df.withColumn("__mh", _sig(F.col(text_col))).select(
-        *df.columns, "__mh.*"
+    tmp = "__mh"
+    while tmp in df.columns:
+        tmp += "_"
+    return df.withColumn(tmp, _sig(F.col(text_col))).select(
+        *df.columns, f"{tmp}.*"
     )
 
 

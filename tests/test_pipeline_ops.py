@@ -905,6 +905,13 @@ def test_remove_contaminated_spans_surgery(spark):
     flags = decontaminate(cleaned, bench, ngram=13).collect()
     assert all(not r["contaminated"] for r in flags)
 
+    # caller columns sharing the staging name survive (ADVICE-class
+    # collision-proofing, same policy as psl.py)
+    with_clash = docs.withColumn("__sg", F.lit("keep"))
+    clash = remove_contaminated_spans(with_clash, grams, ngram=13)
+    assert "__sg" in clash.columns
+    assert clash.filter("doc_id = 0").first()["__sg"] == "keep"
+
     # plan contract: one Arrow stage, no shuffle, no row-Python
     plan = (
         remove_contaminated_spans(docs, grams, ngram=13)
