@@ -924,6 +924,52 @@ def test_remove_contaminated_spans_surgery(spark):
         assert bad not in plan, bad
 
 
+def test_remove_contaminated_spans_zero_residual_property(spark):
+    """Excising a span junctions its two sides, which can FORM a
+    benchmark n-gram neither side carried — so one-pass removal is
+    not a zero-residual guarantee. The kernel's bounded fixpoint
+    loop makes it one: over 300 dense-collision docs (6-token
+    vocabulary, 2-grams — junction cases occur constantly), the
+    surgically-cleaned corpus re-audits to ZERO contamination."""
+    import random
+
+    from melodist_spark.pipeline.decontamination import (
+        benchmark_gram_array,
+        decontaminate_stateless,
+        remove_contaminated_spans,
+    )
+
+    r = random.Random(77)
+    vocab = ["a", "b", "c", "d", "e", "f"]
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(r.choice(vocab) for _ in range(r.randint(0, 25))))
+            for i in range(300)
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(1000 + j, " ".join(r.choice(vocab) for _ in range(6)))
+         for j in range(3)],
+        ["doc_id", "text"],
+    )
+    grams = benchmark_gram_array(bench, ngram=2)
+
+    cleaned = remove_contaminated_spans(docs, grams, ngram=2)
+    audit = decontaminate_stateless(
+        cleaned.select("doc_id", "text"),
+        grams,
+        ngram=2,
+        keep_payload=True,
+        text_is_extracted=True,
+    )
+    residual = audit.filter("contaminated").count()
+    assert residual == 0
+    # and the surgery actually did something on this dense corpus
+    n_cut = cleaned.filter("n_tokens_removed > 0").count()
+    assert n_cut > 50
+
+
 def test_decontaminate_benchmark_broadcast_plan(spark):
     """The corpus side must not shuffle: the benchmark gram set rides
     a BroadcastHashJoin (explicitly hinted — it has no stats)."""
