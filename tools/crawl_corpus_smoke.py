@@ -23,6 +23,13 @@ work), planted exact dups (every 20th record) and near dups (every
 Usage: python tools/crawl_corpus_smoke.py [n_archives] [recs_per_archive]
 Defaults: 32 x 40_000 = 1.28M records.
 
+Round-9 stage-shape switches (defaults are the measured-fastest
+Arrow kernels, each pinned value-identical to its JVM twin;
+setting a switch re-runs the round-8 configuration):
+  CRAWL_SMOKE_EXTRACTOR=flat   density-scorer extraction tier
+  CRAWL_SMOKE_DECONTAM=joined  broadcast-join flag path
+  CRAWL_SMOKE_MINHASH=jvm      expression-form signatures
+
 Measurement hygiene: run UNCONTENDED (no other Spark JVM / pytest on
 the box); the driver carries periodicGC=2min (shuffle-file retention)
 and 32g heap (whole-archive byte[]s in the build stage).
