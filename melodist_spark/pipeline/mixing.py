@@ -1,0 +1,130 @@
+"""Deterministic training-mixture construction.
+
+The step between curation and packing in every large pretraining
+pipeline (The Pile / GPT-3 table 2.2 / Llama): given curated sources
+and target mixture weights, draw a corpus where source ``s``
+contributes ``w_s / sum(w) * n_total`` documents — REPEATING a small
+high-quality source across epochs when its target exceeds its size
+(the published mixtures upsample Wikipedia/books multiple epochs per
+training run) and hash-sampling the fractional remainder.
+
+Scale shape: everything is a column expression on each source scan —
+the epoch fan-out is one ``explode(sequence(...))`` (narrow, the
+intended multiplication), the fractional draw is an md5-derived
+uniform in [0,1) (deterministic in (seed, source, id): same draw on
+any cluster layout, any partitioning, any engine that can md5), and
+the union is ``unionByName``. No shuffle anywhere; a 100 TB mixture
+is a union of filtered scans.
+
+Source sizes: pass ``sizes`` when known (catalog/manifest counts —
+the normal case at scale); otherwise one ``count()`` action per
+source runs up front.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["weighted_mixture", "mixture_audit"]
+
+#: 2^60 as float — the md5-prefix uniform's denominator (same 60-bit
+#: prefix construction as the dedup/decontamination hashes)
+_U_DENOM = float(1 << 60)
+
+
+def _unit_hash(seed: int, name: str, id_col: Column) -> Column:
+    """Deterministic uniform in [0, 1) from (seed, source name, id) —
+    engine-portable (DuckDB: ('0x' || substr(md5(...), 1, 15))::BIGINT
+    / 2^60)."""
+    key = F.concat_ws(
+        "\x1f", F.lit(str(seed)), F.lit(name), id_col.cast("string")
+    )
+    return (
+        F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+        / F.lit(_U_DENOM)
+    )
+
+
+def weighted_mixture(
+    sources: dict[str, DataFrame],
+    weights: dict[str, float],
+    n_total: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    sizes: dict[str, int] | None = None,
+) -> DataFrame:
+    """Union of per-source draws hitting the target mixture.
+
+    Source ``s`` with weight share ``p_s = w_s / sum(w)`` targets
+    ``p_s * n_total`` documents: ``floor(target / |s|)`` FULL epochs
+    (every doc repeated, ``epoch`` = 0..k-1) plus one partial epoch
+    drawn as ``u(seed, s, id) < frac`` — so the achieved count is
+    exact on the full epochs and binomial(|s|, frac) on the last one
+    (tight at corpus sizes; the audit reports achieved vs target).
+
+    Adds ``source`` (the dict key) and ``epoch`` columns; all input
+    columns pass through (sources must share a schema — align
+    upstream). Deterministic in (seed, source, id): immune to
+    partitioning, cluster size, and row order, and re-runnable —
+    the properties a reproducible training run needs.
+    """
+    if set(sources) != set(weights):
+        raise ValueError("sources and weights must have the same keys")
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative and non-empty")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+
+    if sizes is None:
+        sizes = {name: df.count() for name, df in sources.items()}
+
+    parts = []
+    for name, df in sources.items():
+        n_s = int(sizes[name])
+        if n_s <= 0:
+            continue
+        target = weights[name] / wsum * n_total
+        full = int(target // n_s)
+        frac = (target - full * n_s) / n_s
+        u = _unit_hash(seed, name, F.col(id_col))
+        # epochs 0..full-1 unconditionally, epoch `full` iff u < frac:
+        # one sequence per row, length full or full+1 — the narrow
+        # fan-out IS the intended upsampling
+        n_epochs = F.lit(full) + (u < F.lit(frac)).cast("int")
+        # sequence(1, 0) DESCENDS in Spark ([1, 0]) — an undrawn doc
+        # must produce an empty array (explode then emits no row)
+        eps = F.when(
+            n_epochs >= 1, F.sequence(F.lit(1), n_epochs)
+        ).otherwise(F.array().cast("array<int>"))
+        part = (
+            df.withColumn("__ep", F.explode(eps))
+            .withColumn("source", F.lit(name))
+            .withColumn("epoch", F.col("__ep") - 1)
+            .drop("__ep")
+        )
+        parts.append(part)
+    if not parts:
+        raise ValueError("no non-empty source contributes to the mixture")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def mixture_audit(mixture: DataFrame) -> DataFrame:
+    """Achieved per-source composition of a :func:`weighted_mixture`
+    output: rows ``(source, n_docs, n_epochs, fraction)`` — compare
+    against the requested weights (one tiny aggregate; the only
+    shuffle in the module, over |sources| groups)."""
+    agg = mixture.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        (F.max("epoch") + 1).alias("n_epochs"),
+    )
+    from pyspark.sql.window import Window
+
+    return agg.withColumn(
+        "fraction",
+        F.col("n_docs") / F.sum("n_docs").over(Window.partitionBy()),
+    )

@@ -2162,3 +2162,90 @@ def test_chunk_documents(spark):
     # so no chunk is a pure duplicate of its predecessor's tail
     assert chunks1[-1][1] < len(text1)
     assert all(len(c) > 64 for _, _, c in chunks1[1:])
+
+
+def test_weighted_mixture_epochs_and_fractions(spark):
+    """Round 9: deterministic mixture construction — a small source
+    whose target exceeds its size repeats across full epochs plus a
+    hash-drawn partial epoch; achieved counts are exact on full
+    epochs and binomial-tight on the partial; the draw is immune to
+    partitioning; and an undrawn doc emits NO row (the sequence(1,0)
+    descending-array trap)."""
+    import math
+
+    from melodist_spark.pipeline.mixing import mixture_audit, weighted_mixture
+
+    def src(name, n):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit(f"{name}-"), F.col("id")).alias("text"),
+        )
+
+    sources = {"web": src("web", 1000), "books": src("books", 200),
+               "wiki": src("wiki", 500)}
+    weights = {"web": 0.5, "books": 0.2, "wiki": 0.3}
+    mix = weighted_mixture(sources, weights, n_total=2000, seed=7)
+    rows = mix.groupBy("source").agg(
+        F.count("*").alias("n"), F.max("epoch").alias("max_ep")
+    ).collect()
+    got = {r["source"]: r for r in rows}
+
+    # web: target 1000 = exactly 1 epoch of 1000 docs
+    assert got["web"]["n"] == 1000 and got["web"]["max_ep"] == 0
+    # books: target 400 = 2 full epochs of 200 (frac = 0)
+    assert got["books"]["n"] == 400 and got["books"]["max_ep"] == 1
+    # wiki: target 600 = 1 full epoch + binomial(500, 0.2) partial
+    n_wiki = got["wiki"]["n"]
+    sigma = math.sqrt(500 * 0.2 * 0.8)
+    assert abs(n_wiki - 600) <= 5 * sigma, n_wiki
+    assert got["wiki"]["max_ep"] == 1
+
+    # deterministic + layout-immune: same (source, doc_id, epoch)
+    # multiset after an adversarial repartition
+    a = sorted(map(tuple, mix.select("source", "doc_id", "epoch").collect()))
+    re_sources = {k: v.repartition(7) for k, v in sources.items()}
+    b = sorted(map(tuple, weighted_mixture(
+        re_sources, weights, n_total=2000, seed=7
+    ).select("source", "doc_id", "epoch").collect()))
+    assert a == b
+    # a different seed draws a different partial epoch
+    c = weighted_mixture(sources, weights, n_total=2000, seed=8)
+    wiki_a = {r["doc_id"] for r in mix.filter(
+        "source = 'wiki' and epoch = 1").collect()}
+    wiki_c = {r["doc_id"] for r in c.filter(
+        "source = 'wiki' and epoch = 1").collect()}
+    assert wiki_a != wiki_c
+
+    # audit fractions approximate the weights
+    audit = {r["source"]: r for r in mixture_audit(mix).collect()}
+    for name, w in weights.items():
+        assert abs(audit[name]["fraction"] - w) < 0.02, name
+
+    # downsampling: target below size draws a strict hash subset,
+    # every doc at most once
+    small = weighted_mixture(
+        {"web": sources["web"]}, {"web": 1.0}, n_total=300, seed=1
+    )
+    n_small = small.count()
+    sigma = math.sqrt(1000 * 0.3 * 0.7)
+    assert abs(n_small - 300) <= 5 * sigma
+    assert small.groupBy("doc_id").count().filter("count > 1").count() == 0
+
+    # plan: narrow fan-out only — no exchange, no Python
+    plan = mix._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_weighted_mixture_validation(spark):
+    from melodist_spark.pipeline.mixing import weighted_mixture
+
+    df = spark.range(5).select(F.col("id").alias("doc_id"))
+    import pytest
+
+    with pytest.raises(ValueError, match="same keys"):
+        weighted_mixture({"a": df}, {"b": 1.0}, 10)
+    with pytest.raises(ValueError, match="non-negative"):
+        weighted_mixture({"a": df}, {"a": -1.0}, 10)
+    with pytest.raises(ValueError, match="positive"):
+        weighted_mixture({"a": df}, {"a": 0.0}, 10)
