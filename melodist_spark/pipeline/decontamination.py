@@ -328,6 +328,7 @@ def remove_contaminated_spans(
     text_col: str = "text",
     ngram: int = 13,
     pad: int = 0,
+    text_is_extracted: bool = False,
 ) -> DataFrame:
     """SURGICAL decontamination: excise the benchmark-overlapping
     token spans and keep the document, instead of dropping it whole
@@ -352,13 +353,20 @@ def remove_contaminated_spans(
 
     ZERO-RESIDUAL GUARANTEE: excision junctions the tokens on either
     side of a removed span, which can FORM a benchmark n-gram that
-    neither side carried — so the kernel iterates to a bounded
-    fixpoint (each pass strictly removes tokens; property-tested on
-    dense-collision corpora: the cleaned output always re-audits to
-    zero contamination at the same ``ngram``). Tokenization
-    mirrors ``ngram_hashes`` exactly (space-trim + ASCII ``\\s+``,
-    keeping the phantom leading empty token) so a gram flagged by
-    :func:`decontaminate` is the gram removed here.
+    neither side carried — so the kernel iterates to a TRUE fixpoint:
+    it re-scans and re-excises until no covering gram remains. The
+    loop terminates unconditionally because every pass strictly
+    removes at least one token (a hit implies ``removed.sum() >= 1``),
+    bounding the pass count by the doc's token count; in practice one
+    extra pass settles it (property-tested on dense-collision corpora:
+    the cleaned output always re-audits to zero contamination at the
+    same ``ngram``, and a junction chain engineered to need many
+    passes still drains to zero). Tokenization mirrors
+    ``ngram_hashes`` exactly (space-trim + ASCII ``\\s+``, keeping
+    the phantom leading empty token for gram formation) so a gram
+    flagged by :func:`decontaminate` is the gram removed here. The
+    ``n_tokens_kept`` audit column counts NON-EMPTY tokens on both
+    the touched and untouched paths.
 
     Scale shape: one Arrow-batched kernel against the broadcast gram
     array — scan-class, zero shuffle, stateless (streaming-safe).
@@ -369,7 +377,11 @@ def remove_contaminated_spans(
 
     ORDERING CONTRACT: same as :func:`decontaminate` — short grams
     over chrome-bearing text would excise every document's chrome
-    AND its neighbors; the default here is the published 13.
+    AND its neighbors, and unlike the flag paths this op is
+    DESTRUCTIVE, so the contract is enforced here too: pass
+    ``text_is_extracted=True`` for boilerplate-free prose or keep
+    ``ngram >= MIN_SAFE_RAW_NGRAM`` (the published 13 is the
+    default).
     """
     import hashlib
 
@@ -379,6 +391,8 @@ def remove_contaminated_spans(
 
     from .text import _ascii_ws_split
 
+    _check_ordering_contract(ngram, text_is_extracted)
+
     bench = np.sort(np.ascontiguousarray(bench_grams, dtype=np.int64))
 
     def one(t):
@@ -387,13 +401,15 @@ def remove_contaminated_spans(
         toks = _ascii_ws_split(t, keep_empty=True)
         first = True
         total_removed = 0
-        # fixpoint loop: excising a span junctions the tokens on its
-        # two sides, which can FORM a benchmark n-gram that neither
-        # side carried — one-pass removal is not a zero-residual
-        # guarantee. In practice one extra pass settles it; 8 bounds
-        # a pathological chain (each pass strictly removes >=1 token,
-        # so termination is also bounded by len(toks)/1).
-        for _ in range(8):
+        # TRUE fixpoint loop: excising a span junctions the tokens on
+        # its two sides, which can FORM a benchmark n-gram that
+        # neither side carried — one-pass removal is not a
+        # zero-residual guarantee. Terminates unconditionally: a hit
+        # implies this pass removes >= 1 token, so the pass count is
+        # bounded by len(toks). (An 8-pass cap here was a real bug —
+        # a junction chain deeper than the cap returned contaminated
+        # text silently; see test_remove_contaminated_spans_deep_chain.)
+        while True:
             T = len(toks)
             if T < ngram:
                 break
@@ -422,8 +438,11 @@ def remove_contaminated_spans(
             total_removed += int(removed.sum())
             toks = [w for w, r in zip(toks, removed) if not r]
             first = False
-        if first:  # untouched: return the text verbatim
-            return (t, 0, len(toks))
+        if first:  # untouched: return the text verbatim, but count
+            # kept tokens the same way the surgery path does (the
+            # phantom leading empty token from keep_empty=True is a
+            # gram-formation artifact, not a kept token).
+            return (t, 0, sum(1 for w in toks if w))
         kept = [w for w in toks if w]
         return (" ".join(kept), total_removed, len(kept))
 

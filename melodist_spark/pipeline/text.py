@@ -854,6 +854,11 @@ _DOM_BLOCK_TAGS = frozenset(
     "main figure figcaption".split()
 )
 _DOM_BORING_TAGS = frozenset(("nav", "header", "footer", "aside"))
+#: DOM-tier drop set: the shared script/style/... list PLUS title —
+#: title is neither a block nor a drop tag in the flat grammar, so
+#: under lenient floors its text would leak into the first extracted
+#: block (a page's main content never lives in <title>)
+_DOM_DROP_CONTENT_TAGS = frozenset(_HTML_DROP_CONTENT_TAGS) | {"title"}
 _DOM_VOID_TAGS = frozenset(
     "br hr img input meta link area base col embed source track wbr".split()
 )
@@ -930,8 +935,17 @@ def _dom_extract_one(
                 cur_link += len(re.sub(r"\s+", " ", tok).strip())
             continue
         tm = _DOM_NAME_RE.match(tok)
-        if tm is None:  # '<3 apples' style bare bracket: literal text
-            if skip_tag is None:
+        if tm is None:
+            # '<!DOCTYPE html>' / '<?xml ...?>' declarations are
+            # consumed as tags by the token regex but have no element
+            # name — they are markup, not text (a verbatim append
+            # would leak the declaration into the first block under
+            # lenient floors). Only a bare '<3 apples' bracket whose
+            # '<' the regex matched alone stays literal.
+            if tok[1:2] in ("!", "?"):
+                if skip_tag is None:
+                    cur.append(" ")
+            elif skip_tag is None:
                 cur.append(tok)
             continue
         name = tm.group(1).lower()
@@ -940,7 +954,7 @@ def _dom_extract_one(
             if closing and name == skip_tag:
                 skip_tag = None
             continue
-        if name in _HTML_DROP_CONTENT_TAGS:
+        if name in _DOM_DROP_CONTENT_TAGS:
             if not closing and not tok.endswith("/>"):
                 skip_tag = name
             continue

@@ -927,10 +927,10 @@ def test_remove_contaminated_spans_surgery(spark):
 def test_remove_contaminated_spans_zero_residual_property(spark):
     """Excising a span junctions its two sides, which can FORM a
     benchmark n-gram neither side carried — so one-pass removal is
-    not a zero-residual guarantee. The kernel's bounded fixpoint
-    loop makes it one: over 300 dense-collision docs (6-token
-    vocabulary, 2-grams — junction cases occur constantly), the
-    surgically-cleaned corpus re-audits to ZERO contamination."""
+    not a zero-residual guarantee. The kernel's TRUE fixpoint loop
+    makes it one: over 300 dense-collision docs (6-token vocabulary,
+    2-grams — junction cases occur constantly), the surgically-
+    cleaned corpus re-audits to ZERO contamination."""
     import random
 
     from melodist_spark.pipeline.decontamination import (
@@ -955,7 +955,9 @@ def test_remove_contaminated_spans_zero_residual_property(spark):
     )
     grams = benchmark_gram_array(bench, ngram=2)
 
-    cleaned = remove_contaminated_spans(docs, grams, ngram=2)
+    cleaned = remove_contaminated_spans(
+        docs, grams, ngram=2, text_is_extracted=True
+    )
     audit = decontaminate_stateless(
         cleaned.select("doc_id", "text"),
         grams,
@@ -968,6 +970,101 @@ def test_remove_contaminated_spans_zero_residual_property(spark):
     # and the surgery actually did something on this dense corpus
     n_cut = cleaned.filter("n_tokens_removed > 0").count()
     assert n_cut > 50
+
+
+def test_remove_contaminated_spans_deep_chain(spark):
+    """Round 10 (ADVICE r9, high): the fixpoint must be TRUE, not
+    capped. This corpus is an engineered junction chain — tokens
+    ``a10 .. a1 b1 .. b10`` with benchmark bigrams ``(a_i b_i)`` —
+    where each excision pass removes exactly one pair and JUNCTIONS
+    the next: draining it takes 10 passes. The old 8-pass cap
+    returned 'a10 a9 b9 b10' with 'a9 b9' still a benchmark gram,
+    silently; the unbounded loop drains it to empty and the
+    re-audit finds zero residual."""
+    from melodist_spark.pipeline.decontamination import (
+        benchmark_gram_array,
+        decontaminate_stateless,
+        remove_contaminated_spans,
+    )
+
+    chain = " ".join(
+        [f"a{i}" for i in range(10, 0, -1)] + [f"b{i}" for i in range(1, 11)]
+    )
+    docs = spark.createDataFrame([(0, chain)], ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(100 + i, f"a{i} b{i}") for i in range(1, 11)], ["doc_id", "text"]
+    )
+    grams = benchmark_gram_array(bench, ngram=2)
+
+    out = remove_contaminated_spans(
+        docs, grams, ngram=2, text_is_extracted=True
+    ).first()
+    assert out["text"] == ""
+    assert out["n_tokens_removed"] == 20
+    assert out["n_tokens_kept"] == 0
+    audit = decontaminate_stateless(
+        spark.createDataFrame([(0, out["text"])], ["doc_id", "text"]),
+        grams,
+        ngram=2,
+        keep_payload=True,
+        text_is_extracted=True,
+    ).first()
+    assert not audit["contaminated"]
+
+
+def test_remove_contaminated_spans_audit_and_contract(spark):
+    """Round 10 (ADVICE r9, low x2): (1) ``n_tokens_kept`` means the
+    same thing on touched and untouched docs — NON-EMPTY tokens, so
+    a tab/newline-initial untouched doc does not count the phantom
+    leading empty token; (2) the surgical op enforces the same
+    boilerplate-ordering contract as the flag paths (it is the
+    DESTRUCTIVE one — short grams over chrome would excise every
+    document's chrome plus pad)."""
+    import warnings as _w
+
+    from melodist_spark.pipeline.decontamination import (
+        BoilerplateOrderingWarning,
+        benchmark_gram_array,
+        remove_contaminated_spans,
+    )
+
+    bench = spark.createDataFrame([(0, "x1 x2")], ["doc_id", "text"])
+    grams = benchmark_gram_array(bench, ngram=2)
+
+    # leading tab → _ascii_ws_split(keep_empty=True) yields a phantom
+    # '' first token; both docs have 3 real tokens and neither is
+    # touched, so both must report n_tokens_kept == 3
+    docs = spark.createDataFrame(
+        [(0, "\talpha beta gamma"), (1, "alpha beta gamma")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_contaminated_spans(
+            docs, grams, ngram=2, text_is_extracted=True
+        ).collect()
+    }
+    assert out[0]["text"] == "\talpha beta gamma"  # verbatim passthrough
+    assert out[0]["n_tokens_kept"] == 3
+    assert out[1]["n_tokens_kept"] == 3
+
+    # ordering contract: short grams + undeclared text warns; either
+    # declaring extraction or using the published 13 stays silent
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        remove_contaminated_spans(docs, grams, ngram=2)
+        assert any(
+            issubclass(c.category, BoilerplateOrderingWarning)
+            for c in caught
+        )
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        remove_contaminated_spans(docs, grams, ngram=2, text_is_extracted=True)
+        remove_contaminated_spans(docs, grams, ngram=13)
+        assert not any(
+            issubclass(c.category, BoilerplateOrderingWarning)
+            for c in caught
+        )
 
 
 def test_decontaminate_benchmark_broadcast_plan(spark):

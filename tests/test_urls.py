@@ -704,6 +704,40 @@ def test_extract_main_content_dom_edges():
     assert _dom_extract_one(None, 40, 10, 0.4) is None
 
 
+def test_extract_main_content_dom_declarations_and_title():
+    """Round 10 (ADVICE r9): '<!DOCTYPE html>' / '<?xml ...?>'
+    declarations are markup, not text — under lenient floors they
+    must not leak into the first extracted block — and <title> text
+    is dropped by the DOM tier (it is neither block nor chrome in
+    the flat grammar, so it used to ride into the first block)."""
+    from melodist_spark.pipeline.text import _dom_extract_one
+
+    para = (
+        "a perfectly ordinary paragraph of at least ten honest words "
+        "for the floors to pass"
+    )
+    page = (
+        "<!DOCTYPE html><html><head><title>Site Name Here</title>"
+        f"</head><body><p>{para}</p></body></html>"
+    )
+    # lenient floors: everything textual survives — the declaration
+    # and the title must still be absent
+    out = _dom_extract_one(page, 1, 1, 1.0)
+    assert "DOCTYPE" not in out
+    assert "Site Name" not in out
+    assert para in out
+    # xml declaration, same contract
+    out2 = _dom_extract_one(f'<?xml version="1.0"?><p>{para}</p>', 1, 1, 1.0)
+    assert "xml" not in out2
+    assert para in out2
+    # declarations inside a skipped subtree stay skipped
+    assert _dom_extract_one(
+        f"<script><!DOCTYPE html></script><p>{para}</p>", 40, 10, 0.4
+    ) == para
+    # default floors: unchanged happy path
+    assert _dom_extract_one(page, 40, 10, 0.4) == para
+
+
 def test_extract_main_content_dom_plan_arrow_only(spark):
     """Scale contract: the DOM tier is ONE ArrowEvalPython projection
     on the scan — no row-Python, no exchange, no explode (the Gopher
