@@ -546,7 +546,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """52 entries; the driver's correctness gate checks the FIRST 50
     registry keys, so every operator family keeps exactly one
     representative inside the window and the 50 checked rows are all
-    hash-verifiable. Round-6 restructure (VERDICT item 1): pq_topk
+    hash-verifiable. Round-10 restructure (VERDICT r9 item 1):
+    embedding_topk + pq_topk merged into the method-tagged ann_topk
+    union (all four ANN methods hash-checked inside it, each
+    sub-timed by bench.py), and the freed slot registered
+    weighted_mixture — previously the only operator with no oracle
+    row. Round-6 restructure (VERDICT item 1): pq_topk
     and quality_classifier became apply-only rows scoring with PINNED
     model literals (pipeline/pinned.py) — given a fixed model, ADC
     scan / IVF probe / logistic scoring are pure functions of the
@@ -623,11 +628,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline
         "multimodal_hist": q_multimodal_hist,
         "embedding_neardup": q_embedding_neardup,
-        "embedding_topk": q_embedding_topk,
-        # round 6: apply-only with pinned model literals, so both are
-        # now INSIDE the checked window and hash-verified (their
-        # iterative trainers stay pytest-pinned; see pipeline/pinned.py)
-        "pq_topk": q_pq_topk,
+        # round 10: embedding_topk (brute/ivf) + pq_topk (pq/ivfpq)
+        # merged into one method-tagged union on a common `score`
+        # column — all four ANN methods stay hash-checked inside the
+        # union and sub-timed in bench.py; the freed checked-window
+        # slot went to weighted_mixture (the PQ/IVF pinned-model
+        # apply-only design from round 6 is unchanged inside the
+        # merged row; iterative trainers stay pytest-pinned)
+        "ann_topk": q_ann_topk,
         "quality_classifier": q_quality_classifier,
         "minhash_pairs": q_minhash_pairs,
         "jaccard_pairs": q_jaccard_pairs,
@@ -637,6 +645,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
+        # round 10: the training-mixture constructor, in the checked
+        # window on the slot freed by the ann_topk merge — the draw
+        # is designed engine-portable (md5-prefix uniform + IEEE
+        # floor epochs), so every (doc_id, source, epoch) row is
+        # hash-checked against the DuckDB replay
+        "weighted_mixture": q_weighted_mixture,
         "doc_sample": q_doc_sample,
         "vocab_topk": q_vocab_topk,
         "text_features": q_text_features,
@@ -788,6 +802,55 @@ _ROBOTS_EVAL_SQL = r"""
     FROM probe p
     LEFT JOIN best b ON b.agent = p.agent AND b.doc_id = p.doc_id
     LEFT JOIN nmaps n ON n.source = p.domain
+"""
+
+
+#: DuckDB twin of q_weighted_mixture — replays the mixture draw's
+#: exact arithmetic: per-source targets w/sum(w)*n_total with sizes
+#: from the same group counts, IEEE floor(target/n_s) full epochs
+#: (mixing.py uses math.floor of the double quotient for exactly this
+#: engine portability), the md5-prefix 60-bit uniform u(seed,name,id)
+#: = ('0x'||substr(md5(seed║name║id),1,15))::BIGINT / 2^60 < frac
+#: fractional draw (║ = chr(31), mirroring concat_ws('\\x1f', ...)),
+#: and the epoch fan-out via generate_series (empty when a doc draws
+#: zero epochs). Weights 0.625/0.25/0.125 are exact binary doubles so
+#: wsum is exactly 1.0 in any summation order on both engines.
+_WEIGHTED_MIXTURE_SQL = """
+    WITH d AS (SELECT doc_id, doc_id % 3 AS g FROM documents),
+    c AS (SELECT g, count(*) AS n_s FROM d GROUP BY g),
+    t AS (SELECT 2 * sum(n_s) AS n_total FROM c),
+    w AS (
+      SELECT * FROM (VALUES
+        (0, 'wiki',  CAST(0.625 AS DOUBLE)),
+        (1, 'web',   CAST(0.25  AS DOUBLE)),
+        (2, 'books', CAST(0.125 AS DOUBLE))
+      ) v(g, name, wt)
+    ),
+    ws AS (SELECT sum(wt) AS wsum FROM w),
+    par AS (
+      SELECT w.g, w.name,
+             floor(w.wt / ws.wsum * t.n_total / c.n_s) AS fullep,
+             (w.wt / ws.wsum * t.n_total
+              - floor(w.wt / ws.wsum * t.n_total / c.n_s) * c.n_s)
+             / c.n_s AS frac
+      FROM w JOIN c ON c.g = w.g CROSS JOIN t CROSS JOIN ws
+    ),
+    drawn AS (
+      SELECT d.doc_id, p.name AS source,
+             CAST(p.fullep AS BIGINT) - 1
+             + CASE WHEN
+                 CAST(('0x' || substr(md5(
+                   '0' || chr(31) || p.name || chr(31)
+                       || CAST(d.doc_id AS VARCHAR)
+                 ), 1, 15)) AS BIGINT)
+                 / CAST(1152921504606846976 AS DOUBLE) < p.frac
+               THEN 1 ELSE 0 END AS last_ep
+      FROM d JOIN par p ON p.g = d.g
+    )
+    SELECT doc_id, source,
+           unnest(generate_series(CAST(0 AS BIGINT), last_ep)) AS epoch
+    FROM drawn
+    WHERE last_ep >= 0
 """
 
 
@@ -3525,6 +3588,18 @@ LEFT JOIN covlen cv ON b.doc_id = cv.doc_id
         SELECT 'bc' AS method, * FROM ({sqls.pop("radiation_bc")})
     """
     sqls["robots_eval"] = _ROBOTS_EVAL_SQL
+    # round 10: embedding_topk + pq_topk merged into the ann_topk
+    # union row on a common `score` column (VERDICT r9 item 1) — the
+    # twin is the same union of the two original oracles, so all four
+    # ANN methods stay hash-checked
+    sqls["ann_topk"] = f"""
+        SELECT method, query_id, neighbor_id, cos_sim AS score, rank
+        FROM ({sqls.pop("embedding_topk")})
+        UNION ALL
+        SELECT method, query_id, neighbor_id, pq_score AS score, rank
+        FROM ({sqls.pop("pq_topk")})
+    """
+    sqls["weighted_mixture"] = _WEIGHTED_MIXTURE_SQL
     return sqls
 
 
@@ -5013,6 +5088,66 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ivfpq",
             ivf_pq_topk(emb, queries, cents, books, k=5, n_probe=2),
         )
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 10 (VERDICT r9 item 1): the former ``embedding_topk``
+    (brute/ivf) and ``pq_topk`` (pq/ivfpq) registry rows merged into
+    ONE method-tagged ANN union on a common ``score`` column — the
+    proven ``radiation_proxy_variants`` merge pattern. All four ANN
+    methods stay hash-checked inside the union and each is sub-timed
+    by bench.py (``subs`` on the ``method`` tag); the freed
+    checked-window slot went to ``weighted_mixture``. ``score`` is
+    cosine similarity for brute/ivf and the ADC asymmetric-distance
+    score for pq/ivfpq — comparable WITHIN a method (rank is the
+    product), which is how ANN evaluations read them anyway."""
+    a = q_embedding_topk(spark, sf_dir).withColumnRenamed("cos_sim", "score")
+    b = q_pq_topk(spark, sf_dir).withColumnRenamed("pq_score", "score")
+    return a.unionByName(b)
+
+
+def q_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mixture construction
+    (``pipeline/mixing.py::weighted_mixture``) under the DuckDB
+    oracle (round 10 — it was the one operator with no oracle or
+    bench row). Three synthetic sources (the ``doc_id % 3`` slices of
+    ``documents`` standing in for wiki/web/books manifests) are mixed
+    at exact-binary weights 0.625/0.25/0.125 toward ``n_total = 2 *
+    |documents|``, which forces every draw shape at once: wiki lands
+    ~3.75 epochs (MULTIPLE full epochs + fractional draw), web ~1.5
+    (one full + half), books ~0.75 (fractional only, the zero-full
+    path). The oracle replays the identical arithmetic — IEEE
+    floor(target / n_s) epochs, the md5-prefix uniform
+    ``('0x' || substr(md5(seed║name║id), 1, 15))::BIGINT / 2^60 <
+    frac`` draw, ``generate_series`` epoch fan-out — so every
+    (doc_id, source, epoch) row is hash-checked. Source sizes come
+    from one parameter-scale 3-row aggregate (the catalog/manifest
+    stand-in; at 100 TB they come from the catalog, never a scan)."""
+    from melodist_spark.pipeline.mixing import weighted_mixture
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    g = F.pmod("doc_id", 3)
+    srcs = {
+        "wiki": docs.filter(g == 0),
+        "web": docs.filter(g == 1),
+        "books": docs.filter(g == 2),
+    }
+    by = {
+        int(r["g"]): int(r["n"])
+        for r in docs.groupBy(g.alias("g")).agg(F.count("*").alias("n")).collect()
+    }
+    sizes = {"wiki": by.get(0, 0), "web": by.get(1, 0), "books": by.get(2, 0)}
+    n_total = 2 * sum(sizes.values())
+    mix = weighted_mixture(
+        srcs,
+        {"wiki": 0.625, "web": 0.25, "books": 0.125},
+        n_total=n_total,
+        seed=0,
+        sizes=sizes,
+    )
+    return mix.select(
+        "doc_id", "source", F.col("epoch").cast("long").alias("epoch")
     )
 
 

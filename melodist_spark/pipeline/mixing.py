@@ -23,6 +23,8 @@ source runs up front.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -86,7 +88,12 @@ def weighted_mixture(
         if n_s <= 0:
             continue
         target = weights[name] / wsum * n_total
-        full = int(target // n_s)
+        # floor of the IEEE quotient — NOT Python's fmod-based `//`,
+        # which can disagree with floor(a/b) by 1 on results that
+        # round up to an exact integer (9.9 // 3.3 == 2.0 while
+        # floor(9.9 / 3.3) == 3). floor(a/b) is what every SQL engine
+        # computes, and the draw must be engine-portable.
+        full = int(math.floor(target / n_s))
         frac = (target - full * n_s) / n_s
         u = _unit_hash(seed, name, F.col(id_col))
         # epochs 0..full-1 unconditionally, epoch `full` iff u < frac:

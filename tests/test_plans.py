@@ -81,11 +81,31 @@ def qs():
             [r"Exchange", r"Join", r"CartesianProduct"],
         ),
         (
-            # PQ ANN: Arrow kernels (encode + ADC partials); the only
-            # shuffle ranks the q·k-per-batch partial frame
-            "pq_topk",
+            # merged ANN union (round 10): the pq/ivfpq halves keep
+            # their Arrow kernels (encode + ADC partials, the only
+            # shuffle ranks the q·k-per-batch partial frame); the
+            # brute half legitimately broadcast-cross-joins (BNLJ),
+            # but nothing may shuffle-join or go cartesian
+            "ann_topk",
             [r"MapInPandas"],
             [r"SortMergeJoin", r"CartesianProduct"],
+        ),
+        (
+            # training-mixture construction: a union of filtered
+            # scans with one narrow explode per source (Generate IS
+            # the intended epoch fan-out) — no shuffle, no join, no
+            # Python evaluation anywhere; partitioning-immune by
+            # construction
+            "weighted_mixture",
+            [r"Generate"],
+            [
+                r"Exchange",
+                r"Join",
+                r"CartesianProduct",
+                r"BatchEvalPython",
+                r"ArrowEvalPython",
+                r"MapInPandas",
+            ],
         ),
         (
             # both LM deployment shapes in one frame; neither path may
@@ -183,7 +203,7 @@ def test_plan_contract(spark, qs, name, must, must_not):
 
 def test_plan_contract_ivf_topk(spark):
     """Trained-quantizer ANN (the method='ivf' branch of the merged
-    embedding_topk registry row, pinned on the operator directly
+    ann_topk registry row, pinned on the operator directly
     because the brute branch legitimately broadcast-cross-joins):
     centroid/probe joins must all be broadcast — a SortMergeJoin on
     the probe side would shuffle the full embedding table per query

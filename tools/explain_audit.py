@@ -71,7 +71,7 @@ def main():
             [],
         ),
         (
-            "embedding_topk",
+            "ann_topk",
             [r"BroadcastNestedLoopJoin|BroadcastHashJoin"],
             [r"CartesianProduct"],
         ),
