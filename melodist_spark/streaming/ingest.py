@@ -37,6 +37,8 @@ def streaming_curate(
     repetition_thresholds: dict[str, float] | None = None,
     text_is_extracted: bool = False,
     extract_html: bool = False,
+    surgical: bool = False,
+    surgery_pad: int = 0,
 ) -> DataFrame:
     """[Extract →] clean → quality-gate → [repetition-gate] →
     decontaminate → dedup, on a stream.
@@ -66,9 +68,28 @@ def streaming_curate(
     the dict is overrides applied on top of the full published table
     (``{}`` gates at the published defaults; a subset dict overrides
     just those cutoffs while the other rules still apply); ``None``
-    disables the gate. Returns the curated stream: original columns
-    plus ``text_clean`` and the quality columns, with dropped
-    documents filtered out.
+    disables the gate.
+
+    ``surgical=True`` (round 10, needs ``bench_grams``) completes the
+    flag→surgery story for ingest: instead of DROPPING contaminated
+    documents, the flagged slice goes through
+    :func:`~melodist_spark.pipeline.decontamination.remove_contaminated_spans`
+    (stateless Arrow kernel, streaming-safe by construction) —
+    benchmark-overlapping spans are excised (± ``surgery_pad``
+    tokens) and the document survives with the zero-residual
+    guarantee; clean documents pass through untouched. Both slices
+    carry ``n_tokens_removed`` / ``n_tokens_kept`` audit columns with
+    identical semantics (non-empty kept tokens), and a repaired
+    document must still clear ``min_tokens`` on what SURVIVED — a
+    page that was mostly benchmark text is dropped even though its
+    spans were excised. The cost shape is the intended one: the
+    per-token-md5 kernel runs on the contaminated slice only
+    (typically <0.1% of a clean corpus); the clean slice pays one
+    codegen token count.
+
+    Returns the curated stream: original columns plus ``text_clean``
+    and the quality columns (plus the surgery audit columns when
+    ``surgical=True``), with dropped documents filtered out.
     """
     from ..pipeline.decontamination import decontaminate_stateless
     from ..pipeline.text import clean_text, quality_flags
@@ -123,8 +144,10 @@ def streaming_curate(
             ok = F.col(tmp)[sig] <= F.lit(cut)
             pred = ok if pred is None else pred & ok
         gated = gated.filter(pred).drop(tmp)
+    if surgical and bench_grams is None:
+        raise ValueError("surgical=True requires bench_grams")
     if bench_grams is not None:
-        gated = decontaminate_stateless(
+        flagged = decontaminate_stateless(
             gated,
             bench_grams,
             text_col="text_clean",
@@ -135,7 +158,42 @@ def streaming_curate(
             # feeding raw-crawl streams with short grams get the
             # ordering warning unless they extracted upstream
             text_is_extracted=text_is_extracted,
-        ).filter(~F.col("contaminated"))
+        )
+        if surgical:
+            from ..pipeline.decontamination import (
+                remove_contaminated_spans,
+            )
+
+            audit_cols = ["n_ngrams", "n_hits", "overlap", "contaminated"]
+            # clean slice: untouched text, audit columns with the SAME
+            # semantics the kernel reports (non-empty kept tokens over
+            # the kernel's space-trim + ASCII-\s+ tokenization — trim
+            # strips spaces only and Java \s is ASCII, matching
+            # _ascii_ws_split exactly)
+            clean = flagged.filter(~F.col("contaminated")).select(
+                *[c for c in flagged.columns if c not in audit_cols],
+                F.lit(0).cast("long").alias("n_tokens_removed"),
+                F.size(
+                    F.filter(
+                        F.split(F.trim(F.col("text_clean")), r"\s+"),
+                        lambda w: w != F.lit(""),
+                    )
+                ).cast("long").alias("n_tokens_kept"),
+            )
+            # contaminated slice: excise the overlapping spans (the
+            # expensive per-token kernel runs ONLY here); what
+            # survives must still clear the token floor
+            repaired = remove_contaminated_spans(
+                flagged.filter(F.col("contaminated")).drop(*audit_cols),
+                bench_grams,
+                text_col="text_clean",
+                ngram=ngram,
+                pad=surgery_pad,
+                text_is_extracted=True,
+            ).filter(F.col("n_tokens_kept") >= F.lit(min_tokens))
+            gated = clean.unionByName(repaired)
+        else:
+            gated = flagged.filter(~F.col("contaminated"))
     return streaming_dedup_exact(
         gated, text_col="text_clean", ts_col=ts_col, watermark=watermark
     )

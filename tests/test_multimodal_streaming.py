@@ -430,7 +430,12 @@ def test_streaming_curate_end_to_end(spark, tmp_path):
     vocab = [f"w{i}" for i in range(300)]
     rows = []
     for i in range(80):
-        rows.append((i, " ".join(rng.choice(vocab, size=40)) + " the a is"))
+        # 4 stopwords of 44 tokens = 9% — ABOVE the 5% stopword gate.
+        # (Round 10: the original " the a is" suffix was 2/43 = 4.65%
+        # — 'a' is not in the en stopword list — so the quality gate
+        # dropped ALL docs and the test compared empty sets; the
+        # non-vacuity asserts below pin that this cannot recur.)
+        rows.append((i, " ".join(rng.choice(vocab, size=40)) + " the is of the"))
     rows.append((100, rows[0][1]))          # exact dup — dropped by dedup
     # re-crawl of doc 1 differing only in boilerplate the cleaner
     # strips: must dedup against doc 1 (clean-text digest)
@@ -497,6 +502,10 @@ def test_streaming_curate_end_to_end(spark, tmp_path):
         .collect()
     }
     assert got_digests == want_digests
+    # NON-VACUITY: the pipeline kept a real population (round 10 —
+    # this test used to compare empty sets, see the fixture note)
+    assert len(got) >= 70
+    assert {0, 1, 3, 4} & got
     # gates actually fired
     assert not ({2, 104} <= got)   # mojibake'd re-crawl deduped vs twin
     assert 101 not in got          # quality gate
@@ -506,6 +515,116 @@ def test_streaming_curate_end_to_end(spark, tmp_path):
     # clean column present on the survivors
     cols = spark.sql("SELECT * FROM curated_ingest").columns
     assert "text_clean" in cols
+
+
+def test_streaming_curate_surgical_parity(spark, tmp_path):
+    """Round 10 (VERDICT r9 item 7): ``surgical=True`` completes the
+    flag→surgery story on a stream — contaminated documents keep
+    their non-overlapping text (spans excised, zero residual) instead
+    of being dropped, the audit columns mean the same thing on both
+    slices, a mostly-benchmark page still dies on the min_tokens
+    floor of what SURVIVED, and the availableNow run matches the
+    batch composition of the same operators document-for-document."""
+    import numpy as np
+
+    from melodist_spark.pipeline.decontamination import (
+        benchmark_gram_array,
+        decontaminate_stateless,
+        remove_contaminated_spans,
+    )
+    from melodist_spark.pipeline.text import clean_text, fix_text, quality_flags
+    from melodist_spark.streaming.ingest import streaming_curate
+
+    rng = np.random.default_rng(47)
+    vocab = [f"w{i}" for i in range(300)]
+    planted = "alpha beta gamma delta epsilon zeta eta"  # 7 toks, 5-grams
+    rows = []
+    for i in range(30):
+        # 4 stopwords of 44 = 9%, above the 5% stopword gate
+        body = " ".join(rng.choice(vocab, size=40)) + " the is of the"
+        if i % 6 == 2:
+            # quotes the benchmark mid-document: must SURVIVE with
+            # the quoted span excised (the old path dropped it whole)
+            body = body[: len(body) // 2] + f" {planted} " + body[len(body) // 2 :]
+        rows.append((i, body))
+    # mostly-benchmark page: passes the quality gate (27 tokens, 22%
+    # stopwords) but surgery excises all 21 planted tokens, leaving 6
+    # — below the post-surgery min_tokens floor
+    rows.append((100, " ".join([planted] * 3) + " the is of to and in"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    bench = spark.createDataFrame([(1000, planted)], ["doc_id", "text"])
+    grams = benchmark_gram_array(bench, ngram=5)
+
+    src = str(tmp_path / "surgical_src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        streaming_curate(
+            stream,
+            grams,
+            min_tokens=20,
+            text_is_extracted=True,
+            surgical=True,
+        )
+        .writeStream.format("memory")
+        .queryName("surgical_ingest")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r
+        for r in spark.sql("SELECT * FROM surgical_ingest").collect()
+    }
+
+    # batch reference: same operators composed the same way
+    cleaned = docs.withColumn("text_clean", clean_text(fix_text(F.col("text"))))
+    gated = quality_flags(cleaned, text_col="text_clean", min_tokens=20).filter(
+        "keep"
+    )
+    flagged = decontaminate_stateless(
+        gated, grams, text_col="text_clean", ngram=5,
+        keep_payload=True, text_is_extracted=True,
+    )
+    repaired = remove_contaminated_spans(
+        flagged.filter("contaminated").drop(
+            "n_ngrams", "n_hits", "overlap", "contaminated"
+        ),
+        grams,
+        text_col="text_clean",
+        ngram=5,
+        text_is_extracted=True,
+    ).filter("n_tokens_kept >= 20")
+    want_texts = {
+        r["doc_id"]: r["text_clean"]
+        for r in flagged.filter("NOT contaminated").collect()
+    } | {r["doc_id"]: r["text_clean"] for r in repaired.collect()}
+
+    assert {i for i in got} == set(want_texts)
+    for i, r in got.items():
+        assert r["text_clean"] == want_texts[i], i
+
+    # the quoting docs SURVIVED with the span excised
+    quoting = [i for i in range(30) if i % 6 == 2]
+    for i in quoting:
+        assert i in got
+        assert "alpha beta gamma" not in got[i]["text_clean"]
+        assert got[i]["n_tokens_removed"] >= 7
+    # the mostly-benchmark page died on the post-surgery floor
+    assert 100 not in got
+    # untouched docs: audit columns present and consistent
+    clean_ids = [i for i in range(30) if i % 6 != 2]
+    for i in clean_ids:
+        assert got[i]["n_tokens_removed"] == 0
+        assert got[i]["n_tokens_kept"] == len(got[i]["text_clean"].split())
+    # zero residual on the whole surviving stream
+    out = spark.sql("SELECT doc_id, text_clean FROM surgical_ingest")
+    residue = decontaminate_stateless(
+        out, grams, text_col="text_clean", ngram=5,
+        keep_payload=True, text_is_extracted=True,
+    )
+    assert residue.filter("contaminated").count() == 0
 
 
 def test_streaming_quality_classifier_gate(spark, tmp_path):
