@@ -240,6 +240,55 @@ r8 code (3794c6f) vs r9 code, interleaved on one uncontended box,
   (A bench run chained after a 17-minute pytest on the same box
   read 82 s — contended totals are not comparable, per the
   methodology note above.)
+
+Round-10 workload changes (registry restructure, VERDICT r9 item 1):
+
+- `embedding_topk` + `pq_topk` merged into ONE `ann_topk` row (same
+  subplans, common `score` column); its four `subs` (brute/ivf/pq/
+  ivfpq) correspond to the old rows' subs — compare those, not the
+  union total, across the merge.
+- NEW `weighted_mixture` row: epoch fan-out (explode(sequence)) +
+  md5-uniform fractional draw over three doc_id%3 sources at 2x the
+  corpus — a union of filtered scans, zero shuffle; the row also
+  pays one 3-row count aggregate for source sizes (the
+  catalog-manifest stand-in).
+- NEW Arrow-kernel subs (VERDICT r9 item 4) timed as standalone
+  builds on the registry rows' own inputs, NOT tag filters:
+  `decontaminate.stateless` (one-kernel flag path, includes the
+  benchmark-gram collect), `decontaminate.surgical`
+  (remove_contaminated_spans over the train slice, same gram
+  collect), `minhash_pairs.arrow_sig` (minhash_signature_arrow at
+  16 hashes/3-shingle). These track the chain kernels' perf
+  round-to-round; their JVM twins remain the oracle shapes.
+
+Round-10 paired measurement (VERDICT r9 item 8, same protocol) —
+r9 code (8a2c3b8, git worktree) vs r10 code, interleaved on one
+uncontended box, 2 runs each, min-of-2 per query:
+
+- comparable set (50 shared queries): r9 63.77 s -> r10 62.80 s
+  (-1.5%) — dead even inside the ±7-9% band; NO regressions. Largest
+  per-query deltas are all on untouched code and within/just past
+  the band on sub-second rows (wind_cosine_fit +15.5%,
+  humidity_mhpm +14.8%, temp_sine_sunloc -18.6%) — the documented
+  stall tail, proportionally larger on small rows.
+- VERDICT r9 item 5 CLOSED: the `decontaminate.bloom` sub reads
+  4.37 s (r9 code) / 4.21 s (r10 code) in this paired run vs the
+  one-off 5.72 s in BENCH_r09 — the +32% reading was the stall
+  tail, not a bloom-path regression (r8's 4.32 s is the anchor;
+  both codes now agree with it, and the sub again sits below the
+  row total).
+- merge arithmetic: ann_topk union total 1.18 s vs the two former
+  rows' 0.52 + 0.79 = 1.31 s — the shared embeddings scan makes the
+  union marginally cheaper; its brute/ivf subs read higher than the
+  old standalone rows' subs (1.01/0.99 vs 0.76/0.75) but the
+  sub-plan is verified identical (the method filter constant-folds
+  the other three branches away: no Union/MapInPandas in the brute
+  sub plan) — sub-second stall-tail noise, compare round-to-round
+  from here.
+- new-row costs: weighted_mixture 0.37-0.39 s (incl. its 3-row size
+  aggregate); Arrow-kernel subs: stateless 1.12 s vs exact 1.84 s
+  (the flag-path win), surgical 0.77 s over the whole train slice,
+  arrow_sig 0.69 s.
 """
 
 

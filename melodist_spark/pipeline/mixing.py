@@ -70,6 +70,25 @@ def weighted_mixture(
     upstream). Deterministic in (seed, source, id): immune to
     partitioning, cluster size, and row order, and re-runnable —
     the properties a reproducible training run needs.
+
+    TOKEN-WEIGHTED mixtures (how the published tables are actually
+    specified — Pile table 1 / Llama weigh sources by tokens, not
+    documents): pass ``sizes`` as per-source TOKEN totals and
+    ``n_total`` as the token budget. The arithmetic is unit-agnostic
+    — ``floor(target / S_s)`` full epochs repeat every document
+    (exactly ``S_s`` tokens each), and the fractional draw keeps each
+    doc with probability ``frac`` independently of its length, so the
+    partial epoch contributes ``frac * S_s`` tokens in expectation
+    with relative error O(1/sqrt(docs drawn)) (token counts and the
+    md5 draw are independent). The docs-weighted form is the
+    ``sizes = |s|`` special case. Pinned by
+    ``test_weighted_mixture_token_budget``.
+
+    The epochs of the source's IEEE floor(target/size) are computed
+    with :func:`math.floor` of the double quotient — the definition
+    every SQL engine's ``floor(a/b)`` computes — so the draw replays
+    identically on any engine (the ``weighted_mixture`` registry
+    row's DuckDB twin hash-checks every (doc_id, source, epoch) row).
     """
     if set(sources) != set(weights):
         raise ValueError("sources and weights must have the same keys")

@@ -2346,3 +2346,61 @@ def test_weighted_mixture_validation(spark):
         weighted_mixture({"a": df}, {"a": -1.0}, 10)
     with pytest.raises(ValueError, match="positive"):
         weighted_mixture({"a": df}, {"a": 0.0}, 10)
+
+
+def test_weighted_mixture_token_budget(spark):
+    """Round 10: TOKEN-weighted mixture (how Pile/Llama tables are
+    specified) — pass per-source TOKEN totals as ``sizes`` and a
+    token budget as ``n_total``; the unit-agnostic arithmetic gives
+    exact full-epoch token counts and an expectation-tight partial
+    epoch even when per-doc lengths vary wildly."""
+    import math
+
+    from melodist_spark.pipeline.mixing import weighted_mixture
+
+    rng_mod = 37
+    def src(name, n, base):
+        # doc i carries (base + i % rng_mod) tokens — lengths vary 1x-4x
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            (F.lit(base) + F.col("id") % rng_mod).alias("n_tokens"),
+        )
+
+    n_web, n_books = 2000, 300
+    web = src("web", n_web, 20)
+    books = src("books", n_books, 60)
+    tok = {
+        "web": sum(20 + i % rng_mod for i in range(n_web)),
+        "books": sum(60 + i % rng_mod for i in range(n_books)),
+    }
+    budget = int(1.2 * tok["web"])  # books' share forces >1 epoch
+    weights = {"web": 0.6, "books": 0.4}
+    mix = weighted_mixture(
+        {"web": web, "books": books},
+        weights,
+        n_total=budget,
+        sizes=tok,
+        seed=3,
+    )
+    got = {
+        r["source"]: r
+        for r in mix.groupBy("source")
+        .agg(F.sum("n_tokens").alias("t"), F.max("epoch").alias("max_ep"))
+        .collect()
+    }
+    for name in weights:
+        target = weights[name] * budget
+        S = tok[name]
+        full = math.floor(target / S)
+        frac = (target - full * S) / S
+        # full epochs contribute exactly full * S tokens; the partial
+        # epoch is a per-doc Bernoulli(frac) sum of token counts —
+        # bound by 5 sigma of the token-weighted draw
+        n_docs = n_web if name == "web" else n_books
+        mean_sq = (S / n_docs) ** 2 * 1.4  # loose second-moment bound
+        sigma = math.sqrt(n_docs * frac * (1 - frac) * mean_sq)
+        assert abs(got[name]["t"] - target) <= 5 * sigma + 1, (
+            name, got[name]["t"], target)
+        assert got[name]["max_ep"] == full  # partial epoch drawn
+    # books really did exceed one full epoch under its token share
+    assert got["books"]["max_ep"] >= 1
