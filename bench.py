@@ -289,6 +289,12 @@ uncontended box, 2 runs each, min-of-2 per query:
   aggregate); Arrow-kernel subs: stateless 1.12 s vs exact 1.84 s
   (the flag-path win), surgical 0.77 s over the whole train slice,
   arrow_sig 0.69 s.
+- AFTER the paired run, the bloom path was restructured (single-pass
+  broadcast form, bit-identical rows — see pipeline/bloom.py): the
+  `decontaminate` row re-measured 4.26 -> 2.75 s with bloom sub
+  4.21 -> 2.31 s on the same box. Round-11 readers: compare the r10
+  BENCH json's decontaminate row against ~2.7 s, not the paired
+  table's 4.26 s.
 """
 
 
