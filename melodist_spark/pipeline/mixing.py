@@ -139,18 +139,57 @@ def weighted_mixture(
     return out
 
 
-def mixture_audit(mixture: DataFrame) -> DataFrame:
+def mixture_audit(
+    mixture: DataFrame, weights: dict[str, float] | None = None
+) -> DataFrame:
     """Achieved per-source composition of a :func:`weighted_mixture`
-    output: rows ``(source, n_docs, n_epochs, fraction)`` — compare
-    against the requested weights (one tiny aggregate; the only
-    shuffle in the module, over |sources| groups)."""
+    output: rows ``(source, n_docs, n_epochs, fraction)`` (one tiny
+    aggregate; the only shuffle in the module, over |sources|
+    groups).
+
+    Pass the SAME ``weights`` given to :func:`weighted_mixture` to
+    get the comparison columns the audit exists for:
+    ``target_fraction`` (the normalized requested share) and
+    ``rel_error`` (``fraction / target_fraction - 1``) — at corpus
+    sizes the binomial partial-epoch draw concentrates |rel_error|
+    to O(1/sqrt(n)), so anything beyond a fraction of a percent
+    means the weights, sizes, or n_total were mis-specified, not
+    draw noise. A source requested but ABSENT from the mixture
+    (empty input, or weight so small nothing drew) still gets a row
+    with ``n_docs = 0``.
+    """
     agg = mixture.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         (F.max("epoch") + 1).alias("n_epochs"),
     )
     from pyspark.sql.window import Window
 
-    return agg.withColumn(
+    out = agg.withColumn(
         "fraction",
         F.col("n_docs") / F.sum("n_docs").over(Window.partitionBy()),
+    )
+    if weights is None:
+        return out
+    wsum = float(sum(weights.values()))
+    if not weights or wsum <= 0:
+        raise ValueError("weights must be non-empty with a positive sum")
+    spark = mixture.sparkSession
+    wdf = spark.createDataFrame(
+        [(name, w / wsum) for name, w in weights.items()],
+        "source string, target_fraction double",
+    )
+    return (
+        wdf.join(out, "source", "left")
+        .select(
+            "source",
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+            F.coalesce("n_epochs", F.lit(0)).alias("n_epochs"),
+            F.coalesce("fraction", F.lit(0.0)).alias("fraction"),
+            "target_fraction",
+            F.when(
+                F.col("target_fraction") > 0,
+                F.coalesce("fraction", F.lit(0.0)) / F.col("target_fraction")
+                - 1.0,
+            ).alias("rel_error"),  # null for a zero-weight source
+        )
     )

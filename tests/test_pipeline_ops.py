@@ -2348,6 +2348,53 @@ def test_weighted_mixture_validation(spark):
         weighted_mixture({"a": df}, {"a": 0.0}, 10)
 
 
+def test_mixture_audit_target_comparison(spark):
+    """Round 10: mixture_audit(weights=...) adds target_fraction +
+    rel_error — tight on a well-specified mixture, a loud full-row
+    signal (n_docs=0, rel_error=-1) for a requested source that
+    contributed nothing, and null rel_error for a zero-weight
+    source."""
+    from melodist_spark.pipeline.mixing import mixture_audit, weighted_mixture
+
+    def src(name, n):
+        return spark.range(n).select(F.col("id").alias("doc_id"))
+
+    sources = {"a": src("a", 900), "b": src("b", 300)}
+    weights = {"a": 0.75, "b": 0.25}
+    mix = weighted_mixture(sources, weights, n_total=1200, seed=5)
+    audit = {r["source"]: r for r in mixture_audit(mix, weights).collect()}
+    for name in weights:
+        assert abs(audit[name]["rel_error"]) < 0.05, audit[name]
+        assert abs(
+            audit[name]["target_fraction"] - weights[name]
+        ) < 1e-12
+    # un-normalized weights normalize identically
+    audit2 = {
+        r["source"]: r
+        for r in mixture_audit(mix, {"a": 3.0, "b": 1.0}).collect()
+    }
+    assert abs(audit2["a"]["target_fraction"] - 0.75) < 1e-12
+
+    # a requested source that contributed nothing is a LOUD row
+    ghost = {
+        r["source"]: r
+        for r in mixture_audit(mix, {"a": 0.75, "b": 0.25, "c": 0.5}).collect()
+    }
+    assert ghost["c"]["n_docs"] == 0 and ghost["c"]["fraction"] == 0.0
+    assert abs(ghost["c"]["rel_error"] - (-1.0)) < 1e-12
+    # zero-weight source: rel_error is null, not a division blow-up
+    z = {
+        r["source"]: r
+        for r in mixture_audit(mix, {"a": 1.0, "b": 0.0}).collect()
+    }
+    assert z["b"]["rel_error"] is None
+
+    import pytest
+
+    with pytest.raises(ValueError, match="positive"):
+        mixture_audit(mix, {"a": 0.0})
+
+
 def test_weighted_mixture_token_budget(spark):
     """Round 10: TOKEN-weighted mixture (how Pile/Llama tables are
     specified) — pass per-source TOKEN totals as ``sizes`` and a
