@@ -1519,6 +1519,68 @@ def test_repeated_spans_finds_planted_passages(spark):
         assert int(d.n_positions.iloc[0]) == 5
 
 
+def test_repeated_spans_matches_bruteforce_reference(spark):
+    """Round 10: second-implementation differential for the
+    cross-document ExactSubstr operator — a dense-collision corpus
+    (6-token vocabulary, 3-token spans, repeats everywhere) where the
+    distributed gram-count + semi-join + window-merge pipeline must
+    reproduce a brute-force Python reference span-for-span, including
+    multi-span documents and within-document repeats (a gram
+    occurring twice in ONE doc counts as 2 occurrences)."""
+    import random
+
+    from melodist_spark.pipeline.dedup import repeated_spans
+
+    r = random.Random(13)
+    vocab = ["a", "b", "c", "d", "e", "f"]
+    span, min_occ = 3, 2
+    rows = [
+        (i, " ".join(r.choice(vocab) for _ in range(r.randint(0, 15))))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r2["doc_id"], r2["span_begin"], r2["span_end"], r2["n_positions"])
+        for r2 in repeated_spans(
+            df, span_tokens=span, min_occurrences=min_occ
+        ).collect()
+    }
+
+    # brute force: corpus-wide gram counts, then per-doc interval merge
+    toks = {i: t.split() for i, t in rows}
+    counts: dict[tuple, int] = {}
+    for ts in toks.values():
+        for p in range(len(ts) - span + 1):
+            g = tuple(ts[p : p + span])
+            counts[g] = counts.get(g, 0) + 1
+    want = set()
+    for i, ts in toks.items():
+        hits = [
+            p
+            for p in range(len(ts) - span + 1)
+            if counts[tuple(ts[p : p + span])] >= min_occ
+        ]
+        if not hits:
+            continue
+        # the operator's merge rule: a hit joins the open span when it
+        # starts within span_tokens of the PREVIOUS hit — overlapping
+        # OR exactly abutting duplicated grams are one passage
+        cur, last = [hits[0], hits[0] + span, 1], hits[0]
+        for p in hits[1:]:
+            if p - last <= span:
+                cur[1] = p + span
+                cur[2] += 1
+            else:
+                want.add((i, cur[0], cur[1], cur[2]))
+                cur = [p, p + span, 1]
+            last = p
+        want.add((i, cur[0], cur[1], cur[2]))
+    assert got == want
+    # non-vacuity: the dense corpus produced real multi-span structure
+    assert len(want) > 50
+    assert any(n > 1 for (_, _, _, n) in want)
+
+
 def test_tfidf_top_terms_ranks_distinctive_words(spark):
     from melodist_spark.pipeline.text import tfidf_top_terms
 
