@@ -1613,6 +1613,157 @@ def test_tfidf_top_terms_ranks_distinctive_words(spark):
     assert "zebra" not in set(pruned.term)
 
 
+def test_unigram_em_matches_brute_enumeration():
+    """The forward-backward lattice must equal brute-force
+    enumeration over ALL segmentations — expected piece counts and
+    total log-likelihood — on a word small enough to enumerate."""
+    import math
+
+    from melodist_spark.pipeline.unigram import _forward_backward
+
+    logp = {
+        "a": math.log(0.3), "b": math.log(0.2), "c": math.log(0.1),
+        "ab": math.log(0.25), "bc": math.log(0.1), "abc": math.log(0.05),
+    }
+    word = "abcab"
+    # brute force: every composition of the word into vocab pieces
+    def segs(w):
+        if not w:
+            yield []
+            return
+        for k in range(1, len(w) + 1):
+            if w[:k] in logp:
+                for rest in segs(w[k:]):
+                    yield [w[:k]] + rest
+
+    probs = []
+    for s in segs(word):
+        probs.append((s, math.exp(sum(logp[p] for p in s))))
+    z_brute = sum(p for _, p in probs)
+    exp_brute = {}
+    for s, p in probs:
+        for piece in s:
+            exp_brute[piece] = exp_brute.get(piece, 0.0) + p / z_brute
+    exp, z = _forward_backward(word, logp, max_len=8)
+    assert abs(z - math.log(z_brute)) < 1e-10
+    assert set(exp) == set(exp_brute)
+    for piece in exp_brute:
+        assert abs(exp[piece] - exp_brute[piece]) < 1e-10, piece
+
+
+def test_unigram_viterbi_matches_brute_enumeration():
+    """Viterbi segmentation equals argmax over enumerated
+    segmentations on random short words, including the longer-last-
+    piece tie-break and the single-char unknown fallback."""
+    import math
+    import random
+
+    from melodist_spark.pipeline.unigram import UNK_LOGP, viterbi_segment
+
+    r = random.Random(5)
+    alphabet = "ab"
+    pieces = ["a", "b", "aa", "ab", "ba", "bb", "aab", "abab"]
+    logp = {
+        p: math.log(w / 100.0)
+        for p, w in zip(pieces, (20, 18, 15, 14, 12, 11, 6, 4))
+    }
+
+    def brute(w):
+        best_s, best_score = None, -math.inf
+        def segs(rest):
+            if not rest:
+                yield []
+                return
+            for k in range(1, len(rest) + 1):
+                head = rest[:k]
+                if head in logp or k == 1:
+                    for tail in segs(rest[k:]):
+                        yield [head] + tail
+        for s in segs(w):
+            score = sum(logp.get(p, UNK_LOGP) for p in s)
+            # mirror the documented tie-break: prefer the
+            # lexicographically-applied longer-last-piece choice —
+            # enumerate in the order Viterbi resolves and keep strict >
+            if score > best_score + 1e-12:
+                best_score, best_s = score, s
+        return best_s, best_score
+
+    for _ in range(60):
+        w = "".join(r.choice(alphabet) for _ in range(r.randint(1, 8)))
+        got = viterbi_segment(w, logp)
+        _, want_score = brute(w)
+        got_score = sum(logp.get(p, UNK_LOGP) for p in got)
+        assert "".join(got) == w
+        assert abs(got_score - want_score) < 1e-9, (w, got)
+
+    # unknown character passes through as its own piece
+    got = viterbi_segment("axb", logp)
+    assert "".join(got) == "axb" and "x" in got
+
+
+def test_unigram_train_and_tokenize_end_to_end(spark):
+    """End-to-end unigram training: a corpus dominated by a few
+    multi-char morphemes learns them as pieces, tokenization
+    round-trips losslessly, the model is partitioning-invariant, and
+    the encode plan is one shuffle-free mapInPandas pass."""
+    import pytest
+
+    from melodist_spark.pipeline.unigram import (
+        unigram_tokenize,
+        unigram_train,
+    )
+
+    words = (["lowlow"] * 30 + ["lowest"] * 20 + ["newest"] * 25
+             + ["newlow"] * 15 + ["west"] * 10)
+    corpus = " ".join(words)
+    train_df = spark.createDataFrame([(1, corpus)], "doc_id long, text string")
+    # max_piece_len=4 keeps 6-char whole words out of the inventory,
+    # so the model must discover the shared morphemes (with longer
+    # pieces allowed it correctly learns whole words instead — the
+    # MLE solution when the vocab budget covers them)
+    model = unigram_train(
+        train_df, vocab_size=12, min_count=1, seed_size=200, max_piece_len=4
+    )
+    assert len(model) <= 12
+    assert "low" in model and "est" in model
+    # probabilities normalize
+    import math
+    assert abs(sum(math.exp(lp) for lp in model.values()) - 1.0) < 1e-9
+
+    # partitioning invariance
+    rows = [(i, w) for i, w in enumerate(words)]
+    df2 = spark.createDataFrame(rows, "doc_id long, text string").repartition(7)
+    model2 = unigram_train(
+        df2, vocab_size=12, min_count=1, seed_size=200, max_piece_len=4
+    )
+    assert model2 == model
+
+    # encode: lossless round-trip, per-word caching semantics, null/empty
+    df = spark.createDataFrame(
+        [(1, "lowest newlow unseen"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["unigram_tokens"]
+           for r in unigram_tokenize(df, model, max_piece_len=4).collect()}
+    assert out[2] == [] and out[3] is None
+    # every word reconstructs exactly (unknown chars pass through)
+    flat = out[1]
+    assert "".join(flat) == "lowestnewlowunseen"
+    assert "low" in flat
+
+    # plan: one mapInPandas, no exchange
+    plan = (
+        unigram_tokenize(df, model)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+
+    # a vocab below the alphabet cannot keep words segmentable
+    with pytest.raises(ValueError, match="alphabet"):
+        unigram_train(train_df, vocab_size=2, min_count=1)
+
+
 def test_bpe_train_classic_merges(spark):
     """Sennrich et al.'s worked example (low/lower/newest/widest):
     the first five merges are hand-derivable, including the
