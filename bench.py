@@ -84,6 +84,7 @@ HEADLINE = [
     "ann_topk",  # merged brute + ivf + pq + ivfpq ANN branches (round 10)
     "embedding_neardup",
     "bpe_tokenize",  # BPE train (driver merge loop) + broadcast encode
+    "unigram_tokenize",  # Unigram-LM train (driver EM) + Viterbi encode
     "quality_classifier",  # codegen scoring with pinned IRLS weights
     "multimodal_hist",
 ]
