@@ -553,7 +553,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     weighted_mixture — previously the only operator with no oracle
     row — and unigram_tokenize joined bpe_tokenize in the
     pytest-pinned tail (position 53; iterative EM, no SQL oracle
-    possible). Round-6 restructure (VERDICT item 1): pq_topk
+    possible). Second round-10 merge: temp_sine_sunloc became the
+    method='sunloc' branch of temp_sine_variants (same schema, all
+    three variants hash-checked in the union), freeing the slot that
+    registered benchmark_leakage — the per-eval-item clean/dirty
+    audit complementing decontaminate. Round-6 restructure (VERDICT item 1): pq_topk
     and quality_classifier became apply-only rows scoring with PINNED
     model literals (pipeline/pinned.py) — given a fixed model, ADC
     scan / IVF probe / logistic scoring are pure functions of the
@@ -596,7 +600,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # temperature family
         "temp_sine_disagg": q_temp_sine_disagg,
-        "temp_sine_sunloc": q_temp_sine_sunloc,
+        # round 10: temp_sine_sunloc merged into temp_sine_variants
+        # (method='sunloc') to free a checked-window slot for
+        # benchmark_leakage; all three sine variants stay hash-checked
+        # inside the union
         "temp_sine_sunshift": q_temp_sine_sunshift,
         "temp_sine_variants": q_temp_sine_variants,
         "temp_course_variants": q_temp_course_variants,
@@ -653,6 +660,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # floor epochs), so every (doc_id, source, epoch) row is
         # hash-checked against the DuckDB replay
         "weighted_mixture": q_weighted_mixture,
+        # round 10: the per-benchmark-item leakage audit (complement
+        # of decontaminate), on the slot freed by the sunloc merge
+        "benchmark_leakage": q_benchmark_leakage,
         "doc_sample": q_doc_sample,
         "vocab_topk": q_vocab_topk,
         "text_features": q_text_features,
@@ -860,6 +870,53 @@ _WEIGHTED_MIXTURE_SQL = """
            unnest(generate_series(CAST(0 AS BIGINT), last_ep)) AS epoch
     FROM drawn
     WHERE last_ep >= 0
+"""
+
+
+#: DuckDB twin of q_benchmark_leakage — the same distinct-5-gram
+#: md5-prefix hashes as the decontaminate oracle, aggregated per
+#: BENCHMARK document over the hit join, with zero-hit benchmark rows
+#: restored by the per-bench gram-count left join.
+_BENCHMARK_LEAKAGE_SQL = r"""
+    WITH lists AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+      FROM documents
+    ),
+    grams0 AS (
+      SELECT DISTINCT doc_id,
+             l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' '
+                  || l[i+3] || ' ' || l[i+4] AS w
+      FROM lists, unnest(generate_series(1, len(l) - 4)) AS t(i)
+    ),
+    grams AS (
+      SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS g
+      FROM grams0
+    ),
+    bench AS (
+      SELECT doc_id AS bench_doc_id, g FROM grams WHERE doc_id % 41 = 0
+    ),
+    train AS (SELECT doc_id, g FROM grams WHERE doc_id % 41 <> 0),
+    per_bench AS (
+      SELECT bench_doc_id, CAST(count(*) AS BIGINT) AS n_grams
+      FROM bench GROUP BY 1
+    ),
+    hits AS (
+      SELECT b.bench_doc_id, t.g, t.doc_id
+      FROM train t JOIN bench b USING (g)
+    ),
+    agg AS (
+      SELECT bench_doc_id,
+             CAST(count(DISTINCT g) AS BIGINT) AS n_grams_leaked,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_train_docs
+      FROM hits GROUP BY 1
+    )
+    SELECT p.bench_doc_id, p.n_grams,
+           coalesce(a.n_grams_leaked, 0) AS n_grams_leaked,
+           coalesce(a.n_train_docs, 0) AS n_train_docs,
+           round(coalesce(a.n_grams_leaked, 0) * 1.0 / p.n_grams, 6)
+             AS leak_frac,
+           coalesce(a.n_grams_leaked, 0) = 0 AS clean
+    FROM per_bench p LEFT JOIN agg a USING (bench_doc_id)
 """
 
 
@@ -3609,6 +3666,16 @@ LEFT JOIN covlen cv ON b.doc_id = cv.doc_id
         FROM ({sqls.pop("pq_topk")})
     """
     sqls["weighted_mixture"] = _WEIGHTED_MIXTURE_SQL
+    # round 10: temp_sine_sunloc merged into temp_sine_variants as
+    # method='sunloc' — the twin is the union of the two original
+    # oracles, so all three sine variants stay hash-checked
+    sqls["temp_sine_variants"] = f"""
+        SELECT * FROM ({sqls["temp_sine_variants"]})
+        UNION ALL
+        SELECT user_id, ts, 'sunloc' AS method, temp_h
+        FROM ({sqls.pop("temp_sine_sunloc")})
+    """
+    sqls["benchmark_leakage"] = _BENCHMARK_LEAKAGE_SQL
     return sqls
 
 
@@ -4713,9 +4780,14 @@ def q_multimodal_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_temp_sine_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """sine_mean (`temperature.py:172-176`) and sine_min_max with
-    mod_nighttime (`temperature.py:145-167`) in one result, tagged by
-    method — a narrow union, no join between the hourly branches."""
+    """sine_mean (`temperature.py:172-176`), sine_min_max with
+    mod_nighttime (`temperature.py:145-167`), and — round 10 —
+    sine_min_max with sun-geometry timing (`temperature.py:92-99` +
+    `util/util.py:160-246`, the former temp_sine_sunloc row, merged
+    to free a checked-window slot for benchmark_leakage) in one
+    result, tagged by method — a narrow union, no join between the
+    hourly branches; all three stay hash-checked inside the union
+    and sub-timed by bench.py."""
     from melodist_spark.operators.temperature import disaggregate_temperature
 
     daily = _met_daily(spark, sf_dir)
@@ -4735,7 +4807,10 @@ def q_temp_sine_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", F.lit("night").alias("method"),
         F.round("temp", 6).alias("temp_h"),
     )
-    return mean.unionByName(night)
+    sunloc = q_temp_sine_sunloc(spark, sf_dir).select(
+        "user_id", "ts", F.lit("sunloc").alias("method"), "temp_h"
+    )
+    return mean.unionByName(night).unionByName(sunloc)
 
 
 def q_window_primitives(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5288,6 +5363,35 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 text_is_extracted=True,
             ),
         )
+    )
+
+
+def q_benchmark_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-benchmark-item leakage audit (round 10 — the complement of
+    q_decontaminate, on the same deterministic doc_id%41 split): for
+    each benchmark document, how many of its distinct 5-grams appear
+    in the training corpus, how many training docs share at least one
+    gram, and the resulting clean/dirty flag — the split GPT-3
+    appendix C reports eval results on. The benchmark gram table
+    broadcasts into ONE corpus gram scan; the aggregation runs over
+    the hit trickle keyed by bench doc."""
+    from melodist_spark.pipeline.decontamination import (
+        benchmark_leakage_report,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 41 == 0)
+    train = docs.filter(F.col("doc_id") % 41 != 0)
+    out = benchmark_leakage_report(
+        train, bench, ngram=5, text_is_extracted=True
+    )
+    return out.select(
+        "bench_doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_grams_leaked").cast("long").alias("n_grams_leaked"),
+        F.col("n_train_docs").cast("long").alias("n_train_docs"),
+        F.round("leak_frac", 6).alias("leak_frac"),
+        "clean",
     )
 
 

@@ -31,8 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     # meteorology chains
     "temp_sine_disagg",
-    "temp_sine_sunloc",
-    "temp_sine_variants",
+    "temp_sine_variants",  # round 10: + the former temp_sine_sunloc branch
     "temp_course_variants",  # merged temp_course_mean + mean_course_temp
     "humidity_lindew",
     "humidity_dewpoint",
@@ -78,6 +77,7 @@ HEADLINE = [
     "doc_perplexity",
     "pack_sequences",
     "decontaminate",
+    "benchmark_leakage",  # per-eval-item clean/dirty audit (round 10)
     "weighted_mixture",  # epoch fan-out + md5-uniform fractional draw
     "doc_sample",
     "vocab_topk",
@@ -101,7 +101,7 @@ SUBQUERIES: dict[str, tuple[str, list[str]]] = {
     "minhash_pairs": ("kind", ["pair", "incr_survivor"]),
     "humidity_variants": ("variant", ["minimal", "min_max"]),
     "wind_variants": ("method", ["equal", "cosine"]),
-    "temp_sine_variants": ("method", ["mean", "night"]),
+    "temp_sine_variants": ("method", ["mean", "night", "sunloc"]),
     "temp_course_variants": ("variant", ["min_max", "mean"]),
     "radiation_proxy_variants": ("method", ["ssd", "bc"]),
     "robots_eval": ("agent", ["melobot", "othercrawler"]),

@@ -30,6 +30,7 @@ from .dedup import _shingles
 __all__ = [
     "ngram_hashes",
     "decontaminate",
+    "benchmark_leakage_report",
     "benchmark_gram_array",
     "decontaminate_stateless",
     "remove_contaminated_spans",
@@ -179,6 +180,73 @@ def decontaminate(
         "n_hits",
         (F.col("n_hits") / F.col("n_ngrams")).alias("overlap"),
         (F.col("n_hits") >= F.lit(threshold)).alias("contaminated"),
+    )
+
+
+def benchmark_leakage_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 5,
+    broadcast_benchmark: bool = True,
+    text_is_extracted: bool = False,
+) -> DataFrame:
+    """The complement of :func:`decontaminate`: a per-BENCHMARK-item
+    leakage audit. GPT-3 appendix C publishes exactly this — for each
+    eval item, how much of it leaked into training, so results can be
+    reported on the clean/dirty split — while :func:`decontaminate`
+    answers the training-side question (which corpus docs to drop).
+
+    Returns one row per benchmark document:
+
+    - ``bench_doc_id``   — the benchmark document's ``id_col``
+    - ``n_grams``        — its distinct ``ngram``-grams
+    - ``n_grams_leaked`` — how many of them appear in ≥1 training doc
+    - ``n_train_docs``   — distinct training docs sharing ≥1 gram
+    - ``leak_frac``      — ``n_grams_leaked / n_grams``
+    - ``clean``          — ``n_grams_leaked == 0`` (the published
+      clean/dirty eval split)
+
+    Benchmark docs with fewer than ``ngram`` tokens carry no signal
+    and are dropped (mirroring :func:`decontaminate`'s corpus-side
+    rule).
+
+    Scale shape: the benchmark's (bench_doc_id, gram) table is tiny
+    (eval suites are MBs) and broadcasts INTO the single corpus gram
+    scan; the aggregation runs over the hit trickle keyed by bench
+    doc — corpus-side cost identical to one :func:`decontaminate`
+    pass, plus a parameter-sized left join to restore zero-hit
+    (clean) benchmark rows. ``countDistinct`` is exact because its
+    input is the trickle, never the corpus stream.
+    """
+    _check_ordering_contract(ngram, text_is_extracted)
+    bgrams = ngram_hashes(benchmark, text_col, id_col, ngram).select(
+        F.col(id_col).alias("bench_doc_id"), "__g"
+    )
+    per_bench = bgrams.groupBy("bench_doc_id").agg(
+        F.count("*").alias("n_grams")
+    )
+    if broadcast_benchmark:
+        bgrams = F.broadcast(bgrams)
+    tgrams = ngram_hashes(docs, text_col, id_col, ngram)
+    hits = tgrams.join(bgrams, "__g")  # (train id, bench_doc_id, gram)
+    agg = hits.groupBy("bench_doc_id").agg(
+        F.countDistinct("__g").alias("n_grams_leaked"),
+        F.countDistinct(id_col).alias("n_train_docs"),
+    )
+    return (
+        per_bench.join(F.broadcast(agg), "bench_doc_id", "left")
+        .select(
+            "bench_doc_id",
+            "n_grams",
+            F.coalesce("n_grams_leaked", F.lit(0)).alias("n_grams_leaked"),
+            F.coalesce("n_train_docs", F.lit(0)).alias("n_train_docs"),
+            (
+                F.coalesce("n_grams_leaked", F.lit(0)) / F.col("n_grams")
+            ).alias("leak_frac"),
+            (F.coalesce("n_grams_leaked", F.lit(0)) == 0).alias("clean"),
+        )
     )
 
 

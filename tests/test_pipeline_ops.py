@@ -1067,6 +1067,64 @@ def test_remove_contaminated_spans_audit_and_contract(spark):
         )
 
 
+def test_benchmark_leakage_report_hand_computed(spark):
+    """Round 10: the per-benchmark-item audit (complement of
+    decontaminate) on a hand-computable corpus — exact gram counts,
+    distinct-doc counts, the clean/dirty split, zero-hit rows
+    restored, and a benchmark doc below the gram length dropped."""
+    from melodist_spark.pipeline.decontamination import (
+        benchmark_leakage_report,
+    )
+
+    planted = "alpha beta gamma delta epsilon"  # 5 tokens = one 5-gram
+    half = "alpha beta gamma delta other"       # shares no full 5-gram
+    train = spark.createDataFrame(
+        [
+            (1, f"x1 x2 {planted} y1 y2"),   # hits bench 100's gram
+            (2, planted),                     # hits it too
+            (3, f"{half} z1 z2"),             # no full bench gram
+            (4, "u1 u2 u3 u4 u5 u6"),         # clean
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [
+            (100, f"{planted} tail1 tail2"),  # 3 distinct 5-grams, 1 leaked
+            (101, "c1 c2 c3 c4 c5 c6"),       # 2 grams, clean
+            (102, "too short"),               # < 5 tokens: dropped
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["bench_doc_id"]: r
+        for r in benchmark_leakage_report(
+            train, bench, ngram=5, text_is_extracted=True
+        ).collect()
+    }
+    assert set(out) == {100, 101}
+    r100 = out[100]
+    assert r100["n_grams"] == 3
+    assert r100["n_grams_leaked"] == 1      # only the planted gram
+    assert r100["n_train_docs"] == 2        # docs 1 and 2
+    assert abs(r100["leak_frac"] - 1 / 3) < 1e-12
+    assert not r100["clean"]
+    r101 = out[101]
+    assert r101["n_grams"] == 2 and r101["n_grams_leaked"] == 0
+    assert r101["n_train_docs"] == 0 and r101["clean"]
+
+    # scale contract: the corpus side never shuffles on the gram key —
+    # the bench gram table rides a broadcast join; the only exchanges
+    # key the parameter-sized per-bench aggregates
+    plan = (
+        benchmark_leakage_report(train, bench, ngram=5, text_is_extracted=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_decontaminate_benchmark_broadcast_plan(spark):
     """The corpus side must not shuffle: the benchmark gram set rides
     a BroadcastHashJoin (explicitly hinted — it has no stats)."""

@@ -83,7 +83,7 @@ def main():
         (
             # sun-timed sine: station metadata joins must broadcast and
             # the plan must stay free of cross products
-            "temp_sine_sunloc",
+            "temp_sine_variants",
             [r"BroadcastHashJoin"],
             [r"CartesianProduct", r"BroadcastNestedLoopJoin", r"SortMergeJoin"],
         ),
