@@ -467,3 +467,27 @@ def test_plan_contract_gopher_repetition_pure_map(spark):
         r"CartesianProduct",
     ):
         assert not re.search(pat, plan), f"found forbidden /{pat}/"
+
+
+def test_global_registry_plan_invariants(spark, qs):
+    """Round 10: the two engine-wide plan invariants, enforced across
+    EVERY registry query (not just the pointed per-query contracts
+    above, so future registry additions inherit them automatically):
+
+    - NO row-at-a-time Python anywhere (BatchEvalPython) — every
+      Python kernel in this engine is Arrow-batched (pandas_udf /
+      applyInPandas / mapInPandas), the 10-100x rule;
+    - NO CartesianProduct anywhere — every join is keyed or an
+      intended parameter-sized broadcast nested loop.
+
+    Builds (not executes) all 53 plans at sf0.001; driver-action-
+    paced rows (SMET fleet write, CC rounds, tokenizer training)
+    do their driver work once here, which is what keeps this sweep
+    seconds-scale."""
+    violations = []
+    for name, fn in qs.items():
+        plan = _plan(fn(spark, SF_DIR))
+        for pat in ("BatchEvalPython", "CartesianProduct"):
+            if pat in plan:
+                violations.append((name, pat))
+    assert not violations, violations
