@@ -634,3 +634,22 @@ def test_minhash_arrow_matches_expression_form(spark, seed):
         ).collect()
     }
     assert a == b
+
+
+@settings(max_examples=200, deadline=None, derandomize=True)
+@given(word=st.text(min_size=1, max_size=24))
+def test_unigram_viterbi_totality_and_roundtrip(word):
+    """The Viterbi encoder is total over arbitrary unicode input —
+    never an exception, and the concatenated pieces ALWAYS
+    reconstruct the input exactly (unknown characters fall back to
+    single-char pieces), for any vocabulary. (Word-splitting happens
+    upstream in unigram_tokenize; the DP itself treats any string as
+    a character sequence.)"""
+    import math
+
+    from melodist_spark.pipeline.unigram import viterbi_segment
+
+    logp = {"a": math.log(0.4), "ab": math.log(0.3), "б": math.log(0.2)}
+    out = viterbi_segment(word, logp)
+    assert "".join(out) == word
+    assert all(out)
