@@ -365,6 +365,44 @@ def main():
         ("decontaminate", t7 - t6b, f"{n_contam:,} contaminated flagged")
     )
 
+    # -- 6b (optional): surgical span excision on the flagged slice --------
+    # CRAWL_SMOKE_SURGERY=1 completes the flag→surgery story at
+    # composition scale: instead of dropping the flagged docs, excise
+    # the benchmark-overlapping spans and keep them (the intended
+    # production shape — the per-token-md5 kernel runs ONLY on the
+    # contaminated slice, here n_contam of n_dedup docs). NOTE on the
+    # expected output: this chain's benchmark is drawn FROM the corpus
+    # (doc_id % 997), so every flagged doc IS a benchmark member and
+    # excises to zero tokens — the measurement prices the kernel on
+    # the slice; the keep-the-remainder behavior on QUOTING docs is
+    # pinned by test_streaming_curate_surgical_parity and
+    # test_remove_contaminated_spans_surgery.
+    if os.environ.get("CRAWL_SMOKE_SURGERY"):
+        from melodist_spark.pipeline.decontamination import (
+            benchmark_gram_array as _bga,
+            remove_contaminated_spans,
+        )
+
+        sg = remove_contaminated_spans(
+            deduped.join(contam.select("doc_id"), "doc_id", "left_semi")
+            .select("doc_id", "text"),
+            _bga(bench, ngram=13),
+            ngram=13,
+        )
+        srow = sg.agg(
+            F.count("*").alias("n"),
+            F.sum("n_tokens_removed").alias("cut"),
+            F.sum("n_tokens_kept").alias("kept"),
+        ).collect()[0]
+        t7b = time.perf_counter()
+        stages.append((
+            "surgical_excision",
+            t7b - t7,
+            f"{srow['n']:,} docs repaired: {srow['cut']:,} tokens cut, "
+            f"{srow['kept']:,} kept",
+        ))
+        t7 = t7b
+
     # -- 7: sequence packing ----------------------------------------------
     manifest = pack_sequences(
         deduped.select("doc_id", "text"), seq_len=2048
