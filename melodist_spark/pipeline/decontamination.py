@@ -235,8 +235,14 @@ def benchmark_leakage_report(
         F.countDistinct("__g").alias("n_grams_leaked"),
         F.countDistinct(id_col).alias("n_train_docs"),
     )
+    # the restore join: agg is per-bench-doc, broadcastable exactly
+    # when the benchmark itself was (with broadcast_benchmark=False —
+    # a corpus-sized cross-leakage check — both sides are big and the
+    # keyed shuffle join is the right shape)
+    if broadcast_benchmark:
+        agg = F.broadcast(agg)
     return (
-        per_bench.join(F.broadcast(agg), "bench_doc_id", "left")
+        per_bench.join(agg, "bench_doc_id", "left")
         .select(
             "bench_doc_id",
             "n_grams",

@@ -53,6 +53,7 @@ __all__ = [
     "unigram_train_from_counts",
     "unigram_train",
     "unigram_tokenize",
+    "pieces_to_df",
     "viterbi_segment",
 ]
 
@@ -226,6 +227,15 @@ def unigram_train(
         max_piece_len=max_piece_len,
         n_em_iters=n_em_iters,
     )
+
+
+def pieces_to_df(spark, logp: dict[str, float]) -> DataFrame:
+    """Piece table as a DataFrame ``(piece, logp)`` — the persistable
+    model artifact (write as parquet, reload with
+    ``{r["piece"]: r["logp"] for r in df.collect()}``), mirroring
+    :func:`bpe.merges_to_df`."""
+    rows = sorted(logp.items())
+    return spark.createDataFrame(rows, "piece string, logp double")
 
 
 def viterbi_segment(

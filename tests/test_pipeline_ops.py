@@ -1821,6 +1821,13 @@ def test_unigram_train_and_tokenize_end_to_end(spark):
     with pytest.raises(ValueError, match="alphabet"):
         unigram_train(train_df, vocab_size=2, min_count=1)
 
+    # persistable model artifact round-trips exactly
+    from melodist_spark.pipeline.unigram import pieces_to_df
+
+    pdf = pieces_to_df(spark, model)
+    reloaded = {r["piece"]: r["logp"] for r in pdf.collect()}
+    assert reloaded == model
+
 
 def test_bpe_train_classic_merges(spark):
     """Sennrich et al.'s worked example (low/lower/newest/widest):
