@@ -89,6 +89,14 @@ def weighted_mixture(
     every SQL engine's ``floor(a/b)`` computes — so the draw replays
     identically on any engine (the ``weighted_mixture`` registry
     row's DuckDB twin hash-checks every (doc_id, source, epoch) row).
+
+    STREAMING: with ``sizes`` provided (the catalog counts — on a
+    stream they must be, since ``count()`` is an action) the whole
+    op is filters + a narrow explode + union, all streaming-safe —
+    mixture construction can run AT INGEST, and determinism in
+    (seed, source, id) means the streamed draw is the same multiset
+    a batch run produces (availableNow parity pinned by
+    ``test_weighted_mixture_streaming_compose``).
     """
     if set(sources) != set(weights):
         raise ValueError("sources and weights must have the same keys")

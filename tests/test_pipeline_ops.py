@@ -2626,6 +2626,52 @@ def test_weighted_mixture_validation(spark):
         weighted_mixture({"a": df}, {"a": 0.0}, 10)
 
 
+def test_weighted_mixture_streaming_compose(spark, tmp_path):
+    """Round 10: with catalog sizes the mixture is filters + narrow
+    explode + union — streaming-safe, so mixture construction runs
+    AT INGEST; the availableNow draw equals the batch draw as a
+    multiset (determinism in (seed, source, id))."""
+    from melodist_spark.pipeline.mixing import weighted_mixture
+
+    docs = spark.range(600).select(F.col("id").alias("doc_id"))
+    g = F.pmod("doc_id", 2)
+    weights = {"a": 0.7, "b": 0.3}
+    sizes = {"a": 300, "b": 300}
+
+    def mix_of(frame):
+        return weighted_mixture(
+            {"a": frame.filter(g == 0), "b": frame.filter(g == 1)},
+            weights,
+            n_total=900,
+            sizes=sizes,
+            seed=9,
+        )
+
+    src = str(tmp_path / "mix_src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        mix_of(stream)
+        .writeStream.format("memory")
+        .queryName("mix_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(
+            tuple,
+            spark.sql(
+                "SELECT doc_id, source, epoch FROM mix_stream"
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, mix_of(docs).select("doc_id", "source", "epoch").collect())
+    )
+    assert got == want and len(got) > 700  # ~900 target
+
+
 def test_mixture_audit_target_comparison(spark):
     """Round 10: mixture_audit(weights=...) adds target_fraction +
     rel_error — tight on a well-specified mixture, a loud full-row
