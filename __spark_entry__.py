@@ -557,7 +557,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     method='sunloc' branch of temp_sine_variants (same schema, all
     three variants hash-checked in the union), freeing the slot that
     registered benchmark_leakage — the per-eval-item clean/dirty
-    audit complementing decontaminate. Round-6 restructure (VERDICT item 1): pq_topk
+    audit complementing decontaminate. Third round-10 merge:
+    temp_sine_sunshift joined the same union (method='sunshift' —
+    all four sine-timing variants now hash-checked in one row),
+    freeing the slot that registered semantic_dedup — SemDeDup with
+    the pinned coarse quantizer, previously the one remaining
+    tests-only pipeline op. Round-6 restructure (VERDICT item 1): pq_topk
     and quality_classifier became apply-only rows scoring with PINNED
     model literals (pipeline/pinned.py) — given a fixed model, ADC
     scan / IVF probe / logistic scoring are pure functions of the
@@ -602,9 +607,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temp_sine_disagg": q_temp_sine_disagg,
         # round 10: temp_sine_sunloc merged into temp_sine_variants
         # (method='sunloc') to free a checked-window slot for
-        # benchmark_leakage; all three sine variants stay hash-checked
-        # inside the union
-        "temp_sine_sunshift": q_temp_sine_sunshift,
+        # benchmark_leakage, then temp_sine_sunshift folded in too
+        # (method='sunshift') to free the slot that registered
+        # semantic_dedup; all four sine variants stay hash-checked
+        # inside the union and sub-timed by bench.py
         "temp_sine_variants": q_temp_sine_variants,
         "temp_course_variants": q_temp_course_variants,
         # humidity family
@@ -645,6 +651,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # apply-only design from round 6 is unchanged inside the
         # merged row; iterative trainers stay pytest-pinned)
         "ann_topk": q_ann_topk,
+        # round 10: SemDeDup (Abbas et al. 2023) under the oracle on
+        # the slot freed by the sunshift merge — with the PINNED
+        # coarse quantizer (the same pinned.IVF_CENTROIDS the ann_topk
+        # ivf branches replay) the whole op is cell-assign argmax +
+        # within-cell cosine join + connected components, all of
+        # which DuckDB replays (celldot literal + recursive reach
+        # CTE); the Lloyd trainer stays pytest-pinned
+        "semantic_dedup": q_semantic_dedup,
         "quality_classifier": q_quality_classifier,
         "minhash_pairs": q_minhash_pairs,
         "jaccard_pairs": q_jaccard_pairs,
@@ -3667,15 +3681,80 @@ LEFT JOIN covlen cv ON b.doc_id = cv.doc_id
     """
     sqls["weighted_mixture"] = _WEIGHTED_MIXTURE_SQL
     # round 10: temp_sine_sunloc merged into temp_sine_variants as
-    # method='sunloc' — the twin is the union of the two original
-    # oracles, so all three sine variants stay hash-checked
+    # method='sunloc', then temp_sine_sunshift as method='sunshift'
+    # (the freed slot registered semantic_dedup) — the twin is the
+    # union of the original oracles, so all four sine variants stay
+    # hash-checked
     sqls["temp_sine_variants"] = f"""
         SELECT * FROM ({sqls["temp_sine_variants"]})
         UNION ALL
         SELECT user_id, ts, 'sunloc' AS method, temp_h
         FROM ({sqls.pop("temp_sine_sunloc")})
+        UNION ALL
+        SELECT user_id, ts, 'sunshift' AS method, temp_h
+        FROM ({sqls.pop("temp_sine_sunshift")})
     """
     sqls["benchmark_leakage"] = _BENCHMARK_LEAKAGE_SQL
+    # round 10: SemDeDup replay against the pinned coarse quantizer —
+    # cell assignment is the ivf oracle's celldot/argmax arithmetic
+    # (normalized-centroid literal, ties to lowest cell), within-cell
+    # pairs re-check exact cosine >= 0.3, and connected components is
+    # the dup_clusters oracle's recursive reach CTE (min reachable id)
+    sqls["semantic_dedup"] = f"""
+        WITH RECURSIVE cnf AS (SELECT [{cn_flat}] AS a),
+        cn AS (
+          SELECT CAST(floor((t.i - 1) / 64) AS INT) AS c,
+                 CAST((t.i - 1) % 64 AS INT) AS d,
+                 a[t.i] AS val
+          FROM cnf CROSS JOIN (SELECT unnest(generate_series(1, 512)) AS i) t
+        ),
+        vn AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+                 greatest(sqrt(list_dot_product(
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)))), 1e-30) AS nrm
+          FROM embeddings
+        ),
+        celldot AS (
+          SELECT v.vec_id, cn.c,
+                 sum((v.e[cn.d + 1] / v.nrm) * cn.val) AS dot
+          FROM vn v CROSS JOIN cn
+          GROUP BY 1, 2
+        ),
+        cell AS (
+          SELECT vec_id, c AS cell FROM (
+            SELECT vec_id, c,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dot DESC, c) AS rn
+            FROM celldot
+          ) WHERE rn = 1
+        ),
+        b AS (
+          SELECT v.vec_id, v.e, v.nrm, cl.cell
+          FROM vn v JOIN cell cl USING (vec_id)
+        ),
+        pairs AS (
+          SELECT x.vec_id AS id_a, y.vec_id AS id_b
+          FROM b x JOIN b y ON x.cell = y.cell AND x.vec_id < y.vec_id
+          WHERE list_dot_product(x.e, y.e) / (x.nrm * y.nrm) >= 0.3
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach(id, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst
+        ),
+        lab AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+        SELECT emb.vec_id,
+               coalesce(l.cluster_id, emb.vec_id) AS cluster_id,
+               emb.vec_id = coalesce(l.cluster_id, emb.vec_id) AS keep
+        FROM embeddings emb LEFT JOIN lab l ON l.id = emb.vec_id
+    """
     return sqls
 
 
@@ -4500,6 +4579,27 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) with the PINNED
+    coarse quantizer: every embedding is assigned to its
+    cosine-argmax cell of ``pinned.IVF_CENTROIDS`` (the same 8×64
+    quantizer the ann_topk ivf branches replay — one coarse model
+    per corpus is the production shape), pairs are compared only
+    WITHIN a cell (exact cosine ≥ 0.3 — the observed-similarity
+    range of this synthetic corpus, as embedding_neardup), and
+    connected components label every corpus row with its duplicate
+    group's min id. Output is all-integer/boolean (vec_id,
+    cluster_id, keep) — hash-exact. Float-boundary margins measured:
+    min |cos − 0.3| is 1.8e-4 at sf0.01 / 9.2e-6 at sf0.1 and the
+    assignment's argmax top-2 gap is ≥ 4.1e-6, both orders of
+    magnitude above cross-engine summation noise."""
+    from melodist_spark.pipeline.pinned import IVF_CENTROIDS
+    from melodist_spark.pipeline.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(emb, dim=64, threshold=0.3, centroids=IVF_CENTROIDS)
+
+
 def q_cascade_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cascade calibration (`precipitation.py:416-702`): dyadic
     pair-sums, branch-type/intensity classification, conditional branch
@@ -4784,10 +4884,13 @@ def q_temp_sine_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     mod_nighttime (`temperature.py:145-167`), and — round 10 —
     sine_min_max with sun-geometry timing (`temperature.py:92-99` +
     `util/util.py:160-246`, the former temp_sine_sunloc row, merged
-    to free a checked-window slot for benchmark_leakage) in one
-    result, tagged by method — a narrow union, no join between the
-    hourly branches; all three stay hash-checked inside the union
-    and sub-timed by bench.py."""
+    to free a checked-window slot for benchmark_leakage) plus
+    sine_min_max with the data-calibrated sun_loc_shift timing
+    (`temperature.py:97-107`, the former temp_sine_sunshift row,
+    merged to free the semantic_dedup slot) in one result, tagged by
+    method — a narrow union, no join between the hourly branches;
+    all four stay hash-checked inside the union and sub-timed by
+    bench.py."""
     from melodist_spark.operators.temperature import disaggregate_temperature
 
     daily = _met_daily(spark, sf_dir)
@@ -4810,7 +4913,12 @@ def q_temp_sine_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     sunloc = q_temp_sine_sunloc(spark, sf_dir).select(
         "user_id", "ts", F.lit("sunloc").alias("method"), "temp_h"
     )
-    return mean.unionByName(night).unionByName(sunloc)
+    sunshift = q_temp_sine_sunshift(spark, sf_dir).select(
+        "user_id", "ts", F.lit("sunshift").alias("method"), "temp_h"
+    )
+    return (
+        mean.unionByName(night).unionByName(sunloc).unionByName(sunshift)
+    )
 
 
 def q_window_primitives(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -43,7 +43,6 @@ HEADLINE = [
     "humidity_variants",  # merged humidity_minimal + humidity_minmax
     "radiation_proxy_variants",  # merged radiation_ssd + radiation_bc
     "radiation_course",
-    "temp_sine_sunshift",
     "angstroem_fit",
     "precip_masterstation",
     "cascade_disagg",
@@ -83,6 +82,7 @@ HEADLINE = [
     "vocab_topk",
     "ann_topk",  # merged brute + ivf + pq + ivfpq ANN branches (round 10)
     "embedding_neardup",
+    "semantic_dedup",  # SemDeDup w/ pinned coarse quantizer (round 10)
     "bpe_tokenize",  # BPE train (driver merge loop) + broadcast encode
     "unigram_tokenize",  # Unigram-LM train (driver EM) + Viterbi encode
     "quality_classifier",  # codegen scoring with pinned IRLS weights
@@ -101,7 +101,7 @@ SUBQUERIES: dict[str, tuple[str, list[str]]] = {
     "minhash_pairs": ("kind", ["pair", "incr_survivor"]),
     "humidity_variants": ("variant", ["minimal", "min_max"]),
     "wind_variants": ("method", ["equal", "cosine"]),
-    "temp_sine_variants": ("method", ["mean", "night", "sunloc"]),
+    "temp_sine_variants": ("method", ["mean", "night", "sunloc", "sunshift"]),
     "temp_course_variants": ("variant", ["min_max", "mean"]),
     "radiation_proxy_variants": ("method", ["ssd", "bc"]),
     "robots_eval": ("agent", ["melobot", "othercrawler"]),
@@ -296,6 +296,13 @@ uncontended box, 2 runs each, min-of-2 per query:
   4.21 -> 2.31 s on the same box. Round-11 readers: compare the r10
   BENCH json's decontaminate row against ~2.7 s, not the paired
   table's 4.26 s.
+- LATE round-10 restructure: `temp_sine_sunshift` folded into
+  `temp_sine_variants` as its fourth method branch (sub `sunshift`
+  carries the old row's number — compare that, not the union total,
+  across the merge); the freed slot registered NEW row
+  `semantic_dedup` (SemDeDup against the pinned 8x64 coarse
+  quantizer: Arrow-matmul cell assign + salted within-cell cosine
+  join + CC label rounds, driver-action-paced like dup_clusters).
 """
 
 

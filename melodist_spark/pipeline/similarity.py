@@ -142,6 +142,7 @@ def neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int | None = 4096,
+    arrow: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH candidate join.
 
@@ -163,17 +164,31 @@ def neardup_pairs(
         F.col(vec_col).alias("__v"),
         bucket(F.col(vec_col)).alias("__bucket"),
     )
-    return _bucketed_cosine_pairs(b, threshold, max_bucket)
+    return _bucketed_cosine_pairs(b, threshold, max_bucket, arrow=arrow)
 
 
 def _bucketed_cosine_pairs(
-    b: DataFrame, threshold: float, max_bucket: int | None
+    b: DataFrame, threshold: float, max_bucket: int | None,
+    arrow: bool = False,
 ) -> DataFrame:
     """Salted equi self-join on ``__bucket`` + exact cosine re-check —
     the shared candidate machinery of :func:`neardup_pairs` (LSH
     buckets) and :func:`semantic_dedup` (k-means cells). ``b`` carries
     (__id, __v, __bucket); returns (id_a, id_b, cos_sim) with
-    ``id_a < id_b`` and ``cos_sim >= threshold``."""
+    ``id_a < id_b`` and ``cos_sim >= threshold``.
+
+    ``arrow=True`` swaps the per-pair JVM HOF dot (zip_with +
+    aggregate — CodegenFallback, interpreted per element) for ONE
+    Arrow-batched numpy kernel over the joined pair batches
+    (row-wise einsum over the stacked float64 matrices). The join
+    shape — and therefore the candidate set, the salting, and the
+    shuffle — is IDENTICAL; only the scalar cosine moves to the
+    vectorized worker pool. numpy's SIMD-blocked summation is not
+    bit-identical to the JVM's sequential fold (differences land at
+    ~1e-16 relative), so the expr form remains the engine-portable
+    oracle shape and the Arrow form is the scale kernel — the same
+    twin policy as ``minhash_signature_arrow``; the differential
+    test pins the pair sets equal and values to 1e-12."""
     if max_bucket is None:
         x = b.select(
             F.col("__id").alias("id_a"), F.col("__v").alias("__va"), "__bucket"
@@ -209,11 +224,26 @@ def _bucketed_cosine_pairs(
         pairs = x.join(y, ["__bucket", "__salt"]).filter(
             F.col("id_a") < F.col("id_b")
         )
-    sims = pairs.select(
-        "id_a",
-        "id_b",
-        cosine_similarity(F.col("__va"), F.col("__vb")).alias("cos_sim"),
-    )
+    if arrow:
+
+        @pandas_udf("double")
+        def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+            if len(va) == 0:
+                return pd.Series([], dtype="float64")
+            x = np.vstack(va.to_numpy()).astype(np.float64)
+            y = np.vstack(vb.to_numpy()).astype(np.float64)
+            num = np.einsum("ij,ij->i", x, y)
+            den = np.sqrt(np.einsum("ij,ij->i", x, x)) * np.sqrt(
+                np.einsum("ij,ij->i", y, y)
+            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out = num / den  # zero vectors -> nan, filtered below
+            return pd.Series(out)
+
+        cos = _cos(F.col("__va"), F.col("__vb"))
+    else:
+        cos = cosine_similarity(F.col("__va"), F.col("__vb"))
+    sims = pairs.select("id_a", "id_b", cos.alias("cos_sim"))
     return sims.filter(F.col("cos_sim") >= threshold)
 
 
@@ -226,6 +256,8 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cell: int | None = 4096,
+    centroids: "np.ndarray | None" = None,
+    arrow: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embeddings, compare pairs
@@ -247,18 +279,40 @@ def semantic_dedup(
     Returns (id, cluster_id, keep): every corpus row labeled with its
     duplicate-group representative (its own id when unique), ``keep``
     true exactly once per group (the min id — deterministic).
+
+    ``centroids`` (k × dim) skips the Lloyd training and dedups
+    against a PRE-TRAINED coarse quantizer — the production shape:
+    the quantizer is a model artifact trained once per corpus (the
+    same one IVF search uses, e.g. ``pinned.IVF_CENTROIDS``), and
+    given the literal matrix the whole op is a pure function of the
+    data that an external engine can replay (assignment is the
+    ``ivf_assign`` argmax, the rest is joins) — which is what puts
+    it under the DuckDB oracle as the ``semantic_dedup`` registry
+    row.
+
+    ``arrow=True`` runs the within-cell cosine as the Arrow einsum
+    kernel instead of the per-pair JVM HOF dot — same candidate set
+    and join shape, vectorized scalar; the scale path (see
+    ``_bucketed_cosine_pairs`` and tools/semdedup_scale_smoke.py).
     """
     from .dedup import duplicate_clusters
 
-    cents = train_kmeans_centroids(
-        corpus, k=k, dim=dim, iters=iters, id_col=id_col, vec_col=vec_col
-    )
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=np.float64)
+        if cents.shape[1] != dim:
+            raise ValueError(
+                f"centroids dim {cents.shape[1]} != corpus dim {dim}"
+            )
+    else:
+        cents = train_kmeans_centroids(
+            corpus, k=k, dim=dim, iters=iters, id_col=id_col, vec_col=vec_col
+        )
     b = ivf_assign(corpus, cents, vec_col=vec_col).select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
         F.col("__cell").alias("__bucket"),
     )
-    pairs = _bucketed_cosine_pairs(b, threshold, max_cell)
+    pairs = _bucketed_cosine_pairs(b, threshold, max_cell, arrow=arrow)
     labels = duplicate_clusters(pairs)
     return (
         corpus.select(id_col)

@@ -1188,6 +1188,84 @@ def test_semantic_dedup_keeps_one_per_twin_group(spark):
     assert singles["keep"].all()
 
 
+def test_bucketed_cosine_arrow_matches_expr(spark):
+    """The Arrow cosine kernel (batched einsum over the joined pair
+    batches) must produce the SAME candidate pair set as the JVM
+    HOF-expression form and agree on every cosine to 1e-12 — the
+    twin policy of minhash_signature_arrow: the expr form stays the
+    oracle shape, the Arrow form is the scale kernel."""
+    from melodist_spark.pipeline.similarity import neardup_pairs
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=12)]) for i in range(300)
+    ]
+    corpus = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    kw = dict(dim=12, threshold=0.2, num_planes=4)
+    expr = (
+        neardup_pairs(corpus, **kw)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    arrow = (
+        neardup_pairs(corpus, arrow=True, **kw)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert len(expr) > 50  # the fixture actually exercises the join
+    pd.testing.assert_frame_equal(
+        expr[["id_a", "id_b"]], arrow[["id_a", "id_b"]]
+    )
+    np.testing.assert_allclose(
+        expr["cos_sim"], arrow["cos_sim"], rtol=1e-12, atol=1e-12
+    )
+
+
+def test_semantic_dedup_pinned_centroids_matches_trained(spark):
+    """The ``centroids`` parameter (the production / oracle-row shape:
+    the coarse quantizer is a pre-trained model artifact) must produce
+    exactly the labels the in-op trainer produces when handed the
+    trainer's own output, and must reject a dim mismatch loudly."""
+    import pytest
+
+    from melodist_spark.pipeline.similarity import (
+        semantic_dedup,
+        train_kmeans_centroids,
+    )
+
+    rng = np.random.default_rng(7)
+    dim = 8
+    rows = [
+        (i, [float(x) for x in rng.normal(size=dim)]) for i in range(60)
+    ]
+    # plant one twin pair so the label graph is non-trivial
+    rows.append((60, [v + 1e-4 for v in rows[0][1]]))
+    corpus = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    cents = train_kmeans_centroids(corpus, k=4, dim=dim, iters=3)
+    trained = (
+        semantic_dedup(corpus, dim=dim, k=4, threshold=0.999, iters=3)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pinned = (
+        semantic_dedup(corpus, dim=dim, threshold=0.999, centroids=cents)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(trained, pinned)
+    assert not pinned.loc[pinned["vec_id"] == 60, "keep"].item()
+    with pytest.raises(ValueError, match="dim"):
+        semantic_dedup(corpus, dim=dim, centroids=cents[:, :4])
+
+
 def test_decontaminate_stateless_matches_joined_path(spark):
     """The Arrow-kernel stateless path must agree with the broadcast-
     join path row for row on the same corpus (and it must carry no
