@@ -422,6 +422,7 @@ def duplicate_clusters(
     check_every: int = 2,
     checkpoint_dir: str | None = None,
     broadcast_nodes: int = 2_000_000,
+    driver_edges: int = 2_000_000,
 ) -> DataFrame:
     """Transitively close near-duplicate pairs into clusters.
 
@@ -463,6 +464,28 @@ def duplicate_clusters(
     makes per-round convergence checks mostly wasted — a window runs
     at worst ``check_every - 1`` extra cheap rounds past the
     fixpoint.
+
+    Small-graph fast path (``driver_edges``): the pair graph is NOT
+    the corpus — it is the near-dup candidate subset, and at bench
+    and most production scales it is parameter-sized (thousands to
+    low millions of edges). Every distributed round costs a fixed
+    handful of jobs regardless of size, so on a 3.6k-edge graph the
+    round loop is pure fixed overhead (measured ~9.6 s for ~6 rounds
+    at sf0.1 — vs milliseconds of actual work). When the symmetrized
+    edge count — observed for free on the seed job — is within
+    ``driver_edges`` canonical edges, the component labeling runs as
+    ONE driver-side union-find over the already-materialized edge
+    blocks (min-id per component: exactly the distributed fixpoint's
+    labels, pinned by ``test_duplicate_clusters_driver_matches_``
+    ``distributed``) and the round loop never runs. The bound keeps
+    driver memory explicit — the edge frame rides Arrow (~16 B/edge)
+    and the union-find dict dominates at ~100 B/node, a few hundred
+    MB at the default bound (measured: 1.8M edges / 2.7M nodes label
+    in 24 s total vs ~59 s distributed at the same scale — the
+    crossover is well above the bound); above it — LSH
+    false-positive storms, billion-edge fleets — the distributed
+    rounds run as before. ``driver_edges=0`` forces the distributed
+    path (the non-convergence test pins its loudness there).
 
     Near-dup graphs are *sparse*: the label table holds one row per
     node that appears in any pair — typically orders of magnitude
@@ -525,13 +548,66 @@ def duplicate_clusters(
     from pyspark.sql import Observation
 
     seed_obs = Observation("cc_nodes")
+    edge_obs = Observation("cc_edges")
+    # the edge observation sits on the seed job's OWN read of sym (a
+    # separate observe node, so the round loop's re-reads of sym never
+    # re-fire it) — both counts ride the one seed materialization
     labels = _truncate(
-        sym.groupBy(F.col("src").alias("id"))
+        sym.observe(edge_obs, F.count(F.lit(1)).alias("m"))
+        .groupBy(F.col("src").alias("id"))
         .agg(F.min("dst").alias("__nbr"))
         .select("id", F.least("id", "__nbr").alias("label"))
         .observe(seed_obs, F.count(F.lit(1)).alias("n")),
         "labels_seed",
     )
+    if driver_edges and edge_obs.get["m"] <= 2 * driver_edges:
+        # driver union-find over the persisted canonical half of the
+        # edge list: one Arrow collect, zero rounds; min id per
+        # component == the distributed fixpoint's min reachable id.
+        # Both transfers ride Arrow (toPandas / createDataFrame-from-
+        # pandas) — a 445k-edge graph moves in ~100 ms each way where
+        # pickled Row lists took seconds.
+        import pandas as pd
+
+        epdf = sym.filter(F.col("src") < F.col("dst")).toPandas()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(epdf["src"].to_list(), epdf["dst"].to_list()):
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+        comp: dict = {}
+        for node in parent:
+            r = find(node)
+            m = comp.get(r)
+            if m is None or node < m:
+                comp[r] = node
+        from pyspark.sql.types import StructField, StructType
+
+        id_type = pairs.schema[id_a].dataType
+        schema = StructType(
+            [
+                StructField("id", id_type, False),
+                StructField("cluster_id", id_type, False),
+            ]
+        )
+        nodes = list(parent)
+        out = pd.DataFrame(
+            {"id": nodes, "cluster_id": [comp[find(n)] for n in nodes]}
+        )
+        return pairs.sparkSession.createDataFrame(out, schema)
     hint = (
         F.broadcast
         if seed_obs.get["n"] <= broadcast_nodes

@@ -348,8 +348,34 @@ def test_duplicate_clusters_nonconvergence_warns(spark):
     )
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        duplicate_clusters(pairs, max_iter=1).collect()
+        # driver_edges=0 pins the DISTRIBUTED round loop (the driver
+        # union-find fast path always converges, so it can't test this)
+        duplicate_clusters(pairs, max_iter=1, driver_edges=0).collect()
     assert any("did not converge" in str(w.message) for w in caught)
+
+
+def test_duplicate_clusters_driver_matches_distributed(spark):
+    """The small-graph driver union-find fast path must label exactly
+    as the distributed min-label rounds — random graph with chains,
+    cliques and singleton-free structure, both paths forced."""
+    import random
+
+    from melodist_spark.pipeline.dedup import duplicate_clusters
+
+    rng = random.Random(5)
+    edges = {(rng.randrange(400), rng.randrange(400)) for _ in range(300)}
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], ["id_a", "id_b"]
+    )
+    fast = {
+        r["id"]: r["cluster_id"]
+        for r in duplicate_clusters(pairs).collect()  # default: driver
+    }
+    dist = {
+        r["id"]: r["cluster_id"]
+        for r in duplicate_clusters(pairs, driver_edges=0).collect()
+    }
+    assert fast == dist and len(fast) > 100
 
 
 def test_hash_sample_deterministic_and_nested(spark):

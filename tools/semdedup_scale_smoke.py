@@ -114,9 +114,12 @@ def main():
         )
     assert counts["expr"] == counts["arrow"], counts
 
-    t3 = time.perf_counter()
+    # persist the pair graph so the CC stage prices CC, not a silent
+    # third run of the candidate join
     pairs = _bucketed_cosine_pairs(b, threshold=0.9, max_bucket=4096,
-                                   arrow=True)
+                                   arrow=True).persist()
+    pairs.count()
+    t3 = time.perf_counter()
     labels = duplicate_clusters(pairs)
     n_lab = labels.count()
     t4 = time.perf_counter()
