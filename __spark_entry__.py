@@ -645,8 +645,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         # round 10: embedding_topk (brute/ivf) + pq_topk (pq/ivfpq)
         # merged into one method-tagged union on a common `score`
-        # column — all four ANN methods stay hash-checked inside the
-        # union and sub-timed in bench.py; the freed checked-window
+        # column — all five ANN methods (late round 10 adds the lsh
+        # branch) stay hash-checked inside the union and sub-timed in
+        # bench.py; the freed checked-window
         # slot went to weighted_mixture (the PQ/IVF pinned-model
         # apply-only design from round 6 is unchanged inside the
         # merged row; iterative trainers stay pytest-pinned)
@@ -3672,12 +3673,48 @@ LEFT JOIN covlen cv ON b.doc_id = cv.doc_id
     # union row on a common `score` column (VERDICT r9 item 1) — the
     # twin is the same union of the two original oracles, so all four
     # ANN methods stay hash-checked
+    # late round 10: + the lsh branch (random-hyperplane bucket join,
+    # 6 deterministic md5-derived planes replayed as literal
+    # list_dot_product sign terms, exact cosine re-rank in-bucket)
+    bucket_terms6 = []
+    for p in range(6):
+        plane = _hyperplane(64, p)
+        arr = "[" + ",".join(repr(v) for v in plane) + "]"
+        bucket_terms6.append(
+            f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {arr}) > 0 "
+            f"THEN {1 << p} ELSE 0 END"
+        )
+    b6 = f"""(
+          SELECT vec_id, embedding,
+                 CAST({" + ".join(bucket_terms6)} AS BIGINT) AS bucket
+          FROM embeddings
+        )"""
+    lsh_topk_sql = f"""
+        SELECT 'lsh' AS method, query_id, neighbor_id,
+               round(cos, 6) AS score, CAST(rank AS BIGINT) AS rank
+        FROM (
+          SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rank
+          FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) AS cos
+            FROM {b6} q JOIN {b6} c
+              ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+            WHERE q.vec_id < 8
+          )
+        ) WHERE rank <= 5
+    """
     sqls["ann_topk"] = f"""
         SELECT method, query_id, neighbor_id, cos_sim AS score, rank
         FROM ({sqls.pop("embedding_topk")})
         UNION ALL
         SELECT method, query_id, neighbor_id, pq_score AS score, rank
         FROM ({sqls.pop("pq_topk")})
+        UNION ALL
+        {lsh_topk_sql}
     """
     sqls["weighted_mixture"] = _WEIGHTED_MIXTURE_SQL
     # round 10: temp_sine_sunloc merged into temp_sine_variants as
@@ -5291,12 +5328,36 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     methods stay hash-checked inside the union and each is sub-timed
     by bench.py (``subs`` on the ``method`` tag); the freed
     checked-window slot went to ``weighted_mixture``. ``score`` is
-    cosine similarity for brute/ivf and the ADC asymmetric-distance
-    score for pq/ivfpq — comparable WITHIN a method (rank is the
-    product), which is how ANN evaluations read them anyway."""
+    cosine similarity for brute/ivf/lsh and the ADC
+    asymmetric-distance score for pq/ivfpq — comparable WITHIN a
+    method (rank is the product), which is how ANN evaluations read
+    them anyway.
+
+    Late round 10 adds the fifth method: ``lsh`` —
+    ``similarity.py::lsh_topk``, random-hyperplane bucket join +
+    exact cosine re-rank within the bucket, previously the one
+    tests-only ANN variant. The planes are deterministic
+    (md5-derived, the same ``_hyperplane`` table the
+    embedding_neardup oracle replays), so DuckDB replays bucket
+    assignment + re-rank exactly; 6 planes keeps every query's
+    bucket populated at both gate scales (probed: 40 rows at sf0.01
+    AND sf0.1, min rank-gap margin 2.5e-4 — far above cross-engine
+    float noise)."""
+    from melodist_spark.pipeline.similarity import lsh_topk
+
     a = q_embedding_topk(spark, sf_dir).withColumnRenamed("cos_sim", "score")
     b = q_pq_topk(spark, sf_dir).withColumnRenamed("pq_score", "score")
-    return a.unionByName(b)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c = lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 8), dim=64, k=5, num_planes=6
+    ).select(
+        F.lit("lsh").alias("method"),
+        "query_id",
+        "neighbor_id",
+        F.round("cos_sim", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 def q_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -105,7 +105,7 @@ SUBQUERIES: dict[str, tuple[str, list[str]]] = {
     "temp_course_variants": ("variant", ["min_max", "mean"]),
     "radiation_proxy_variants": ("method", ["ssd", "bc"]),
     "robots_eval": ("agent", ["melobot", "othercrawler"]),
-    "ann_topk": ("method", ["brute", "ivf", "pq", "ivfpq"]),
+    "ann_topk": ("method", ["brute", "ivf", "pq", "ivfpq", "lsh"]),
     "doc_perplexity": ("method", ["join", "broadcast"]),
     "dup_clusters": ("method", ["exact", "prefix", "neardup"]),
     "doc_sample": ("method", ["stratified", "dsir"]),
@@ -302,7 +302,15 @@ uncontended box, 2 runs each, min-of-2 per query:
   across the merge); the freed slot registered NEW row
   `semantic_dedup` (SemDeDup against the pinned 8x64 coarse
   quantizer: Arrow-matmul cell assign + salted within-cell cosine
-  join + CC label rounds, driver-action-paced like dup_clusters).
+  join + driver union-find CC).
+- LATE round-10 additions: `ann_topk` gained its FIFTH method branch
+  `lsh` (hyperplane-bucket join + in-bucket exact re-rank, 6
+  deterministic planes — the union total grows by construction; the
+  new `lsh` sub carries it). `duplicate_clusters` takes a driver
+  union-find fast path on parameter-scale graphs (edge count rides
+  the seed job as an observation): `semantic_dedup` 7.3 -> ~4.7 s,
+  `dup_clusters` 4.2 -> ~3.0 s on an uncontended probe, labels
+  identical.
 """
 
 
