@@ -28,7 +28,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["weighted_mixture", "mixture_audit"]
+__all__ = ["weighted_mixture", "mixture_audit", "temperature_weights"]
 
 #: 2^60 as float — the md5-prefix uniform's denominator (same 60-bit
 #: prefix construction as the dedup/decontamination hashes)
@@ -201,3 +201,38 @@ def mixture_audit(
             ).alias("rel_error"),  # null for a zero-weight source
         )
     )
+
+
+def temperature_weights(
+    sizes: dict[str, int], alpha: float = 0.3
+) -> dict[str, float]:
+    """Temperature-flattened mixture weights from source sizes — the
+    multilingual-pretraining sampling law (mT5 / XLM-R: sample source
+    ``s`` with probability ``p_s ∝ |s|^alpha``). ``alpha = 1``
+    reproduces proportional-to-size sampling (no reweighting),
+    ``alpha → 0`` approaches uniform over sources, and the published
+    sweet spots (mT5 uses 0.3, XLM-R 0.3/0.7) sit between: low-resource
+    sources are upsampled ORDERS of magnitude less than uniform would,
+    high-resource ones are tempered rather than truncated.
+
+    Returns normalized weights (sum 1) for :func:`weighted_mixture` —
+    the composition is ``weighted_mixture(sources,
+    temperature_weights(sizes, alpha), n_total, sizes=sizes)``, which
+    keeps the whole pipeline driver-side-arithmetic + filtered scans:
+    sizes come from the catalog/manifest, the exponent is a few driver
+    floats, and the draw stays the md5-uniform. Pure function of
+    (sizes, alpha) — deterministic, engine-portable by construction.
+    """
+    if not sizes:
+        raise ValueError("sizes must be non-empty")
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    bad = {k: v for k, v in sizes.items() if v < 0}
+    if bad:
+        raise ValueError(f"negative source sizes: {bad}")
+    raw = {name: float(n) ** alpha if n > 0 else 0.0
+           for name, n in sizes.items()}
+    total = sum(raw.values())
+    if total <= 0:
+        raise ValueError("all sources are empty; no mixture to weight")
+    return {name: v / total for name, v in raw.items()}

@@ -2730,6 +2730,60 @@ def test_weighted_mixture_validation(spark):
         weighted_mixture({"a": df}, {"a": 0.0}, 10)
 
 
+def test_temperature_weights_limits_and_composition(spark):
+    """The mT5/XLM-R sampling law: alpha=1 is proportional-to-size,
+    alpha->0 approaches uniform, intermediate alphas upsample small
+    sources monotonically; the output plugs straight into
+    weighted_mixture."""
+    import pytest
+
+    from melodist_spark.pipeline.mixing import (
+        mixture_audit,
+        temperature_weights,
+        weighted_mixture,
+    )
+
+    sizes = {"wiki": 100, "web": 1_000_000, "books": 10_000}
+    total = sum(sizes.values())
+    prop = temperature_weights(sizes, alpha=1.0)
+    for name, n in sizes.items():
+        assert abs(prop[name] - n / total) < 1e-12
+    near_uniform = temperature_weights(sizes, alpha=1e-9)
+    for w in near_uniform.values():
+        assert abs(w - 1 / 3) < 1e-6
+    # monotone: lowering alpha raises the smallest source's share
+    shares = [
+        temperature_weights(sizes, a)["wiki"] for a in (1.0, 0.7, 0.3, 0.1)
+    ]
+    assert shares == sorted(shares)
+    assert abs(sum(temperature_weights(sizes, 0.3).values()) - 1.0) < 1e-12
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_weights(sizes, alpha=-0.1)
+    with pytest.raises(ValueError, match="empty"):
+        temperature_weights({})
+    with pytest.raises(ValueError, match="empty"):
+        temperature_weights({"a": 0})
+    # composition: the weights drive a real draw whose audited shares
+    # sit near the temperature targets (small-n binomial tolerance)
+    srcs = {
+        name: spark.range(n).select(F.col("id").alias("doc_id"))
+        for name, n in (("wiki", 40), ("web", 4000), ("books", 400))
+    }
+    sz = {k: (40 if k == "wiki" else 4000 if k == "web" else 400) for k in srcs}
+    w = temperature_weights(sz, alpha=0.3)
+    mix = weighted_mixture(srcs, w, n_total=4000, sizes=sz)
+    audit = {
+        r["source"]: r
+        for r in mixture_audit(mix, weights=w).collect()
+    }
+    assert set(audit) == set(srcs)
+    for name in srcs:
+        assert abs(audit[name]["rel_error"]) < 0.15
+    # the law actually upsampled: wiki's share far exceeds its
+    # proportional-to-size 40/4440 ~ 0.9%
+    assert audit["wiki"]["fraction"] > 0.1
+
+
 def test_weighted_mixture_streaming_compose(spark, tmp_path):
     """Round 10: with catalog sizes the mixture is filters + narrow
     explode + union — streaming-safe, so mixture construction runs
