@@ -224,27 +224,117 @@ def _bucketed_cosine_pairs(
         pairs = x.join(y, ["__bucket", "__salt"]).filter(
             F.col("id_a") < F.col("id_b")
         )
-    if arrow:
-
-        @pandas_udf("double")
-        def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
-            if len(va) == 0:
-                return pd.Series([], dtype="float64")
-            x = np.vstack(va.to_numpy()).astype(np.float64)
-            y = np.vstack(vb.to_numpy()).astype(np.float64)
-            num = np.einsum("ij,ij->i", x, y)
-            den = np.sqrt(np.einsum("ij,ij->i", x, x)) * np.sqrt(
-                np.einsum("ij,ij->i", y, y)
-            )
-            with np.errstate(divide="ignore", invalid="ignore"):
-                out = num / den  # zero vectors -> nan, filtered below
-            return pd.Series(out)
-
-        cos = _cos(F.col("__va"), F.col("__vb"))
-    else:
-        cos = cosine_similarity(F.col("__va"), F.col("__vb"))
+    cos = _pair_cosine(F.col("__va"), F.col("__vb"), arrow)
     sims = pairs.select("id_a", "id_b", cos.alias("cos_sim"))
     return sims.filter(F.col("cos_sim") >= threshold)
+
+
+def _pair_cosine(va: Column, vb: Column, arrow: bool) -> Column:
+    """The two cosine kernels behind every pair re-check: the JVM
+    HOF-expression form (engine-portable — the oracle shape) or the
+    Arrow batched-einsum form (one row-wise numpy kernel per joined
+    batch — the scale shape; zero vectors yield NaN, which every
+    ``>= threshold`` filter drops just as the expr form's null)."""
+    if not arrow:
+        return cosine_similarity(va, vb)
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        x = np.vstack(a.to_numpy()).astype(np.float64)
+        y = np.vstack(b.to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", x, y)
+        den = np.sqrt(np.einsum("ij,ij->i", x, x)) * np.sqrt(
+            np.einsum("ij,ij->i", y, y)
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = num / den
+        return pd.Series(out)
+
+    return _cos(va, vb)
+
+
+def embedding_index(
+    corpus: DataFrame,
+    dim: int,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Durable embedding near-dup state for incremental ingest:
+    ``(id, embedding, bucket)`` — the embedding-side analogue of
+    :func:`dedup.minhash_index`. Unlike MinHash (where the signature
+    suffices), the exact cosine re-check needs the vector itself, so
+    the state is the embedding plus its precomputed hyperplane
+    bucket (~4·dim + 8 B per doc — i.e. the vector store IS the
+    index, which is how production embedding dedup works anyway).
+    Store partitioned/bucketed BY ``bucket``: the incremental check's
+    only shuffle is the bucket equi-join, and a bucket-bucketed
+    layout makes the index side shuffle-free. Union each surviving
+    batch's index in to advance the state."""
+    bucket = lsh_bucket_udf(dim, num_planes)
+    return corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        bucket(F.col(vec_col)).alias("bucket"),
+    )
+
+
+def embedding_neardup_against(
+    batch: DataFrame,
+    index: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    arrow: bool = False,
+    batch_index: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental embedding near-dup: drop batch documents whose
+    cosine against any previously-indexed embedding reaches
+    ``threshold`` — the daily-ingest increment for semantic dedup,
+    without re-comparing the historical corpus against itself (the
+    analogue of :func:`dedup.neardup_against`, with the exact-cosine
+    re-check MinHash can't give).
+
+    Candidates come from the batch buckets equi-joined against the
+    stored index buckets (a two-table join, NOT the self-join — AQE
+    skew splitting covers hot buckets; there is no quadratic term in
+    the index size, only in per-bucket collision counts). Matches
+    re-check exact cosine (``arrow=True`` for the einsum kernel) and
+    hit batch ids are anti-joined away.
+
+    ``num_planes`` must match the value the index was built with —
+    the planes are deterministic, so any session reproduces the same
+    buckets. ``batch_index`` passes the batch's own
+    :func:`embedding_index` when already in hand (computed for the
+    index advance); streaming ingest composes this per micro-batch
+    via ``foreachBatch``, the standard stream-vs-index shape (same
+    policy as the minhash incremental path).
+
+    Returns the surviving batch rows; union their
+    :func:`embedding_index` into the store afterwards."""
+    bidx = (
+        batch_index
+        if batch_index is not None
+        else embedding_index(batch, dim, num_planes, id_col, vec_col)
+    )
+    b = bidx.select(
+        F.col(id_col).alias("__bid"), F.col(vec_col).alias("__bv"), "bucket"
+    )
+    i = index.select(
+        F.col(id_col).alias("__iid"), F.col(vec_col).alias("__iv"), "bucket"
+    )
+    hits = (
+        b.join(i, "bucket")
+        .withColumn("__cos", _pair_cosine(F.col("__bv"), F.col("__iv"), arrow))
+        .filter(F.col("__cos") >= float(threshold))
+        .select(F.col("__bid").alias(id_col))
+        .distinct()
+    )
+    return batch.join(hits, id_col, "left_anti")
 
 
 def semantic_dedup(

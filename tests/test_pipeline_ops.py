@@ -1214,6 +1214,56 @@ def test_semantic_dedup_keeps_one_per_twin_group(spark):
     assert singles["keep"].all()
 
 
+def test_embedding_neardup_against_increment(spark):
+    """Incremental embedding dedup: batch vectors near-identical to
+    indexed ones are dropped, novel ones survive and advance the
+    index; the Arrow kernel agrees with the expr kernel."""
+    from melodist_spark.pipeline.similarity import (
+        embedding_index,
+        embedding_neardup_against,
+    )
+
+    rng = np.random.default_rng(13)
+    dim = 16
+    base = [rng.normal(size=dim) for _ in range(40)]
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+            columns=["vec_id", "embedding"],
+        )
+    )
+    idx = embedding_index(corpus, dim=dim, num_planes=4)
+    # batch: 5 noisy twins of indexed vectors (cos > 0.999) + 5 novel
+    twins = [(100 + j, [float(x) for x in base[j] + rng.normal(size=dim) * 1e-3]) for j in range(5)]
+    novel = [(200 + j, [float(x) for x in rng.normal(size=dim)]) for j in range(5)]
+    batch = spark.createDataFrame(
+        pd.DataFrame(twins + novel, columns=["vec_id", "embedding"])
+    )
+    for arrow in (False, True):
+        surv = embedding_neardup_against(
+            batch, idx, dim=dim, threshold=0.999, num_planes=4, arrow=arrow
+        )
+        got = sorted(r["vec_id"] for r in surv.collect())
+        assert got == [200, 201, 202, 203, 204], (arrow, got)
+    # advancing the state: survivors' index unions in, and the same
+    # batch re-checked against the advanced index now fully drops
+    adv = idx.unionByName(
+        embedding_index(
+            embedding_neardup_against(
+                batch, idx, dim=dim, threshold=0.999, num_planes=4
+            ),
+            dim=dim,
+            num_planes=4,
+        )
+    )
+    assert (
+        embedding_neardup_against(
+            batch, adv, dim=dim, threshold=0.999, num_planes=4
+        ).count()
+        == 0
+    )
+
+
 def test_bucketed_cosine_arrow_matches_expr(spark):
     """The Arrow cosine kernel (batched einsum over the joined pair
     batches) must produce the SAME candidate pair set as the JVM
