@@ -74,11 +74,33 @@ def brute_force_topk(
 
 
 def _hyperplane(dim: int, plane_idx: int) -> list[float]:
-    """Deterministic pseudo-random unit hyperplane (engine-portable:
-    plain math, no RNG state)."""
-    vals = [
-        math.sin(0.5 + plane_idx * 131.071 + j * 17.23) for j in range(dim)
-    ]
+    """Deterministic pseudo-random unit hyperplane (no RNG state —
+    any session, any engine literal reproduces it).
+
+    Components are md5-seeded Box-Muller gaussians, which makes the
+    plane family isotropic and FULL-RANK — the property SimHash's
+    collision bound cos⁻¹(θ)/π actually requires. The original
+    ``sin(a + p·131.071 + j·17.23)`` generator looked uniform per
+    plane but decomposes as sin(jθ)cos(φ_p) + cos(jθ)sin(φ_p): every
+    plane lived in ONE 2-dimensional subspace (measured rank 2 at 16
+    planes, pairwise |cos| up to 0.99), so k planes cut ~2k angular
+    sectors of a 2-D shadow instead of 2^k cells — at a 2M-vector
+    corpus, 14 planes produced 28 distinct buckets of ~71k vectors
+    where true hyperplanes give ~16k buckets of ~122. Candidate
+    generation was correct (the exact-cosine re-check keeps only
+    true pairs) but quadratically over-generated; pinned by
+    ``test_hyperplane_family_full_rank``."""
+    import hashlib
+
+    vals = []
+    for j in range(dim):
+        h = hashlib.md5(f"plane:{plane_idx}:{j}".encode()).hexdigest()
+        # two independent 60-bit uniforms from one digest; u1 in (0,1]
+        u1 = (int(h[:15], 16) + 1) / float((1 << 60) + 1)
+        u2 = int(h[15:30], 16) / float(1 << 60)
+        vals.append(
+            math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.pi * u2)
+        )
     n = math.sqrt(sum(v * v for v in vals))
     return [v / n for v in vals]
 
@@ -111,15 +133,23 @@ def lsh_bucket_signature(
     return sig
 
 
-def lsh_bucket_udf(dim: int, num_planes: int = 16):
+def lsh_bucket_udf(dim: int, num_planes: int = 16, plane_offset: int = 0):
     """Vectorized LSH signature: for each Arrow batch, one
     ``(batch × dim) @ (dim × planes)`` float64 matmul, then pack the
     sign bits into a long. Same planes and same per-element
     ``double(x) * plane[j]`` math as :func:`lsh_bucket_signature`, so
     the bucket ids agree; the per-row cost is a BLAS row instead of an
-    interpreted fold, which is what survives a 100 TB corpus."""
+    interpreted fold, which is what survives a 100 TB corpus.
+
+    ``plane_offset`` selects a DISJOINT slice of the deterministic
+    plane table — table ``t`` of an OR-amplified index uses planes
+    ``t*k .. (t+1)*k - 1`` (:func:`embedding_index` ``num_tables``)."""
     planes = np.array(
-        [_hyperplane(dim, p) for p in range(num_planes)], dtype=np.float64
+        [
+            _hyperplane(dim, plane_offset + p)
+            for p in range(num_planes)
+        ],
+        dtype=np.float64,
     ).T  # (dim, planes)
     powers = (np.int64(1) << np.arange(num_planes, dtype=np.int64))
 
@@ -259,25 +289,59 @@ def embedding_index(
     corpus: DataFrame,
     dim: int,
     num_planes: int = 8,
+    num_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Durable embedding near-dup state for incremental ingest:
-    ``(id, embedding, bucket)`` — the embedding-side analogue of
-    :func:`dedup.minhash_index`. Unlike MinHash (where the signature
-    suffices), the exact cosine re-check needs the vector itself, so
-    the state is the embedding plus its precomputed hyperplane
-    bucket (~4·dim + 8 B per doc — i.e. the vector store IS the
-    index, which is how production embedding dedup works anyway).
-    Store partitioned/bucketed BY ``bucket``: the incremental check's
-    only shuffle is the bucket equi-join, and a bucket-bucketed
-    layout makes the index side shuffle-free. Union each surviving
-    batch's index in to advance the state."""
-    bucket = lsh_bucket_udf(dim, num_planes)
-    return corpus.select(
+    ``(id, embedding, bucket_0..bucket_{T-1})`` — the embedding-side
+    analogue of :func:`dedup.minhash_index`. Unlike MinHash (where
+    the signature suffices), the exact cosine re-check needs the
+    vector itself, so the state is the embedding plus its
+    precomputed hyperplane buckets (~4·dim + 8·T B per doc — i.e.
+    the vector store IS the index, which is how production embedding
+    dedup works anyway). Store partitioned/bucketed BY ``bucket_0``:
+    the incremental check's only shuffle is the bucket equi-join.
+    Union each surviving batch's index in to advance the state.
+
+    ``num_planes`` / ``num_tables`` are the standard LSH AND-OR
+    knobs (the cosine analogue of MinHash banding): each table ANDs
+    ``num_planes`` sign bits over its own DISJOINT slice of the
+    deterministic plane family, and a candidate collides if ANY
+    table's buckets agree. Recall for a pair whose per-plane
+    agreement is ``p``: ``1 - (1 - p^planes)^tables`` — more planes
+    cut bucket sizes (candidate work), more tables buy the recall
+    back at 8 B/doc each. All T tables' buckets come from ONE Arrow
+    matmul against the stacked ``(dim × T·k)`` plane matrix — one
+    pass over the vectors regardless of T; table ``t`` uses the same
+    deterministic planes ``t·k .. (t+1)·k − 1`` as
+    ``lsh_bucket_udf(plane_offset=t·k)``, so any session reproduces
+    the same buckets."""
+    planes = np.array(
+        [_hyperplane(dim, p) for p in range(num_tables * num_planes)],
+        dtype=np.float64,
+    ).T  # (dim, T*k)
+    powers = np.int64(1) << np.arange(num_planes, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def _buckets(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        x = np.vstack(v.to_numpy()).astype(np.float64)
+        bits = (x @ planes) > 0  # (n, T*k)
+        out = bits.reshape(len(x), num_tables, num_planes) @ powers
+        return pd.Series(list(out))
+
+    tmp = "__bkts"
+    while tmp in corpus.columns:
+        tmp += "_"
+    return corpus.withColumn(tmp, _buckets(F.col(vec_col))).select(
         F.col(id_col),
         F.col(vec_col),
-        bucket(F.col(vec_col)).alias("bucket"),
+        *[
+            F.element_at(tmp, t + 1).alias(f"bucket_{t}")
+            for t in range(num_tables)
+        ],
     )
 
 
@@ -287,6 +351,7 @@ def embedding_neardup_against(
     dim: int,
     threshold: float = 0.9,
     num_planes: int = 8,
+    num_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     arrow: bool = False,
@@ -306,29 +371,53 @@ def embedding_neardup_against(
     re-check exact cosine (``arrow=True`` for the einsum kernel) and
     hit batch ids are anti-joined away.
 
-    ``num_planes`` must match the value the index was built with —
-    the planes are deterministic, so any session reproduces the same
-    buckets. ``batch_index`` passes the batch's own
-    :func:`embedding_index` when already in hand (computed for the
-    index advance); streaming ingest composes this per micro-batch
-    via ``foreachBatch``, the standard stream-vs-index shape (same
-    policy as the minhash incremental path).
+    ``num_planes`` / ``num_tables`` must match the values the index
+    was built with — the planes are deterministic, so any session
+    reproduces the same buckets. With T tables a pair is a candidate
+    when ANY table's buckets agree (OR-amplification); the candidate
+    id pairs are deduplicated BEFORE the vectors join in, so a pair
+    colliding in several tables pays one cosine. ``batch_index``
+    passes the batch's own :func:`embedding_index` when already in
+    hand (computed for the index advance); streaming ingest composes
+    this per micro-batch via ``foreachBatch``, the standard
+    stream-vs-index shape (same policy as the minhash incremental
+    path).
 
     Returns the surviving batch rows; union their
     :func:`embedding_index` into the store afterwards."""
     bidx = (
         batch_index
         if batch_index is not None
-        else embedding_index(batch, dim, num_planes, id_col, vec_col)
+        else embedding_index(
+            batch, dim, num_planes, num_tables, id_col, vec_col
+        )
     )
-    b = bidx.select(
-        F.col(id_col).alias("__bid"), F.col(vec_col).alias("__bv"), "bucket"
+
+    def long_form(df, tag):
+        # (id, table, bucket) — narrow posexplode of the T buckets;
+        # vectors deliberately left behind (joined back per candidate)
+        return df.select(
+            F.col(id_col).alias(tag),
+            F.posexplode(
+                F.array(*[f"bucket_{t}" for t in range(num_tables)])
+            ).alias("__tbl", "__bucket"),
+        )
+
+    cand = (
+        long_form(bidx, "__bid")
+        .join(long_form(index, "__iid"), ["__tbl", "__bucket"])
+        .select("__bid", "__iid")
+        .distinct()
     )
-    i = index.select(
-        F.col(id_col).alias("__iid"), F.col(vec_col).alias("__iv"), "bucket"
+    bs = bidx.select(
+        F.col(id_col).alias("__bid"), F.col(vec_col).alias("__bv")
+    )
+    isx = index.select(
+        F.col(id_col).alias("__iid"), F.col(vec_col).alias("__iv")
     )
     hits = (
-        b.join(i, "bucket")
+        cand.join(bs, "__bid")
+        .join(isx, "__iid")
         .withColumn("__cos", _pair_cosine(F.col("__bv"), F.col("__iv"), arrow))
         .filter(F.col("__cos") >= float(threshold))
         .select(F.col("__bid").alias(id_col))

@@ -1214,6 +1214,26 @@ def test_semantic_dedup_keeps_one_per_twin_group(spark):
     assert singles["keep"].all()
 
 
+def test_hyperplane_family_full_rank():
+    """The SimHash collision bound requires an isotropic plane
+    family. The original sine-stride generator was rank 2 (every
+    plane a combination of sin(j*theta) and cos(j*theta) — k planes
+    cut ~2k sectors of a 2-D shadow instead of 2^k cells, measured
+    28 buckets over a 2M-vector corpus at 14 planes). Pin the fixed
+    family: full rank, near-orthogonal, sign-balanced."""
+    from melodist_spark.pipeline.similarity import _hyperplane
+
+    P = np.array([_hyperplane(64, p) for p in range(16)])
+    sv = np.linalg.svd(P, compute_uv=False)
+    assert sv[-1] > 0.5  # full rank, comfortably conditioned
+    off = np.abs(P @ P.T - np.eye(16)).max()
+    assert off < 0.5  # near-orthogonal (rank-2 family reached 0.99)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(5000, 64))
+    frac = ((x @ P.T) > 0).mean(axis=0)
+    assert (np.abs(frac - 0.5) < 0.05).all()  # balanced cuts
+
+
 def test_embedding_neardup_against_increment(spark):
     """Incremental embedding dedup: batch vectors near-identical to
     indexed ones are dropped, novel ones survive and advance the
@@ -1262,6 +1282,51 @@ def test_embedding_neardup_against_increment(spark):
         ).count()
         == 0
     )
+
+
+def test_embedding_index_or_amplification_recall(spark):
+    """The LSH AND-OR construction: at a plane count where a single
+    table misses some planted twins (a sign flip in any of the k
+    planes hides the pair), adding tables recovers them — recall is
+    monotone in num_tables and hits 100% well before the per-table
+    collision probability does."""
+    from melodist_spark.pipeline.similarity import (
+        embedding_index,
+        embedding_neardup_against,
+    )
+
+    rng = np.random.default_rng(17)
+    dim, n = 16, 120
+    base = [rng.normal(size=dim) for _ in range(n)]
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+            columns=["vec_id", "embedding"],
+        )
+    )
+    # twins noisy enough that 10 planes flip at least one sign for a
+    # fair fraction of pairs
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (1000 + j, [float(x) for x in base[j] + rng.normal(size=dim) * 0.05])
+                for j in range(n)
+            ],
+            columns=["vec_id", "embedding"],
+        )
+    )
+    dropped = {}
+    for tables in (1, 4):
+        idx = embedding_index(corpus, dim=dim, num_planes=10, num_tables=tables)
+        surv = embedding_neardup_against(
+            batch, idx, dim=dim, threshold=0.99, num_planes=10,
+            num_tables=tables,
+        ).count()
+        dropped[tables] = n - surv
+    assert dropped[4] >= dropped[1]
+    assert dropped[4] > n * 0.9  # OR-amplified recall is near-total
+    # and at this noise a single 10-plane table genuinely misses some
+    assert dropped[1] < n
 
 
 def test_bucketed_cosine_arrow_matches_expr(spark):
