@@ -560,7 +560,18 @@ def duplicate_clusters(
         .observe(seed_obs, F.count(F.lit(1)).alias("n")),
         "labels_seed",
     )
-    if driver_edges and edge_obs.get["m"] <= 2 * driver_edges:
+    try:
+        m_sym = edge_obs.get["m"]
+        n_nodes = seed_obs.get["n"]
+    except Exception:
+        # an EMPTY pair table runs the seed truncation as a zero-task
+        # job, so the observed metrics never materialize and .get
+        # raises (pre-existing: the broadcast gate's seed_obs.get had
+        # the same hole) — fall back to direct counts on the already-
+        # persisted frames, trivial at this size by construction
+        m_sym = sym.count()
+        n_nodes = labels.count()
+    if driver_edges and m_sym <= 2 * driver_edges:
         # driver union-find over the persisted canonical half of the
         # edge list: one Arrow collect, zero rounds; min id per
         # component == the distributed fixpoint's min reachable id.
@@ -608,11 +619,7 @@ def duplicate_clusters(
             {"id": nodes, "cluster_id": [comp[find(n)] for n in nodes]}
         )
         return pairs.sparkSession.createDataFrame(out, schema)
-    hint = (
-        F.broadcast
-        if seed_obs.get["n"] <= broadcast_nodes
-        else (lambda df: df)
-    )
+    hint = F.broadcast if n_nodes <= broadcast_nodes else (lambda df: df)
     changed = None
     n_writes = 0
     for it in range(max_iter):

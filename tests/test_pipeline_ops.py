@@ -354,6 +354,19 @@ def test_duplicate_clusters_nonconvergence_warns(spark):
     assert any("did not converge" in str(w.message) for w in caught)
 
 
+def test_duplicate_clusters_empty_pairs(spark):
+    """An empty pair table (no duplicates found — a normal outcome)
+    returns an empty labeling on BOTH paths. Pre-existing hole: the
+    seed job runs zero tasks on empty input, so the observed metrics
+    never materialize and Observation.get raises — the counts now
+    fall back to direct (trivial) count jobs."""
+    from melodist_spark.pipeline.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert duplicate_clusters(pairs).count() == 0
+    assert duplicate_clusters(pairs, driver_edges=0).count() == 0
+
+
 def test_duplicate_clusters_driver_matches_distributed(spark):
     """The small-graph driver union-find fast path must label exactly
     as the distributed min-label rounds — random graph with chains,
