@@ -582,27 +582,58 @@ def lsh_topk(
     dim: int,
     k: int = 5,
     num_planes: int = 12,
+    num_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates share the hyperplane bucket, then
-    exact cosine re-rank within buckets. At 100 TB the bucket join
-    replaces the full cross product; recall is tuned via num_planes
-    (fewer planes → bigger buckets → higher recall, more work)."""
-    bucket = lsh_bucket_udf(dim, num_planes)
-    c = corpus.withColumn("__bucket", bucket(F.col(vec_col)))
-    q = queries.withColumn("__bucket", bucket(F.col(vec_col)))
-    qs = q.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "__bucket"
+    """Approximate top-k: candidates share a hyperplane bucket in ANY
+    of ``num_tables`` tables (the LSH AND-OR construction — see
+    :func:`embedding_index`), then exact cosine re-rank over the
+    deduplicated candidates. At 100 TB the bucket join replaces the
+    full cross product; ``num_planes`` prices candidate work (bucket
+    size halves per plane), ``num_tables`` buys recall back — the
+    same knobs, measured in `tools/embedding_increment_smoke.py` and
+    `tools/ann_scale_smoke.py`."""
+    c = embedding_index(corpus, dim, num_planes, num_tables, id_col, vec_col)
+    q = embedding_index(queries, dim, num_planes, num_tables, id_col, vec_col)
+
+    def long_form(df, tag):
+        return df.select(
+            F.col(id_col).alias(tag),
+            F.posexplode(
+                F.array(*[f"bucket_{t}" for t in range(num_tables)])
+            ).alias("__tbl", "__bucket"),
+        )
+
+    cand = (
+        long_form(c, "neighbor_id")
+        .join(F.broadcast(long_form(q, "query_id")), ["__tbl", "__bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
-    cs = c.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "__bucket")
-    cand = cs.join(F.broadcast(qs), "__bucket").filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    sims = cand.select(
-        "query_id",
-        "neighbor_id",
-        cosine_similarity(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+    sims = (
+        cand.join(
+            F.broadcast(
+                q.select(
+                    F.col(id_col).alias("query_id"),
+                    F.col(vec_col).alias("__qv"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            c.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("__cv"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

@@ -169,6 +169,21 @@ def test_lsh_topk_recall(spark):
     # LSH with few planes should recover most twins
     hits = (approx.set_index("query_id")["neighbor_id"] == approx["query_id"] + 30).mean()
     assert hits >= 0.6
+    # AND-OR amplification: at a plane count strict enough that one
+    # table can miss twins, 4 tables recover every one (and recall is
+    # monotone vs the single table)
+    amp = lsh_topk(
+        df, queries, dim=16, k=1, num_planes=8, num_tables=4
+    ).toPandas()
+    amp_hits = (
+        amp.set_index("query_id")["neighbor_id"] == amp["query_id"] + 30
+    ).mean()
+    one = lsh_topk(df, queries, dim=16, k=1, num_planes=8).toPandas()
+    one_hits = (
+        one.set_index("query_id")["neighbor_id"] == one["query_id"] + 30
+    ).mean() if len(one) else 0.0
+    assert amp_hits >= one_hits
+    assert amp_hits == 1.0
 
 
 def test_neardup_pairs_finds_noisy_twins(spark):

@@ -115,13 +115,26 @@ def main():
     t7 = time.perf_counter()
     print(f"ivf_pq_topk (n_probe=4 of {cells}): {t7 - t6:.1f}s")
 
+    # hyperplane LSH with AND-OR tables (full-rank planes, round 10):
+    # 16 planes bound per-bucket collisions at ~n/65k, 6 tables buy
+    # the recall back — the fourth deployment shape
+    from melodist_spark.pipeline.similarity import lsh_topk
+
+    lsh = lsh_topk(
+        vecs, queries, dim=dim, k=1, num_planes=16, num_tables=6
+    ).toPandas()
+    t8 = time.perf_counter()
+    print(f"lsh_topk (16 planes x 6 tables): {t8 - t7:.1f}s")
+
     def recall(df):
         g = df[df["rank"] == 1].set_index("query_id")["neighbor_id"]
+        if len(g) == 0:
+            return 0.0
         return (g == g.index + half).mean()
 
     print(
         f"twin-recall@1: exact={recall(exact):.2f} pq={recall(pq):.2f} "
-        f"ivf_pq={recall(ivfpq):.2f}"
+        f"ivf_pq={recall(ivfpq):.2f} lsh={recall(lsh):.2f}"
     )
     print(f"TOTAL {time.perf_counter() - t_all:.1f}s")
 
