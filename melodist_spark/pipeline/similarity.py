@@ -79,7 +79,8 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
 
     Components are md5-seeded Box-Muller gaussians, which makes the
     plane family isotropic and FULL-RANK — the property SimHash's
-    collision bound cos⁻¹(θ)/π actually requires. The original
+    collision bound 1 − θ/π (Charikar 2002, random-hyperplane
+    rounding) actually requires. The original
     ``sin(a + p·131.071 + j·17.23)`` generator looked uniform per
     plane but decomposes as sin(jθ)cos(φ_p) + cos(jθ)sin(φ_p): every
     plane lived in ONE 2-dimensional subspace (measured rank 2 at 16
