@@ -472,7 +472,8 @@ def duplicate_clusters(
     handful of jobs regardless of size, so on a 3.6k-edge graph the
     round loop is pure fixed overhead (measured ~9.6 s for ~6 rounds
     at sf0.1 — vs milliseconds of actual work). When the symmetrized
-    edge count — observed for free on the seed job — is within
+    edge count — read off the count job that materializes the edge
+    checkpoint — is within
     ``driver_edges`` canonical edges, the component labeling runs as
     ONE driver-side union-find over the already-materialized edge
     blocks (min-id per component: exactly the distributed fixpoint's
@@ -541,46 +542,25 @@ def duplicate_clusters(
         else _truncate(sym, "sym")
     )
 
-    # seed with min(self, neighbors) — the first propagation round for
-    # free, computed on the same shuffle that builds the node set. The
-    # broadcast-gate node count rides the seed materialization as an
-    # observed metric: no separate full scan of the label table.
-    from pyspark.sql import Observation
-
-    seed_obs = Observation("cc_nodes")
-    edge_obs = Observation("cc_edges")
-    # the edge observation sits on the seed job's OWN read of sym (a
-    # separate observe node, so the round loop's re-reads of sym never
-    # re-fire it) — both counts ride the one seed materialization
-    labels = _truncate(
-        sym.observe(edge_obs, F.count(F.lit(1)).alias("m"))
-        .groupBy(F.col("src").alias("id"))
-        .agg(F.min("dst").alias("__nbr"))
-        .select("id", F.least("id", "__nbr").alias("label"))
-        .observe(seed_obs, F.count(F.lit(1)).alias("n")),
-        "labels_seed",
-    )
-    try:
-        m_sym = edge_obs.get["m"]
-        n_nodes = seed_obs.get["n"]
-    except Exception:
-        # an EMPTY pair table runs the seed truncation as a zero-task
-        # job, so the observed metrics never materialize and .get
-        # raises (pre-existing: the broadcast gate's seed_obs.get had
-        # the same hole) — fall back to direct counts on the already-
-        # persisted frames, trivial at this size by construction
-        m_sym = sym.count()
-        n_nodes = labels.count()
+    # materialize sym and read the path gate's edge count off the same
+    # job — on the fast path this is the ONLY full-corpus-side work
+    # (the previous layout ran the distributed seed aggregation and
+    # eagerly checkpointed a label table the fast path never used)
+    m_sym = sym.count()
     if driver_edges and m_sym <= 2 * driver_edges:
         # driver union-find over the persisted canonical half of the
         # edge list: one Arrow collect, zero rounds; min id per
         # component == the distributed fixpoint's min reachable id.
         # Both transfers ride Arrow (toPandas / createDataFrame-from-
         # pandas) — a 445k-edge graph moves in ~100 ms each way where
-        # pickled Row lists took seconds.
+        # pickled Row lists took seconds. `src <= dst` (not `<`)
+        # keeps self-loop rows: a node whose only edge is (x, x)
+        # appears in the distributed seed's node set, so the fast
+        # path must label it too — the a == b arm seeds the node
+        # without a union.
         import pandas as pd
 
-        epdf = sym.filter(F.col("src") < F.col("dst")).toPandas()
+        epdf = sym.filter(F.col("src") <= F.col("dst")).toPandas()
         parent: dict = {}
 
         def find(x):
@@ -596,9 +576,10 @@ def duplicate_clusters(
                 parent[a] = a
             if b not in parent:
                 parent[b] = b
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[rb] = ra
+            if a != b:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[rb] = ra
         comp: dict = {}
         for node in parent:
             r = find(node)
@@ -619,6 +600,29 @@ def duplicate_clusters(
             {"id": nodes, "cluster_id": [comp[find(n)] for n in nodes]}
         )
         return pairs.sparkSession.createDataFrame(out, schema)
+
+    # seed with min(self, neighbors) — the first propagation round for
+    # free, computed on the same shuffle that builds the node set. The
+    # broadcast-gate node count rides the seed materialization as an
+    # observed metric: no separate full scan of the label table.
+    from pyspark.sql import Observation
+
+    seed_obs = Observation("cc_nodes")
+    labels = _truncate(
+        sym.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("__nbr"))
+        .select("id", F.least("id", "__nbr").alias("label"))
+        .observe(seed_obs, F.count(F.lit(1)).alias("n")),
+        "labels_seed",
+    )
+    try:
+        n_nodes = seed_obs.get["n"]
+    except Exception:
+        # an EMPTY pair table (reachable here only with
+        # driver_edges=0) runs the seed truncation as a zero-task
+        # job, so the observed metric never materializes and .get
+        # raises — fall back to a direct count on the persisted frame
+        n_nodes = labels.count()
     hint = F.broadcast if n_nodes <= broadcast_nodes else (lambda df: df)
     changed = None
     n_writes = 0

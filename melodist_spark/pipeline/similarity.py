@@ -264,8 +264,13 @@ def _pair_cosine(va: Column, vb: Column, arrow: bool) -> Column:
     """The two cosine kernels behind every pair re-check: the JVM
     HOF-expression form (engine-portable — the oracle shape) or the
     Arrow batched-einsum form (one row-wise numpy kernel per joined
-    batch — the scale shape; zero vectors yield NaN, which every
-    ``>= threshold`` filter drops just as the expr form's null)."""
+    batch — the scale shape). A zero vector must come out NULL in
+    BOTH forms: the expr form's ``try_divide`` does it natively; the
+    kernel's 0/0 is NaN, and Spark orders NaN ABOVE every number, so
+    an unguarded NaN would sail through ``>= threshold`` and declare
+    a zero vector a near-duplicate of its whole bucket — the wrapper
+    nulls it out (the UDF is extracted into its own ArrowEvalPython
+    node, so the double reference evaluates it once)."""
     if not arrow:
         return cosine_similarity(va, vb)
 
@@ -283,7 +288,8 @@ def _pair_cosine(va: Column, vb: Column, arrow: bool) -> Column:
             out = num / den
         return pd.Series(out)
 
-    return _cos(va, vb)
+    c = _cos(va, vb)
+    return F.when(~F.isnan(c), c)
 
 
 def embedding_index(
@@ -346,6 +352,22 @@ def embedding_index(
     )
 
 
+def _bucket_long_form(
+    df: DataFrame, tag: str, id_col: str, num_tables: int
+) -> DataFrame:
+    """(id, table, bucket) long form of an :func:`embedding_index`
+    frame — one narrow posexplode of the T bucket columns; vectors
+    deliberately left behind (joined back per candidate). Shared by
+    the AND-OR candidate joins of :func:`embedding_neardup_against`
+    and :func:`lsh_topk`."""
+    return df.select(
+        F.col(id_col).alias(tag),
+        F.posexplode(
+            F.array(*[f"bucket_{t}" for t in range(num_tables)])
+        ).alias("__tbl", "__bucket"),
+    )
+
+
 def embedding_neardup_against(
     batch: DataFrame,
     index: DataFrame,
@@ -394,19 +416,12 @@ def embedding_neardup_against(
         )
     )
 
-    def long_form(df, tag):
-        # (id, table, bucket) — narrow posexplode of the T buckets;
-        # vectors deliberately left behind (joined back per candidate)
-        return df.select(
-            F.col(id_col).alias(tag),
-            F.posexplode(
-                F.array(*[f"bucket_{t}" for t in range(num_tables)])
-            ).alias("__tbl", "__bucket"),
-        )
-
     cand = (
-        long_form(bidx, "__bid")
-        .join(long_form(index, "__iid"), ["__tbl", "__bucket"])
+        _bucket_long_form(bidx, "__bid", id_col, num_tables)
+        .join(
+            _bucket_long_form(index, "__iid", id_col, num_tables),
+            ["__tbl", "__bucket"],
+        )
         .select("__bid", "__iid")
         .distinct()
     )
@@ -598,17 +613,14 @@ def lsh_topk(
     c = embedding_index(corpus, dim, num_planes, num_tables, id_col, vec_col)
     q = embedding_index(queries, dim, num_planes, num_tables, id_col, vec_col)
 
-    def long_form(df, tag):
-        return df.select(
-            F.col(id_col).alias(tag),
-            F.posexplode(
-                F.array(*[f"bucket_{t}" for t in range(num_tables)])
-            ).alias("__tbl", "__bucket"),
-        )
-
     cand = (
-        long_form(c, "neighbor_id")
-        .join(F.broadcast(long_form(q, "query_id")), ["__tbl", "__bucket"])
+        _bucket_long_form(c, "neighbor_id", id_col, num_tables)
+        .join(
+            F.broadcast(
+                _bucket_long_form(q, "query_id", id_col, num_tables)
+            ),
+            ["__tbl", "__bucket"],
+        )
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
         .distinct()

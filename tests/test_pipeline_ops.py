@@ -171,17 +171,23 @@ def test_lsh_topk_recall(spark):
     assert hits >= 0.6
     # AND-OR amplification: at a plane count strict enough that one
     # table can miss twins, 4 tables recover every one (and recall is
-    # monotone vs the single table)
-    amp = lsh_topk(
-        df, queries, dim=16, k=1, num_planes=8, num_tables=4
-    ).toPandas()
-    amp_hits = (
-        amp.set_index("query_id")["neighbor_id"] == amp["query_id"] + 30
-    ).mean()
-    one = lsh_topk(df, queries, dim=16, k=1, num_planes=8).toPandas()
-    one_hits = (
-        one.set_index("query_id")["neighbor_id"] == one["query_id"] + 30
-    ).mean() if len(one) else 0.0
+    # monotone vs the single table). Recall is computed over ALL
+    # queries — an empty-bucket query counts as a miss, not a
+    # dropped denominator.
+    def recall(res, n_queries=5):
+        got = res[res["rank"] == 1].set_index("query_id")["neighbor_id"]
+        return sum(
+            got.get(q, -1) == q + 30 for q in range(n_queries)
+        ) / n_queries
+
+    amp_hits = recall(
+        lsh_topk(
+            df, queries, dim=16, k=1, num_planes=8, num_tables=4
+        ).toPandas()
+    )
+    one_hits = recall(
+        lsh_topk(df, queries, dim=16, k=1, num_planes=8).toPandas()
+    )
     assert amp_hits >= one_hits
     assert amp_hits == 1.0
 
@@ -392,8 +398,14 @@ def test_duplicate_clusters_driver_matches_distributed(spark):
 
     rng = random.Random(5)
     edges = {(rng.randrange(400), rng.randrange(400)) for _ in range(300)}
+    # keep a few self-loop rows: a node whose ONLY edge is (x, x)
+    # must still be labeled (as its own singleton) on both paths —
+    # the distributed seed's node set includes it, so the fast path's
+    # collect must too
     pairs = spark.createDataFrame(
-        [(a, b) for a, b in edges if a != b], ["id_a", "id_b"]
+        [(a, b) for a, b in edges if a != b]
+        + [(998, 998), (999, 999)],
+        ["id_a", "id_b"],
     )
     fast = {
         r["id"]: r["cluster_id"]
@@ -1369,6 +1381,13 @@ def test_bucketed_cosine_arrow_matches_expr(spark):
     rows = [
         (i, [float(x) for x in rng.normal(size=12)]) for i in range(300)
     ]
+    # two zero vectors: cosine is undefined — the expr form's
+    # try_divide nulls them out, and the Arrow kernel's 0/0 NaN must
+    # ALSO come out null (Spark orders NaN above every number, so an
+    # unguarded NaN would pass >= threshold and pair the zero vector
+    # with its whole bucket)
+    rows.append((900, [0.0] * 12))
+    rows.append((901, [0.0] * 12))
     corpus = spark.createDataFrame(
         pd.DataFrame(rows, columns=["vec_id", "embedding"])
     )

@@ -127,10 +127,11 @@ def main():
     print(f"lsh_topk (16 planes x 6 tables): {t8 - t7:.1f}s")
 
     def recall(df):
+        # over ALL 8 queries: one that returned no rank-1 row (empty
+        # buckets in every table) counts as a miss, not a dropped
+        # denominator
         g = df[df["rank"] == 1].set_index("query_id")["neighbor_id"]
-        if len(g) == 0:
-            return 0.0
-        return (g == g.index + half).mean()
+        return sum(g.get(q, -1) == q + half for q in range(8)) / 8.0
 
     print(
         f"twin-recall@1: exact={recall(exact):.2f} pq={recall(pq):.2f} "
