@@ -2464,3 +2464,83 @@ def test_streaming_repetition_gate_matches_batch(spark, tmp_path):
         streaming_curate(
             stream, None, repetition_thresholds={"nope": 0.5}
         )
+
+
+def test_streaming_embedding_increment_foreach_batch(spark, tmp_path):
+    """The embedding increment's documented streaming shape: a
+    readStream of embedding batches, `foreachBatch` running
+    `embedding_neardup_against` against the durable index and
+    advancing it with the survivors' `embedding_index`. Two
+    micro-batches pin the cross-batch semantics — batch 2's twins of
+    batch 1's NOVEL vectors are dropped only because batch 1
+    advanced the index — and the surviving id set matches the
+    sequential batch-mode loop exactly."""
+    from melodist_spark.pipeline.similarity import (
+        embedding_index,
+        embedding_neardup_against,
+    )
+
+    dim, planes, tables = 8, 6, 2
+    rng = np.random.default_rng(23)
+    base = [rng.normal(size=dim) for _ in range(30)]
+
+    def frame(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["vec_id", "embedding"])
+        )
+
+    corpus = frame([(i, [float(x) for x in v]) for i, v in enumerate(base)])
+    novel1 = [rng.normal(size=dim) for _ in range(5)]
+    b1 = [  # twins of the seed corpus (dropped) + novel (kept)
+        (100 + j, [float(x) for x in base[j] + rng.normal(size=dim) * 1e-3])
+        for j in range(5)
+    ] + [(110 + j, [float(x) for x in novel1[j]]) for j in range(5)]
+    b2 = [  # twins of batch 1's novels — dropped ONLY via the advance
+        (200 + j, [float(x) for x in novel1[j] + rng.normal(size=dim) * 1e-3])
+        for j in range(5)
+    ] + [(210, [float(x) for x in rng.normal(size=dim)])]
+
+    # batch-mode reference loop
+    kw = dict(dim=dim, threshold=0.999, num_planes=planes,
+              num_tables=tables)
+    idx = embedding_index(corpus, dim, planes, tables)
+    expect = []
+    for rows in (b1, b2):
+        surv = embedding_neardup_against(frame(rows), idx, **kw)
+        expect.extend(r["vec_id"] for r in surv.collect())
+        idx = idx.unionByName(embedding_index(surv, dim, planes, tables))
+    assert sorted(expect) == [110, 111, 112, 113, 114, 210]
+
+    # streaming: one parquet file per micro-batch, index and results
+    # as durable parquet state the foreachBatch closure advances
+    src = str(tmp_path / "emb_stream")
+    for name, rows in (("b0", b1), ("b1", b2)):
+        frame(rows).coalesce(1).write.parquet(f"{src}/{name}")
+    index_path = str(tmp_path / "emb_index")
+    out_path = str(tmp_path / "emb_out")
+    embedding_index(corpus, dim, planes, tables).write.parquet(index_path)
+
+    def step(batch_df, _bid):
+        cur = batch_df.sparkSession.read.parquet(index_path)
+        surv = embedding_neardup_against(batch_df, cur, **kw)
+        embedding_index(surv, dim, planes, tables).write.mode(
+            "append"
+        ).parquet(index_path)
+        surv.select("vec_id").write.mode("append").parquet(out_path)
+
+    stream = (
+        spark.readStream.schema(frame(b1).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        r["vec_id"] for r in spark.read.parquet(out_path).collect()
+    )
+    assert got == sorted(expect)
