@@ -307,10 +307,17 @@ uncontended box, 2 runs each, min-of-2 per query:
   `lsh` (hyperplane-bucket join + in-bucket exact re-rank, 6
   deterministic planes — the union total grows by construction; the
   new `lsh` sub carries it). `duplicate_clusters` takes a driver
-  union-find fast path on parameter-scale graphs (edge count rides
-  the seed job as an observation): `semantic_dedup` 7.3 -> ~4.7 s,
-  `dup_clusters` 4.2 -> ~3.0 s on an uncontended probe, labels
-  identical.
+  union-find fast path on parameter-scale graphs: `semantic_dedup`
+  7.3 -> ~5.3 s, `dup_clusters` 4.2 -> ~1.5 s (full harness,
+  uncontended), labels identical.
+- LATE round-10 plane fix: the LSH hyperplane family was measured
+  RANK 2 (every sine-generated plane in one 2-D subspace — k planes
+  cut ~2k sectors, not 2^k cells), so bucket self-joins massively
+  over-generated candidates; now md5-seeded Box-Muller gaussians
+  (full-rank, SCALE.md). `embedding_neardup` 3.0 -> ~0.7 s is this
+  fix (true 256-bucket pruning at 8 planes); its row count drops to
+  the true >=0.3 pair set (15 at sf0.01 / 286 at sf0.1) since the
+  degenerate buckets had been surfacing extra same-sector pairs.
 """
 
 
