@@ -621,8 +621,15 @@ def duplicate_clusters(
         # an EMPTY pair table (reachable here only with
         # driver_edges=0) runs the seed truncation as a zero-task
         # job, so the observed metric never materializes and .get
-        # raises — fall back to a direct count on the persisted frame
+        # raises — fall back to a direct count on the persisted
+        # frame. The fallback is ONLY legitimate in that zero-task
+        # case: if the count comes back non-zero the metric should
+        # have materialized, so re-raise the original error instead
+        # of masking a real failure (a job error surfacing through
+        # Observation) behind a silent recompute.
         n_nodes = labels.count()
+        if n_nodes != 0:
+            raise
     hint = F.broadcast if n_nodes <= broadcast_nodes else (lambda df: df)
     changed = None
     n_writes = 0

@@ -270,22 +270,41 @@ def _pair_cosine(va: Column, vb: Column, arrow: bool) -> Column:
     an unguarded NaN would sail through ``>= threshold`` and declare
     a zero vector a near-duplicate of its whole bucket — the wrapper
     nulls it out (the UDF is extracted into its own ArrowEvalPython
-    node, so the double reference evaluates it once)."""
+    node, so the double reference evaluates it once). Malformed rows
+    degrade identically in both forms: a NULL array or a
+    length-mismatched pair comes out NULL from the expr twin
+    (``zip_with`` pads with nulls, the null poisons the sum), so the
+    kernel masks them to NaN instead of letting ``np.vstack`` raise a
+    task failure — the NaN wrapper then absorbs them. Rows are
+    grouped by length so a ragged-but-valid batch (mixed-dim corpora)
+    still vectorizes per dim."""
     if not arrow:
         return cosine_similarity(va, vb)
 
     @pandas_udf("double")
     def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        if len(a) == 0:
+        n = len(a)
+        if n == 0:
             return pd.Series([], dtype="float64")
-        x = np.vstack(a.to_numpy()).astype(np.float64)
-        y = np.vstack(b.to_numpy()).astype(np.float64)
-        num = np.einsum("ij,ij->i", x, y)
-        den = np.sqrt(np.einsum("ij,ij->i", x, x)) * np.sqrt(
-            np.einsum("ij,ij->i", y, y)
-        )
-        with np.errstate(divide="ignore", invalid="ignore"):
-            out = num / den
+        av, bv = a.to_numpy(), b.to_numpy()
+
+        def _len(r) -> int:
+            return len(r) if r is not None and np.ndim(r) == 1 else -1
+
+        la = np.fromiter((_len(r) for r in av), dtype=np.int64, count=n)
+        lb = np.fromiter((_len(r) for r in bv), dtype=np.int64, count=n)
+        valid = (la > 0) & (la == lb)
+        out = np.full(n, np.nan)
+        for d in np.unique(la[valid]):
+            m = valid & (la == d)
+            x = np.vstack(av[m]).astype(np.float64)
+            y = np.vstack(bv[m]).astype(np.float64)
+            num = np.einsum("ij,ij->i", x, y)
+            den = np.sqrt(np.einsum("ij,ij->i", x, x)) * np.sqrt(
+                np.einsum("ij,ij->i", y, y)
+            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out[m] = num / den
         return pd.Series(out)
 
     c = _cos(va, vb)
@@ -352,6 +371,32 @@ def embedding_index(
     )
 
 
+def _check_index_tables(df: DataFrame, num_tables: int, what: str) -> None:
+    """Fail loudly when an :func:`embedding_index` frame was built
+    with a different ``num_tables`` than the caller now claims — a
+    mismatch would otherwise degrade SILENTLY into missed duplicates
+    (too few tables read → lost OR-amplification recall) or an
+    AnalysisException naming an internal column (too many). The
+    bucket columns are the index's own metadata: ``bucket_0 ..
+    bucket_{T-1}`` present and ``bucket_T`` absent pins T exactly."""
+    missing = [
+        f"bucket_{t}" for t in range(num_tables) if f"bucket_{t}" not in df.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"{what} is missing bucket columns {missing}: it was built "
+            f"with fewer than num_tables={num_tables} tables (columns: "
+            f"{df.columns})"
+        )
+    if f"bucket_{num_tables}" in df.columns:
+        raise ValueError(
+            f"{what} has column bucket_{num_tables}: it was built with "
+            f"MORE than num_tables={num_tables} tables — pass the value "
+            "the index was built with or duplicates will be missed "
+            f"(columns: {df.columns})"
+        )
+
+
 def _bucket_long_form(
     df: DataFrame, tag: str, id_col: str, num_tables: int
 ) -> DataFrame:
@@ -396,7 +441,11 @@ def embedding_neardup_against(
 
     ``num_planes`` / ``num_tables`` must match the values the index
     was built with — the planes are deterministic, so any session
-    reproduces the same buckets. With T tables a pair is a candidate
+    reproduces the same buckets. A ``num_tables`` mismatch is
+    detected from the index frame's own bucket columns and raises
+    (silently it would read as missed duplicates); ``num_planes`` is
+    not recoverable from the frame, so keep it with the store's
+    metadata alongside the parquet path. With T tables a pair is a candidate
     when ANY table's buckets agree (OR-amplification); the candidate
     id pairs are deduplicated BEFORE the vectors join in, so a pair
     colliding in several tables pays one cosine. ``batch_index``
@@ -408,6 +457,7 @@ def embedding_neardup_against(
 
     Returns the surviving batch rows; union their
     :func:`embedding_index` into the store afterwards."""
+    _check_index_tables(index, num_tables, "stored index")
     bidx = (
         batch_index
         if batch_index is not None
@@ -415,6 +465,8 @@ def embedding_neardup_against(
             batch, dim, num_planes, num_tables, id_col, vec_col
         )
     )
+    if batch_index is not None:
+        _check_index_tables(bidx, num_tables, "batch_index")
 
     cand = (
         _bucket_long_form(bidx, "__bid", id_col, num_tables)
@@ -494,6 +546,11 @@ def semantic_dedup(
 
     if centroids is not None:
         cents = np.asarray(centroids, dtype=np.float64)
+        if cents.ndim != 2 or cents.shape[0] == 0:
+            raise ValueError(
+                "centroids must be a non-empty 2-D (k, dim) matrix, "
+                f"got shape {cents.shape}"
+            )
         if cents.shape[1] != dim:
             raise ValueError(
                 f"centroids dim {cents.shape[1]} != corpus dim {dim}"
@@ -598,9 +655,10 @@ def lsh_topk(
     dim: int,
     k: int = 5,
     num_planes: int = 12,
-    num_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    *,
+    num_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates share a hyperplane bucket in ANY
     of ``num_tables`` tables (the LSH AND-OR construction — see

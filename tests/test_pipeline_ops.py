@@ -1452,6 +1452,80 @@ def test_semantic_dedup_pinned_centroids_matches_trained(spark):
     assert not pinned.loc[pinned["vec_id"] == 60, "keep"].item()
     with pytest.raises(ValueError, match="dim"):
         semantic_dedup(corpus, dim=dim, centroids=cents[:, :4])
+    # malformed centroid matrices fail loudly as ValueError, not as
+    # an IndexError from reading shape[1] on a 1-D / empty array
+    with pytest.raises(ValueError, match="2-D"):
+        semantic_dedup(corpus, dim=dim, centroids=cents[0])
+    with pytest.raises(ValueError, match="2-D"):
+        semantic_dedup(corpus, dim=dim, centroids=np.zeros((0, dim)))
+
+
+def test_pair_cosine_kernels_degrade_identically_on_malformed(spark):
+    """A NULL embedding or a length-mismatched pair must come out
+    NULL from BOTH cosine kernels — the HOF/try_divide form does so
+    natively; the Arrow kernel must mask such rows to NaN (absorbed
+    by its NULL wrapper) instead of np.vstack raising a task
+    failure. Valid rows of DIFFERENT dims in one batch must still
+    all compute (the kernel groups by length)."""
+    from melodist_spark.pipeline.similarity import _pair_cosine
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], [1.0, 0.0, 0.0]),   # cos = 1
+        (1, None, [1.0, 0.0, 0.0]),               # null side -> NULL
+        (2, [1.0, 0.0], [1.0, 0.0, 0.0]),         # ragged pair -> NULL
+        (3, [0.0, 0.0, 0.0], [1.0, 0.0, 0.0]),    # zero vector -> NULL
+        (4, [3.0, 4.0], [3.0, 4.0]),              # 2-D valid, cos = 1
+        (5, [1.0, 2.0, 2.0], [2.0, 4.0, 4.0]),    # 3-D valid, cos = 1
+    ]
+    df = spark.createDataFrame(rows, "pid long, a array<double>, b array<double>")
+    for arrow in (False, True):
+        got = (
+            df.select(
+                "pid", _pair_cosine(F.col("a"), F.col("b"), arrow).alias("c")
+            )
+            .toPandas()
+            .set_index("pid")["c"]
+        )
+        assert got[0] == pytest.approx(1.0), arrow
+        assert got[4] == pytest.approx(1.0), arrow
+        assert got[5] == pytest.approx(1.0), arrow
+        assert pd.isna(got[1]) and pd.isna(got[2]) and pd.isna(got[3]), arrow
+
+
+def test_embedding_index_num_tables_mismatch_raises(spark):
+    """embedding_neardup_against must refuse an index whose stored
+    bucket_T columns disagree with the caller's num_tables — a
+    silent mismatch reads as missed duplicates (lost recall), never
+    an error, which is the worst failure mode for a dedup gate."""
+    import pytest
+
+    from melodist_spark.pipeline.similarity import (
+        embedding_index,
+        embedding_neardup_against,
+    )
+
+    rng = np.random.default_rng(3)
+    dim = 8
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(6)],
+            columns=["vec_id", "embedding"],
+        )
+    )
+    idx2 = embedding_index(corpus, dim, num_planes=4, num_tables=2)
+    with pytest.raises(ValueError, match="MORE than num_tables=1"):
+        embedding_neardup_against(corpus, idx2, dim, num_planes=4, num_tables=1)
+    with pytest.raises(ValueError, match="missing bucket columns"):
+        embedding_neardup_against(corpus, idx2, dim, num_planes=4, num_tables=3)
+    with pytest.raises(ValueError, match="batch_index"):
+        embedding_neardup_against(
+            corpus,
+            idx2,
+            dim,
+            num_planes=4,
+            num_tables=2,
+            batch_index=embedding_index(corpus, dim, num_planes=4, num_tables=1),
+        )
 
 
 def test_decontaminate_stateless_matches_joined_path(spark):

@@ -499,25 +499,79 @@ def test_plan_contract_gopher_repetition_pure_map(spark):
         assert not re.search(pat, plan), f"found forbidden /{pat}/"
 
 
+def _unpartitioned_windows(plan: str) -> list[str]:
+    """Window exec nodes that move ALL rows to one partition: the
+    formatted node's Arguments line carries ``[exprs], [partition],
+    [order]`` when partitioned — a 2-group form is either
+    partition-only (last group has no sort direction: fine) or a
+    GLOBAL sorted window (last group carries ASC/DESC: the
+    single-partition bottleneck WindowExec warns about)."""
+    lines = plan.splitlines()
+    bad = []
+    for i, ln in enumerate(lines):
+        if not re.match(r"^\(\d+\) Window\s*$", ln.strip()):
+            continue
+        for j in range(i + 1, min(i + 6, len(lines))):
+            s = lines[j].strip()
+            if not s.startswith("Arguments: "):
+                continue
+            groups, depth, buf = [], 0, ""
+            for ch in s:
+                if ch == "[":
+                    if depth == 0:
+                        buf = ""
+                    depth += 1
+                elif ch == "]":
+                    depth -= 1
+                    if depth == 0:
+                        groups.append(buf)
+                elif depth > 0:
+                    buf += ch
+            if len(groups) < 2 or (
+                len(groups) == 2
+                and re.search(r" (ASC|DESC) ", groups[-1])
+            ):
+                bad.append(s[:160])
+            break
+    return bad
+
+
 def test_global_registry_plan_invariants(spark, qs):
-    """Round 10: the two engine-wide plan invariants, enforced across
-    EVERY registry query (not just the pointed per-query contracts
-    above, so future registry additions inherit them automatically):
+    """Round 10 (third invariant round 11): the engine-wide plan
+    invariants, enforced across EVERY registry query (not just the
+    pointed per-query contracts above, so future registry additions
+    inherit them automatically):
 
     - NO row-at-a-time Python anywhere (BatchEvalPython) — every
       Python kernel in this engine is Arrow-batched (pandas_udf /
       applyInPandas / mapInPandas), the 10-100x rule;
     - NO CartesianProduct anywhere — every join is keyed or an
-      intended parameter-sized broadcast nested loop.
+      intended parameter-sized broadcast nested loop;
+    - NO unpartitioned sorted Window anywhere (round 11, VERDICT
+      item 4) — a ``Window.orderBy`` without ``partitionBy`` drags
+      the whole table through ONE task; the last holdout (the
+      web_curation harness's dense domain id) was replaced with an
+      md5-partner equi-join.
 
     Builds (not executes) all 53 plans at sf0.001; driver-action-
     paced rows (SMET fleet write, CC rounds, tokenizer training)
     do their driver work once here, which is what keeps this sweep
     seconds-scale."""
+    # The one sanctioned global sorted window: pack_sequences' phase-2
+    # exclusive prefix over the PER-BUCKET TOTALS table (`__tot`) —
+    # exactly n_buckets rows by construction (that table being
+    # parameter-sized is the whole point of the two-phase prefix sum;
+    # the corpus-sized phase-3 window is partitioned by bucket). Any
+    # new global window over a different column set still fails.
+    allowed = {("pack_sequences", "__tot")}
     violations = []
     for name, fn in qs.items():
         plan = _plan(fn(spark, SF_DIR))
         for pat in ("BatchEvalPython", "CartesianProduct"):
             if pat in plan:
                 violations.append((name, pat))
+        for arg in _unpartitioned_windows(plan):
+            if any(n == name and marker in arg for n, marker in allowed):
+                continue
+            violations.append((name, f"global window: {arg}"))
     assert not violations, violations
