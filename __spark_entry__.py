@@ -935,6 +935,75 @@ _BENCHMARK_LEAKAGE_SQL = r"""
 """
 
 
+def _radiation_bc_sql(a: float, c: float) -> str:
+    """The Bristow-Campbell DuckDB twin, parameterized on (A, C) so
+    the default-constant 'bc' branch and the pinned-fit 'bc_fitted'
+    branch (pinned.BC_FITTED, round 11) replay the same pipeline with
+    different literals."""
+    return f"""
+            WITH daily AS ({_MET_DAILY_SQL}),
+
+            grid AS (
+              SELECT d.user_id, d.date, d.tmin, d.tmax,
+                     CAST(d.date AS TIMESTAMP) + to_hours(h.h) AS ts,
+                     CAST(h.h AS DOUBLE) AS hh
+              FROM daily d CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h) h
+            ),
+            pr AS (
+              SELECT user_id, date, ts,
+                     greatest(sin(radians(23.43697) * cos(2.0*pi()*(CAST(dayofyear(ts) AS DOUBLE) - 173.0)/365.25))*sin(radians({LAT}))
+                              + cos(radians(23.43697) * cos(2.0*pi()*(CAST(dayofyear(ts) AS DOUBLE) - 173.0)/365.25))*cos(radians({LAT}))
+                                * cos(pi() * (((hh + ({LON} - {TZ}*15.0)*24.0/360.0) / 12.0) - 1.0)), 0.0) AS cz,
+                     2.0*pi()*(CAST(dayofyear(ts) AS DOUBLE)/365.25) AS beta
+              FROM grid
+            ),
+            p2 AS (
+              SELECT user_id, date, ts,
+                     1367.0 * (1.00011 + 0.034221*cos(beta) + 0.00128*sin(beta)
+                               + 0.000719*cos(2.0*beta) + 0.000077*sin(2.0*beta))
+                     * (0.6 + 0.2*cz) * cz AS pot
+              FROM pr
+            ),
+            p3 AS (
+              SELECT *, avg(pot) OVER (PARTITION BY user_id, date) AS potd
+              FROM p2
+            ),
+            l AS (
+              SELECT user_id, date, tmin, tmax,
+                     CASE WHEN lead(date) OVER w IS NULL THEN tmin
+                          WHEN date_diff('day', date, lead(date) OVER w) = 1 THEN lead(tmin) OVER w
+                          ELSE tmin END AS tmin_next
+              FROM daily
+              WINDOW w AS (PARTITION BY user_id ORDER BY date)
+            ),
+            dt AS (
+              SELECT user_id, date,
+                     tmax - (tmin + tmin_next) / 2.0 AS dT
+              FROM l
+            ),
+            bb AS (
+              SELECT user_id, date, dT,
+                     0.036 * exp(-0.154 * avg(dT) OVER (PARTITION BY user_id, month(date))) AS B
+              FROM dt
+            ),
+            bc AS (
+              SELECT b.user_id, b.date,
+                     CASE WHEN dT < 0 THEN NULL
+                          ELSE {a!r} * (1 - exp(-B * power(dT, {c!r}))) END AS trans
+              FROM bb b
+            ),
+            j AS (
+              SELECT p3.user_id, p3.ts, p3.pot, p3.potd,
+                     bc.trans * p3.potd AS bc_rad
+              FROM p3 JOIN bc ON p3.user_id = bc.user_id AND p3.date = bc.date
+            )
+            SELECT user_id, ts,
+                   round(CASE WHEN (pot / potd * bc_rad) < 0.01 THEN 0.0
+                         ELSE pot / potd * bc_rad END, 6) AS glob_h
+            FROM j
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     pi = "pi()"
     sun_common = f"""
@@ -3055,67 +3124,8 @@ LEFT JOIN covlen cv ON b.doc_id = cv.doc_id
                          + (maxv - minv)/2.0 * cos(2*pi()/24.0 * (h - max_loc)), 6) AS temp_h
             FROM vals
         """,
-        "radiation_bc": f"""
-            WITH daily AS ({_MET_DAILY_SQL}),
-            grid AS (
-              SELECT d.user_id, d.date, d.tmin, d.tmax,
-                     CAST(d.date AS TIMESTAMP) + to_hours(h.h) AS ts,
-                     CAST(h.h AS DOUBLE) AS hh
-              FROM daily d CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h) h
-            ),
-            pr AS (
-              SELECT user_id, date, ts,
-                     greatest(sin(radians(23.43697) * cos(2.0*pi()*(CAST(dayofyear(ts) AS DOUBLE) - 173.0)/365.25))*sin(radians({LAT}))
-                              + cos(radians(23.43697) * cos(2.0*pi()*(CAST(dayofyear(ts) AS DOUBLE) - 173.0)/365.25))*cos(radians({LAT}))
-                                * cos(pi() * (((hh + ({LON} - {TZ}*15.0)*24.0/360.0) / 12.0) - 1.0)), 0.0) AS cz,
-                     2.0*pi()*(CAST(dayofyear(ts) AS DOUBLE)/365.25) AS beta
-              FROM grid
-            ),
-            p2 AS (
-              SELECT user_id, date, ts,
-                     1367.0 * (1.00011 + 0.034221*cos(beta) + 0.00128*sin(beta)
-                               + 0.000719*cos(2.0*beta) + 0.000077*sin(2.0*beta))
-                     * (0.6 + 0.2*cz) * cz AS pot
-              FROM pr
-            ),
-            p3 AS (
-              SELECT *, avg(pot) OVER (PARTITION BY user_id, date) AS potd
-              FROM p2
-            ),
-            l AS (
-              SELECT user_id, date, tmin, tmax,
-                     CASE WHEN lead(date) OVER w IS NULL THEN tmin
-                          WHEN date_diff('day', date, lead(date) OVER w) = 1 THEN lead(tmin) OVER w
-                          ELSE tmin END AS tmin_next
-              FROM daily
-              WINDOW w AS (PARTITION BY user_id ORDER BY date)
-            ),
-            dt AS (
-              SELECT user_id, date,
-                     tmax - (tmin + tmin_next) / 2.0 AS dT
-              FROM l
-            ),
-            bb AS (
-              SELECT user_id, date, dT,
-                     0.036 * exp(-0.154 * avg(dT) OVER (PARTITION BY user_id, month(date))) AS B
-              FROM dt
-            ),
-            bc AS (
-              SELECT b.user_id, b.date,
-                     CASE WHEN dT < 0 THEN NULL
-                          ELSE 0.75 * (1 - exp(-B * power(dT, 2.4))) END AS trans
-              FROM bb b
-            ),
-            j AS (
-              SELECT p3.user_id, p3.ts, p3.pot, p3.potd,
-                     bc.trans * p3.potd AS bc_rad
-              FROM p3 JOIN bc ON p3.user_id = bc.user_id AND p3.date = bc.date
-            )
-            SELECT user_id, ts,
-                   round(CASE WHEN (pot / potd * bc_rad) < 0.01 THEN 0.0
-                         ELSE pot / potd * bc_rad END, 6) AS glob_h
-            FROM j
-        """,
+        "radiation_bc": _radiation_bc_sql(0.75, 2.4),
+
         "radiation_potrad": f"""
             WITH daily AS ({_MET_DAILY_SQL}),
             grid AS (
@@ -3659,10 +3669,19 @@ LEFT JOIN covlen cv ON b.doc_id = cv.doc_id
     # method-tagged registry row (the freed checked-window slot went
     # to robots_eval); the twin is the same union of the two original
     # oracles, so both methods stay hash-checked
+    # round 11: + the 'bc_fitted' branch — the SAME pipeline replayed
+    # with the pinned fit_bristow_campbell_params literals, so the
+    # fit's applied output is hash-checked (the NM trainer stays
+    # pytest-pinned)
+    from melodist_spark.pipeline.pinned import BC_FITTED as _BCF
+
     sqls["radiation_proxy_variants"] = f"""
         SELECT 'ssd' AS method, * FROM ({sqls.pop("radiation_ssd")})
         UNION ALL
         SELECT 'bc' AS method, * FROM ({sqls.pop("radiation_bc")})
+        UNION ALL
+        SELECT 'bc_fitted' AS method, *
+        FROM ({_radiation_bc_sql(_BCF["a"], _BCF["c"])})
     """
     sqls["robots_eval"] = _ROBOTS_EVAL_SQL
     # round 10: embedding_topk + pq_topk merged into the ann_topk
@@ -4773,6 +4792,32 @@ def q_radiation_bc(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = _met_daily(spark, sf_dir)
     out = disaggregate_radiation(
         daily, _met_stations(daily), method="pot_rad_via_bc", keys=["user_id"]
+    )
+    return out.select("user_id", "ts", F.round("glob", 6).alias("glob_h"))
+
+
+def q_radiation_bc_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLIED output of ``fit_bristow_campbell_params``
+    (`radiation.py:251-280`): the same Bristow-Campbell pipeline as
+    ``q_radiation_bc`` but scoring with the PINNED fitted (A, C)
+    literals (``pinned.BC_FITTED``, trained once on the sf0.001
+    fleet-mean climatology by tools/gen_pinned.py) instead of the
+    scalar defaults — the round-6 pinned-model pattern extended to
+    the one remaining fit with no oracle anchor (VERDICT r10 item 6).
+    Given literal (A, C) the apply side is a pure function of the
+    data, so DuckDB replays it; the Nelder-Mead trainer stays
+    pytest-pinned (test_pinned_models_match_fresh_training)."""
+    from melodist_spark.operators.radiation import disaggregate_radiation
+    from melodist_spark.pipeline.pinned import BC_FITTED
+
+    daily = _met_daily(spark, sf_dir)
+    out = disaggregate_radiation(
+        daily,
+        _met_stations(daily),
+        method="pot_rad_via_bc",
+        bristcamp_a=BC_FITTED["a"],
+        bristcamp_c=BC_FITTED["c"],
+        keys=["user_id"],
     )
     return out.select("user_id", "ts", F.round("glob", 6).alias("glob_h"))
 
@@ -6000,6 +6045,9 @@ def q_radiation_proxy_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
       (`radiation.py:74-87` + `283-311`)
     - ``bc``: Bristow-Campbell temperature-range transmissivity
       (`radiation.py:89-92` + `207-248`)
+    - ``bc_fitted`` (round 11): the same pipeline applying the PINNED
+      ``fit_bristow_campbell_params`` output (pinned.BC_FITTED), so
+      the fit's deployment path is hash-checked too
     """
     a = q_radiation_ssd(spark, sf_dir).select(
         F.lit("ssd").alias("method"), "user_id", "ts", "glob_h"
@@ -6007,7 +6055,10 @@ def q_radiation_proxy_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = q_radiation_bc(spark, sf_dir).select(
         F.lit("bc").alias("method"), "user_id", "ts", "glob_h"
     )
-    return a.unionByName(b)
+    c = q_radiation_bc_fitted(spark, sf_dir).select(
+        F.lit("bc_fitted").alias("method"), "user_id", "ts", "glob_h"
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

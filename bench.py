@@ -103,7 +103,7 @@ SUBQUERIES: dict[str, tuple[str, list[str]]] = {
     "wind_variants": ("method", ["equal", "cosine"]),
     "temp_sine_variants": ("method", ["mean", "night", "sunloc", "sunshift"]),
     "temp_course_variants": ("variant", ["min_max", "mean"]),
-    "radiation_proxy_variants": ("method", ["ssd", "bc"]),
+    "radiation_proxy_variants": ("method", ["ssd", "bc", "bc_fitted"]),
     "robots_eval": ("agent", ["melobot", "othercrawler"]),
     "ann_topk": ("method", ["brute", "ivf", "pq", "ivfpq", "lsh"]),
     "doc_perplexity": ("method", ["join", "broadcast"]),
@@ -151,9 +151,44 @@ def _extra_subs(spark, sf_dir):
     def arrow_sig():
         return minhash_signature_arrow(docs, num_hashes=16, shingle=3)
 
+    # semantic_dedup stage subs (round 11, VERDICT r10 item 3): the
+    # slowest registry row decomposed into CUMULATIVE prefixes of its
+    # pipeline — `assign` (Arrow-matmul cell argmax), `pairs` (assign
+    # + salted within-cell cosine join), `cc` (the full chain through
+    # connected components, i.e. ~the registry row minus the final
+    # keep join). Subtract adjacent subs to attribute cost per stage;
+    # parameters mirror q_semantic_dedup exactly.
+    from melodist_spark.pipeline.pinned import IVF_CENTROIDS
+    from melodist_spark.pipeline.similarity import (
+        _bucketed_cosine_pairs,
+        ivf_assign,
+    )
+    from melodist_spark.pipeline.dedup import duplicate_clusters
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def sd_assign():
+        return ivf_assign(emb, IVF_CENTROIDS, vec_col="embedding")
+
+    def _sd_bucketed():
+        return ivf_assign(emb, IVF_CENTROIDS, vec_col="embedding").select(
+            F.col("vec_id").alias("__id"),
+            F.col("embedding").alias("__v"),
+            F.col("__cell").alias("__bucket"),
+        )
+
+    def sd_pairs():
+        return _bucketed_cosine_pairs(_sd_bucketed(), 0.3, 4096, arrow=False)
+
+    def sd_cc():
+        return duplicate_clusters(
+            _bucketed_cosine_pairs(_sd_bucketed(), 0.3, 4096, arrow=False)
+        )
+
     return {
         "decontaminate": {"stateless": stateless, "surgical": surgical},
         "minhash_pairs": {"arrow_sig": arrow_sig},
+        "semantic_dedup": {"assign": sd_assign, "pairs": sd_pairs, "cc": sd_cc},
     }
 
 # Stdout contract-line budget: the driver keeps the last 2000 chars

@@ -2662,6 +2662,20 @@ def test_pinned_models_match_fresh_training(spark):
     assert np.allclose(model["weights"], LOGREG_MODEL["weights"], atol=1e-7)
     assert abs(model["intercept"] - LOGREG_MODEL["intercept"]) < 1e-7
 
+    # round 11: the global Bristow-Campbell (A, C) fit — the input
+    # frame uses exact decimal sums (bit-stable under partition
+    # order) and the pure-python Nelder-Mead is deterministic, so
+    # re-fitting reproduces the pinned literals exactly
+    from melodist_spark.operators.radiation import fit_bristow_campbell_params
+    from melodist_spark.pipeline.pinned import BC_FITTED
+    from tools.gen_pinned import bc_fit_input
+
+    bc = fit_bristow_campbell_params(
+        bc_fit_input(spark, sf_dir), keys=["g"]
+    ).collect()[0]
+    assert bc["a"] == pytest.approx(BC_FITTED["a"], rel=0, abs=1e-12)
+    assert bc["c"] == pytest.approx(BC_FITTED["c"], rel=0, abs=1e-12)
+
 
 def test_neardup_against_incremental_index(spark):
     """Incremental near-dup vs the ~128 B/doc signature index: a new

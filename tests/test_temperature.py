@@ -192,3 +192,43 @@ def test_polar_station_flat_diurnal(met_daily, stations):
     )
     assert bad.count() == 0
     assert dec.filter(F.col("temp").isNull()).count() < dec.count() * 0.05
+
+
+def test_polar_kwarg_tristate(met_daily, stations, monkeypatch):
+    """The ``polar=`` tri-state (VERDICT r10 item 7): ``'auto'`` probes
+    max |lat| with a tiny driver agg at plan-BUILD time — fine for a
+    metadata-sized stations table, a full upstream aggregation when
+    ``stations`` is derived from the facts. Explicit ``True``/``False``
+    must make plan construction action-free (the probe must NOT run),
+    and ``True`` must reproduce auto's output exactly on a polar
+    fleet while ``False`` skips the flattening machinery."""
+    import melodist_spark.operators.temperature as T
+
+    s3d = met_daily.filter(F.col("station_id") == "s3")
+    s3m = stations.filter(F.col("station_id") == "s3")
+    auto = disaggregate_temperature(
+        s3d, method="sine_min_max", min_max_time="fix", stations=s3m
+    )
+
+    def _boom(_):
+        raise AssertionError("_polar_possible ran despite explicit polar=")
+
+    monkeypatch.setattr(T, "_polar_possible", _boom)
+    forced = disaggregate_temperature(
+        s3d, method="sine_min_max", min_max_time="fix", stations=s3m, polar=True
+    )
+    off = disaggregate_temperature(
+        s3d, method="sine_min_max", min_max_time="fix", stations=s3m, polar=False
+    )
+    monkeypatch.undo()
+
+    a = auto.orderBy("ts").toPandas()
+    f = forced.orderBy("ts").toPandas()
+    pd.testing.assert_frame_equal(a, f)
+    # polar=False on a 68.5°N station: December polar-night days keep
+    # the raw sine profile instead of the flattened interpolation, so
+    # the two outputs must genuinely diverge
+    o = off.orderBy("ts").toPandas()
+    assert len(o) == len(a)
+    dec = a["ts"].dt.month == 12
+    assert (a.loc[dec, "temp"].fillna(-999) != o.loc[dec, "temp"].fillna(-999)).any()
