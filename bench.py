@@ -33,7 +33,6 @@ HEADLINE = [
     "temp_sine_disagg",
     "temp_sine_variants",  # round 10: + the former temp_sine_sunloc branch
     "temp_course_variants",  # merged temp_course_mean + mean_course_temp
-    "humidity_lindew",
     "humidity_dewpoint",
     "humidity_mhpm",
     "radiation_potrad",
@@ -83,6 +82,7 @@ HEADLINE = [
     "ann_topk",  # merged brute + ivf + pq + ivfpq ANN branches (round 10)
     "embedding_neardup",
     "semantic_dedup",  # SemDeDup w/ pinned coarse quantizer (round 10)
+    "tokenize_apply",  # pinned BPE+unigram encode under the oracle (round 11)
     "bpe_tokenize",  # BPE train (driver merge loop) + broadcast encode
     "unigram_tokenize",  # Unigram-LM train (driver EM) + Viterbi encode
     "quality_classifier",  # codegen scoring with pinned IRLS weights
@@ -99,7 +99,7 @@ HEADLINE = [
 SUBQUERIES: dict[str, tuple[str, list[str]]] = {
     "decontaminate": ("method", ["exact", "bloom"]),
     "minhash_pairs": ("kind", ["pair", "incr_survivor"]),
-    "humidity_variants": ("variant", ["minimal", "min_max"]),
+    "humidity_variants": ("variant", ["minimal", "min_max", "lindew"]),
     "wind_variants": ("method", ["equal", "cosine"]),
     "temp_sine_variants": ("method", ["mean", "night", "sunloc", "sunshift"]),
     "temp_course_variants": ("variant", ["min_max", "mean"]),
@@ -109,6 +109,7 @@ SUBQUERIES: dict[str, tuple[str, list[str]]] = {
     "doc_perplexity": ("method", ["join", "broadcast"]),
     "dup_clusters": ("method", ["exact", "prefix", "neardup"]),
     "doc_sample": ("method", ["stratified", "dsir"]),
+    "tokenize_apply": ("method", ["bpe", "unigram"]),
 }
 
 

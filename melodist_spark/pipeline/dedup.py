@@ -99,10 +99,34 @@ def repeated_spans(
     span [span_begin, span_end) and how many duplicated gram
     positions support it.
     """
-    from pyspark.sql import Window
-
     if span_tokens < 1:
         raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
+    pos = _gram_positions(df, span_tokens, text_col, id_col)
+    # The aggregate (build) side and the probe side both derive from
+    # `pos`, so the gram scan runs twice — a deliberate trade: the
+    # recompute is a stateless linear map pass, while the alternatives
+    # either cache a corpus-sized exploded table (memory pressure the
+    # caller can't see) or count via a window over __gh (un-splittable
+    # hot partition for a billion-fold duplicated gram; the groupBy
+    # here combines map-side and the semi-join gets AQE skew handling).
+    dup = (
+        pos.groupBy("__gh")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= min_occurrences)
+        .select("__gh")
+    )
+    hits = pos.join(dup, "__gh", "left_semi")
+    return _merge_hit_positions(hits, span_tokens, id_col)
+
+
+def _gram_positions(
+    df: DataFrame, span_tokens: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, __pos, __gh): one xxhash64 per token position over the
+    ``span_tokens``-gram starting there — the exploded position table
+    behind :func:`repeated_spans` (detection) and
+    :func:`remove_repeated_spans` (removal), so both share one
+    definition of "the gram at position p"."""
     # stage the token array in its own projection: the per-position
     # lambda below slices it L-span+1 times, and an inlined split
     # expression would re-tokenize the whole document per position —
@@ -121,27 +145,22 @@ def repeated_spans(
             F.concat_ws(" ", F.slice(toks, i + 1, F.lit(span_tokens)))
         ),
     )
-    pos = staged.select(
+    return staged.select(
         F.col(id_col), F.posexplode(grams).alias("__pos", "__gh")
     )
-    # The aggregate (build) side and the probe side both derive from
-    # `pos`, so the gram scan runs twice — a deliberate trade: the
-    # recompute is a stateless linear map pass, while the alternatives
-    # either cache a corpus-sized exploded table (memory pressure the
-    # caller can't see) or count via a window over __gh (un-splittable
-    # hot partition for a billion-fold duplicated gram; the groupBy
-    # here combines map-side and the semi-join gets AQE skew handling).
-    dup = (
-        pos.groupBy("__gh")
-        .agg(F.count("*").alias("__c"))
-        .filter(F.col("__c") >= min_occurrences)
-        .select("__gh")
-    )
-    hits = pos.join(dup, "__gh", "left_semi")
+
+
+def _merge_hit_positions(
+    hits: DataFrame, span_tokens: int, id_col: str
+) -> DataFrame:
+    """Merge duplicated gram-hit positions into maximal token spans
+    (id, span_begin, span_end, n_positions) — one per-document window
+    pass; a new span starts when a position no longer overlaps the
+    previous hit's gram ([prev, prev+span) vs pos)."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy(id_col).orderBy("__pos")
-    # a new span starts when this position no longer overlaps the
-    # previous hit's gram ([prev, prev+span) vs pos)
-    spans = (
+    return (
         hits.withColumn("__prev", F.lag("__pos").over(w))
         .withColumn(
             "__new",
@@ -159,7 +178,157 @@ def repeated_spans(
         )
         .drop("__span")
     )
-    return spans
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    span_tokens: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_occurrences: int = 2,
+    keep_first: bool = True,
+    until_clean: bool = True,
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Cross-document repeated-span REMOVAL (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" —
+    their ExactSubstr treatment removes the duplicated substring,
+    not the document): excise every token span that
+    :func:`repeated_spans` would detect (same gram hashes, same
+    positions helper — the two ops share one definition of overlap),
+    keeping the rest of each page.
+
+    ``keep_first=True`` (the paper's remove-all-but-one policy)
+    designates the minimal ``(id, position)`` occurrence of each
+    duplicated gram as its keeper and excises only the others —
+    deterministic under any partitioning. ``keep_first=False``
+    removes every occurrence (the conservative
+    boilerplate-annihilation mode).
+
+    JUNCTION RESIDUALS: excision joins the text on either side of a
+    removed span, and when many documents share template structure
+    the SAME junction can form in many of them — a NEW corpus-wide
+    duplicated gram neither side carried (the cross-document analogue
+    of the decontamination surgery's junction grams, which that
+    kernel fixpoints per-document; here the residual is a CORPUS
+    property, so the fixpoint must be corpus-wide). With
+    ``until_clean=True`` detection+removal rounds repeat until a
+    detection pass finds nothing (one driver ``isEmpty`` action per
+    round; lineage is truncated between rounds). Each round with hits
+    strictly removes tokens, so the loop terminates; in practice one
+    round settles ordinary corpora and a second drains template
+    junctions. ``max_rounds`` is a hard failure bound — hitting it
+    raises rather than silently returning contaminated text (the
+    lesson of the surgery kernel's 8-pass-cap bug).
+
+    Returns all input columns with ``text_col`` REPLACED by the
+    surviving tokens (single-space joined, as the surgery kernel)
+    plus ``n_tokens_removed`` / ``n_tokens_kept`` audit columns
+    (kept counts NON-EMPTY tokens; cumulative across rounds).
+
+    Scale shape: per round, the same two gram scans + one
+    map-side-combined count + semi/anti equi-joins as detection
+    (never a broadcast of the duplicated-gram set — corpus-wide
+    duplicate inventories are NOT parameter-sized at crawl scale,
+    unlike benchmark gram sets), one per-doc window merge, and a
+    collect_list-of-spans join back to the documents; the excision
+    itself is a JVM filter-with-index over the staged token array
+    (spans per doc are few, so the exists() probe is cheap). No
+    Python in the loop, no driver-side text.
+    """
+    if span_tokens < 1:
+        raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
+    if until_clean and max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
+
+    audit_removed = F.lit(0).cast("long")
+    audit_kept = None  # computed at the end from the final text
+    cur = df
+    rounds = 0
+    while True:
+        pos = _gram_positions(cur, span_tokens, text_col, id_col)
+        dup = (
+            pos.groupBy("__gh")
+            .agg(F.count("*").alias("__c"))
+            .filter(F.col("__c") >= min_occurrences)
+            .select("__gh")
+        )
+        hits = pos.join(dup, "__gh", "left_semi")
+        if keep_first:
+            # the keeper occurrence of each duplicated gram survives:
+            # min(struct(id, pos)) is deterministic and computed on
+            # the same shuffle key as the count
+            keepers = (
+                hits.groupBy("__gh")
+                .agg(F.min(F.struct(id_col, "__pos")).alias("__k"))
+                .select(
+                    "__gh",
+                    F.col(f"__k.{id_col}").alias(id_col),
+                    F.col("__k.__pos").alias("__pos"),
+                )
+            )
+            hits = hits.join(keepers, ["__gh", id_col, "__pos"], "left_anti")
+        spans = _merge_hit_positions(hits, span_tokens, id_col)
+
+        if until_clean and spans.isEmpty():
+            break
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError(
+                f"remove_repeated_spans did not converge in {max_rounds} "
+                "rounds — junction residuals keep re-forming; raise "
+                "max_rounds or re-examine span_tokens"
+            )
+
+        span_arr = spans.groupBy(id_col).agg(
+            F.collect_list(
+                F.struct("span_begin", "span_end")
+            ).alias("__spans")
+        )
+        staged = cur.join(span_arr, id_col, "left").withColumn(
+            "__toks", F.split(F.trim(F.col(text_col)), r"\s+")
+        )
+        kept_toks = F.filter(
+            "__toks",
+            lambda x, i: ~F.exists(
+                "__spans",
+                lambda s: (s["span_begin"] <= i) & (i < s["span_end"]),
+            ),
+        )
+        touched = F.col("__spans").isNotNull()
+        n_removed = F.when(
+            touched, F.size("__toks") - F.size(kept_toks)
+        ).otherwise(F.lit(0)).cast("long")
+        new_text = F.when(
+            touched, F.array_join(kept_toks, " ")
+        ).otherwise(F.col(text_col))
+        cur = (
+            staged.withColumn("__round_removed", n_removed)
+            .withColumn(text_col, new_text)
+            .drop("__spans", "__toks")
+        )
+        audit_removed = audit_removed + F.col("__round_removed")
+        cur = cur.withColumn("__cum_removed", audit_removed).drop(
+            "__round_removed"
+        )
+        audit_removed = F.col("__cum_removed")
+        # truncate lineage between rounds: each round references the
+        # previous round's text through the gram scan twice AND the
+        # excision join; an untruncated loop widens the plan per round
+        cur = cur.localCheckpoint(eager=False)
+        if not until_clean:
+            break
+
+    if "__cum_removed" in cur.columns:
+        cur = cur.withColumnRenamed("__cum_removed", "n_tokens_removed")
+    else:
+        cur = cur.withColumn("n_tokens_removed", F.lit(0).cast("long"))
+    kept = F.size(
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+        )
+    ).cast("long")
+    return cur.withColumn("n_tokens_kept", kept)
 
 
 def _shingles(text: Column, n: int | None) -> Column:

@@ -1979,6 +1979,135 @@ def test_repeated_spans_matches_bruteforce_reference(spark):
     assert any(n > 1 for (_, _, _, n) in want)
 
 
+def test_remove_repeated_spans_keep_first_worked_example(spark):
+    """Cross-document repeated-span REMOVAL (round 11) — a worked
+    example in the style of Lee et al. 2022 (arXiv:2107.06499, the
+    ExactSubstr treatment: remove the duplicated substring, keep the
+    page): two pages quote the same passage; the keeper occurrence
+    (minimal (id, pos)) survives verbatim, every other copy is
+    excised with exact token bounds, unique pages pass untouched,
+    and the audit columns reconcile. Expected cleaned texts are
+    pinned as exact strings."""
+    from melodist_spark.pipeline.dedup import (
+        remove_repeated_spans,
+        repeated_spans,
+    )
+
+    passage = " ".join(f"p{i}" for i in range(12))
+    rows = [
+        (1, f"intro1 a b {passage} outro1 x"),       # keeper (min id)
+        (2, f"{passage} tail2 y z w q r s t"),       # copy at offset 0
+        (3, f"lead3 c d e f g h i {passage}"),       # copy at the end
+        (4, " ".join(f"u{i}" for i in range(30))),   # unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in remove_repeated_spans(df, span_tokens=8).collect()
+    }
+    assert out[1]["text"] == rows[0][1]              # keeper untouched
+    assert out[2]["text"] == "tail2 y z w q r s t"
+    assert out[3]["text"] == "lead3 c d e f g h i"
+    assert out[4]["text"] == rows[3][1]
+    assert out[1]["n_tokens_removed"] == 0
+    assert out[2]["n_tokens_removed"] == 12
+    assert out[3]["n_tokens_removed"] == 12
+    assert out[4]["n_tokens_removed"] == 0
+    for did, r in out.items():
+        assert r["n_tokens_kept"] == len(r["text"].split())
+    # the zero-residual property: detection on the cleaned corpus
+    # finds nothing at the same parameters
+    cleaned = spark.createDataFrame(
+        [(d, r["text"]) for d, r in out.items()],
+        "doc_id long, text string",
+    )
+    assert repeated_spans(cleaned, span_tokens=8).isEmpty()
+
+
+def test_remove_repeated_spans_parity_with_detection(spark):
+    """remove_all mode on the dense-collision corpus: the tokens
+    removed from each document are EXACTLY the positions the
+    detection op's merged spans cover (the two ops share the gram
+    and merge helpers, and the span-length arithmetic must reconcile
+    token-for-token), and kept+removed == the doc's token count."""
+    import random
+
+    from melodist_spark.pipeline.dedup import (
+        remove_repeated_spans,
+        repeated_spans,
+    )
+
+    r = random.Random(13)
+    vocab = ["a", "b", "c", "d", "e", "f"]
+    rows = [
+        (i, " ".join(r.choice(vocab) for _ in range(r.randint(0, 15))))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    det = (
+        repeated_spans(df, span_tokens=3)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("span_end") - F.col("span_begin")).alias("cov"))
+        .toPandas()
+        .set_index("doc_id")["cov"]
+    )
+    got = remove_repeated_spans(
+        df, span_tokens=3, keep_first=False, until_clean=False
+    ).collect()
+    for row in got:
+        want = int(det.get(row["doc_id"], 0))
+        assert row["n_tokens_removed"] == want, row
+        assert row["n_tokens_kept"] == len(
+            rows[row["doc_id"]][1].split()
+        ) - want, row
+
+
+def test_remove_repeated_spans_junction_fixpoint(spark):
+    """Excising different duplicated passages from template-shaped
+    documents junctions them onto IDENTICAL residual text — a NEW
+    corpus-wide duplicate neither original carried. One round leaves
+    that residual (re-detection finds it); until_clean drains it to
+    the zero-residual property."""
+    from melodist_spark.pipeline.dedup import (
+        remove_repeated_spans,
+        repeated_spans,
+    )
+
+    rows = [
+        (0, "S1 S2 S3"),                 # keeper copies of the spans
+        (1, "T1 T2 T3"),
+        (2, "a b S1 S2 S3 c d"),         # template page quoting S
+        (3, "a b T1 T2 T3 c d"),         # template page quoting T
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    one = remove_repeated_spans(
+        df, span_tokens=3, until_clean=False
+    )
+    res = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in one.collect()],
+        "doc_id long, text string",
+    )
+    # docs 2 and 3 both collapsed to "a b c d": a junction duplicate
+    assert not repeated_spans(res, span_tokens=3).isEmpty()
+
+    out = {
+        r["doc_id"]: r
+        for r in remove_repeated_spans(df, span_tokens=3).collect()
+    }
+    cleaned = spark.createDataFrame(
+        [(d, r["text"]) for d, r in out.items()],
+        "doc_id long, text string",
+    )
+    assert repeated_spans(cleaned, span_tokens=3).isEmpty()
+    assert out[0]["text"] == "S1 S2 S3"  # keepers survive
+    assert out[1]["text"] == "T1 T2 T3"
+    assert out[2]["text"] == "a b c d"   # round-2 keeper of the junction
+    assert out[3]["text"] == ""          # junction copy drained
+    assert out[3]["n_tokens_removed"] == 7
+    assert out[3]["n_tokens_kept"] == 0
+
+
 def test_tfidf_top_terms_ranks_distinctive_words(spark):
     from melodist_spark.pipeline.text import tfidf_top_terms
 
@@ -2675,6 +2804,20 @@ def test_pinned_models_match_fresh_training(spark):
     ).collect()[0]
     assert bc["a"] == pytest.approx(BC_FITTED["a"], rel=0, abs=1e-12)
     assert bc["c"] == pytest.approx(BC_FITTED["c"], rel=0, abs=1e-12)
+
+    # round 11: the tokenizer models behind tokenize_apply — both
+    # trainers are partitioning-independent by contract (sorted word
+    # tables, deterministic tie-breaks), so equality is EXACT
+    from melodist_spark.pipeline.bpe import bpe_train
+    from melodist_spark.pipeline.pinned import BPE_MERGES, UNIGRAM_PIECES
+    from melodist_spark.pipeline.unigram import unigram_train
+
+    assert bpe_train(docs, num_merges=200, min_count=2) == [
+        tuple(m) for m in BPE_MERGES
+    ]
+    assert unigram_train(docs, vocab_size=400, min_count=2) == dict(
+        UNIGRAM_PIECES
+    )
 
 
 def test_neardup_against_incremental_index(spark):

@@ -116,6 +116,23 @@ def main():
     cols = ["n_tokens", "mean_word_len", "stopword_ratio", "punct_ratio"]
     model = logreg_train(feats, cols, "label", iters=6)
 
+    # round 11: pin the trained tokenizer models so their APPLY paths
+    # (greedy merge / Viterbi over a fixed model — pure functions)
+    # move under the DuckDB oracle as the tokenize_apply registry row;
+    # both trainers are partitioning-independent by contract, so the
+    # pin test re-trains and asserts exact equality
+    from melodist_spark.pipeline.bpe import bpe_train
+    from melodist_spark.pipeline.unigram import unigram_train
+
+    merges = bpe_train(docs, num_merges=200, min_count=2)
+    upieces = unigram_train(docs, vocab_size=400, min_count=2)
+    merges_lit = "[\n" + "".join(
+        f"    ({a!r}, {b!r}),\n" for a, b in merges
+    ) + "]"
+    pieces_lit = "{\n" + "".join(
+        f"    {p!r}: {lp!r},\n" for p, lp in sorted(upieces.items())
+    ) + "}"
+
     body = f'''"""Pinned model literals for the apply-only registry rows.
 
 GENERATED by tools/gen_pinned.py — do not edit by hand; re-run the
@@ -151,6 +168,17 @@ LOGREG_MODEL = {{
 # trainer itself stays pytest-pinned
 # (test_pinned_models_match_fresh_training re-fits and asserts these)
 BC_FITTED = {{"a": {bc["a"]!r}, "c": {bc["c"]!r}}}
+
+# bpe_train(documents, num_merges=200, min_count=2) — the ordered
+# merge table; applied by the tokenize_apply 'bpe' branch (greedy
+# lowest-rank merge is a pure function of (text, table), replayed by
+# the oracle's recursive CTE)
+BPE_MERGES = {merges_lit}
+
+# unigram_train(documents, vocab_size=400, min_count=2) — piece
+# log-probabilities; applied by the tokenize_apply 'unigram' branch
+# (Viterbi over a fixed table, replayed by the oracle's recursive DP)
+UNIGRAM_PIECES = {pieces_lit}
 '''
     with open(OUT, "w") as f:
         f.write(body)
