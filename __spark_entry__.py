@@ -5594,7 +5594,9 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash differently)."""
     from melodist_spark.pipeline.bpe import bpe_tokenize, bpe_train
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
     merges = bpe_train(docs, num_merges=200, min_count=2)
     out = bpe_tokenize(docs, merges)
     return out.select(
@@ -5618,7 +5620,9 @@ def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the piece stream."""
     from melodist_spark.pipeline.unigram import unigram_tokenize, unigram_train
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
     model = unigram_train(docs, vocab_size=400, min_count=2)
     out = unigram_tokenize(docs, model)
     return out.select(
@@ -5651,7 +5655,12 @@ def q_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from melodist_spark.pipeline.pinned import BPE_MERGES, UNIGRAM_PIECES
     from melodist_spark.pipeline.unigram import unigram_tokenize
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # prune BEFORE the mapInPandas: the encoder carries every input
+    # column through Arrow, so an unpruned frame ships lang/source/
+    # n_chars through Python for nothing (ReadSchema is plan-tested)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
 
     def shape(df, col, method):
         return df.select(

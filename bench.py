@@ -354,6 +354,28 @@ uncontended box, 2 runs each, min-of-2 per query:
   fix (true 256-bucket pruning at 8 planes); its row count drops to
   the true >=0.3 pair set (15 at sf0.01 / 286 at sf0.1) since the
   degenerate buckets had been surfacing extra same-sector pairs.
+
+Round-11 workload changes:
+
+- `humidity_lindew` folded into `humidity_variants` as its third
+  branch (sub `lindew` carries the old row's number — compare that,
+  not the union total, across the merge); the freed slot registered
+  NEW row `tokenize_apply`: BOTH tokenizer encoders scoring with the
+  PINNED trained models (no training inside the row, unlike the
+  bpe_tokenize/unigram_tokenize tail rows which still train fresh) —
+  two shuffle-free MapInPandas scans unioned, subs bpe/unigram.
+- `radiation_proxy_variants` gained its third branch `bc_fitted`
+  (the pinned fit_bristow_campbell_params literals through the same
+  B-C pipeline — the union total grows by construction; the new sub
+  carries it).
+- NEW `semantic_dedup` stage subs (assign/pairs/cc) — CUMULATIVE
+  prefixes of the row's pipeline (cell argmax; + within-cell cosine
+  join; + connected components), timed as standalone builds like the
+  Arrow-kernel subs; subtract adjacent subs to attribute stage cost.
+- tokenizer scans (tokenize_apply + both tail rows) now prune to
+  (doc_id, text) before the mapInPandas encode — the encoder ships
+  every input column through Arrow, so the unpruned scans were
+  paying Python transfer for lang/source/n_chars.
 """
 
 

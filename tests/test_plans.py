@@ -380,6 +380,48 @@ def test_plan_contract_backoff_and_spans_no_cartesian(spark):
             assert not re.search(pat, plan), f"found forbidden /{pat}/"
 
 
+def test_plan_contract_tokenize_apply_shuffle_free(spark, qs):
+    """The tokenize_apply registry row (round 11) is two
+    broadcast-model encode scans unioned: each branch must be scan →
+    Arrow MapInPandas → project with NO Exchange anywhere (encoding
+    is embarrassingly parallel; a shuffle here would be a planning
+    bug), and the parquet scans must be pruned to (doc_id, text) —
+    the mapInPandas encoder ships every input column through Arrow,
+    so an unpruned scan pays Python transfer for dead columns."""
+    plan = _plan(qs["tokenize_apply"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2
+    for pat in (r"Exchange", r"BatchEvalPython", r"Join"):
+        assert not re.search(pat, plan), f"found forbidden /{pat}/"
+    for rs in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        assert rs == "doc_id:bigint,text:string", rs
+
+
+def test_plan_contract_remove_repeated_spans(spark):
+    """Repeated-span REMOVAL (round 11) stays relational: gram
+    count + semi/anti joins + window merge + excision — no Python
+    anywhere (the excision is a JVM filter-with-index), no cartesian
+    or nested-loop join, and crucially NO broadcast of the
+    duplicated-gram set is assumed by the plan shape (corpus-wide
+    duplicate inventories are not parameter-sized at crawl scale —
+    the joins must be keyed shuffles or AQE-chosen broadcasts, never
+    a collected array)."""
+    from melodist_spark.pipeline.dedup import remove_repeated_spans
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = remove_repeated_spans(
+        docs, span_tokens=20, keep_first=True, until_clean=False
+    )
+    plan = _plan(out)
+    for pat in (
+        r"CartesianProduct",
+        r"BroadcastNestedLoopJoin",
+        r"BatchEvalPython",
+        r"ArrowEvalPython",
+        r"MapInPandas",
+    ):
+        assert not re.search(pat, plan), f"found forbidden /{pat}/"
+
+
 def test_plan_contract_read_warc_no_shuffle(spark, tmp_path):
     """Crawl ingestion is a pure per-archive map: binaryFile scan +
     Arrow-batched record parse, no Exchange anywhere — an accidental
