@@ -181,6 +181,12 @@ def _extra_subs(spark, sf_dir):
     def sd_pairs():
         return _bucketed_cosine_pairs(_sd_bucketed(), 0.3, 4096, arrow=False)
 
+    def sd_pairs_arrow():
+        # the Arrow einsum twin of the dominant stage (the registry
+        # row keeps the JVM HOF cosine as its oracle shape; this sub
+        # prices the scale shape on the same candidate set)
+        return _bucketed_cosine_pairs(_sd_bucketed(), 0.3, 4096, arrow=True)
+
     def sd_cc():
         return duplicate_clusters(
             _bucketed_cosine_pairs(_sd_bucketed(), 0.3, 4096, arrow=False)
@@ -189,7 +195,12 @@ def _extra_subs(spark, sf_dir):
     return {
         "decontaminate": {"stateless": stateless, "surgical": surgical},
         "minhash_pairs": {"arrow_sig": arrow_sig},
-        "semantic_dedup": {"assign": sd_assign, "pairs": sd_pairs, "cc": sd_cc},
+        "semantic_dedup": {
+            "assign": sd_assign,
+            "pairs": sd_pairs,
+            "pairs_arrow": sd_pairs_arrow,
+            "cc": sd_cc,
+        },
     }
 
 # Stdout contract-line budget: the driver keeps the last 2000 chars
@@ -376,6 +387,35 @@ Round-11 workload changes:
   (doc_id, text) before the mapInPandas encode — the encoder ships
   every input column through Arrow, so the unpruned scans were
   paying Python transfer for lang/source/n_chars.
+
+Round-11 paired measurement (VERDICT r10 item 8, same protocol) —
+r10 code (91943cd, git worktree) vs r11 code, interleaved on one
+uncontended box, 2 runs each, min-of-2 per query:
+
+- FULL-harness comparable set (52 shared queries): r10 69.37 s ->
+  r11 77.74 s (+12.1%) — but r11's full pass also runs the new subs
+  (3 semantic_dedup stage builds, bc_fitted, lindew, tokenize_apply
+  halves), and the apparent drift was spread across UNTOUCHED
+  sub-second met rows. A second interleaved pair on the identical
+  52-query set with ALL subs disabled in both codes read r10
+  68.55 s -> r11 71.39 s (+4.1%) — inside the band, with every
+  out-of-band delta accounted for: humidity_variants +77% absorbed
+  humidity_lindew (family total 2.17+1.79=3.96 -> 3.69 s, the
+  merge made the family FASTER via the shared sine chain) and
+  radiation_proxy_variants +40% grew its third bc_fitted branch by
+  construction. Verdict: no regression; compare families/subs, not
+  union totals, across the merges.
+- web_curation 3.40 -> 2.62 s (-23%): the round-11 fix replacing
+  the harness's unpartitioned row_number domain id with the
+  md5-partner equi-join is a real win, not just hygiene.
+- semantic_dedup 5.27 -> 5.02 s (dead even); its NEW stage subs
+  read assign 0.18 / pairs 4.33 / cc 4.58 (cumulative) — the
+  within-cell cosine pair join is ~85% of the row; the CC fixpoint
+  adds ~0.25 s at this scale (driver union-find fast path). The
+  pairs_arrow sub prices the Arrow einsum twin of that dominant
+  stage from round 12 on.
+- NEW tokenize_apply row: 0.42 s (bpe 0.41 / unigram 0.44 subs) —
+  two shuffle-free broadcast-model encode scans.
 """
 
 
