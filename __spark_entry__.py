@@ -4797,7 +4797,17 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from melodist_spark.pipeline.similarity import semantic_dedup
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return semantic_dedup(emb, dim=64, threshold=0.3, centroids=IVF_CENTROIDS)
+    # arrow=True (round 11): the within-cell cosine is ~85% of this
+    # row (stage subs) and the Arrow einsum twin halves it (4.11 →
+    # 1.93 s at sf0.1) on the IDENTICAL candidate set; the output is
+    # all-integer with the measured ≥9.2e-6 threshold margins, orders
+    # of magnitude above einsum-vs-HOF accumulation noise, so the
+    # hash check is unaffected (the mirror verifies per run) — the
+    # text_curation precedent: oracle rows may run Arrow kernels when
+    # the oracle replays semantics, not the kernel
+    return semantic_dedup(
+        emb, dim=64, threshold=0.3, centroids=IVF_CENTROIDS, arrow=True
+    )
 
 
 def q_cascade_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -287,46 +287,191 @@ def remove_repeated_spans(
                 "rounds — junction residuals keep re-forming; raise "
                 "max_rounds or re-examine span_tokens"
             )
-
-        span_arr = spans.groupBy(id_col).agg(
-            F.collect_list(
-                F.struct("span_begin", "span_end")
-            ).alias("__spans")
+        # _excise_spans also truncates lineage between rounds: each
+        # round references the previous round's text through the gram
+        # scan twice AND the excision join; an untruncated loop
+        # widens the plan per round
+        cur, audit_removed = _excise_spans(
+            cur, spans, text_col, id_col, audit_removed
         )
-        staged = cur.join(span_arr, id_col, "left").withColumn(
-            "__toks", F.split(F.trim(F.col(text_col)), r"\s+")
-        )
-        kept_toks = F.filter(
-            "__toks",
-            lambda x, i: ~F.exists(
-                "__spans",
-                lambda s: (s["span_begin"] <= i) & (i < s["span_end"]),
-            ),
-        )
-        touched = F.col("__spans").isNotNull()
-        n_removed = F.when(
-            touched, F.size("__toks") - F.size(kept_toks)
-        ).otherwise(F.lit(0)).cast("long")
-        new_text = F.when(
-            touched, F.array_join(kept_toks, " ")
-        ).otherwise(F.col(text_col))
-        cur = (
-            staged.withColumn("__round_removed", n_removed)
-            .withColumn(text_col, new_text)
-            .drop("__spans", "__toks")
-        )
-        audit_removed = audit_removed + F.col("__round_removed")
-        cur = cur.withColumn("__cum_removed", audit_removed).drop(
-            "__round_removed"
-        )
-        audit_removed = F.col("__cum_removed")
-        # truncate lineage between rounds: each round references the
-        # previous round's text through the gram scan twice AND the
-        # excision join; an untruncated loop widens the plan per round
-        cur = cur.localCheckpoint(eager=False)
         if not until_clean:
             break
 
+    return _finalize_span_audit(cur, text_col)
+
+
+def gram_index(
+    df: DataFrame,
+    span_tokens: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Durable repeated-span state ``(gh, c)``: corpus-wide counts of
+    the per-position ``span_tokens``-gram hashes — the SUFFICIENT
+    STATISTIC for cross-document span dedup, and the ExactSubstr
+    analogue of :func:`digest_index` (exact) / :func:`minhash_index`
+    (near-dup). 16 B per DISTINCT gram, no text retained; store as
+    parquet bucketed by ``gh`` so the incremental check's count join
+    is the only shuffle. Advance the state after each batch with
+    :func:`merge_gram_index` over the SURVIVING batch's index (the
+    retained corpus is what future keepers are drawn from)."""
+    pos = _gram_positions(df, span_tokens, text_col, id_col)
+    return pos.groupBy(F.col("__gh").alias("gh")).agg(
+        F.count("*").alias("c")
+    )
+
+
+def merge_gram_index(index: DataFrame, delta: DataFrame) -> DataFrame:
+    """Advance the repeated-span state: sum the per-gram counts of
+    the stored index and a new batch's :func:`gram_index`."""
+    return (
+        index.unionByName(delta).groupBy("gh").agg(F.sum("c").alias("c"))
+    )
+
+
+def remove_repeated_spans_against(
+    batch: DataFrame,
+    index: DataFrame,
+    span_tokens: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_occurrences: int = 2,
+    until_clean: bool = True,
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Incremental cross-document repeated-span removal: excise from
+    a new batch every token span whose gram reaches
+    ``min_occurrences`` counting BOTH the stored :func:`gram_index`
+    history and the batch itself — the daily-crawl increment of
+    :func:`remove_repeated_spans`, without ever re-scanning (or even
+    retaining) the historical text.
+
+    Keeper policy mirrors the batch op's ``keep_first`` under the
+    history-first convention: a gram already present in the index
+    holds its keeper in the retained corpus, so every batch
+    occurrence is excised; a batch-only duplicated gram keeps its
+    minimal ``(id, position)`` batch occurrence. With history ids
+    ordered before batch ids this reproduces the full-corpus op's
+    output on the batch slice exactly (differential-tested).
+
+    ``until_clean`` fixpoints junction residuals against the STATIC
+    index plus the current batch (the cross-batch analogue of the
+    batch op's corpus-wide fixpoint); ``max_rounds`` is the same
+    hard failure bound. Returns the batch with ``text_col`` replaced
+    plus the ``n_tokens_removed`` / ``n_tokens_kept`` audit columns;
+    union :func:`gram_index` of the RESULT into the store via
+    :func:`merge_gram_index` afterwards.
+
+    Scale shape: per round, the batch-side gram scans + one
+    map-side-combined batch count, ONE count join against the stored
+    index (index-sized state never broadcast, never rebuilt), then
+    the same semi/anti joins, window merge and JVM excision as the
+    batch op. History cost is the join, not a re-scan — the same
+    contract as :func:`neardup_against` / :func:`dedup_against`."""
+    if span_tokens < 1:
+        raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
+    if until_clean and max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
+
+    hist = index.select("gh", F.col("c").alias("__ch"))
+    audit_removed = F.lit(0).cast("long")
+    cur = batch
+    rounds = 0
+    while True:
+        pos = _gram_positions(cur, span_tokens, text_col, id_col)
+        counts = (
+            pos.groupBy("__gh")
+            .agg(F.count("*").alias("__cb"))
+            .join(hist.withColumnRenamed("gh", "__gh"), "__gh", "left")
+            .withColumn("__ch", F.coalesce("__ch", F.lit(0)))
+        )
+        dup = counts.filter(
+            F.col("__cb") + F.col("__ch") >= min_occurrences
+        ).select("__gh", "__ch")
+        hits = pos.join(dup, "__gh")
+        # batch-only duplicated grams (no history copy) keep their
+        # minimal batch occurrence — history-held grams excise ALL
+        # batch occurrences (the keeper lives in the retained corpus)
+        keepers = (
+            hits.filter(F.col("__ch") == 0)
+            .groupBy("__gh")
+            .agg(F.min(F.struct(id_col, "__pos")).alias("__k"))
+            .select(
+                "__gh",
+                F.col(f"__k.{id_col}").alias(id_col),
+                F.col("__k.__pos").alias("__pos"),
+            )
+        )
+        hits = hits.select(id_col, "__pos", "__gh").join(
+            keepers, ["__gh", id_col, "__pos"], "left_anti"
+        )
+        spans = _merge_hit_positions(hits, span_tokens, id_col)
+        if until_clean:
+            spans = spans.localCheckpoint(eager=True)
+            if spans.isEmpty():
+                break
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError(
+                f"remove_repeated_spans_against did not converge in "
+                f"{max_rounds} rounds — junction residuals keep "
+                "re-forming; raise max_rounds or re-examine span_tokens"
+            )
+        cur, audit_removed = _excise_spans(
+            cur, spans, text_col, id_col, audit_removed
+        )
+        if not until_clean:
+            break
+
+    return _finalize_span_audit(cur, text_col)
+
+
+def _excise_spans(
+    cur: DataFrame,
+    spans: DataFrame,
+    text_col: str,
+    id_col: str,
+    audit_removed,
+) -> tuple[DataFrame, "Column"]:
+    """One excision round shared by the batch and incremental span
+    removers: join the merged spans back, cut covered token positions
+    with a JVM filter-with-index, accumulate the removed-count audit,
+    truncate lineage. Returns the updated frame and the running audit
+    column (``__cum_removed`` on the frame)."""
+    span_arr = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_begin", "span_end")).alias("__spans")
+    )
+    staged = cur.join(span_arr, id_col, "left").withColumn(
+        "__toks", F.split(F.trim(F.col(text_col)), r"\s+")
+    )
+    kept_toks = F.filter(
+        "__toks",
+        lambda x, i: ~F.exists(
+            "__spans",
+            lambda s: (s["span_begin"] <= i) & (i < s["span_end"]),
+        ),
+    )
+    touched = F.col("__spans").isNotNull()
+    n_removed = F.when(
+        touched, F.size("__toks") - F.size(kept_toks)
+    ).otherwise(F.lit(0)).cast("long")
+    new_text = F.when(
+        touched, F.array_join(kept_toks, " ")
+    ).otherwise(F.col(text_col))
+    out = (
+        staged.withColumn("__round_removed", n_removed)
+        .withColumn(text_col, new_text)
+        .drop("__spans", "__toks")
+    )
+    out = out.withColumn(
+        "__cum_removed", audit_removed + F.col("__round_removed")
+    ).drop("__round_removed")
+    return out.localCheckpoint(eager=False), F.col("__cum_removed")
+
+
+def _finalize_span_audit(cur: DataFrame, text_col: str) -> DataFrame:
+    """Rename the running removal audit to its public name and attach
+    the non-empty kept-token count."""
     if "__cum_removed" in cur.columns:
         cur = cur.withColumnRenamed("__cum_removed", "n_tokens_removed")
     else:

@@ -2108,6 +2108,106 @@ def test_remove_repeated_spans_junction_fixpoint(spark):
     assert out[3]["n_tokens_kept"] == 0
 
 
+def test_remove_repeated_spans_against_index_differential(spark):
+    """The incremental span remover against a stored gram_index must
+    reproduce the FULL-corpus remover's output on the batch slice
+    exactly (single round, dense-collision corpus): with history ids
+    ordered before batch ids, the full op's min-(id,pos) keepers are
+    history occurrences whenever the gram has one — precisely the
+    incremental op's history-holds-the-keeper rule — and batch-only
+    grams keep the same minimal batch occurrence."""
+    import random
+
+    from melodist_spark.pipeline.dedup import (
+        gram_index,
+        remove_repeated_spans,
+        remove_repeated_spans_against,
+    )
+
+    r = random.Random(29)
+    vocab = ["a", "b", "c", "d", "e"]
+    rows = [
+        (i, " ".join(r.choice(vocab) for _ in range(r.randint(0, 14))))
+        for i in range(140)
+    ]
+    hist_rows, batch_rows = rows[:90], rows[90:]
+    hist = spark.createDataFrame(hist_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+
+    want = (
+        remove_repeated_spans(
+            full, span_tokens=3, until_clean=False
+        )
+        .filter(F.col("doc_id") >= 90)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        remove_repeated_spans_against(
+            batch, gram_index(hist, span_tokens=3), span_tokens=3,
+            until_clean=False,
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # non-vacuity: the batch really was cut by history-held grams
+    assert (got["n_tokens_removed"] > 0).any()
+
+
+def test_remove_repeated_spans_against_advances_state(spark):
+    """The incremental contract end-to-end: ingest two batches
+    against an evolving gram_index (merge_gram_index over each
+    SURVIVING batch); a passage first seen in batch 1 keeps its one
+    copy there, and batch 2's re-occurrence is excised even though
+    the batch-2 corpus alone never repeats it. The advanced state's
+    counts equal a fresh index over the retained corpus."""
+    from melodist_spark.pipeline.dedup import (
+        gram_index,
+        merge_gram_index,
+        remove_repeated_spans_against,
+    )
+
+    passage = " ".join(f"p{i}" for i in range(10))
+    b1 = spark.createDataFrame(
+        [(0, f"one {passage} alpha beta"), (1, "x y z w v u t s")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(10, f"two {passage} gamma delta"), (11, "k l m n o p q r")],
+        "doc_id long, text string",
+    )
+    empty = gram_index(b1.limit(0), span_tokens=5)
+
+    s1 = remove_repeated_spans_against(b1, empty, span_tokens=5)
+    out1 = {r["doc_id"]: r for r in s1.collect()}
+    assert out1[0]["text"] == f"one {passage} alpha beta"  # nothing dup yet
+    idx = merge_gram_index(
+        empty, gram_index(s1.select("doc_id", "text"), span_tokens=5)
+    )
+
+    s2 = remove_repeated_spans_against(b2, idx, span_tokens=5)
+    out2 = {r["doc_id"]: r for r in s2.collect()}
+    assert passage not in out2[10]["text"]  # history holds the keeper
+    assert out2[10]["text"] == "two gamma delta"
+    assert out2[10]["n_tokens_removed"] == 10
+    assert out2[11]["text"] == "k l m n o p q r"
+
+    idx2 = merge_gram_index(
+        idx, gram_index(s2.select("doc_id", "text"), span_tokens=5)
+    )
+    retained = s1.select("doc_id", "text").unionByName(
+        s2.select("doc_id", "text")
+    )
+    fresh = gram_index(retained, span_tokens=5)
+    a = {(r["gh"], r["c"]) for r in idx2.collect()}
+    b = {(r["gh"], r["c"]) for r in fresh.collect()}
+    assert a == b
+
+
 def test_tfidf_top_terms_ranks_distinctive_words(spark):
     from melodist_spark.pipeline.text import tfidf_top_terms
 
