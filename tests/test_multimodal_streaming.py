@@ -2544,3 +2544,89 @@ def test_streaming_embedding_increment_foreach_batch(spark, tmp_path):
         r["vec_id"] for r in spark.read.parquet(out_path).collect()
     )
     assert got == sorted(expect)
+
+
+def test_streaming_span_increment_foreach_batch(spark, tmp_path):
+    """The repeated-span increment's documented streaming shape
+    (round 11 — the ExactSubstr analogue of the embedding-increment
+    stream above): a readStream of document batches, `foreachBatch`
+    running `remove_repeated_spans_against` against the durable
+    gram-count state and appending the SURVIVORS' `gram_index` delta
+    (merge-on-read: the reader re-aggregates the append log, which
+    is `merge_gram_index` applied lazily). Cross-batch semantics
+    pinned: batch 2's copy of a passage first seen in batch 1 is
+    excised only because batch 1 advanced the state, while a
+    batch-internal duplicate keeps its minimal occurrence; cleaned
+    texts match the sequential batch-mode loop exactly."""
+    from pyspark.sql import functions as F
+
+    from melodist_spark.pipeline.dedup import (
+        gram_index,
+        remove_repeated_spans_against,
+    )
+
+    P = " ".join(f"p{i}" for i in range(10))
+    Q = " ".join(f"q{i}" for i in range(10))
+    b1 = [(0, f"one {P} alpha beta"), (1, "x y z w v u t s")]
+    b2 = [
+        (10, f"two {P} gamma delta"),       # history-held: excised
+        (11, f"lead {Q} mid"),              # batch-internal keeper
+        (12, f"{Q} tail here now"),         # batch-internal copy: cut
+    ]
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    kw = dict(span_tokens=5)
+
+    # batch-mode reference loop (state advanced eagerly per batch)
+    idx = gram_index(frame(b1).limit(0), **kw)
+    expect: dict[int, str] = {}
+    for rows in (b1, b2):
+        surv = remove_repeated_spans_against(frame(rows), idx, **kw)
+        for r in surv.collect():
+            expect[r["doc_id"]] = r["text"]
+        idx = idx.unionByName(
+            gram_index(surv.select("doc_id", "text"), **kw)
+        ).groupBy("gh").agg(F.sum("c").alias("c"))
+    assert expect[10] == "two gamma delta"
+    assert expect[11] == f"lead {Q} mid"
+    assert expect[12] == "tail here now"
+
+    src = str(tmp_path / "doc_stream")
+    for name, rows in (("b0", b1), ("b1", b2)):
+        frame(rows).coalesce(1).write.parquet(f"{src}/{name}")
+    state_path = str(tmp_path / "gram_state")
+    out_path = str(tmp_path / "span_out")
+    gram_index(frame(b1).limit(0), **kw).write.parquet(state_path)
+
+    def step(batch_df, _bid):
+        s = batch_df.sparkSession
+        cur = (
+            s.read.parquet(state_path)
+            .groupBy("gh")
+            .agg(F.sum("c").alias("c"))
+        )
+        surv = remove_repeated_spans_against(batch_df, cur, **kw)
+        gram_index(surv.select("doc_id", "text"), **kw).write.mode(
+            "append"
+        ).parquet(state_path)
+        surv.select("doc_id", "text").write.mode("append").parquet(out_path)
+
+    stream = (
+        spark.readStream.schema(frame(b1).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(out_path).collect()
+    }
+    assert got == expect
