@@ -643,8 +643,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # merged into a method-tagged union (same schema), freeing a
         # checked-window slot for robots_eval; both halves stay
         # hash-checked inside the union
+        # late round 11: radiation_course folded in as method='course'
+        # (same schema; all four radiation variants hash-checked in
+        # the union), freeing the slot that registered span_removal
         "radiation_proxy_variants": q_radiation_proxy_variants,
-        "radiation_course": q_radiation_course,
         "radiation_potrad": q_radiation_potrad,
         "angstroem_fit": q_angstroem_fit,
         # wind family
@@ -683,6 +685,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "dup_clusters": q_dup_clusters,
         "line_dedup": q_line_dedup,
+        # late round 11: ExactSubstr span REMOVAL under the oracle on
+        # the slot freed by the radiation_course merge — the portable
+        # md5 gram hashes let DuckDB replay the whole detect+excise
+        # round (counts, keeper, coverage, ordered re-join)
+        "span_removal": q_span_removal,
         "doc_perplexity": q_doc_perplexity,
         "pmi_collocations": q_pmi_collocations,
         "pack_sequences": q_pack_sequences,
@@ -1061,6 +1068,79 @@ def _tokenize_apply_sql() -> str:
                md5(string_agg(array_to_string(d.syms, chr(10)), chr(10) ORDER BY wo.i)) AS pieces_md5
         FROM words wo JOIN udone d ON d.w = wo.w
         GROUP BY wo.doc_id
+    """
+
+
+def _span_removal_sql(span: int = 6) -> str:
+    """DuckDB twin of q_span_removal — REPLAYS the whole ExactSubstr
+    detect+excise round rather than pinning outputs: per-position
+    md5-prefix gram hashes (the portable family
+    ``_gram_positions(portable=True)`` computes JVM-side), corpus
+    counts ≥ 2, the min-(doc_id, pos) keeper per duplicated gram,
+    positional coverage of the non-keeper hits, and the token-level
+    excision re-aggregated in order. Untouched docs keep their
+    ORIGINAL text bytes (the Spark op only re-joins touched docs) —
+    the twin mirrors that branch so the md5s agree byte-for-byte."""
+    return f"""
+        WITH d0 AS (SELECT doc_id, text,
+                           string_split_regex(trim(text), '\\s+') AS l
+                    FROM documents),
+        words AS (
+          SELECT doc_id, i, l[i] AS w
+          FROM d0, unnest(generate_series(1, len(l))) t(i)
+        ),
+        grams AS (
+          SELECT doc_id, i-1 AS p,
+                 ('0x'||substr(md5(array_to_string(l[i:i+{span}-1], ' ')),1,15))::BIGINT AS gh
+          FROM d0, unnest(generate_series(1, len(l)-{span}+1)) t(i)
+        ),
+        dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2),
+        hits AS (SELECT g.doc_id, g.p, g.gh FROM grams g JOIN dup USING (gh)),
+        keepers AS (
+          SELECT gh, doc_id, p FROM (
+            SELECT gh, doc_id, p,
+                   row_number() OVER (PARTITION BY gh ORDER BY doc_id, p) AS rn
+            FROM hits
+          ) WHERE rn = 1
+        ),
+        cut AS (
+          SELECT h.doc_id, h.p FROM hits h
+          WHERE NOT EXISTS (
+            SELECT 1 FROM keepers k
+            WHERE k.gh = h.gh AND k.doc_id = h.doc_id AND k.p = h.p
+          )
+        ),
+        covered AS (
+          SELECT DISTINCT w.doc_id, w.i FROM words w
+          JOIN cut c ON c.doc_id = w.doc_id
+                    AND w.i - 1 BETWEEN c.p AND c.p + {span} - 1
+        ),
+        touched AS (SELECT DISTINCT doc_id FROM cut),
+        kept AS (
+          SELECT w.doc_id, w.i, w.w FROM words w
+          JOIN touched t ON t.doc_id = w.doc_id
+          WHERE NOT EXISTS (
+            SELECT 1 FROM covered c WHERE c.doc_id = w.doc_id AND c.i = w.i
+          )
+        ),
+        tagg AS (
+          SELECT doc_id,
+                 coalesce(string_agg(w, ' ' ORDER BY i), '') AS new_text,
+                 count(*) AS n_kept_all,
+                 count(*) FILTER (w <> '') AS n_kept
+          FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(CASE WHEN t.doc_id IS NULL THEN 0
+                    ELSE len(d.l) - coalesce(a.n_kept_all, 0) END AS BIGINT) AS n_tokens_removed,
+               CAST(CASE WHEN t.doc_id IS NULL
+                    THEN len(list_filter(d.l, x -> x <> ''))
+                    ELSE coalesce(a.n_kept, 0) END AS BIGINT) AS n_tokens_kept,
+               md5(CASE WHEN t.doc_id IS NULL THEN d.text
+                   ELSE coalesce(a.new_text, '') END) AS clean_md5
+        FROM d0 d
+        LEFT JOIN touched t ON t.doc_id = d.doc_id
+        LEFT JOIN tagg a ON a.doc_id = d.doc_id
     """
 
 
@@ -3823,7 +3903,13 @@ LEFT JOIN covlen cv ON b.doc_id = cv.doc_id
         UNION ALL
         SELECT 'bc_fitted' AS method, *
         FROM ({_radiation_bc_sql(_BCF["a"], _BCF["c"])})
+        UNION ALL
+        SELECT 'course' AS method, * FROM ({sqls.pop("radiation_course")})
     """
+    # late round 11: radiation_course folded in above — its freed
+    # checked-window slot registered span_removal, whose twin replays
+    # the whole detect+excise pipeline (portable md5 gram hashes)
+    sqls["span_removal"] = _span_removal_sql()
     sqls["robots_eval"] = _ROBOTS_EVAL_SQL
     # round 10: embedding_topk + pq_topk merged into the ann_topk
     # union row on a common `score` column (VERDICT r9 item 1) — the
@@ -5705,6 +5791,36 @@ def q_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b)
 
 
+def q_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span removal under the oracle (late
+    round 11 — the Lee et al. 2022 ExactSubstr excision,
+    ``dedup.remove_repeated_spans``): one detect+excise round at
+    span_tokens=6 with the keep-first per-gram keeper policy, run
+    with the PORTABLE md5-prefix gram hashes so DuckDB replays the
+    ENTIRE pipeline — per-position gram hashes, corpus counts, the
+    min-(doc_id, pos) keeper, positional coverage, token excision and
+    ordered re-aggregation (:func:`_span_removal_sql`). Output is the
+    audit columns plus the cleaned text's md5 (byte-exact: untouched
+    docs keep their original bytes, touched docs the single-space
+    re-join). The corpus-wide junction fixpoint and the xxhash64
+    production hash stay pytest-anchored
+    (test_remove_repeated_spans_*, test_portable_gram_hash_*)."""
+    from melodist_spark.pipeline.dedup import remove_repeated_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = remove_repeated_spans(
+        docs, span_tokens=6, until_clean=False, portable=True
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens_removed",
+        "n_tokens_kept",
+        F.md5("text").alias("clean_md5"),
+    )
+
+
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus collocation mining: top bigrams by pointwise mutual
     information (min joint count 5) — the phrase-mining statistic
@@ -6261,6 +6377,13 @@ def q_radiation_proxy_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``bc_fitted`` (round 11): the same pipeline applying the PINNED
       ``fit_bristow_campbell_params`` output (pinned.BC_FITTED), so
       the fit's deployment path is hash-checked too
+    - ``course`` (late round 11): the former ``radiation_course``
+      row — the calibrated month-hour mean diurnal shape rescaled to
+      observed daily means (`radiation.py:66-73`); same (user_id,
+      ts, glob_h) schema, folded in to free the checked-window slot
+      that registered ``span_removal`` (the key name is historical —
+      this row now covers ALL FOUR radiation disaggregation
+      variants, each hash-checked in the union)
     """
     a = q_radiation_ssd(spark, sf_dir).select(
         F.lit("ssd").alias("method"), "user_id", "ts", "glob_h"
@@ -6271,7 +6394,10 @@ def q_radiation_proxy_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = q_radiation_bc_fitted(spark, sf_dir).select(
         F.lit("bc_fitted").alias("method"), "user_id", "ts", "glob_h"
     )
-    return a.unionByName(b).unionByName(c)
+    d = q_radiation_course(spark, sf_dir).select(
+        F.lit("course").alias("method"), "user_id", "ts", "glob_h"
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

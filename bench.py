@@ -41,7 +41,6 @@ HEADLINE = [
     "wind_random",
     "humidity_variants",  # merged humidity_minimal + humidity_minmax
     "radiation_proxy_variants",  # merged radiation_ssd + radiation_bc
-    "radiation_course",
     "angstroem_fit",
     "precip_masterstation",
     "cascade_disagg",
@@ -72,6 +71,7 @@ HEADLINE = [
     "jaccard_pairs",
     "dup_clusters",  # exact + prefix + neardup membership
     "line_dedup",
+    "span_removal",  # ExactSubstr detect+excise round under the oracle (late round 11)
     "doc_perplexity",
     "pack_sequences",
     "decontaminate",
@@ -103,7 +103,7 @@ SUBQUERIES: dict[str, tuple[str, list[str]]] = {
     "wind_variants": ("method", ["equal", "cosine"]),
     "temp_sine_variants": ("method", ["mean", "night", "sunloc", "sunshift"]),
     "temp_course_variants": ("variant", ["min_max", "mean"]),
-    "radiation_proxy_variants": ("method", ["ssd", "bc", "bc_fitted"]),
+    "radiation_proxy_variants": ("method", ["ssd", "bc", "bc_fitted", "course"]),
     "robots_eval": ("agent", ["melobot", "othercrawler"]),
     "ann_topk": ("method", ["brute", "ivf", "pq", "ivfpq", "lsh"]),
     "doc_perplexity": ("method", ["join", "broadcast"]),
@@ -416,6 +416,15 @@ uncontended box, 2 runs each, min-of-2 per query:
   stage from round 12 on.
 - NEW tokenize_apply row: 0.42 s (bpe 0.41 / unigram 0.44 subs) —
   two shuffle-free broadcast-model encode scans.
+
+Late round-11 (after the paired run): `radiation_course` folded into
+`radiation_proxy_variants` as method='course' (sub carries the old
+row's number), freeing the slot that registered NEW row
+`span_removal` — one ExactSubstr detect+excise round with portable
+md5 gram hashes, the whole pipeline replayed by the DuckDB twin;
+`semantic_dedup` switched its within-cell cosine to the Arrow einsum
+kernel (pairs sub 4.11 -> pairs_arrow 1.93 s on the identical
+candidate set; the row stays hash-green at both SFs).
 """
 
 

@@ -76,6 +76,7 @@ def repeated_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_occurrences: int = 2,
+    portable: bool = False,
 ) -> DataFrame:
     """Duplicate-passage detection (the ExactSubstr idea of Lee et
     al.'s "Deduplicating Training Data Makes Language Models Better",
@@ -101,7 +102,7 @@ def repeated_spans(
     """
     if span_tokens < 1:
         raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
-    pos = _gram_positions(df, span_tokens, text_col, id_col)
+    pos = _gram_positions(df, span_tokens, text_col, id_col, portable)
     # The aggregate (build) side and the probe side both derive from
     # `pos`, so the gram scan runs twice — a deliberate trade: the
     # recompute is a stateless linear map pass, while the alternatives
@@ -120,13 +121,25 @@ def repeated_spans(
 
 
 def _gram_positions(
-    df: DataFrame, span_tokens: int, text_col: str, id_col: str
+    df: DataFrame,
+    span_tokens: int,
+    text_col: str,
+    id_col: str,
+    portable: bool = False,
 ) -> DataFrame:
-    """(id, __pos, __gh): one xxhash64 per token position over the
+    """(id, __pos, __gh): one hash per token position over the
     ``span_tokens``-gram starting there — the exploded position table
     behind :func:`repeated_spans` (detection) and
     :func:`remove_repeated_spans` (removal), so both share one
-    definition of "the gram at position p"."""
+    definition of "the gram at position p".
+
+    ``portable=True`` switches the gram hash from xxhash64 (fastest,
+    JVM-specific) to the 60-bit md5-prefix family every external
+    oracle can replay (``('0x'||substr(md5(g),1,15))::BIGINT`` in
+    DuckDB — the same construction the MinHash oracles use). The hit
+    sets are identical up to the respective ~2^-60 collision floors;
+    the span_removal registry row runs portable so the WHOLE
+    detect+excise pipeline is value-hash-checked cross-engine."""
     # stage the token array in its own projection: the per-position
     # lambda below slices it L-span+1 times, and an inlined split
     # expression would re-tokenize the whole document per position —
@@ -134,17 +147,28 @@ def _gram_positions(
     staged = df.withColumn("__toks", F.split(F.trim(F.col(text_col)), r"\s+"))
     toks = F.col("__toks")
     n = F.size(toks)
+
+    if portable:
+        def gh(i):
+            return F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(toks, i + 1, F.lit(span_tokens)))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long")
+    else:
+        def gh(i):
+            return F.xxhash64(
+                F.concat_ws(" ", F.slice(toks, i + 1, F.lit(span_tokens)))
+            )
+
     # sequence(0, k) is DESCENDING for k < 0 — guard short docs to an
     # empty gram array instead
     starts = F.when(
         n >= span_tokens, F.sequence(F.lit(0), n - span_tokens)
     ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(
-        starts,
-        lambda i: F.xxhash64(
-            F.concat_ws(" ", F.slice(toks, i + 1, F.lit(span_tokens)))
-        ),
-    )
+    grams = F.transform(starts, gh)
     return staged.select(
         F.col(id_col), F.posexplode(grams).alias("__pos", "__gh")
     )
@@ -189,6 +213,7 @@ def remove_repeated_spans(
     keep_first: bool = True,
     until_clean: bool = True,
     max_rounds: int = 20,
+    portable: bool = False,
 ) -> DataFrame:
     """Cross-document repeated-span REMOVAL (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better" —
@@ -246,7 +271,7 @@ def remove_repeated_spans(
     cur = df
     rounds = 0
     while True:
-        pos = _gram_positions(cur, span_tokens, text_col, id_col)
+        pos = _gram_positions(cur, span_tokens, text_col, id_col, portable)
         dup = (
             pos.groupBy("__gh")
             .agg(F.count("*").alias("__c"))

@@ -2108,6 +2108,47 @@ def test_remove_repeated_spans_junction_fixpoint(spark):
     assert out[3]["n_tokens_kept"] == 0
 
 
+def test_portable_gram_hash_matches_xxhash_path(spark):
+    """The portable (md5-prefix) gram-hash family behind the
+    span_removal oracle row must reproduce the production xxhash64
+    path's outputs EXACTLY — same spans detected, same tokens
+    excised — on the dense-collision corpus (both families are
+    injective on it at their ~2^-60/2^-64 collision floors, so any
+    divergence is a construction bug, not a collision)."""
+    import random
+
+    from melodist_spark.pipeline.dedup import (
+        remove_repeated_spans,
+        repeated_spans,
+    )
+
+    r = random.Random(41)
+    vocab = ["a", "b", "c", "d", "e", "f"]
+    rows = [
+        (i, " ".join(r.choice(vocab) for _ in range(r.randint(0, 15))))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for op, kw in (
+        (repeated_spans, {}),
+        (remove_repeated_spans, {"until_clean": False}),
+    ):
+        a = (
+            op(df, span_tokens=3, portable=False, **kw)
+            .toPandas()
+            .sort_values(["doc_id"] + (["span_begin"] if op is repeated_spans else []))
+            .reset_index(drop=True)
+        )
+        b = (
+            op(df, span_tokens=3, portable=True, **kw)
+            .toPandas()
+            .sort_values(["doc_id"] + (["span_begin"] if op is repeated_spans else []))
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 120 and (a["n_tokens_removed"] > 0).any()
+
+
 def test_remove_repeated_spans_against_index_differential(spark):
     """The incremental span remover against a stored gram_index must
     reproduce the FULL-corpus remover's output on the batch slice
