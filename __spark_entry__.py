@@ -558,7 +558,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (the pinned fit_bristow_campbell_params literals applied through
     the same pipeline). The fresh-training bpe_tokenize /
     unigram_tokenize rows stay at positions 52-53 (iterative
-    training, no SQL oracle). Round-10 restructure (VERDICT r9 item 1):
+    training, no SQL oracle). Late round 11: radiation_course folded
+    into radiation_proxy_variants as method='course' (all four
+    radiation variants hash-checked in one union), freeing the slot
+    that registered span_removal — the ExactSubstr detect+excise
+    round run with the portable md5 gram-hash family so the DuckDB
+    twin replays the whole pipeline to a byte-exact cleaned-text
+    md5. Round-10 restructure (VERDICT r9 item 1):
     embedding_topk + pq_topk merged into the method-tagged ann_topk
     union (all four ANN methods hash-checked inside it, each
     sub-timed by bench.py), the freed slot registered

@@ -425,6 +425,17 @@ md5 gram hashes, the whole pipeline replayed by the DuckDB twin;
 `semantic_dedup` switched its within-cell cosine to the Arrow einsum
 kernel (pairs sub 4.11 -> pairs_arrow 1.93 s on the identical
 candidate set; the row stays hash-green at both SFs).
+
+End-of-round uncontended single run (the round-12 comparison
+anchor): 53-query total 70.24 s — semantic_dedup 2.26 s (was
+5.27-6.09 s: the Arrow switch), span_removal 2.78 s, tokenize_apply
+0.38 s, radiation_proxy_variants 5.21 s (now 4 branches),
+humidity_variants 3.37 s (3 branches). A run earlier the same hour
+read 128 s while the host was draining a 32-thread load (15-min
+loadavg 4.8) — contended totals are not comparable, per the
+methodology note; the sd stage subs (pairs 4.47 vs pairs_arrow 1.67)
+kept their RATIO even in the contended run, which is what the subs
+are for.
 """
 
 

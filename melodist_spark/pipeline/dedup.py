@@ -330,6 +330,7 @@ def gram_index(
     span_tokens: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
+    portable: bool = False,
 ) -> DataFrame:
     """Durable repeated-span state ``(gh, c)``: corpus-wide counts of
     the per-position ``span_tokens``-gram hashes — the SUFFICIENT
@@ -340,7 +341,7 @@ def gram_index(
     is the only shuffle. Advance the state after each batch with
     :func:`merge_gram_index` over the SURVIVING batch's index (the
     retained corpus is what future keepers are drawn from)."""
-    pos = _gram_positions(df, span_tokens, text_col, id_col)
+    pos = _gram_positions(df, span_tokens, text_col, id_col, portable)
     return pos.groupBy(F.col("__gh").alias("gh")).agg(
         F.count("*").alias("c")
     )
@@ -363,6 +364,7 @@ def remove_repeated_spans_against(
     min_occurrences: int = 2,
     until_clean: bool = True,
     max_rounds: int = 20,
+    portable: bool = False,
 ) -> DataFrame:
     """Incremental cross-document repeated-span removal: excise from
     a new batch every token span whose gram reaches
@@ -403,7 +405,10 @@ def remove_repeated_spans_against(
     cur = batch
     rounds = 0
     while True:
-        pos = _gram_positions(cur, span_tokens, text_col, id_col)
+        # `portable` must match the family the stored gram_index was
+        # built with — both families live in the same 64-bit space,
+        # so a mismatch reads as zero historical hits, not an error
+        pos = _gram_positions(cur, span_tokens, text_col, id_col, portable)
         counts = (
             pos.groupBy("__gh")
             .agg(F.count("*").alias("__cb"))
