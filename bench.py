@@ -188,8 +188,12 @@ def _extra_subs(spark, sf_dir):
         return _bucketed_cosine_pairs(_sd_bucketed(), 0.3, 4096, arrow=True)
 
     def sd_cc():
+        # arrow=True mirrors the registry row (which switched its
+        # pair kernel round 11), so cc - pairs_arrow attributes the
+        # CC stage; the JVM `pairs` sub stays as the oracle-shape
+        # reference point
         return duplicate_clusters(
-            _bucketed_cosine_pairs(_sd_bucketed(), 0.3, 4096, arrow=False)
+            _bucketed_cosine_pairs(_sd_bucketed(), 0.3, 4096, arrow=True)
         )
 
     return {
