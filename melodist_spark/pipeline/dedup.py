@@ -501,7 +501,12 @@ def _excise_spans(
 
 def _finalize_span_audit(cur: DataFrame, text_col: str) -> DataFrame:
     """Rename the running removal audit to its public name and attach
-    the non-empty kept-token count."""
+    the non-empty kept-token count. A prior invocation's audit
+    columns (chained curation re-runs the remover on its own output)
+    are dropped first — the audit is per-invocation; without the drop
+    the rename would create DUPLICATE column names that poison every
+    downstream reference with ambiguity errors."""
+    cur = cur.drop("n_tokens_removed", "n_tokens_kept")
     if "__cum_removed" in cur.columns:
         cur = cur.withColumnRenamed("__cum_removed", "n_tokens_removed")
     else:

@@ -3467,3 +3467,30 @@ def test_weighted_mixture_token_budget(spark):
         assert got[name]["max_ep"] == full  # partial epoch drawn
     # books really did exceed one full epoch under its token share
     assert got["books"]["max_ep"] >= 1
+
+
+def test_remove_repeated_spans_chains_on_own_output(spark):
+    """Chained curation re-runs the remover on its own output: the
+    audit columns are per-invocation, so the second pass must
+    REPLACE them (not duplicate the names — duplicate columns poison
+    every downstream reference) and, the corpus already being clean,
+    must remove nothing and leave every text unchanged."""
+    from melodist_spark.pipeline.dedup import remove_repeated_spans
+
+    passage = " ".join(f"p{i}" for i in range(12))
+    rows = [
+        (1, f"intro a b {passage} outro x"),
+        (2, f"{passage} tail y z w q r s t"),
+        (3, " ".join(f"u{i}" for i in range(30))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = remove_repeated_spans(df, span_tokens=8)
+    twice = remove_repeated_spans(once, span_tokens=8)
+    assert twice.columns.count("n_tokens_removed") == 1
+    assert twice.columns.count("n_tokens_kept") == 1
+    a = {r["doc_id"]: r for r in once.collect()}
+    b = {r["doc_id"]: r for r in twice.collect()}
+    for did in a:
+        assert b[did]["text"] == a[did]["text"]
+        assert b[did]["n_tokens_removed"] == 0
+        assert b[did]["n_tokens_kept"] == a[did]["n_tokens_kept"]
