@@ -360,22 +360,6 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star-join rollup (broadcast joins over dims)."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("n_name")
-        .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-            F.count("*").alias("n_orders"),
-        )
-    )
-
-
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups via content digest."""
     from melodist_spark.pipeline.dedup import exact_duplicates
@@ -4528,24 +4512,6 @@ def q_temp_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.groupBy("user_id", F.month("date").cast("long").alias("month")).agg(
         F.round(F.avg("delta"), 6).alias("max_delta")
-    )
-
-
-def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic top-10 by revenue (sort + limit surface)."""
-    from pyspark.sql import Window
-
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    rev = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "c_name")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
-    )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
-    return (
-        rev.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 10)
     )
 
 

@@ -204,6 +204,39 @@ def _merge_hit_positions(
     )
 
 
+def _local_ck_release(df: DataFrame) -> None:
+    """Best-effort block release for a frame produced by
+    ``localCheckpoint``: the checkpointed RDD is reachable through the
+    LogicalRDD node of the returned frame's analyzed plan, and
+    unpersisting IT (``DataFrame.unpersist`` only talks to the cache
+    manager, which never saw a checkpoint) frees the executor-storage
+    blocks immediately instead of waiting for driver GC + the context
+    cleaner. Internal-handle access, so any failure (Connect mode,
+    API drift) degrades to the GC path rather than erroring."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
+def _truncate_round(
+    df: DataFrame, checkpoint_dir: str | None, slot: str, eager: bool
+) -> DataFrame:
+    """Round-lineage truncation shared by the span-removal fixpoints:
+    ``checkpoint_dir=None`` → ``localCheckpoint`` (executor-local
+    blocks — fastest, but a lost executor kills the job because the
+    truncated lineage cannot recompute); a directory → alternating
+    scratch-parquet slots (the ``duplicate_clusters`` reliable-mode
+    discipline), so executor loss replays at most one round from
+    durable state. Slot parity alternates per round upstream so a
+    write never overwrites the parquet its own job is reading."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=eager)
+    path = f"{checkpoint_dir.rstrip('/')}/{slot}"
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
 def remove_repeated_spans(
     df: DataFrame,
     span_tokens: int = 50,
@@ -214,6 +247,7 @@ def remove_repeated_spans(
     until_clean: bool = True,
     max_rounds: int = 20,
     portable: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Cross-document repeated-span REMOVAL (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better" —
@@ -260,16 +294,35 @@ def remove_repeated_spans(
     itself is a JVM filter-with-index over the staged token array
     (spans per doc are few, so the exists() probe is cheap). No
     Python in the loop, no driver-side text.
+
+    CHECKPOINTING: with ``checkpoint_dir=None`` the per-round
+    truncation is ``localCheckpoint`` — executor-local blocks, the
+    cheapest truncation, with each round's blocks released as soon as
+    the next round materializes (the fixpoint holds at most two
+    corpus copies in executor storage, not one per round). The blocks
+    are NOT fault-tolerant: truncated lineage cannot recompute, so a
+    lost executor mid-fixpoint fails the whole job — acceptable on a
+    single-node session or when a rerun is cheap. At cluster scale
+    pass ``checkpoint_dir``: every round's document frame and span
+    table are written to alternating scratch-parquet slots under that
+    reliable path (the :func:`duplicate_clusters` discipline), so
+    executor loss replays at most one round from durable state and
+    the returned frame itself reads from parquet. Give each
+    concurrent call its own directory.
     """
     if span_tokens < 1:
         raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
-    if until_clean and max_rounds < 1:
-        raise ValueError("max_rounds must be >= 1")
+    if max_rounds < 1:
+        # validated unconditionally: the rounds > max_rounds bound
+        # also runs in single-round mode, where a bad value would
+        # surface as a misleading "did not converge" RuntimeError
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
 
     audit_removed = F.lit(0).cast("long")
     audit_kept = None  # computed at the end from the final text
     cur = df
     rounds = 0
+    prev_frames: list[DataFrame] = []  # prior round's checkpoints
     while True:
         pos = _gram_positions(cur, span_tokens, text_col, id_col, portable)
         dup = (
@@ -302,7 +355,15 @@ def remove_repeated_spans(
         # 174 s ≈ remove-1 (98 s) + one clean detection pass (53 s))
         spans = _merge_hit_positions(hits, span_tokens, id_col)
         if until_clean:
-            spans = spans.localCheckpoint(eager=True)
+            spans = _truncate_round(
+                spans, checkpoint_dir, f"spans_{rounds % 2}", eager=True
+            )
+            # the eager probe materialized this round's input frame,
+            # so the PREVIOUS round's blocks are now unreferenced —
+            # release them (reliable mode has no blocks to free)
+            for f in prev_frames:
+                _local_ck_release(f)
+            prev_frames = []
             if spans.isEmpty():
                 break
         rounds += 1
@@ -316,13 +377,79 @@ def remove_repeated_spans(
         # round references the previous round's text through the gram
         # scan twice AND the excision join; an untruncated loop
         # widens the plan per round
+        prev_cur = cur
         cur, audit_removed = _excise_spans(
-            cur, spans, text_col, id_col, audit_removed
+            cur, spans, text_col, id_col, audit_removed,
+            checkpoint_dir, f"docs_{rounds % 2}",
         )
         if not until_clean:
             break
+        # rounds == 1's prev_cur is the caller's input — never ours
+        # to unpersist; later rounds' came from _excise_spans
+        prev_frames = [spans] + ([prev_cur] if rounds > 1 else [])
 
     return _finalize_span_audit(cur, text_col)
+
+
+def _gram_meta(span_tokens: int, portable: bool) -> dict:
+    """Schema metadata stamped on a gram index's ``gh`` column: the
+    hash family and gram width the index was built with. Both hash
+    families live in the same 64-bit space, so WITHOUT the stamp a
+    family or span_tokens mismatch between a stored index and a later
+    incremental call reads as zero historical hits — silently missed
+    duplicates, the worst failure mode a dedup gate has. Field
+    metadata survives select/groupBy/union and the parquet round trip
+    (Spark persists its schema in the footer), so the stamp travels
+    with the stored state."""
+    return {
+        "family": "md5_60" if portable else "xxhash64",
+        "span_tokens": span_tokens,
+    }
+
+
+def stamp_gram_index(
+    df: DataFrame, span_tokens: int, portable: bool = False
+) -> DataFrame:
+    """Attach gram-hash metadata to an externally produced ``(gh, c)``
+    frame (e.g. counts assembled outside :func:`gram_index`) so the
+    incremental span ops accept it. The caller asserts the family —
+    the values themselves cannot be distinguished."""
+    return df.select(
+        F.col("gh").alias("gh", metadata=_gram_meta(span_tokens, portable)),
+        "c",
+    )
+
+
+def _check_gram_meta(
+    df: DataFrame, span_tokens: int, portable: bool, what: str
+) -> None:
+    """Fail loudly when a stored gram index was built with a different
+    hash family or gram width than the caller now claims."""
+    for col in ("gh", "c"):
+        if col not in df.columns:
+            raise ValueError(
+                f"{what} is not a gram_index frame — missing column "
+                f"'{col}' (columns: {df.columns})"
+            )
+    meta = dict(df.schema["gh"].metadata or {})
+    want = _gram_meta(span_tokens, portable)
+    got = {k: meta.get(k) for k in want}
+    if got["family"] is None:
+        raise ValueError(
+            f"{what} carries no gram-hash metadata on 'gh' — it was "
+            "built outside gram_index() (or the schema was rebuilt "
+            "without metadata). Rebuild it with gram_index(), or "
+            "assert its provenance with stamp_gram_index(df, "
+            "span_tokens, portable); matching blindly would read a "
+            "family/width mismatch as zero historical hits."
+        )
+    if got != want:
+        raise ValueError(
+            f"{what} was built with {got} but this call asks for "
+            f"{want} — a mismatch reads as zero historical hits "
+            "(silently missed duplicates). Pass the values the index "
+            "was built with."
+        )
 
 
 def gram_index(
@@ -331,6 +458,7 @@ def gram_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     portable: bool = False,
+    max_count: int | None = None,
 ) -> DataFrame:
     """Durable repeated-span state ``(gh, c)``: corpus-wide counts of
     the per-position ``span_tokens``-gram hashes — the SUFFICIENT
@@ -340,19 +468,67 @@ def gram_index(
     parquet bucketed by ``gh`` so the incremental check's count join
     is the only shuffle. Advance the state after each batch with
     :func:`merge_gram_index` over the SURVIVING batch's index (the
-    retained corpus is what future keepers are drawn from)."""
+    retained corpus is what future keepers are drawn from).
+
+    The ``gh`` field carries the hash family + gram width as schema
+    metadata (:func:`_gram_meta`); :func:`remove_repeated_spans_against`
+    and :func:`merge_gram_index` validate it, so a ``portable`` /
+    ``span_tokens`` mismatch against stored state raises instead of
+    silently missing every historical duplicate.
+
+    ``max_count`` saturates the counts (``least(c, max_count)``).
+    The count is only ever compared against the removal threshold, so
+    capping at ``min_occurrences`` loses nothing while keeping the
+    durable value bounded under adversarial re-quoting (a
+    billion-fold boilerplate gram stores the same 16 B either way,
+    but bounded counts make repeated merges idempotent-safe — a
+    replayed delta cannot push an already-saturated gram anywhere)."""
+    if max_count is not None and max_count < 1:
+        raise ValueError(f"max_count must be >= 1, got {max_count}")
     pos = _gram_positions(df, span_tokens, text_col, id_col, portable)
-    return pos.groupBy(F.col("__gh").alias("gh")).agg(
-        F.count("*").alias("c")
-    )
+    c = F.count("*")
+    if max_count is not None:
+        c = F.least(c, F.lit(max_count).cast("long"))
+    return pos.groupBy(
+        F.col("__gh").alias("gh", metadata=_gram_meta(span_tokens, portable))
+    ).agg(c.alias("c"))
 
 
-def merge_gram_index(index: DataFrame, delta: DataFrame) -> DataFrame:
+def merge_gram_index(
+    index: DataFrame, delta: DataFrame, max_count: int | None = None
+) -> DataFrame:
     """Advance the repeated-span state: sum the per-gram counts of
-    the stored index and a new batch's :func:`gram_index`."""
-    return (
-        index.unionByName(delta).groupBy("gh").agg(F.sum("c").alias("c"))
-    )
+    the stored index and a new batch's :func:`gram_index`. Both sides
+    must carry MATCHING hash-family/width metadata (a cross-family
+    merge would interleave incompatible 64-bit spaces and corrupt the
+    counts invisibly). ``max_count`` saturates the merged counts —
+    cap at the ``min_occurrences`` the removal gate uses and the
+    stored state stays bounded with identical removal decisions
+    (``c`` is only ever compared to that threshold, and a cap ≥ 1
+    keeps zero/nonzero intact for the keeper rule)."""
+    if max_count is not None and max_count < 1:
+        raise ValueError(f"max_count must be >= 1, got {max_count}")
+    im = dict(index.schema["gh"].metadata or {}) if "gh" in index.columns else {}
+    dm = dict(delta.schema["gh"].metadata or {}) if "gh" in delta.columns else {}
+    keys = ("family", "span_tokens")
+    got_i = {k: im.get(k) for k in keys}
+    got_d = {k: dm.get(k) for k in keys}
+    if got_i["family"] is None or got_d["family"] is None:
+        raise ValueError(
+            "merge_gram_index requires gram-hash metadata on both "
+            f"sides (index: {got_i}, delta: {got_d}) — build them with "
+            "gram_index() or assert provenance with stamp_gram_index()"
+        )
+    if got_i != got_d:
+        raise ValueError(
+            f"gram_index merge mismatch: index was built with {got_i} "
+            f"but delta with {got_d} — merging incompatible hash "
+            "families/widths corrupts the counts invisibly"
+        )
+    c = F.sum("c")
+    if max_count is not None:
+        c = F.least(c, F.lit(max_count).cast("long"))
+    return index.unionByName(delta).groupBy("gh").agg(c.alias("c"))
 
 
 def remove_repeated_spans_against(
@@ -365,6 +541,7 @@ def remove_repeated_spans_against(
     until_clean: bool = True,
     max_rounds: int = 20,
     portable: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Incremental cross-document repeated-span removal: excise from
     a new batch every token span whose gram reaches
@@ -394,20 +571,29 @@ def remove_repeated_spans_against(
     index (index-sized state never broadcast, never rebuilt), then
     the same semi/anti joins, window merge and JVM excision as the
     batch op. History cost is the join, not a re-scan — the same
-    contract as :func:`neardup_against` / :func:`dedup_against`."""
+    contract as :func:`neardup_against` / :func:`dedup_against`.
+
+    Checkpointing follows :func:`remove_repeated_spans`:
+    ``checkpoint_dir=None`` → localCheckpoint rounds with prior-round
+    block release (executor-local — NOT fault-tolerant); a directory
+    → alternating scratch-parquet slots, so executor loss replays at
+    most one round from durable state."""
     if span_tokens < 1:
         raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
-    if until_clean and max_rounds < 1:
-        raise ValueError("max_rounds must be >= 1")
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    # the stored state must have been built with THIS family and gram
+    # width — both families live in the same 64-bit space, so an
+    # unchecked mismatch would read as zero historical hits (silently
+    # missed duplicates); gram_index stamps the metadata this reads
+    _check_gram_meta(index, span_tokens, portable, "stored gram_index")
 
     hist = index.select("gh", F.col("c").alias("__ch"))
     audit_removed = F.lit(0).cast("long")
     cur = batch
     rounds = 0
+    prev_frames: list[DataFrame] = []
     while True:
-        # `portable` must match the family the stored gram_index was
-        # built with — both families live in the same 64-bit space,
-        # so a mismatch reads as zero historical hits, not an error
         pos = _gram_positions(cur, span_tokens, text_col, id_col, portable)
         counts = (
             pos.groupBy("__gh")
@@ -437,7 +623,12 @@ def remove_repeated_spans_against(
         )
         spans = _merge_hit_positions(hits, span_tokens, id_col)
         if until_clean:
-            spans = spans.localCheckpoint(eager=True)
+            spans = _truncate_round(
+                spans, checkpoint_dir, f"spans_{rounds % 2}", eager=True
+            )
+            for f in prev_frames:
+                _local_ck_release(f)
+            prev_frames = []
             if spans.isEmpty():
                 break
         rounds += 1
@@ -447,11 +638,14 @@ def remove_repeated_spans_against(
                 f"{max_rounds} rounds — junction residuals keep "
                 "re-forming; raise max_rounds or re-examine span_tokens"
             )
+        prev_cur = cur
         cur, audit_removed = _excise_spans(
-            cur, spans, text_col, id_col, audit_removed
+            cur, spans, text_col, id_col, audit_removed,
+            checkpoint_dir, f"docs_{rounds % 2}",
         )
         if not until_clean:
             break
+        prev_frames = [spans] + ([prev_cur] if rounds > 1 else [])
 
     return _finalize_span_audit(cur, text_col)
 
@@ -462,12 +656,15 @@ def _excise_spans(
     text_col: str,
     id_col: str,
     audit_removed,
+    checkpoint_dir: str | None = None,
+    slot: str = "docs_0",
 ) -> tuple[DataFrame, "Column"]:
     """One excision round shared by the batch and incremental span
     removers: join the merged spans back, cut covered token positions
     with a JVM filter-with-index, accumulate the removed-count audit,
-    truncate lineage. Returns the updated frame and the running audit
-    column (``__cum_removed`` on the frame)."""
+    truncate lineage (lazy localCheckpoint, or the ``slot`` parquet
+    under ``checkpoint_dir`` in reliable mode). Returns the updated
+    frame and the running audit column (``__cum_removed``)."""
     span_arr = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_begin", "span_end")).alias("__spans")
     )
@@ -496,7 +693,10 @@ def _excise_spans(
     out = out.withColumn(
         "__cum_removed", audit_removed + F.col("__round_removed")
     ).drop("__round_removed")
-    return out.localCheckpoint(eager=False), F.col("__cum_removed")
+    return (
+        _truncate_round(out, checkpoint_dir, slot, eager=False),
+        F.col("__cum_removed"),
+    )
 
 
 def _finalize_span_audit(cur: DataFrame, text_col: str) -> DataFrame:

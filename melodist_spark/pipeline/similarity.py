@@ -342,7 +342,15 @@ def embedding_index(
     pass over the vectors regardless of T; table ``t`` uses the same
     deterministic planes ``t·k .. (t+1)·k − 1`` as
     ``lsh_bucket_udf(plane_offset=t·k)``, so any session reproduces
-    the same buckets."""
+    the same buckets.
+
+    Every ``bucket_t`` field carries ``num_planes`` / ``num_tables``
+    / the plane-family tag as schema metadata (:func:`_emb_meta`) —
+    it survives select/union and the parquet round trip, so
+    :func:`embedding_neardup_against` can verify a stored index was
+    built with the parameters the caller now claims instead of
+    silently missing duplicates on a planes mismatch (the bucket
+    values of different plane counts live in the same long space)."""
     planes = np.array(
         [_hyperplane(dim, p) for p in range(num_tables * num_planes)],
         dtype=np.float64,
@@ -361,24 +369,64 @@ def embedding_index(
     tmp = "__bkts"
     while tmp in corpus.columns:
         tmp += "_"
+    meta = _emb_meta(num_planes, num_tables)
     return corpus.withColumn(tmp, _buckets(F.col(vec_col))).select(
         F.col(id_col),
         F.col(vec_col),
         *[
-            F.element_at(tmp, t + 1).alias(f"bucket_{t}")
+            F.element_at(tmp, t + 1).alias(f"bucket_{t}", metadata=meta)
             for t in range(num_tables)
         ],
     )
 
 
-def _check_index_tables(df: DataFrame, num_tables: int, what: str) -> None:
+def _emb_meta(num_planes: int, num_tables: int) -> dict:
+    """Schema metadata stamped on every ``bucket_t`` column of an
+    :func:`embedding_index` frame: the AND-OR parameters and the
+    plane-family tag the buckets were computed with. ``plane_family``
+    names the deterministic ``_hyperplane`` construction so a future
+    plane-generation change cannot silently mix bucket spaces."""
+    return {
+        "num_planes": num_planes,
+        "num_tables": num_tables,
+        "plane_family": "deterministic_v1",
+    }
+
+
+def stamp_embedding_index(
+    df: DataFrame, num_planes: int, num_tables: int
+) -> DataFrame:
+    """Attach plane/table metadata to an index frame that lost it
+    (schema rebuilt by an external writer). The caller asserts the
+    parameters — bucket values of different plane counts are
+    indistinguishable, so only use this for frames whose provenance
+    is known."""
+    meta = _emb_meta(num_planes, num_tables)
+    others = [c for c in df.columns if not c.startswith("bucket_")]
+    return df.select(
+        *others,
+        *[
+            F.col(f"bucket_{t}").alias(f"bucket_{t}", metadata=meta)
+            for t in range(num_tables)
+        ],
+    )
+
+
+def _check_index_tables(
+    df: DataFrame, num_tables: int, what: str, num_planes: int | None = None
+) -> None:
     """Fail loudly when an :func:`embedding_index` frame was built
-    with a different ``num_tables`` than the caller now claims — a
-    mismatch would otherwise degrade SILENTLY into missed duplicates
-    (too few tables read → lost OR-amplification recall) or an
-    AnalysisException naming an internal column (too many). The
-    bucket columns are the index's own metadata: ``bucket_0 ..
-    bucket_{T-1}`` present and ``bucket_T`` absent pins T exactly."""
+    with different parameters than the caller now claims — a mismatch
+    would otherwise degrade SILENTLY into missed duplicates (too few
+    tables read → lost OR-amplification recall; a planes mismatch →
+    disjoint bucket spaces, zero collisions) or an AnalysisException
+    naming an internal column (too many tables). Two layers: the
+    bucket COLUMNS pin T structurally (``bucket_0 .. bucket_{T-1}``
+    present, ``bucket_T`` absent), and the schema METADATA stamped by
+    :func:`embedding_index` pins ``num_planes`` + the plane family —
+    the half no column shape can reveal. Metadata-less frames (built
+    outside :func:`embedding_index`) fail the planes check with a
+    pointer to :func:`stamp_embedding_index`."""
     missing = [
         f"bucket_{t}" for t in range(num_tables) if f"bucket_{t}" not in df.columns
     ]
@@ -394,6 +442,27 @@ def _check_index_tables(df: DataFrame, num_tables: int, what: str) -> None:
             f"MORE than num_tables={num_tables} tables — pass the value "
             "the index was built with or duplicates will be missed "
             f"(columns: {df.columns})"
+        )
+    if num_planes is None:
+        return
+    want = _emb_meta(num_planes, num_tables)
+    meta = dict(df.schema["bucket_0"].metadata or {})
+    got = {k: meta.get(k) for k in want}
+    if got["num_planes"] is None:
+        raise ValueError(
+            f"{what} carries no plane metadata on bucket_0 — it was "
+            "built outside embedding_index() (or its schema was "
+            "rebuilt without metadata). Rebuild it, or assert its "
+            "provenance with stamp_embedding_index(df, num_planes, "
+            "num_tables); matching blindly would read a planes "
+            "mismatch as zero collisions (silently missed duplicates)."
+        )
+    if got != want:
+        raise ValueError(
+            f"{what} was built with {got} but this call asks for "
+            f"{want} — buckets from different plane parameters share "
+            "the long space, so a mismatch reads as missed duplicates. "
+            "Pass the values the index was built with."
         )
 
 
@@ -441,11 +510,12 @@ def embedding_neardup_against(
 
     ``num_planes`` / ``num_tables`` must match the values the index
     was built with — the planes are deterministic, so any session
-    reproduces the same buckets. A ``num_tables`` mismatch is
-    detected from the index frame's own bucket columns and raises
-    (silently it would read as missed duplicates); ``num_planes`` is
-    not recoverable from the frame, so keep it with the store's
-    metadata alongside the parquet path. With T tables a pair is a candidate
+    reproduces the same buckets. BOTH are verified against the index
+    frame itself and a mismatch raises (silently it would read as
+    missed duplicates): ``num_tables`` structurally from the bucket
+    columns, ``num_planes`` + the plane family from the schema
+    metadata :func:`embedding_index` stamps on them (parquet
+    round-trips it). With T tables a pair is a candidate
     when ANY table's buckets agree (OR-amplification); the candidate
     id pairs are deduplicated BEFORE the vectors join in, so a pair
     colliding in several tables pays one cosine. ``batch_index``
@@ -457,7 +527,7 @@ def embedding_neardup_against(
 
     Returns the surviving batch rows; union their
     :func:`embedding_index` into the store afterwards."""
-    _check_index_tables(index, num_tables, "stored index")
+    _check_index_tables(index, num_tables, "stored index", num_planes)
     bidx = (
         batch_index
         if batch_index is not None
@@ -466,7 +536,7 @@ def embedding_neardup_against(
         )
     )
     if batch_index is not None:
-        _check_index_tables(bidx, num_tables, "batch_index")
+        _check_index_tables(bidx, num_tables, "batch_index", num_planes)
 
     cand = (
         _bucket_long_form(bidx, "__bid", id_col, num_tables)

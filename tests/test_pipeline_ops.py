@@ -2249,6 +2249,300 @@ def test_remove_repeated_spans_against_advances_state(spark):
     assert a == b
 
 
+def test_remove_repeated_spans_checkpoint_dir_matches_local(spark, tmp_path):
+    """Reliable-checkpoint mode (round 12, VERDICT r11 item 1): the
+    span-removal fixpoint run with ``checkpoint_dir`` set — every
+    round's document frame and span table truncated to alternating
+    scratch parquet instead of executor-local blocks — must produce
+    EXACTLY the localCheckpoint path's output on the junction corpus
+    (two excision rounds, so both doc slots and both span slots are
+    exercised)."""
+    from melodist_spark.pipeline.dedup import remove_repeated_spans
+
+    rows = [
+        (0, "S1 S2 S3"),
+        (1, "T1 T2 T3"),
+        (2, "a b S1 S2 S3 c d"),
+        (3, "a b T1 T2 T3 c d"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = (
+        remove_repeated_spans(df, span_tokens=3)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    got = (
+        remove_repeated_spans(
+            df, span_tokens=3, checkpoint_dir=str(tmp_path / "ck")
+        )
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # the returned frame reads from durable parquet, not blocks
+    assert (tmp_path / "ck").exists()
+    assert want.loc[3, "text"] == ""  # the fixpoint really ran twice
+
+
+def test_remove_repeated_spans_against_checkpoint_dir_matches_local(
+    spark, tmp_path
+):
+    """Incremental-op twin of the reliable-checkpoint differential:
+    same batch, same stored gram_index, outputs identical with and
+    without ``checkpoint_dir``."""
+    import random
+
+    from melodist_spark.pipeline.dedup import (
+        gram_index,
+        remove_repeated_spans_against,
+    )
+
+    r = random.Random(53)
+    vocab = ["a", "b", "c", "d", "e"]
+    rows = [
+        (i, " ".join(r.choice(vocab) for _ in range(r.randint(0, 14))))
+        for i in range(140)
+    ]
+    hist = spark.createDataFrame(rows[:90], "doc_id long, text string")
+    batch = spark.createDataFrame(rows[90:], "doc_id long, text string")
+    idx = gram_index(hist, span_tokens=3)
+    want = (
+        remove_repeated_spans_against(batch, idx, span_tokens=3)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    got = (
+        remove_repeated_spans_against(
+            batch, idx, span_tokens=3,
+            checkpoint_dir=str(tmp_path / "ck_inc"),
+        )
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert (want["n_tokens_removed"] > 0).any()
+
+
+def test_remove_repeated_spans_fixpoint_releases_round_blocks(spark):
+    """ADVICE r11: a fixpoint round's localCheckpoint blocks must be
+    released once the NEXT round materializes — executor storage holds
+    at most the live round, not one corpus copy per round. The
+    junction corpus runs two excision rounds + the clean probe; after
+    the call only the FINAL frame's blocks (plus the empty last span
+    table) may remain of the new persisted RDDs."""
+    from melodist_spark.pipeline.dedup import remove_repeated_spans
+
+    sc = spark.sparkContext._jsc.sc()
+
+    def persisted_ids():
+        return {i.id() for i in sc.getRDDStorageInfo()}
+
+    rows = [
+        (0, "S1 S2 S3"),
+        (1, "T1 T2 T3"),
+        (2, "a b S1 S2 S3 c d"),
+        (3, "a b T1 T2 T3 c d"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    before = persisted_ids()
+    out = remove_repeated_spans(df, span_tokens=3)
+    new = persisted_ids() - before
+    # live after the fixpoint: the final docs frame + the final
+    # (empty) span table — the two prior rounds' docs and span
+    # checkpoints (4 RDDs) must have been unpersisted
+    assert len(new) <= 2, new
+    # the released blocks must not have been load-bearing
+    assert out.count() == 4
+
+
+def test_remove_repeated_spans_max_rounds_validated_unconditionally(spark):
+    """ADVICE r11: max_rounds=0 must be a ValueError in BOTH modes —
+    previously single-round mode fell through to a misleading
+    'did not converge in 0 rounds' RuntimeError."""
+    import pytest
+
+    from melodist_spark.pipeline.dedup import (
+        gram_index,
+        remove_repeated_spans,
+        remove_repeated_spans_against,
+    )
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    idx = gram_index(df, span_tokens=3)
+    for kw in ({"until_clean": False}, {"until_clean": True}):
+        with pytest.raises(ValueError, match="max_rounds"):
+            remove_repeated_spans(df, span_tokens=3, max_rounds=0, **kw)
+        with pytest.raises(ValueError, match="max_rounds"):
+            remove_repeated_spans_against(
+                df, idx, span_tokens=3, max_rounds=0, **kw
+            )
+
+
+def test_gram_index_metadata_guards_family_and_width(spark, tmp_path):
+    """ADVICE r11 (medium): the stored gram_index carries its hash
+    family + gram width as schema metadata — surviving the parquet
+    round trip — and the incremental remover REFUSES a mismatched
+    ``portable`` flag or ``span_tokens`` instead of silently reading
+    zero historical hits. Metadata-less frames are refused with a
+    pointer to stamp_gram_index, which restores acceptance."""
+    import pytest
+
+    from melodist_spark.pipeline.dedup import (
+        gram_index,
+        merge_gram_index,
+        remove_repeated_spans_against,
+        stamp_gram_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g"), (1, "a b c d e f g")],
+        "doc_id long, text string",
+    )
+    idx = gram_index(docs, span_tokens=3)
+    path = str(tmp_path / "gram_idx")
+    idx.write.parquet(path)
+    stored = spark.read.parquet(path)
+    m = dict(stored.schema["gh"].metadata)
+    assert m["family"] == "xxhash64" and m["span_tokens"] == 3
+
+    batch = spark.createDataFrame([(9, "a b c d e")], "doc_id long, text string")
+    # family mismatch: index is xxhash64, call claims portable
+    with pytest.raises(ValueError, match="md5_60"):
+        remove_repeated_spans_against(
+            batch, stored, span_tokens=3, portable=True
+        )
+    # width mismatch
+    with pytest.raises(ValueError, match="span_tokens"):
+        remove_repeated_spans_against(batch, stored, span_tokens=4)
+    # matching call still works and cuts the historical passage
+    ok = remove_repeated_spans_against(batch, stored, span_tokens=3)
+    assert ok.collect()[0]["n_tokens_removed"] == 5
+
+    # a schema-rebuilt (metadata-less) frame is refused loudly...
+    bare = spark.createDataFrame(
+        [(r["gh"], r["c"]) for r in stored.collect()], "gh long, c long"
+    )
+    with pytest.raises(ValueError, match="stamp_gram_index"):
+        remove_repeated_spans_against(batch, bare, span_tokens=3)
+    # ...and stamping restores acceptance
+    restamped = stamp_gram_index(bare, span_tokens=3)
+    got = remove_repeated_spans_against(batch, restamped, span_tokens=3)
+    assert got.collect()[0]["n_tokens_removed"] == 5
+
+    # merge refuses cross-family/width unions
+    with pytest.raises(ValueError, match="mismatch"):
+        merge_gram_index(stored, gram_index(docs, span_tokens=3, portable=True))
+    with pytest.raises(ValueError, match="mismatch"):
+        merge_gram_index(stored, gram_index(docs, span_tokens=4))
+    with pytest.raises(ValueError, match="stamp_gram_index"):
+        merge_gram_index(stored, bare)
+
+
+def test_gram_index_count_cap_preserves_removal_decisions(spark):
+    """VERDICT r11 item 6: counts are only ever compared to
+    ``min_occurrences``, so saturating the durable state at that
+    threshold (``max_count``) must yield byte-identical removal
+    output — while bounding the stored value under adversarial
+    re-quoting and making replayed merges idempotent-safe."""
+    import random
+
+    from melodist_spark.pipeline.dedup import (
+        gram_index,
+        merge_gram_index,
+        remove_repeated_spans_against,
+    )
+
+    r = random.Random(61)
+    vocab = ["a", "b", "c", "d"]
+    rows = [
+        (i, " ".join(r.choice(vocab) for _ in range(r.randint(0, 12))))
+        for i in range(160)
+    ]
+    hist = spark.createDataFrame(rows[:120], "doc_id long, text string")
+    batch = spark.createDataFrame(rows[120:], "doc_id long, text string")
+
+    k = 2  # min_occurrences
+    full = gram_index(hist, span_tokens=3)
+    capped = merge_gram_index(
+        gram_index(hist.filter("doc_id < 60"), span_tokens=3, max_count=k),
+        gram_index(hist.filter("doc_id >= 60"), span_tokens=3, max_count=k),
+        max_count=k,
+    )
+    assert capped.agg(F.max("c")).first()[0] <= k
+    # saturation: re-merging the same delta moves nothing
+    again = merge_gram_index(
+        capped, gram_index(hist.filter("doc_id >= 60"), span_tokens=3),
+        max_count=k,
+    )
+    assert again.agg(F.max("c")).first()[0] <= k
+
+    want = (
+        remove_repeated_spans_against(
+            batch, full, span_tokens=3, min_occurrences=k
+        ).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    got = (
+        remove_repeated_spans_against(
+            batch, capped, span_tokens=3, min_occurrences=k
+        ).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert (want["n_tokens_removed"] > 0).any()
+
+
+def test_embedding_index_planes_metadata_guard(spark, tmp_path):
+    """VERDICT r11 item 2 (second half of the r10 advisor finding):
+    ``num_planes`` is now recoverable from the index frame — schema
+    metadata stamped by embedding_index, parquet-round-tripped — and
+    a planes mismatch raises instead of silently missing duplicates.
+    Metadata-less frames are refused with a stamp_embedding_index
+    pointer, and stamping restores acceptance."""
+    import pytest
+
+    from melodist_spark.pipeline.similarity import (
+        embedding_index,
+        embedding_neardup_against,
+        stamp_embedding_index,
+    )
+
+    dim = 8
+    rows = [(i, [float((i >> b) & 1) for b in range(dim)]) for i in range(12)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = embedding_index(corpus, dim, num_planes=4, num_tables=2)
+    path = str(tmp_path / "emb_idx")
+    idx.write.parquet(path)
+    stored = spark.read.parquet(path)
+    m = dict(stored.schema["bucket_0"].metadata)
+    assert m["num_planes"] == 4 and m["num_tables"] == 2
+
+    # vec_id 0 is the all-zeros vector — cosine NULL by design, so it
+    # can never re-check as a duplicate; exclude it from the re-ingest
+    batch = corpus.filter("vec_id >= 1").limit(3)
+    with pytest.raises(ValueError, match="num_planes"):
+        embedding_neardup_against(
+            batch, stored, dim, num_planes=6, num_tables=2
+        )
+    # matching parameters pass the guard and drop the exact re-ingest
+    surv = embedding_neardup_against(
+        batch, stored, dim, num_planes=4, num_tables=2
+    )
+    assert surv.count() == 0
+
+    # metadata-less frame (schema rebuilt by an external writer) is
+    # refused, stamp restores — strip the metadata via a bare schema
+    from pyspark.sql.types import StructField, StructType
+
+    clean = StructType(
+        [StructField(f.name, f.dataType, f.nullable) for f in stored.schema]
+    )
+    bare = spark.createDataFrame(stored.toPandas(), clean)
+    assert dict(bare.schema["bucket_0"].metadata or {}) == {}
+    with pytest.raises(ValueError, match="stamp_embedding_index"):
+        embedding_neardup_against(
+            batch, bare, dim, num_planes=4, num_tables=2
+        )
+    restamped = stamp_embedding_index(bare, num_planes=4, num_tables=2)
+    assert embedding_neardup_against(
+        batch, restamped, dim, num_planes=4, num_tables=2
+    ).count() == 0
+
+
 def test_tfidf_top_terms_ranks_distinctive_words(spark):
     from melodist_spark.pipeline.text import tfidf_top_terms
 
