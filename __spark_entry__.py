@@ -1046,18 +1046,34 @@ def _tokenize_apply_sql() -> str:
         ),
         udone AS (
           SELECT w, paths[len(w)+1] AS syms FROM urec WHERE j = len(w)
+        ),
+        bagg AS (
+          SELECT wo.doc_id,
+                 CAST(sum(len(d.syms)) AS BIGINT) AS n_pieces,
+                 md5(string_agg(array_to_string(d.syms, chr(10)), chr(10) ORDER BY wo.i)) AS pieces_md5
+          FROM words wo JOIN bdone d ON d.w = wo.w
+          GROUP BY wo.doc_id
+        ),
+        uagg AS (
+          SELECT wo.doc_id,
+                 CAST(sum(len(d.syms)) AS BIGINT) AS n_pieces,
+                 md5(string_agg(array_to_string(d.syms, chr(10)), chr(10) ORDER BY wo.i)) AS pieces_md5
+          FROM words wo JOIN udone d ON d.w = wo.w
+          GROUP BY wo.doc_id
         )
-        SELECT 'bpe' AS method, wo.doc_id,
-               CAST(sum(len(d.syms)) AS BIGINT) AS n_pieces,
-               md5(string_agg(array_to_string(d.syms, chr(10)), chr(10) ORDER BY wo.i)) AS pieces_md5
-        FROM words wo JOIN bdone d ON d.w = wo.w
-        GROUP BY wo.doc_id
+        -- anchored on d0 (the way _span_removal_sql anchors its
+        -- output): an empty / whitespace-only document yields no
+        -- `words` row, but the Spark encoders still emit an
+        -- n_pieces=0, md5('') row per doc
+        SELECT 'bpe' AS method, d.doc_id,
+               CAST(coalesce(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+               coalesce(a.pieces_md5, md5('')) AS pieces_md5
+        FROM d0 d LEFT JOIN bagg a ON a.doc_id = d.doc_id
         UNION ALL
-        SELECT 'unigram' AS method, wo.doc_id,
-               CAST(sum(len(d.syms)) AS BIGINT) AS n_pieces,
-               md5(string_agg(array_to_string(d.syms, chr(10)), chr(10) ORDER BY wo.i)) AS pieces_md5
-        FROM words wo JOIN udone d ON d.w = wo.w
-        GROUP BY wo.doc_id
+        SELECT 'unigram' AS method, d.doc_id,
+               CAST(coalesce(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+               coalesce(a.pieces_md5, md5('')) AS pieces_md5
+        FROM d0 d LEFT JOIN uagg a ON a.doc_id = d.doc_id
     """
 
 
@@ -1070,7 +1086,18 @@ def _span_removal_sql(span: int = 6) -> str:
     positional coverage of the non-keeper hits, and the token-level
     excision re-aggregated in order. Untouched docs keep their
     ORIGINAL text bytes (the Spark op only re-joins touched docs) —
-    the twin mirrors that branch so the md5s agree byte-for-byte."""
+    the twin mirrors that branch so the md5s agree byte-for-byte.
+    Round 12: unioned with :func:`_span_fixpoint_sql`, the two-round
+    replay of the junction fixpoint on the engineered template
+    corpus — the branch pair mirrors q_span_removal's."""
+    return f"""
+        SELECT * FROM ({_span_single_sql(span)})
+        UNION ALL
+        SELECT * FROM ({_span_fixpoint_sql(span)})
+    """
+
+
+def _span_single_sql(span: int = 6) -> str:
     return f"""
         WITH d0 AS (SELECT doc_id, text,
                            string_split_regex(trim(text), '\\s+') AS l
@@ -1120,7 +1147,7 @@ def _span_removal_sql(span: int = 6) -> str:
                  count(*) FILTER (w <> '') AS n_kept
           FROM kept GROUP BY doc_id
         )
-        SELECT d.doc_id,
+        SELECT 'single' AS method, d.doc_id,
                CAST(CASE WHEN t.doc_id IS NULL THEN 0
                     ELSE len(d.l) - coalesce(a.n_kept_all, 0) END AS BIGINT) AS n_tokens_removed,
                CAST(CASE WHEN t.doc_id IS NULL
@@ -1131,6 +1158,101 @@ def _span_removal_sql(span: int = 6) -> str:
         FROM d0 d
         LEFT JOIN touched t ON t.doc_id = d.doc_id
         LEFT JOIN tagg a ON a.doc_id = d.doc_id
+    """
+
+
+def _span_fixpoint_sql(span: int = 6, groups: int = 40) -> str:
+    """Two-round DuckDB replay of the junction FIXPOINT on the
+    engineered template corpus q_span_removal builds (G span owners +
+    G template pages around global 5-token affixes): each round is
+    the same detect+excise chain as :func:`_span_single_sql` —
+    per-position md5-prefix gram hashes, count ≥ 2, min-(doc_id, pos)
+    keeper, positional coverage, list excision — chained on the TOKEN
+    LIST (valid because every engineered token is non-empty, so
+    Spark's join-then-resplit equals the list filter), with the
+    removed-count audit accumulated across rounds exactly as the
+    Spark op accumulates ``__cum_removed``. Round 1 excises the
+    quoted spans, round 2 the junction residual the excisions create
+    — so the hash gate pins a NONZERO second-round excision, not just
+    single-round behavior."""
+    span_toks = ", ".join(f"'s'||g||'{c}'" for c in "abcdefgh")
+    rounds = []
+    for k in range(2):
+        rounds.append(f"""
+        grams{k} AS (
+          SELECT doc_id, i-1 AS p,
+                 ('0x'||substr(md5(array_to_string(l[i:i+{span}-1], ' ')),1,15))::BIGINT AS gh
+          FROM r{k}, unnest(generate_series(1, len(l)-{span}+1)) t(i)
+        ),
+        dup{k} AS (SELECT gh FROM grams{k} GROUP BY gh HAVING count(*) >= 2),
+        hits{k} AS (SELECT g.doc_id, g.p, g.gh FROM grams{k} g JOIN dup{k} USING (gh)),
+        keep{k} AS (
+          SELECT gh, doc_id, p FROM (
+            SELECT gh, doc_id, p,
+                   row_number() OVER (PARTITION BY gh ORDER BY doc_id, p) AS rn
+            FROM hits{k}
+          ) WHERE rn = 1
+        ),
+        cut{k} AS (
+          SELECT h.doc_id, h.p FROM hits{k} h
+          WHERE NOT EXISTS (
+            SELECT 1 FROM keep{k} kp
+            WHERE kp.gh = h.gh AND kp.doc_id = h.doc_id AND kp.p = h.p
+          )
+        ),
+        touched{k} AS (SELECT DISTINCT doc_id FROM cut{k}),
+        kept{k} AS (
+          SELECT w.doc_id, w.i, w.w
+          FROM (SELECT doc_id, i, l[i] AS w
+                FROM r{k}, unnest(generate_series(1, len(l))) t(i)) w
+          JOIN touched{k} t ON t.doc_id = w.doc_id
+          WHERE NOT EXISTS (
+            SELECT 1 FROM cut{k} c
+            WHERE c.doc_id = w.doc_id AND w.i - 1 BETWEEN c.p AND c.p + {span} - 1
+          )
+        ),
+        kagg{k} AS (
+          SELECT doc_id, list(w ORDER BY i) AS l2, count(*) AS nk
+          FROM kept{k} GROUP BY doc_id
+        ),
+        r{k + 1} AS (
+          SELECT r.doc_id,
+                 CASE WHEN t.doc_id IS NULL THEN r.l
+                      ELSE coalesce(a.l2, []::VARCHAR[]) END AS l,
+                 r.removed + CASE WHEN t.doc_id IS NULL THEN 0
+                      ELSE len(r.l) - coalesce(a.nk, 0) END AS removed,
+                 r.touched OR t.doc_id IS NOT NULL AS touched
+          FROM r{k} r
+          LEFT JOIN touched{k} t ON t.doc_id = r.doc_id
+          LEFT JOIN kagg{k} a ON a.doc_id = r.doc_id
+        )""")
+    round_ctes = ",".join(rounds)
+    return f"""
+        WITH tpl AS (
+          SELECT g, array_to_string([{span_toks}], ' ') AS s
+          FROM (SELECT unnest(generate_series(0, {groups - 1})) AS g)
+        ),
+        corpus0 AS (
+          SELECT CAST(g AS BIGINT) AS doc_id, s AS text FROM tpl
+          UNION ALL
+          SELECT CAST({groups} + g AS BIGINT),
+                 'p0 p1 p2 p3 p4 ' || s || ' q0 q1 q2 q3 q4'
+          FROM tpl
+        ),
+        r0 AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l,
+                 0 AS removed, FALSE AS touched
+          FROM corpus0
+        ),{round_ctes}
+        SELECT 'fixpoint' AS method, c.doc_id,
+               CAST(r.removed AS BIGINT) AS n_tokens_removed,
+               CAST(len(list_filter(r.l, x -> x <> '')) AS BIGINT) AS n_tokens_kept,
+               -- array_to_string([]) is NULL in DuckDB; a fully
+               -- excised doc must hash as the empty string
+               md5(CASE WHEN r.touched
+                   THEN coalesce(array_to_string(r.l, ' '), '')
+                   ELSE c.text END) AS clean_md5
+        FROM r2 r JOIN corpus0 c ON c.doc_id = r.doc_id
     """
 
 
@@ -5766,31 +5888,76 @@ def q_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document repeated-span removal under the oracle (late
     round 11 — the Lee et al. 2022 ExactSubstr excision,
-    ``dedup.remove_repeated_spans``): one detect+excise round at
-    span_tokens=6 with the keep-first per-gram keeper policy, run
-    with the PORTABLE md5-prefix gram hashes so DuckDB replays the
-    ENTIRE pipeline — per-position gram hashes, corpus counts, the
-    min-(doc_id, pos) keeper, positional coverage, token excision and
-    ordered re-aggregation (:func:`_span_removal_sql`). Output is the
-    audit columns plus the cleaned text's md5 (byte-exact: untouched
-    docs keep their original bytes, touched docs the single-space
-    re-join). The corpus-wide junction fixpoint and the xxhash64
-    production hash stay pytest-anchored
-    (test_remove_repeated_spans_*, test_portable_gram_hash_*)."""
+    ``dedup.remove_repeated_spans``), two hash-checked branches:
+
+    - ``single``: one detect+excise round at span_tokens=6 over the
+      real ``documents`` corpus, keep-first keeper policy, PORTABLE
+      md5-prefix gram hashes so DuckDB replays the ENTIRE pipeline —
+      per-position gram hashes, corpus counts, the min-(doc_id, pos)
+      keeper, positional coverage, token excision and ordered
+      re-aggregation (:func:`_span_removal_sql`).
+    - ``fixpoint`` (round 12, VERDICT r11 item 5): the CORPUS-WIDE
+      junction fixpoint (``until_clean=True``) on an engineered
+      template corpus where round 2 provably fires — G span-owner
+      docs (8 shared tokens each, group-unique) and G template pages
+      quoting their group's span between GLOBAL 5-token affixes.
+      Round 1 excises every quoted span (each affix run is shorter
+      than span_tokens, so it survives); the excisions junction all
+      templates onto the IDENTICAL 10-token ``P Q`` residual — a new
+      corpus-wide duplicate neither original carried — and round 2
+      drains it to the keep-first keeper. The oracle replays BOTH
+      detect+excise rounds over the same engineered corpus
+      (:func:`_span_fixpoint_sql`), so the engine's convergence
+      property itself sits under the value-hash gate, including the
+      nonzero second-round excision and the cross-round cumulative
+      audit.
+
+    Output per branch: the audit columns plus the cleaned text's md5
+    (byte-exact: untouched docs keep their original bytes, touched
+    docs the single-space re-join). The xxhash64 production hash
+    stays pytest-anchored (test_portable_gram_hash_*)."""
     from melodist_spark.pipeline.dedup import remove_repeated_spans
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
-    out = remove_repeated_spans(
+    single = remove_repeated_spans(
         docs, span_tokens=6, until_clean=False, portable=True
     )
-    return out.select(
-        "doc_id",
-        "n_tokens_removed",
-        "n_tokens_kept",
-        F.md5("text").alias("clean_md5"),
+
+    # the engineered template-junction corpus — literals only, so the
+    # DuckDB twin reconstructs it exactly from generate_series
+    G = 40
+    span_txt = F.concat_ws(
+        " ",
+        *[
+            F.concat(F.lit("s"), F.col("g").cast("string"), F.lit(ch))
+            for ch in "abcdefgh"
+        ],
     )
+    tpl = spark.range(G).select(F.col("id").alias("g"), span_txt.alias("s"))
+    owners = tpl.select(F.col("g").alias("doc_id"), F.col("s").alias("text"))
+    pages = tpl.select(
+        (F.col("g") + F.lit(G)).alias("doc_id"),
+        F.concat_ws(
+            " ", F.lit("p0 p1 p2 p3 p4"), F.col("s"), F.lit("q0 q1 q2 q3 q4")
+        ).alias("text"),
+    )
+    fixpoint = remove_repeated_spans(
+        owners.unionByName(pages), span_tokens=6, until_clean=True,
+        portable=True,
+    )
+
+    def shape(df, method):
+        return df.select(
+            F.lit(method).alias("method"),
+            "doc_id",
+            "n_tokens_removed",
+            "n_tokens_kept",
+            F.md5("text").alias("clean_md5"),
+        )
+
+    return shape(single, "single").unionByName(shape(fixpoint, "fixpoint"))
 
 
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
