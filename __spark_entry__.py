@@ -678,7 +678,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # late round 11: ExactSubstr span REMOVAL under the oracle on
         # the slot freed by the radiation_course merge — the portable
         # md5 gram hashes let DuckDB replay the whole detect+excise
-        # round (counts, keeper, coverage, ordered re-join)
+        # round (counts, keeper, coverage, ordered re-join); round 12
+        # added the method='fixpoint' branch, replaying TWO rounds on
+        # an engineered template-junction corpus so until_clean
+        # convergence itself is value-hash-checked
         "span_removal": q_span_removal,
         "doc_perplexity": q_doc_perplexity,
         "pmi_collocations": q_pmi_collocations,

@@ -110,6 +110,12 @@ SUBQUERIES: dict[str, tuple[str, list[str]]] = {
     "dup_clusters": ("method", ["exact", "prefix", "neardup"]),
     "doc_sample": ("method", ["stratified", "dsir"]),
     "tokenize_apply": ("method", ["bpe", "unigram"]),
+    # NOTE: the fixpoint branch's until_clean loop runs its rounds at
+    # DataFrame-construction time (driver-action-paced, like the CC
+    # rounds), so BOTH subs carry that construction cost — read the
+    # single/fixpoint split as which OUTPUT is materialized, and the
+    # row total as the real price of the pair
+    "span_removal": ("method", ["single", "fixpoint"]),
 }
 
 

@@ -575,6 +575,7 @@ def semantic_dedup(
     max_cell: int | None = 4096,
     centroids: "np.ndarray | None" = None,
     arrow: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embeddings, compare pairs
@@ -611,6 +612,12 @@ def semantic_dedup(
     kernel instead of the per-pair JVM HOF dot — same candidate set
     and join shape, vectorized scalar; the scale path (see
     ``_bucketed_cosine_pairs`` and tools/semdedup_scale_smoke.py).
+
+    ``checkpoint_dir`` passes through to the connected-components
+    labeling: on a real cluster the CC rounds should truncate to
+    reliable storage (executor loss replays one round) instead of
+    executor-local localCheckpoint blocks — same contract as
+    ``dedup.duplicate_clusters``.
     """
     from .dedup import duplicate_clusters
 
@@ -635,7 +642,7 @@ def semantic_dedup(
         F.col("__cell").alias("__bucket"),
     )
     pairs = _bucketed_cosine_pairs(b, threshold, max_cell, arrow=arrow)
-    labels = duplicate_clusters(pairs)
+    labels = duplicate_clusters(pairs, checkpoint_dir=checkpoint_dir)
     return (
         corpus.select(id_col)
         .join(labels.withColumnRenamed("id", id_col), id_col, "left")

@@ -403,6 +403,37 @@ def main():
         ))
         t7 = t7b
 
+    # -- 6c: tokenizer apply (round 12, VERDICT item 7) ---------------------
+    # encode the retained corpus with the PINNED trained models — the
+    # shuffle-free broadcast-model mapInPandas pass with the per-worker
+    # word cache (bpe.py module docstring); tracked here so encode
+    # throughput rides the same 1.28M-record chain round-to-round
+    from melodist_spark.pipeline.bpe import bpe_tokenize
+    from melodist_spark.pipeline.pinned import BPE_MERGES, UNIGRAM_PIECES
+    from melodist_spark.pipeline.unigram import unigram_tokenize
+
+    for enc_name, enc in (
+        ("bpe_encode", lambda d: bpe_tokenize(d, [tuple(m) for m in BPE_MERGES])),
+        ("unigram_encode", lambda d: unigram_tokenize(d, dict(UNIGRAM_PIECES))),
+    ):
+        col = "bpe_tokens" if enc_name == "bpe_encode" else "unigram_tokens"
+        erow = (
+            enc(deduped.select("doc_id", "text"))
+            .agg(
+                F.sum(F.size(col)).alias("pieces"),
+                F.count("*").alias("docs"),
+            )
+            .collect()[0]
+        )
+        t7c = time.perf_counter()
+        stages.append((
+            enc_name,
+            t7c - t7,
+            f"{erow['pieces']:,} pieces / {erow['docs']:,} docs, "
+            f"{erow['pieces'] / (t7c - t7):,.0f} pieces/s",
+        ))
+        t7 = t7c
+
     # -- 7: sequence packing ----------------------------------------------
     manifest = pack_sequences(
         deduped.select("doc_id", "text"), seq_len=2048

@@ -100,6 +100,17 @@ def main() -> None:
     t3 = time.perf_counter()
     print(f"fixpoint: {rt} tokens removed in {t3 - t2:.1f}s")
 
+    # reliable-checkpoint mode (round 12): every round truncates to
+    # alternating scratch parquet instead of executor-local blocks —
+    # the price of executor-loss recovery is the per-round write
+    rel = remove_repeated_spans(
+        docs, span_tokens=SPAN, checkpoint_dir="/tmp/exactsubstr_smoke_ck"
+    )
+    rrel = rel.agg(F.sum("n_tokens_removed")).collect()[0][0]
+    t3r = time.perf_counter()
+    print(f"fixpoint-reliable: {rrel} tokens removed in {t3r - t3:.1f}s")
+    assert rrel == rt, (rrel, rt)
+
     # incremental: treat the cleaned corpus as history (its gram_index
     # is the durable state) and ingest a 5%-sized fresh batch, half of
     # whose docs re-quote the planted passages — the daily-crawl shape:
