@@ -446,6 +446,37 @@ loadavg 4.8) — contended totals are not comparable, per the
 methodology note; the sd stage subs (pairs 4.47 vs pairs_arrow 1.67)
 kept their RATIO even in the contended run, which is what the subs
 are for.
+
+Round-12 paired measurement (VERDICT r11 items 4+8, same protocol) —
+r11 code (ddfdafc, git worktree) vs r12 code, interleaved A-B-A-B on
+one idle box, 2 runs each, min-of-2 per query:
+
+- 53 shared queries: r11 83.49 s -> r12 75.18 s (-10.0%), with a
+  broad -15..-20% on UNTOUCHED rows (ann_topk, jaccard_pairs,
+  cascade_disagg, api_pipeline, smet_roundtrip...) — environment
+  drift favoring the later-in-pair runs (r11's first run read
+  101 s right after session start), not code. Read only the
+  touched rows as code signal.
+- The THREE rows round-11's driver run flagged out-of-band —
+  humidity_mhpm (+34%), text_features (+29%), streaming_daily_agg
+  (+17%), all on untouched code — are ATTRIBUTED TO THE STALL TAIL:
+  in this paired run humidity_mhpm min-read 0.60 s on the very r11
+  code the driver measured at 1.14 s, and text_features /
+  streaming_daily_agg moved WITH the broad drift (2.94->2.35,
+  3.07->2.45), at or below their round-10 levels on both codes. No
+  plan diff exists (text_features is a join-free single scan); no
+  action taken, correctly.
+- span_removal 3.72 -> 5.55 s (+49%): REAL ADDED WORK by
+  construction — the row grew the method='fixpoint' branch (an
+  engineered 80-doc template-junction corpus run until_clean: two
+  excision rounds + the clean probe, all driver-action-paced at
+  construction time), putting convergence itself under the DuckDB
+  hash gate. Its new single/fixpoint subs both carry the fixpoint
+  construction (see SUBQUERIES note); compare the row total
+  round-to-round, and the 'single' half only for scan-side changes.
+- Everything else within band; no regressions to chase. The r12
+  uncontended totals (77.86-80.76 s full runs) are the round-13
+  comparison anchor.
 """
 
 
