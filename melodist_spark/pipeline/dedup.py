@@ -744,6 +744,74 @@ def _shingles(text: Column, n: int | None) -> Column:
 _H2_MOD = 2**55  # keeps h1 + i·h2 < 2^63 for i ≤ 64 (ANSI-safe)
 
 
+def _minhash_meta(num_hashes: int, shingle: int | None) -> dict:
+    """Schema metadata stamped on every ``sig_i`` column: the hash
+    family, permutation count, and — the one parameter NO column
+    shape can reveal — the shingle width the signatures were built
+    with. Signatures of different widths live in the same bigint
+    space, so an unchecked ``shingle`` mismatch between a stored
+    :func:`minhash_index` and a later :func:`neardup_against` call
+    degrades the Jaccard estimator to noise — silently missed
+    duplicates, the same failure class the gram/embedding indexes
+    guard against. ``shingle=None`` and ``shingle=1`` are the same
+    unigram construction and canonicalize to 1."""
+    return {
+        "family": "km_md5_v1",
+        "num_hashes": num_hashes,
+        "shingle": int(shingle) if shingle else 1,
+    }
+
+
+def _stamp_sig_cols(df: DataFrame, num_hashes: int, shingle: int | None) -> DataFrame:
+    meta = _minhash_meta(num_hashes, shingle)
+    return df.select(
+        *[
+            F.col(c).alias(c, metadata=meta) if c.startswith("sig_") else c
+            for c in df.columns
+        ]
+    )
+
+
+def stamp_minhash_index(
+    df: DataFrame, num_hashes: int, shingle: int | None = None
+) -> DataFrame:
+    """Attach signature metadata to an externally produced index
+    frame (schema rebuilt without metadata). The caller asserts the
+    parameters — the values themselves cannot be distinguished."""
+    return _stamp_sig_cols(df, num_hashes, shingle)
+
+
+def _check_minhash_meta(
+    df: DataFrame, num_hashes: int, shingle: int | None, what: str
+) -> None:
+    """Fail loudly when a signature frame was built with different
+    parameters than the caller now claims (see :func:`_minhash_meta`)."""
+    if "sig_0" not in df.columns:
+        raise ValueError(
+            f"{what} has no sig_0 column — not a MinHash signature "
+            f"frame (columns: {df.columns})"
+        )
+    want = _minhash_meta(num_hashes, shingle)
+    meta = dict(df.schema["sig_0"].metadata or {})
+    got = {k: meta.get(k) for k in want}
+    if got["family"] is None:
+        raise ValueError(
+            f"{what} carries no signature metadata on sig_0 — it was "
+            "built outside minhash_signature()/minhash_index() (or "
+            "the schema was rebuilt without metadata). Rebuild it, or "
+            "assert its provenance with stamp_minhash_index(df, "
+            "num_hashes, shingle); matching blindly would read a "
+            "shingle/width mismatch as a near-zero Jaccard estimate "
+            "(silently missed duplicates)."
+        )
+    if got != want:
+        raise ValueError(
+            f"{what} was built with {got} but this call asks for "
+            f"{want} — mismatched signatures estimate noise, not "
+            "Jaccard. Pass the values the index was built with."
+        )
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",
@@ -756,7 +824,10 @@ def minhash_signature(
     Kirsch–Mitzenmacher double hashing ``g_i = h1 + i·h2`` over the
     two 60-bit halves of the digest — a valid MinHash family at 1/k
     of the hashing cost, engine-portable (DuckDB parses the same hex
-    substrings), one narrow pass, no shuffle.
+    substrings), one narrow pass, no shuffle. The ``sig_i`` fields
+    carry the family/width parameters as schema metadata
+    (:func:`_minhash_meta`) so the incremental path can verify a
+    stored index matches the call.
     """
     if num_hashes > 64:
         raise ValueError("num_hashes > 64 would overflow bigint in g_i = h1 + i*h2")
@@ -797,7 +868,8 @@ def minhash_signature(
     cols = {}
     for i in range(num_hashes):
         cols[f"sig_{i}"] = F.array_min(F.zip_with("__h1", "__h2", km(i)))
-    return staged.withColumns(cols).drop("__shingles", "__md5", "__h1", "__h2")
+    out = staged.withColumns(cols).drop("__shingles", "__md5", "__h1", "__h2")
+    return _stamp_sig_cols(out, num_hashes, shingle)
 
 
 def minhash_signature_arrow(
@@ -874,9 +946,10 @@ def minhash_signature_arrow(
     tmp = "__mh"
     while tmp in df.columns:
         tmp += "_"
-    return df.withColumn(tmp, _sig(F.col(text_col))).select(
+    out = df.withColumn(tmp, _sig(F.col(text_col))).select(
         *df.columns, f"{tmp}.*"
     )
+    return _stamp_sig_cols(out, num_hashes, shingle)
 
 
 def lsh_bands(
@@ -1290,7 +1363,12 @@ def minhash_index(
     band table is a cheap narrow derivation via :func:`lsh_bands`,
     so it is NOT stored). Store partitioned/bucketed by id; union
     each surviving batch's index in to advance the state — the
-    near-dup analogue of :func:`digest_index`."""
+    near-dup analogue of :func:`digest_index`. The ``sig_i`` fields
+    carry family/num_hashes/shingle as schema metadata (stamped by
+    :func:`minhash_signature`, parquet-round-tripped), which
+    :func:`neardup_against` validates — a shingle-width mismatch
+    against stored state otherwise reads as a near-zero Jaccard
+    estimate, i.e. silently missed duplicates."""
     return minhash_signature(df, text_col, num_hashes, shingle).select(
         id_col, *[f"sig_{i}" for i in range(num_hashes)]
     )
@@ -1326,7 +1404,18 @@ def neardup_against(
 
     Returns the surviving batch rows. Exact-dup ingest
     (:func:`dedup_against`) composes in front; union the survivors'
-    :func:`minhash_index` into the stored index afterwards."""
+    :func:`minhash_index` into the stored index afterwards.
+
+    The stored index (and ``batch_sig`` when passed) must carry the
+    signature metadata :func:`minhash_signature` stamps, and it must
+    match this call's ``num_hashes``/``shingle`` — signatures of
+    different shingle widths share the bigint space, so an unchecked
+    mismatch estimates noise instead of Jaccard (silently missed
+    duplicates); externally produced frames go through
+    :func:`stamp_minhash_index` first."""
+    _check_minhash_meta(index, num_hashes, shingle, "stored index")
+    if batch_sig is not None:
+        _check_minhash_meta(batch_sig, num_hashes, shingle, "batch_sig")
     names = [f"sig_{i}" for i in range(num_hashes)]
     # batch_sig: pass the batch's signatures when they are already in
     # hand (computed for the index advance, or shared with a same-run

@@ -2486,6 +2486,68 @@ def test_gram_index_count_cap_preserves_removal_decisions(spark):
     assert (want["n_tokens_removed"] > 0).any()
 
 
+def test_minhash_index_shingle_metadata_guard(spark, tmp_path):
+    """Round-12 extension of the index-metadata family: `shingle` is
+    the one MinHash parameter no column shape can reveal — signatures
+    of different widths share the bigint space, so a mismatch between
+    a stored minhash_index and a later neardup_against call estimates
+    noise instead of Jaccard. The signature builders now stamp
+    family/num_hashes/shingle as schema metadata (parquet
+    round-tripped) and neardup_against refuses a mismatch or a
+    metadata-less frame; stamp_minhash_index restores acceptance for
+    asserted-provenance frames."""
+    import pytest
+
+    from melodist_spark.pipeline.dedup import (
+        minhash_index,
+        neardup_against,
+        stamp_minhash_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(4)],
+        "doc_id long, text string",
+    )
+    idx = minhash_index(docs, num_hashes=8, shingle=3)
+    path = str(tmp_path / "mh_idx")
+    idx.write.parquet(path)
+    stored = spark.read.parquet(path)
+    m = dict(stored.schema["sig_0"].metadata)
+    assert m["num_hashes"] == 8 and m["shingle"] == 3
+
+    batch = spark.createDataFrame(
+        [(9, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    # shingle mismatch (stored 3-gram, call claims unigram)
+    with pytest.raises(ValueError, match="shingle"):
+        neardup_against(batch, stored, num_hashes=8, shingle=None)
+    # width mismatch
+    with pytest.raises(ValueError, match="num_hashes"):
+        neardup_against(batch, stored, num_hashes=4, band_size=2, shingle=3)
+    # batch_sig is validated too
+    with pytest.raises(ValueError, match="batch_sig"):
+        from melodist_spark.pipeline.dedup import minhash_signature
+
+        neardup_against(
+            batch, stored, num_hashes=8, shingle=3,
+            batch_sig=minhash_signature(batch, num_hashes=8, shingle=2),
+        )
+    # the matching call drops the exact re-ingest
+    assert neardup_against(batch, stored, num_hashes=8, shingle=3).count() == 0
+
+    # metadata-less frame refused with the stamp pointer; stamping
+    # restores acceptance
+    bare = spark.createDataFrame(
+        stored.toPandas(),
+        "doc_id long, " + ", ".join(f"sig_{i} long" for i in range(8)),
+    )
+    with pytest.raises(ValueError, match="stamp_minhash_index"):
+        neardup_against(batch, bare, num_hashes=8, shingle=3)
+    restamped = stamp_minhash_index(bare, num_hashes=8, shingle=3)
+    assert neardup_against(batch, restamped, num_hashes=8, shingle=3).count() == 0
+
+
 def test_embedding_index_planes_metadata_guard(spark, tmp_path):
     """VERDICT r11 item 2 (second half of the r10 advisor finding):
     ``num_planes`` is now recoverable from the index frame — schema
