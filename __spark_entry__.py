@@ -5946,9 +5946,14 @@ def q_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.lit("p0 p1 p2 p3 p4"), F.col("s"), F.lit("q0 q1 q2 q3 q4")
         ).alias("text"),
     )
+    # coalesce(1): the engineered corpus is 80 literal rows spread
+    # over range()'s 64 default partitions — at that size the
+    # fixpoint's per-round cost is pure task overhead (measured
+    # 4.0 s -> 2.4 s); the keeper policy is deterministic under any
+    # partitioning, which the hash gate re-proves every round
     fixpoint = remove_repeated_spans(
-        owners.unionByName(pages), span_tokens=6, until_clean=True,
-        portable=True,
+        owners.unionByName(pages).coalesce(1), span_tokens=6,
+        until_clean=True, portable=True,
     )
 
     def shape(df, method):

@@ -47,7 +47,60 @@ __all__ = [
     "bloom_build",
     "bloom_probe",
     "decontaminate_bloom",
+    "stamp_bloom_filter",
 ]
+
+
+def _bloom_meta(m_bits: int, k: int) -> dict:
+    """Schema metadata stamped on a filter's ``word_idx`` column: the
+    bit-table size, salt count, and hash family the words were built
+    with. A stored filter probed with a different ``m_bits``/``k``
+    computes different bit positions, and since absent words read as
+    zeros the verdict degrades to FALSE NEGATIVES — for a
+    decontamination or blocklist gate that is silently admitted
+    contamination, the same failure class the MinHash/gram/embedding
+    index guards close. Survives parquet (Spark keeps field metadata
+    in the footer schema)."""
+    return {"family": "xxhash64_salted_v1", "m_bits": m_bits, "k": k}
+
+
+def stamp_bloom_filter(df: "DataFrame", m_bits: int, k: int) -> "DataFrame":
+    """Attach filter metadata to an externally materialized word
+    table (e.g. re-created from collected rows). The caller asserts
+    the parameters — word values cannot be distinguished."""
+    return df.select(
+        F.col("word_idx").alias(
+            "word_idx", metadata=_bloom_meta(m_bits, k)
+        ),
+        "word",
+    )
+
+
+def _check_bloom_meta(df: "DataFrame", m_bits: int, k: int) -> None:
+    for col in ("word_idx", "word"):
+        if col not in df.columns:
+            raise ValueError(
+                f"bloom filter frame is missing column '{col}' "
+                f"(columns: {df.columns})"
+            )
+    want = _bloom_meta(m_bits, k)
+    meta = dict(df.schema["word_idx"].metadata or {})
+    got = {key: meta.get(key) for key in want}
+    if got["family"] is None:
+        raise ValueError(
+            "bloom filter frame carries no metadata on word_idx — it "
+            "was built outside bloom_build() (or its schema was "
+            "rebuilt). Rebuild it, or assert its provenance with "
+            "stamp_bloom_filter(df, m_bits, k); probing with "
+            "mismatched parameters reads as false negatives "
+            "(silently admitted members)."
+        )
+    if got != want:
+        raise ValueError(
+            f"bloom filter was built with {got} but this probe asks "
+            f"for {want} — mismatched positions read as false "
+            "negatives. Pass the values the filter was built with."
+        )
 
 
 def bloom_parameters(n_items: int, fpr: float = 0.01) -> tuple[int, int]:
@@ -89,7 +142,9 @@ def bloom_build(
     return (
         df.select(pos)
         .select(
-            F.shiftright(F.col("__pos"), 6).alias("word_idx"),
+            F.shiftright(F.col("__pos"), 6).alias(
+                "word_idx", metadata=_bloom_meta(m_bits, k)
+            ),
             F.expr(
                 "shiftleft(CAST(1 AS BIGINT), CAST(pmod(__pos, 64) AS INT))"
             ).alias("__m"),
@@ -117,9 +172,16 @@ def bloom_probe(
     by the coalesce. The probed side never shuffles and never
     explodes — row count is preserved, so this composes with
     streaming sources too.
+
+    The word table must carry the metadata :func:`bloom_build` stamps
+    (parquet round-trips it) and it must match this probe's
+    ``m_bits``/``k`` — a mismatch reads as false negatives, the worst
+    failure a membership gate has; externally materialized frames go
+    through :func:`stamp_bloom_filter` first.
     """
     if m_bits % 64 or m_bits <= 0:
         raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    _check_bloom_meta(bloom, m_bits, k)
     out = df
     verdict = F.lit(True)
     for i, pos in enumerate(_positions(F.col(col), m_bits, k)):

@@ -88,7 +88,13 @@ def test_bloom_streaming_composes(spark):
     m, k = bloom_parameters(100, 0.01)
     block = spark.range(0, 200, 2).select(F.col("id").alias("v"))
     bloom = bloom_build(block, "v", m, k).collect()
-    bloom_df = spark.createDataFrame(bloom, "word_idx long, word long")
+    # a collect/createDataFrame round trip rebuilds the schema without
+    # the build metadata — assert the provenance explicitly
+    from melodist_spark.pipeline.bloom import stamp_bloom_filter
+
+    bloom_df = stamp_bloom_filter(
+        spark.createDataFrame(bloom, "word_idx long, word long"), m, k
+    )
 
     with tempfile.TemporaryDirectory() as d:
         spark.range(100).select(F.col("id").alias("v")).write.parquet(
@@ -182,3 +188,43 @@ def test_bloom_build_rejects_bad_geometry(spark):
         bloom_build(df, "v", 128, 0)
     with pytest.raises(ValueError):
         bloom_probe(df, "v", df, 0, 3)
+
+
+def test_bloom_probe_metadata_guard(spark, tmp_path):
+    """Round-12 index-metadata family, bloom edition: a stored filter
+    probed with a different (m_bits, k) computes different bit
+    positions, and absent words read as zeros — FALSE NEGATIVES, a
+    silently admitted member. bloom_build stamps family/m_bits/k as
+    schema metadata (parquet round-trips it); bloom_probe refuses a
+    mismatch or a metadata-less frame, and stamp_bloom_filter
+    restores acceptance for asserted-provenance frames."""
+    from melodist_spark.pipeline.bloom import stamp_bloom_filter
+
+    m, k = bloom_parameters(100, 0.01)
+    members = spark.range(0, 100).select(F.col("id").alias("v"))
+    path = str(tmp_path / "bloom")
+    bloom_build(members, "v", m, k).write.parquet(path)
+    stored = spark.read.parquet(path)
+    meta = dict(stored.schema["word_idx"].metadata)
+    assert meta["m_bits"] == m and meta["k"] == k
+
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_probe(members, "v", stored, m + 64, k)
+    with pytest.raises(ValueError, match="false negatives"):
+        bloom_probe(members, "v", stored, m, k + 1)
+    # matching probe: no false negatives on the member set
+    ok = bloom_probe(members, "v", stored, m, k)
+    assert ok.filter(~F.col("bloom_maybe")).count() == 0
+
+    bare = spark.createDataFrame(
+        stored.collect(), "word_idx long, word long"
+    )
+    with pytest.raises(ValueError, match="stamp_bloom_filter"):
+        bloom_probe(members, "v", bare, m, k)
+    restamped = stamp_bloom_filter(bare, m, k)
+    assert (
+        bloom_probe(members, "v", restamped, m, k)
+        .filter(~F.col("bloom_maybe"))
+        .count()
+        == 0
+    )
