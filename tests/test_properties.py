@@ -653,3 +653,59 @@ def test_unigram_viterbi_totality_and_roundtrip(word):
     out = viterbi_segment(word, logp)
     assert "".join(out) == word
     assert all(out)
+
+
+def test_remove_repeated_spans_invariants_random_corpora(spark):
+    """Span-removal invariants over a battery of dense-collision
+    random corpora, batched into a handful of Spark jobs by giving
+    each corpus a DISJOINT vocabulary (grams cannot cross corpora, so
+    one corpus-wide run is 8 independent runs):
+
+    1. zero residual — re-detection on the until_clean output finds
+       nothing (the fixpoint's defining property);
+    2. conservation — n_tokens_kept + n_tokens_removed equals the
+       original token count, cumulatively across however many rounds
+       each corpus needed;
+    3. idempotence — re-running the remover on its own output
+       removes nothing and changes no text.
+    """
+    import random
+
+    from melodist_spark.pipeline.dedup import (
+        remove_repeated_spans,
+        repeated_spans,
+    )
+
+    rng = random.Random(71)
+    rows = []
+    did = 0
+    orig_tokens = {}
+    for cid in range(8):
+        vocab = [f"c{cid}w{j}" for j in range(rng.randint(2, 5))]
+        for _ in range(rng.randint(8, 30)):
+            toks = [rng.choice(vocab) for _ in range(rng.randint(1, 18))]
+            rows.append((did, " ".join(toks)))
+            orig_tokens[did] = len(toks)
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = remove_repeated_spans(df, span_tokens=3)
+    pdf = out.toPandas().set_index("doc_id")
+    assert len(pdf) == did
+    # (2) conservation, cumulative across rounds
+    for d, n in orig_tokens.items():
+        assert pdf.loc[d, "n_tokens_kept"] + pdf.loc[d, "n_tokens_removed"] == n, d
+    # non-vacuity: the dense vocab really produced duplicates
+    assert (pdf["n_tokens_removed"] > 0).any()
+
+    cleaned = spark.createDataFrame(
+        pdf.reset_index()[["doc_id", "text"]], "doc_id long, text string"
+    )
+    # (1) zero residual
+    assert repeated_spans(cleaned, span_tokens=3).isEmpty()
+    # (3) idempotence
+    again = remove_repeated_spans(cleaned, span_tokens=3).toPandas().set_index("doc_id")
+    assert (again["n_tokens_removed"] == 0).all()
+    assert (
+        again["text"].sort_index() == pdf["text"].sort_index()
+    ).all()
