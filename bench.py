@@ -474,9 +474,18 @@ one idle box, 2 runs each, min-of-2 per query:
   hash gate. Its new single/fixpoint subs both carry the fixpoint
   construction (see SUBQUERIES note); compare the row total
   round-to-round, and the 'single' half only for scan-side changes.
-- Everything else within band; no regressions to chase. The r12
-  uncontended totals (77.86-80.76 s full runs) are the round-13
-  comparison anchor.
+- Everything else within band; no regressions to chase.
+
+End-of-round-12 uncontended anchor: 80.91 s / 53 queries (paired-run
+full totals read 77.86-80.76 s) — span_removal 5.07 s after the
+fixpoint corpus got coalesce(1) (80 literal rows were spread over 64
+range() partitions; pure task overhead, measured 4.0 -> 2.4 s on the
+branch alone). A run half an hour earlier on an idle box (loadavg
+0.13) read 108.78 s with every row uniformly ~35% slower — the stall
+tail is bimodal and strikes whole runs, so compare per-query minima
+across runs, never one run's total. span_removal's subs both carry
+the fixpoint construction (single 5.1 / fixpoint 4.76 ≈ the row);
+that is the documented sub semantics for driver-action-paced rows.
 """
 
 
