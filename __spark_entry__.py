@@ -1096,11 +1096,26 @@ def _span_removal_sql(span: int = 6) -> str:
     return f"""
         SELECT * FROM ({_span_single_sql(span)})
         UNION ALL
+        SELECT * FROM ({_span_single_sql(span, keep_first=False)})
+        UNION ALL
         SELECT * FROM ({_span_fixpoint_sql(span)})
     """
 
 
-def _span_single_sql(span: int = 6) -> str:
+def _span_single_sql(span: int = 6, keep_first: bool = True) -> str:
+    method = "single" if keep_first else "removeall"
+    cut_sql = (
+        """
+          SELECT h.doc_id, h.p FROM hits h
+          WHERE NOT EXISTS (
+            SELECT 1 FROM keepers k
+            WHERE k.gh = h.gh AND k.doc_id = h.doc_id AND k.p = h.p
+          )
+        """
+        if keep_first
+        # keep_first=False: EVERY duplicated-gram occurrence is cut
+        else "SELECT doc_id, p FROM hits"
+    )
     return f"""
         WITH d0 AS (SELECT doc_id, text,
                            string_split_regex(trim(text), '\\s+') AS l
@@ -1123,13 +1138,7 @@ def _span_single_sql(span: int = 6) -> str:
             FROM hits
           ) WHERE rn = 1
         ),
-        cut AS (
-          SELECT h.doc_id, h.p FROM hits h
-          WHERE NOT EXISTS (
-            SELECT 1 FROM keepers k
-            WHERE k.gh = h.gh AND k.doc_id = h.doc_id AND k.p = h.p
-          )
-        ),
+        cut AS ({cut_sql}),
         covered AS (
           SELECT DISTINCT w.doc_id, w.i FROM words w
           JOIN cut c ON c.doc_id = w.doc_id
@@ -1150,7 +1159,7 @@ def _span_single_sql(span: int = 6) -> str:
                  count(*) FILTER (w <> '') AS n_kept
           FROM kept GROUP BY doc_id
         )
-        SELECT 'single' AS method, d.doc_id,
+        SELECT '{method}' AS method, d.doc_id,
                CAST(CASE WHEN t.doc_id IS NULL THEN 0
                     ELSE len(d.l) - coalesce(a.n_kept_all, 0) END AS BIGINT) AS n_tokens_removed,
                CAST(CASE WHEN t.doc_id IS NULL
@@ -5899,6 +5908,10 @@ def q_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
       per-position gram hashes, corpus counts, the min-(doc_id, pos)
       keeper, positional coverage, token excision and ordered
       re-aggregation (:func:`_span_removal_sql`).
+    - ``removeall`` (round 12): the same round with
+      ``keep_first=False`` — EVERY occurrence of a duplicated gram
+      excised (the conservative boilerplate-annihilation policy,
+      previously pytest-only); the twin drops the keeper CTE.
     - ``fixpoint`` (round 12, VERDICT r11 item 5): the CORPUS-WIDE
       junction fixpoint (``until_clean=True``) on an engineered
       template corpus where round 2 provably fires — G span-owner
@@ -5926,6 +5939,14 @@ def q_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     single = remove_repeated_spans(
         docs, span_tokens=6, until_clean=False, portable=True
+    )
+    # round 12: the OTHER keeper policy under the oracle too —
+    # keep_first=False removes EVERY occurrence of a duplicated gram
+    # (the conservative boilerplate-annihilation mode); the twin is
+    # the same replay without the keeper CTE
+    removeall = remove_repeated_spans(
+        docs, span_tokens=6, until_clean=False, portable=True,
+        keep_first=False,
     )
 
     # the engineered template-junction corpus — literals only, so the
@@ -5965,7 +5986,11 @@ def q_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("text").alias("clean_md5"),
         )
 
-    return shape(single, "single").unionByName(shape(fixpoint, "fixpoint"))
+    return (
+        shape(single, "single")
+        .unionByName(shape(removeall, "removeall"))
+        .unionByName(shape(fixpoint, "fixpoint"))
+    )
 
 
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:

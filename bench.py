@@ -115,7 +115,7 @@ SUBQUERIES: dict[str, tuple[str, list[str]]] = {
     # rounds), so BOTH subs carry that construction cost — read the
     # single/fixpoint split as which OUTPUT is materialized, and the
     # row total as the real price of the pair
-    "span_removal": ("method", ["single", "fixpoint"]),
+    "span_removal": ("method", ["single", "removeall", "fixpoint"]),
 }
 
 
