@@ -1104,6 +1104,7 @@ def _span_removal_sql(span: int = 6) -> str:
 
 def _span_single_sql(span: int = 6, keep_first: bool = True) -> str:
     method = "single" if keep_first else "removeall"
+    where = "" if keep_first else "WHERE doc_id % 5 = 0"
     cut_sql = (
         """
           SELECT h.doc_id, h.p FROM hits h
@@ -1119,7 +1120,7 @@ def _span_single_sql(span: int = 6, keep_first: bool = True) -> str:
     return f"""
         WITH d0 AS (SELECT doc_id, text,
                            string_split_regex(trim(text), '\\s+') AS l
-                    FROM documents),
+                    FROM documents {where}),
         words AS (
           SELECT doc_id, i, l[i] AS w
           FROM d0, unnest(generate_series(1, len(l))) t(i)
@@ -5911,7 +5912,10 @@ def q_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``removeall`` (round 12): the same round with
       ``keep_first=False`` — EVERY occurrence of a duplicated gram
       excised (the conservative boilerplate-annihilation policy,
-      previously pytest-only); the twin drops the keeper CTE.
+      previously pytest-only) — over the ``doc_id % 5`` slice (its
+      own corpus; the twin drops the keeper CTE and applies the same
+      slice), keeping the policy check out of a second full-corpus
+      gram-scan budget.
     - ``fixpoint`` (round 12, VERDICT r11 item 5): the CORPUS-WIDE
       junction fixpoint (``until_clean=True``) on an engineered
       template corpus where round 2 provably fires — G span-owner
@@ -5943,10 +5947,13 @@ def q_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 12: the OTHER keeper policy under the oracle too —
     # keep_first=False removes EVERY occurrence of a duplicated gram
     # (the conservative boilerplate-annihilation mode); the twin is
-    # the same replay without the keeper CTE
+    # the same replay without the keeper CTE. The branch runs on the
+    # doc_id%5 slice (its own corpus — duplicate counts are
+    # slice-wide on both sides): the policy check doesn't need a
+    # second full-corpus double-gram-scan in the row's budget
     removeall = remove_repeated_spans(
-        docs, span_tokens=6, until_clean=False, portable=True,
-        keep_first=False,
+        docs.filter(F.col("doc_id") % 5 == 0), span_tokens=6,
+        until_clean=False, portable=True, keep_first=False,
     )
 
     # the engineered template-junction corpus — literals only, so the
