@@ -65,6 +65,7 @@ def pagerank(
     prepartition: bool = False,
     checkpoint_every: int = 1,
     driver_below: int = 0,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """PageRank by fixed-iteration power method.
 
@@ -86,6 +87,16 @@ def pagerank(
     iteration (the same reliable-cut discipline
     ``duplicate_clusters`` applies to its propagation rounds); raise
     the interval only with small ``n_iter``.
+
+    With ``checkpoint_dir=None`` the cuts are ``localCheckpoint`` —
+    executor-local blocks (a lost executor kills the job: truncated
+    lineage cannot recompute), with the PREVIOUS cut's blocks
+    released deterministically once the next one materializes. On a
+    real cluster pass ``checkpoint_dir``: each cut writes the rank
+    table to alternating scratch-parquet slots under that reliable
+    path (the ``duplicate_clusters`` / span-removal discipline), so
+    executor loss replays at most ``checkpoint_every`` iterations
+    from durable state.
 
     ``driver_below`` > 0 enables the small-graph fast path: when the
     node count is at or below it, edges are collected and the SAME
@@ -119,8 +130,12 @@ def pagerank(
             damping, n_iter,
         )
 
+    from .dedup import _local_ck_release, _truncate_round
+
     base = (1.0 - damping) / n_nodes
     ranks = deg.select("node", F.lit(1.0 / n_nodes).alias("r"))
+    prev_cut: DataFrame | None = None
+    n_cuts = 0
     for it in range(n_iter):
         with_deg = ranks.join(deg, "node")
         contrib = (
@@ -154,9 +169,16 @@ def pagerank(
             )
         )
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
-            # cut lineage: materializes this iteration's ranks and
-            # frees the previous checkpoint to the ContextCleaner
-            ranks = ranks.localCheckpoint(eager=True)
+            # cut lineage: materializes this iteration's ranks; the
+            # PREVIOUS cut's blocks are released now that nothing
+            # references them (reliable mode has no blocks to free)
+            ranks = _truncate_round(
+                ranks, checkpoint_dir, f"ranks_{n_cuts % 2}", eager=True
+            )
+            n_cuts += 1
+            if prev_cut is not None:
+                _local_ck_release(prev_cut)
+            prev_cut = ranks
     out = ranks.select("node", F.col("r").alias("pagerank"))
     deg.unpersist()
     return out
