@@ -212,7 +212,10 @@ def _local_ck_release(df: DataFrame) -> None:
     manager, which never saw a checkpoint) frees the executor-storage
     blocks immediately instead of waiting for driver GC + the context
     cleaner. Internal-handle access, so any failure (Connect mode,
-    API drift) degrades to the GC path rather than erroring."""
+    API drift) degrades to the GC path rather than erroring. Spark
+    logs one WARN per release ("lineage has been truncated and cannot
+    be recomputed after unpersisting") — expected: the caller only
+    releases frames nothing will read again."""
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
     except Exception:
@@ -1191,6 +1194,10 @@ def duplicate_clusters(
         import pandas as pd
 
         epdf = sym.filter(F.col("src") <= F.col("dst")).toPandas()
+        if checkpoint_dir is None:
+            # the edge blocks served their one purpose (the Arrow
+            # collect); free them now instead of waiting on driver GC
+            _local_ck_release(sym)
         parent: dict = {}
 
         def find(x):
@@ -1263,6 +1270,16 @@ def duplicate_clusters(
     hint = F.broadcast if n_nodes <= broadcast_nodes else (lambda df: df)
     changed = None
     n_writes = 0
+    # local-mode block hygiene: `live` is the last MATERIALIZED cut
+    # (the seed, then each check round's table) — its blocks back
+    # every in-flight plan until the next check round materializes;
+    # `pending` holds the window's lazy cuts, all of which persist
+    # when the window's count runs and all but the newest of which
+    # are immediately stale. Released deterministically instead of
+    # waiting on driver GC + the context cleaner (one label-table
+    # copy per round otherwise rides executor storage to the end).
+    pending: list[DataFrame] = []
+    live = labels if checkpoint_dir is None else None
     for it in range(max_iter):
         nbr = (
             sym.join(
@@ -1301,10 +1318,19 @@ def duplicate_clusters(
             # (and block-persists) every round in the window — versus
             # one eager checkpoint job per round plus a separate count
             stepped = plan.localCheckpoint(eager=False)
+            pending.append(stepped)
             if is_check:
                 changed = stepped.filter(
                     F.col("new_label") != F.col("label")
                 ).count()
+                # the count materialized every cut in the window —
+                # everything older than `stepped` is unreferenced now
+                for f in pending[:-1]:
+                    _local_ck_release(f)
+                if live is not None:
+                    _local_ck_release(live)
+                live = stepped
+                pending = []
         else:
             # reliable mode: EVERY round truncates to parquet (a round
             # references its input 8 times — via nbr, hub and jump —
@@ -1346,6 +1372,10 @@ def duplicate_clusters(
             RuntimeWarning,
             stacklevel=2,
         )
+    if checkpoint_dir is None:
+        # the returned frame derives only from the last check round's
+        # cut; the edge list's serialized blocks are no longer needed
+        _local_ck_release(sym)
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 
