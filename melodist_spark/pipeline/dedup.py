@@ -485,7 +485,20 @@ def gram_index(
     durable value bounded under adversarial re-quoting (a
     billion-fold boilerplate gram stores the same 16 B either way,
     but bounded counts make repeated merges idempotent-safe — a
-    replayed delta cannot push an already-saturated gram anywhere)."""
+    replayed delta cannot push an already-saturated gram anywhere).
+
+    STREAMING REPLAY: unlike the set-valued indexes (digest, MinHash,
+    embedding — where a replayed foreachBatch append merely
+    duplicates rows that joins/distinct absorb), SUMMED counts are
+    corrupted by replay: re-appending a batch's delta inflates totals
+    past ``min_occurrences`` and excises text that was never
+    duplicated. Advance this state with batch-id-keyed OVERWRITE
+    writes (``.../delta_batch={bid}``) and read it as of
+    ``delta_batch < bid`` — the exactly-once shape
+    ``test_streaming_span_increment_foreach_batch`` pins, including a
+    literal replay of the last batch leaving state and output
+    byte-identical. ``max_count`` bounds the damage of a violated
+    discipline; it does not remove the need for it below the cap."""
     if max_count is not None and max_count < 1:
         raise ValueError(f"max_count must be >= 1, got {max_count}")
     pos = _gram_positions(df, span_tokens, text_col, id_col, portable)

@@ -2598,20 +2598,39 @@ def test_streaming_span_increment_foreach_batch(spark, tmp_path):
         frame(rows).coalesce(1).write.parquet(f"{src}/{name}")
     state_path = str(tmp_path / "gram_state")
     out_path = str(tmp_path / "span_out")
-    gram_index(frame(b1).limit(0), **kw).write.parquet(state_path)
+    # bootstrap under its own batch slot too: every file lives in a
+    # delta_batch=N directory, so the parent read discovers one
+    # consistent partitioned layout
+    gram_index(frame(b1).limit(0), **kw).write.parquet(
+        f"{state_path}/delta_batch=-1"
+    )
 
-    def step(batch_df, _bid):
+    def step(batch_df, bid):
         s = batch_df.sparkSession
+        # snapshot-by-batch-id: a replayed batch must read the state
+        # AS OF the batches before it — its own (possibly partially
+        # committed) delta is excluded, so the read-modify-write is
+        # deterministic under re-execution
         cur = (
             s.read.parquet(state_path)
+            .filter(F.col("delta_batch") < bid)
             .groupBy("gh")
             .agg(F.sum("c").alias("c"))
         )
         surv = remove_repeated_spans_against(batch_df, cur, **kw)
+        # REPLAY-IDEMPOTENT state advance: foreachBatch re-runs a
+        # batch id after failure, and a blind append would re-add the
+        # same delta — for SUMMED gram counts that inflates totals
+        # past min_occurrences and excises text that was never
+        # duplicated (the one index where replay corrupts decisions,
+        # not just wastes space). Writing each delta under its batch
+        # id with overwrite makes the replay rewrite the same rows.
         gram_index(surv.select("doc_id", "text"), **kw).write.mode(
-            "append"
-        ).parquet(state_path)
-        surv.select("doc_id", "text").write.mode("append").parquet(out_path)
+            "overwrite"
+        ).parquet(f"{state_path}/delta_batch={bid}")
+        surv.select("doc_id", "text").write.mode("overwrite").parquet(
+            f"{out_path}/delta_batch={bid}"
+        )
 
     stream = (
         spark.readStream.schema(frame(b1).schema)
@@ -2625,8 +2644,30 @@ def test_streaming_span_increment_foreach_batch(spark, tmp_path):
         .start()
     )
     q.awaitTermination(180)
-    got = {
-        r["doc_id"]: r["text"]
-        for r in spark.read.parquet(out_path).collect()
-    }
+
+    def snapshot():
+        texts = {
+            r["doc_id"]: r["text"]
+            for r in spark.read.parquet(out_path).collect()
+        }
+        counts = {
+            (r["gh"], r["c"])
+            for r in spark.read.parquet(state_path)
+            .groupBy("gh")
+            .agg(F.sum("c").alias("c"))
+            .collect()
+        }
+        return texts, counts
+
+    got, state0 = snapshot()
     assert got == expect
+
+    # REPLAY: re-run the last batch with its original batch id (what
+    # a post-failure restart does). The batch-id snapshot read plus
+    # the overwrite-by-batch-id writes must leave output and state
+    # byte-identical — a blind append would have double-counted the
+    # delta and excised text that was never duplicated.
+    step(frame(b2), 1)
+    got2, state1 = snapshot()
+    assert got2 == expect
+    assert state1 == state0
