@@ -41,13 +41,6 @@ def main():
             [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
         ),
         (
-            # star-join rollup exercise (kept as a function even though
-            # the registry slot was merged away)
-            "revenue_by_nation",
-            [r"BroadcastHashJoin", r"PushedFilters: \[IsNotNull\(o_custkey\)\]"],
-            [r"SortMergeJoin"],
-        ),
-        (
             # fused dewpoint humidity: the temperature is computed on
             # the humidity's own calendar explode — NO sort-merge join
             # of two hourly-grain tables may appear
