@@ -483,9 +483,18 @@ range() partitions; pure task overhead, measured 4.0 -> 2.4 s on the
 branch alone). A run half an hour earlier on an idle box (loadavg
 0.13) read 108.78 s with every row uniformly ~35% slower — the stall
 tail is bimodal and strikes whole runs, so compare per-query minima
-across runs, never one run's total. span_removal's subs both carry
-the fixpoint construction (single 5.1 / fixpoint 4.76 ≈ the row);
-that is the documented sub semantics for driver-action-paced rows.
+across runs, never one run's total. span_removal's subs all carry
+the fixpoint construction (it runs at DataFrame-build time); that is
+the documented sub semantics for driver-action-paced rows.
+
+AFTER the 80.91 anchor, span_removal grew its THIRD branch
+(method='removeall' — the keep_first=False policy under the oracle,
+run on the doc_id%5 slice precisely to bound this cost): the row is
+now ~6.4-6.9 s, i.e. +~1.5 s of genuinely added oracle work, and the
+comparable round-13 expectation for the 53-query total is ~82-83 s
+on a clean run. Final round-12 runs read 89.09 s and 101.4 s
+back-to-back on an idle box — the same bimodal drift; the 89.09 run
+is recorded below as Last run.
 """
 
 
