@@ -1282,6 +1282,37 @@ def test_semantic_dedup_keeps_one_per_twin_group(spark):
     assert singles["keep"].all()
 
 
+def test_semantic_dedup_checkpoint_dir_passthrough(spark, tmp_path):
+    """Round 12: semantic_dedup forwards checkpoint_dir to the
+    connected-components labeling (reliable truncation on a real
+    cluster) — same labels as the default path on a corpus with
+    planted twins."""
+    from melodist_spark.pipeline.similarity import semantic_dedup
+
+    rng = np.random.default_rng(19)
+    dim = 8
+    rows = []
+    for i in range(30):
+        v = rng.normal(size=dim)
+        rows.append((2 * i, [float(x) for x in v]))
+        rows.append((2 * i + 1, [float(x) for x in v + rng.normal(size=dim) * 1e-4]))
+    corpus = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    kw = dict(dim=dim, k=4, threshold=0.999, iters=3)
+    want = (
+        semantic_dedup(corpus, **kw)
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    got = (
+        semantic_dedup(corpus, checkpoint_dir=str(tmp_path / "sd_ck"), **kw)
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # every planted twin pair collapsed to its even representative
+    assert (want["cluster_id"] == (want["vec_id"] // 2) * 2).all()
+
+
 def test_hyperplane_family_full_rank():
     """The SimHash collision bound requires an isotropic plane
     family. The original sine-stride generator was rank 2 (every
