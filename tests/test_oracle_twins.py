@@ -77,3 +77,27 @@ def test_tokenize_apply_twin_handles_empty_documents(
         tmp_path / "documents.parquet"
     )
     _twin(entry, spark, "tokenize_apply", str(tmp_path))
+
+
+def test_span_removal_twin_handles_edge_documents(entry, spark, tmp_path):
+    """The span_removal replay on shapes the SF corpora lack: empty
+    and whitespace-only documents (no grams, untouched, kept=0),
+    mixed ASCII whitespace (tabs / runs of spaces — both engines
+    split on \\s+ after trim), short docs below the gram width, a
+    duplicated passage that actually excises, and non-ASCII text
+    (md5 over UTF-8 bytes on both sides)."""
+    passage = " ".join(f"dup{i}" for i in range(8))
+    rows = [
+        (0, ""),
+        (1, " \t  "),
+        (2, "short doc"),                         # < span_tokens tokens
+        (3, f"left side {passage} right side"),
+        (4, f"other intro {passage} tail words"),
+        (5, "tabs\tbetween\ttokens  and   runs of spaces"),
+        (6, "наивный текст with ümläuts φ"),
+        (7, f"{passage}"),                        # passage IS the doc
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    _twin(entry, spark, "span_removal", str(tmp_path))
