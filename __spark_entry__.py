@@ -2013,13 +2013,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT t.doc_id,
                      t.n_tokens,
                      t.n_tokens BETWEEN 20 AND 1000 AS ok_length,
-                     CASE WHEN t.n_tokens > 0 THEN
+                     -- coalesce(..., FALSE): empty docs have NULL
+                     -- ratio features and FAIL the rule (the Spark
+                     -- flags are definite booleans)
+                     coalesce(CASE WHEN t.n_tokens > 0 THEN
                        length(regexp_replace(t.text, '\\s+', '', 'g')) * 1.0 / t.n_tokens
-                     END BETWEEN 2.0 AND 12.0 AS ok_word_len,
-                     CASE WHEN t.n_tokens > 0 THEN s.n_stop * 1.0 / t.n_tokens END
-                       >= 0.05 AS ok_stopwords,
-                     (length(t.text) - length(regexp_replace(t.text, '[.,;:!?]', '', 'g'))) * 1.0
-                       / length(t.text) <= 0.2 AS ok_punct
+                     END BETWEEN 2.0 AND 12.0, FALSE) AS ok_word_len,
+                     coalesce(CASE WHEN t.n_tokens > 0 THEN s.n_stop * 1.0 / t.n_tokens END
+                       >= 0.05, FALSE) AS ok_stopwords,
+                     coalesce((length(t.text) - length(regexp_replace(t.text, '[.,;:!?]', '', 'g'))) * 1.0
+                       / length(t.text) <= 0.2, FALSE) AS ok_punct
               FROM t JOIN s ON t.doc_id = s.doc_id
             )
             SELECT f.doc_id,

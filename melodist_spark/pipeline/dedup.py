@@ -977,7 +977,18 @@ def lsh_bands(
     """Band the signature: (id, band_idx, band_hash) rows.
 
     Docs sharing any (band_idx, band_hash) are near-dup candidates.
+
+    Signature-less docs (empty/blank text, or shorter than the
+    shingle width — their MinHash columns are NULL because there are
+    no shingles to hash) emit NO bands: Jaccard against an empty
+    shingle set is undefined, exact dedup already handles
+    byte-identical empties, and hashing the NULLs would band every
+    such doc into ONE shared bucket — at crawl scale a
+    boilerplate-stripped empty-doc population becomes a single
+    quadratic candidate clique (and a false all-pairs "near-dup"
+    verdict). Caught by the round-12 edge-corpus oracle twins.
     """
+    df_with_sigs = df_with_sigs.filter(F.col("sig_0").isNotNull())
     n_bands = num_hashes // band_size
     bands = []
     for b in range(n_bands):

@@ -111,9 +111,14 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             "mean_word_len",
             F.when(ntok > 0, F.length(F.regexp_replace(t, r"\s+", "")) / ntok),
         )
-        .withColumn("upper_ratio", counts["n_upper"] / F.length(t))
-        .withColumn("digit_ratio", counts["n_digit"] / F.length(t))
-        .withColumn("punct_ratio", counts["n_punct"] / F.length(t))
+        # try_divide: an EMPTY document has length 0, and under ANSI
+        # mode a plain division kills the whole job on the first
+        # empty doc a crawl batch contains (caught by the edge-corpus
+        # oracle twins, round 12) — the ratios are NULL there, the
+        # same convention as mean_word_len/stopword_ratio
+        .withColumn("upper_ratio", F.try_divide(counts["n_upper"], F.length(t)))
+        .withColumn("digit_ratio", F.try_divide(counts["n_digit"], F.length(t)))
+        .withColumn("punct_ratio", F.try_divide(counts["n_punct"], F.length(t)))
         .withColumn("stopword_ratio", F.when(ntok > 0, n_stop / ntok))
         .drop("__toks_l", "__ntok")
     )
@@ -1058,15 +1063,27 @@ def quality_flags(
     curation pattern where drop *reasons* are retained for auditing
     rather than filtering in place. All rules are column predicates on
     the single-pass feature projection; the filter itself stays
-    pushdown-friendly (``df.filter("keep")``)."""
+    pushdown-friendly (``df.filter("keep")``).
+
+    Every flag is a DEFINITE boolean: an empty/blank document has
+    NULL ratio features, and a NULL rule would read as "reason
+    unknown" in the audit trail (and NULL-poison the ``keep``
+    conjunction under three-valued logic) — an empty doc simply
+    FAILS the rule (round 12, caught by the edge-corpus oracle
+    twins)."""
     q = quality_features(df, text_col)
     flags = {
         "ok_length": F.col("n_tokens").between(min_tokens, max_tokens),
-        "ok_word_len": F.col("mean_word_len").between(
-            min_word_len, max_word_len
+        "ok_word_len": F.coalesce(
+            F.col("mean_word_len").between(min_word_len, max_word_len),
+            F.lit(False),
         ),
-        "ok_stopwords": F.col("stopword_ratio") >= min_stopword_ratio,
-        "ok_punct": F.col("punct_ratio") <= max_punct_ratio,
+        "ok_stopwords": F.coalesce(
+            F.col("stopword_ratio") >= min_stopword_ratio, F.lit(False)
+        ),
+        "ok_punct": F.coalesce(
+            F.col("punct_ratio") <= max_punct_ratio, F.lit(False)
+        ),
     }
     out = q.withColumns(flags)
     keep = None

@@ -101,3 +101,57 @@ def test_span_removal_twin_handles_edge_documents(entry, spark, tmp_path):
         tmp_path / "documents.parquet"
     )
     _twin(entry, spark, "span_removal", str(tmp_path))
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "line_dedup",
+        "text_features",
+        "text_curation",
+        "repetition_stats",
+        "vocab_topk",
+        "pmi_collocations",
+        "doc_perplexity",
+        "quality_classifier",
+        "pack_sequences",
+        "dup_clusters",
+        "minhash_pairs",
+        "jaccard_pairs",
+        "doc_sample",
+        "weighted_mixture",
+        "decontaminate",
+        "benchmark_leakage",
+    ],
+)
+def test_document_query_twins_on_edge_corpus(entry, spark, tmp_path, name):
+    """Broad latent-divergence net: every document-consuming oracle
+    row re-run against a corpus of the shapes the SF data lacks —
+    empty text, whitespace-only, single-token, duplicated and
+    near-duplicated pairs, odd whitespace, non-ASCII — Spark vs
+    DuckDB. This is how the tokenize_apply empty-doc divergence
+    (ADVICE r11) would have been caught before the driver corpus
+    ever contained an empty document."""
+    passage = " ".join(f"dup{i}" for i in range(8))
+    texts = [
+        "",
+        " \t ",
+        "one",
+        f"left side {passage} right side",
+        f"other intro {passage} tail words",
+        f"{passage}",
+        "tabs\tbetween\ttokens  and   runs of spaces",
+        "наивный текст with ümläuts φ",
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",   # exact dup
+        "the quick brown fox jumps over a lazy dog",     # near dup
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+    ]
+    rows = [
+        (i, t, ["en", "de"][i % 2], ["web", "books", "code"][i % 3], len(t))
+        for i, t in enumerate(texts * 4)  # 48 docs: enough for samplers
+    ]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    _twin(entry, spark, name, str(tmp_path))
