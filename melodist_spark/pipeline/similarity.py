@@ -36,8 +36,16 @@ def _norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    # zero vectors → null (instead of an ANSI division error)
-    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
+    # zero vectors → null (instead of an ANSI division error). A NaN
+    # COMPONENT must also come out NULL: Spark compares NaN as larger
+    # than every number, so an unguarded NaN cosine would pass every
+    # `>= threshold` re-check (declaring a NaN-poisoned vector a
+    # duplicate of its whole bucket) and rank TOP in every
+    # descending ANN ordering — the exact trap the Arrow kernel's
+    # wrapper already nulls out (_pair_cosine); the expr twin must
+    # degrade identically (round 12).
+    c = F.try_divide(_dot(a, b), _norm(a) * _norm(b))
+    return F.when(~F.isnan(c), c)
 
 
 def brute_force_topk(

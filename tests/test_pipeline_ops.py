@@ -1535,6 +1535,11 @@ def test_pair_cosine_kernels_degrade_identically_on_malformed(spark):
         (3, [0.0, 0.0, 0.0], [1.0, 0.0, 0.0]),    # zero vector -> NULL
         (4, [3.0, 4.0], [3.0, 4.0]),              # 2-D valid, cos = 1
         (5, [1.0, 2.0, 2.0], [2.0, 4.0, 4.0]),    # 3-D valid, cos = 1
+        # a NaN COMPONENT must come out NULL from both kernels: Spark
+        # compares NaN as larger than every number, so an unguarded
+        # NaN cosine passes every >= threshold re-check and ranks TOP
+        # in descending ANN order (round 12)
+        (6, [float("nan"), 1.0, 0.0], [1.0, 0.0, 0.0]),
     ]
     df = spark.createDataFrame(rows, "pid long, a array<double>, b array<double>")
     for arrow in (False, True):
@@ -1548,7 +1553,32 @@ def test_pair_cosine_kernels_degrade_identically_on_malformed(spark):
         assert got[0] == pytest.approx(1.0), arrow
         assert got[4] == pytest.approx(1.0), arrow
         assert got[5] == pytest.approx(1.0), arrow
-        assert pd.isna(got[1]) and pd.isna(got[2]) and pd.isna(got[3]), arrow
+        for pid in (1, 2, 3, 6):
+            assert pd.isna(got[pid]), (arrow, pid)
+
+    # end-to-end: a NaN-poisoned vector is never declared anyone's
+    # near-duplicate and never outranks real neighbors
+    from melodist_spark.pipeline.similarity import (
+        brute_force_topk,
+        neardup_pairs,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [1.0, 1e-4, 0.0, 0.0]),
+            (2, [float("nan"), 1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = neardup_pairs(corpus, dim=4, threshold=0.9, num_planes=1).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+    top = brute_force_topk(
+        corpus, corpus.filter("vec_id = 0"), k=2, vec_col="embedding"
+    ).collect()
+    assert [r["neighbor_id"] for r in top] == [1, 2]
+    assert top[0]["cos_sim"] == pytest.approx(1.0, abs=1e-6)
+    assert top[1]["cos_sim"] is None  # NaN vector sinks to the bottom
 
 
 def test_embedding_index_num_tables_mismatch_raises(spark):
