@@ -14,8 +14,12 @@ min) and is engine-portable — no reliance on Spark's murmur3.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_logger = logging.getLogger(__name__)
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -211,15 +215,107 @@ def _local_ck_release(df: DataFrame) -> None:
     unpersisting IT (``DataFrame.unpersist`` only talks to the cache
     manager, which never saw a checkpoint) frees the executor-storage
     blocks immediately instead of waiting for driver GC + the context
-    cleaner. Internal-handle access, so any failure (Connect mode,
-    API drift) degrades to the GC path rather than erroring. Spark
-    logs one WARN per release ("lineage has been truncated and cannot
-    be recomputed after unpersisting") — expected: the caller only
-    releases frames nothing will read again."""
+    cleaner. Internal-handle access, so the degraded path is made
+    OBSERVABLE instead of silent (round-13 advisor finding): on Spark
+    Connect there is no ``_jdf`` at all — gate on that capability and
+    log at debug; any other failure (JVM API drift) also logs the
+    exception at debug before degrading to the GC path. Spark logs
+    one WARN per successful release ("lineage has been truncated and
+    cannot be recomputed after unpersisting") — expected: the caller
+    only releases frames nothing will read again."""
+    if not hasattr(df, "_jdf"):
+        # Spark Connect frames carry no JVM handle: block hygiene
+        # degrades to GC + context-cleaner pacing there by design
+        _logger.debug(
+            "localCheckpoint block release unavailable (no _jdf handle "
+            "— Spark Connect?); blocks will be freed by GC pacing"
+        )
+        return
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
     except Exception:
-        pass
+        _logger.debug(
+            "localCheckpoint block release degraded to GC pacing",
+            exc_info=True,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Driver-loss resume manifests (round 13)
+#
+# Reliable ``checkpoint_dir`` mode protects the iterative ops against
+# EXECUTOR loss (every round's state is durable parquet), but without a
+# recorded round counter a died DRIVER restarts a 30-round job from
+# round 0 even though round 29's slot is sitting on durable storage.
+# The manifest is that counter: a tiny one-row text dataset written
+# AFTER each round's slot write completes, recording the op name, the
+# semantic parameters (the index-stamp discipline — a mismatched resume
+# raises instead of silently continuing the wrong computation), the
+# completed round and which slot holds it.  Manifests alternate between
+# two paths like the data slots, so a torn manifest write can only
+# corrupt the slot whose data was about to be superseded — the OTHER
+# manifest still points at intact durable state, and resume picks the
+# newest READABLE one.
+# ---------------------------------------------------------------------------
+
+
+def _manifest_write(
+    spark, checkpoint_dir: str, slot: int, payload: dict
+) -> None:
+    """Write a round manifest (``payload`` must carry ``seq``) to the
+    alternating ``manifest_{slot}`` path. Uses a one-row text dataset
+    (not a driver-side ``open()``) so the manifest lands on whatever
+    filesystem backs ``checkpoint_dir`` — HDFS/S3 on a real cluster,
+    local disk in tests."""
+    import json as _json
+
+    path = f"{checkpoint_dir.rstrip('/')}/manifest_{slot % 2}"
+    line = _json.dumps(payload, sort_keys=True)
+    spark.createDataFrame([(line,)], "value string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(path)
+
+
+def _manifest_read_latest(spark, checkpoint_dir: str) -> dict | None:
+    """Newest readable manifest under ``checkpoint_dir`` (max ``seq``
+    across the two alternating slots), or None when neither slot holds
+    a parseable manifest — an unreadable slot (missing directory, torn
+    write, garbage content) is skipped, never fatal: its partner
+    always describes intact state."""
+    import json as _json
+
+    best = None
+    for i in (0, 1):
+        path = f"{checkpoint_dir.rstrip('/')}/manifest_{i}"
+        try:
+            rows = spark.read.text(path).collect()
+            m = _json.loads(rows[0]["value"])
+        except Exception:
+            continue
+        if best is None or m["seq"] > best["seq"]:
+            best = m
+    return best
+
+
+def _manifest_validate(manifest: dict, op: str, params: dict) -> None:
+    """Refuse to resume someone else's state: the manifest must have
+    been written by the same operator with the same SEMANTIC
+    parameters (loop-control knobs like max_rounds/n_iter may change
+    across a resume — extending a capped run is the point)."""
+    if manifest.get("op") != op:
+        raise ValueError(
+            f"checkpoint_dir holds a manifest written by "
+            f"{manifest.get('op')!r}, not {op!r} — refusing to resume "
+            "from another operator's state; use a fresh directory"
+        )
+    got = {k: manifest.get("params", {}).get(k) for k in params}
+    if got != params:
+        raise ValueError(
+            f"{op} resume parameter mismatch: the manifest records "
+            f"{got} but this call asks for {params} — continuing "
+            "would silently mix two different computations. Pass the "
+            "values the run was started with (or a fresh directory)."
+        )
 
 
 def _truncate_round(
@@ -251,6 +347,7 @@ def remove_repeated_spans(
     max_rounds: int = 20,
     portable: bool = False,
     checkpoint_dir: str | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """Cross-document repeated-span REMOVAL (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better" —
@@ -310,8 +407,32 @@ def remove_repeated_spans(
     table are written to alternating scratch-parquet slots under that
     reliable path (the :func:`duplicate_clusters` discipline), so
     executor loss replays at most one round from durable state and
-    the returned frame itself reads from parquet. Give each
-    concurrent call its own directory.
+    the returned frame itself reads from parquet.
+
+    DIRECTORY LIFETIME (round-13 advisor finding): in reliable mode
+    the returned DataFrame lazily READS the live scratch parquet under
+    ``checkpoint_dir`` — the directory must outlive full consumption
+    of the result (materialize it elsewhere before reusing or cleaning
+    the directory). Give each CONCURRENT call its own directory; a
+    SEQUENTIAL second call reusing the directory overwrites the slots
+    an earlier unmaterialized result still reads, silently corrupting
+    it.
+
+    DRIVER-LOSS RESUME (round 13): in reliable mode each round's
+    completed docs slot is recorded in an alternating one-row manifest
+    (round counter + the semantic parameters, written AFTER the slot
+    write — a torn manifest only ever shadows superseded state).
+    ``resume=True`` reads the newest readable manifest, validates the
+    op name and ``span_tokens``/``min_occurrences``/``keep_first``/
+    ``portable``/column names against this call (mismatch raises, the
+    index-stamp discipline), and continues the fixpoint from the
+    recorded round's parquet instead of round 0 — a 30-round job that
+    dies at round 29 replays one round, not thirty. The crashed run's
+    ``max_rounds`` may differ (extending a capped run is a legitimate
+    resume); with no readable manifest the call starts fresh, making
+    ``resume=True`` the always-safe restart idiom. Requires
+    ``checkpoint_dir`` + ``until_clean``, and assumes the SAME input
+    frame — the manifest cannot verify corpus identity.
     """
     if span_tokens < 1:
         raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
@@ -320,11 +441,53 @@ def remove_repeated_spans(
         # also runs in single-round mode, where a bad value would
         # surface as a misleading "did not converge" RuntimeError
         raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    if resume and (checkpoint_dir is None or not until_clean):
+        raise ValueError(
+            "resume=True requires checkpoint_dir (the durable slots "
+            "ARE the resume state) and until_clean=True (single-round "
+            "mode has no rounds to resume)"
+        )
+
+    spark = df.sparkSession
+    _OP = "remove_repeated_spans"
+    params = {
+        "span_tokens": span_tokens,
+        "text_col": text_col,
+        "id_col": id_col,
+        "min_occurrences": min_occurrences,
+        "keep_first": keep_first,
+        "portable": portable,
+    }
 
     audit_removed = F.lit(0).cast("long")
     audit_kept = None  # computed at the end from the final text
     cur = df
     rounds = 0
+    manifests = checkpoint_dir is not None and until_clean
+    if manifests:
+        manifest = _manifest_read_latest(spark, checkpoint_dir) if resume else None
+        if manifest is not None:
+            _manifest_validate(manifest, _OP, params)
+            rounds = manifest["seq"]
+            if rounds >= 1:
+                cur = spark.read.parquet(
+                    f"{checkpoint_dir.rstrip('/')}/docs_{rounds % 2}"
+                )
+                audit_removed = F.col("__cum_removed")
+            if manifest.get("done"):
+                # the crashed run had already drained its fixpoint —
+                # the newest docs slot IS the answer
+                return _finalize_span_audit(cur, text_col)
+        else:
+            # fresh start: stamp round 0 into BOTH manifest slots so a
+            # stale manifest from a previous run in this directory can
+            # never be mistaken for this run's progress
+            for s in (0, 1):
+                _manifest_write(
+                    spark, checkpoint_dir, s,
+                    {"op": _OP, "params": params, "seq": 0, "done": False},
+                )
+            rounds = 0
     prev_frames: list[DataFrame] = []  # prior round's checkpoints
     while True:
         pos = _gram_positions(cur, span_tokens, text_col, id_col, portable)
@@ -368,6 +531,15 @@ def remove_repeated_spans(
                 _local_ck_release(f)
             prev_frames = []
             if spans.isEmpty():
+                if manifests:
+                    # convergence marker: a resume of a drained run
+                    # returns the newest docs slot without recomputing
+                    # the clean detection pass
+                    _manifest_write(
+                        spark, checkpoint_dir, rounds,
+                        {"op": _OP, "params": params, "seq": rounds,
+                         "done": True},
+                    )
                 break
         rounds += 1
         if rounds > max_rounds:
@@ -385,6 +557,14 @@ def remove_repeated_spans(
             cur, spans, text_col, id_col, audit_removed,
             checkpoint_dir, f"docs_{rounds % 2}",
         )
+        if manifests:
+            # the docs slot write above is the round's durable commit;
+            # recording it AFTER guarantees the manifest never points
+            # at a slot that isn't fully on disk
+            _manifest_write(
+                spark, checkpoint_dir, rounds,
+                {"op": _OP, "params": params, "seq": rounds, "done": False},
+            )
         if not until_clean:
             break
         # rounds == 1's prev_cur is the caller's input — never ours
@@ -1080,6 +1260,7 @@ def duplicate_clusters(
     checkpoint_dir: str | None = None,
     broadcast_nodes: int = 2_000_000,
     driver_edges: int = 2_000_000,
+    resume: bool = False,
 ) -> DataFrame:
     """Transitively close near-duplicate pairs into clusters.
 
@@ -1160,14 +1341,42 @@ def duplicate_clusters(
 
     Returns (id, cluster_id) for every node that appears in ``pairs``
     (singletons are by definition absent).
-    """
-    import warnings
 
+    DIRECTORY LIFETIME: in reliable mode the returned labels lazily
+    READ the live scratch parquet under ``checkpoint_dir`` — the
+    directory must outlive full consumption of the result; a
+    sequential second call reusing it overwrites the slots an earlier
+    unmaterialized result still reads. One directory per concurrent
+    call.
+
+    DRIVER-LOSS RESUME (round 13): reliable mode records each
+    completed propagation round in an alternating one-row manifest
+    (written AFTER the round's label-slot write). ``resume=True``
+    reads the newest readable manifest, validates it was written by
+    this operator, re-reads the symmetrized edge list from the
+    directory's ``sym`` slot (the caller's ``pairs`` is used only for
+    the session — edges are already durable) and continues the rounds
+    from the recorded label slot; a converged (``done``) manifest
+    returns the final labels without recomputation. No readable
+    manifest → fresh run, so ``resume=True`` is the always-safe
+    restart idiom. A run that took the driver union-find fast path
+    writes no manifests (its rerun costs one collect). The crashed
+    run's ``max_iter``/``check_every`` may differ across a resume —
+    loop control, not state semantics.
+    """
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     if check_every < 1:
         # 1 = check every round; 0 would be a modulo-by-zero mid-loop
         raise ValueError(f"check_every must be >= 1, got {check_every}")
+    if resume and checkpoint_dir is None:
+        raise ValueError(
+            "resume=True requires checkpoint_dir (the durable slots "
+            "ARE the resume state)"
+        )
+
+    spark = pairs.sparkSession
+    _OP = "duplicate_clusters"
 
     def _truncate(df: DataFrame, slot: str) -> DataFrame:
         if checkpoint_dir is None:
@@ -1175,6 +1384,30 @@ def duplicate_clusters(
         path = f"{checkpoint_dir.rstrip('/')}/{slot}"
         df.write.mode("overwrite").parquet(path)
         return df.sparkSession.read.parquet(path)
+
+    manifest = (
+        _manifest_read_latest(spark, checkpoint_dir) if resume else None
+    )
+    if manifest is not None:
+        _manifest_validate(manifest, _OP, {})
+        base = checkpoint_dir.rstrip("/")
+        sym = spark.read.parquet(f"{base}/sym")
+        labels = spark.read.parquet(f"{base}/{manifest['slot']}")
+        if "new_label" in labels.columns:
+            # round slots persist the pre-rename (id, label, new_label)
+            # shape; the seed slot is already (id, label)
+            labels = labels.select(
+                "id", F.col("new_label").alias("label")
+            )
+        if manifest.get("done"):
+            return labels.select("id", F.col("label").alias("cluster_id"))
+        n_nodes = manifest["n_nodes"]
+        start_it = manifest["seq"]
+        n_writes = manifest["n_writes"]
+        return _cc_rounds(
+            sym, labels, n_nodes, start_it, n_writes, max_iter,
+            check_every, broadcast_nodes, checkpoint_dir, _truncate,
+        )
 
     sym = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
@@ -1291,9 +1524,44 @@ def duplicate_clusters(
         n_nodes = labels.count()
         if n_nodes != 0:
             raise
+    if checkpoint_dir is not None:
+        # fresh reliable start: stamp seq 0 (= seed complete) into
+        # BOTH manifest slots so a previous run's manifest in this
+        # directory can never be mistaken for this run's progress
+        for s in (0, 1):
+            _manifest_write(
+                spark, checkpoint_dir, s,
+                {"op": "duplicate_clusters", "params": {}, "seq": 0,
+                 "slot": "labels_seed", "n_writes": 0,
+                 "n_nodes": n_nodes, "done": False},
+            )
+    return _cc_rounds(
+        sym, labels, n_nodes, 0, 0, max_iter, check_every,
+        broadcast_nodes, checkpoint_dir, _truncate,
+    )
+
+
+def _cc_rounds(
+    sym: DataFrame,
+    labels: DataFrame,
+    n_nodes: int,
+    start_it: int,
+    n_writes: int,
+    max_iter: int,
+    check_every: int,
+    broadcast_nodes: int,
+    checkpoint_dir: str | None,
+    _truncate,
+) -> DataFrame:
+    """The hash-to-min propagation rounds of :func:`duplicate_clusters`
+    from iteration ``start_it`` with ``labels`` as the current table —
+    shared by the fresh path (start_it=0, the seed) and the
+    driver-loss resume path (the manifest's recorded round)."""
+    import warnings
+
+    spark = sym.sparkSession
     hint = F.broadcast if n_nodes <= broadcast_nodes else (lambda df: df)
     changed = None
-    n_writes = 0
     # local-mode block hygiene: `live` is the last MATERIALIZED cut
     # (the seed, then each check round's table) — its blocks back
     # every in-flight plan until the next check round materializes;
@@ -1304,7 +1572,7 @@ def duplicate_clusters(
     # copy per round otherwise rides executor storage to the end).
     pending: list[DataFrame] = []
     live = labels if checkpoint_dir is None else None
-    for it in range(max_iter):
+    for it in range(start_it, max_iter):
         nbr = (
             sym.join(
                 hint(
@@ -1383,8 +1651,29 @@ def duplicate_clusters(
             else:
                 stepped = _truncate(plan, f"labels_{n_writes % 2}")
                 n_writes += 1
+            # the slot write above is the round's durable commit; the
+            # manifest recorded AFTER it is the driver-loss resume
+            # point (a torn manifest only shadows superseded state —
+            # its partner slot still points at intact parquet)
+            _manifest_write(
+                spark, checkpoint_dir, it + 1,
+                {"op": "duplicate_clusters", "params": {}, "seq": it + 1,
+                 "slot": f"labels_{(n_writes - 1) % 2}",
+                 "n_writes": n_writes, "n_nodes": n_nodes, "done": False},
+            )
         labels = stepped.select("id", F.col("new_label").alias("label"))
         if is_check and changed == 0:
+            if checkpoint_dir is not None:
+                # convergence marker: resuming a drained run returns
+                # the final labels without recomputation
+                _manifest_write(
+                    spark, checkpoint_dir, it + 1,
+                    {"op": "duplicate_clusters", "params": {},
+                     "seq": it + 1,
+                     "slot": f"labels_{(n_writes - 1) % 2}",
+                     "n_writes": n_writes, "n_nodes": n_nodes,
+                     "done": True},
+                )
             break
     if changed != 0:
         # partially-merged labels would silently disagree with an exact

@@ -66,6 +66,7 @@ def pagerank(
     checkpoint_every: int = 1,
     driver_below: int = 0,
     checkpoint_dir: str | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """PageRank by fixed-iteration power method.
 
@@ -108,11 +109,37 @@ def pagerank(
     (each iteration of the distributed path costs fixed
     scheduler/checkpoint overhead that dwarfs a sub-100k-node graph),
     while a full web host graph (~10^8 nodes) stays distributed.
+
+    DIRECTORY LIFETIME: in reliable mode the returned ranks lazily
+    READ the live scratch parquet under ``checkpoint_dir`` — the
+    directory must outlive full consumption of the result; a
+    sequential second call reusing it overwrites the slots an earlier
+    unmaterialized result still reads. One directory per concurrent
+    call.
+
+    DRIVER-LOSS RESUME (round 13): reliable mode records each cut in
+    an alternating one-row manifest (written AFTER the rank-slot
+    write). ``resume=True`` reads the newest readable manifest,
+    validates the op plus ``damping`` and the node count recomputed
+    from THIS call's ``edges`` (a different edge list raises — the
+    index-stamp discipline), and continues the power iteration from
+    the recorded cut instead of iteration 0; iterations past the last
+    cut replay deterministically (the update is a pure function of
+    the rank table). ``n_iter`` may differ across a resume —
+    extending a run is legitimate; with no readable manifest the call
+    starts fresh, so ``resume=True`` is the always-safe restart
+    idiom. Requires ``checkpoint_dir`` and ``checkpoint_every >= 1``.
     """
     if not (0.0 < damping < 1.0):
         raise ValueError(f"damping must be in (0, 1), got {damping}")
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if resume and (checkpoint_dir is None or not checkpoint_every):
+        raise ValueError(
+            "resume=True requires checkpoint_dir and a nonzero "
+            "checkpoint_every (the durable rank cuts ARE the resume "
+            "state)"
+        )
 
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if prepartition:
@@ -122,7 +149,25 @@ def pagerank(
     if n_nodes == 0:
         return deg.select("node", F.lit(0.0).alias("pagerank"))
 
-    if driver_below and n_nodes <= driver_below:
+    from .dedup import (
+        _local_ck_release,
+        _manifest_read_latest,
+        _manifest_validate,
+        _manifest_write,
+        _truncate_round,
+    )
+
+    spark = edges.sparkSession
+    _OP = "pagerank"
+    params = {"damping": damping, "n_nodes": n_nodes}
+    manifests = checkpoint_dir is not None and bool(checkpoint_every)
+    manifest = (
+        _manifest_read_latest(spark, checkpoint_dir) if resume else None
+    )
+    if manifest is not None:
+        _manifest_validate(manifest, _OP, params)
+
+    if manifest is None and driver_below and n_nodes <= driver_below:
         rows = e.collect()
         deg.unpersist()
         return _pagerank_driver(
@@ -130,13 +175,28 @@ def pagerank(
             damping, n_iter,
         )
 
-    from .dedup import _local_ck_release, _truncate_round
-
     base = (1.0 - damping) / n_nodes
-    ranks = deg.select("node", F.lit(1.0 / n_nodes).alias("r"))
+    if manifest is not None and manifest["slot"] is not None:
+        start_it = manifest["seq"]
+        n_cuts = manifest["n_cuts"]
+        ranks = spark.read.parquet(
+            f"{checkpoint_dir.rstrip('/')}/{manifest['slot']}"
+        )
+    else:
+        start_it, n_cuts = 0, 0
+        ranks = deg.select("node", F.lit(1.0 / n_nodes).alias("r"))
+        if manifests and manifest is None:
+            # fresh reliable start: stamp iteration 0 into BOTH
+            # manifest slots so a previous run's manifest in this
+            # directory can never be mistaken for this run's progress
+            for s in (0, 1):
+                _manifest_write(
+                    spark, checkpoint_dir, s,
+                    {"op": _OP, "params": params, "seq": 0,
+                     "slot": None, "n_cuts": 0},
+                )
     prev_cut: DataFrame | None = None
-    n_cuts = 0
-    for it in range(n_iter):
+    for it in range(start_it, n_iter):
         with_deg = ranks.join(deg, "node")
         contrib = (
             e.join(
@@ -176,6 +236,16 @@ def pagerank(
                 ranks, checkpoint_dir, f"ranks_{n_cuts % 2}", eager=True
             )
             n_cuts += 1
+            if manifests:
+                # the rank-slot write above is the cut's durable
+                # commit; the manifest recorded AFTER it is the
+                # driver-loss resume point
+                _manifest_write(
+                    spark, checkpoint_dir, n_cuts,
+                    {"op": _OP, "params": params, "seq": it + 1,
+                     "slot": f"ranks_{(n_cuts - 1) % 2}",
+                     "n_cuts": n_cuts},
+                )
             if prev_cut is not None:
                 _local_ck_release(prev_cut)
             prev_cut = ranks

@@ -3939,3 +3939,156 @@ def test_remove_repeated_spans_chains_on_own_output(spark):
         assert b[did]["text"] == a[did]["text"]
         assert b[did]["n_tokens_removed"] == 0
         assert b[did]["n_tokens_kept"] == a[did]["n_tokens_kept"]
+
+
+def test_remove_repeated_spans_resume_after_crash(spark, tmp_path):
+    """Driver-loss resume (round 13, VERDICT r12 item 2): run the
+    junction fixpoint with ``checkpoint_dir`` but ``max_rounds=1`` so
+    it dies AFTER round 1's docs slot + manifest are durable (the
+    RuntimeError stands in for a dead driver), then re-invoke with
+    ``resume=True`` from a fresh DataFrame handle — the output must be
+    identical to the uninterrupted run's, and the resumed run must
+    start from the manifest's round (one replayed detection), not
+    round 0. A second ``resume=True`` call hits the ``done`` manifest
+    and returns without recomputing the fixpoint."""
+    from melodist_spark.pipeline.dedup import remove_repeated_spans
+
+    rows = [
+        (0, "S1 S2 S3"),
+        (1, "T1 T2 T3"),
+        (2, "a b S1 S2 S3 c d"),
+        (3, "a b T1 T2 T3 c d"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(span_tokens=3)
+    want = (
+        remove_repeated_spans(
+            df, checkpoint_dir=str(tmp_path / "full"), **kw
+        ).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert want.loc[3, "text"] == ""  # the fixpoint needs two rounds
+
+    ck = str(tmp_path / "crash")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        remove_repeated_spans(
+            df, checkpoint_dir=ck, max_rounds=1, **kw
+        ).collect()
+    # round 1 committed durably before the "crash"
+    assert (tmp_path / "crash" / "docs_1").exists()
+
+    # torn-manifest robustness: scribble garbage over one manifest
+    # slot (a write the crash interrupted); resume picks the partner
+    import pathlib
+
+    m0 = tmp_path / "crash" / "manifest_0"
+    for f in pathlib.Path(m0).glob("*.txt"):
+        f.write_text("{ not json")
+
+    got = (
+        remove_repeated_spans(df, checkpoint_dir=ck, resume=True, **kw)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+    # done-manifest short circuit: the resumed result again, without
+    # re-running detection (it reads the final docs slot directly)
+    again = (
+        remove_repeated_spans(df, checkpoint_dir=ck, resume=True, **kw)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(again, want)
+
+
+def test_remove_repeated_spans_resume_validates(spark, tmp_path):
+    """Resume refuses foreign or mismatched state: a different
+    span_tokens (or keeper policy) against the recorded manifest
+    raises instead of silently mixing two computations, and
+    resume=True without checkpoint_dir (or with until_clean=False) is
+    rejected up front."""
+    from melodist_spark.pipeline.dedup import remove_repeated_spans
+
+    df = spark.createDataFrame(
+        [(0, "x y z"), (1, "a x y z b")], "doc_id long, text string"
+    )
+    ck = str(tmp_path / "ck")
+    remove_repeated_spans(df, span_tokens=3, checkpoint_dir=ck).collect()
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        remove_repeated_spans(
+            df, span_tokens=4, checkpoint_dir=ck, resume=True
+        )
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        remove_repeated_spans(
+            df, span_tokens=3, keep_first=False, checkpoint_dir=ck,
+            resume=True,
+        )
+    with pytest.raises(ValueError, match="resume=True requires"):
+        remove_repeated_spans(df, span_tokens=3, resume=True)
+    with pytest.raises(ValueError, match="resume=True requires"):
+        remove_repeated_spans(
+            df, span_tokens=3, checkpoint_dir=ck, until_clean=False,
+            resume=True,
+        )
+
+
+def test_duplicate_clusters_resume_after_partial_run(spark, tmp_path):
+    """CC driver-loss resume: a 40-node chain needs several
+    hash-to-min rounds; a run capped at max_iter=2 (the stand-in for
+    a dead driver — its manifests and label slots are durable) resumed
+    with the full budget must produce the uninterrupted run's labels,
+    reading the edge list back from the directory's sym slot rather
+    than re-symmetrizing the caller's pairs. A converged run's done
+    manifest resumes to the final labels directly, and a manifest from
+    another operator is refused."""
+    import warnings
+
+    from melodist_spark.pipeline.dedup import duplicate_clusters
+
+    n = 40
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    kw = dict(driver_edges=0)  # force the distributed rounds
+    full = sorted(
+        (r["id"], r["cluster_id"])
+        for r in duplicate_clusters(
+            pairs, checkpoint_dir=str(tmp_path / "full"), **kw
+        ).collect()
+    )
+    assert all(c == 0 for _, c in full)  # one chain, min id 0
+
+    ck = str(tmp_path / "crash")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        duplicate_clusters(
+            pairs, checkpoint_dir=ck, max_iter=2, **kw
+        ).collect()
+    resumed = sorted(
+        (r["id"], r["cluster_id"])
+        for r in duplicate_clusters(
+            pairs, checkpoint_dir=ck, resume=True, **kw
+        ).collect()
+    )
+    assert resumed == full
+    done = sorted(
+        (r["id"], r["cluster_id"])
+        for r in duplicate_clusters(
+            pairs, checkpoint_dir=ck, resume=True, **kw
+        ).collect()
+    )
+    assert done == full
+
+    # foreign-state refusal: a span-removal manifest in the directory
+    from melodist_spark.pipeline.dedup import remove_repeated_spans
+
+    ck2 = str(tmp_path / "foreign")
+    remove_repeated_spans(
+        spark.createDataFrame(
+            [(0, "x y z"), (1, "a x y z b")], "doc_id long, text string"
+        ),
+        span_tokens=3,
+        checkpoint_dir=ck2,
+    ).collect()
+    with pytest.raises(ValueError, match="another operator"):
+        duplicate_clusters(pairs, checkpoint_dir=ck2, resume=True, **kw)
+    with pytest.raises(ValueError, match="resume=True requires"):
+        duplicate_clusters(pairs, resume=True, **kw)
