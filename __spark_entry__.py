@@ -5938,26 +5938,100 @@ def q_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output per branch: the audit columns plus the cleaned text's md5
     (byte-exact: untouched docs keep their original bytes, touched
     docs the single-space re-join). The xxhash64 production hash
-    stays pytest-anchored (test_portable_gram_hash_*)."""
-    from melodist_spark.pipeline.dedup import remove_repeated_spans
+    stays pytest-anchored (test_portable_gram_hash_*).
+
+    SHARED GRAM SCAN (round 13, VERDICT r12 item 3): the single and
+    removeall branches previously each ran their own two gram scans
+    over overlapping corpora (2 full + 2 slice tokenization passes
+    per materialization). Both branches' span tables now come out of
+    ONE linear plan: a single groupBy(__gh) computes the full-corpus
+    count, the doc_id%5 slice count (counts are slice-local, so the
+    slice's duplicate decisions are one conditional count on the same
+    shuffle key — not a rescan) AND the keep-first keeper struct; one
+    probe join attaches all three to every position; each position
+    then emits its branch memberships as an exploded method tag —
+    single keeps c_all≥2 minus its keeper occurrence (the public
+    op's anti-join collapses into a row-local struct comparison),
+    removeall keeps slice positions with c_slice≥2 — and the span
+    merge runs once, windowed by (method, doc). Relying on
+    ReuseExchange across a self-union instead does NOT work here:
+    per-branch column pruning gives each branch a differently-shaped
+    aggregate, so the exchanges never canonically match. The merged
+    span table (duplicate-volume-sized) is eagerly localCheckpointed
+    so the two excision joins read it without recomputing the scan.
+    Branch outputs are row-identical to
+    remove_repeated_spans(keep_first=True) / (slice,
+    keep_first=False) — pytest-pinned
+    (test_q_span_removal_branches_match_public_op) on top of the
+    unchanged DuckDB twin."""
+    from melodist_spark.pipeline.dedup import (
+        _excise_spans,
+        _finalize_span_audit,
+        _gram_positions,
+        _merge_hit_positions,
+        remove_repeated_spans,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
-    single = remove_repeated_spans(
-        docs, span_tokens=6, until_clean=False, portable=True
+    in_slice = F.col("doc_id") % 5 == 0
+    pos = _gram_positions(docs, 6, "text", "doc_id", portable=True)
+    agg = pos.groupBy("__gh").agg(
+        F.count("*").alias("__c_all"),
+        F.count(F.when(in_slice, F.lit(1))).alias("__c_slice"),
+        # min(struct(id, pos)) — the keep-first keeper; min over ALL
+        # occurrences equals min over the duplicated-gram hits the
+        # public op anti-joins against
+        F.min(F.struct("doc_id", "__pos")).alias("__k"),
     )
-    # round 12: the OTHER keeper policy under the oracle too —
-    # keep_first=False removes EVERY occurrence of a duplicated gram
-    # (the conservative boilerplate-annihilation mode); the twin is
-    # the same replay without the keeper CTE. The branch runs on the
-    # doc_id%5 slice (its own corpus — duplicate counts are
-    # slice-wide on both sides): the policy check doesn't need a
-    # second full-corpus double-gram-scan in the row's budget
-    removeall = remove_repeated_spans(
-        docs.filter(F.col("doc_id") % 5 == 0), span_tokens=6,
-        until_clean=False, portable=True, keep_first=False,
+    hits_all = pos.join(agg, "__gh")
+    is_single_hit = (F.col("__c_all") >= 2) & ~(
+        (F.col("doc_id") == F.col("__k.doc_id"))
+        & (F.col("__pos") == F.col("__k.__pos"))
     )
+    is_removeall_hit = in_slice & (F.col("__c_slice") >= 2)
+    # one exploded method tag per branch membership keeps the whole
+    # hit computation in ONE linear plan; the span merge then windows
+    # by (method, doc) — per-partition identical to each branch's own
+    # window — and the tiny merged span table is eagerly checkpointed
+    # so the two excision joins below never recompute the gram scan
+    tagged = hits_all.select(
+        "doc_id",
+        "__pos",
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.when(is_single_hit, F.lit("single")),
+                    F.when(is_removeall_hit, F.lit("removeall")),
+                )
+            )
+        ).alias("method"),
+    ).select(F.struct("method", "doc_id").alias("__mid"), "__pos")
+    spans = _merge_hit_positions(tagged, 6, "__mid").localCheckpoint(
+        eager=True
+    )
+
+    def branch_spans(method):
+        return spans.filter(F.col("__mid.method") == method).select(
+            F.col("__mid.doc_id").alias("doc_id"),
+            "span_begin", "span_end", "n_positions",
+        )
+
+    # truncate=False: a lazy localCheckpoint per excision would split
+    # the union into separate query executions for no benefit — the
+    # shared work already sits behind the eager span checkpoint
+    zero = F.lit(0).cast("long")
+    single_cur, _ = _excise_spans(
+        docs, branch_spans("single"),
+        "text", "doc_id", zero, truncate=False,
+    )
+    single = _finalize_span_audit(single_cur, "text")
+    removeall_cur, _ = _excise_spans(
+        docs.filter(in_slice), branch_spans("removeall"),
+        "text", "doc_id", zero, truncate=False,
+    )
+    removeall = _finalize_span_audit(removeall_cur, "text")
 
     # the engineered template-junction corpus — literals only, so the
     # DuckDB twin reconstructs it exactly from generate_series

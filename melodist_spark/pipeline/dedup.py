@@ -854,13 +854,21 @@ def _excise_spans(
     audit_removed,
     checkpoint_dir: str | None = None,
     slot: str = "docs_0",
+    truncate: bool = True,
 ) -> tuple[DataFrame, "Column"]:
     """One excision round shared by the batch and incremental span
     removers: join the merged spans back, cut covered token positions
     with a JVM filter-with-index, accumulate the removed-count audit,
     truncate lineage (lazy localCheckpoint, or the ``slot`` parquet
     under ``checkpoint_dir`` in reliable mode). Returns the updated
-    frame and the running audit column (``__cum_removed``)."""
+    frame and the running audit column (``__cum_removed``).
+
+    ``truncate=False`` skips the lineage cut and returns the lazy
+    plan: single-round callers that UNION several excisions over one
+    shared gram scan need them compiled in ONE query execution —
+    a lazy localCheckpoint per branch splits the compilation and
+    Catalyst's ReuseExchange can no longer share the scan
+    (q_span_removal's shared-agg shape)."""
     span_arr = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_begin", "span_end")).alias("__spans")
     )
@@ -889,6 +897,8 @@ def _excise_spans(
     out = out.withColumn(
         "__cum_removed", audit_removed + F.col("__round_removed")
     ).drop("__round_removed")
+    if not truncate and checkpoint_dir is None:
+        return out, F.col("__cum_removed")
     return (
         _truncate_round(out, checkpoint_dir, slot, eager=False),
         F.col("__cum_removed"),

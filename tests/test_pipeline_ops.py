@@ -4092,3 +4092,53 @@ def test_duplicate_clusters_resume_after_partial_run(spark, tmp_path):
         duplicate_clusters(pairs, checkpoint_dir=ck2, resume=True, **kw)
     with pytest.raises(ValueError, match="resume=True requires"):
         duplicate_clusters(pairs, resume=True, **kw)
+
+
+def test_q_span_removal_branches_match_public_op(spark):
+    """The registry row's shared-gram-scan restructure (round 13,
+    VERDICT r12 item 3) composes the single/removeall branches from
+    the private span kernels around ONE method-tagged hit plan — this
+    pins both branches row-identical to the public
+    remove_repeated_spans outputs they bypass (keep-first over the
+    full corpus; remove-all over the doc_id%5 slice)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import __spark_entry__ as entry
+
+    from melodist_spark.pipeline.dedup import remove_repeated_spans
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    q = entry.q_span_removal(spark, sf_dir)
+
+    def shaped(df, m):
+        return df.select(
+            F.lit(m).alias("method"),
+            "doc_id",
+            "n_tokens_removed",
+            "n_tokens_kept",
+            F.md5("text").alias("clean_md5"),
+        )
+
+    def snap(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    pub_single = remove_repeated_spans(
+        docs, span_tokens=6, until_clean=False, portable=True
+    )
+    assert snap(q.filter(F.col("method") == "single")) == snap(
+        shaped(pub_single, "single")
+    )
+    pub_removeall = remove_repeated_spans(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        span_tokens=6, until_clean=False, portable=True, keep_first=False,
+    )
+    assert snap(q.filter(F.col("method") == "removeall")) == snap(
+        shaped(pub_removeall, "removeall")
+    )
