@@ -1177,6 +1177,14 @@ def lsh_bands(
     boilerplate-stripped empty-doc population becomes a single
     quadratic candidate clique (and a false all-pairs "near-dup"
     verdict). Caught by the round-12 edge-corpus oracle twins.
+
+    PIPELINE ORDER (round-13 advisor note): because signature-less
+    docs emit no bands, near-dup ALONE no longer collapses
+    byte-identical empty/blank documents (pre-round-12 they collided
+    through the accidental shared NULL bucket). Run exact dedup
+    (:func:`dedup_exact` / :func:`dedup_against` on the md5 digest)
+    in front — the standard cascade order — so identical empties are
+    collapsed before banding.
     """
     df_with_sigs = df_with_sigs.filter(F.col("sig_0").isNotNull())
     n_bands = num_hashes // band_size

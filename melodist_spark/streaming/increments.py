@@ -1,0 +1,312 @@
+"""Replay-safe ``foreachBatch`` sinks for the incremental dedup
+indexes (round 13, VERDICT r12 item 5).
+
+The batch increments (:func:`pipeline.dedup.remove_repeated_spans_against`,
+:func:`pipeline.dedup.neardup_against`,
+:func:`pipeline.similarity.embedding_neardup_against`) consume durable
+parquet state; a streaming loop advancing that state needs more than
+the ops themselves, because Structured Streaming re-runs a failed
+micro-batch WITH ITS ORIGINAL BATCH ID and a naive read-modify-append
+corrupts under that replay:
+
+- **summed gram counts** double-count the replayed delta, push totals
+  past ``min_occurrences`` and excise text that was never duplicated;
+- **set-valued indexes** (MinHash signatures, embedding buckets) that
+  already absorbed the crashed attempt's delta make the replayed batch
+  match ITSELF in the index — every survivor reads as a duplicate and
+  is silently dropped.
+
+The sinks here make replay a no-op by construction, with three rules:
+
+1. **Snapshot reads by batch id**: state is read as of
+   ``delta_batch < bid`` — a batch never sees its own (possibly
+   partially committed) delta, so the read-modify-write is
+   deterministic under re-execution.
+2. **Batch-id-keyed OVERWRITE writes**: every write lands under
+   ``.../delta_batch={bid}``; a replay rewrites the same rows instead
+   of appending a second copy.
+3. **Output BEFORE state**: a crash between the two writes leaves the
+   output durable and the state lagging — the safe direction. A
+   restart replays the batch and overwrites both with identical
+   bytes; until then the state merely under-claims (future batches
+   would at worst re-admit a duplicate, which the next pass removes).
+   The opposite order leaves state claiming survivors whose output
+   never landed anywhere — if the job is abandoned rather than
+   restarted, later batches excise text against phantom history:
+   permanent data loss, not a transient.
+
+``test_streaming_span_increment_foreach_batch`` pins the raw
+discipline inline; ``test_*_increment_sink_crash_between_writes`` pin
+these sinks' crash-window convergence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "EmbeddingIncrementSink",
+    "MinhashIncrementSink",
+    "SpanIncrementSink",
+]
+
+
+class _BatchIncrementSink:
+    """Shared mechanics: the delta-log layout, snapshot reads, and the
+    output-then-state write order. Subclasses define the survivor
+    computation (``_survivors``), the state delta (``_delta``) and the
+    merge-on-read (``_merge``)."""
+
+    def __init__(self, state_path: str, out_path: str):
+        self.state_path = state_path.rstrip("/")
+        self.out_path = out_path.rstrip("/")
+
+    # -- layout ---------------------------------------------------------
+    def _state_slot(self, bid: int) -> str:
+        return f"{self.state_path}/delta_batch={bid}"
+
+    def _out_slot(self, bid: int) -> str:
+        return f"{self.out_path}/delta_batch={bid}"
+
+    # -- public surface ---------------------------------------------------
+    def init(self, df: DataFrame) -> None:
+        """Bootstrap the state log at ``delta_batch=-1`` from ``df`` —
+        pass ``corpus`` to seed with pre-stream history, or
+        ``corpus.limit(0)`` for an empty bootstrap (the slot must
+        exist so the first batch's parent-directory read discovers one
+        consistent partitioned layout)."""
+        self._delta(df).write.mode("overwrite").parquet(self._state_slot(-1))
+
+    def state_as_of(self, spark, bid: int | None = None) -> DataFrame:
+        """Merge-on-read of the delta log; ``bid`` excludes that batch
+        id and everything after it (the snapshot a replayed batch must
+        compute against). ``None`` reads the full state."""
+        df = spark.read.parquet(self.state_path)
+        if bid is not None:
+            df = df.filter(F.col("delta_batch") < bid)
+        return self._merge(df.drop("delta_batch"))
+
+    def output(self, spark) -> DataFrame:
+        """All emitted survivors (carries ``delta_batch`` provenance)."""
+        return spark.read.parquet(self.out_path)
+
+    def __call__(self, batch_df: DataFrame, bid) -> None:
+        """The ``foreachBatch`` body: snapshot-read, compute survivors
+        once (persisted — both writes consume them), write output then
+        state, both keyed by the batch id."""
+        bid = int(bid)
+        state = self.state_as_of(batch_df.sparkSession, bid)
+        surv = self._survivors(batch_df, state).persist()
+        try:
+            self._write_output(surv, bid)
+            self._write_state(surv, bid)
+        finally:
+            surv.unpersist()
+
+    # -- write order: output first, then state (rule 3 above) -----------
+    def _write_output(self, surv: DataFrame, bid: int) -> None:
+        surv.write.mode("overwrite").parquet(self._out_slot(bid))
+
+    def _write_state(self, surv: DataFrame, bid: int) -> None:
+        self._delta(surv).write.mode("overwrite").parquet(
+            self._state_slot(bid)
+        )
+
+    # -- subclass hooks ---------------------------------------------------
+    def _survivors(self, batch: DataFrame, state: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    def _delta(self, df: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    def _merge(self, df: DataFrame) -> DataFrame:
+        # set-valued indexes need no re-aggregation; summed counts do
+        return df
+
+
+class SpanIncrementSink(_BatchIncrementSink):
+    """Incremental cross-document span removal over a document stream:
+    each micro-batch is excised against the durable gram-count state
+    (:func:`pipeline.dedup.remove_repeated_spans_against`) and the
+    SURVIVORS' :func:`pipeline.dedup.gram_index` becomes the batch's
+    state delta. Counts are SUMMED on read, which is exactly the index
+    replay corrupts — rules 1–3 in the module docstring are load-
+    bearing here, not hygiene. ``max_count`` saturates both the deltas
+    and the merge at the decision threshold (bounded durable state
+    under adversarial re-quoting, the :func:`gram_index` discipline)."""
+
+    def __init__(
+        self,
+        state_path: str,
+        out_path: str,
+        span_tokens: int = 50,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        min_occurrences: int = 2,
+        until_clean: bool = True,
+        max_rounds: int = 20,
+        portable: bool = False,
+        max_count: int | None = None,
+    ):
+        super().__init__(state_path, out_path)
+        self.span_tokens = span_tokens
+        self.text_col = text_col
+        self.id_col = id_col
+        self.min_occurrences = min_occurrences
+        self.until_clean = until_clean
+        self.max_rounds = max_rounds
+        self.portable = portable
+        self.max_count = max_count
+
+    def _merge(self, df: DataFrame) -> DataFrame:
+        c = F.sum("c")
+        if self.max_count is not None:
+            c = F.least(c, F.lit(self.max_count).cast("long"))
+        return df.groupBy("gh").agg(c.alias("c"))
+
+    def _delta(self, df: DataFrame) -> DataFrame:
+        from melodist_spark.pipeline.dedup import gram_index
+
+        return gram_index(
+            df.select(self.id_col, self.text_col),
+            span_tokens=self.span_tokens,
+            text_col=self.text_col,
+            id_col=self.id_col,
+            portable=self.portable,
+            max_count=self.max_count,
+        )
+
+    def _survivors(self, batch: DataFrame, state: DataFrame) -> DataFrame:
+        from melodist_spark.pipeline.dedup import (
+            remove_repeated_spans_against,
+        )
+
+        return remove_repeated_spans_against(
+            batch,
+            state,
+            span_tokens=self.span_tokens,
+            text_col=self.text_col,
+            id_col=self.id_col,
+            min_occurrences=self.min_occurrences,
+            until_clean=self.until_clean,
+            max_rounds=self.max_rounds,
+            portable=self.portable,
+        )
+
+
+class MinhashIncrementSink(_BatchIncrementSink):
+    """Incremental MinHash near-dup over a document stream: each
+    micro-batch drops documents whose estimated Jaccard against the
+    stored signature index reaches ``threshold``
+    (:func:`pipeline.dedup.neardup_against`); the survivors'
+    :func:`pipeline.dedup.minhash_index` is the state delta
+    (~128 B/doc at the defaults). Run exact dedup
+    (:func:`streaming.dedup.streaming_dedup_exact` or
+    :func:`pipeline.dedup.dedup_against`) in front — near-dup no
+    longer sees signature-less empty docs."""
+
+    def __init__(
+        self,
+        state_path: str,
+        out_path: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        num_hashes: int = 16,
+        band_size: int = 4,
+        shingle: int | None = None,
+        threshold: float = 0.8,
+    ):
+        super().__init__(state_path, out_path)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.num_hashes = num_hashes
+        self.band_size = band_size
+        self.shingle = shingle
+        self.threshold = threshold
+
+    def _delta(self, df: DataFrame) -> DataFrame:
+        from melodist_spark.pipeline.dedup import minhash_index
+
+        return minhash_index(
+            df,
+            text_col=self.text_col,
+            id_col=self.id_col,
+            num_hashes=self.num_hashes,
+            shingle=self.shingle,
+        )
+
+    def _survivors(self, batch: DataFrame, state: DataFrame) -> DataFrame:
+        from melodist_spark.pipeline.dedup import neardup_against
+
+        return neardup_against(
+            batch,
+            state,
+            text_col=self.text_col,
+            id_col=self.id_col,
+            num_hashes=self.num_hashes,
+            band_size=self.band_size,
+            shingle=self.shingle,
+            threshold=self.threshold,
+        )
+
+
+class EmbeddingIncrementSink(_BatchIncrementSink):
+    """Incremental embedding near-dup over a vector stream: each
+    micro-batch drops vectors whose cosine against the stored index
+    reaches ``threshold``
+    (:func:`pipeline.similarity.embedding_neardup_against`); the
+    survivors' :func:`pipeline.similarity.embedding_index` is the
+    state delta. The snapshot read (rule 1) is what keeps a replayed
+    batch from matching ITSELF in the index and silently dropping
+    every survivor."""
+
+    def __init__(
+        self,
+        state_path: str,
+        out_path: str,
+        dim: int,
+        threshold: float = 0.9,
+        num_planes: int = 8,
+        num_tables: int = 1,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        arrow: bool = False,
+    ):
+        super().__init__(state_path, out_path)
+        self.dim = dim
+        self.threshold = threshold
+        self.num_planes = num_planes
+        self.num_tables = num_tables
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.arrow = arrow
+
+    def _delta(self, df: DataFrame) -> DataFrame:
+        from melodist_spark.pipeline.similarity import embedding_index
+
+        return embedding_index(
+            df,
+            self.dim,
+            num_planes=self.num_planes,
+            num_tables=self.num_tables,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+        )
+
+    def _survivors(self, batch: DataFrame, state: DataFrame) -> DataFrame:
+        from melodist_spark.pipeline.similarity import (
+            embedding_neardup_against,
+        )
+
+        return embedding_neardup_against(
+            batch,
+            state,
+            self.dim,
+            threshold=self.threshold,
+            num_planes=self.num_planes,
+            num_tables=self.num_tables,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            arrow=self.arrow,
+        )

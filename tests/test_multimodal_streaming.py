@@ -2671,3 +2671,201 @@ def test_streaming_span_increment_foreach_batch(spark, tmp_path):
     got2, state1 = snapshot()
     assert got2 == expect
     assert state1 == state0
+
+
+def test_span_increment_sink_crash_between_writes(spark, tmp_path):
+    """The replay-safe sink (round 13, VERDICT r12 item 5): batch 1
+    crashes AFTER its output delta is durable but BEFORE its state
+    delta lands (the write-order window). The restart replays batch 1
+    with the real sink; because reads are snapshotted at
+    delta_batch < bid and writes are batch-id-keyed overwrites, the
+    replay must converge output AND state to the uninterrupted run's
+    exact content — and a second replay must be a byte-level no-op."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from melodist_spark.streaming.increments import SpanIncrementSink
+
+    P = " ".join(f"p{i}" for i in range(10))
+    Q = " ".join(f"q{i}" for i in range(10))
+    b1 = [(0, f"one {P} alpha beta"), (1, "x y z w v u t s")]
+    b2 = [
+        (10, f"two {P} gamma delta"),  # history-held: excised
+        (11, f"lead {Q} mid"),         # batch-internal keeper
+        (12, f"{Q} tail here now"),    # batch-internal copy: cut
+    ]
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    kw = dict(span_tokens=5)
+
+    def snapshot(sink):
+        texts = {
+            r["doc_id"]: r["text"]
+            for r in sink.output(spark).collect()
+        }
+        state = {
+            (r["gh"], r["c"])
+            for r in sink.state_as_of(spark).collect()
+        }
+        return texts, state
+
+    # uninterrupted reference run
+    ref = SpanIncrementSink(
+        str(tmp_path / "ref_state"), str(tmp_path / "ref_out"), **kw
+    )
+    ref.init(frame(b1).limit(0))
+    ref(frame(b1), 0)
+    ref(frame(b2), 1)
+    want_texts, want_state = snapshot(ref)
+    assert want_texts[10] == "two gamma delta"
+    assert want_texts[11] == f"lead {Q} mid"
+    assert want_texts[12] == "tail here now"
+
+    class CrashBetweenWrites(SpanIncrementSink):
+        def _write_state(self, surv, bid):
+            if bid == 1:
+                raise RuntimeError("injected crash between writes")
+            super()._write_state(surv, bid)
+
+    state_path = str(tmp_path / "state")
+    out_path = str(tmp_path / "out")
+    crash = CrashBetweenWrites(state_path, out_path, **kw)
+    crash.init(frame(b1).limit(0))
+    crash(frame(b1), 0)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        crash(frame(b2), 1)
+    # the crash window is real: output delta durable, state delta absent
+    assert (tmp_path / "out" / "delta_batch=1").exists()
+    assert not (tmp_path / "state" / "delta_batch=1").exists()
+
+    # restart: foreachBatch replays bid=1 (checkpoint never committed)
+    sink = SpanIncrementSink(state_path, out_path, **kw)
+    sink(frame(b2), 1)
+    assert snapshot(sink) == (want_texts, want_state)
+    # replaying AGAIN (crash after both writes, before the stream
+    # checkpoint commit) is also a no-op
+    sink(frame(b2), 1)
+    assert snapshot(sink) == (want_texts, want_state)
+
+
+def test_embedding_increment_sink_replay_does_not_self_match(
+    spark, tmp_path
+):
+    """The embedding sink's snapshot read (delta_batch < bid) is what
+    keeps a REPLAYED batch from matching its own already-written state
+    delta — without it every survivor would read as a duplicate of
+    itself and silently vanish. Crash after BOTH writes (before the
+    stream checkpoint commit): the replay must keep the same survivors
+    and leave state identical; and the between-writes window must
+    converge too."""
+    import pytest
+
+    from melodist_spark.streaming.increments import EmbeddingIncrementSink
+
+    dim = 4
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<float>",
+        )
+
+    seed = [(1, [1, 0, 0, 0]), (2, [0, 1, 0, 0])]
+    b1 = [(110, [1, 0, 0, 0]), (111, [0, 0, 1, 0])]   # 110 dup of 1
+    b2 = [(210, [0, 0, 1, 0]), (211, [0, 0, 0, 1])]   # 210 dup of 111
+
+    kw = dict(dim=dim, threshold=0.999, num_planes=4, num_tables=1)
+    sink = EmbeddingIncrementSink(
+        str(tmp_path / "e_state"), str(tmp_path / "e_out"), **kw
+    )
+    sink.init(frame(seed))
+    sink(frame(b1), 0)
+    sink(frame(b2), 1)
+
+    def snapshot():
+        out = sorted(
+            r["vec_id"] for r in sink.output(spark).collect()
+        )
+        state = sorted(
+            r["vec_id"] for r in sink.state_as_of(spark).collect()
+        )
+        return out, state
+
+    want = snapshot()
+    assert want[0] == [111, 211]  # 110/210 deduplicated cross-batch
+
+    # replay with batch 1's state delta ALREADY durable: the snapshot
+    # read must exclude it — survivors unchanged, no self-match loss
+    sink(frame(b2), 1)
+    assert snapshot() == want
+
+    # the between-writes window converges as well
+    class CrashBetweenWrites(EmbeddingIncrementSink):
+        def _write_state(self, surv, bid):
+            if bid == 1:
+                raise RuntimeError("injected crash between writes")
+            super()._write_state(surv, bid)
+
+    crash = CrashBetweenWrites(
+        str(tmp_path / "c_state"), str(tmp_path / "c_out"), **kw
+    )
+    crash.init(frame(seed))
+    crash(frame(b1), 0)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        crash(frame(b2), 1)
+    sink2 = EmbeddingIncrementSink(
+        str(tmp_path / "c_state"), str(tmp_path / "c_out"), **kw
+    )
+    sink2(frame(b2), 1)
+    assert sorted(
+        r["vec_id"] for r in sink2.output(spark).collect()
+    ) == [111, 211]
+
+
+def test_minhash_increment_sink_matches_batch_loop(spark, tmp_path):
+    """MinHash sink parity with the sequential batch-mode loop
+    (neardup_against + minhash_index state advance), plus replay
+    idempotence of the last batch."""
+    from melodist_spark.pipeline.dedup import minhash_index, neardup_against
+    from melodist_spark.streaming.increments import MinhashIncrementSink
+
+    text_a = " ".join(f"w{i}" for i in range(12))
+    text_b = " ".join(f"u{i}" for i in range(12))
+    text_c = " ".join(f"v{i}" for i in range(12))
+    b1 = [(0, text_a), (1, text_b)]
+    b2 = [(10, text_a), (11, text_c)]  # 10 dup of 0 via state
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    kw = dict(num_hashes=16, band_size=4, threshold=0.8)
+
+    # batch-mode reference loop
+    idx = minhash_index(frame(b1).limit(0), **{k: kw[k] for k in ["num_hashes"]})
+    expect = []
+    for rows in (b1, b2):
+        surv = neardup_against(frame(rows), idx, **kw)
+        expect.extend(r["doc_id"] for r in surv.collect())
+        idx = idx.unionByName(minhash_index(surv, num_hashes=16))
+    assert sorted(expect) == [0, 1, 11]
+
+    sink = MinhashIncrementSink(
+        str(tmp_path / "m_state"), str(tmp_path / "m_out"), **kw
+    )
+    sink.init(frame(b1).limit(0))
+    sink(frame(b1), 0)
+    sink(frame(b2), 1)
+    got = sorted(r["doc_id"] for r in sink.output(spark).collect())
+    assert got == sorted(expect)
+    state0 = sorted(
+        tuple(r) for r in sink.state_as_of(spark).collect()
+    )
+    sink(frame(b2), 1)  # replay: byte-identical state and output
+    assert sorted(
+        r["doc_id"] for r in sink.output(spark).collect()
+    ) == sorted(expect)
+    assert sorted(
+        tuple(r) for r in sink.state_as_of(spark).collect()
+    ) == state0
