@@ -159,12 +159,23 @@ def _extra_subs(spark, sf_dir):
         return minhash_signature_arrow(docs, num_hashes=16, shingle=3)
 
     # semantic_dedup stage subs (round 11, VERDICT r10 item 3): the
-    # slowest registry row decomposed into CUMULATIVE prefixes of its
+    # registry row decomposed into CUMULATIVE prefixes of its
     # pipeline — `assign` (Arrow-matmul cell argmax), `pairs` (assign
     # + salted within-cell cosine join), `cc` (the full chain through
     # connected components, i.e. ~the registry row minus the final
     # keep join). Subtract adjacent subs to attribute cost per stage;
     # parameters mirror q_semantic_dedup exactly.
+    #
+    # TWIN PRICING (round 13, VERDICT r12 item 4): the `pairs` JVM-HOF
+    # kernel was RETIRED from the row in round 11 (the row runs the
+    # Arrow einsum), yet pricing it at the bench SF cost 2×10.4 s per
+    # run — 3.5× the row's own wall, for a kernel nothing uses. The
+    # pairs/pairs_arrow pair now prices at the sibling sf0.01 corpus:
+    # the RATIO is the signal (SCALE.md's 2M-doc three-way comparison
+    # records the absolute gap), so the unit change is free
+    # information-wise and saves ~24 s of default bench wall. Set
+    # SPARK_GRAFT_PRICE_TWINS=full to restore bench-SF pricing; `cc`
+    # (a prefix of the live row) stays at the bench SF.
     from melodist_spark.pipeline.pinned import IVF_CENTROIDS
     from melodist_spark.pipeline.similarity import (
         _bucketed_cosine_pairs,
@@ -172,32 +183,49 @@ def _extra_subs(spark, sf_dir):
     )
     from melodist_spark.pipeline.dedup import duplicate_clusters
 
+    twin_dir = os.path.join(
+        os.path.dirname(sf_dir.rstrip("/")), "sf0.01"
+    )
+    if (
+        os.environ.get("SPARK_GRAFT_PRICE_TWINS") == "full"
+        or not os.path.exists(f"{twin_dir}/embeddings.parquet")
+    ):
+        twin_dir = sf_dir
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
     def sd_assign():
         return ivf_assign(emb, IVF_CENTROIDS, vec_col="embedding")
 
-    def _sd_bucketed():
-        return ivf_assign(emb, IVF_CENTROIDS, vec_col="embedding").select(
+    def _sd_bucketed(d=sf_dir):
+        e = (
+            emb
+            if d == sf_dir
+            else spark.read.parquet(f"{d}/embeddings.parquet")
+        )
+        return ivf_assign(e, IVF_CENTROIDS, vec_col="embedding").select(
             F.col("vec_id").alias("__id"),
             F.col("embedding").alias("__v"),
             F.col("__cell").alias("__bucket"),
         )
 
     def sd_pairs():
-        return _bucketed_cosine_pairs(_sd_bucketed(), 0.3, 4096, arrow=False)
+        return _bucketed_cosine_pairs(
+            _sd_bucketed(twin_dir), 0.3, 4096, arrow=False
+        )
 
     def sd_pairs_arrow():
-        # the Arrow einsum twin of the dominant stage (the registry
-        # row keeps the JVM HOF cosine as its oracle shape; this sub
-        # prices the scale shape on the same candidate set)
-        return _bucketed_cosine_pairs(_sd_bucketed(), 0.3, 4096, arrow=True)
+        # the Arrow einsum twin of the retired kernel's stage, on the
+        # IDENTICAL candidate set (same corpus as sd_pairs) — the
+        # pairs/pairs_arrow ratio is the tracked signal
+        return _bucketed_cosine_pairs(
+            _sd_bucketed(twin_dir), 0.3, 4096, arrow=True
+        )
 
     def sd_cc():
         # arrow=True mirrors the registry row (which switched its
-        # pair kernel round 11), so cc - pairs_arrow attributes the
-        # CC stage; the JVM `pairs` sub stays as the oracle-shape
-        # reference point
+        # pair kernel round 11); cc stays at the bench SF because it
+        # is a cumulative prefix of the LIVE row
         return duplicate_clusters(
             _bucketed_cosine_pairs(_sd_bucketed(), 0.3, 4096, arrow=True)
         )
@@ -495,6 +523,60 @@ comparable round-13 expectation for the 53-query total is ~82-83 s
 on a clean run. Final round-12 runs read 89.09 s and 101.4 s
 back-to-back on an idle box — the same bimodal drift; the 89.09 run
 is recorded below as Last run.
+
+Round-13 measurement-integrity changes (VERDICT r12 items 1+4+6):
+
+- STALL-PROOFING: the official artifact stops needing a narrative.
+  (a) The two query passes are now TIME-SEPARATED by a full subs pass
+  between them, so a transient stall cannot poison both minima of a
+  row the way back-to-back passes could. (b) The 1-min loadavg at
+  each query pass start rides the contract line (`load: [a, b]`) —
+  contended runs are self-labeling. (c) BENCH_ANCHOR.json (committed;
+  per-query minima over clean end-of-round runs) gates reruns: any
+  row whose cross-pass min reads >30% over its anchor gets up to two
+  extra materializations; rows STILL over after that are listed in
+  the line's `rr` field (a real regression stays visible — it cannot
+  be rescued by reruns) and the rerun attempts land in the sidecar's
+  "Anchor-gated reruns" section. Regenerate the anchor when a row
+  grows by construction (note it here), never to absorb a slowdown.
+- span_removal: the single+removeall branches now share ONE gram
+  scan (one groupBy computes full-corpus count, slice count and the
+  keeper; one probe join tags each position's branch memberships;
+  the merged span table is eagerly checkpointed before the two
+  excisions). Row re-measured ~5.0 s uncontended (was ~6.4-6.9 s
+  with the round-12 added removeall work) — a REAL saving, branches
+  pytest-pinned row-identical to the public op, DuckDB twin
+  unchanged. Expect the round-13 53-query total at ~80-82 s clean.
+- semantic_dedup subs UNIT CHANGE: `pairs` + `pairs_arrow` now price
+  at the sibling sf0.01 corpus (the JVM-HOF `pairs` kernel was
+  retired from the row in round 11; pricing it at bench SF cost
+  2×10.4 s/run — 3.5× the row's own wall). The pairs/pairs_arrow
+  RATIO remains the tracked signal; compare ratios, not absolutes,
+  across the round-12/13 boundary. `assign`/`cc` stay at bench SF
+  (prefixes of the live row). SPARK_GRAFT_PRICE_TWINS=full restores
+  the old pricing.
+- Stall-tail confirmations (VERDICT r12 item 6) — every row round 12
+  flagged as drift reverted on the round-13 clean runs (cross-run
+  minima, idle box), with no plan change to any of them:
+  wind_random 0.37 -> 0.10 s (r10/r11 level);
+  dyadic_calendars 0.93 -> 0.31 s (r11 0.27);
+  streaming_daily_agg 5.72 -> 2.29 s (r12 paired 2.45);
+  text_features 5.55 -> 2.06 s (r12 paired 2.35);
+  smet_roundtrip 3.11 -> 1.67 s (r10 level).
+  The r12 driver readings were the stall tail, as the paired protocol
+  attributed.
+- BENCH_ANCHOR.json generated this round as the per-row MEAN of two
+  clean end-of-round runs (totals 65.51 / 67.88 s; a third run that
+  read 88.4 s — the stall mode — was excluded). Anchors total
+  66.68 s / 53 queries at sf0.1. Mean-not-min: a min anchor plus the
+  ±20% same-code noise band made borderline rows (dup_clusters'
+  driver-action-paced CC rounds, clean spread 1.36-1.91 s) flag on
+  their own noise; the mean centers the 1.3× gate so clean runs pass
+  and the 1.5-3× bimodal stall still trips it. The drop from the r12
+  80.91 s expectation decomposes as: span_removal's shared gram scan
+  (~-3.3 s on the row), the rest environment-side — the r12 anchor
+  run itself carried drift (its own notes list 89-101 s runs around
+  it); compare rows against THESE anchors from round 13 on.
 """
 
 
@@ -568,9 +650,33 @@ def main():
         build().write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    # min of 2 per query (see NOTES)
+    # STALL-PROOFING (round 13, VERDICT r12 item 1): this host's
+    # multi-second stalls are bimodal and can poison back-to-back
+    # passes, so (a) the two query passes are TIME-SEPARATED by a full
+    # subs pass between them (~1 min apart instead of adjacent), (b)
+    # the 1-min loadavg is recorded at the start of each query pass
+    # (visible contention context rides the artifact itself), and (c)
+    # any query whose cross-pass min still reads >30% above the
+    # committed BENCH_ANCHOR.json gets up to two extra
+    # materializations — a stalled pair stops masquerading as a
+    # regression without a narrative rescue. Rows still over after the
+    # reruns are listed in `rr` (a REAL slowdown stays visible).
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_ANCHOR.json")) as f:
+            _a = json.load(f)
+        # anchors are per-SF: at any other scale they would either
+        # never fire (smaller) or rerun every row futilely (larger)
+        anchor = _a.get("queries", {}) if _a.get("sf") == float(sf) else {}
+    except Exception:
+        anchor = {}
+
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    subs: dict[str, dict[str, float]] = {}
+    loads: list[float] = []
+
+    def query_pass():
+        loads.append(round(os.getloadavg()[0], 1))
         for name in HEADLINE:
             fn = qs[name]
             # 2 decimals (round 9, was 3): the same-code noise band
@@ -581,9 +687,7 @@ def main():
             if name not in timings or t < timings[name]:
                 timings[name] = t
 
-    # per-half sub-timings for union rows, min of 2
-    subs: dict[str, dict[str, float]] = {}
-    for _pass in range(2):
+    def subs_pass(extra):
         for name, (tag, values) in SUBQUERIES.items():
             for v in values:
                 fn = qs[name]
@@ -598,17 +702,44 @@ def main():
                 d = subs.setdefault(name, {})
                 if v not in d or t < d[v]:
                     d[v] = t
-
-    # Arrow-kernel twin sub-timings (not tag filters — standalone
-    # builds on the same inputs), min of 2, same timer contract
-    extra = _extra_subs(spark, sf_dir)
-    for _pass in range(2):
+        # Arrow-kernel twin sub-timings (not tag filters — standalone
+        # builds on the same inputs), same timer contract
         for name, builds in extra.items():
             for v, build in builds.items():
                 t = round(materialize(build), 2)
                 d = subs.setdefault(name, {})
                 if v not in d or t < d[v]:
                     d[v] = t
+
+    extra = _extra_subs(spark, sf_dir)
+    query_pass()
+    subs_pass(extra)   # separates the two query passes in time
+    query_pass()
+    subs_pass(extra)
+
+    # anchor-gated reruns: a stall that struck a query in BOTH passes
+    # reads >30% over its committed anchor — give it up to two more
+    # materializations before recording; reruns + outcomes go to the
+    # sidecar, the over-anchor survivors to the contract line
+    reruns: dict[str, list[float]] = {}
+    for name in HEADLINE:
+        a = anchor.get(name)
+        if not a:
+            continue
+        attempts = 0
+        while timings[name] > 1.3 * a and attempts < 2:
+            fn = qs[name]
+            t = round(materialize(lambda: fn(spark, sf_dir)), 2)
+            reruns.setdefault(name, []).append(t)
+            timings[name] = min(timings[name], t)
+            attempts += 1
+    over = sorted(
+        n for n in HEADLINE
+        if anchor.get(n) and timings[n] > 1.3 * anchor[n]
+    )
+    # a whole-run stall can flag many rows: cap the contract line's
+    # list (the full list is always in the sidecar + stderr JSON)
+    rr_line = over if len(over) <= 8 else over[:8] + [f"+{len(over)-8}"]
 
     total = round(sum(timings.values()), 3)
     core = {
@@ -617,8 +748,15 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "load": loads,
+        "rr": rr_line,
     }
     with_subs = dict(core, subs=subs)
+    rerun_note = {
+        "anchor_reruns": reruns,
+        "over_anchor_after_reruns": over,
+        "loadavg_per_query_pass": loads,
+    }
     line = json.dumps(with_subs, separators=(",", ":"))
     if len(line) > LINE_BUDGET:
         # keep the contract line parseable at any cost: shed sub
@@ -641,11 +779,12 @@ def main():
         if len(line) > LINE_BUDGET:
             line = json.dumps(core, separators=(",", ":"))
 
-    here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_NOTES.md"), "w") as f:
         f.write(NOTES)
         f.write("\n## Last run\n\n```json\n")
         f.write(json.dumps(with_subs, indent=2))
+        f.write("\n```\n\n## Anchor-gated reruns (last run)\n\n```json\n")
+        f.write(json.dumps(rerun_note, indent=2))
         f.write("\n```\n")
     print(json.dumps(with_subs), file=sys.stderr)
     print(line)
