@@ -738,6 +738,7 @@ def remove_repeated_spans_against(
     max_rounds: int = 20,
     portable: bool = False,
     checkpoint_dir: str | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """Incremental cross-document repeated-span removal: excise from
     a new batch every token span whose gram reaches
@@ -773,21 +774,68 @@ def remove_repeated_spans_against(
     ``checkpoint_dir=None`` → localCheckpoint rounds with prior-round
     block release (executor-local — NOT fault-tolerant); a directory
     → alternating scratch-parquet slots, so executor loss replays at
-    most one round from durable state."""
+    most one round from durable state. The same directory-lifetime
+    rule applies: reliable-mode results lazily read the live scratch
+    parquet, so the directory must outlive their full consumption,
+    and sequential calls must not share a directory.
+
+    ``resume=True`` (round 13) follows the batch op's driver-loss
+    discipline: reliable mode records each completed round in an
+    alternating manifest, and a resumed call validates the semantic
+    parameters and continues the fixpoint from the recorded docs slot
+    — assuming the SAME batch and the SAME stored index (the manifest
+    cannot verify either). Requires ``checkpoint_dir`` +
+    ``until_clean``."""
     if span_tokens < 1:
         raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
     if max_rounds < 1:
         raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    if resume and (checkpoint_dir is None or not until_clean):
+        raise ValueError(
+            "resume=True requires checkpoint_dir (the durable slots "
+            "ARE the resume state) and until_clean=True (single-round "
+            "mode has no rounds to resume)"
+        )
     # the stored state must have been built with THIS family and gram
     # width — both families live in the same 64-bit space, so an
     # unchecked mismatch would read as zero historical hits (silently
     # missed duplicates); gram_index stamps the metadata this reads
     _check_gram_meta(index, span_tokens, portable, "stored gram_index")
 
+    spark = batch.sparkSession
+    _OP = "remove_repeated_spans_against"
+    params = {
+        "span_tokens": span_tokens,
+        "text_col": text_col,
+        "id_col": id_col,
+        "min_occurrences": min_occurrences,
+        "portable": portable,
+    }
+
     hist = index.select("gh", F.col("c").alias("__ch"))
     audit_removed = F.lit(0).cast("long")
     cur = batch
     rounds = 0
+    manifests = checkpoint_dir is not None and until_clean
+    if manifests:
+        manifest = _manifest_read_latest(spark, checkpoint_dir) if resume else None
+        if manifest is not None:
+            _manifest_validate(manifest, _OP, params)
+            rounds = manifest["seq"]
+            if rounds >= 1:
+                cur = spark.read.parquet(
+                    f"{checkpoint_dir.rstrip('/')}/docs_{rounds % 2}"
+                )
+                audit_removed = F.col("__cum_removed")
+            if manifest.get("done"):
+                return _finalize_span_audit(cur, text_col)
+        else:
+            for s in (0, 1):
+                _manifest_write(
+                    spark, checkpoint_dir, s,
+                    {"op": _OP, "params": params, "seq": 0, "done": False},
+                )
+            rounds = 0
     prev_frames: list[DataFrame] = []
     while True:
         pos = _gram_positions(cur, span_tokens, text_col, id_col, portable)
@@ -826,6 +874,12 @@ def remove_repeated_spans_against(
                 _local_ck_release(f)
             prev_frames = []
             if spans.isEmpty():
+                if manifests:
+                    _manifest_write(
+                        spark, checkpoint_dir, rounds,
+                        {"op": _OP, "params": params, "seq": rounds,
+                         "done": True},
+                    )
                 break
         rounds += 1
         if rounds > max_rounds:
@@ -839,6 +893,12 @@ def remove_repeated_spans_against(
             cur, spans, text_col, id_col, audit_removed,
             checkpoint_dir, f"docs_{rounds % 2}",
         )
+        if manifests:
+            _manifest_write(
+                spark, checkpoint_dir, rounds,
+                {"op": _OP, "params": params, "seq": rounds,
+                 "done": False},
+            )
         if not until_clean:
             break
         prev_frames = [spans] + ([prev_cur] if rounds > 1 else [])

@@ -584,6 +584,7 @@ def semantic_dedup(
     centroids: "np.ndarray | None" = None,
     arrow: bool = False,
     checkpoint_dir: str | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embeddings, compare pairs
@@ -621,11 +622,14 @@ def semantic_dedup(
     and join shape, vectorized scalar; the scale path (see
     ``_bucketed_cosine_pairs`` and tools/semdedup_scale_smoke.py).
 
-    ``checkpoint_dir`` passes through to the connected-components
-    labeling: on a real cluster the CC rounds should truncate to
-    reliable storage (executor loss replays one round) instead of
-    executor-local localCheckpoint blocks — same contract as
-    ``dedup.duplicate_clusters``.
+    ``checkpoint_dir`` / ``resume`` pass through to the
+    connected-components labeling: on a real cluster the CC rounds
+    should truncate to reliable storage (executor loss replays one
+    round) instead of executor-local localCheckpoint blocks, and a
+    restart with ``resume=True`` continues the rounds from the
+    recorded manifest instead of label round 0 — same contract as
+    ``dedup.duplicate_clusters`` (the quantizer/assign/pair stages
+    upstream of CC are recomputed; only the CC fixpoint resumes).
     """
     from .dedup import duplicate_clusters
 
@@ -650,7 +654,9 @@ def semantic_dedup(
         F.col("__cell").alias("__bucket"),
     )
     pairs = _bucketed_cosine_pairs(b, threshold, max_cell, arrow=arrow)
-    labels = duplicate_clusters(pairs, checkpoint_dir=checkpoint_dir)
+    labels = duplicate_clusters(
+        pairs, checkpoint_dir=checkpoint_dir, resume=resume
+    )
     return (
         corpus.select(id_col)
         .join(labels.withColumnRenamed("id", id_col), id_col, "left")

@@ -4142,3 +4142,52 @@ def test_q_span_removal_branches_match_public_op(spark):
     assert snap(q.filter(F.col("method") == "removeall")) == snap(
         shaped(pub_removeall, "removeall")
     )
+
+
+def test_remove_repeated_spans_against_resume_after_crash(spark, tmp_path):
+    """The incremental fixpoint's driver-loss resume: a junction
+    corpus whose batch needs two rounds against the stored index, run
+    with max_rounds=1 (dies after round 1's durable commit), resumed
+    with the full budget — output identical to the uninterrupted
+    incremental run; parameter mismatch refused."""
+    from melodist_spark.pipeline.dedup import (
+        gram_index,
+        remove_repeated_spans_against,
+    )
+
+    # history holds S and T; the batch quotes each between the SAME
+    # global affixes, so round-1 excisions junction both batch docs
+    # onto a new batch-internal duplicate that round 2 drains
+    hist = spark.createDataFrame(
+        [(0, "S1 S2 S3"), (1, "T1 T2 T3")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, "a b S1 S2 S3 c d"), (11, "a b T1 T2 T3 c d")],
+        "doc_id long, text string",
+    )
+    idx = gram_index(hist, span_tokens=3)
+    kw = dict(span_tokens=3)
+    want = (
+        remove_repeated_spans_against(
+            batch, idx, checkpoint_dir=str(tmp_path / "full"), **kw
+        ).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert (want["n_tokens_removed"] > 0).any()
+
+    ck = str(tmp_path / "crash")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        remove_repeated_spans_against(
+            batch, idx, checkpoint_dir=ck, max_rounds=1, **kw
+        ).collect()
+    got = (
+        remove_repeated_spans_against(
+            batch, idx, checkpoint_dir=ck, resume=True, **kw
+        ).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        remove_repeated_spans_against(
+            batch, gram_index(hist, span_tokens=4), span_tokens=4,
+            checkpoint_dir=ck, resume=True,
+        )
