@@ -577,6 +577,27 @@ Round-13 measurement-integrity changes (VERDICT r12 items 1+4+6):
   (~-3.3 s on the row), the rest environment-side — the r12 anchor
   run itself carried drift (its own notes list 89-101 s runs around
   it); compare rows against THESE anchors from round 13 on.
+
+Round-13 paired measurement (VERDICT r12 item 7, same protocol) —
+r12 code (c7f97df, git worktree) vs r13 code, interleaved A-B-A-B on
+one box, 2 full runs each, min-of-2-runs per query:
+
+- 53 shared queries: r12 78.74 s -> r13 73.58 s (-6.6%). The one
+  change-driven delta is span_removal 5.18 -> 3.81 s (the shared
+  gram scan; uncontended it reads ~3.0-3.7 s). text_features
+  (3.00 -> 1.69) and semantic_dedup (3.27 -> 2.14) moved on
+  UNTOUCHED plans — interleave-position drift, the same pattern the
+  r12 pairing documented (both rows sit at/below their historical
+  clean levels on both codes). The only positive deltas are
+  doc_sample +0.28 and decontaminate +0.33 on untouched code —
+  inside the band. No regressions to chase.
+- r12's first interleaved run read 95.8 s (its own stall mode, no
+  loadavg instrumentation in that code); both r13 runs carried
+  loads [2.2-5.0] from the interleaving itself and still read
+  75.2/78.6 s — the new rr gate flagged exactly one row once
+  (jaccard_pairs, on the contended second run), demonstrating the
+  intended behavior: uniform contention passes, per-row outliers
+  get flagged and re-measured.
 """
 
 

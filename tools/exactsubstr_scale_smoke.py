@@ -111,6 +111,21 @@ def main() -> None:
     print(f"fixpoint-reliable: {rrel} tokens removed in {t3r - t3:.1f}s")
     assert rrel == rt, (rrel, rt)
 
+    # round 13: driver-loss resume. Re-invoking the COMPLETED reliable
+    # run with resume=True must hit the done manifest and return the
+    # final docs slot without re-running any detection round — the
+    # restart-after-crash-at-the-finish-line price is one parquet
+    # read, not another full fixpoint. (Mid-run resume is pinned at
+    # unit scale by test_remove_repeated_spans_resume_after_crash.)
+    res = remove_repeated_spans(
+        docs, span_tokens=SPAN,
+        checkpoint_dir="/tmp/exactsubstr_smoke_ck", resume=True,
+    )
+    rres = res.agg(F.sum("n_tokens_removed")).collect()[0][0]
+    t3rr = time.perf_counter()
+    print(f"resume-after-done: {rres} tokens in {t3rr - t3r:.1f}s")
+    assert rres == rt, (rres, rt)
+
     # incremental: treat the cleaned corpus as history (its gram_index
     # is the durable state) and ingest a 5%-sized fresh batch, half of
     # whose docs re-quote the planted passages — the daily-crawl shape:
