@@ -245,6 +245,44 @@ def _extra_subs(spark, sf_dir):
 # of stdout; the line (plus its newline) must fit inside it whole.
 LINE_BUDGET = 1980
 
+
+def _anchor_reruns(
+    timings: dict[str, float],
+    anchor: dict[str, float],
+    rerun,
+    per_query: int = 2,
+    budget: int = 12,
+) -> dict[str, list[float]]:
+    """Re-materialize queries whose cross-pass min reads >30% over
+    their committed anchor, up to ``per_query`` attempts each and
+    ``budget`` attempts TOTAL — the global cap matters when the
+    documented whole-run stall inflates EVERY row uniformly: without
+    it 53 flagged rows × 2 reruns would double the run (and risk the
+    driver's window) chasing an environment condition the recorded
+    loadavg + `rr` list already label. Rows are visited worst-ratio
+    first so the budget goes to the most anomalous readings. Updates
+    ``timings`` in place with per-row minima; returns the rerun
+    attempts per query for the sidecar."""
+    flagged = sorted(
+        (n for n in timings if anchor.get(n) and timings[n] > 1.3 * anchor[n]),
+        key=lambda n: -(timings[n] / anchor[n]),
+    )
+    reruns: dict[str, list[float]] = {}
+    spent = 0
+    for name in flagged:
+        attempts = 0
+        while (
+            timings[name] > 1.3 * anchor[name]
+            and attempts < per_query
+            and spent < budget
+        ):
+            t = rerun(name)
+            reruns.setdefault(name, []).append(t)
+            timings[name] = min(timings[name], t)
+            attempts += 1
+            spent += 1
+    return reruns
+
 NOTES = """# BENCH notes (regenerated by bench.py each run)
 
 Methodology (unchanged since round 6 unless noted):
@@ -742,18 +780,12 @@ def main():
     # reads >30% over its committed anchor — give it up to two more
     # materializations before recording; reruns + outcomes go to the
     # sidecar, the over-anchor survivors to the contract line
-    reruns: dict[str, list[float]] = {}
-    for name in HEADLINE:
-        a = anchor.get(name)
-        if not a:
-            continue
-        attempts = 0
-        while timings[name] > 1.3 * a and attempts < 2:
-            fn = qs[name]
-            t = round(materialize(lambda: fn(spark, sf_dir)), 2)
-            reruns.setdefault(name, []).append(t)
-            timings[name] = min(timings[name], t)
-            attempts += 1
+    reruns = _anchor_reruns(
+        timings, anchor,
+        lambda name: round(
+            materialize(lambda: qs[name](spark, sf_dir)), 2
+        ),
+    )
     over = sorted(
         n for n in HEADLINE
         if anchor.get(n) and timings[n] > 1.3 * anchor[n]

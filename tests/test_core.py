@@ -318,3 +318,47 @@ def test_streaming_sessions(spark, tmp_path):
     # two sessions of 2 events each (the open tail session may be held
     # back by the watermark; with 0s delay + availableNow both close)
     assert list(got["n_events"]) == [2, 2]
+
+
+def test_bench_anchor_rerun_budget():
+    """bench.py's stall gate: per-query cap of 2 reruns, global
+    budget of 12, worst-ratio-first ordering — a uniform whole-run
+    stall (every row ~1.5x its anchor) must stop after the budget
+    instead of doubling the run, while a single-row stall gets its
+    two attempts and recovers."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"),
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    # single stalled row: two reruns, second one recovers
+    timings = {"a": 3.0, "b": 1.0}
+    anchor = {"a": 1.0, "b": 1.0}
+    seq = iter([2.9, 1.05])
+    calls = []
+
+    def rerun(name):
+        calls.append(name)
+        return next(seq)
+
+    rr = bench._anchor_reruns(timings, anchor, rerun)
+    assert calls == ["a", "a"]
+    assert timings["a"] == 1.05
+    assert rr == {"a": [2.9, 1.05]}
+
+    # uniform whole-run stall: 53 rows all 1.5x over -> exactly the
+    # global budget of attempts, worst ratio first
+    timings = {f"q{i}": 1.5 + i * 0.01 for i in range(53)}
+    anchor = {f"q{i}": 1.0 for i in range(53)}
+    calls = []
+    rr = bench._anchor_reruns(
+        timings, anchor, lambda n: (calls.append(n), 1.49)[1]
+    )
+    assert len(calls) == 12
+    assert calls[0] == "q52"  # worst ratio first
+    assert sum(len(v) for v in rr.values()) == 12
