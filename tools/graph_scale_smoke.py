@@ -74,6 +74,47 @@ def main():
             f"top={[(r['node'], round(r['pagerank'], 6)) for r in top]}",
             flush=True,
         )
+
+    # round 13: driver-loss resume at scale. A reliable full run, then
+    # the crash scenario — a run that dies halfway (its cuts +
+    # manifests durable) resumed to the full budget. Ranks compared by
+    # max |diff|: at this scale partial-sum order is not bitwise
+    # deterministic across runs, so the bound is float round-off
+    # (1e-12), not exact equality (which the unit test pins on a
+    # single-partition graph).
+    t0 = time.perf_counter()
+    full = pagerank(
+        edges, damping=0.85, n_iter=iters,
+        checkpoint_dir="/tmp/graph_smoke_ck_full",
+    ).persist()
+    full.count()
+    t1 = time.perf_counter()
+    print(f"pagerank x{iters} reliable+manifests: {t1 - t0:.1f}s", flush=True)
+    half = iters // 2
+    pagerank(
+        edges, damping=0.85, n_iter=half,
+        checkpoint_dir="/tmp/graph_smoke_ck_crash",
+    ).count()
+    t2 = time.perf_counter()
+    res = pagerank(
+        edges, damping=0.85, n_iter=iters,
+        checkpoint_dir="/tmp/graph_smoke_ck_crash", resume=True,
+    ).persist()
+    res.count()
+    t3 = time.perf_counter()
+    diff = (
+        full.join(res.withColumnRenamed("pagerank", "pr2"), "node")
+        .agg(F.max(F.abs(F.col("pagerank") - F.col("pr2"))))
+        .first()[0]
+    )
+    print(
+        f"resume: {half}-iter crash run {t2 - t1:.1f}s + resume-to-{iters} "
+        f"{t3 - t2:.1f}s; max|rank diff| vs uninterrupted = {diff:.2e}",
+        flush=True,
+    )
+    assert diff < 1e-12, diff
+    full.unpersist()
+    res.unpersist()
     edges.unpersist()
 
 
