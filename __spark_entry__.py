@@ -5995,7 +5995,14 @@ def q_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hit computation in ONE linear plan; the span merge then windows
     # by (method, doc) — per-partition identical to each branch's own
     # window — and the tiny merged span table is eagerly checkpointed
-    # so the two excision joins below never recompute the gram scan
+    # so the two excision joins below never recompute the gram scan.
+    # BLOCK LIFETIME (accepted, reviewed round 13): the checkpoint's
+    # blocks live until driver GC — they cannot be released here (the
+    # returned lazy plan reads them) and no caller hook exists. The
+    # table is duplicate-volume-sized (tens of KB per materialization
+    # at sf0.1), so the stranded-block total over a bench run is
+    # bounded and negligible, unlike the corpus-copy leaks the
+    # _local_ck_release discipline exists for
     tagged = hits_all.select(
         "doc_id",
         "__pos",

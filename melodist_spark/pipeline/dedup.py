@@ -1472,6 +1472,12 @@ def duplicate_clusters(
     )
     if manifest is not None:
         _manifest_validate(manifest, _OP, {})
+        if manifest.get("slot") is None:
+            # an entry marker: the recorded run died before its seed
+            # committed, or took the driver fast path (which writes no
+            # label slots) — nothing to resume, start fresh
+            manifest = None
+    if manifest is not None:
         base = checkpoint_dir.rstrip("/")
         sym = spark.read.parquet(f"{base}/sym")
         labels = spark.read.parquet(f"{base}/{manifest['slot']}")
@@ -1490,6 +1496,21 @@ def duplicate_clusters(
             sym, labels, n_nodes, start_it, n_writes, max_iter,
             check_every, broadcast_nodes, checkpoint_dir, _truncate,
         )
+
+    if checkpoint_dir is not None:
+        # invalidate BOTH manifest slots at entry (slot=None entry
+        # markers), BEFORE any state write: a run from a previous use
+        # of this directory must never be resumable against THIS
+        # run's sym slot — including when this run takes the driver
+        # fast path below and writes no label slots at all (round-13
+        # review finding). The distributed path re-stamps with the
+        # real seed manifest after the seed commits.
+        for s in (0, 1):
+            _manifest_write(
+                spark, checkpoint_dir, s,
+                {"op": _OP, "params": {}, "seq": 0, "slot": None,
+                 "n_writes": 0, "n_nodes": 0, "done": False},
+            )
 
     sym = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
@@ -1607,9 +1628,8 @@ def duplicate_clusters(
         if n_nodes != 0:
             raise
     if checkpoint_dir is not None:
-        # fresh reliable start: stamp seq 0 (= seed complete) into
-        # BOTH manifest slots so a previous run's manifest in this
-        # directory can never be mistaken for this run's progress
+        # the seed is durable: replace the entry markers with the
+        # first resumable manifest (seq 0 = seed complete)
         for s in (0, 1):
             _manifest_write(
                 spark, checkpoint_dir, s,

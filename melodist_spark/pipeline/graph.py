@@ -166,6 +166,22 @@ def pagerank(
     )
     if manifest is not None:
         _manifest_validate(manifest, _OP, params)
+        if manifest.get("slot") is None:
+            # an entry marker: the recorded run died before its first
+            # cut, or took the driver fast path (no rank slots) —
+            # nothing to resume, start fresh
+            manifest = None
+    if manifests and manifest is None:
+        # invalidate BOTH manifest slots at entry, BEFORE the fast
+        # path can return without writing any rank slot (round-13
+        # review finding): a previous run's manifest in this
+        # directory must never be resumable after this run starts
+        for s in (0, 1):
+            _manifest_write(
+                spark, checkpoint_dir, s,
+                {"op": _OP, "params": params, "seq": 0,
+                 "slot": None, "n_cuts": 0},
+            )
 
     if manifest is None and driver_below and n_nodes <= driver_below:
         rows = e.collect()
@@ -176,7 +192,7 @@ def pagerank(
         )
 
     base = (1.0 - damping) / n_nodes
-    if manifest is not None and manifest["slot"] is not None:
+    if manifest is not None:
         start_it = manifest["seq"]
         n_cuts = manifest["n_cuts"]
         ranks = spark.read.parquet(
@@ -185,16 +201,6 @@ def pagerank(
     else:
         start_it, n_cuts = 0, 0
         ranks = deg.select("node", F.lit(1.0 / n_nodes).alias("r"))
-        if manifests and manifest is None:
-            # fresh reliable start: stamp iteration 0 into BOTH
-            # manifest slots so a previous run's manifest in this
-            # directory can never be mistaken for this run's progress
-            for s in (0, 1):
-                _manifest_write(
-                    spark, checkpoint_dir, s,
-                    {"op": _OP, "params": params, "seq": 0,
-                     "slot": None, "n_cuts": 0},
-                )
     prev_cut: DataFrame | None = None
     for it in range(start_it, n_iter):
         with_deg = ranks.join(deg, "node")

@@ -204,7 +204,19 @@ class MinhashIncrementSink(_BatchIncrementSink):
     (~128 B/doc at the defaults). Run exact dedup
     (:func:`streaming.dedup.streaming_dedup_exact` or
     :func:`pipeline.dedup.dedup_against`) in front — near-dup no
-    longer sees signature-less empty docs."""
+    longer sees signature-less empty docs.
+
+    INTRA-BATCH near-dups (round-13 review finding): the ``against``
+    op compares batch-vs-index only, so two near-copies arriving in
+    the SAME micro-batch would both survive and both enter the
+    durable index forever — a permanent leak the batch pipeline's
+    self-join near-dup would have caught. With ``intra_batch=True``
+    (default) the survivors also run the standard self-join pass —
+    banded LSH candidates, signature-agreement verify at the same
+    ``threshold``, connected components, keep the min-id
+    representative per cluster — on the batch-sized survivor set
+    (the signatures are shared with the against-pass, so the
+    expensive shingle→minhash projection still runs once)."""
 
     def __init__(
         self,
@@ -216,6 +228,7 @@ class MinhashIncrementSink(_BatchIncrementSink):
         band_size: int = 4,
         shingle: int | None = None,
         threshold: float = 0.8,
+        intra_batch: bool = True,
     ):
         super().__init__(state_path, out_path)
         self.text_col = text_col
@@ -224,6 +237,7 @@ class MinhashIncrementSink(_BatchIncrementSink):
         self.band_size = band_size
         self.shingle = shingle
         self.threshold = threshold
+        self.intra_batch = intra_batch
 
     def _delta(self, df: DataFrame) -> DataFrame:
         from melodist_spark.pipeline.dedup import minhash_index
@@ -237,9 +251,18 @@ class MinhashIncrementSink(_BatchIncrementSink):
         )
 
     def _survivors(self, batch: DataFrame, state: DataFrame) -> DataFrame:
-        from melodist_spark.pipeline.dedup import neardup_against
+        from melodist_spark.pipeline.dedup import (
+            duplicate_clusters,
+            lsh_bands,
+            lsh_candidate_pairs,
+            minhash_signature,
+            neardup_against,
+        )
 
-        return neardup_against(
+        sig = minhash_signature(
+            batch, self.text_col, self.num_hashes, self.shingle
+        )
+        surv = neardup_against(
             batch,
             state,
             text_col=self.text_col,
@@ -248,7 +271,41 @@ class MinhashIncrementSink(_BatchIncrementSink):
             band_size=self.band_size,
             shingle=self.shingle,
             threshold=self.threshold,
+            batch_sig=sig,
         )
+        if not self.intra_batch:
+            return surv
+        names = [f"sig_{i}" for i in range(self.num_hashes)]
+        ssig = sig.select(self.id_col, *names).join(
+            surv.select(self.id_col), self.id_col, "left_semi"
+        )
+        cand = lsh_candidate_pairs(
+            lsh_bands(ssig, self.id_col, self.num_hashes, self.band_size),
+            self.id_col,
+        )
+        a = ssig.select(
+            F.col(self.id_col).alias("id_a"),
+            *[F.col(n).alias(f"__a{i}") for i, n in enumerate(names)],
+        )
+        b = ssig.select(
+            F.col(self.id_col).alias("id_b"),
+            *[F.col(n).alias(f"__b{i}") for i, n in enumerate(names)],
+        )
+        est = sum(
+            F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
+            for i in range(self.num_hashes)
+        ) / F.lit(float(self.num_hashes))
+        pairs = (
+            cand.join(a, "id_a")
+            .join(b, "id_b")
+            .filter(est >= float(self.threshold))
+            .select("id_a", "id_b")
+        )
+        labels = duplicate_clusters(pairs)
+        drop = labels.filter(F.col("cluster_id") != F.col("id")).select(
+            F.col("id").alias(self.id_col)
+        )
+        return surv.join(drop, self.id_col, "left_anti")
 
 
 class EmbeddingIncrementSink(_BatchIncrementSink):
@@ -259,7 +316,16 @@ class EmbeddingIncrementSink(_BatchIncrementSink):
     survivors' :func:`pipeline.similarity.embedding_index` is the
     state delta. The snapshot read (rule 1) is what keeps a replayed
     batch from matching ITSELF in the index and silently dropping
-    every survivor."""
+    every survivor.
+
+    INTRA-BATCH near-dups (round-13 review finding): the ``against``
+    op compares batch-vs-index only; with ``intra_batch=True``
+    (default) the survivors also self-join on their own
+    :func:`embedding_index` buckets (each table unioned — the same
+    OR-amplified candidate set the against-pass uses), re-check exact
+    cosine at ``threshold``, and keep the min-id representative per
+    connected component — so two near-copies arriving in one
+    micro-batch no longer both enter the durable index forever."""
 
     def __init__(
         self,
@@ -272,6 +338,7 @@ class EmbeddingIncrementSink(_BatchIncrementSink):
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         arrow: bool = False,
+        intra_batch: bool = True,
     ):
         super().__init__(state_path, out_path)
         self.dim = dim
@@ -281,6 +348,7 @@ class EmbeddingIncrementSink(_BatchIncrementSink):
         self.id_col = id_col
         self.vec_col = vec_col
         self.arrow = arrow
+        self.intra_batch = intra_batch
 
     def _delta(self, df: DataFrame) -> DataFrame:
         from melodist_spark.pipeline.similarity import embedding_index
@@ -295,11 +363,13 @@ class EmbeddingIncrementSink(_BatchIncrementSink):
         )
 
     def _survivors(self, batch: DataFrame, state: DataFrame) -> DataFrame:
+        from melodist_spark.pipeline.dedup import duplicate_clusters
         from melodist_spark.pipeline.similarity import (
+            _bucketed_cosine_pairs,
             embedding_neardup_against,
         )
 
-        return embedding_neardup_against(
+        surv = embedding_neardup_against(
             batch,
             state,
             self.dim,
@@ -310,3 +380,22 @@ class EmbeddingIncrementSink(_BatchIncrementSink):
             vec_col=self.vec_col,
             arrow=self.arrow,
         )
+        if not self.intra_batch:
+            return surv
+        idx = self._delta(surv)
+        pairs = None
+        for t in range(self.num_tables):
+            b = idx.select(
+                F.col(self.id_col).alias("__id"),
+                F.col(self.vec_col).alias("__v"),
+                F.col(f"bucket_{t}").alias("__bucket"),
+            )
+            p = _bucketed_cosine_pairs(
+                b, self.threshold, 4096, arrow=self.arrow
+            ).select("id_a", "id_b")
+            pairs = p if pairs is None else pairs.unionByName(p)
+        labels = duplicate_clusters(pairs.distinct())
+        drop = labels.filter(F.col("cluster_id") != F.col("id")).select(
+            F.col("id").alias(self.id_col)
+        )
+        return surv.join(drop, self.id_col, "left_anti")

@@ -2869,3 +2869,58 @@ def test_minhash_increment_sink_matches_batch_loop(spark, tmp_path):
     assert sorted(
         tuple(r) for r in sink.state_as_of(spark).collect()
     ) == state0
+
+
+def test_increment_sinks_drop_intra_batch_near_dups(spark, tmp_path):
+    """Round-13 review finding: the against-ops compare batch-vs-index
+    only, so two near-copies arriving in the SAME micro-batch both
+    survived and both entered the durable index forever. The sinks'
+    intra_batch pass (default on) must keep only the min-id
+    representative of a within-batch near-dup cluster — in the
+    output, and in the state delta."""
+    from melodist_spark.streaming.increments import (
+        EmbeddingIncrementSink,
+        MinhashIncrementSink,
+    )
+
+    # minhash: doc 21 is a copy of doc 20 inside one batch
+    text_a = " ".join(f"w{i}" for i in range(12))
+    text_b = " ".join(f"u{i}" for i in range(12))
+    batch = [(20, text_a), (21, text_a), (22, text_b)]
+    m = MinhashIncrementSink(
+        str(tmp_path / "m_state"), str(tmp_path / "m_out"),
+        num_hashes=16, band_size=4, threshold=0.8,
+    )
+    m.init(spark.createDataFrame([], "doc_id long, text string").limit(0))
+    m(spark.createDataFrame(batch, "doc_id long, text string"), 0)
+    out = sorted(r["doc_id"] for r in m.output(spark).collect())
+    assert out == [20, 22]  # 21 dropped inside its own batch
+    state_ids = sorted(
+        r["doc_id"] for r in m.state_as_of(spark).collect()
+    )
+    assert state_ids == [20, 22]  # the copy never entered the index
+
+    # embedding: vec 31 is a copy of vec 30 inside one batch
+    def frame(rows):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<float>",
+        )
+
+    e = EmbeddingIncrementSink(
+        str(tmp_path / "e_state"), str(tmp_path / "e_out"),
+        dim=4, threshold=0.999, num_planes=4, num_tables=2,
+    )
+    e.init(frame([(1, [0, 1, 0, 0])]))
+    e(frame([(30, [1, 0, 0, 0]), (31, [1, 0, 0, 0]), (32, [0, 0, 1, 0])]), 0)
+    out = sorted(r["vec_id"] for r in e.output(spark).collect())
+    assert out == [30, 32]
+    state_ids = sorted(
+        r["vec_id"] for r in e.state_as_of(spark).collect()
+    )
+    assert state_ids == [1, 30, 32]
+
+    # a second batch re-sending the kept doc is still dropped via the
+    # advanced state (the against-pass still works after the self-pass)
+    m(spark.createDataFrame([(40, text_a)], "doc_id long, text string"), 1)
+    assert sorted(r["doc_id"] for r in m.output(spark).collect()) == [20, 22]

@@ -4191,3 +4191,76 @@ def test_remove_repeated_spans_against_resume_after_crash(spark, tmp_path):
             batch, gram_index(hist, span_tokens=4), span_tokens=4,
             checkpoint_dir=ck, resume=True,
         )
+
+
+def test_cc_fast_path_invalidates_stale_manifests(spark, tmp_path):
+    """Round-13 review finding: the driver union-find fast path wrote
+    no manifests, so a directory reused after a distributed run kept
+    the OLD run's manifests and resume=True silently returned the old
+    labels. Entry markers now invalidate both slots before any state
+    write; resume after a fast-path run starts fresh and labels the
+    NEW pairs."""
+    from melodist_spark.pipeline.dedup import duplicate_clusters
+
+    ck = str(tmp_path / "reuse")
+    # run A: distributed (driver_edges=0) on a 0..9 chain -> labels 0
+    pa = spark.range(9).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    duplicate_clusters(pa, checkpoint_dir=ck, driver_edges=0).collect()
+    # run B: DIFFERENT pairs, fast path (default driver_edges), same dir
+    pb = spark.createDataFrame(
+        [(100, 101), (101, 102), (200, 201)], ["id_a", "id_b"]
+    )
+    fast = sorted(
+        (r["id"], r["cluster_id"])
+        for r in duplicate_clusters(pb, checkpoint_dir=ck).collect()
+    )
+    assert fast == [
+        (100, 100), (101, 100), (102, 100), (200, 200), (201, 200)
+    ]
+    # resume=True must NOT return run A's labels — the fast-path run
+    # invalidated them; it re-labels run B's pairs
+    resumed = sorted(
+        (r["id"], r["cluster_id"])
+        for r in duplicate_clusters(
+            pb, checkpoint_dir=ck, resume=True
+        ).collect()
+    )
+    assert resumed == fast
+
+
+def test_pagerank_fast_path_invalidates_stale_manifests(spark, tmp_path):
+    """Same hole for pagerank's driver_below fast path: entry markers
+    invalidate a previous run's cut manifests before the fast path
+    returns, so resume=True afterwards recomputes the new graph
+    instead of resuming the old one's cuts."""
+    from melodist_spark.pipeline.graph import pagerank
+
+    ck = str(tmp_path / "reuse")
+    g1 = spark.createDataFrame(
+        [(i, (i + 1) % 12) for i in range(12)], ["src", "dst"]
+    )
+    pagerank(g1, n_iter=4, checkpoint_dir=ck).collect()
+    # g2: same node count (12) and damping as g1, so the parameter
+    # check alone cannot tell them apart — the entry markers must
+    g2 = spark.createDataFrame(
+        [(i, (i * 5 + 1) % 12) for i in range(12)], ["src", "dst"]
+    )
+    fast = {
+        r["node"]: r["pagerank"]
+        for r in pagerank(
+            g2, n_iter=4, driver_below=100, checkpoint_dir=ck
+        ).collect()
+    }
+    resumed = {
+        r["node"]: r["pagerank"]
+        for r in pagerank(
+            g2, n_iter=4, driver_below=100, checkpoint_dir=ck,
+            resume=True,
+        ).collect()
+    }
+    # near-equality: the fresh resume may take either path; both are
+    # pinned to the same math (driver-vs-distributed differential)
+    assert set(resumed) == set(fast)
+    assert all(abs(resumed[n] - fast[n]) < 1e-9 for n in fast)
