@@ -52,6 +52,98 @@ __all__ = [
 ]
 
 
+# -- filesystem primitives for the compaction lifecycle ----------------
+#
+# Compaction needs delete + rename on the state log, which DataFrame
+# writes alone cannot express. The Hadoop FileSystem API (reached
+# through the JVM gateway) works on whatever filesystem backs the
+# path — HDFS/S3 on a real cluster, local disk in tests. On Spark
+# Connect there is no JVM gateway; fall back to os/shutil for local
+# paths and refuse remote schemes loudly rather than pretend.
+
+
+def _hadoop_fs(spark, path: str):
+    """(fs, jvm Path class) for ``path``, or ``None`` when no JVM
+    gateway is reachable (Spark Connect)."""
+    try:
+        jvm = spark._jvm
+        jsc = spark._jsc
+        if jvm is None or jsc is None:
+            return None
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(jsc.hadoopConfiguration())
+        return fs, jvm.org.apache.hadoop.fs.Path
+    except Exception:
+        return None
+
+
+def _local_path(path: str) -> str:
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    if path.startswith("file:"):
+        return path[len("file:"):]
+    if "://" in path:
+        raise NotImplementedError(
+            f"no JVM gateway and {path!r} is not a local path — "
+            "compaction needs filesystem delete/rename; run it from a "
+            "classic (non-Connect) session or on a local state log"
+        )
+    return path
+
+
+def _fs_exists(spark, path: str) -> bool:
+    h = _hadoop_fs(spark, path)
+    if h is not None:
+        fs, jpath = h
+        return bool(fs.exists(jpath(path)))
+    import os
+
+    return os.path.exists(_local_path(path))
+
+
+def _fs_delete(spark, path: str) -> None:
+    h = _hadoop_fs(spark, path)
+    if h is not None:
+        fs, jpath = h
+        fs.delete(jpath(path), True)
+        return
+    import shutil
+
+    shutil.rmtree(_local_path(path), ignore_errors=True)
+
+
+def _fs_rename(spark, src: str, dst: str) -> None:
+    h = _hadoop_fs(spark, src)
+    if h is not None:
+        fs, jpath = h
+        if not fs.rename(jpath(src), jpath(dst)):
+            raise IOError(f"rename {src!r} -> {dst!r} failed")
+        return
+    import os
+
+    os.rename(_local_path(src), _local_path(dst))
+
+
+def _fs_list_slots(spark, state_path: str) -> list[int]:
+    """The ``delta_batch`` ids present in the log, from a directory
+    listing (no data read)."""
+    h = _hadoop_fs(spark, state_path)
+    names: list[str] = []
+    if h is not None:
+        fs, jpath = h
+        for st in fs.listStatus(jpath(state_path)):
+            names.append(st.getPath().getName())
+    else:
+        import os
+
+        names = list(os.listdir(_local_path(state_path)))
+    out = []
+    for n in names:
+        if n.startswith("delta_batch="):
+            out.append(int(n.split("=", 1)[1]))
+    return sorted(out)
+
+
 class _BatchIncrementSink:
     """Shared mechanics: the delta-log layout, snapshot reads, and the
     output-then-state write order. Subclasses define the survivor
@@ -90,6 +182,100 @@ class _BatchIncrementSink:
     def output(self, spark) -> DataFrame:
         """All emitted survivors (carries ``delta_batch`` provenance)."""
         return spark.read.parquet(self.out_path)
+
+    # -- state-log compaction ---------------------------------------------
+    #
+    # The log grows one parquet slot per micro-batch forever; at 100k
+    # batches the merge-on-read in rule 1 lists and reads 100k
+    # directories per batch. ``compact`` folds every slot up to a
+    # horizon into the base slot (``delta_batch=-1``) through
+    # ``_merge`` — so summed gram counts are genuinely re-aggregated
+    # (with their ``least(…, max_count)`` saturation, which composes:
+    # ``least(least(a,M)+b, M) == least(a+b, M)`` for non-negative
+    # deltas) and set-valued indexes are unioned into one slot.
+
+    def _staging(self) -> str:
+        # leading dot: invisible to Spark's data-file discovery, so a
+        # half-written staging dir can never leak into a state read
+        return f"{self.state_path}/.compact_staging"
+
+    def _compact_manifest(self) -> str:
+        return f"{self.state_path}/.compact_manifest"
+
+    def compact(self, spark, up_to: int | None = None) -> None:
+        """Fold state slots ``delta_batch <= up_to`` into the base
+        slot. Call ONLY while the stream is stopped (between
+        ``availableNow`` runs) — a concurrently running batch would
+        read an under-claiming snapshot mid-swap.
+
+        ``up_to=None`` (default) compacts everything except the
+        newest slot: Structured Streaming replays at most the last
+        batch after a crash, and that batch's own delta must stay in
+        a separate slot so the rule-1 snapshot (``delta_batch < bid``)
+        can still exclude it on replay. Pass an explicit ``up_to``
+        only for a batch id known committed in the stream checkpoint.
+
+        Crash-safe in the module's rule-3 direction: the merged rows
+        land complete in a hidden staging dir and a manifest records
+        the horizon BEFORE any slot is deleted; a crash mid-swap
+        leaves the log under-claiming (duplicates at worst re-admitted
+        until recovery), never double-counting, and the next
+        ``compact`` call (any horizon) completes the pending swap
+        first. The OUTPUT log is append-only provenance read once
+        downstream, not per-batch state — it is deliberately not
+        compacted (folding slots would erase the ``delta_batch``
+        provenance column).
+        """
+        import json as _json
+
+        self._compact_recover(spark)
+        bids = _fs_list_slots(spark, self.state_path)
+        if up_to is None:
+            up_to = (max(bids) - 1) if bids else -1
+        merge = [b for b in bids if b <= up_to]
+        if len(merge) <= 1:
+            return
+        merged = self._merge(
+            spark.read.parquet(self.state_path)
+            .filter(F.col("delta_batch") <= up_to)
+            .drop("delta_batch")
+        )
+        staging = self._staging()
+        merged.write.mode("overwrite").parquet(staging)
+        line = _json.dumps({"up_to": up_to, "slots": merge})
+        spark.range(1).select(F.lit(line).alias("value")).coalesce(
+            1
+        ).write.mode("overwrite").text(self._compact_manifest())
+        self._compact_finish(spark, merge)
+
+    def _compact_recover(self, spark) -> None:
+        """Complete a compaction that crashed mid-swap: the manifest
+        only exists once staging is fully written, so recovery is
+        'finish the deletes, land the rename'."""
+        import json as _json
+
+        mpath = self._compact_manifest()
+        if not _fs_exists(spark, mpath):
+            return
+        try:
+            m = _json.loads(spark.read.text(mpath).collect()[0]["value"])
+        except Exception:
+            # torn manifest write: staging (if any) was never armed —
+            # discard both, the slots are untouched
+            _fs_delete(spark, mpath)
+            _fs_delete(spark, self._staging())
+            return
+        if _fs_exists(spark, self._staging()):
+            self._compact_finish(spark, m["slots"])
+        else:
+            # rename already landed; only the manifest cleanup remains
+            _fs_delete(spark, mpath)
+
+    def _compact_finish(self, spark, slots: list[int]) -> None:
+        for b in slots:
+            _fs_delete(spark, self._state_slot(b))
+        _fs_rename(spark, self._staging(), self._state_slot(-1))
+        _fs_delete(spark, self._compact_manifest())
 
     def __call__(self, batch_df: DataFrame, bid) -> None:
         """The ``foreachBatch`` body: snapshot-read, compute survivors

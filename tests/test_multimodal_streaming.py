@@ -2924,3 +2924,161 @@ def test_increment_sinks_drop_intra_batch_near_dups(spark, tmp_path):
     # advanced state (the against-pass still works after the self-pass)
     m(spark.createDataFrame([(40, text_a)], "doc_id long, text string"), 1)
     assert sorted(r["doc_id"] for r in m.output(spark).collect()) == [20, 22]
+
+
+def test_increment_sink_compact_folds_state_log(spark, tmp_path):
+    """compact() folds every slot below the horizon into the base
+    slot: identical state_as_of rows, fewer directories, the newest
+    slot untouched (it is the only one Structured Streaming can still
+    replay), and the against-pass keeps working afterwards."""
+    import os
+
+    from melodist_spark.streaming.increments import MinhashIncrementSink
+
+    text_a = " ".join(f"w{i}" for i in range(12))
+    text_b = " ".join(f"u{i}" for i in range(12))
+    text_c = " ".join(f"v{i}" for i in range(12))
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    sink = MinhashIncrementSink(
+        str(tmp_path / "state"), str(tmp_path / "out"),
+        num_hashes=16, band_size=4, threshold=0.8,
+    )
+    sink.init(frame([(99, text_c)]).limit(0))
+    sink(frame([(0, text_a)]), 0)
+    sink(frame([(1, text_b)]), 1)
+    sink(frame([(2, text_c)]), 2)
+    before = sorted(tuple(r) for r in sink.state_as_of(spark).collect())
+
+    sink.compact(spark)  # default horizon: all but the newest slot
+
+    slots = sorted(
+        d for d in os.listdir(tmp_path / "state")
+        if d.startswith("delta_batch=")
+    )
+    assert slots == ["delta_batch=-1", "delta_batch=2"]
+    assert not os.path.exists(tmp_path / "state" / ".compact_staging")
+    assert not os.path.exists(tmp_path / "state" / ".compact_manifest")
+    assert sorted(
+        tuple(r) for r in sink.state_as_of(spark).collect()
+    ) == before
+    # the compacted index still catches a duplicate of a batch-0 doc
+    sink(frame([(10, text_a), (11, " ".join(f"z{i}" for i in range(12)))]), 3)
+    assert sorted(r["doc_id"] for r in sink.output(spark).collect()) == [
+        0, 1, 2, 11,
+    ]
+    # replay of the pre-compaction newest batch still excludes its own
+    # (now still separate) slot — rule 1 survives the fold
+    sink(frame([(2, text_c)]), 2)
+    assert sorted(r["doc_id"] for r in sink.output(spark).collect()) == [
+        0, 1, 2, 11,
+    ]
+
+
+def test_span_sink_compact_reaggregates_summed_counts(spark, tmp_path):
+    """The span sink's gram counts are SUMMED on read — compaction
+    must re-aggregate (with max_count saturation), not just union
+    rows: total counts and downstream excision decisions identical to
+    the uncompacted control."""
+    from melodist_spark.streaming.increments import SpanIncrementSink
+
+    quote = " ".join(f"q{i}" for i in range(6))
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    batches = [
+        [(0, f"alpha start {quote} tail0")],
+        [(1, f"beta mid {quote} tail1")],
+        [(2, f"gamma end {quote} tail2")],
+    ]
+    kw = dict(span_tokens=4, min_occurrences=3, max_count=3)
+    a = SpanIncrementSink(str(tmp_path / "a_state"), str(tmp_path / "a_out"), **kw)
+    b = SpanIncrementSink(str(tmp_path / "b_state"), str(tmp_path / "b_out"), **kw)
+    for s in (a, b):
+        s.init(frame(batches[0]).limit(0))
+    for i, rows in enumerate(batches):
+        a(frame(rows), i)
+        b(frame(rows), i)
+        if i == 1:
+            b.compact(spark)  # fold mid-stream, between batches
+    assert sorted(tuple(r) for r in b.state_as_of(spark).collect()) == sorted(
+        tuple(r) for r in a.state_as_of(spark).collect()
+    )
+    assert sorted(
+        (r["doc_id"], r["text"]) for r in b.output(spark).collect()
+    ) == sorted((r["doc_id"], r["text"]) for r in a.output(spark).collect())
+    # batch 2's repeated quote crossed min_occurrences via the
+    # compacted counts: its text was excised
+    row2 = [r for r in b.output(spark).collect() if r["doc_id"] == 2]
+    assert row2 and quote not in row2[0]["text"]
+
+
+def test_sink_compact_crash_windows_converge(spark, tmp_path):
+    """Crash-safety of the swap: (a) a crash AFTER staging+manifest
+    but BEFORE any delete leaves the log fully intact (hidden dirs
+    are invisible to state reads); (b) a crash MID-DELETE leaves an
+    under-claiming log; in both cases the next compact() completes
+    the pending swap and the state equals the clean-compaction
+    state."""
+    from melodist_spark.streaming import increments as inc
+    from melodist_spark.streaming.increments import MinhashIncrementSink
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    texts = [" ".join(f"t{b}_{i}" for i in range(12)) for b in range(3)]
+
+    def build(name):
+        s = MinhashIncrementSink(
+            str(tmp_path / f"{name}_state"), str(tmp_path / f"{name}_out"),
+            num_hashes=16, band_size=4, threshold=0.8,
+        )
+        s.init(frame([(0, texts[0])]).limit(0))
+        for i, t in enumerate(texts):
+            s(frame([(i, t)]), i)
+        return s
+
+    clean = build("clean")
+    clean.compact(spark)
+    want = sorted(tuple(r) for r in clean.state_as_of(spark).collect())
+
+    # (a) crash before any delete: _compact_finish dies immediately
+    s1 = build("predelete")
+    orig_finish = inc._BatchIncrementSink._compact_finish
+    try:
+        inc._BatchIncrementSink._compact_finish = (
+            lambda self, spark, slots: (_ for _ in ()).throw(
+                RuntimeError("crash")
+            )
+        )
+        try:
+            s1.compact(spark)
+        except RuntimeError:
+            pass
+    finally:
+        inc._BatchIncrementSink._compact_finish = orig_finish
+    # log untouched: staging+manifest are hidden from reads
+    assert sorted(
+        tuple(r) for r in s1.state_as_of(spark).collect()
+    ) == want
+    s1.compact(spark)  # recovery completes the armed swap
+    assert sorted(tuple(r) for r in s1.state_as_of(spark).collect()) == want
+
+    # (b) crash mid-delete: first slot deleted, then die on rename
+    s2 = build("middelete")
+    orig_rename = inc._fs_rename
+    try:
+        inc._fs_rename = lambda spark, src, dst: (_ for _ in ()).throw(
+            RuntimeError("crash")
+        )
+        try:
+            s2.compact(spark)
+        except RuntimeError:
+            pass
+    finally:
+        inc._fs_rename = orig_rename
+    s2.compact(spark)
+    assert sorted(tuple(r) for r in s2.state_as_of(spark).collect()) == want
