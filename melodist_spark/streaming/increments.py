@@ -153,6 +153,18 @@ class _BatchIncrementSink:
     def __init__(self, state_path: str, out_path: str):
         self.state_path = state_path.rstrip("/")
         self.out_path = out_path.rstrip("/")
+        self._scratch: list[DataFrame] = []
+
+    def _keep(self, df: DataFrame) -> DataFrame:
+        """Persist an intermediate that more than one downstream job
+        will traverse (the intra-batch CC pass runs eagerly inside
+        ``_survivors``, then the output and state writes traverse the
+        survivor plan again) and register it for release after the
+        batch's writes land — without this the signature/against-pass
+        subtrees recompute 2-3x per micro-batch."""
+        df.persist()
+        self._scratch.append(df)
+        return df
 
     # -- layout ---------------------------------------------------------
     def _state_slot(self, bid: int) -> str:
@@ -289,6 +301,9 @@ class _BatchIncrementSink:
             self._write_state(surv, bid)
         finally:
             surv.unpersist()
+            for df in self._scratch:
+                df.unpersist()
+            self._scratch = []
 
     # -- write order: output first, then state (rule 3 above) -----------
     def _write_output(self, surv: DataFrame, bid: int) -> None:
@@ -445,8 +460,10 @@ class MinhashIncrementSink(_BatchIncrementSink):
             neardup_against,
         )
 
-        sig = minhash_signature(
-            batch, self.text_col, self.num_hashes, self.shingle
+        sig = self._keep(
+            minhash_signature(
+                batch, self.text_col, self.num_hashes, self.shingle
+            )
         )
         surv = neardup_against(
             batch,
@@ -461,6 +478,7 @@ class MinhashIncrementSink(_BatchIncrementSink):
         )
         if not self.intra_batch:
             return surv
+        surv = self._keep(surv)
         names = [f"sig_{i}" for i in range(self.num_hashes)]
         ssig = sig.select(self.id_col, *names).join(
             surv.select(self.id_col), self.id_col, "left_semi"
@@ -568,7 +586,8 @@ class EmbeddingIncrementSink(_BatchIncrementSink):
         )
         if not self.intra_batch:
             return surv
-        idx = self._delta(surv)
+        surv = self._keep(surv)
+        idx = self._keep(self._delta(surv))
         pairs = None
         for t in range(self.num_tables):
             b = idx.select(
