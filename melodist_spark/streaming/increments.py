@@ -131,12 +131,18 @@ def _fs_list_slots(spark, state_path: str) -> list[int]:
     names: list[str] = []
     if h is not None:
         fs, jpath = h
-        for st in fs.listStatus(jpath(state_path)):
+        p = jpath(state_path)
+        if not fs.exists(p):
+            return []
+        for st in fs.listStatus(p):
             names.append(st.getPath().getName())
     else:
         import os
 
-        names = list(os.listdir(_local_path(state_path)))
+        lp = _local_path(state_path)
+        if not os.path.isdir(lp):
+            return []
+        names = list(os.listdir(lp))
     out = []
     for n in names:
         if n.startswith("delta_batch="):

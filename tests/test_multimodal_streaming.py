@@ -3082,3 +3082,32 @@ def test_sink_compact_crash_windows_converge(spark, tmp_path):
         inc._fs_rename = orig_rename
     s2.compact(spark)
     assert sorted(tuple(r) for r in s2.state_as_of(spark).collect()) == want
+
+
+def test_sink_compact_noop_edges(spark, tmp_path):
+    """compact() is a safe no-op on a sink with no state dir yet, a
+    just-bootstrapped log (base slot only), and an already-compacted
+    log (base + newest only) — and idempotent back-to-back."""
+    from melodist_spark.streaming.increments import MinhashIncrementSink
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    sink = MinhashIncrementSink(
+        str(tmp_path / "state"), str(tmp_path / "out"),
+        num_hashes=16, band_size=4, threshold=0.8,
+    )
+    sink.compact(spark)  # no state dir at all
+    sink.init(frame([(0, "x")]).limit(0))
+    sink.compact(spark)  # base slot only
+    t = " ".join(f"w{i}" for i in range(12))
+    sink(frame([(0, t)]), 0)
+    sink.compact(spark)  # base + newest: nothing below the horizon
+    sink(frame([(1, " ".join(f"u{i}" for i in range(12)))]), 1)
+    sink.compact(spark)
+    before = sorted(tuple(r) for r in sink.state_as_of(spark).collect())
+    sink.compact(spark)  # idempotent
+    assert sorted(
+        tuple(r) for r in sink.state_as_of(spark).collect()
+    ) == before
+    assert sorted(r["doc_id"] for r in sink.output(spark).collect()) == [0, 1]
