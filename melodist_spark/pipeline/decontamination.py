@@ -343,6 +343,11 @@ def decontaminate_stateless(
             return (0, 0)
         if ngram == 1:
             grams = set(toks)
+            if not grams - {""}:
+                # mirror dedup._shingles' only-phantom guard so the
+                # stateless flag stays differential-identical to the
+                # joined path on blank docs at ngram=1
+                return (0, 0)
         else:
             grams = {
                 " ".join(toks[i : i + ngram]) for i in range(T - ngram + 1)

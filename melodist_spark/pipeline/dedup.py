@@ -997,11 +997,27 @@ def _shingles(text: Column, n: int | None) -> Column:
     that captures the un-staged split expression makes codegen
     re-tokenize the text once per position — O(len²) per document,
     measured 6× slower on the sf0.1 corpus. Documents shorter than
-    ``n`` tokens yield an empty shingle set (slice length clamps to 0).
+    ``n`` tokens yield an empty shingle set (slice length clamps to 0);
+    blank/whitespace-only documents yield an empty set in the unigram
+    path too (only-phantom guard below), so no shingle width ever
+    gives every blank doc one shared signature.
     """
     toks = F.split(F.trim(text), r"\s+")
     if n is None or n == 1:
-        return F.array_distinct(toks)
+        arr = F.array_distinct(toks)
+        # blank/whitespace-only text splits to [""] (space-only trim +
+        # \s+), so without this guard every blank doc in a corpus
+        # shares the singleton {""} token set — ONE real signature,
+        # ONE LSH bucket, a quadratic candidate clique at crawl scale:
+        # the unigram twin of the all-NULL-band fix (round 12), which
+        # only covered n >= 2 where the slice clamp already yields [].
+        # Only the ONLY-phantom set is emptied; docs with any real
+        # token keep the phantom element, so their signatures (and
+        # every committed oracle hash) are unchanged.
+        return F.when(
+            F.size(F.array_remove(arr, "")) == 0,
+            F.array().cast("array<string>"),
+        ).otherwise(arr)
     m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     acc = F.slice(toks, 1, m)
     for j in range(2, n + 1):
@@ -1151,8 +1167,9 @@ def minhash_signature_arrow(
     """:func:`minhash_signature` as ONE Arrow kernel — bit-identical
     signatures (same md5 halves, same Kirsch-Mitzenmacher
     ``g_i = h1 + i*h2``, same trim + ASCII-``\\s+`` tokenization with
-    the phantom leading empty token; the differential test pins every
-    column equal across null/empty/short-doc edges).
+    the phantom leading empty token, same only-phantom blank-doc
+    guard; the differential test pins every column equal across
+    null/empty/short-doc edges).
 
     Why it exists (round 9): the expression form stages its arrays,
     but ``transform``/``zip_with`` are CodegenFallback — at 900k
@@ -1183,6 +1200,11 @@ def minhash_signature_arrow(
         toks = _ascii_ws_split(t, keep_empty=True)
         if n is None or n == 1:
             grams = set(toks)
+            if not grams - {""}:
+                # mirror _shingles' only-phantom guard: a blank doc's
+                # {""} set is empty, so its signature is NULL — not
+                # the one shared value every blank doc would band on
+                grams = set()
         else:
             grams = {
                 " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)

@@ -4264,3 +4264,90 @@ def test_pagerank_fast_path_invalidates_stale_manifests(spark, tmp_path):
     # pinned to the same math (driver-vs-distributed differential)
     assert set(resumed) == set(fast)
     assert all(abs(resumed[n] - fast[n]) < 1e-9 for n in fast)
+
+
+def test_unigram_blank_docs_are_signatureless(spark):
+    """Round-13 finding: split(trim(text), '\\s+') on blank or
+    whitespace-only text yields [''] — so in the DEFAULT unigram path
+    every blank doc in a corpus shared the singleton {''} token set:
+    one real signature, one LSH bucket, a quadratic candidate clique
+    at crawl scale. The round-12 all-NULL-band fix only covered
+    shingle >= 2 (slice clamp). The only-phantom guard makes blank
+    docs signature-less in the unigram path too — while docs with any
+    real token keep the phantom element, so their signatures (and the
+    committed oracle hashes) are unchanged. JVM and Arrow kernels
+    stay bit-identical across the edges."""
+    from melodist_spark.pipeline.dedup import (
+        lsh_bands,
+        minhash_index,
+        minhash_signature,
+        minhash_signature_arrow,
+        neardup_against,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "\t"), (3, " \n \t "), (4, "\ta b"),
+         (5, "a b"), (6, None), (7, "one")],
+        "doc_id long, text string",
+    )
+    j = minhash_signature(docs, num_hashes=4).orderBy("doc_id").collect()
+    a = minhash_signature_arrow(docs, num_hashes=4).orderBy("doc_id").collect()
+    for rj, ra in zip(j, a):
+        assert tuple(rj) == tuple(ra)
+    for i in (0, 1, 2, 3, 6):  # blank variants + NULL: signature-less
+        assert all(j[i][f"sig_{s}"] is None for s in range(4))
+    for i in (4, 5, 7):  # any real token: a real signature
+        assert all(j[i][f"sig_{s}"] is not None for s in range(4))
+    # signature-less docs emit no bands -> no blank-clique candidates
+    bands = lsh_bands(
+        minhash_signature(docs, num_hashes=4), num_hashes=4, band_size=2
+    )
+    assert bands.filter(F.col("doc_id").isin(0, 1, 2, 3, 6)).count() == 0
+    # and near-dup retains every blank doc (exact dedup collapses
+    # byte-identical blanks in front — the documented discipline)
+    state = minhash_index(
+        spark.createDataFrame([(100, "x y z")], "doc_id long, text string"),
+        num_hashes=16,
+    )
+    surv = neardup_against(
+        docs.filter(F.col("text").isNotNull()), state,
+        num_hashes=16, band_size=4, threshold=0.8,
+    )
+    assert sorted(r["doc_id"] for r in surv.collect()) == [0, 1, 2, 3, 4, 5, 7]
+
+
+def test_stateless_decontaminate_blank_docs_ngram1_parity(spark):
+    """The stateless Arrow flag mirrors the joined path's only-phantom
+    guard: at ngram=1 a blank doc probes nothing (it previously
+    probed md5('') and could be flagged by a blank benchmark row)."""
+    from melodist_spark.pipeline.decontamination import (
+        benchmark_gram_array,
+        decontaminate,
+        decontaminate_stateless,
+    )
+
+    bench = spark.createDataFrame(
+        [(0, "alpha"), (1, "   ")], ["doc_id", "text"]
+    )
+    docs = spark.createDataFrame(
+        [(0, ""), (1, " \t "), (2, "alpha beta"), (3, "clean text")],
+        ["doc_id", "text"],
+    )
+    joined = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(docs, bench, ngram=1).collect()
+    }
+    grams = benchmark_gram_array(bench, ngram=1)
+    stateless = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate_stateless(
+            docs, grams, ngram=1, keep_payload=True
+        ).collect()
+    }
+    # the joined audit only reports docs that HAVE grams (explode
+    # drops gram-less docs — the documented sub-ngram contract);
+    # blank docs now fall in that class at ngram=1 too
+    assert joined == {2: True, 3: False}
+    # stateless keep_payload covers every doc and marks the gram-less
+    # blanks clean — it no longer probes md5('') for them
+    assert stateless == {0: False, 1: False, 2: True, 3: False}
