@@ -139,7 +139,29 @@ def lsh_bucket_signature(
             lambda acc, v: acc + v,
         )
         sig = sig + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return sig
+    # degenerate vectors bucket to NULL instead of colliding: a
+    # zero-norm or NaN-poisoned vector projects to no-positive-sign
+    # on EVERY plane of EVERY table, so all such vectors would share
+    # bucket 0 — one quadratic candidate clique at crawl scale (the
+    # embedding twin of the blank-doc minhash guard; the cosine
+    # re-check already NULLs their similarity, making the pairs pure
+    # wasted join work). NULL never equi-joins, so they generate no
+    # candidates and near-dup retains them.
+    bad = F.exists(
+        vec,
+        lambda x: x.isNull()
+        | F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+    )
+    zero = (
+        F.aggregate(
+            vec, F.lit(0.0), lambda acc, x: acc + F.abs(x.cast("double"))
+        )
+        == 0
+    )
+    return F.when(
+        vec.isNull() | bad | zero, F.lit(None).cast("long")
+    ).otherwise(sig)
 
 
 def lsh_bucket_udf(dim: int, num_planes: int = 16, plane_offset: int = 0):
@@ -165,10 +187,27 @@ def lsh_bucket_udf(dim: int, num_planes: int = 16, plane_offset: int = 0):
     @pandas_udf("long")
     def _bucket(v: pd.Series) -> pd.Series:
         if len(v) == 0:
-            return pd.Series([], dtype="int64")
-        x = np.vstack(v.to_numpy()).astype(np.float64)  # (n, dim)
+            return pd.Series([], dtype="object")
+        raw = v.to_numpy()
+        isnull = np.array([a is None for a in raw])
+        x = np.vstack(
+            [np.zeros(dim) if a is None else a for a in raw]
+        ).astype(np.float64)  # (n, dim)
+        # same degenerate-vector guard as lsh_bucket_signature: NULL
+        # bucket (no candidates) for zero-norm / non-finite / null
+        # vectors, which would otherwise all collide in bucket 0
+        ok = (
+            ~isnull
+            & np.isfinite(x).all(axis=1)
+            & (np.abs(x).sum(axis=1) > 0)
+        )
         proj = x @ planes  # (n, planes)
-        return pd.Series(((proj > 0) * powers).sum(axis=1))
+        vals = ((proj > 0) * powers).sum(axis=1)
+        # dtype=object: nullable long — int64 would coerce to float64
+        return pd.Series(
+            [int(b) if o else None for b, o in zip(vals, ok)],
+            dtype="object",
+        )
 
     return _bucket
 
@@ -369,10 +408,26 @@ def embedding_index(
     def _buckets(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype="object")
-        x = np.vstack(v.to_numpy()).astype(np.float64)
+        raw = v.to_numpy()
+        isnull = np.array([a is None for a in raw])
+        x = np.vstack(
+            [np.zeros(dim) if a is None else a for a in raw]
+        ).astype(np.float64)
+        # degenerate-vector guard (see lsh_bucket_signature): NULL
+        # bucket array — element_at yields NULL per table, explode
+        # emits no rows — instead of every zero/NaN vector sharing
+        # bucket 0 in EVERY table
+        ok = (
+            ~isnull
+            & np.isfinite(x).all(axis=1)
+            & (np.abs(x).sum(axis=1) > 0)
+        )
         bits = (x @ planes) > 0  # (n, T*k)
         out = bits.reshape(len(x), num_tables, num_planes) @ powers
-        return pd.Series(list(out))
+        return pd.Series(
+            [list(row) if o else None for row, o in zip(out, ok)],
+            dtype="object",
+        )
 
     tmp = "__bkts"
     while tmp in corpus.columns:

@@ -4351,3 +4351,57 @@ def test_stateless_decontaminate_blank_docs_ngram1_parity(spark):
     # stateless keep_payload covers every doc and marks the gram-less
     # blanks clean — it no longer probes md5('') for them
     assert stateless == {0: False, 1: False, 2: True, 3: False}
+
+
+def test_degenerate_vectors_bucket_to_null(spark):
+    """Round-13 finding (the embedding twin of the blank-doc minhash
+    clique): a zero-norm or NaN-poisoned vector projects to
+    no-positive-sign on EVERY hyperplane, so all such vectors shared
+    bucket 0 in every table — a quadratic candidate clique whose
+    pairs the cosine re-check then NULLs out (pure wasted join work
+    at crawl scale). All three bucket producers now emit NULL for
+    zero / non-finite / null vectors: no candidates, near-dup retains
+    them, expr and Arrow forms stay identical."""
+    from melodist_spark.pipeline.similarity import (
+        embedding_index,
+        embedding_neardup_against,
+        lsh_bucket_signature,
+        lsh_bucket_udf,
+        neardup_pairs,
+    )
+
+    rows = [
+        (0, [0.0] * 4), (1, [0.0] * 4),
+        (2, [float("nan"), 1.0, 0.0, 0.0]),
+        (3, None), (4, [float("inf"), 0.0, 0.0, 0.0]),
+        (10, [1.0, 0.0, 0.0, 0.0]), (11, [1.0, 0.001, 0.0, 0.0]),
+        (12, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = df.select(
+        "vec_id",
+        lsh_bucket_udf(4, 4)(F.col("embedding")).alias("bu"),
+        lsh_bucket_signature(F.col("embedding"), 4, 4).alias("be"),
+    ).orderBy("vec_id").collect()
+    for r in got:
+        assert r["bu"] == r["be"]  # Arrow == expression, incl. NULLs
+    assert [r["bu"] is None for r in got] == [
+        True, True, True, True, True, False, False, False,
+    ]
+    idx = embedding_index(df, dim=4, num_planes=4, num_tables=2)
+    for r in idx.collect():
+        assert (r["bucket_0"] is None) == (r["vec_id"] <= 4)
+        assert (r["bucket_1"] is None) == (r["vec_id"] <= 4)
+    # self-join: only the true near pair; no degenerate clique pairs
+    pairs = neardup_pairs(df, dim=4, threshold=0.99, num_planes=4)
+    assert sorted((r["id_a"], r["id_b"]) for r in pairs.collect()) == [
+        (10, 11)
+    ]
+    # against a store that itself holds degenerate vectors: the batch
+    # degenerates are all retained (exact dedup upstream owns them)
+    surv = embedding_neardup_against(
+        df.filter(F.col("vec_id") < 10),
+        idx.filter(F.col("vec_id") >= 10),
+        4, threshold=0.99, num_planes=4, num_tables=2,
+    )
+    assert sorted(r["vec_id"] for r in surv.collect()) == [0, 1, 2, 3, 4]
