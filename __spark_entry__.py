@@ -6648,19 +6648,145 @@ def q_radiation_proxy_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
       this row now covers ALL FOUR radiation disaggregation
       variants, each hash-checked in the union)
     """
-    a = q_radiation_ssd(spark, sf_dir).select(
-        F.lit("ssd").alias("method"), "user_id", "ts", "glob_h"
+    # SHARED SCAN (round 13): the four public-op branches each pay
+    # their own station join + sun-times tree + hourly explode +
+    # clear-sky curve + per-day window (4 explodes / 4 windows / 4
+    # codegen pipelines per materialization). All four formulas are
+    # row-local functions of the SAME exploded calendar, so the union
+    # row now computes the shared frame ONCE — one explode, one
+    # clear-sky evaluation, the (a,c)-independent BC daily terms
+    # evaluated once for both parameterizations, two same-key day
+    # windows (pot_rad + course, one exchange/sort) — and emits the
+    # four method rows per hour with a single explode-of-structs.
+    # Branch expressions are copied term-for-term from
+    # `disaggregate_radiation`, and
+    # test_q_radiation_proxy_variants_matches_public_ops pins each
+    # exploded branch row-identical (at the row's own round-6 grain)
+    # to the public op; the DuckDB twin is unchanged.
+    from pyspark.sql import Window
+
+    from melodist_spark.operators.radiation import (
+        _bc_daily_terms,
+        _bc_trans_expr,
+        _with_station_meta,
     )
-    b = q_radiation_bc(spark, sf_dir).select(
-        F.lit("bc").alias("method"), "user_id", "ts", "glob_h"
+    from melodist_spark.functions.solar import (
+        potential_radiation,
+        sun_times_exprs,
     )
-    c = q_radiation_bc_fitted(spark, sf_dir).select(
-        F.lit("bc_fitted").alias("method"), "user_id", "ts", "glob_h"
+    from melodist_spark.pipeline.pinned import BC_FITTED
+    from melodist_spark.util.calendar import hourly_calendar
+
+    daily = _met_daily(spark, sf_dir).withColumn(
+        "ssd", F.col("hum") - F.floor(F.col("hum") / 10.0) * 10.0
     )
-    d = q_radiation_course(spark, sf_dir).select(
-        F.lit("course").alias("method"), "user_id", "ts", "glob_h"
+    d = _with_station_meta(
+        daily.select("user_id", "date", "glob", "ssd", "tmin", "tmax"),
+        _met_stations(daily),
+        ["user_id"],
     )
-    return a.unionByName(b).unionByName(c).unionByName(d)
+    d = d.withColumns(
+        sun_times_exprs("date", F.col("lon"), F.col("lat"), F.col("timezone"))
+    )
+    d = _bc_daily_terms(d, ["user_id"], "date")
+    d = d.withColumn("__tr_bc", _bc_trans_expr(0.75, 2.4)).withColumn(
+        "__tr_bcf",
+        _bc_trans_expr(BC_FITTED["a"], BC_FITTED["c"]),
+    )
+
+    # the calibrated month-hour mean course (same construction as
+    # q_radiation_course, from the CACHED hourly frame)
+    q = 1048576.0  # 2^20
+    m = _met_hourly(spark, sf_dir)
+    mc = (
+        m.withColumn("__gd", F.col("glob").cast("decimal(20,10)"))
+        .groupBy(
+            "user_id",
+            F.month("ts").alias("month"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(
+            (
+                F.floor((F.sum("__gd").cast("double") / F.count("*")) * q) / q
+            ).alias("__course")
+        )
+    )
+
+    hourly = hourly_calendar(d, date_col="date", ts_col="ts")
+    hourly = hourly.withColumn(
+        "pot_rad",
+        potential_radiation(
+            F.col("ts"), F.col("lon"), F.col("lat"), F.col("timezone")
+        ),
+    )
+    hourly = (
+        hourly.withColumn("month", F.month("ts"))
+        .withColumn("hour", F.hour("ts"))
+        .join(F.broadcast(mc), ["user_id", "month", "hour"], "left")
+    )
+    # window expressions are not allowed inside a generator — attach
+    # the two per-day means as columns first, then explode plain refs
+    wd = Window.partitionBy("user_id", F.to_date("ts"))
+    hourly = hourly.withColumns(
+        {
+            "pot_rad_daily": F.avg("pot_rad").over(wd),
+            "__course_daily": F.avg("__course").over(wd),
+        }
+    )
+    prd = F.col("pot_rad_daily")
+    crd = F.col("__course_daily")
+
+    def _floor(g):
+        return F.when(g < 1e-2, 0.0).otherwise(g)
+
+    ratio = F.try_divide(F.col("pot_rad"), prd)
+    gd_ssd = F.when(
+        F.col("daylength") > 0,
+        (
+            F.lit(0.25)
+            + F.lit(0.5) * F.try_divide(F.col("ssd"), F.col("daylength"))
+        )
+        * prd,
+    ).otherwise(F.lit(0.0))
+    g_ssd = _floor(ratio * gd_ssd)
+    g_bc = _floor(ratio * (F.col("__tr_bc") * prd))
+    g_bcf = _floor(ratio * (F.col("__tr_bcf") * prd))
+    g_course = _floor(
+        F.try_divide(F.col("__course"), crd) * F.col("glob")
+    )
+
+    return (
+        hourly.select(
+            "user_id",
+            "ts",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("ssd").alias("method"),
+                        F.round(g_ssd, 6).alias("glob_h"),
+                    ),
+                    F.struct(
+                        F.lit("bc").alias("method"),
+                        F.round(g_bc, 6).alias("glob_h"),
+                    ),
+                    F.struct(
+                        F.lit("bc_fitted").alias("method"),
+                        F.round(g_bcf, 6).alias("glob_h"),
+                    ),
+                    F.struct(
+                        F.lit("course").alias("method"),
+                        F.round(g_course, 6).alias("glob_h"),
+                    ),
+                )
+            ).alias("__mg"),
+        )
+        .select(
+            F.col("__mg.method").alias("method"),
+            "user_id",
+            "ts",
+            F.col("__mg.glob_h").alias("glob_h"),
+        )
+    )
 
 
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -47,13 +47,14 @@ def bristow_campbell_exprs(
     ).drop("__trans")
 
 
-def _bc_transmissivity(
-    daily: DataFrame, a, c, keys: list[str], date_col: str = "date"
+def _bc_daily_terms(
+    daily: DataFrame, keys: list[str], date_col: str = "date"
 ) -> DataFrame:
-    """Attach the Bristow-Campbell atmospheric transmissivity
-    ``__trans = a·(1 − exp(−B·dT^c))`` — a pure daily-grain quantity
-    (two narrow windows per station), computable *before* any hourly
-    explode."""
+    """Attach the (a, c)-independent Bristow-Campbell daily terms
+    ``__dT`` (diurnal range vs the next calendar day's tmin) and
+    ``__B`` (the monthly-mean-dT decay coefficient) — split out so a
+    multi-(a, c) caller evaluates the two windows once and derives
+    each parameterization with :func:`_bc_trans_expr`."""
     w = Window.partitionBy(*keys).orderBy(date_col)
     nxt_ok = F.datediff(F.lead(date_col, 1).over(w), F.col(date_col)) == 1
     tmin_next = F.coalesce(
@@ -61,11 +62,26 @@ def _bc_transmissivity(
     )
     d = daily.withColumn("__dT", F.col("tmax") - (F.col("tmin") + tmin_next) / 2.0)
     wm = Window.partitionBy(*keys, F.month(date_col))
-    d = d.withColumn("__B", 0.036 * F.exp(-0.154 * F.avg("__dT").over(wm)))
+    return d.withColumn("__B", 0.036 * F.exp(-0.154 * F.avg("__dT").over(wm)))
+
+
+def _bc_trans_expr(a, c) -> Column:
+    """``a·(1 − exp(−B·dT^c))`` over the ``__dT``/``__B`` columns
+    attached by :func:`_bc_daily_terms`."""
     a_col = a if isinstance(a, Column) else F.lit(float(a))
     c_col = c if isinstance(c, Column) else F.lit(float(c))
-    transmissivity = a_col * (1 - F.exp(-F.col("__B") * F.pow(F.col("__dT"), c_col)))
-    return d.withColumn("__trans", transmissivity).drop("__dT", "__B")
+    return a_col * (1 - F.exp(-F.col("__B") * F.pow(F.col("__dT"), c_col)))
+
+
+def _bc_transmissivity(
+    daily: DataFrame, a, c, keys: list[str], date_col: str = "date"
+) -> DataFrame:
+    """Attach the Bristow-Campbell atmospheric transmissivity
+    ``__trans = a·(1 − exp(−B·dT^c))`` — a pure daily-grain quantity
+    (two narrow windows per station), computable *before* any hourly
+    explode."""
+    d = _bc_daily_terms(daily, keys, date_col)
+    return d.withColumn("__trans", _bc_trans_expr(a, c)).drop("__dT", "__B")
 
 
 def angstroem_expr(ssd, day_length, pot_rad_daily, a, b) -> Column:

@@ -199,3 +199,44 @@ def test_skill_scores(spark, met_hourly, met_daily, stations):
     out2 = skill_scores(j2).toPandas()
     assert (out2["rmse"] > 0.5).all()
     assert (out2["nse"] < 1.0).all() and (out2["nse"] > 0.9).all()
+
+
+def test_q_radiation_proxy_variants_matches_public_ops(spark):
+    """The registry row's shared-scan restructure (round 13): one
+    explode / one clear-sky evaluation / fused day windows emitting
+    all four method rows per hour — this pins each exploded branch
+    row-identical (at the row's own round-6 grain) to the public
+    ``disaggregate_radiation`` pipeline it bypasses."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import __spark_entry__ as entry
+
+    sf_dir = "/root/testdata/sf0.001"
+    q = entry.q_radiation_proxy_variants(spark, sf_dir)
+
+    def snap(df):
+        # negative-dT winter days yield NaN globs by design (the
+        # reference's numpy power); normalize for tuple equality
+        def norm(v):
+            return "nan" if isinstance(v, float) and v != v else v
+
+        return sorted(tuple(norm(v) for v in r) for r in df.collect())
+
+    branches = {
+        "ssd": entry.q_radiation_ssd,
+        "bc": entry.q_radiation_bc,
+        "bc_fitted": entry.q_radiation_bc_fitted,
+        "course": entry.q_radiation_course,
+    }
+    for method, fn in branches.items():
+        got = snap(
+            q.filter(F.col("method") == method).select(
+                "user_id", "ts", "glob_h"
+            )
+        )
+        want = snap(fn(spark, sf_dir))
+        assert got == want, f"branch {method} diverged from the public op"
