@@ -5323,33 +5323,170 @@ def q_temp_sine_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     method — a narrow union, no join between the hourly branches;
     all four stay hash-checked inside the union and sub-timed by
     bench.py."""
-    from melodist_spark.operators.temperature import disaggregate_temperature
+    # SHARED SCAN (round 13, same treatment as
+    # q_radiation_proxy_variants): the four public-op branches each
+    # paid their own neighbour-value window, sun-times tree and hourly
+    # explode. The neighbour extremes are policy-independent and every
+    # temp formula is a row-local function of the SAME exploded
+    # calendar, so the row computes the daily frame once (one window,
+    # one sun tree, the sunshift max_delta broadcast-joined in) and
+    # emits the four method rows per hour with one explode-of-structs.
+    # Formulas are copied term-for-term from disaggregate_temperature
+    # (fix/sun_loc/sun_loc_shift loc pairs via the operator's own
+    # _loc_exprs); test_q_temp_sine_variants_matches_public_ops pins
+    # each branch row-identical to the public op at the row's round-6
+    # grain; the DuckDB twin is unchanged.
+    from pyspark.sql import Window
+
+    from melodist_spark.functions.solar import sun_times_exprs
+    from melodist_spark.operators.temperature import (
+        HOURS_PER_DAY,
+        _loc_exprs,
+        _neighbor_exprs,
+    )
+    from melodist_spark.util.calendar import hourly_calendar
+
+    # the sunshift monthly warmest-hour calibration (same construction
+    # as q_temp_sine_sunshift, from the CACHED hourly frame)
+    m = _met_hourly(spark, sf_dir)
+    daily_max = m.groupBy("user_id", F.to_date("ts").alias("date")).agg(
+        F.max("temp").alias("tmax_h")
+    )
+    at_max = (
+        m.withColumn("date", F.to_date("ts"))
+        .join(daily_max, ["user_id", "date"])
+        .filter(F.col("temp") == F.col("tmax_h"))
+        .groupBy("user_id", "date")
+        .agg(F.max(F.hour("ts")).alias("max_hour"))
+    )
+    st = sun_times_exprs("date", LON, LAT, TZ)
+    md = (
+        at_max.withColumn("sunnoon", st["sunnoon"])
+        .withColumn("delta", F.col("max_hour") - F.col("sunnoon"))
+        .groupBy("user_id", F.month("date").alias("month"))
+        .agg(F.avg("delta").alias("max_delta"))
+    )
 
     daily = _met_daily(spark, sf_dir)
-    mean = disaggregate_temperature(
-        daily, method="sine_mean", min_max_time="fix", keys=["user_id"]
-    ).select(
-        "user_id", "ts", F.lit("mean").alias("method"),
-        F.round("temp", 6).alias("temp_h"),
+    d = daily.join(
+        F.broadcast(
+            _met_stations(daily).select("user_id", "lon", "lat", "timezone")
+        ),
+        ["user_id"],
     )
-    night = disaggregate_temperature(
-        daily,
-        method="sine_min_max",
-        min_max_time="fix",
-        mod_nighttime=True,
-        keys=["user_id"],
-    ).select(
-        "user_id", "ts", F.lit("night").alias("method"),
-        F.round("temp", 6).alias("temp_h"),
+    d = d.withColumns(
+        sun_times_exprs("date", F.col("lon"), F.col("lat"), F.col("timezone"))
     )
-    sunloc = q_temp_sine_sunloc(spark, sf_dir).select(
-        "user_id", "ts", F.lit("sunloc").alias("method"), "temp_h"
+    d = (
+        d.withColumn("month", F.month("date"))
+        .join(F.broadcast(md), ["user_id", "month"], "left")
+        .drop("month")
     )
-    sunshift = q_temp_sine_sunshift(spark, sf_dir).select(
-        "user_id", "ts", F.lit("sunshift").alias("method"), "temp_h"
+    fix = _loc_exprs("fix")
+    sunloc = _loc_exprs("sun_loc")
+    sunshift = _loc_exprs("sun_loc_shift")
+    d = d.withColumns(
+        {
+            "__minl_fix": fix["min_loc"],
+            "__maxl_fix": fix["max_loc"],
+            "__minl_sl": sunloc["min_loc"],
+            "__maxl_sl": sunloc["max_loc"],
+            "__minl_ss": sunshift["min_loc"],
+            "__maxl_ss": sunshift["max_loc"],
+        }
     )
+    d = d.withColumns(_neighbor_exprs(["user_id"], "date"))
+
+    hourly = hourly_calendar(d, date_col="date", ts_col="ts").withColumn(
+        "hour", F.hour("ts")
+    )
+    h = F.col("hour").cast("double")
+    pi = F.lit(3.141592653589793)
+    two_pi_24 = F.lit(2 * 3.141592653589793 / HOURS_PER_DAY)
+
+    def minmax_vals(min_loc, max_loc):
+        # smooth transitions (`temperature.py:127-137`)
+        min_val = F.when(
+            F.col("hour") < max_loc, F.col("min_val_cur")
+        ).otherwise(F.col("min_val_next"))
+        max_val = F.when(
+            F.col("hour") < min_loc, F.col("max_val_before")
+        ).otherwise(F.col("max_val_cur"))
+        return min_val, max_val
+
+    def sine_min_max(min_loc, max_loc):
+        minv, maxv = minmax_vals(min_loc, max_loc)
+        delta = maxv - minv
+        v_trans = minv + delta / 2.0
+        return v_trans + delta / 2.0 * F.cos(two_pi_24 * (h - max_loc))
+
+    def sine_night(min_loc, max_loc):
+        # three-piece cosine (`temperature.py:145-167`)
+        minv, maxv = minmax_vals(min_loc, max_loc)
+        delta = maxv - minv
+        v_trans = minv + delta / 2.0
+        span = max_loc - min_loc
+        before_min = h <= min_loc
+        between = (h > min_loc) & (h < max_loc)
+        t_before = v_trans + delta / 2.0 * F.cos(
+            F.try_divide(pi, HOURS_PER_DAY - span)
+            * (HOURS_PER_DAY - max_loc + h)
+        )
+        t_between = v_trans + delta / 2.0 * F.cos(
+            1.25 * pi + F.try_divide(0.75 * pi, span) * (h - min_loc)
+        )
+        t_after = v_trans + delta / 2.0 * F.cos(
+            F.try_divide(pi, HOURS_PER_DAY - span) * (h - max_loc)
+        )
+        return (
+            F.when(before_min, t_before)
+            .when(between, t_between)
+            .otherwise(t_after)
+        )
+
+    def sine_mean(max_loc):
+        # sine_mean (`temperature.py:172-176`)
+        dtr = F.col("max_val_cur") - F.col("min_val_cur")
+        return F.col("mean_val_cur") + dtr / 2.0 * F.cos(
+            two_pi_24 * (h - max_loc)
+        )
+
+    t_mean = sine_mean(F.col("__maxl_fix"))
+    t_night = sine_night(F.col("__minl_fix"), F.col("__maxl_fix"))
+    t_sunloc = sine_min_max(F.col("__minl_sl"), F.col("__maxl_sl"))
+    t_sunshift = sine_min_max(F.col("__minl_ss"), F.col("__maxl_ss"))
+
     return (
-        mean.unionByName(night).unionByName(sunloc).unionByName(sunshift)
+        hourly.select(
+            "user_id",
+            "ts",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("mean").alias("method"),
+                        F.round(t_mean, 6).alias("temp_h"),
+                    ),
+                    F.struct(
+                        F.lit("night").alias("method"),
+                        F.round(t_night, 6).alias("temp_h"),
+                    ),
+                    F.struct(
+                        F.lit("sunloc").alias("method"),
+                        F.round(t_sunloc, 6).alias("temp_h"),
+                    ),
+                    F.struct(
+                        F.lit("sunshift").alias("method"),
+                        F.round(t_sunshift, 6).alias("temp_h"),
+                    ),
+                )
+            ).alias("__mt"),
+        )
+        .select(
+            "user_id",
+            "ts",
+            F.col("__mt.method").alias("method"),
+            F.col("__mt.temp_h").alias("temp_h"),
+        )
     )
 
 

@@ -26,62 +26,45 @@ SINE_METHODS = ("sine_min_max", "sine_mean", "sine")
 MEAN_COURSE_METHODS = ("mean_course_min_max", "mean_course_mean")
 
 
-def _locdf(
-    daily: DataFrame,
-    method: str,
-    min_max_time: str,
-    max_delta: DataFrame | None,
-    keys: list[str],
-    date_col: str,
-) -> DataFrame:
-    """Daily-grain frame with min/max hour locations and neighbour-day
-    extreme values (the reference's ``locdf``, `temperature.py:72-122`).
-    """
-    w = Window.partitionBy(*keys).orderBy(date_col)
-
-    d = daily
+def _loc_exprs(min_max_time: str) -> dict[str, "F.Column"]:
+    """The (min_loc, max_loc) column pair for a timing policy, over a
+    frame that already carries sunrise/sunnoon (sun policies) and
+    max_delta (sun_loc_shift) — split out so a multi-policy caller
+    (the tagged registry union) derives several policies from ONE
+    daily frame."""
     if min_max_time == "fix":
-        d = d.withColumns({"min_loc": F.lit(7), "max_loc": F.lit(14)})
-    elif min_max_time == "sun_loc":
+        return {"min_loc": F.lit(7), "max_loc": F.lit(14)}
+    if min_max_time == "sun_loc":
         # rounding-mode deviation (documented in SURVEY.md §6): Spark
         # F.round is HALF_UP while pandas Series.round is half-to-even,
         # so a sunrise/sunnoon landing exactly on .5 can place the
         # extreme one hour later than the reference. Sun times are
         # irrational-valued in practice; the boundary has measure zero.
-        d = d.withColumns(
-            {
-                "min_loc": F.round("sunrise").cast("int"),
-                "max_loc": (F.round("sunnoon") + DEFAULT_SHIFT_HOURS).cast("int"),
-            }
-        )
-    elif min_max_time == "sun_loc_shift":
-        assert max_delta is not None, "max_delta table required for sun_loc_shift"
-        d = (
-            d.withColumn("month", F.month(date_col))
-            .join(F.broadcast(max_delta), [*keys, "month"], "left")
-            .drop("month")
-        )
-        d = d.withColumns(
-            {
-                "min_loc": F.round("sunrise").cast("int"),
-                "max_loc": F.round(F.col("sunnoon") + F.col("max_delta")).cast("int"),
-            }
-        )
+        return {
+            "min_loc": F.round("sunrise").cast("int"),
+            "max_loc": (F.round("sunnoon") + DEFAULT_SHIFT_HOURS).cast("int"),
+        }
+    if min_max_time == "sun_loc_shift":
+        min_loc = F.round("sunrise").cast("int")
+        raw = F.round(F.col("sunnoon") + F.col("max_delta")).cast("int")
         # fallback where shift puts the max before the min
         # (`temperature.py:104-107`)
-        d = d.withColumn(
-            "max_loc",
-            F.when(
-                F.col("min_loc") > F.col("max_loc"),
+        return {
+            "min_loc": min_loc,
+            "max_loc": F.when(
+                min_loc > raw,
                 (F.round("sunnoon") + DEFAULT_SHIFT_HOURS).cast("int"),
-            ).otherwise(F.col("max_loc")),
-        )
-    else:
-        raise ValueError(f"invalid min_max_time {min_max_time!r}")
+            ).otherwise(raw),
+        }
+    raise ValueError(f"invalid min_max_time {min_max_time!r}")
 
-    # neighbour-day extremes; pandas `shift(±1,'D')` aligns by exact
-    # date, so guard the lead/lag with a 1-day diff; first/last rows
-    # fall back to the current day's values (`temperature.py:115-122`)
+
+def _neighbor_exprs(keys: list[str], date_col: str) -> dict[str, "F.Column"]:
+    """Neighbour-day extreme values (the policy-independent half of the
+    reference's ``locdf``); pandas `shift(±1,'D')` aligns by exact
+    date, so guard the lead/lag with a 1-day diff; first/last rows
+    fall back to the current day's values (`temperature.py:115-122`)."""
+    w = Window.partitionBy(*keys).orderBy(date_col)
     nxt_ok = F.datediff(F.lead(date_col, 1).over(w), F.col(date_col)) == 1
     prv_ok = F.datediff(F.col(date_col), F.lag(date_col, 1).over(w)) == 1
     is_last = F.lead(date_col, 1).over(w).isNull()
@@ -96,20 +79,42 @@ def _locdf(
             edge = is_first
         return F.when(edge, F.col(col)).otherwise(v)
 
+    return {
+        "min_val_cur": F.col("tmin"),
+        "max_val_cur": F.col("tmax"),
+        "mean_val_cur": F.col("temp"),
+        "min_val_next": shifted("tmin", lead=True),
+        "max_val_next": shifted("tmax", lead=True),
+        "min_val_before": shifted("tmin", lead=False),
+        "max_val_before": shifted("tmax", lead=False),
+    }
+
+
+def _locdf(
+    daily: DataFrame,
+    method: str,
+    min_max_time: str,
+    max_delta: DataFrame | None,
+    keys: list[str],
+    date_col: str,
+) -> DataFrame:
+    """Daily-grain frame with min/max hour locations and neighbour-day
+    extreme values (the reference's ``locdf``, `temperature.py:72-122`).
+    """
+    d = daily
+    if min_max_time == "sun_loc_shift":
+        assert max_delta is not None, "max_delta table required for sun_loc_shift"
+        d = (
+            d.withColumn("month", F.month(date_col))
+            .join(F.broadcast(max_delta), [*keys, "month"], "left")
+            .drop("month")
+        )
+    d = d.withColumns(_loc_exprs(min_max_time))
+
     # one withColumns: a chained withColumn re-analyzes the growing
     # plan per call — measured ~0.4s of driver time on the fused
     # api_pipeline build
-    return d.withColumns(
-        {
-            "min_val_cur": F.col("tmin"),
-            "max_val_cur": F.col("tmax"),
-            "mean_val_cur": F.col("temp"),
-            "min_val_next": shifted("tmin", lead=True),
-            "max_val_next": shifted("tmax", lead=True),
-            "min_val_before": shifted("tmin", lead=False),
-            "max_val_before": shifted("tmax", lead=False),
-        }
-    )
+    return d.withColumns(_neighbor_exprs(keys, date_col))
 
 
 def disaggregate_temperature(

@@ -232,3 +232,44 @@ def test_polar_kwarg_tristate(met_daily, stations, monkeypatch):
     assert len(o) == len(a)
     dec = a["ts"].dt.month == 12
     assert (a.loc[dec, "temp"].fillna(-999) != o.loc[dec, "temp"].fillna(-999)).any()
+
+
+def test_q_temp_sine_variants_matches_public_ops(spark):
+    """The registry row's shared-scan restructure (round 13): one
+    neighbour-value window / one sun tree / one hourly explode
+    emitting all four method rows per hour — pins each exploded
+    branch row-identical (at the row's round-6 grain) to the public
+    ``disaggregate_temperature`` pipeline it bypasses."""
+    import os
+    import sys
+
+    import pyspark.sql.functions as F
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import __spark_entry__ as entry
+
+    sf_dir = "/root/testdata/sf0.001"
+    q = entry.q_temp_sine_variants(spark, sf_dir)
+
+    def snap(df):
+        def norm(v):
+            return "nan" if isinstance(v, float) and v != v else v
+
+        return sorted(tuple(norm(v) for v in r) for r in df.collect())
+
+    branches = {
+        "mean": entry.q_temp_sine_mean,
+        "night": entry.q_temp_sine_night,
+        "sunloc": entry.q_temp_sine_sunloc,
+        "sunshift": entry.q_temp_sine_sunshift,
+    }
+    for method, fn in branches.items():
+        got = snap(
+            q.filter(F.col("method") == method).select(
+                "user_id", "ts", "temp_h"
+            )
+        )
+        want = snap(fn(spark, sf_dir))
+        assert got == want, f"branch {method} diverged from the public op"
