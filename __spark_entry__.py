@@ -4537,30 +4537,151 @@ def q_humidity_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two branches over the shared temperature-sine chain (merges
     the former ``humidity_minimal`` / ``humidity_minmax`` rows; both
     variants stay hash-checked inside the union)."""
-    from melodist_spark.operators.humidity import disaggregate_humidity
+    # SHARED SCAN (round 13, same treatment as the radiation/temp
+    # union rows): the three public-op branches each paid their own
+    # fused sine-temperature chain (neighbour window + hourly explode
+    # + cosine). All three humidity formulas are row-local functions
+    # of the SAME exploded fix-timing sine temperature, so the row
+    # computes the chain once — one neighbour window (the lindew
+    # tdew_next lead rides the same window spec), one explode — and
+    # emits the three variant rows per hour with one
+    # explode-of-structs. Formulas are copied term-for-term from
+    # disaggregate_humidity / disaggregate_temperature;
+    # test_q_humidity_variants_matches_public_ops pins each branch
+    # row-identical to the public op at the row's round-6 grain; the
+    # DuckDB twin is unchanged.
+    from pyspark.sql import Window
 
+    from melodist_spark.functions.meteo import vapor_pressure
+    from melodist_spark.operators.humidity import dewpoint_regression
+    from melodist_spark.operators.temperature import (
+        HOURS_PER_DAY,
+        _loc_exprs,
+        _neighbor_exprs,
+    )
+    from melodist_spark.util.calendar import hourly_calendar
+
+    PI = 3.141592653589793
+
+    m = _met_hourly(spark, sf_dir)
+    params = dewpoint_regression(m, keys=["user_id"]).withColumn(
+        "kr", F.lit(12)
+    )
     daily = _met_daily(spark, sf_dir)
-    temp_disagg = {"method": "sine_min_max", "min_max_time": "fix"}
-    minimal = disaggregate_humidity(
-        daily, method="minimal", temp_disagg=temp_disagg, keys=["user_id"]
-    ).select(
-        "user_id", "ts", F.lit("minimal").alias("variant"),
-        F.round("hum", 6).alias("hum_h"),
+    d = daily.join(F.broadcast(params), ["user_id"], "left")
+    wd = Window.partitionBy("user_id").orderBy("date")
+    d = d.withColumn(
+        "tdew_reg", F.col("a0") + F.col("a1") * F.col("tmin")
+    ).withColumn(
+        "tdew_next",
+        F.coalesce(F.lead("tdew_reg", 1).over(wd), F.col("tdew_reg")),
     )
-    minmax = disaggregate_humidity(
-        daily, method="min_max", temp_disagg=temp_disagg, keys=["user_id"]
-    ).select(
-        "user_id", "ts", F.lit("min_max").alias("variant"),
-        F.round("hum", 6).alias("hum_h"),
+    fix = _loc_exprs("fix")
+    d = d.withColumns({"min_loc": fix["min_loc"], "max_loc": fix["max_loc"]})
+    d = d.withColumns(_neighbor_exprs(["user_id"], "date"))
+
+    hourly = hourly_calendar(d, date_col="date", ts_col="ts").withColumn(
+        "hour", F.hour("ts")
     )
-    # round 11: the former humidity_lindew row folds in as its third
-    # branch (same schema family; the proven variant-tag merge), and
-    # the freed checked-window slot registers tokenize_apply
-    lindew = q_humidity_lindew(spark, sf_dir).select(
-        "user_id", "ts", F.lit("lindew").alias("variant"),
-        F.col("hum_h"),
+    h = F.col("hour").cast("double")
+
+    # the fused fix-timing sine_min_max temperature
+    # (`temperature.py:127-143`)
+    minv = F.when(
+        F.col("hour") < F.col("max_loc"), F.col("min_val_cur")
+    ).otherwise(F.col("min_val_next"))
+    maxv = F.when(
+        F.col("hour") < F.col("min_loc"), F.col("max_val_before")
+    ).otherwise(F.col("max_val_cur"))
+    delta = maxv - minv
+    temp = (
+        minv
+        + delta / 2.0
+        + delta
+        / 2.0
+        * F.cos(F.lit(2 * PI / HOURS_PER_DAY) * (h - F.col("max_loc")))
     )
-    return minimal.unionByName(minmax).unionByName(lindew)
+    hourly = hourly.withColumn("__temp", temp)
+
+    # linear_dewpoint_variation hourly dewpoint: eq. (20)/(21) of
+    # Debele et al. 2007 (`humidity.py:73-86`)
+    tdew_delta = 0.5 * F.sin(
+        (h + 1) * F.lit(PI) / F.col("kr") - F.lit(3.0 * PI / 4.0)
+    )
+    tdew_h = (
+        F.col("tdew_reg")
+        + h / 24.0 * (F.col("tdew_next") - F.col("tdew_reg"))
+        + tdew_delta
+    )
+    # min_max: position of temp within the daily range
+    # (`humidity.py:91-101`), flat-day semantics as the public op
+    num = F.col("__temp") - F.col("tmin")
+    den = F.col("tmax") - F.col("tmin")
+    diff = F.col("hum_min") - F.col("hum_max")
+    flat = F.when(
+        (num == 0) | (diff == 0), F.lit(None).cast("double")
+    ).otherwise(
+        F.when((num > 0) == (diff > 0), F.lit(100.0)).otherwise(F.lit(0.0))
+    )
+    # MATERIALIZE each raw hum_disagg as a column before the clip —
+    # clip/round reference `val` several times, and handing them the
+    # raw trees inlines the vapor-pressure exponentials ~6× into the
+    # generator (measured 2.5× slower than the public-op branches);
+    # the public op materializes hum_disagg the same way
+    hourly = hourly.withColumns(
+        {
+            # minimal: tdew = daily tmin (`humidity.py:63-66`)
+            "__hd_min": 100.0
+            * vapor_pressure(F.col("tmin"), 100.0)
+            / vapor_pressure(F.col("__temp"), 100.0),
+            "__hd_mm": F.when(
+                den != 0, F.col("hum_max") + num / den * diff
+            ).otherwise(flat),
+            "__hd_ld": 100.0
+            * vapor_pressure(tdew_h, 100.0)
+            / vapor_pressure(F.col("__temp"), 100.0),
+        }
+    )
+
+    def clip(name):
+        # null-preserving clip to [0, 100] (`humidity.py:120`)
+        val = F.col(name)
+        return F.when(val.isNull(), val).otherwise(
+            F.least(F.greatest(val, F.lit(0.0)), F.lit(100.0))
+        )
+
+    hum_minimal = clip("__hd_min")
+    hum_minmax = clip("__hd_mm")
+    hum_lindew = clip("__hd_ld")
+
+    return (
+        hourly.select(
+            "user_id",
+            "ts",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("minimal").alias("variant"),
+                        F.round(hum_minimal, 6).alias("hum_h"),
+                    ),
+                    F.struct(
+                        F.lit("min_max").alias("variant"),
+                        F.round(hum_minmax, 6).alias("hum_h"),
+                    ),
+                    F.struct(
+                        F.lit("lindew").alias("variant"),
+                        F.round(hum_lindew, 6).alias("hum_h"),
+                    ),
+                )
+            ).alias("__vh"),
+        )
+        .select(
+            "user_id",
+            "ts",
+            F.col("__vh.variant").alias("variant"),
+            F.col("__vh.hum_h").alias("hum_h"),
+        )
+    )
 
 
 def q_temp_course_variants(spark: SparkSession, sf_dir: str) -> DataFrame:

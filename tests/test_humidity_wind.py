@@ -236,3 +236,62 @@ def test_min_max_flat_day_reference_semantics(spark):
     assert out["hum"].iloc[5] == 0.0
     assert out["hum"].iloc[6] == 100.0
     assert np.isnan(out["hum"].iloc[0])  # temp == tmin → NaN/null
+
+
+def test_q_humidity_variants_matches_public_ops(spark):
+    """The registry row's shared-scan restructure (round 13): one
+    fused sine-temperature chain (one neighbour window, one hourly
+    explode) emitting all three variant rows per hour — pins each
+    exploded branch row-identical (at the row's round-6 grain) to the
+    public ``disaggregate_humidity`` pipeline it bypasses."""
+    import os
+    import sys
+
+    import pyspark.sql.functions as F
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import __spark_entry__ as entry
+
+    from melodist_spark.operators.humidity import disaggregate_humidity
+
+    sf_dir = "/root/testdata/sf0.001"
+    q = entry.q_humidity_variants(spark, sf_dir)
+    daily = entry._met_daily(spark, sf_dir)
+    temp_disagg = {"method": "sine_min_max", "min_max_time": "fix"}
+
+    def snap(df):
+        def norm(v):
+            return "nan" if isinstance(v, float) and v != v else v
+
+        return sorted(tuple(norm(v) for v in r) for r in df.collect())
+
+    pub = {
+        "minimal": disaggregate_humidity(
+            daily, method="minimal", temp_disagg=temp_disagg,
+            keys=["user_id"],
+        ),
+        "min_max": disaggregate_humidity(
+            daily, method="min_max", temp_disagg=temp_disagg,
+            keys=["user_id"],
+        ),
+    }
+    for variant, df in pub.items():
+        got = snap(
+            q.filter(F.col("variant") == variant).select(
+                "user_id", "ts", "hum_h"
+            )
+        )
+        want = snap(
+            df.select("user_id", "ts", F.round("hum", 6).alias("hum_h"))
+        )
+        assert got == want, f"branch {variant} diverged from the public op"
+
+    got = snap(
+        q.filter(F.col("variant") == "lindew").select(
+            "user_id", "ts", "hum_h"
+        )
+    )
+    want = snap(entry.q_humidity_lindew(spark, sf_dir))
+    assert got == want, "branch lindew diverged from the public op"
