@@ -5,6 +5,7 @@ from melodist_spark.streaming.daily_agg import (
 from melodist_spark.streaming.increments import (
     EmbeddingIncrementSink,
     MinhashIncrementSink,
+    ProfileIncrementSink,
     SpanIncrementSink,
 )
 from melodist_spark.streaming.stateful import streaming_disaggregate_temperature
@@ -15,5 +16,6 @@ __all__ = [
     "streaming_disaggregate_temperature",
     "EmbeddingIncrementSink",
     "MinhashIncrementSink",
+    "ProfileIncrementSink",
     "SpanIncrementSink",
 ]

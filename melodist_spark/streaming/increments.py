@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "EmbeddingIncrementSink",
     "MinhashIncrementSink",
+    "ProfileIncrementSink",
     "SpanIncrementSink",
 ]
 
@@ -610,3 +611,88 @@ class EmbeddingIncrementSink(_BatchIncrementSink):
             F.col("id").alias(self.id_col)
         )
         return surv.join(drop, self.id_col, "left_anti")
+
+
+class ProfileIncrementSink(_BatchIncrementSink):
+    """Streaming corpus profile over a document stream: each
+    micro-batch lands its per-group mergeable sketch state
+    (:func:`pipeline.profile.corpus_profile_state` — exact counters +
+    HLL/theta/KLL) as BOTH the output slot and the state delta.
+
+    The output log is therefore a per-batch profile TIME SERIES —
+    composition drift (a language mix shifting, document lengths
+    collapsing, duplication spiking) is visible by estimating each
+    ``delta_batch`` slot without touching any document again — while
+    ``state_as_of``/``compact`` fold the slots through
+    :func:`pipeline.profile.merge_profile_states` into the cumulative
+    corpus profile (HLL/theta unions are exact under the fold, so the
+    compacted state equals a from-scratch profile of everything
+    ingested).
+
+    The replay rules hold degenerately: profiling makes no
+    against-state decision, so ``__call__`` skips the rule-1 snapshot
+    read entirely (nothing to read), and the batch-id-keyed overwrite
+    (rule 2) makes a replayed batch rewrite identical sketch bytes —
+    HLL registers and theta hash sets are deterministic functions of
+    the batch's content hashes. State is bytes per (group × batch)
+    before compaction, bytes per group after.
+    """
+
+    def __init__(
+        self,
+        state_path: str,
+        out_path: str,
+        group_by: tuple[str, ...] | list[str] = (),
+        text_col: str = "text",
+        lg_k: int = 12,
+        kll_k: int = 200,
+    ):
+        super().__init__(state_path, out_path)
+        self.group_by = list(group_by)
+        self.text_col = text_col
+        self.lg_k = lg_k
+        self.kll_k = kll_k
+
+    def _profile(self, docs: DataFrame) -> DataFrame:
+        from melodist_spark.pipeline.profile import corpus_profile_state
+
+        return corpus_profile_state(
+            docs,
+            group_by=self.group_by,
+            text_col=self.text_col,
+            lg_k=self.lg_k,
+            kll_k=self.kll_k,
+        )
+
+    def init(self, df: DataFrame) -> None:
+        """Bootstrap from pre-stream history (``docs`` rows, not
+        profile rows — the sink profiles them) or ``docs.limit(0)``
+        for an empty base slot."""
+        self._profile(df).write.mode("overwrite").parquet(
+            self._state_slot(-1)
+        )
+
+    def _survivors(self, batch: DataFrame, state) -> DataFrame:
+        return self._profile(batch)
+
+    def _delta(self, surv: DataFrame) -> DataFrame:
+        return surv
+
+    def _merge(self, df: DataFrame) -> DataFrame:
+        from melodist_spark.pipeline.profile import merge_profile_states
+
+        return merge_profile_states(
+            df, group_by=self.group_by, lg_k=self.lg_k, kll_k=self.kll_k
+        )
+
+    def __call__(self, batch_df: DataFrame, bid) -> None:
+        # no against-state decision → skip the rule-1 snapshot read;
+        # rules 2 and 3 (batch-id-keyed overwrites, output-then-state)
+        # unchanged from the base
+        bid = int(bid)
+        surv = self._survivors(batch_df, None).persist()
+        try:
+            self._write_output(surv, bid)
+            self._write_state(surv, bid)
+        finally:
+            surv.unpersist()
