@@ -144,9 +144,21 @@ def pagerank(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if prepartition:
         e = e.repartition("src")
+    if driver_below:
+        # the node-count action below and the fast path's collect
+        # would otherwise each execute the caller's edge plan in full
+        # (for a derived edge list — joins, regex normalization —
+        # that upstream work dominates the tiny graph itself);
+        # persisting the projected edge list makes the second action
+        # a cache read. Only when driver_below is set: the caller is
+        # asserting the graph is plausibly parameter-sized, so the
+        # materialized edge list is small; the distributed path also
+        # rereads e every iteration and benefits the same way.
+        e = e.persist()
     deg = out_degrees(e).persist()
-    n_nodes = deg.count()  # one action; also materializes deg
+    n_nodes = deg.count()  # one action; also materializes deg (and e)
     if n_nodes == 0:
+        e.unpersist()  # no-op unless driver_below persisted it
         return deg.select("node", F.lit(0.0).alias("pagerank"))
 
     from .dedup import (
@@ -185,6 +197,7 @@ def pagerank(
 
     if manifest is None and driver_below and n_nodes <= driver_below:
         rows = e.collect()
+        e.unpersist()
         deg.unpersist()
         return _pagerank_driver(
             edges.sparkSession, [(r["src"], r["dst"]) for r in rows],
@@ -257,6 +270,7 @@ def pagerank(
             prev_cut = ranks
     out = ranks.select("node", F.col("r").alias("pagerank"))
     deg.unpersist()
+    e.unpersist()  # safe: the returned ranks read the final cut, not e
     return out
 
 
