@@ -46,8 +46,11 @@ __all__ = [
     "bloom_parameters",
     "bloom_build",
     "bloom_probe",
+    "bloom_probe_packed",
+    "bloom_words_local",
     "decontaminate_bloom",
     "stamp_bloom_filter",
+    "PACKED_FILTER_MAX_BITS",
 ]
 
 
@@ -208,6 +211,97 @@ def bloom_probe(
     return out.drop(*drop)
 
 
+#: Largest filter (in bits) the packed-literal probe will inline into
+#: the plan: m_bits/64 longs ride the query plan as ONE array
+#: constant, shipped to each executor with the stage broadcast.
+#: 2^22 bits = 64 Ki longs = 512 KB — past that the word-table
+#: broadcast join amortizes better than re-shipping a large plan
+#: constant, and the k-join probe is the right shape anyway.
+PACKED_FILTER_MAX_BITS = 1 << 22
+
+
+def bloom_words_local(bloom: DataFrame, m_bits: int, k: int) -> list[int]:
+    """Collect a (parameter-sized) word table to a dense driver-side
+    list of ``m_bits/64`` longs — the model-object boundary for
+    :func:`bloom_probe_packed`. Validates the frame's provenance
+    metadata exactly like :func:`bloom_probe`. The caller asserts the
+    filter is parameter-sized (use :data:`PACKED_FILTER_MAX_BITS` as
+    the sanity bound); corpus-sized filters stay DataFrames and go
+    through the join probe."""
+    if m_bits % 64 or m_bits <= 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    if m_bits > PACKED_FILTER_MAX_BITS:
+        raise ValueError(
+            f"m_bits={m_bits} exceeds PACKED_FILTER_MAX_BITS="
+            f"{PACKED_FILTER_MAX_BITS} — a filter this large should "
+            "stay distributed (bloom_probe join path), not ride the "
+            "plan as a constant"
+        )
+    _check_bloom_meta(bloom, m_bits, k)
+    words = [0] * (m_bits // 64)
+    for r in bloom.collect():
+        words[r["word_idx"]] = r["word"]
+    return words
+
+
+def bloom_probe_packed(
+    df: DataFrame,
+    col: str,
+    words: list[int],
+    m_bits: int,
+    k: int,
+    out_col: str = "bloom_maybe",
+) -> DataFrame:
+    """Join-free twin of :func:`bloom_probe` for parameter-sized
+    filters: the dense word array (from :func:`bloom_words_local`)
+    becomes one array literal and the whole verdict is a pure-codegen
+    expression — k xxhash64 probes, k element_at word reads, k bit
+    tests, ANDed. Bit positions are the identical ``_positions``
+    family, so verdicts match the join probe exactly (pytest-pinned).
+
+    Where the join probe pays k broadcast hash lookups plus k join
+    projections per probed row, this pays k array indexings — the
+    right trade whenever the filter fits comfortably in the plan
+    (eval-suite decontamination gates, config blocklists). At
+    blocklist scale (GBs of words) use :func:`bloom_probe`."""
+    if m_bits % 64 or m_bits <= 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    if not (1 <= k <= 64):
+        raise ValueError(f"k must be in [1, 64], got {k}")
+    if len(words) != m_bits // 64:
+        raise ValueError(
+            f"dense word table must hold m_bits/64={m_bits // 64} words, "
+            f"got {len(words)} — build it with bloom_words_local()"
+        )
+    # The dense array rides a ONE-ROW broadcast frame (the
+    # dangling-mass crossJoin pattern), NOT a literal: an inline
+    # array(...) tree of m/64 literal nodes gets embedded once per
+    # probe and the analyzer/optimizer then walk k copies of it —
+    # measured ~7 s of pure driver time per query at 19k words —
+    # while a column reference is one node. At runtime every row sees
+    # the same broadcast ArrayData, so each probe is still an O(1)
+    # indexed read.
+    spark = df.sparkSession
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    wdf = spark.createDataFrame(
+        [([int(w) for w in words],)],
+        StructType([StructField("__bf_words", ArrayType(LongType()), False)]),
+    )
+    out = df.crossJoin(F.broadcast(wdf))
+    arr = F.col("__bf_words")
+    verdict = F.lit(True)
+    for pos in _positions(F.col(col), m_bits, k):
+        # F.shiftright only takes a literal shift; the SQL function
+        # accepts a column — call it through the function registry
+        word = F.element_at(arr, (F.call_function("shiftright", pos, F.lit(6)) + 1).cast("int"))
+        bit = F.pmod(pos, 64).cast("int")
+        verdict = verdict & (
+            F.call_function("shiftright", word, bit).bitwiseAND(F.lit(1)) == 1
+        )
+    return out.withColumn(out_col, verdict).drop("__bf_words")
+
+
 def decontaminate_bloom(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -219,6 +313,7 @@ def decontaminate_bloom(
     n_bench_grams: int | None = None,
     broadcast_filter: bool = True,
     text_is_extracted: bool = False,
+    filter_mode: str = "auto",
 ) -> DataFrame:
     """Two-phase decontamination: Bloom prefilter on the corpus gram
     stream, exact verification join on the survivors only.
@@ -267,9 +362,34 @@ def decontaminate_bloom(
     m_bits, k = bloom_parameters(n, fpr)
     bloom = bloom_build(bench, "__bg", m_bits, k)
 
+    if filter_mode not in ("auto", "join", "packed"):
+        raise ValueError(
+            f"filter_mode must be 'auto', 'join' or 'packed', got "
+            f"{filter_mode!r}"
+        )
+    # 'packed' inlines the word table into the plan as one array
+    # constant and probes with pure codegen (k array reads) instead of
+    # k broadcast hash joins of the gram stream — the right shape for
+    # eval-suite-sized filters at any corpus scale, where the probe
+    # joins' per-gram hash-relation lookups dominate the filter's own
+    # size. 'auto' takes it whenever the filter is plan-sized
+    # (PACKED_FILTER_MAX_BITS); corpus-sized filters keep the join
+    # probe. Verdicts are pin-tested identical.
+    packed = filter_mode == "packed" or (
+        filter_mode == "auto"
+        and broadcast_filter
+        and m_bits <= PACKED_FILTER_MAX_BITS
+    )
+
     if broadcast_filter:
         grams = ngram_hashes(docs, text_col, id_col, ngram)
-        probed = bloom_probe(grams, "__g", bloom, m_bits, k)
+        if packed:
+            probed = bloom_probe_packed(
+                grams, "__g", bloom_words_local(bloom, m_bits, k),
+                m_bits, k,
+            )
+        else:
+            probed = bloom_probe(grams, "__g", bloom, m_bits, k)
         exact = F.broadcast(bench)
         joined = probed.join(
             exact,

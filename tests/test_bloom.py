@@ -228,3 +228,88 @@ def test_bloom_probe_metadata_guard(spark, tmp_path):
         .count()
         == 0
     )
+
+
+def test_bloom_probe_packed_matches_join_probe(spark):
+    """Round 13: the packed (plan-constant) probe is a pure-codegen
+    twin of the k-join probe — identical _positions family, so the
+    verdicts must match bit for bit, false positives included; and
+    its plan must carry NO join of the probed stream against the word
+    table (the single BroadcastNestedLoopJoin is the 1-row dense-array
+    attach, the dangling-mass crossJoin pattern)."""
+    from melodist_spark.pipeline.bloom import (
+        PACKED_FILTER_MAX_BITS,
+        bloom_probe_packed,
+        bloom_words_local,
+    )
+
+    m, k = bloom_parameters(800, 0.01)
+    df = spark.range(5000).select(F.concat(F.lit("v"), F.col("id")).alias("v"))
+    members = df.filter(F.col("id") % 7 == 0) if "id" in df.columns else df
+    members = spark.range(0, 5000, 7).select(
+        F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    bloom = bloom_build(members, "v", m, k)
+    words = bloom_words_local(bloom, m, k)
+    assert len(words) == m // 64
+
+    a = bloom_probe(df, "v", bloom, m, k).select("v", "bloom_maybe")
+    b = bloom_probe_packed(df, "v", words, m, k).select("v", "bloom_maybe")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # no member may read false (no false negatives through the pack)
+    packed_members = bloom_probe_packed(members, "v", words, m, k)
+    assert packed_members.filter(~F.col("bloom_maybe")).count() == 0
+
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" not in plan
+
+    # geometry guards: dense length must match, oversized filters are
+    # refused at the collect boundary (they belong on the join path)
+    with pytest.raises(ValueError, match="m_bits/64"):
+        bloom_probe_packed(df, "v", words[:-1], m, k)
+    with pytest.raises(ValueError, match="PACKED_FILTER_MAX_BITS"):
+        bloom_words_local(bloom, PACKED_FILTER_MAX_BITS * 2, k)
+
+
+def test_decontaminate_bloom_filter_modes_identical(spark):
+    """filter_mode='packed' and 'join' must return identical rows
+    (auto picks packed for an eval-suite-sized filter); the packed
+    plan drops the k probe joins — only the exact-verify broadcast
+    join of the gram stream remains."""
+    random.seed(23)
+    words = [f"w{i}" for i in range(60)]
+    rows = [
+        (i, " ".join(random.choices(words, k=random.randint(3, 30))))
+        for i in range(300)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = docs.filter(F.col("doc_id") % 9 == 0)
+    train = docs.filter(F.col("doc_id") % 9 != 0)
+
+    j = decontaminate_bloom(
+        train, bench, ngram=3, threshold=2, filter_mode="join",
+        text_is_extracted=True,
+    ).orderBy("doc_id").collect()
+    p = decontaminate_bloom(
+        train, bench, ngram=3, threshold=2, filter_mode="packed",
+        text_is_extracted=True,
+    ).orderBy("doc_id").collect()
+    auto = decontaminate_bloom(
+        train, bench, ngram=3, threshold=2, text_is_extracted=True
+    ).orderBy("doc_id").collect()
+    assert j == p == auto and len(j) > 0
+
+    plan = (
+        decontaminate_bloom(
+            train, bench, ngram=3, threshold=2, text_is_extracted=True
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 1  # exact verify only
+    with pytest.raises(ValueError, match="filter_mode"):
+        decontaminate_bloom(
+            train, bench, ngram=3, filter_mode="nope", text_is_extracted=True
+        )
