@@ -6397,32 +6397,91 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     suite's capacity; counting first costs an extra full action and
     the output is identical for any m/k, only the prefilter's FP
     trickle changes). 2^17 covers the gram count at every tested SF
-    with the word table still ~150 KB — broadcast noise."""
-    from melodist_spark.pipeline.bloom import decontaminate_bloom
-    from melodist_spark.pipeline.decontamination import decontaminate
+    with the word table still ~150 KB — broadcast noise.
+
+    SHARED GRAM SCAN (round 13, same treatment as the variant rows):
+    the exact and bloom branches each paid their own full corpus
+    tokenize+explode pass — the CodegenFallback shingle tree is the
+    dominant per-branch cost, and at cluster scale the two passes are
+    pure duplicated work (locally the union overlapped them, hiding
+    the waste in idle cores). The row now runs ONE gram stream;
+    each gram carries BOTH membership decisions — the exact broadcast
+    join hit, and the packed Bloom probe's maybe-verdict struck by
+    the same verify join the public bloom op runs — and one per-doc
+    aggregation emits the two method rows with an explode-of-structs.
+    Both branches stay real: the bloom columns pass through the
+    packed probe expression + verify join exactly as
+    ``decontaminate_bloom(filter_mode='packed')`` computes them
+    (pin-tested row-identical to BOTH public ops,
+    test_q_decontaminate_branches_match_public_ops); the DuckDB twin
+    is unchanged. Like the other shared rows, the per-method bench
+    subs now price the shared scan plus both predicates minus the
+    other method's emit — compare the row total round-to-round."""
+    from melodist_spark.pipeline.bloom import (
+        bloom_build,
+        bloom_parameters,
+        bloom_probe_packed,
+        bloom_words_local,
+    )
+    from melodist_spark.pipeline.decontamination import ngram_hashes
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     bench = docs.filter(F.col("doc_id") % 41 == 0)
     train = docs.filter(F.col("doc_id") % 41 != 0)
 
-    def shaped(method: str, out: DataFrame) -> DataFrame:
-        return out.select(
-            F.lit(method).alias("method"),
-            "doc_id",
-            F.col("n_ngrams").cast("long").alias("n_ngrams"),
-            F.col("n_hits").cast("long").alias("n_hits"),
-            F.round("overlap", 6).alias("overlap"),
-            "contaminated",
-        )
+    bench_g = (
+        ngram_hashes(bench, "text", "doc_id", 5)
+        .select(F.col("__g").alias("__bg"))
+        .distinct()
+    )
+    m_bits, k = bloom_parameters(1 << 17, 0.01)
+    words = bloom_words_local(
+        bloom_build(bench_g, "__bg", m_bits, k), m_bits, k
+    )
 
-    return shaped("exact", decontaminate(train, bench, ngram=5, threshold=1, text_is_extracted=True)).unionByName(
-        shaped(
-            "bloom",
-            decontaminate_bloom(
-                train, bench, ngram=5, threshold=1, fpr=0.01, n_bench_grams=1 << 17,
-                text_is_extracted=True,
-            ),
-        )
+    grams = ngram_hashes(train, "text", "doc_id", 5)
+    probed = bloom_probe_packed(grams, "__g", words, m_bits, k)
+    exact = F.broadcast(bench_g)
+    verify = F.broadcast(bench_g.select(F.col("__bg").alias("__bv")))
+    j = probed.join(
+        exact, probed["__g"] == exact["__bg"], "left"
+    ).join(
+        verify,
+        F.col("bloom_maybe") & (F.col("__g") == F.col("__bv")),
+        "left",
+    )
+    per_doc = j.groupBy("doc_id").agg(
+        F.count("*").alias("n_ngrams"),
+        F.sum(
+            F.when(F.col("__bg").isNotNull(), 1).otherwise(0)
+        ).alias("__h_exact"),
+        F.sum(
+            F.when(F.col("__bv").isNotNull(), 1).otherwise(0)
+        ).alias("__h_bloom"),
+    )
+    emitted = per_doc.select(
+        "doc_id",
+        "n_ngrams",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("exact").alias("method"),
+                    F.col("__h_exact").alias("n_hits"),
+                ),
+                F.struct(
+                    F.lit("bloom").alias("method"),
+                    F.col("__h_bloom").alias("n_hits"),
+                ),
+            )
+        ).alias("__m"),
+    )
+    return emitted.select(
+        F.col("__m.method").alias("method"),
+        "doc_id",
+        F.col("n_ngrams").cast("long").alias("n_ngrams"),
+        F.col("__m.n_hits").cast("long").alias("n_hits"),
+        F.round(F.col("__m.n_hits") / F.col("n_ngrams"), 6).alias("overlap"),
+        (F.col("__m.n_hits") >= F.lit(1)).alias("contaminated"),
     )
 
 

@@ -313,3 +313,60 @@ def test_decontaminate_bloom_filter_modes_identical(spark):
         decontaminate_bloom(
             train, bench, ngram=3, filter_mode="nope", text_is_extracted=True
         )
+
+
+def test_q_decontaminate_branches_match_public_ops(spark):
+    """The registry row's shared-gram-scan restructure (round 13):
+    ONE corpus tokenize pass carries both membership decisions — this
+    pins each method-filtered branch row-identical to the public op
+    it bypasses (decontaminate / decontaminate_bloom), so the shared
+    plan cannot drift from the operators it prices."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import __spark_entry__ as entry
+
+    from melodist_spark.pipeline.decontamination import decontaminate
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 41 == 0)
+    train = docs.filter(F.col("doc_id") % 41 != 0)
+    q = entry.q_decontaminate(spark, sf_dir)
+
+    def shaped(method, out):
+        return out.select(
+            F.lit(method).alias("method"),
+            "doc_id",
+            F.col("n_ngrams").cast("long").alias("n_ngrams"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round("overlap", 6).alias("overlap"),
+            "contaminated",
+        )
+
+    def snap(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    pub_exact = decontaminate(
+        train, bench, ngram=5, threshold=1, text_is_extracted=True
+    )
+    assert snap(q.filter(F.col("method") == "exact")) == snap(
+        shaped("exact", pub_exact)
+    )
+    pub_bloom = decontaminate_bloom(
+        train, bench, ngram=5, threshold=1, fpr=0.01,
+        n_bench_grams=1 << 17, text_is_extracted=True,
+    )
+    got_bloom = snap(q.filter(F.col("method") == "bloom"))
+    assert got_bloom == snap(shaped("bloom", pub_bloom))
+    assert len(got_bloom) > 0
+
+    # shared-scan plan contract: ONE corpus gram stream — exactly one
+    # Generate over the train side feeds the aggregation (the second
+    # Generate in the plan is the benchmark side's own gram build),
+    # and nothing sort-merge-joins
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
