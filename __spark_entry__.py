@@ -5881,13 +5881,29 @@ def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor memory) and ``broadcast`` (model shipped to workers,
     scoring fully map-side, zero corpus shuffle — the 100 TB default
     for a pruned KenLM-analog). The hash gate checking both against
-    one oracle IS the path-equivalence proof."""
+    one oracle IS the path-equivalence proof.
+
+    SHARED TRAINING (round 13): both deployment shapes score with the
+    SAME bigram model, but each branch used to train its own copy —
+    the join branch's two count aggregations in-plan plus the
+    broadcast branch's two collect-side training passes, four corpus
+    tokenize passes for one model. The row now trains once
+    (``bigram_lm``), lazily localCheckpoints the two count tables,
+    and hands them to both branches via the ops' ``model=`` injection
+    point: the broadcast collect materializes the checkpoints at
+    build and the join branch's plan reads the same blocks. In
+    production you train once and deploy twice — this is that shape.
+    The DuckDB twin is unchanged (identical model, identical
+    scores)."""
     from melodist_spark.pipeline.lm import (
+        bigram_lm,
         lm_cross_entropy,
         lm_cross_entropy_broadcast,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    big, uni = bigram_lm(docs, "text", min_count=1)
+    model = (big.localCheckpoint(eager=False), uni.localCheckpoint(eager=False))
 
     def shaped(method: str, out: DataFrame) -> DataFrame:
         return out.select(
@@ -5898,8 +5914,13 @@ def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("perplexity", 6).alias("perplexity"),
         )
 
-    return shaped("join", lm_cross_entropy(docs, alpha=0.4)).unionByName(
-        shaped("broadcast", lm_cross_entropy_broadcast(docs, alpha=0.4))
+    return shaped(
+        "join", lm_cross_entropy(docs, alpha=0.4, model=model)
+    ).unionByName(
+        shaped(
+            "broadcast",
+            lm_cross_entropy_broadcast(docs, alpha=0.4, model=model),
+        )
     )
 
 

@@ -130,11 +130,18 @@ def lm_cross_entropy(
     id_col: str = "doc_id",
     alpha: float = 0.4,
     min_count: int = 1,
+    model: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Score ``df`` against a bigram LM trained on ``train_df``
     (default: ``df`` itself — self-perplexity, the repetition/fluency
     signal). Adds ``n_bigrams``, ``cross_entropy`` (nats/bigram) and
     ``perplexity``; documents with fewer than two tokens get nulls.
+
+    ``model`` injects a pretrained ``(bigram_counts, unigram_counts)``
+    pair as returned by :func:`bigram_lm` and skips training — the
+    shape for scoring several corpora (or several deployment paths)
+    against ONE trained model without re-running the count
+    aggregations per call; ``train_df``/``min_count`` are ignored.
     """
     # distinct bigrams with multiplicity: join size is per-doc
     # vocabulary, not document length
@@ -149,8 +156,11 @@ def lm_cross_entropy(
     # by bigram shuffles ~78M rows, while re-tokenizing feeds a
     # map-side-combined count from a narrow in-place pass (48-52 s vs
     # 55-66 s interleaved A/B). Train always goes through bigram_lm.
-    train = df if train_df is None else train_df
-    big, uni = bigram_lm(train, text_col, min_count=min_count)
+    if model is not None:
+        big, uni = model
+    else:
+        train = df if train_df is None else train_df
+        big, uni = bigram_lm(train, text_col, min_count=min_count)
     # the vocabulary size V rides along as a 1-row broadcast aggregate
     # instead of a driver-side count(): both V and the scoring join
     # consume the same unigram shuffle subtree, so ReuseExchange runs
@@ -288,10 +298,17 @@ def lm_cross_entropy_broadcast(
     alpha: float = 0.4,
     min_count: int = 1,
     order: int = 2,
+    model: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Same scores as :func:`lm_cross_entropy`, but with the model
     BROADCAST and scoring fully map-side: the corpus is scanned once
     and never shuffled.
+
+    ``model`` injects the pretrained ``(bigram_counts, unigram_counts)``
+    pair of :func:`bigram_lm` (order 2 only — :func:`ngram_lm` tables
+    carry different column names) and skips training; the collect
+    then reads the caller's materialized tables instead of re-running
+    the count aggregations.
 
     This is the 100 TB shape whenever the pruned model fits executor
     memory (a ``min_count``-pruned bigram table over a bounded
@@ -334,9 +351,17 @@ def lm_cross_entropy_broadcast(
 
     spark = df.sparkSession
     train = df if train_df is None else train_df
-    gram, prefix = ngram_lm(train, order, text_col, min_count=min_count)
-    big_pdf = gram.toPandas().rename(columns={"c": "c12"})
-    uni_pdf = prefix.toPandas().rename(columns={"cp": "c1"})
+    if model is not None:
+        if order != 2:
+            raise ValueError(
+                "model= injection requires order=2 (bigram_lm tables)"
+            )
+        big_pdf = model[0].toPandas()
+        uni_pdf = model[1].toPandas()
+    else:
+        gram, prefix = ngram_lm(train, order, text_col, min_count=min_count)
+        big_pdf = gram.toPandas().rename(columns={"c": "c12"})
+        uni_pdf = prefix.toPandas().rename(columns={"cp": "c1"})
     # smoothing vocabulary = distinct unigrams (== the prefix table
     # for order 2; one extra tiny distinct-count for higher orders)
     if order == 2:

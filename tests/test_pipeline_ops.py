@@ -4405,3 +4405,56 @@ def test_degenerate_vectors_bucket_to_null(spark):
         4, threshold=0.99, num_planes=4, num_tables=2,
     )
     assert sorted(r["vec_id"] for r in surv.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_lm_model_injection_matches_self_training(spark):
+    """Round 13: both scoring paths accept a pretrained
+    (bigram_counts, unigram_counts) pair via model= and must return
+    exactly what self-training returns — the injection point exists
+    so one trained model can feed several deployment paths (the
+    doc_perplexity registry row trains once and scores twice)."""
+    from melodist_spark.pipeline.lm import (
+        bigram_lm,
+        lm_cross_entropy,
+        lm_cross_entropy_broadcast,
+    )
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat"),
+        (2, "dogs chase the cat"),
+        (3, "zq xw vv zq xw"),
+        (4, "one"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    model = bigram_lm(docs, "text", min_count=1)
+
+    def snap(df):
+        return sorted(
+            (
+                r["doc_id"],
+                r["n_bigrams"],
+                None
+                if r["cross_entropy"] is None
+                else round(r["cross_entropy"], 9),
+            )
+            for r in df.select(
+                "doc_id", "n_bigrams", "cross_entropy"
+            ).collect()
+        )
+
+    assert snap(lm_cross_entropy(docs, alpha=0.4, model=model)) == snap(
+        lm_cross_entropy(docs, alpha=0.4)
+    )
+    assert snap(
+        lm_cross_entropy_broadcast(docs, alpha=0.4, model=model)
+    ) == snap(lm_cross_entropy_broadcast(docs, alpha=0.4))
+    # join path == broadcast path under the same injected model
+    assert snap(lm_cross_entropy(docs, alpha=0.4, model=model)) == snap(
+        lm_cross_entropy_broadcast(docs, alpha=0.4, model=model)
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="order=2"):
+        lm_cross_entropy_broadcast(docs, order=3, model=model)
