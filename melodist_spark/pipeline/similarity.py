@@ -209,7 +209,12 @@ def lsh_bucket_udf(dim: int, num_planes: int = 16, plane_offset: int = 0):
             dtype="object",
         )
 
-    return _bucket
+    # asNondeterministic: __bucket becomes a join/filter key downstream
+    # (candidate equi-joins null-reject their keys), and the optimizer
+    # pushes a copy of that isnotnull below the projection, duplicating
+    # the ArrowEvalPython so every vector pays the matmul twice (guide
+    # §4.4). The kernel is pure; the flag only stops the cloning.
+    return _bucket.asNondeterministic()
 
 
 def neardup_pairs(
@@ -433,7 +438,11 @@ def embedding_index(
     while tmp in corpus.columns:
         tmp += "_"
     meta = _emb_meta(num_planes, num_tables)
-    return corpus.withColumn(tmp, _buckets(F.col(vec_col))).select(
+    # asNondeterministic: bucket_t columns key the table equi-joins;
+    # see lsh_bucket_udf — stops filter-pushdown duplication
+    return corpus.withColumn(
+        tmp, _buckets.asNondeterministic()(F.col(vec_col))
+    ).select(
         F.col(id_col),
         F.col(vec_col),
         *[
@@ -934,6 +943,14 @@ def ivf_assign(
         xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
         return pd.Series((xn @ cn.T).argmax(axis=1).astype("int32"))
 
+    # NOTE: deliberately NOT asNondeterministic (unlike lsh_bucket_udf
+    # and pq_encode): semantic_dedup's salted window path relies on its
+    # two join branches canonicalizing EQUAL so the sized shuffle is
+    # reused; a nondeterministic _cell breaks that equality and the
+    # row re-runs the shuffle+matmul per branch (measured +80% at
+    # sf0.1). The IVF probe joins key on the query side's collected
+    # cells, so the filter-pushdown duplication the others guard
+    # against does not bite here.
     return corpus.withColumn(out_col, _cell(F.col(vec_col)))
 
 
@@ -1034,7 +1051,11 @@ def pq_encode(
             codes[:, s] = d2.argmin(axis=1).astype(np.uint8)
         return pd.Series([c.tobytes() for c in codes])
 
-    return df.withColumn(out_col, _enc(F.col(vec_col)))
+    # asNondeterministic: see lsh_bucket_udf — stops filter-pushdown
+    # duplication of the encode matmuls
+    return df.withColumn(
+        out_col, _enc.asNondeterministic()(F.col(vec_col))
+    )
 
 
 def _decode_pq_codes(pdf, code_col: str, m: int) -> np.ndarray:

@@ -1142,8 +1142,17 @@ def repetition_stats(
             rows, columns=["top_unigram_frac", "top_bigram_frac"]
         )
 
+    # asNondeterministic: the short-doc dropout filter below references
+    # the kernel's output, and the optimizer pushes a copy of the
+    # filter BELOW the projection — duplicating the ArrowEvalPython so
+    # every document paid the kernel twice (guide §4.4; plan-pinned in
+    # test_plan_contract_repetition_stats_single_kernel_eval). The
+    # kernel is pure, but "non-deterministic" is the only lever that
+    # stops the optimizer cloning it; the filter still applies, once,
+    # above the single evaluation.
+    kern = _kern.asNondeterministic()
     return (
-        df.select(F.col(id_col), _kern(F.col(text_col)).alias("_r"))
+        df.select(F.col(id_col), kern(F.col(text_col)).alias("_r"))
         .select(id_col, "_r.*")
         .filter(F.col("top_bigram_frac").isNotNull())
     )

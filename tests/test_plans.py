@@ -617,3 +617,40 @@ def test_global_registry_plan_invariants(spark, qs):
                 continue
             violations.append((name, f"global window: {arg}"))
     assert not violations, violations
+
+
+def test_plan_contract_repetition_stats_single_kernel_eval(spark):
+    """Round 13 (guide §4.4): the short-doc dropout filter references
+    the Arrow kernel's output; without the asNondeterministic guard
+    the optimizer pushes a copy of the filter below the projection and
+    the plan carries the SAME _kern ArrowEvalPython twice — every
+    document paying the kernel double. Pin: exactly ONE ArrowEvalPython
+    in the op's plan (and still one Filter above it)."""
+    from melodist_spark.pipeline.text import repetition_stats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(repetition_stats(docs))
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_plan_contract_ann_kernels_not_duplicated(spark):
+    """Round 13 (guide §4.4, the join-key edition): candidate
+    equi-joins null-reject their keys, and the pushed isnotnull used
+    to clone the bucket/encode ArrowEvalPython so every vector paid
+    the matmul per REFERENCE, not per row — neardup_pairs carried 4
+    evaluations of the same _bucket kernel (2 per join side). The
+    asNondeterministic guard on lsh_bucket_udf / embedding_index's
+    _buckets / pq_encode pins them to one evaluation per side.
+    (ivf_assign's _cell deliberately stays deterministic — see the
+    NOTE in similarity.py: flagging it broke semantic_dedup's shared
+    sized-window subtree, measured +80%.)"""
+    from melodist_spark.pipeline.similarity import neardup_pairs
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(
+        neardup_pairs(
+            emb, dim=64, threshold=0.3, num_planes=8, max_bucket=4096
+        )
+    )
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 2, plan
