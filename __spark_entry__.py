@@ -494,17 +494,21 @@ def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_embedding_topk(
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
+) -> DataFrame:
     """ANN baseline and scale path in one frame, tagged by method:
     ``brute`` — exact cosine top-5 (broadcast query set over one
     corpus scan) — and ``ivf`` — the same queries coarse-quantized to
     the nearest label-cell centroid with exact re-rank inside the
     probed cell only (partition-pruning ANN). One row per
     (method, query, rank); comparing the two methods per query IS the
-    recall measurement (subsumes the former ``ivf_topk`` row)."""
+    recall measurement (subsumes the former ``ivf_topk`` row).
+    ``emb`` lets ann_topk inject its shared materialized scan."""
     from melodist_spark.pipeline.similarity import brute_force_topk, ivf_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if emb is None:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 8)
 
     def shaped(method: str, out: DataFrame) -> DataFrame:
@@ -5953,7 +5957,9 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_pq_topk(
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
+) -> DataFrame:
     """Product-quantization ANN, both deployment shapes tagged by
     ``method`` — the APPLY side, now fully oracle-checked (round-6
     split of the former train+apply compound): codebooks and coarse
@@ -5972,7 +5978,8 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from melodist_spark.pipeline.pinned import IVF_CENTROIDS, PQ_CODEBOOKS
     from melodist_spark.pipeline.similarity import ivf_pq_topk, pq_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if emb is None:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 8)
     books = PQ_CODEBOOKS
     cents = IVF_CENTROIDS
@@ -6019,9 +6026,22 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     float noise)."""
     from melodist_spark.pipeline.similarity import lsh_topk
 
-    a = q_embedding_topk(spark, sf_dir).withColumnRenamed("cos_sim", "score")
-    b = q_pq_topk(spark, sf_dir).withColumnRenamed("pq_score", "score")
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # SHARED SCAN (round 13): the five ANN branches referenced the
+    # embeddings parquet 12 times (db + query sides per method) at
+    # ~0.1 s a scan — over half the union's wall was re-decoding the
+    # same 5,000 vectors. One lazy localCheckpoint materializes the
+    # scan once per build; every branch reads the same blocks. Plan
+    # shape within each method is unchanged (the per-method subs
+    # still constant-fold the other branches away).
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").localCheckpoint(
+        eager=False
+    )
+    a = q_embedding_topk(spark, sf_dir, emb=emb).withColumnRenamed(
+        "cos_sim", "score"
+    )
+    b = q_pq_topk(spark, sf_dir, emb=emb).withColumnRenamed(
+        "pq_score", "score"
+    )
     c = lsh_topk(
         emb, emb.filter(F.col("vec_id") < 8), dim=64, k=5, num_planes=6
     ).select(
