@@ -636,6 +636,50 @@ one box, 2 full runs each, min-of-2-runs per query:
   (jaccard_pairs, on the contended second run), demonstrating the
   intended behavior: uniform contention passes, per-row outliers
   get flagged and re-measured.
+
+Round-13 optimization-session changes (second half of the round —
+per-change interleaved A-B evidence in OPTIMIZATION_r13.md; every
+touched row re-verified hash-green):
+
+- The host ran its SLOW mode for most of this session (two full
+  bench runs read 78.6/88.7 s with 9-33 rows uniformly over the
+  66.68 s anchors, loads 1.2-3.9; the shared-scan rows landed BELOW
+  anchor on the same runs) — all decisions below rest on
+  same-session interleaved A-B pairs, not on cross-day absolutes.
+- web_curation: pagerank's driver_below path persists the projected
+  edge list across its two actions (node-count + collect), so the
+  derived-edge plan (regex URL normalization + partner join) runs
+  once per build, not twice. Row build 3.0 -> 2.3 s warm.
+- decontaminate: the exact+bloom branches share ONE corpus gram
+  scan (both membership decisions ride the same stream; bloom still
+  passes through the packed probe + verify join). Interleaved A-B:
+  new faster on every rep (3.9 vs 4.0-6.3 s). The method subs now
+  price the shared scan plus both predicates — compare the row
+  total, same caveat as the other shared rows.
+- decontaminate.bloom sub additionally switched to the packed
+  (plan-constant) Bloom probe via filter_mode='auto' — 1 verify
+  join instead of 8 joins of the gram stream; verdicts pin-tested
+  identical.
+- doc_perplexity: both deployment branches now score with ONE
+  trained model (bigram_lm + lazy localCheckpoint + the new model=
+  injection); was 4 corpus tokenize passes for one model. A-B: 6/8
+  pairs faster, min 1.92 vs 2.11 s.
+- repetition_stats / embedding_neardup / ann_topk: the Arrow
+  kernels were being EVALUATED TWICE per reference — pushed
+  filters/join-key null-rejection clone ArrowEvalPython (guide
+  §4.4). asNondeterministic on the bucket/encode kernels pins one
+  eval per side: repetition_stats op 0.61->0.44 s, embedding_neardup
+  1.9->1.2 s, ann_topk 3.5->2.2 s (parquet scans 24->12).
+  ivf_assign's _cell deliberately NOT flagged (it broke
+  semantic_dedup's shared sized-window subtree, +80% measured —
+  NOTE in similarity.py).
+- ann_topk additionally shares one materialized embeddings scan
+  across its five branches (lazy localCheckpoint per build):
+  2.2 -> 1.8 s warm.
+- Rows examined and deliberately left alone (api_pipeline,
+  jaccard_pairs, text_features, smet_roundtrip, streaming_daily_agg,
+  cascade rows, doc_sample, robots_eval, met families): rationale
+  per row in OPTIMIZATION_r13.md.
 """
 
 
