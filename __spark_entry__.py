@@ -6890,7 +6890,8 @@ def q_robots_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 9309 robots.txt compliance, oracle-green (round 8, VERDICT
     item 4): deterministic robots BODIES are generated per domain from
     parquet columns in-query, pushed through the REAL text parser
-    (``parse_robots``, Arrow-batched) and the packed-rule broadcast
+    (``parse_robots_multi``, Arrow-batched, ONE line-scan of every
+    body for both agents) and the packed-rule broadcast
     fold (``apply_robots``), for TWO crawler agents — ``melobot``
     (matches the specific ``User-agent: meloBot`` group, so the ``*``
     group must be ignored) and ``othercrawler`` (no specific group →
@@ -6913,7 +6914,7 @@ def q_robots_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from melodist_spark.pipeline.robots import (
         apply_robots,
         extract_sitemaps,
-        parse_robots,
+        parse_robots_multi,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -6959,9 +6960,16 @@ def q_robots_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("source").alias("domain"), path.alias("path")
     )
 
+    # ONE parse pass emits both agents' rule groups (round 13: the
+    # two per-agent parse_robots kernels line-scanned every body
+    # twice); the lazy localCheckpoint materializes the tiny rule
+    # table once so the per-agent halves read blocks, not the kernel.
+    rules_all = parse_robots_multi(
+        robots, agents=("melobot", "othercrawler")
+    ).localCheckpoint(eager=False)
     halves = []
     for agent in ("melobot", "othercrawler"):
-        rules = parse_robots(robots, agent=agent)
+        rules = rules_all.filter(F.col("agent") == agent).drop("agent")
         halves.append(
             apply_robots(probe, rules).select(
                 F.lit(agent).alias("agent"),

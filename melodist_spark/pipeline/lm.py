@@ -290,6 +290,57 @@ def _arrow_token_lists(texts):
     )
 
 
+def _broadcast_model_tables(
+    train: DataFrame,
+    text_col: str,
+    min_count: int,
+    order: int,
+    model: tuple[DataFrame, DataFrame] | None = None,
+):
+    """Driver-side model prep shared by the broadcast scorers: train
+    (or accept injected) count tables and fold them into the
+    ``((sorted gram keys, counts), (sorted prefix keys, counts),
+    vocab_size)`` broadcast representation.
+
+    Model representation: (sorted uint64 key-hash, count) array
+    pairs, not a dict — ~16 B/entry per worker instead of ~170 B,
+    pickles compactly, and lookup is one vectorized searchsorted per
+    batch. Keys are hashed PER TOKEN (pd.util.hash_array —
+    deterministic across processes, fixed default hash key) and a
+    bigram key is the golden-ratio mix of its two token hashes, so
+    the scoring kernel never materializes a per-bigram Python
+    string. A 64-bit collision between two model keys would merge
+    their counts (P ≈ n²/2⁶⁵ — ~1e-5 at 14 M pruned bigrams, zero
+    observed at test scales).
+    """
+    if model is not None:
+        if order != 2:
+            raise ValueError(
+                "model= injection requires order=2 (bigram_lm tables)"
+            )
+        big_pdf = model[0].toPandas()
+        uni_pdf = model[1].toPandas()
+    else:
+        gram, prefix = ngram_lm(train, order, text_col, min_count=min_count)
+        big_pdf = gram.toPandas().rename(columns={"c": "c12"})
+        uni_pdf = prefix.toPandas().rename(columns={"cp": "c1"})
+    # smoothing vocabulary = distinct unigrams (== the prefix table
+    # for order 2; one extra tiny distinct-count for higher orders)
+    if order == 2:
+        vocab_size = len(uni_pdf)
+    else:
+        vocab_size = (
+            train.select(F.explode(_token_array(text_col)).alias("w"))
+            .agg(F.count_distinct("w"))
+            .collect()[0][0]
+        )
+    return (
+        _sorted_table(_fold_keys(big_pdf, order), big_pdf["c12"]),
+        _sorted_table(_fold_keys(uni_pdf, order - 1), uni_pdf["c1"]),
+        vocab_size,
+    )
+
+
 def lm_cross_entropy_broadcast(
     df: DataFrame,
     train_df: DataFrame | None = None,
@@ -345,48 +396,12 @@ def lm_cross_entropy_broadcast(
     stability); the relational :func:`lm_cross_entropy` remains the
     order-2 reference implementation.
     """
-    import numpy as np
-    import pandas as pd
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     spark = df.sparkSession
     train = df if train_df is None else train_df
-    if model is not None:
-        if order != 2:
-            raise ValueError(
-                "model= injection requires order=2 (bigram_lm tables)"
-            )
-        big_pdf = model[0].toPandas()
-        uni_pdf = model[1].toPandas()
-    else:
-        gram, prefix = ngram_lm(train, order, text_col, min_count=min_count)
-        big_pdf = gram.toPandas().rename(columns={"c": "c12"})
-        uni_pdf = prefix.toPandas().rename(columns={"cp": "c1"})
-    # smoothing vocabulary = distinct unigrams (== the prefix table
-    # for order 2; one extra tiny distinct-count for higher orders)
-    if order == 2:
-        vocab_size = len(uni_pdf)
-    else:
-        vocab_size = (
-            train.select(F.explode(_token_array(text_col)).alias("w"))
-            .agg(F.count_distinct("w"))
-            .collect()[0][0]
-        )
-
-    # Model representation: (sorted uint64 key-hash, count) array
-    # pairs, not a dict — ~16 B/entry per worker instead of ~170 B,
-    # pickles compactly, and lookup is one vectorized searchsorted per
-    # batch. Keys are hashed PER TOKEN (pd.util.hash_array —
-    # deterministic across processes, fixed default hash key) and a
-    # bigram key is the golden-ratio mix of its two token hashes, so
-    # the scoring kernel never materializes a per-bigram Python
-    # string. A 64-bit collision between two model keys would merge
-    # their counts (P ≈ n²/2⁶⁵ — ~1e-5 at 14 M pruned bigrams, zero
-    # observed at test scales).
-    model = (
-        _sorted_table(_fold_keys(big_pdf, order), big_pdf["c12"]),
-        _sorted_table(_fold_keys(uni_pdf, order - 1), uni_pdf["c1"]),
-        vocab_size,
+    model = _broadcast_model_tables(
+        train, text_col, min_count=min_count, order=order, model=model
     )
     bc = spark.sparkContext.broadcast(model)
     a = float(alpha)
@@ -458,6 +473,119 @@ def lm_cross_entropy_broadcast(
             # semantics of the relational path), not NaN
             res["cross_entropy"] = pd.array(h, dtype="Float64")
             res["perplexity"] = pd.array(np.exp(h), dtype="Float64")
+            yield res
+
+    return df.mapInPandas(score, out_schema)
+
+
+def lm_cross_entropy_broadcast_multi(
+    df: DataFrame,
+    trains: "list[DataFrame]",
+    suffixes: "list[str]",
+    text_col: str = "text",
+    alpha: float = 0.4,
+    min_count: int = 1,
+    order: int = 2,
+) -> DataFrame:
+    """Score every document under SEVERAL broadcast n-gram models in
+    ONE ``mapInPandas`` pass: the corpus is shipped through Arrow,
+    tokenized and hashed once, and each model then costs only its two
+    vectorized sorted-table lookups over the shared key stream.
+
+    Per-model semantics and arithmetic are exactly
+    :func:`lm_cross_entropy_broadcast` (same training aggregations,
+    same smoothing, same fold/lookup order — the ``cross_entropy``
+    values agree bit-for-bit with the single-model scorer, pinned by
+    test). The output carries ``n_bigrams`` ONCE (it is a property of
+    the document, not of any model) plus one
+    ``cross_entropy<suffix>`` column per model. All models share one
+    ``order``.
+
+    The motivating caller is DSIR importance resampling, which needs
+    H_raw and H_target for every document: chaining two single-model
+    scorers ships the corpus through the Python boundary twice and
+    repeats the C-side tokenize+hash for an identical token stream —
+    at corpus scale a full duplicated scan-side pass per extra model.
+    """
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    if len(trains) != len(suffixes):
+        raise ValueError("trains and suffixes must have equal length")
+    if len(set(suffixes)) != len(suffixes):
+        raise ValueError(f"suffixes must be distinct, got {suffixes}")
+
+    spark = df.sparkSession
+    models = [
+        _broadcast_model_tables(t, text_col, min_count=min_count, order=order)
+        for t in trains
+    ]
+    bc = spark.sparkContext.broadcast(models)
+    a = float(alpha)
+    ord_n_b = int(order)
+    out_cols = [f"cross_entropy{sfx}" for sfx in suffixes]
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField("n_bigrams", LongType())]
+        + [StructField(c, DoubleType()) for c in out_cols]
+    )
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        mods = bc.value
+        av = float(a)
+        ord_n = ord_n_b
+
+        for pdf in batches:
+            n = len(pdf)
+            n_big = np.zeros(n, dtype=np.float64)
+            hs = [np.full(n, np.nan) for _ in mods]
+            # C-side tokenize (trim→lower→regex split), then hash the
+            # flat token stream ONCE — shared by every model's lookups
+            lists = _arrow_token_lists(pdf[text_col])
+            lens = lists.value_lengths().to_numpy(zero_copy_only=False)
+            lens = np.nan_to_num(lens.astype(np.float64), nan=0.0).astype(
+                np.int64
+            )
+            flat = lists.flatten().to_numpy(zero_copy_only=False)
+            if len(flat):
+                th = pd.util.hash_array(flat)
+                ends = np.cumsum(lens)
+                doc_of = np.repeat(np.arange(n), lens)
+                pos = np.arange(len(flat))
+                # positions that start a full n-gram within their doc
+                is_start = pos + (ord_n - 1) < ends[doc_of]
+                starts = np.flatnonzero(is_start)
+                gram_key = th[starts]
+                for i in range(1, ord_n):
+                    gram_key = _mix(gram_key, th[starts + i])
+                prefix_key = th[starts]
+                for i in range(1, ord_n - 1):
+                    prefix_key = _mix(prefix_key, th[starts + i])
+                nb = np.maximum(lens - (ord_n - 1), 0)
+                offsets = np.concatenate([[0], np.cumsum(nb)])
+                has = nb > 0
+                n_big[has] = nb[has]
+                for h, ((big_hk, big_c), (uni_hk, uni_c), v) in zip(hs, mods):
+                    c12 = _lookup_sorted(gram_key, (big_hk, big_c))
+                    c1 = _lookup_sorted(prefix_key, (uni_hk, uni_c))
+                    nll = -np.log((c12 + av) / (c1 + av * v))
+                    sums = np.add.reduceat(
+                        np.concatenate([nll, [0.0]]), offsets[:-1]
+                    )
+                    # reduceat quirk: offsets[i] == offsets[i+1] yields
+                    # the element AT the offset, not 0 — mask those out
+                    h[has] = sums[has] / nb[has]
+            res = pdf.copy()
+            res["n_bigrams"] = pd.array(
+                np.where(n_big > 0, n_big, np.nan), dtype="Int64"
+            )
+            # nullable Float64 so no-bigram rows surface as NULL (join
+            # semantics of the relational path), not NaN
+            for col, h in zip(out_cols, hs):
+                res[col] = pd.array(h, dtype="Float64")
             yield res
 
     return df.mapInPandas(score, out_schema)

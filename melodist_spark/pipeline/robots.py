@@ -45,24 +45,17 @@ from pyspark.sql.types import (
 __all__ = [
     "parse_robots_text",
     "parse_robots",
+    "parse_robots_multi",
     "apply_robots",
     "extract_sitemaps",
 ]
 
 
-def parse_robots_text(text: str, agent: str = "*") -> list[tuple[str, bool, int]]:
-    """Parse one robots.txt body into the rule list for ``agent``:
-    ``[(path_pattern, allow, specificity), ...]``.
-
-    Group selection per RFC 9309 §2.2.1: collect every group whose
-    ``User-agent`` line matches ``agent`` (case-insensitive token
-    prefix match); if any non-``*`` group matches, the longest agent
-    match wins and ``*`` groups are ignored; otherwise the ``*``
-    groups apply. Multiple groups for the same chosen agent merge.
-    Specificity is the pattern's length in octets (the longest-match
-    tiebreak key used by the reference implementations).
-    """
-    agent = agent.lower()
+def _parse_groups(text: str) -> list[tuple[str, list[tuple[str, bool]]]]:
+    """One line-scan of a robots.txt body into its agent groups:
+    ``[(agent_token_lower, [(pattern, allow), ...]), ...]`` — the
+    agent-independent half of parsing, shared when several crawler
+    identities are evaluated against the same body."""
     groups: list[tuple[str, list[tuple[str, bool]]]] = []
     cur_agents: list[str] = []
     cur_rules: list[tuple[str, bool]] = []
@@ -96,10 +89,17 @@ def parse_robots_text(text: str, agent: str = "*") -> list[tuple[str, bool, int]
             # non-group records; sitemap lines don't break a group
             continue
     flush()
+    return groups
 
-    # choose the most specific matching agent token
+
+def _select_rules(
+    groups: list[tuple[str, list[tuple[str, bool]]]], agent: str
+) -> list[tuple[str, bool, int]]:
+    """Agent-group selection per RFC 9309 §2.2.1 over pre-parsed
+    groups: the most specific matching agent token wins (``agent``
+    already lowercased)."""
     best_len = -1
-    star = []
+    star: list[tuple[str, bool]] = []
     chosen: list[tuple[str, bool]] = []
     for a, rules in groups:
         if a == "*":
@@ -117,6 +117,21 @@ def parse_robots_text(text: str, agent: str = "*") -> list[tuple[str, bool, int]
     if best_len < 0:
         chosen = star
     return [(p, allow, len(p)) for p, allow in chosen]
+
+
+def parse_robots_text(text: str, agent: str = "*") -> list[tuple[str, bool, int]]:
+    """Parse one robots.txt body into the rule list for ``agent``:
+    ``[(path_pattern, allow, specificity), ...]``.
+
+    Group selection per RFC 9309 §2.2.1: collect every group whose
+    ``User-agent`` line matches ``agent`` (case-insensitive token
+    prefix match); if any non-``*`` group matches, the longest agent
+    match wins and ``*`` groups are ignored; otherwise the ``*``
+    groups apply. Multiple groups for the same chosen agent merge.
+    Specificity is the pattern's length in octets (the longest-match
+    tiebreak key used by the reference implementations).
+    """
+    return _select_rules(_parse_groups(text), agent.lower())
 
 
 def _pattern_to_regex(pattern: str) -> str:
@@ -169,6 +184,67 @@ def parse_robots(
             yield pd.DataFrame(
                 rows,
                 columns=[key_col, "pattern", "prefix", "allow", "specificity"],
+            )
+
+    return df.select(key_col, text_col).mapInPandas(run, schema=schema)
+
+
+def parse_robots_multi(
+    df: DataFrame,
+    agents: "list[str] | tuple[str, ...]",
+    text_col: str = "robots_txt",
+    key_col: str = "domain",
+) -> DataFrame:
+    """Rule tables for SEVERAL crawler agents from ONE parse pass:
+    like :func:`parse_robots` but each body's line-scan and group
+    assembly runs once, then the (cheap) RFC 9309 §2.2.1 group
+    selection runs per agent over the parsed groups. Output adds an
+    ``agent`` column; filtering it to one agent yields exactly the
+    rows :func:`parse_robots` emits for that agent, in the same
+    per-body order (pinned by test).
+
+    This is the shape for auditing one crawl archive against N
+    crawler identities — the robots corpus (one body per domain,
+    ~10^8 rows for a web crawl) is parsed once instead of N times.
+    """
+    if not agents:
+        raise ValueError("agents must be non-empty")
+    if len(set(agents)) != len(agents):
+        raise ValueError(f"agents must be distinct, got {agents}")
+    agents_lc = [(a, a.lower()) for a in agents]
+    schema = StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField("agent", StringType()),
+            StructField("pattern", StringType()),
+            StructField("prefix", StringType()),
+            StructField("allow", BooleanType()),
+            StructField("specificity", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for key, txt in zip(pdf[key_col], pdf[text_col]):
+                if txt is None:
+                    continue
+                groups = _parse_groups(str(txt))
+                for agent, agent_lc in agents_lc:
+                    for pat, allow, spec in _select_rules(groups, agent_lc):
+                        prefix = (
+                            pat
+                            if "*" not in pat and not pat.endswith("$")
+                            else None
+                        )
+                        rows.append(
+                            (key, agent, _pattern_to_regex(pat), prefix, allow, spec)
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    key_col, "agent", "pattern", "prefix", "allow", "specificity",
+                ],
             )
 
     return df.select(key_col, text_col).mapInPandas(run, schema=schema)

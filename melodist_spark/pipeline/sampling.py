@@ -169,9 +169,10 @@ def importance_resample(
     without a trained classifier.
 
     Log-importance per doc = n_bigrams · (H_raw − H_target) (both
-    cross-entropies come from :func:`~melodist_spark.pipeline.lm.
-    lm_cross_entropy_broadcast` — map-side scoring, so the corpus is
-    scanned, never shuffled). Sampling WITHOUT replacement uses the
+    cross-entropies come from ONE fused pass of :func:`~melodist_spark.
+    pipeline.lm.lm_cross_entropy_broadcast_multi` — map-side scoring
+    that tokenizes the corpus once for both models; scanned, never
+    shuffled). Sampling WITHOUT replacement uses the
     Gumbel-top-k identity (Efraimidis-Spirakis): key =
     log w + Gumbel(u) with u a deterministic md5 hash uniform — the
     draw is exactly the weighted sample yet fully reproducible on any
@@ -180,23 +181,21 @@ def importance_resample(
     weight (dropped). Returns the sampled rows plus
     ``log_importance`` and the ``gumbel_key`` used for selection.
     """
-    from melodist_spark.pipeline.lm import lm_cross_entropy_broadcast
+    from melodist_spark.pipeline.lm import lm_cross_entropy_broadcast_multi
 
-    # chain the two map-side scorers (each adds columns in place — no
-    # join, no shuffle in the scoring path; the only wide work is the
-    # two model TRAINING aggregations inside each call)
-    under_t = lm_cross_entropy_broadcast(
-        df, train_df=target_df, text_col=text_col, id_col=id_col,
-        alpha=alpha, min_count=min_count,
+    # ONE fused map-side scorer carries both models (no join, no
+    # shuffle in the scoring path — the corpus is tokenized and
+    # hashed once, each model adds two sorted-table lookups; the only
+    # wide work is the two model TRAINING aggregations)
+    both = lm_cross_entropy_broadcast_multi(
+        df, trains=[target_df, df], suffixes=["__t", "__r"],
+        text_col=text_col, alpha=alpha, min_count=min_count,
     ).select(
         *df.columns,
         F.col("n_bigrams").alias("__nb"),
-        F.col("cross_entropy").alias("__h_t"),
+        F.col("cross_entropy__t").alias("__h_t"),
+        F.col("cross_entropy__r").alias("__h_r"),
     )
-    both = lm_cross_entropy_broadcast(
-        under_t, train_df=df, text_col=text_col, id_col=id_col,
-        alpha=alpha, min_count=min_count,
-    ).withColumnRenamed("cross_entropy", "__h_r")
     u = _hash01(F.concat(F.col(id_col).cast("string"), F.lit("|" + salt)))
     # clamp u away from {0,1}: -log(-log(u)) must stay finite
     u = F.least(F.greatest(u, F.lit(1e-15)), F.lit(1.0 - 1e-15))
@@ -206,7 +205,6 @@ def importance_resample(
             "log_importance", F.col("__nb") * (F.col("__h_r") - F.col("__h_t"))
         )
         .withColumn("gumbel_key", F.col("log_importance") - F.log(-F.log(u)))
-        .drop("n_bigrams", "perplexity")
     )
     return (
         scored.orderBy(F.col("gumbel_key").desc(), F.col(id_col).asc())

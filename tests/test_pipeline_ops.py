@@ -4458,3 +4458,60 @@ def test_lm_model_injection_matches_self_training(spark):
 
     with _pytest.raises(ValueError, match="order=2"):
         lm_cross_entropy_broadcast(docs, order=3, model=model)
+
+
+def test_lm_broadcast_multi_matches_chained_singles(spark):
+    """Round 13: the fused multi-model scorer (one tokenize+hash pass,
+    N sorted-table lookups) must return BIT-identical cross-entropies
+    to separate single-model broadcast passes — it replaces the DSIR
+    sampler's two chained scorers, whose output feeds the hash-checked
+    doc_sample registry row."""
+    from melodist_spark.pipeline.lm import (
+        lm_cross_entropy_broadcast,
+        lm_cross_entropy_broadcast_multi,
+    )
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat"),
+        (2, "dogs chase the cat"),
+        (3, "zq xw vv zq xw"),
+        (4, "one"),
+        (5, ""),
+        (6, None),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    target = docs.filter("doc_id < 3")
+
+    for order in (2, 3):
+        fused = {
+            r["doc_id"]: (r["n_bigrams"], r["cross_entropy__t"], r["cross_entropy__r"])
+            for r in lm_cross_entropy_broadcast_multi(
+                docs, trains=[target, docs], suffixes=["__t", "__r"],
+                alpha=0.4, min_count=1, order=order,
+            ).collect()
+        }
+        under_t = {
+            r["doc_id"]: (r["n_bigrams"], r["cross_entropy"])
+            for r in lm_cross_entropy_broadcast(
+                docs, train_df=target, alpha=0.4, min_count=1, order=order
+            ).collect()
+        }
+        under_r = {
+            r["doc_id"]: r["cross_entropy"]
+            for r in lm_cross_entropy_broadcast(
+                docs, alpha=0.4, min_count=1, order=order
+            ).collect()
+        }
+        assert fused == {
+            k: (nb, ht, under_r[k]) for k, (nb, ht) in under_t.items()
+        }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="equal length"):
+        lm_cross_entropy_broadcast_multi(docs, trains=[docs], suffixes=["a", "b"])
+    with _pytest.raises(ValueError, match="distinct"):
+        lm_cross_entropy_broadcast_multi(
+            docs, trains=[docs, target], suffixes=["a", "a"]
+        )

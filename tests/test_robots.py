@@ -217,3 +217,45 @@ def test_parse_robots_text_fuzz_total():
             assert spec == len(pat)
 
     case()
+
+
+def test_parse_robots_multi_matches_per_agent(spark):
+    """Round 13: the fused multi-agent parser (one line-scan per
+    body, N group selections) must emit, for each agent, exactly the
+    rows parse_robots emits for that agent alone — it replaces the
+    two per-agent kernels in the hash-checked robots_eval row."""
+    from melodist_spark.pipeline.robots import parse_robots, parse_robots_multi
+
+    bodies = [
+        (
+            "a.example",
+            "User-agent: ignorebot\nDisallow: /\n\n"
+            "User-agent: *\nDisallow: /private/\nAllow: /private/pub\n"
+            "Disallow: /*.tmp$\n\n"
+            "User-agent: meloBot\nDisallow: /sec/\nAllow: /sec/ok\n",
+        ),
+        ("b.example", "User-agent: melo\nDisallow: /m/\n"),
+        ("c.example", None),
+        ("d.example", "Sitemap: https://d.example/s.xml\n"),
+    ]
+    df = spark.createDataFrame(bodies, ["domain", "robots_txt"])
+    agents = ["melobot", "othercrawler"]
+    multi = parse_robots_multi(df, agents=agents).collect()
+    for agent in agents:
+        got = sorted(
+            (r["domain"], r["pattern"], r["prefix"], r["allow"], r["specificity"])
+            for r in multi
+            if r["agent"] == agent
+        )
+        want = sorted(
+            (r["domain"], r["pattern"], r["prefix"], r["allow"], r["specificity"])
+            for r in parse_robots(df, agent=agent).collect()
+        )
+        assert got == want, agent
+
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        parse_robots_multi(df, agents=[])
+    with pytest.raises(ValueError, match="distinct"):
+        parse_robots_multi(df, agents=["a", "a"])
