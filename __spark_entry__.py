@@ -4380,7 +4380,15 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_size=4,
     )
     pairs = lsh_candidate_pairs(bands)
-    out = jaccard_pairs(docs, pairs, shingle=3)
+    # arrow=True (round 14, VERDICT r13 item 1): the per-doc shingle
+    # arrays come from ONE Arrow kernel instead of the interpreted
+    # zip_with/transform HOF tree (413 s vs 18 s at 2M docs in
+    # SCALE.md); bit-identical output pinned by
+    # test_jaccard_pairs_arrow_matches_expression_form, and the JVM
+    # expression form stays the DuckDB-oracle twin shape. The LSH
+    # band chain above keeps the expression-form signature — it is
+    # the shared subplan minhash_pairs/dup_clusters also consume.
+    out = jaccard_pairs(docs, pairs, shingle=3, arrow=True)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 

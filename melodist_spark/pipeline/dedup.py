@@ -1027,6 +1027,29 @@ def _shingles(text: Column, n: int | None) -> Column:
     return F.array_distinct(acc)
 
 
+def _py_shingles(t: str, n: int | None) -> set[str]:
+    """Python mirror of :func:`_shingles`' DISTINCT shingle set —
+    same space-only trim + ASCII ``\\s+`` split (phantom leading
+    empty token preserved so ``n >= 2`` grams match the JVM zip),
+    same only-phantom blank-doc guard on the unigram path, same
+    empty set for docs shorter than ``n`` tokens. Shared by the
+    Arrow signature kernel and the Arrow Jaccard shingle kernel so
+    one definition carries the (differentially pin-tested)
+    equivalence to the expression form."""
+    from .text import _ascii_ws_split
+
+    toks = _ascii_ws_split(t, keep_empty=True)
+    if n is None or n == 1:
+        grams = set(toks)
+        if not grams - {""}:
+            # mirror _shingles' only-phantom guard: a blank doc's
+            # {""} set is empty, so its signature is NULL — not
+            # the one shared value every blank doc would band on
+            grams = set()
+        return grams
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
 _H2_MOD = 2**55  # keeps h1 + i·h2 < 2^63 for i ≤ 64 (ANSI-safe)
 
 
@@ -1186,8 +1209,6 @@ def minhash_signature_arrow(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    from .text import _ascii_ws_split
-
     if num_hashes > 64:
         raise ValueError("num_hashes > 64 would overflow bigint in g_i = h1 + i*h2")
     k = num_hashes
@@ -1197,18 +1218,7 @@ def minhash_signature_arrow(
     def one(t):
         if t is None:
             return (None,) * k
-        toks = _ascii_ws_split(t, keep_empty=True)
-        if n is None or n == 1:
-            grams = set(toks)
-            if not grams - {""}:
-                # mirror _shingles' only-phantom guard: a blank doc's
-                # {""} set is empty, so its signature is NULL — not
-                # the one shared value every blank doc would band on
-                grams = set()
-        else:
-            grams = {
-                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
-            }
+        grams = _py_shingles(t, n)
         if not grams:
             return (None,) * k  # array_min over no shingles is null
         h1 = np.empty(len(grams), dtype=np.int64)
@@ -2003,6 +2013,7 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle: int | None = None,
+    arrow: bool = False,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs.
 
@@ -2022,16 +2033,53 @@ def jaccard_pairs(
     shingle-array table, and the a-/b-side builds hang off the same
     hashpartitioning(id) subtree for ReuseExchange. AQE's skew-join
     splitting handles hub documents that appear in many pairs.
+
+    ``arrow=True`` (round 14) builds the per-doc shingle arrays in
+    ONE Arrow kernel instead of the ``zip_with``/``transform``
+    expression tree — those HOFs are CodegenFallback, i.e.
+    interpreted per element (the 413 s vs 18 s gap SCALE.md measured
+    on the signature twin at 2M docs is this same tree). The kernel
+    emits the SAME distinct shingle set (:func:`_py_shingles`,
+    sorted — ``array_intersect``/``size`` are order-insensitive, so
+    ``jaccard`` is bit-identical; pinned by
+    ``test_jaccard_pairs_arrow_matches_expression_form``), and the
+    JVM expression form stays the engine-portable oracle shape. The
+    kernel is marked nondeterministic purely so the optimizer cannot
+    clone the ArrowEvalPython under pushed filters (guide §4.4 —
+    the same lever as the repetition_stats/ANN kernels), and the
+    shingle table is lazily ``localCheckpoint``ed so the a-/b-sides
+    of the pair join read the SAME materialization instead of each
+    re-running the kernel + semi-join (the self-join subtree-reuse
+    the expression form got from canonical equality is not available
+    to a nondeterministic kernel — measured 2.4-3.0 s → 2.0-2.1 s at
+    sf0.1, every interleaved rep faster, kernel evals 2 → 1).
     """
     cand_ids = (
         pairs.select(
             F.explode(F.array("id_a", "id_b")).alias(id_col)
         ).distinct()  # one pass over the pair list, not a 2-scan union
     )
+    if arrow:
+        from pyspark.sql.functions import pandas_udf
+
+        n = shingle
+
+        @pandas_udf("array<string>")
+        def _ws_kern(s):
+            return s.map(
+                lambda t: None if t is None else sorted(_py_shingles(t, n))
+            )
+
+        ws_col = _ws_kern.asNondeterministic()(F.col(text_col))
+    else:
+        ws_col = _shingles(F.col(text_col), shingle)
     ws = (
         df.join(cand_ids, id_col, "left_semi")
-        .select(F.col(id_col), _shingles(F.col(text_col), shingle).alias("ws"))
+        .select(F.col(id_col), ws_col.alias("ws"))
     )
+    if arrow:
+        # one kernel pass feeding both join sides (see docstring)
+        ws = ws.localCheckpoint(eager=False)
     a = ws.select(F.col(id_col).alias("id_a"), F.col("ws").alias("ws_a"))
     b = ws.select(F.col(id_col).alias("id_b"), F.col("ws").alias("ws_b"))
     scored = (

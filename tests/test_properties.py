@@ -636,6 +636,56 @@ def test_minhash_arrow_matches_expression_form(spark, seed):
     assert a == b
 
 
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(seed=st.integers(0, 10**9))
+def test_jaccard_pairs_arrow_matches_expression_form(spark, seed):
+    """Round 14: jaccard_pairs(arrow=True) must be BIT-identical to
+    the expression form — the Arrow kernel emits the same DISTINCT
+    shingle set as the zip_with/transform tree (order differs, but
+    array_intersect/size are set-cardinality ops), so the jaccard
+    ratio is the same float64 division. Covers null/empty/short
+    docs, repeated tokens, whitespace-initial strings (the
+    phantom-empty-token edge), pairs whose docs have empty or null
+    shingle sets, and unigram vs n-gram shingling."""
+    import random
+
+    from melodist_spark.pipeline.dedup import jaccard_pairs
+
+    r = random.Random(seed)
+    rows = [(0, None), (1, ""), (2, "solo"), (3, "\tx y z"), (4, "a b")]
+    for i in range(5, 25):
+        rows.append(
+            (i, " ".join(f"w{r.randrange(12)}" for _ in range(r.randint(0, 15))))
+        )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ids = [i for i, _ in rows]
+    pair_rows = {
+        (a, b)
+        for a, b in (
+            sorted(r.sample(ids, 2)) for _ in range(30)
+        )
+    }
+    pairs = spark.createDataFrame(
+        sorted(pair_rows), "id_a long, id_b long"
+    )
+    sh = r.choice([None, 2, 3])
+    key = lambda q: (q["id_a"], q["id_b"])  # noqa: E731
+    a = {
+        key(q): q["jaccard"]
+        for q in jaccard_pairs(docs, pairs, shingle=sh).collect()
+    }
+    b = {
+        key(q): q["jaccard"]
+        for q in jaccard_pairs(docs, pairs, shingle=sh, arrow=True).collect()
+    }
+    assert a == b
+
+
 @settings(max_examples=200, deadline=None, derandomize=True)
 @given(word=st.text(min_size=1, max_size=24))
 def test_unigram_viterbi_totality_and_roundtrip(word):

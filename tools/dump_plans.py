@@ -2,10 +2,11 @@
 
 Usage: python tools/dump_plans.py <suffix> [query ...]
 
-Writes plans/r13/<query>_<suffix>.txt for every named query (default:
-all registry queries). The optimization judge reads these files to
-check plan claims (Exchange counts, join strategies, PushedFilters,
-BatchEvalPython absence) without running Spark.
+Writes plans/$SPARK_GRAFT_PLAN_DIR/<query>_<suffix>.txt (default
+r14) for every named query (default: all registry queries). The
+optimization judge reads these files to check plan claims (Exchange
+counts, join strategies, PushedFilters, BatchEvalPython absence)
+without running Spark.
 """
 
 from __future__ import annotations
@@ -35,7 +36,7 @@ def main():
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r13",
+        os.environ.get("SPARK_GRAFT_PLAN_DIR", "r14"),
     )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
