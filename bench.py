@@ -224,10 +224,17 @@ def _extra_subs(spark, sf_dir):
 
     def sd_cc():
         # arrow=True mirrors the registry row (which switched its
-        # pair kernel round 11); cc stays at the bench SF because it
-        # is a cumulative prefix of the LIVE row
+        # pair kernel round 11). TWIN PRICING (round 14, VERDICT r13
+        # item 4): cc re-ran a standalone dup_clusters near-twin of
+        # the registry row at the bench SF, twice per pass — 2.7-3.5 s
+        # per materialization, more than the row itself, for a
+        # cumulative prefix whose full chain the row already prices.
+        # Like pairs/pairs_arrow it now prices at the sibling sf0.01
+        # corpus: the stage RATIO (cc vs pairs_arrow vs assign) is
+        # the signal; SPARK_GRAFT_PRICE_TWINS=full restores bench-SF
+        # pricing.
         return duplicate_clusters(
-            _bucketed_cosine_pairs(_sd_bucketed(), 0.3, 4096, arrow=True)
+            _bucketed_cosine_pairs(_sd_bucketed(twin_dir), 0.3, 4096, arrow=True)
         )
 
     return {
