@@ -5507,9 +5507,7 @@ def q_temp_sine_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ["user_id"],
     )
-    d = d.withColumns(
-        sun_times_exprs("date", F.col("lon"), F.col("lat"), F.col("timezone"))
-    )
+    d = d.withColumns(sun_times_exprs("date", "lon", "lat", "timezone"))
     d = (
         d.withColumn("month", F.month("date"))
         .join(F.broadcast(md), ["user_id", "month"], "left")
@@ -7059,9 +7057,7 @@ def q_radiation_proxy_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         _met_stations(daily),
         ["user_id"],
     )
-    d = d.withColumns(
-        sun_times_exprs("date", F.col("lon"), F.col("lat"), F.col("timezone"))
-    )
+    d = d.withColumns(sun_times_exprs("date", "lon", "lat", "timezone"))
     d = _bc_daily_terms(d, ["user_id"], "date")
     d = d.withColumn("__tr_bc", _bc_trans_expr(0.75, 2.4)).withColumn(
         "__tr_bcf",
@@ -7089,9 +7085,7 @@ def q_radiation_proxy_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = hourly_calendar(d, date_col="date", ts_col="ts")
     hourly = hourly.withColumn(
         "pot_rad",
-        potential_radiation(
-            F.col("ts"), F.col("lon"), F.col("lat"), F.col("timezone")
-        ),
+        potential_radiation("ts", "lon", "lat", "timezone"),
     )
     hourly = (
         hourly.withColumn("month", F.month("ts"))

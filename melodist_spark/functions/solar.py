@@ -20,7 +20,11 @@ PI = math.pi
 
 
 def _col(x) -> Column:
-    return x if isinstance(x, Column) else F.lit(float(x))
+    if isinstance(x, Column):
+        return x
+    if isinstance(x, str):  # a column NAME (memoizable by-name tree)
+        return F.col(x)
+    return F.lit(float(x))
 
 
 def _declination(doy: Column) -> Column:
@@ -49,7 +53,10 @@ def _equation_of_time(doy: Column) -> Column:
     )
 
 
-_SUN_TIMES_MEMO: dict = {}
+from melodist_spark.util.planmemo import PlanMemo, memo_part
+
+_SUN_TIMES_MEMO = PlanMemo(cap=256)
+_POTRAD_MEMO = PlanMemo(cap=256)
 
 
 def sun_times_exprs(date_col, lon, lat, timezone) -> dict[str, Column]:
@@ -61,34 +68,21 @@ def sun_times_exprs(date_col, lon, lat, timezone) -> dict[str, Column]:
 
     The returned Columns are UNRESOLVED expression trees — immutable
     and reusable across any number of plans — and building this tree
-    costs a few hundred py4j round-trips, so string-named calls are
-    memoized per (applicationId, date_col, lon, lat, timezone) for
-    the common case of many queries over the same station geometry
-    (several queries per bench session call this with identical
-    literals). Keying on the active application's id means a JVM
-    gateway restart in-process invalidates the cached py4j-backed
-    trees instead of replaying stale ones, and the cache is bounded
-    (LRU-evicted past 256 geometries)."""
-    if isinstance(date_col, str) and all(
-        isinstance(v, (int, float)) for v in (lon, lat, timezone)
-    ):
-        from pyspark.sql import SparkSession
-
-        active = SparkSession.getActiveSession()
-        app_id = active.sparkContext.applicationId if active is not None else None
-        key = (app_id, date_col, float(lon), float(lat), float(timezone))
-        got = _SUN_TIMES_MEMO.get(key)
-        if got is not None:
-            # move-to-end on hit so eviction is actually LRU (not
-            # FIFO): a hot geometry inserted first must survive
-            del _SUN_TIMES_MEMO[key]
-            _SUN_TIMES_MEMO[key] = got
-            return got
-        out = _sun_times_exprs_build(date_col, lon, lat, timezone)
-        if len(_SUN_TIMES_MEMO) >= 256:  # bound: evict oldest geometry
-            _SUN_TIMES_MEMO.pop(next(iter(_SUN_TIMES_MEMO)))
-        _SUN_TIMES_MEMO[key] = out
-        return out
+    costs a few hundred py4j round-trips (~0.37 s measured), so
+    calls whose lon/lat/timezone are literals or column NAMES are
+    memoized per application (``util.planmemo``); round 14 extends
+    the round-7 literal-only memo to by-name trees, which is what
+    the operator call sites pass (the met family was rebuilding this
+    tree once per query, twice per fused humidity query). Calls with
+    Column OBJECTS keep building fresh — their trees may carry
+    plan-specific context."""
+    if isinstance(date_col, str):
+        parts = (memo_part(lon), memo_part(lat), memo_part(timezone))
+        if all(p is not None for p in parts):
+            return _SUN_TIMES_MEMO.get(
+                ("sun", date_col, *parts),
+                lambda: _sun_times_exprs_build(date_col, lon, lat, timezone),
+            )
     return _sun_times_exprs_build(date_col, lon, lat, timezone)
 
 
@@ -137,12 +131,8 @@ def sun_times(daily, date_col="date", lon="lon", lat="lat", timezone="timezone")
     that already carries lon/lat/timezone (e.g. after a broadcast join
     with station metadata). Reference: `util/util.py:160-246`.
     """
-    exprs = sun_times_exprs(
-        date_col,
-        F.col(lon) if isinstance(lon, str) else lon,
-        F.col(lat) if isinstance(lat, str) else lat,
-        F.col(timezone) if isinstance(timezone, str) else timezone,
-    )
+    # strings pass through as column NAMES so the by-name memo fires
+    exprs = sun_times_exprs(date_col, lon, lat, timezone)
     return daily.withColumns(exprs)
 
 
@@ -161,7 +151,43 @@ def potential_radiation(
     Liston & Elder (2006) as in `radiation.py:104-204`. Returns a
     single total-radiation Column, or ``(direct, diffuse)`` when
     ``split=True`` (`radiation.py:199-204`).
+
+    Like :func:`sun_times_exprs`, the tree (~0.15 s of py4j build)
+    is memoized per application when every input is a literal or a
+    column NAME (round 14; see ``util.planmemo``).
     """
+    parts = tuple(memo_part(v) for v in (ts, lon, lat, timezone))
+    if all(p is not None for p in parts):
+        return _POTRAD_MEMO.get(
+            (
+                "potrad",
+                *parts,
+                float(terrain_slope),
+                float(terrain_slope_azimuth),
+                float(cloud_fraction),
+                bool(split),
+            ),
+            lambda: _potential_radiation_build(
+                ts, lon, lat, timezone, terrain_slope,
+                terrain_slope_azimuth, cloud_fraction, split,
+            ),
+        )
+    return _potential_radiation_build(
+        ts, lon, lat, timezone, terrain_slope, terrain_slope_azimuth,
+        cloud_fraction, split,
+    )
+
+
+def _potential_radiation_build(
+    ts,
+    lon,
+    lat,
+    timezone,
+    terrain_slope: float = 0.0,
+    terrain_slope_azimuth: float = 0.0,
+    cloud_fraction: float = 0.0,
+    split: bool = False,
+):
     t = F.col(ts) if isinstance(ts, str) else ts
     lonc, latc, tzc = _col(lon), _col(lat), _col(timezone)
 

@@ -133,7 +133,7 @@ def disaggregate_radiation(
 
     daily_cols = [c for c in ("glob", "ssd", "tmin", "tmax") if c in daily.columns]
     d = _with_station_meta(daily.select(*keys, date_col, *daily_cols), stations, keys)
-    d = d.withColumns(sun_times_exprs(date_col, F.col("lon"), F.col("lat"), F.col("timezone")))
+    d = d.withColumns(sun_times_exprs(date_col, "lon", "lat", "timezone"))
 
     if method == "pot_rad_via_bc":
         # transmissivity is a daily-grain quantity: attach it BEFORE the
@@ -169,7 +169,7 @@ def disaggregate_radiation(
     else:
         hourly = hourly.withColumn(
             "pot_rad",
-            potential_radiation(F.col(ts_col), F.col("lon"), F.col("lat"), F.col("timezone")),
+            potential_radiation(ts_col, "lon", "lat", "timezone"),
         )
 
     wd = Window.partitionBy(*keys, F.to_date(ts_col))

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from melodist_spark.functions.solar import sun_times_exprs
 from melodist_spark.util.calendar import hourly_calendar
 from melodist_spark.util.interpolate import interpolate_linear
+from melodist_spark.util.planmemo import PlanMemo
 
 HOURS_PER_DAY = 24
 DEFAULT_SHIFT_HOURS = 2
@@ -26,12 +27,23 @@ SINE_METHODS = ("sine_min_max", "sine_mean", "sine")
 MEAN_COURSE_METHODS = ("mean_course_min_max", "mean_course_mean")
 
 
+_EXPR_MEMO = PlanMemo()
+
+
 def _loc_exprs(min_max_time: str) -> dict[str, "F.Column"]:
     """The (min_loc, max_loc) column pair for a timing policy, over a
     frame that already carries sunrise/sunnoon (sun policies) and
     max_delta (sun_loc_shift) — split out so a multi-policy caller
     (the tagged registry union) derives several policies from ONE
-    daily frame."""
+    daily frame. All references are by NAME, so the built dict is
+    context-free and memoized per application (round 14,
+    ``util.planmemo``)."""
+    return _EXPR_MEMO.get(
+        ("loc", min_max_time), lambda: _loc_exprs_build(min_max_time)
+    )
+
+
+def _loc_exprs_build(min_max_time: str) -> dict[str, "F.Column"]:
     if min_max_time == "fix":
         return {"min_loc": F.lit(7), "max_loc": F.lit(14)}
     if min_max_time == "sun_loc":
@@ -63,7 +75,16 @@ def _neighbor_exprs(keys: list[str], date_col: str) -> dict[str, "F.Column"]:
     """Neighbour-day extreme values (the policy-independent half of the
     reference's ``locdf``); pandas `shift(±1,'D')` aligns by exact
     date, so guard the lead/lag with a 1-day diff; first/last rows
-    fall back to the current day's values (`temperature.py:115-122`)."""
+    fall back to the current day's values (`temperature.py:115-122`).
+    By-name window trees (~0.24 s of py4j build) — memoized per
+    application like :func:`_loc_exprs`."""
+    return _EXPR_MEMO.get(
+        ("neighbor", tuple(keys), date_col),
+        lambda: _neighbor_exprs_build(keys, date_col),
+    )
+
+
+def _neighbor_exprs_build(keys: list[str], date_col: str) -> dict[str, "F.Column"]:
     w = Window.partitionBy(*keys).orderBy(date_col)
     nxt_ok = F.datediff(F.lead(date_col, 1).over(w), F.col(date_col)) == 1
     prv_ok = F.datediff(F.col(date_col), F.lag(date_col, 1).over(w)) == 1
@@ -187,7 +208,8 @@ def disaggregate_temperature(
     d = daily
     if stations is not None:
         d = d.join(F.broadcast(stations.select(*keys, "lon", "lat", "timezone")), keys)
-        d = d.withColumns(sun_times_exprs(date_col, F.col("lon"), F.col("lat"), F.col("timezone")))
+        # NAME args (not Column objects) so the by-name memo fires
+        d = d.withColumns(sun_times_exprs(date_col, "lon", "lat", "timezone"))
     elif need_sun:
         raise ValueError("stations metadata required for sun-based timing")
 
@@ -224,17 +246,39 @@ def disaggregate_temperature(
         "hour", F.hour(ts_col)
     )
 
-    # smooth transitions: before the daily max use today's min, after it
-    # next day's; before the daily min use yesterday's max
-    # (`temperature.py:127-137`)
-    min_val = F.when(F.col("hour") < F.col("max_loc"), F.col("min_val_cur")).otherwise(
-        F.col("min_val_next")
+    hourly = hourly.withColumns(
+        _EXPR_MEMO.get(("minmax_vals",), _minmax_val_exprs)
     )
-    max_val = F.when(F.col("hour") < F.col("min_loc"), F.col("max_val_before")).otherwise(
-        F.col("max_val_cur")
+    temp = _EXPR_MEMO.get(
+        ("sine_temp", method, bool(mod_nighttime)),
+        lambda: _sine_temp_expr(method, mod_nighttime),
     )
-    hourly = hourly.withColumns({"__minv": min_val, "__maxv": max_val})
+    hourly = hourly.withColumn("temp", temp)
 
+    if apply_polar:
+        return _apply_polar_override(hourly, keys, ts_col, out_extras)
+
+    return hourly.select(*keys, ts_col, *out_extras, "temp")
+
+
+def _minmax_val_exprs() -> dict[str, "F.Column"]:
+    """Smooth transitions: before the daily max use today's min, after
+    it next day's; before the daily min use yesterday's max
+    (`temperature.py:127-137`). By-name trees — memoized per
+    application (round 14, ``util.planmemo``)."""
+    min_val = F.when(
+        F.col("hour") < F.col("max_loc"), F.col("min_val_cur")
+    ).otherwise(F.col("min_val_next"))
+    max_val = F.when(
+        F.col("hour") < F.col("min_loc"), F.col("max_val_before")
+    ).otherwise(F.col("max_val_cur"))
+    return {"__minv": min_val, "__maxv": max_val}
+
+
+def _sine_temp_expr(method: str, mod_nighttime: bool) -> "F.Column":
+    """The hourly sine/cosine temperature expression over the
+    ``__minv``/``__maxv``/``hour``/``min_loc``/``max_loc`` columns —
+    by-name, memoized per (method, mod_nighttime)."""
     h = F.col("hour").cast("double")
     if method in ("sine_min_max", "sine"):
         delta = F.col("__maxv") - F.col("__minv")
@@ -255,23 +299,19 @@ def disaggregate_temperature(
             t_after = v_trans + delta / 2.0 * F.cos(
                 F.try_divide(pi, HOURS_PER_DAY - span) * (h - F.col("max_loc"))
             )
-            temp = F.when(before_min, t_before).when(between, t_between).otherwise(t_after)
-        else:
-            temp = v_trans + delta / 2.0 * F.cos(
-                F.lit(2 * 3.141592653589793 / HOURS_PER_DAY) * (h - F.col("max_loc"))
+            return (
+                F.when(before_min, t_before)
+                .when(between, t_between)
+                .otherwise(t_after)
             )
-    else:  # sine_mean (`temperature.py:172-176`)
-        dtr = F.col("max_val_cur") - F.col("min_val_cur")
-        temp = F.col("mean_val_cur") + dtr / 2.0 * F.cos(
+        return v_trans + delta / 2.0 * F.cos(
             F.lit(2 * 3.141592653589793 / HOURS_PER_DAY) * (h - F.col("max_loc"))
         )
-
-    hourly = hourly.withColumn("temp", temp)
-
-    if apply_polar:
-        return _apply_polar_override(hourly, keys, ts_col, out_extras)
-
-    return hourly.select(*keys, ts_col, *out_extras, "temp")
+    # sine_mean (`temperature.py:172-176`)
+    dtr = F.col("max_val_cur") - F.col("min_val_cur")
+    return F.col("mean_val_cur") + dtr / 2.0 * F.cos(
+        F.lit(2 * 3.141592653589793 / HOURS_PER_DAY) * (h - F.col("max_loc"))
+    )
 
 
 def _polar_possible(stations: DataFrame) -> bool:
@@ -371,9 +411,7 @@ def get_shift_by_data(
     )
     with_sun = daily_max_hour.join(
         F.broadcast(stations.select(*keys, "lon", "lat", "timezone")), keys
-    ).withColumns(
-        sun_times_exprs("date", F.col("lon"), F.col("lat"), F.col("timezone"))
-    )
+    ).withColumns(sun_times_exprs("date", "lon", "lat", "timezone"))
     return (
         with_sun.withColumn("delta", F.col("max_hour") - F.col("sunnoon"))
         .groupBy(*keys, F.month("date").alias("month"))

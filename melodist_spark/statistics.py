@@ -118,16 +118,12 @@ class StationStatistics:
         d = data_daily.join(
             F.broadcast(self.stations.select("station_id", "lon", "lat", "timezone")),
             "station_id",
-        ).withColumns(
-            sun_times_exprs("date", F.col("lon"), F.col("lat"), F.col("timezone"))
-        )
+        ).withColumns(sun_times_exprs("date", "lon", "lat", "timezone"))
         pot_daily = (
             hourly_calendar(d.select("station_id", "date", "lon", "lat", "timezone"))
             .withColumn(
                 "pr",
-                potential_radiation(
-                    F.col("ts"), F.col("lon"), F.col("lat"), F.col("timezone")
-                ),
+                potential_radiation("ts", "lon", "lat", "timezone"),
             )
             .groupBy("station_id", "date")
             .agg(F.avg("pr").alias("pot_rad_daily"))
