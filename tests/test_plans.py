@@ -654,3 +654,57 @@ def test_plan_contract_ann_kernels_not_duplicated(spark):
         )
     )
     assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 2, plan
+
+
+def test_registry_python_eval_counts_pinned(spark, qs):
+    """Round 14 (guide §4.4, VERDICT r13 item 8): registry-wide pin of
+    the Python-eval NODE count per query plan at sf0.001 — the two
+    §4.4 duplications found in round 13 (repetition_stats' pushed
+    filter, the ANN join-key clones) were silent 2-4x kernel
+    multiplications that only a plan count catches. Any future count
+    GROWTH (an optimizer rule cloning a kernel, a lost
+    asNondeterministic flag, a new filter referencing kernel output)
+    fails here and must be either fixed or consciously re-pinned with
+    a justification.
+
+    The non-zero rows, audited this round: wind_cosine_fit 1 fit
+    kernel; cascade_disagg/calibration 2 DIFFERENT
+    FlatMapGroupsInPandas kernels each (hourly + level-9 / per-season
+    — verified against the plan arguments); embedding_neardup 2 =
+    the same _bucket once per self-join side (runtime exchange reuse
+    dedups the shuffle; a localCheckpoint variant measured flat, see
+    OPTIMIZATION_r14.md); ann_topk 6 = per-branch encode/bucket/score
+    kernels across the five methods; repetition_stats 2 = _kern on
+    raw text AND on the _mk_multi concatenation (different inputs,
+    not duplication); doc_sample/text_features/web_curation/
+    unigram_tokenize 1 each. Counts are SF-dependent (broadcast-vs-
+    join decision boundaries) and can drop below the ceiling when a
+    lazily-localCheckpointed kernel has already materialized in the
+    session (the plan then reads Scan ExistingRDD), so the pin is a
+    CEILING per row at SF_DIR, not an equality."""
+    ceiling = {
+        "wind_cosine_fit": 1,
+        "cascade_disagg": 2,
+        "cascade_calibration": 2,
+        "embedding_neardup": 2,
+        "ann_topk": 6,
+        "doc_sample": 1,
+        "doc_perplexity": 1,
+        "text_features": 1,
+        "web_curation": 1,
+        "repetition_stats": 2,
+        "tokenize_apply": 2,
+        "bpe_tokenize": 1,
+        "unigram_tokenize": 1,
+        "multimodal_hist": 1,
+    }
+    pat = re.compile(
+        r"\(\d+\) (?:ArrowEvalPython|BatchEvalPython|MapInPandas|"
+        r"FlatMapGroupsInPandas|MapInArrow)"
+    )
+    over = {}
+    for name, fn in qs.items():
+        n = len(pat.findall(_plan(fn(spark, SF_DIR))))
+        if n > ceiling.get(name, 0):
+            over[name] = (ceiling.get(name, 0), n)
+    assert not over, f"python-eval nodes over the audited ceiling: {over}"
