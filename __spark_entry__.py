@@ -24,6 +24,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from melodist_spark.util.planmemo import PlanMemo
+
+# round 14 (§5 driver latency): the variant-union rows build deep
+# BY-NAME expression trees (sine batteries, vapor-pressure ratios,
+# explode-of-structs) costing 1-3k py4j round-trips per build; they
+# are context-free, so one build per application suffices — same
+# policy as the operator-level memos in util.planmemo.
+_ENTRY_EXPR_MEMO = PlanMemo()
+
 LON, LAT, TZ = 8.86, 51.0, 1.0
 
 
@@ -4541,62 +4550,31 @@ def q_sub_level_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "ts")
 
 
-def q_humidity_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """minimal (`humidity.py:63-66`: dewpoint = daily tmin, RH from
-    the saturation vapor-pressure ratio) and min_max
-    (`humidity.py:91-101`: hourly temperature position within the
-    daily range) in one result, tagged by method — a narrow union of
-    the two branches over the shared temperature-sine chain (merges
-    the former ``humidity_minimal`` / ``humidity_minmax`` rows; both
-    variants stay hash-checked inside the union)."""
-    # SHARED SCAN (round 13, same treatment as the radiation/temp
-    # union rows): the three public-op branches each paid their own
-    # fused sine-temperature chain (neighbour window + hourly explode
-    # + cosine). All three humidity formulas are row-local functions
-    # of the SAME exploded fix-timing sine temperature, so the row
-    # computes the chain once — one neighbour window (the lindew
-    # tdew_next lead rides the same window spec), one explode — and
-    # emits the three variant rows per hour with one
-    # explode-of-structs. Formulas are copied term-for-term from
-    # disaggregate_humidity / disaggregate_temperature;
-    # test_q_humidity_variants_matches_public_ops pins each branch
-    # row-identical to the public op at the row's round-6 grain; the
-    # DuckDB twin is unchanged.
+def _humidity_variant_exprs() -> dict:
+    """The by-name column trees of q_humidity_variants (daily dewpoint
+    regression columns, the fused fix-timing sine temperature, the
+    three raw hum_disagg ratios, and the exploded variant-struct
+    column) — context-free, memoized per application via
+    _ENTRY_EXPR_MEMO (round 14; ~3.1k py4j round-trips per build
+    otherwise). Formulas copied term-for-term from
+    disaggregate_humidity / disaggregate_temperature and pinned
+    branch-identical by test_q_humidity_variants_matches_public_ops."""
     from pyspark.sql import Window
 
     from melodist_spark.functions.meteo import vapor_pressure
-    from melodist_spark.operators.humidity import dewpoint_regression
-    from melodist_spark.operators.temperature import (
-        HOURS_PER_DAY,
-        _loc_exprs,
-        _neighbor_exprs,
-    )
-    from melodist_spark.util.calendar import hourly_calendar
+    from melodist_spark.operators.temperature import HOURS_PER_DAY
 
     PI = 3.141592653589793
-
-    m = _met_hourly(spark, sf_dir)
-    params = dewpoint_regression(m, keys=["user_id"]).withColumn(
-        "kr", F.lit(12)
-    )
-    daily = _met_daily(spark, sf_dir)
-    d = daily.join(F.broadcast(params), ["user_id"], "left")
     wd = Window.partitionBy("user_id").orderBy("date")
-    d = d.withColumn(
-        "tdew_reg", F.col("a0") + F.col("a1") * F.col("tmin")
-    ).withColumn(
-        "tdew_next",
-        F.coalesce(F.lead("tdew_reg", 1).over(wd), F.col("tdew_reg")),
-    )
-    fix = _loc_exprs("fix")
-    d = d.withColumns({"min_loc": fix["min_loc"], "max_loc": fix["max_loc"]})
-    d = d.withColumns(_neighbor_exprs(["user_id"], "date"))
+    daily_exprs = {
+        "tdew_reg": F.col("a0") + F.col("a1") * F.col("tmin"),
+        "tdew_next": F.coalesce(
+            F.lead(F.col("a0") + F.col("a1") * F.col("tmin"), 1).over(wd),
+            F.col("a0") + F.col("a1") * F.col("tmin"),
+        ),
+    }
 
-    hourly = hourly_calendar(d, date_col="date", ts_col="ts").withColumn(
-        "hour", F.hour("ts")
-    )
     h = F.col("hour").cast("double")
-
     # the fused fix-timing sine_min_max temperature
     # (`temperature.py:127-143`)
     minv = F.when(
@@ -4613,7 +4591,6 @@ def q_humidity_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         / 2.0
         * F.cos(F.lit(2 * PI / HOURS_PER_DAY) * (h - F.col("max_loc")))
     )
-    hourly = hourly.withColumn("__temp", temp)
 
     # linear_dewpoint_variation hourly dewpoint: eq. (20)/(21) of
     # Debele et al. 2007 (`humidity.py:73-86`)
@@ -4640,20 +4617,18 @@ def q_humidity_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     # raw trees inlines the vapor-pressure exponentials ~6× into the
     # generator (measured 2.5× slower than the public-op branches);
     # the public op materializes hum_disagg the same way
-    hourly = hourly.withColumns(
-        {
-            # minimal: tdew = daily tmin (`humidity.py:63-66`)
-            "__hd_min": 100.0
-            * vapor_pressure(F.col("tmin"), 100.0)
-            / vapor_pressure(F.col("__temp"), 100.0),
-            "__hd_mm": F.when(
-                den != 0, F.col("hum_max") + num / den * diff
-            ).otherwise(flat),
-            "__hd_ld": 100.0
-            * vapor_pressure(tdew_h, 100.0)
-            / vapor_pressure(F.col("__temp"), 100.0),
-        }
-    )
+    hd_exprs = {
+        # minimal: tdew = daily tmin (`humidity.py:63-66`)
+        "__hd_min": 100.0
+        * vapor_pressure(F.col("tmin"), 100.0)
+        / vapor_pressure(F.col("__temp"), 100.0),
+        "__hd_mm": F.when(
+            den != 0, F.col("hum_max") + num / den * diff
+        ).otherwise(flat),
+        "__hd_ld": 100.0
+        * vapor_pressure(tdew_h, 100.0)
+        / vapor_pressure(F.col("__temp"), 100.0),
+    }
 
     def clip(name):
         # null-preserving clip to [0, 100] (`humidity.py:120`)
@@ -4662,31 +4637,76 @@ def q_humidity_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.greatest(val, F.lit(0.0)), F.lit(100.0))
         )
 
-    hum_minimal = clip("__hd_min")
-    hum_minmax = clip("__hd_mm")
-    hum_lindew = clip("__hd_ld")
+    out = F.explode(
+        F.array(
+            F.struct(
+                F.lit("minimal").alias("variant"),
+                F.round(clip("__hd_min"), 6).alias("hum_h"),
+            ),
+            F.struct(
+                F.lit("min_max").alias("variant"),
+                F.round(clip("__hd_mm"), 6).alias("hum_h"),
+            ),
+            F.struct(
+                F.lit("lindew").alias("variant"),
+                F.round(clip("__hd_ld"), 6).alias("hum_h"),
+            ),
+        )
+    )
+    return {"daily": daily_exprs, "temp": temp, "hd": hd_exprs, "out": out}
+
+
+def q_humidity_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minimal (`humidity.py:63-66`: dewpoint = daily tmin, RH from
+    the saturation vapor-pressure ratio) and min_max
+    (`humidity.py:91-101`: hourly temperature position within the
+    daily range) in one result, tagged by method — a narrow union of
+    the two branches over the shared temperature-sine chain (merges
+    the former ``humidity_minimal`` / ``humidity_minmax`` rows; both
+    variants stay hash-checked inside the union)."""
+    # SHARED SCAN (round 13, same treatment as the radiation/temp
+    # union rows): the three public-op branches each paid their own
+    # fused sine-temperature chain (neighbour window + hourly explode
+    # + cosine). All three humidity formulas are row-local functions
+    # of the SAME exploded fix-timing sine temperature, so the row
+    # computes the chain once — one neighbour window (the lindew
+    # tdew_next lead rides the same window spec), one explode — and
+    # emits the three variant rows per hour with one
+    # explode-of-structs. Formulas are copied term-for-term from
+    # disaggregate_humidity / disaggregate_temperature;
+    # test_q_humidity_variants_matches_public_ops pins each branch
+    # row-identical to the public op at the row's round-6 grain; the
+    # DuckDB twin is unchanged.
+    from melodist_spark.operators.humidity import dewpoint_regression
+    from melodist_spark.operators.temperature import (
+        _loc_exprs,
+        _neighbor_exprs,
+    )
+    from melodist_spark.util.calendar import hourly_calendar
+
+    exprs = _ENTRY_EXPR_MEMO.get(
+        ("humidity_variants",), _humidity_variant_exprs
+    )
+
+    m = _met_hourly(spark, sf_dir)
+    params = dewpoint_regression(m, keys=["user_id"]).withColumn(
+        "kr", F.lit(12)
+    )
+    daily = _met_daily(spark, sf_dir)
+    d = daily.join(F.broadcast(params), ["user_id"], "left")
+    d = d.withColumns(exprs["daily"])
+    fix = _loc_exprs("fix")
+    d = d.withColumns({"min_loc": fix["min_loc"], "max_loc": fix["max_loc"]})
+    d = d.withColumns(_neighbor_exprs(["user_id"], "date"))
+
+    hourly = hourly_calendar(d, date_col="date", ts_col="ts").withColumn(
+        "hour", F.hour("ts")
+    )
+    hourly = hourly.withColumn("__temp", exprs["temp"])
+    hourly = hourly.withColumns(exprs["hd"])
 
     return (
-        hourly.select(
-            "user_id",
-            "ts",
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.lit("minimal").alias("variant"),
-                        F.round(hum_minimal, 6).alias("hum_h"),
-                    ),
-                    F.struct(
-                        F.lit("min_max").alias("variant"),
-                        F.round(hum_minmax, 6).alias("hum_h"),
-                    ),
-                    F.struct(
-                        F.lit("lindew").alias("variant"),
-                        F.round(hum_lindew, 6).alias("hum_h"),
-                    ),
-                )
-            ).alias("__vh"),
-        )
+        hourly.select("user_id", "ts", exprs["out"].alias("__vh"))
         .select(
             "user_id",
             "ts",
@@ -5444,6 +5464,94 @@ def q_multimodal_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _temp_sine_variant_exprs() -> "F.Column":
+    """The exploded method-struct column of q_temp_sine_variants —
+    every reference is BY NAME over the shared hourly frame
+    (hour/__minl_*/__maxl_*/neighbour extremes), so the tree is
+    context-free and memoized per application via _ENTRY_EXPR_MEMO
+    (round 14; it cost ~1.6k py4j round-trips per build). Formulas
+    are copied term-for-term from disaggregate_temperature and pinned
+    branch-identical to the public op by
+    test_q_temp_sine_variants_matches_public_ops."""
+    from melodist_spark.operators.temperature import HOURS_PER_DAY
+
+    h = F.col("hour").cast("double")
+    pi = F.lit(3.141592653589793)
+    two_pi_24 = F.lit(2 * 3.141592653589793 / HOURS_PER_DAY)
+
+    def minmax_vals(min_loc, max_loc):
+        # smooth transitions (`temperature.py:127-137`)
+        min_val = F.when(
+            F.col("hour") < max_loc, F.col("min_val_cur")
+        ).otherwise(F.col("min_val_next"))
+        max_val = F.when(
+            F.col("hour") < min_loc, F.col("max_val_before")
+        ).otherwise(F.col("max_val_cur"))
+        return min_val, max_val
+
+    def sine_min_max(min_loc, max_loc):
+        minv, maxv = minmax_vals(min_loc, max_loc)
+        delta = maxv - minv
+        v_trans = minv + delta / 2.0
+        return v_trans + delta / 2.0 * F.cos(two_pi_24 * (h - max_loc))
+
+    def sine_night(min_loc, max_loc):
+        # three-piece cosine (`temperature.py:145-167`)
+        minv, maxv = minmax_vals(min_loc, max_loc)
+        delta = maxv - minv
+        v_trans = minv + delta / 2.0
+        span = max_loc - min_loc
+        before_min = h <= min_loc
+        between = (h > min_loc) & (h < max_loc)
+        t_before = v_trans + delta / 2.0 * F.cos(
+            F.try_divide(pi, HOURS_PER_DAY - span)
+            * (HOURS_PER_DAY - max_loc + h)
+        )
+        t_between = v_trans + delta / 2.0 * F.cos(
+            1.25 * pi + F.try_divide(0.75 * pi, span) * (h - min_loc)
+        )
+        t_after = v_trans + delta / 2.0 * F.cos(
+            F.try_divide(pi, HOURS_PER_DAY - span) * (h - max_loc)
+        )
+        return (
+            F.when(before_min, t_before)
+            .when(between, t_between)
+            .otherwise(t_after)
+        )
+
+    def sine_mean(max_loc):
+        # sine_mean (`temperature.py:172-176`)
+        dtr = F.col("max_val_cur") - F.col("min_val_cur")
+        return F.col("mean_val_cur") + dtr / 2.0 * F.cos(
+            two_pi_24 * (h - max_loc)
+        )
+
+    t_mean = sine_mean(F.col("__maxl_fix"))
+    t_night = sine_night(F.col("__minl_fix"), F.col("__maxl_fix"))
+    t_sunloc = sine_min_max(F.col("__minl_sl"), F.col("__maxl_sl"))
+    t_sunshift = sine_min_max(F.col("__minl_ss"), F.col("__maxl_ss"))
+    return F.explode(
+        F.array(
+            F.struct(
+                F.lit("mean").alias("method"),
+                F.round(t_mean, 6).alias("temp_h"),
+            ),
+            F.struct(
+                F.lit("night").alias("method"),
+                F.round(t_night, 6).alias("temp_h"),
+            ),
+            F.struct(
+                F.lit("sunloc").alias("method"),
+                F.round(t_sunloc, 6).alias("temp_h"),
+            ),
+            F.struct(
+                F.lit("sunshift").alias("method"),
+                F.round(t_sunshift, 6).alias("temp_h"),
+            ),
+        )
+    )
+
+
 def q_temp_sine_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sine_mean (`temperature.py:172-176`), sine_min_max with
     mod_nighttime (`temperature.py:145-167`), and — round 10 —
@@ -5531,87 +5639,12 @@ def q_temp_sine_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = hourly_calendar(d, date_col="date", ts_col="ts").withColumn(
         "hour", F.hour("ts")
     )
-    h = F.col("hour").cast("double")
-    pi = F.lit(3.141592653589793)
-    two_pi_24 = F.lit(2 * 3.141592653589793 / HOURS_PER_DAY)
 
-    def minmax_vals(min_loc, max_loc):
-        # smooth transitions (`temperature.py:127-137`)
-        min_val = F.when(
-            F.col("hour") < max_loc, F.col("min_val_cur")
-        ).otherwise(F.col("min_val_next"))
-        max_val = F.when(
-            F.col("hour") < min_loc, F.col("max_val_before")
-        ).otherwise(F.col("max_val_cur"))
-        return min_val, max_val
-
-    def sine_min_max(min_loc, max_loc):
-        minv, maxv = minmax_vals(min_loc, max_loc)
-        delta = maxv - minv
-        v_trans = minv + delta / 2.0
-        return v_trans + delta / 2.0 * F.cos(two_pi_24 * (h - max_loc))
-
-    def sine_night(min_loc, max_loc):
-        # three-piece cosine (`temperature.py:145-167`)
-        minv, maxv = minmax_vals(min_loc, max_loc)
-        delta = maxv - minv
-        v_trans = minv + delta / 2.0
-        span = max_loc - min_loc
-        before_min = h <= min_loc
-        between = (h > min_loc) & (h < max_loc)
-        t_before = v_trans + delta / 2.0 * F.cos(
-            F.try_divide(pi, HOURS_PER_DAY - span)
-            * (HOURS_PER_DAY - max_loc + h)
-        )
-        t_between = v_trans + delta / 2.0 * F.cos(
-            1.25 * pi + F.try_divide(0.75 * pi, span) * (h - min_loc)
-        )
-        t_after = v_trans + delta / 2.0 * F.cos(
-            F.try_divide(pi, HOURS_PER_DAY - span) * (h - max_loc)
-        )
-        return (
-            F.when(before_min, t_before)
-            .when(between, t_between)
-            .otherwise(t_after)
-        )
-
-    def sine_mean(max_loc):
-        # sine_mean (`temperature.py:172-176`)
-        dtr = F.col("max_val_cur") - F.col("min_val_cur")
-        return F.col("mean_val_cur") + dtr / 2.0 * F.cos(
-            two_pi_24 * (h - max_loc)
-        )
-
-    t_mean = sine_mean(F.col("__maxl_fix"))
-    t_night = sine_night(F.col("__minl_fix"), F.col("__maxl_fix"))
-    t_sunloc = sine_min_max(F.col("__minl_sl"), F.col("__maxl_sl"))
-    t_sunshift = sine_min_max(F.col("__minl_ss"), F.col("__maxl_ss"))
-
+    mt = _ENTRY_EXPR_MEMO.get(
+        ("temp_sine_variants_mt",), _temp_sine_variant_exprs
+    )
     return (
-        hourly.select(
-            "user_id",
-            "ts",
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.lit("mean").alias("method"),
-                        F.round(t_mean, 6).alias("temp_h"),
-                    ),
-                    F.struct(
-                        F.lit("night").alias("method"),
-                        F.round(t_night, 6).alias("temp_h"),
-                    ),
-                    F.struct(
-                        F.lit("sunloc").alias("method"),
-                        F.round(t_sunloc, 6).alias("temp_h"),
-                    ),
-                    F.struct(
-                        F.lit("sunshift").alias("method"),
-                        F.round(t_sunshift, 6).alias("temp_h"),
-                    ),
-                )
-            ).alias("__mt"),
-        )
+        hourly.select("user_id", "ts", mt.alias("__mt"))
         .select(
             "user_id",
             "ts",
