@@ -284,12 +284,18 @@ def bloom_probe_packed(
     spark = df.sparkSession
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
+    # collision-free temp name: a probed frame already carrying a
+    # '__bf_words' column would make the crossJoin ambiguous and the
+    # final drop would remove both (the embedding_index pattern)
+    tmp = "__bf_words"
+    while tmp in df.columns:
+        tmp += "_"
     wdf = spark.createDataFrame(
         [([int(w) for w in words],)],
-        StructType([StructField("__bf_words", ArrayType(LongType()), False)]),
+        StructType([StructField(tmp, ArrayType(LongType()), False)]),
     )
     out = df.crossJoin(F.broadcast(wdf))
-    arr = F.col("__bf_words")
+    arr = F.col(tmp)
     verdict = F.lit(True)
     for pos in _positions(F.col(col), m_bits, k):
         # F.shiftright only takes a literal shift; the SQL function
@@ -299,7 +305,7 @@ def bloom_probe_packed(
         verdict = verdict & (
             F.call_function("shiftright", word, bit).bitwiseAND(F.lit(1)) == 1
         )
-    return out.withColumn(out_col, verdict).drop("__bf_words")
+    return out.withColumn(out_col, verdict).drop(tmp)
 
 
 def decontaminate_bloom(
@@ -375,6 +381,16 @@ def decontaminate_bloom(
     # size. 'auto' takes it whenever the filter is plan-sized
     # (PACKED_FILTER_MAX_BITS); corpus-sized filters keep the join
     # probe. Verdicts are pin-tested identical.
+    if filter_mode == "packed" and not broadcast_filter:
+        # the packed probe requires the word table collected to the
+        # driver (a broadcast-class filter); silently falling back to
+        # the trickle join would ignore the caller's explicit ask
+        raise ValueError(
+            "filter_mode='packed' requires broadcast_filter=True — the "
+            "packed probe inlines the driver-collected word table into "
+            "the plan; with broadcast_filter=False use filter_mode="
+            "'join' (or 'auto')"
+        )
     packed = filter_mode == "packed" or (
         filter_mode == "auto"
         and broadcast_filter
