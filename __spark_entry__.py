@@ -6015,28 +6015,37 @@ def q_pq_topk(
     pruning and code compression compound. Train-once/apply-anywhere
     is exactly the deployment shape at 100 TB."""
     from melodist_spark.pipeline.pinned import IVF_CENTROIDS, PQ_CODEBOOKS
-    from melodist_spark.pipeline.similarity import ivf_pq_topk, pq_topk
+    from melodist_spark.pipeline.similarity import pq_ivfpq_topk
 
     if emb is None:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 8)
-    books = PQ_CODEBOOKS
-    cents = IVF_CENTROIDS
 
-    def shaped(method: str, out: DataFrame) -> DataFrame:
-        return out.select(
-            F.lit(method).alias("method"),
-            "query_id",
-            "neighbor_id",
-            F.round("pq_score", 6).alias("pq_score"),
-            F.col("rank").cast("long").alias("rank"),
-        )
-
-    return shaped("pq", pq_topk(emb, queries, books, k=5)).unionByName(
-        shaped(
-            "ivfpq",
-            ivf_pq_topk(emb, queries, cents, books, k=5, n_probe=2),
-        )
+    # FUSED SCAN (round 14, guide §2.3/§2.4/§4.1): the two branches
+    # used to run the public ops side by side — the corpus encoded
+    # TWICE (one pq_encode per branch) and five Python-boundary
+    # passes for scores that are literally the same numbers (an
+    # ivfpq score is the pq ADC score of a row in a probed cell).
+    # pq_ivfpq_topk normalizes/encodes/assigns each batch once and
+    # emits both methods' per-batch top-k partials from one scored
+    # scan — bit-identical to the public-op pair by construction
+    # (same float ops, same order, same batch boundaries; pinned by
+    # test_pq_ivfpq_fused_matches_public_ops and the ann_topk
+    # oracle hash at both SFs). The shared-encode checkpoint form
+    # was measured SLOWER (barrier job > duplicated 5k-row encode,
+    # see OPTIMIZATION_r14.md); this form removes the duplicate
+    # without any barrier. Note for the bench subs: the pq/ivfpq
+    # method filters now price the one fused kernel each (like the
+    # other fused rows — compare the row total round-to-round).
+    out = pq_ivfpq_topk(
+        emb, queries, IVF_CENTROIDS, PQ_CODEBOOKS, k=5, n_probe=2
+    )
+    return out.select(
+        "method",
+        "query_id",
+        "neighbor_id",
+        F.round("pq_score", 6).alias("pq_score"),
+        F.col("rank").cast("long").alias("rank"),
     )
 
 

@@ -687,6 +687,30 @@ touched row re-verified hash-green):
   jaccard_pairs, text_features, smet_roundtrip, streaming_daily_agg,
   cascade rows, doc_sample, robots_eval, met families): rationale
   per row in OPTIMIZATION_r13.md.
+
+Round-14 optimization-session changes (per-change interleaved A-B
+evidence in OPTIMIZATION_r14.md; every touched row re-verified
+hash-green at sf0.01 AND sf0.001):
+
+- jaccard_pairs: registry row flipped to the Arrow shingle kernel
+  (one materialization read by both join sides); the JVM expression
+  form stays the DuckDB-twin shape. A-B 3.0-4.1 -> 2.0-2.7 s.
+- met family: plan-CONSTRUCTION memoization (PlanMemo over the
+  unresolved sun/potrad/neighbor/variant expression trees) — py4j
+  commands per warm build -28..-83%; no plan or value change.
+- semantic_dedup `cc` sub priced at the sf0.01 twin corpus like the
+  pairs twins (it re-ran a dup_clusters near-twin at bench SF twice
+  per pass); SPARK_GRAFT_PRICE_TWINS=full restores.
+- ann_topk: the pq+ivfpq branches now run as ONE fused scored scan
+  (pq_ivfpq_topk — codes, cells and the per-query ADC gathers
+  computed once per batch; both methods' partials from one kernel;
+  bit-identical to the public-op pair, pin-tested). Row A-B
+  2.15 -> 1.86 s min, plan ArrowEvalPython 8 -> 4, MapInPandas
+  4 -> 2. SUB SEMANTICS: the `pq` and `ivfpq` method subs now each
+  price the one fused kernel (the method filter can no longer fold
+  the other method's in-kernel work, same as the decontaminate /
+  shared-scan rows) — expect those two subs to read nearly equal;
+  compare the row total round-to-round.
 """
 
 

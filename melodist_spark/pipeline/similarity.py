@@ -1288,3 +1288,148 @@ def ivf_pq_topk(
         partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= kk)
     )
+
+
+def pq_ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    coarse_centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Both PQ deployment shapes from ONE scored corpus scan,
+    method-tagged 'pq' / 'ivfpq' (round 14, guide §2.3/§2.4/§4.1):
+    running :func:`pq_topk` and :func:`ivf_pq_topk` side by side
+    encodes the corpus twice and crosses the Python boundary five
+    times (two encode evals, one cell eval, two scoring scans) for
+    scores that are literally the same numbers — an ivfpq score is
+    the pq ADC score of a row whose cell the query probes. This
+    kernel normalizes each batch once, derives codes (``pq_encode``
+    math), cells (``ivf_assign`` math) and the per-query ADC scores
+    once, and emits BOTH methods' per-batch top-k partials; one
+    window per (method, query) ranks the tiny partial frame.
+
+    Bit-identical to the pair of public ops by construction — same
+    normalize/argmin/argmax/LUT-gather float ops in the same order
+    over the same batch boundaries (the scan partitioning is the
+    same; the per-batch argpartition tie behavior is identical on
+    identical score arrays) — and pin-tested so
+    (``test_pq_ivfpq_fused_matches_public_ops``). The fused form is
+    the bench/deployment shape; the public ops remain the
+    composable API (and the ``cell_col``/``code_col`` injection
+    parameters remain the encode-once-at-ingest path).
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    m, ksub, dsub = codebooks.shape
+    spark = corpus.sparkSession
+    out_schema = StructType(
+        [
+            StructField("method", StringType()),
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("pq_score", DoubleType()),
+        ]
+    )
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        return _empty_topk(
+            spark,
+            "method string, query_id long, neighbor_id long, "
+            "pq_score double, rank long",
+        )
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    qx = _normalize_rows(
+        np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    )
+    lut = np.einsum("qsd,scd->qsc", qx.reshape(len(qx), m, dsub), codebooks)
+    cn = _normalize_rows(coarse_centroids.astype(np.float64))
+    order = np.argsort(-(qx @ cn.T), axis=1, kind="stable")
+    probes = order[:, : int(n_probe)]  # (q, n_probe) cell ids
+    bc = spark.sparkContext.broadcast((qids, probes, lut, cn))
+    books = codebooks.copy()
+    kk = int(k)
+
+    src = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col)
+    )
+    vcol = vec_col
+
+    def score(batches):
+        ids_q, prb, tbl, cents_n = bc.value
+        nq = len(ids_q)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or nq == 0:
+                continue
+            xn = _normalize_rows(
+                np.vstack(pdf[vcol].to_numpy()).astype(np.float64)
+            )
+            # codes: pq_encode's exact per-subspace argmin
+            codes = np.empty((n, m), dtype=np.uint8)
+            for s in range(m):
+                xs = xn[:, s * dsub : (s + 1) * dsub]
+                cs = books[s]
+                d2 = (
+                    (xs * xs).sum(axis=1, keepdims=True)
+                    - 2.0 * xs @ cs.T
+                    + (cs * cs).sum(axis=1)
+                )
+                codes[:, s] = d2.argmin(axis=1).astype(np.uint8)
+            # cells: ivf_assign's exact cosine argmax
+            cell = (xn @ cents_n.T).argmax(axis=1)
+            nid = pdf["neighbor_id"].to_numpy(np.int64)
+            out_m, out_q, out_n, out_s = [], [], [], []
+            for qi in range(nq):
+                s_all = _adc_scores(tbl[qi], codes)
+                # pq partial: full scan, self masked to -inf
+                # (filtered after the rank window, as in pq_topk)
+                s_pq = s_all.copy()
+                s_pq[nid == ids_q[qi]] = -np.inf
+                top = min(kk, n)
+                part = np.argpartition(-s_pq, top - 1)[:top]
+                out_m.append(np.full(top, "pq", dtype=object))
+                out_q.append(np.full(top, ids_q[qi]))
+                out_n.append(nid[part])
+                out_s.append(s_pq[part])
+                # ivfpq partial: probed cells only, self excluded
+                # (ivf_pq_topk's mask), scores are the same gathers
+                mask = np.isin(cell, prb[qi]) & (nid != ids_q[qi])
+                if mask.any():
+                    s_iv = s_all[mask]
+                    top2 = min(kk, len(s_iv))
+                    part2 = np.argpartition(-s_iv, top2 - 1)[:top2]
+                    out_m.append(np.full(top2, "ivfpq", dtype=object))
+                    out_q.append(np.full(top2, ids_q[qi]))
+                    out_n.append(nid[mask][part2])
+                    out_s.append(s_iv[part2])
+            yield pd.DataFrame(
+                {
+                    "method": np.concatenate(out_m),
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "pq_score": np.concatenate(out_s),
+                }
+            )
+
+    partial = src.mapInPandas(score, out_schema)
+    w = Window.partitionBy("method", "query_id").orderBy(
+        F.col("pq_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+        .filter(
+            (F.col("method") == "ivfpq")
+            | (F.col("pq_score") > float("-inf"))
+        )
+    )

@@ -3043,6 +3043,85 @@ def test_ivf_pq_topk_prunes_and_recovers(spark):
     )
 
 
+def test_pq_ivfpq_fused_matches_public_ops(spark):
+    """Round 14: pq_ivfpq_topk emits both PQ deployment shapes from
+    ONE scored scan (codes, cells and the per-query ADC gathers
+    computed once per batch). It must be BIT-identical — scores to
+    the last ulp, identical neighbor sets and ranks — to running
+    pq_topk and ivf_pq_topk side by side, on both the pinned-model
+    registry inputs and a fresh-trained synthetic corpus."""
+    import __spark_entry__ as entry
+    from melodist_spark.pipeline.pinned import IVF_CENTROIDS, PQ_CODEBOOKS
+    from melodist_spark.pipeline.similarity import (
+        ivf_pq_topk,
+        pq_ivfpq_topk,
+        pq_topk,
+        train_kmeans_centroids,
+        train_pq_codebooks,
+    )
+
+    def pair(emb, queries, cents, books, k, n_probe):
+        pq = pq_topk(emb, queries, books, k=k).toPandas()
+        iv = ivf_pq_topk(
+            emb, queries, cents, books, k=k, n_probe=n_probe
+        ).toPandas()
+        pq.insert(0, "method", "pq")
+        iv.insert(0, "method", "ivfpq")
+        return pd.concat([pq, iv], ignore_index=True)
+
+    def norm(pdf):
+        return (
+            pdf[["method", "query_id", "neighbor_id", "pq_score", "rank"]]
+            .astype({"rank": "int64"})
+            .sort_values(["method", "query_id", "rank"])
+            .reset_index(drop=True)
+        )
+
+    # registry inputs (pinned models, real embeddings parquet)
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    fused = pq_ivfpq_topk(
+        emb, queries, IVF_CENTROIDS, PQ_CODEBOOKS, k=5, n_probe=2
+    ).toPandas()
+    want = pair(emb, queries, IVF_CENTROIDS, PQ_CODEBOOKS, 5, 2)
+    pd.testing.assert_frame_equal(norm(fused), norm(want))
+    assert len(fused) > 0
+    # ... and the registry entry rides the fused op (rounded scores)
+    got = entry.q_pq_topk(spark, sf_dir).toPandas()
+    want_r = norm(want)
+    want_r["pq_score"] = want_r["pq_score"].round(6)
+    pd.testing.assert_frame_equal(
+        norm(got), want_r, check_dtype=False
+    )
+
+    # fresh-trained models on a clustered synthetic corpus (twin
+    # structure exercises real top-k ties and multi-cell probes)
+    rng = np.random.default_rng(53)
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    noisy = base + 0.01 * rng.standard_normal((40, 16)).astype(np.float32)
+    vecs = np.vstack([base, noisy])
+    pdf = pd.DataFrame(
+        {"vec_id": range(80), "embedding": [v.tolist() for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    q2 = df.filter(F.col("vec_id") < 6)
+    cents = train_kmeans_centroids(df, k=4, dim=16)
+    books = train_pq_codebooks(df, dim=16, m=4, ksub=16, sample=80)
+    fused2 = pq_ivfpq_topk(df, q2, cents, books, k=3, n_probe=2).toPandas()
+    want2 = pair(df, q2, cents, books, 3, 2)
+    pd.testing.assert_frame_equal(norm(fused2), norm(want2))
+
+    # empty query set: well-formed empty frame with the method column
+    empty = pq_ivfpq_topk(
+        df.limit(0), df.filter(F.col("vec_id") < 0), cents, books
+    )
+    assert empty.columns == [
+        "method", "query_id", "neighbor_id", "pq_score", "rank"
+    ]
+    assert empty.count() == 0
+
+
 def test_logreg_matches_numpy_reference(spark):
     """The distributed IRLS trainer must reproduce the textbook numpy
     IRLS step for step (same standardization, same ridge): weights
